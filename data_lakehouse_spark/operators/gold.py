@@ -1,0 +1,471 @@
+"""Gold-layer marts: the reference's 7 aggregate models as pure
+DataFrame-in/DataFrame-out functions over the silver schema.
+
+Reference parity (compiled SQL under dbt/target/run/.../models/gold/):
+- daily_sales_summary       core/gold_daily_sales_summary.sql
+- product_performance       core/gold_product_performance.sql
+- category_performance      core/gold_category_performance.sql   (W2 + J1)
+- user_rfm_segments         core/gold_user_rfm_segments.sql      (W3 NTILE)
+- user_journey_funnel       funnel/gold_user_journey_funnel.sql
+- conversion_funnel_daily   funnel/gold_conversion_funnel_daily.sql
+- hourly_traffic            traffic/gold_hourly_traffic.sql
+
+Determinism contract (for the DuckDB correctness oracle):
+- Money is accumulated in DECIMAL(18,2) (exact, order-independent) and
+  cast to DOUBLE at the end, so Spark and any ANSI engine agree bit-for-bit.
+- Ratios/averages divide two already-identical doubles, then ROUND(…,2).
+- Window orderings get explicit tiebreakers (the reference leaves ties
+  engine-defined).
+- CURRENT_DATE/CURRENT_TIMESTAMP are injectable (``as_of_date``) —
+  SURVEY.md §7.3 #2.
+
+Scale notes: every mart is one hash-aggregate over a date-partitioned
+silver table → map-side partial agg, single shuffle on the grouping key.
+COUNT(DISTINCT CASE …) expands via Catalyst's Expand; AQE handles skew.
+The NTILE windows in the RFM mart are global (single partition) by
+reference semantics — `scalable_ntile=True` computes the same 5-bucket
+scores via percent_rank-free distributed quantile assignment when
+user-cardinality is huge (trade: identical except at bucket boundaries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_lakehouse_spark.functions import scalars
+
+__all__ = [
+    "daily_sales_summary",
+    "product_performance",
+    "category_performance",
+    "user_rfm_segments",
+    "user_journey_funnel",
+    "conversion_funnel_daily",
+    "hourly_traffic",
+]
+
+_DEC = "decimal(18,2)"
+
+
+def _zero() -> Column:
+    return F.lit(0).cast(_DEC)
+
+
+def _money(cond: Column, price: Column | str = "price") -> Column:
+    """SUM(CASE WHEN cond THEN price ELSE 0 END) — exact decimal, → double."""
+    p = (F.col(price) if isinstance(price, str) else price).cast(_DEC)
+    return F.sum(F.when(cond, F.coalesce(p, _zero())).otherwise(_zero())).cast("double")
+
+
+def _cnt(cond: Column) -> Column:
+    """COUNT(CASE WHEN cond THEN 1 END)."""
+    return F.count(F.when(cond, F.lit(1))).cast("bigint")
+
+
+def _cntd(cond: Column, col: str) -> Column:
+    """COUNT(DISTINCT CASE WHEN cond THEN col END)."""
+    return F.countDistinct(F.when(cond, F.col(col))).cast("bigint")
+
+
+def _ratio(num: Column, den: Column, scale: float = 1.0) -> Column:
+    """ROUND(num * scale / NULLIF(den, 0), 2) — half-up, engine-stable."""
+    return scalars.round_half_up(
+        num.cast("double") * F.lit(scale) / F.when(den != 0, den.cast("double")),
+        2,
+    )
+
+
+def _is(event_type: str) -> Column:
+    return F.col("event_type") == event_type
+
+
+def daily_sales_summary(silver: DataFrame, *, cart_type: str = "cart") -> DataFrame:
+    """gold_daily_sales_summary: per-day revenue/traffic/conversion."""
+    purchase, view, cart = _is("purchase"), _is("view"), _is(cart_type)
+    df = silver.groupBy(F.col("event_date").alias("sale_date")).agg(
+        _money(purchase).alias("total_revenue"),
+        _cnt(purchase).alias("total_orders"),
+        _cntd(purchase, "user_id").alias("unique_customers"),
+        _cnt(purchase).alias("total_items_purchased"),
+        _cntd(view, "user_id").alias("unique_viewers"),
+        _cnt(view).alias("total_views"),
+        _cnt(cart).alias("total_carts"),
+    )
+    df = (
+        df.withColumn(
+            "avg_order_value", _ratio(F.col("total_revenue"), F.col("total_orders"))
+        )
+        .withColumn(
+            "conversion_rate",
+            _ratio(F.col("total_orders"), F.col("total_views"), 100.0),
+        )
+        .withColumn(
+            "cart_abandonment_rate",
+            _ratio(
+                F.col("total_carts") - F.col("total_orders"),
+                F.col("total_carts"),
+                100.0,
+            ),
+        )
+    )
+    return df.orderBy("sale_date")
+
+
+def product_performance(
+    silver: DataFrame,
+    *,
+    cart_type: str = "cart",
+    as_of_date: str | None = None,
+    product_col: str = "product_id",
+) -> DataFrame:
+    """gold_product_performance: per-product funnel counts + revenue."""
+    purchase, view, cart = _is("purchase"), _is("view"), _is(cart_type)
+    price_dec = F.col("price").cast(_DEC)
+    df = (
+        silver.filter(F.col(product_col).isNotNull())
+        .groupBy(F.col(product_col).alias("product_id"))
+        .agg(
+            F.max("category_level_1").alias("category_level_1"),
+            F.max("category_level_2").alias("category_level_2"),
+            F.max("brand").alias("brand"),
+            _cnt(view).alias("total_views"),
+            _cntd(view, "user_id").alias("unique_viewers"),
+            _cnt(cart).alias("total_carts"),
+            _cntd(cart, "user_id").alias("unique_carters"),
+            _cnt(purchase).alias("total_purchases"),
+            _cntd(purchase, "user_id").alias("unique_buyers"),
+            _money(purchase).alias("total_revenue"),
+            # AVG(CASE WHEN purchase THEN price END): exact decimal sum /
+            # non-null count, rounded — engine-agnostic result.
+            F.sum(F.when(purchase, price_dec)).cast("double").alias("_psum"),
+            _cnt(purchase & F.col("price").isNotNull()).alias("_pcnt"),
+            F.max(F.when(purchase, F.col("event_date"))).alias("last_sold_date"),
+        )
+        .withColumn("avg_price", _ratio(F.col("_psum"), F.col("_pcnt")))
+        .drop("_psum", "_pcnt")
+        .withColumn(
+            "view_to_cart_rate",
+            _ratio(F.col("total_carts"), F.col("total_views"), 100.0),
+        )
+        .withColumn(
+            "cart_to_purchase_rate",
+            _ratio(F.col("total_purchases"), F.col("total_carts"), 100.0),
+        )
+        .withColumn(
+            "overall_conversion_rate",
+            _ratio(F.col("total_purchases"), F.col("total_views"), 100.0),
+        )
+    )
+    if as_of_date is not None:
+        df = df.withColumn(
+            "days_since_last_sale",
+            F.datediff(F.lit(as_of_date).cast("date"), F.col("last_sold_date")).cast(
+                "bigint"
+            ),
+        )
+    return df.orderBy(F.desc("total_revenue"), "product_id")
+
+
+def category_performance(silver: DataFrame) -> DataFrame:
+    """gold_category_performance: daily category rollup + top brand.
+
+    W2 (ROW_NUMBER top-1-per-group, brand tiebreak added) feeding J1
+    (3-key LEFT JOIN). Both sides aggregate from the same silver scan;
+    the join keys equal the groupBy keys so AQE plans a cheap
+    shuffle-reuse or broadcast of the ranked side.
+
+    Parity note (SURVEY.md §4 quirk #1 is about incremental watermarks —
+    full-refresh semantics shown here are identical).
+    """
+    purchase = _is("purchase")
+    keys = ["analysis_date", "category_level_1", "category_level_2"]
+
+    category_daily = (
+        silver.filter(F.col("category_level_1").isNotNull())
+        .groupBy(
+            F.col("event_date").alias("analysis_date"),
+            "category_level_1",
+            "category_level_2",
+        )
+        .agg(
+            _money(purchase).alias("total_revenue"),
+            _cnt(purchase).alias("total_orders"),
+            _cntd(purchase, "user_id").alias("unique_customers"),
+        )
+        .withColumn(
+            "avg_order_value", _ratio(F.col("total_revenue"), F.col("total_orders"))
+        )
+    )
+
+    brand_daily = (
+        silver.filter(
+            purchase & F.col("brand").isNotNull() & F.col("category_level_1").isNotNull()
+        )
+        .groupBy(
+            F.col("event_date").alias("analysis_date"),
+            "category_level_1",
+            "category_level_2",
+            "brand",
+        )
+        .agg(F.sum(F.col("price").cast(_DEC)).cast("double").alias("brand_revenue"))
+    )
+    w = Window.partitionBy(*keys).orderBy(F.desc("brand_revenue"), F.asc("brand"))
+    top_brand = (
+        brand_daily.withColumn("brand_rank", F.row_number().over(w))
+        .filter(F.col("brand_rank") == 1)
+        .select(
+            *keys,
+            F.col("brand").alias("top_brand"),
+            F.col("brand_revenue").alias("top_brand_revenue"),
+        )
+    )
+    return category_daily.join(top_brand, on=keys, how="left").orderBy(
+        "analysis_date", F.desc("total_revenue")
+    )
+
+
+def user_rfm_segments(
+    silver: DataFrame,
+    *,
+    as_of_date: str,
+    scalable_ntile: bool = False,
+) -> DataFrame:
+    """gold_user_rfm_segments: NTILE(5) RFM scoring + segment labels.
+
+    ``as_of_date`` replaces the reference's CURRENT_DATE() for
+    reproducibility. NTILE directions follow the reference exactly
+    (recency ASC, frequency DESC, monetary DESC) with user_id tiebreaks.
+    """
+    purchase = _is("purchase")
+    base = (
+        silver.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(purchase, F.col("event_date"))).alias("first_purchase_date"),
+            F.max(F.when(purchase, F.col("event_date"))).alias("last_purchase_date"),
+            _cnt(purchase).alias("frequency"),
+            _money(purchase).alias("monetary_value"),
+            F.countDistinct("user_session").cast("bigint").alias("total_sessions"),
+        )
+        .filter(F.col("frequency") > 0)
+        .withColumn(
+            "recency_days",
+            F.datediff(
+                F.lit(as_of_date).cast("date"), F.col("last_purchase_date")
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "avg_order_value", _ratio(F.col("monetary_value"), F.col("frequency"))
+        )
+    )
+
+    if scalable_ntile:
+        # Distributed 5-bucket scoring: ceil(5 * percent_rank-ish) via
+        # ntile over range-partitioned sort is still a total sort; the
+        # scalable path buckets on approx quantile boundaries instead.
+        base = _approx_ntile(base, "recency_days", asc=True, out="rfm_recency_score")
+        base = _approx_ntile(base, "frequency", asc=False, out="rfm_frequency_score")
+        base = _approx_ntile(
+            base, "monetary_value", asc=False, out="rfm_monetary_score"
+        )
+    else:
+        # Reference-exact: global NTILE windows (single-partition sort —
+        # fine for per-user aggregates, which are ~1e6x smaller than raw).
+        base = (
+            base.withColumn(
+                "rfm_recency_score",
+                F.ntile(5).over(Window.orderBy(F.asc("recency_days"), F.asc("user_id"))),
+            )
+            .withColumn(
+                "rfm_frequency_score",
+                F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("user_id"))),
+            )
+            .withColumn(
+                "rfm_monetary_score",
+                F.ntile(5).over(
+                    Window.orderBy(F.desc("monetary_value"), F.asc("user_id"))
+                ),
+            )
+        )
+    base = (
+        base.withColumn("rfm_recency_score", F.col("rfm_recency_score").cast("bigint"))
+        .withColumn("rfm_frequency_score", F.col("rfm_frequency_score").cast("bigint"))
+        .withColumn("rfm_monetary_score", F.col("rfm_monetary_score").cast("bigint"))
+        .withColumn(
+            "rfm_segment",
+            scalars.rfm_segment(
+                "rfm_recency_score", "rfm_frequency_score", "rfm_monetary_score"
+            ),
+        )
+        .withColumn(
+            "customer_lifetime_value", scalars.clv(F.col("monetary_value"))
+        )
+    )
+    return base.orderBy(F.desc("monetary_value"), "user_id")
+
+
+def _approx_ntile(df: DataFrame, col: str, *, asc: bool, out: str) -> DataFrame:
+    """Assign 1..5 buckets from approx quantile boundaries (scale path).
+
+    One lightweight stats pass (approxQuantile on the driver) + a
+    broadcast CASE — no global sort, no single-partition window.
+    """
+    qs = df.approxQuantile(col, [0.2, 0.4, 0.6, 0.8], 0.001)
+    c = F.col(col)
+    expr = F.when(c <= qs[0], 1).when(c <= qs[1], 2).when(c <= qs[2], 3).when(
+        c <= qs[3], 4
+    ).otherwise(5)
+    if not asc:
+        expr = F.lit(6) - expr
+    return df.withColumn(out, expr)
+
+
+def user_journey_funnel(silver: DataFrame, *, cart_type: str = "cart") -> DataFrame:
+    """gold_user_journey_funnel: per-user lifecycle stages + flags."""
+    view, cart, purchase = _is("view"), _is(cart_type), _is("purchase")
+    removal = _is("remove_from_cart")
+    flag = lambda cond: F.max(F.when(cond, 1).otherwise(0)).cast("bigint")  # noqa: E731
+
+    df = (
+        silver.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(view, F.col("event_date"))).alias("first_view_date"),
+            F.min(F.when(cart, F.col("event_date"))).alias("first_cart_date"),
+            F.min(F.when(purchase, F.col("event_date"))).alias("first_purchase_date"),
+            F.max("event_date").alias("last_activity_date"),
+            flag(view).alias("has_viewed"),
+            flag(cart).alias("has_added_to_cart"),
+            flag(purchase).alias("has_purchased"),
+            flag(removal).alias("has_removed_from_cart"),
+            _cnt(view).alias("total_views"),
+            _cnt(cart).alias("total_carts"),
+            _cnt(purchase).alias("total_purchases"),
+            _cnt(removal).alias("total_cart_removals"),
+            F.countDistinct("user_session").cast("bigint").alias("total_sessions"),
+        )
+        .withColumn("analysis_period", F.lit("lifetime"))
+        .withColumn(
+            "days_to_first_cart",
+            F.datediff("first_cart_date", "first_view_date").cast("bigint"),
+        )
+        .withColumn(
+            "days_to_first_purchase",
+            F.datediff("first_purchase_date", "first_view_date").cast("bigint"),
+        )
+        .withColumn(
+            "current_funnel_stage",
+            F.when(
+                (F.col("has_purchased") == 1) & (F.col("total_purchases") >= 3),
+                "repeat_buyer",
+            )
+            .when(F.col("has_purchased") == 1, "purchaser")
+            .when(
+                (F.col("has_added_to_cart") == 1) & (F.col("has_purchased") == 0),
+                "cart_abandoner",
+            )
+            .when(
+                (F.col("has_viewed") == 1) & (F.col("has_added_to_cart") == 0),
+                "viewer_only",
+            )
+            .otherwise("unknown"),
+        )
+        .withColumn(
+            "is_cart_abandoner",
+            (F.col("has_added_to_cart") == 1) & (F.col("has_purchased") == 0),
+        )
+        .withColumn(
+            "is_impulse_buyer",
+            F.when(
+                (F.col("has_purchased") == 1)
+                & (F.col("days_to_first_purchase") <= 0),
+                F.lit(True),
+            ).otherwise(F.lit(False)),
+        )
+        .withColumn("is_researcher", F.col("total_views") >= 5)
+    )
+    return df.orderBy(F.desc("total_purchases"), F.desc("total_views"), "user_id")
+
+
+def conversion_funnel_daily(silver: DataFrame, *, cart_type: str = "cart") -> DataFrame:
+    """gold_conversion_funnel_daily: 5-key funnel with stage rates."""
+    view, cart, purchase = _is("view"), _is(cart_type), _is("purchase")
+    df = (
+        silver.groupBy(
+            F.col("event_date").alias("analysis_date"),
+            "category_level_1",
+            "category_level_2",
+            "time_of_day",
+            "is_weekend",
+        )
+        .agg(
+            _cntd(view, "user_id").alias("stage_1_view_users"),
+            _cntd(cart, "user_id").alias("stage_2_cart_users"),
+            _cntd(purchase, "user_id").alias("stage_3_purchase_users"),
+            _cnt(view).alias("stage_1_view_events"),
+            _cnt(cart).alias("stage_2_cart_events"),
+            _cnt(purchase).alias("stage_3_purchase_events"),
+            _money(purchase).alias("total_revenue"),
+        )
+        .withColumn(
+            "view_to_cart_rate",
+            _ratio(F.col("stage_2_cart_users"), F.col("stage_1_view_users"), 100.0),
+        )
+        .withColumn(
+            "cart_to_purchase_rate",
+            _ratio(F.col("stage_3_purchase_users"), F.col("stage_2_cart_users"), 100.0),
+        )
+        .withColumn(
+            "overall_conversion_rate",
+            _ratio(F.col("stage_3_purchase_users"), F.col("stage_1_view_users"), 100.0),
+        )
+        .withColumn(
+            "dropoff_after_view",
+            (F.col("stage_1_view_users") - F.col("stage_2_cart_users")).cast("bigint"),
+        )
+        .withColumn(
+            "dropoff_after_cart",
+            (F.col("stage_2_cart_users") - F.col("stage_3_purchase_users")).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "dropoff_rate_view",
+            _ratio(F.col("dropoff_after_view"), F.col("stage_1_view_users"), 100.0),
+        )
+        .withColumn(
+            "dropoff_rate_cart",
+            _ratio(F.col("dropoff_after_cart"), F.col("stage_2_cart_users"), 100.0),
+        )
+        .withColumn(
+            "avg_order_value",
+            _ratio(F.col("total_revenue"), F.col("stage_3_purchase_users")),
+        )
+        .withColumn(
+            "revenue_per_viewer",
+            _ratio(F.col("total_revenue"), F.col("stage_1_view_users")),
+        )
+        .filter(F.col("stage_1_view_users") > 0)
+    )
+    return df.orderBy("analysis_date", F.desc("total_revenue"))
+
+
+def hourly_traffic(silver: DataFrame, *, cart_type: str = "cart") -> DataFrame:
+    """gold_hourly_traffic: per (date, hour) traffic + revenue."""
+    view, cart, purchase = _is("view"), _is(cart_type), _is("purchase")
+    df = (
+        silver.groupBy("event_date", "event_hour", "day_of_week_num")
+        .agg(
+            F.count("*").cast("bigint").alias("total_events"),
+            F.countDistinct("user_id").cast("bigint").alias("unique_users"),
+            _cnt(view).alias("total_views"),
+            _cnt(cart).alias("total_carts"),
+            _cnt(purchase).alias("total_purchases"),
+            _money(purchase).alias("revenue"),
+        )
+        .withColumn("day_of_week", scalars.day_name("day_of_week_num"))
+        .drop("day_of_week_num")
+    )
+    return df.orderBy("event_date", "event_hour")

@@ -1,0 +1,131 @@
+"""Silver-layer transform: clean → derive → dedup.
+
+Reproduces the reference's silver model semantics
+(``dbt/models/silver/silver_ecommerce_events.sql``) over any
+event-shaped input via a column mapping:
+
+- event_unique_id  MD5 over key parts, NULL sentinel   (:24-29, D6)
+- timestamp parts  date/hour/day-of-week               (:32-35)
+- normalization    LOWER/TRIM event_type, TRIM session, UPPER brand (:38-65)
+- category split   dot-split → 3 NULL-safe levels      (:47-61, D5)
+- price            validation + bucket                 (:70-84, D1/D2)
+- time bands       time_of_day / is_weekend            (:87-98, D3/D4)
+- dedup            ROW_NUMBER keep-latest              (:111-123, W1)
+
+Scale notes: the whole transform is a single narrow projection fused
+into the scan by codegen; the only shuffle is the dedup window's hash
+partition on event_unique_id (a high-cardinality, well-distributed MD5 —
+no skew). A deterministic tiebreaker column makes keep-latest total and
+reproducible across engines/retries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_lakehouse_spark.functions import scalars
+
+__all__ = ["silver_events", "TS_FMT"]
+
+#: Deterministic timestamp render used inside event_unique_id (both the
+#: Spark plan and the DuckDB oracle format to microsecond precision).
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def silver_events(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    price_col: str = "value",
+    product_col: str | None = None,
+    category_col: str | None = None,
+    brand_col: str | None = None,
+    session_col: str | None = None,
+    json_props_col: str | None = "props",
+    dedup_tiebreaker: str | None = "event_id",
+    order_by_col: str | None = None,
+) -> DataFrame:
+    """Build the silver event table from a raw event-shaped DataFrame.
+
+    ``order_by_col`` is the ingestion-time column the reference's W1
+    dedup orders on (``_bronze_ingestion_time DESC``); defaults to the
+    event timestamp when absent. ``dedup_tiebreaker`` totalizes the
+    ordering (the reference leaves ties nondeterministic).
+    """
+    ts_field = events.schema[ts_col].dataType.typeName()
+    if ts_field in ("long", "bigint"):
+        # Nanosecond parquet timestamps surfaced as long via
+        # spark.sql.legacy.parquet.nanosAsLong → truncate to micros.
+        ts = F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+    else:
+        ts = F.col(ts_col).cast("timestamp")
+
+    def opt(name: str | None) -> Column:
+        return F.col(name) if name else F.lit(None).cast("string")
+
+    ts_str = F.date_format(ts, TS_FMT)
+    uid = scalars.event_unique_id(
+        F.col(user_col).cast("string"),
+        opt(product_col),
+        F.col(type_col),
+        ts_str,
+    )
+
+    cat1, cat2, cat3 = scalars.split_category(opt(category_col))
+    price = F.col(price_col).cast("double")
+
+    out = (
+        events.filter(F.col(user_col).isNotNull())
+        .withColumn("event_unique_id", uid)
+        .withColumn("event_timestamp", ts)
+        .withColumn("event_date", F.to_date(ts))
+        .withColumn("event_hour", F.hour(ts).cast("bigint"))
+        .withColumn("day_of_week_num", F.dayofweek(ts).cast("bigint"))
+        .withColumn("event_type", F.lower(F.trim(F.col(type_col))))
+        .withColumn("user_id", F.col(user_col).cast("bigint"))
+        .withColumn(
+            "user_session",
+            F.trim(opt(session_col)) if session_col else F.lit(None).cast("string"),
+        )
+        .withColumn(
+            "product_id",
+            F.col(product_col).cast("bigint")
+            if product_col
+            else F.lit(None).cast("bigint"),
+        )
+        .withColumn("category_level_1", cat1)
+        .withColumn("category_level_2", cat2)
+        .withColumn("category_level_3", cat3)
+        .withColumn(
+            "brand",
+            F.when(opt(brand_col).isNotNull(), F.upper(F.trim(opt(brand_col))))
+            if brand_col
+            else F.lit(None).cast("string"),
+        )
+        .withColumn("price", scalars.validated_price(price))
+        .withColumn("price_bucket", scalars.price_bucket(price))
+        .withColumn("time_of_day", scalars.time_of_day(F.col("event_hour")))
+        .withColumn("is_weekend", scalars.is_weekend(ts))
+    )
+
+    if json_props_col:
+        out = out.withColumn(
+            "prop_k", F.get_json_object(F.col(json_props_col), "$.k").cast("bigint")
+        )
+
+    # W1 dedup: keep the latest row per event_unique_id.
+    order_col = F.col(order_by_col) if order_by_col else ts
+    ordering = [order_col.desc()]
+    if dedup_tiebreaker:
+        ordering.append(F.col(dedup_tiebreaker).desc())
+    w = Window.partitionBy("event_unique_id").orderBy(*ordering)
+    out = (
+        out.withColumn("row_num", F.row_number().over(w))
+        .filter(F.col("row_num") == 1)
+        .drop("row_num")
+    )
+    return out
