@@ -24,9 +24,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_lakehouse_spark.operators import gold
+from data_lakehouse_spark.functions import text as text_fns
+from data_lakehouse_spark.functions.scalars import round_half_up
+from data_lakehouse_spark.operators import dedup, gold, relational, similarity
 from data_lakehouse_spark.operators.silver import silver_events
 from data_lakehouse_spark.sources.readers import load_tables
+from data_lakehouse_spark import multimodal
 
 # Fixed "today" for CURRENT_DATE-dependent marts (data ends 2024-01-30).
 AS_OF_DATE = "2024-02-01"
@@ -203,6 +206,371 @@ def q_category_performance_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# relational operator queries (TPC-H-ish tables)
+# --------------------------------------------------------------------------
+
+_D12 = "decimal(12,2)"
+_D4 = "decimal(4,2)"
+
+
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A13 hash-agg battery (TPC-H Q1 shape): conditional-free grouped
+    sums/avgs with decimal-exact money."""
+    _ensure_conf(spark)
+    li = load_tables(spark, sf_dir, ["lineitem"], register_views=False)["lineitem"]
+    li = li.filter(F.col("l_shipdate") <= F.lit("1999-12-31 00:00:00").cast("timestamp"))
+    one = F.lit(1).cast(_D4)
+    ext = F.col("l_extendedprice").cast(_D12)
+    disc = F.col("l_discount").cast(_D4)
+    tax = F.col("l_tax").cast(_D4)
+    g = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.sum(ext).cast("double").alias("sum_base_price"),
+            F.sum(ext * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(ext * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            F.count("*").cast("bigint").alias("count_order"),
+            F.sum(disc).cast("double").alias("_dsum"),
+        )
+        .withColumn(
+            "avg_qty", round_half_up(F.col("sum_qty") / F.col("count_order"), 2)
+        )
+        .withColumn(
+            "avg_price",
+            round_half_up(F.col("sum_base_price") / F.col("count_order"), 2),
+        )
+        .withColumn(
+            "avg_disc", round_half_up(F.col("_dsum") / F.col("count_order"), 4)
+        )
+        .drop("_dsum")
+    )
+    return g.orderBy("l_returnflag", "l_linestatus")
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-surface + O3 top-k: orders ⋈ customer ⋈ nation (broadcast dims),
+    revenue per customer, top 10."""
+    _ensure_conf(spark)
+    t = load_tables(
+        spark, sf_dir, ["orders", "customer", "nation"], register_views=False
+    )
+    df = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"]),
+            t["orders"].o_custkey == t["customer"].c_custkey,
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(_D12)).cast("double").alias("revenue"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+    return df
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers with no 'P'-status order."""
+    _ensure_conf(spark)
+    t = load_tables(spark, sf_dir, ["customer", "orders"], register_views=False)
+    orders_keys = (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return relational.anti_join(t["customer"], orders_keys, ["c_custkey"]).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+def q_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): orders having a returned lineitem,
+    counted per priority."""
+    _ensure_conf(spark)
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"], register_views=False)
+    returned = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        relational.semi_join(t["orders"], returned, ["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_nation_balance_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: per-nation customer vs supplier counts/balances."""
+    _ensure_conf(spark)
+    t = load_tables(spark, sf_dir, ["customer", "supplier"], register_views=False)
+    c = (
+        t["customer"]
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(_D12)).cast("double").alias("cust_balance"),
+        )
+    )
+    s = (
+        t["supplier"]
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast(_D12)).cast("double").alias("supp_balance"),
+        )
+    )
+    return (
+        c.join(s, c.nk_c == s.nk_s, "full_outer")
+        .select(
+            F.coalesce("nk_c", "nk_s").cast("bigint").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).cast("bigint").alias("n_customers"),
+            F.coalesce("cust_balance", F.lit(0.0)).alias("cust_balance"),
+            F.coalesce("n_suppliers", F.lit(0)).cast("bigint").alias("n_suppliers"),
+            F.coalesce("supp_balance", F.lit(0.0)).alias("supp_balance"),
+        )
+    )
+
+
+def q_region_nation_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (tiny dims)."""
+    _ensure_conf(spark)
+    t = load_tables(spark, sf_dir, ["region", "nation"], register_views=False)
+    return t["region"].crossJoin(t["nation"]).select("r_name", "n_name")
+
+
+def q_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: 10-way UNION ALL of table row counts."""
+    _ensure_conf(spark)
+    tables = load_tables(spark, sf_dir, register_views=False)
+    return relational.union_counts(tables)
+
+
+def q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_conf(spark)
+    t = load_tables(spark, sf_dir, ["customer"], register_views=False)
+    return t["customer"].select("c_mktsegment").distinct()
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP subtotals (engine extension beyond the reference)."""
+    _ensure_conf(spark)
+    t = load_tables(spark, sf_dir, ["orders"], register_views=False)
+    return relational.rollup_agg(
+        t["orders"],
+        ["o_orderpriority", "o_orderstatus"],
+        [
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_D12)).cast("double").alias("revenue"),
+        ],
+    )
+
+
+def q_orders_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4/A7/A8 conditional-aggregate idiom on orders."""
+    _ensure_conf(spark)
+    o = load_tables(spark, sf_dir, ["orders"], register_views=False)["orders"]
+    is_f = F.col("o_orderstatus") == "F"
+    df = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(is_f, 1)).cast("bigint").alias("n_finished"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1))
+            .cast("bigint")
+            .alias("n_open"),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1))
+            .cast("bigint")
+            .alias("n_partial"),
+            F.sum(
+                F.when(is_f, F.col("o_totalprice").cast(_D12)).otherwise(
+                    F.lit(0).cast(_D12)
+                )
+            )
+            .cast("double")
+            .alias("finished_revenue"),
+            F.sum(F.col("o_totalprice").cast(_D12)).cast("double").alias("_tsum"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+                "first_order"
+            ),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+                "last_order"
+            ),
+        )
+        .withColumn(
+            "avg_totalprice", round_half_up(F.col("_tsum") / F.col("n_orders"), 2)
+        )
+        .drop("_tsum")
+    )
+    return df.orderBy("o_orderpriority")
+
+
+def q_event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: grouped counts + pct of grand total (unbounded window)."""
+    return relational.share_of_total(
+        _events_silver(spark, sf_dir), "event_type", count_alias="n_events"
+    )
+
+
+def q_watermark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: scalar-subquery high-watermark filter, then grouped stats."""
+    silver = _events_silver(spark, sf_dir)
+    wm_src = silver.filter(F.col("event_type") == "signup")
+    fresh = relational.watermark_filter(
+        silver, wm_src, "event_timestamp", F.col("event_timestamp")
+    )
+    return (
+        fresh.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window (batch twin of the streaming op)."""
+    silver = _events_silver(spark, sf_dir)
+    df = relational.tumbling_window_agg(
+        silver,
+        "event_timestamp",
+        "1 hour",
+        [
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("price").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        ],
+    )
+    return df.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_events",
+        "total_value",
+    )
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag/gap sessionization (lead/lag + running-sum window surface)."""
+    silver = _events_silver(spark, sf_dir)
+    sess = relational.sessionize(
+        silver, user_col="user_id", ts_col="event_timestamp", gap_seconds=1800
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_idx").cast("bigint").alias("n_sessions"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .withColumn(
+            "avg_events_per_session",
+            round_half_up(F.col("n_events") / F.col("n_sessions"), 2),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline queries (documents / embeddings)
+# --------------------------------------------------------------------------
+
+def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        text_fns.token_count("text").alias("n_tokens"),
+        text_fns.char_count("text").alias("n_chars_obs"),
+        text_fns.avg_token_len("text").alias("avg_token_len"),
+        text_fns.stopword_ratio("text").alias("stopword_ratio"),
+        text_fns.quality_score("text").alias("quality_score"),
+        text_fns.doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+def q_doc_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("lang").alias("lang_label"),
+        text_fns.language_guess("text").alias("lang_guess"),
+    ).withColumn("guess_matches", F.col("lang_label") == F.col("lang_guess"))
+
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.exact_dedup(docs)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: payload bytes + content address (decode
+    itself is a stubbed mapInPandas — see multimodal/columns.py)."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_payload = multimodal.attach_binary_payload(docs)
+    return multimodal.extract_binary_meta(with_payload).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "n_bytes", "content_md5"
+    )
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k against vec_id 0's embedding."""
+    _ensure_conf(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = _query_vec(spark, sf_dir)
+    df = similarity.cosine_topk(emb, qv, k=50)
+    return df.withColumn("cosine_sim", round_half_up(F.col("cosine_sim"), 6))
+
+
+def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine similarity self-join above threshold."""
+    _ensure_conf(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = similarity.cosine_pairs_above(emb, threshold=0.35)
+    return df.withColumn("cosine_sim", round_half_up(F.col("cosine_sim"), 6))
+
+
+# ---- rows-only queries (no SQL-expressible oracle: hash/LSH-based) -------
+
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (xxhash64-based — not
+    SQL-oracle-expressible; driver records rows-only check)."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh_candidates(docs, bands=16, num_hashes=64)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets + re-rank."""
+    _ensure_conf(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = _query_vec(spark, sf_dir)
+    return similarity.ann_lsh_topk(emb, qv, k=20, num_planes=10)
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed media decode through real mapInPandas plumbing."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return multimodal.decode_image_stub(multimodal.attach_binary_payload(docs))
+
+
+# --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
 
@@ -221,6 +589,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gold_conversion_funnel_daily": q_conversion_funnel_daily,
         "gold_hourly_traffic": q_hourly_traffic,
         "gold_category_performance": q_category_performance_tpch,
+        # relational operator surface (TPC-H-ish)
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "top_customers": q_top_customers,
+        "customers_without_orders": q_customers_without_orders,
+        "priority_with_returns": q_priority_with_returns,
+        "nation_balance_full": q_nation_balance_full,
+        "region_nation_cross": q_region_nation_cross,
+        "union_all_counts": q_union_all_counts,
+        "distinct_segments": q_distinct_segments,
+        "orders_rollup": q_orders_rollup,
+        "orders_conditional_agg": q_orders_conditional_agg,
+        "event_type_share": q_event_type_share,
+        "watermark_incremental": q_watermark_incremental,
+        "hourly_tumbling": q_hourly_tumbling,
+        "user_sessions": q_user_sessions,
+        # LLM-pipeline operators
+        "doc_text_stats": q_doc_text_stats,
+        "doc_language_guess": q_doc_language_guess,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "multimodal_meta": q_multimodal_meta,
+        "embedding_topk": q_embedding_topk,
+        "embedding_similar_pairs": q_embedding_similar_pairs,
+        # rows-only (hash/LSH/pandas-UDF based; no SQL oracle)
+        "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -530,6 +924,311 @@ LEFT JOIN top_brand tb
   ON cd.analysis_date = tb.analysis_date
  AND cd.category_level_1 = tb.category_level_1
  AND cd.category_level_2 = tb.category_level_2
+"""
+
+    # -- relational operator surface ---------------------------------------
+
+    sql["tpch_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+    CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+             * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+    CAST(COUNT(*) AS BIGINT) AS count_order,
+    floor((SUM(l_quantity) / COUNT(*)) * 100 + 0.5) / 100 AS avg_qty,
+    floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) * 100 + 0.5) / 100 AS avg_price,
+    floor((CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["top_customers"] = """
+SELECT c_custkey, c_name, n_name,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+    CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+"""
+
+    sql["customers_without_orders"] = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+"""
+
+    sql["priority_with_returns"] = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+    sql["nation_balance_full"] = """
+WITH c AS (
+    SELECT c_nationkey AS nk,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS cust_balance
+    FROM customer GROUP BY 1
+),
+s AS (
+    SELECT s_nationkey AS nk,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS supp_balance
+    FROM supplier GROUP BY 1
+)
+SELECT CAST(COALESCE(c.nk, s.nk) AS BIGINT) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(cust_balance, 0.0) AS cust_balance,
+       COALESCE(n_suppliers, 0) AS n_suppliers,
+       COALESCE(supp_balance, 0.0) AS supp_balance
+FROM c FULL JOIN s ON c.nk = s.nk
+"""
+
+    sql["region_nation_cross"] = """
+SELECT r_name, n_name FROM region CROSS JOIN nation
+"""
+
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    sql["union_all_counts"] = "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS table_name, CAST(COUNT(*) AS BIGINT) AS row_count FROM {t}"
+        for t in tables
+    )
+
+    sql["distinct_segments"] = "SELECT DISTINCT c_mktsegment FROM customer"
+
+    sql["orders_rollup"] = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+    sql["orders_conditional_agg"] = """
+WITH g AS (
+    SELECT o_orderpriority,
+        CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_finished,
+        CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open,
+        CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_partial,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                 THEN CAST(o_totalprice AS DECIMAL(12,2))
+                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS finished_revenue,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS _tsum,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_order,
+        strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_order
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n_finished, n_open, n_partial, finished_revenue,
+       n_orders, first_order, last_order,
+       floor((_tsum / n_orders) * 100 + 0.5) / 100 AS avg_totalprice
+FROM g
+"""
+
+    sql["event_type_share"] = (
+        _SILVER_CTE
+        + """
+, counts AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM silver GROUP BY event_type
+)
+SELECT event_type, n_events,
+       floor((n_events * 100.0 / SUM(n_events) OVER ()) * 100 + 0.5) / 100 AS pct
+FROM counts
+"""
+    )
+
+    sql["watermark_incremental"] = (
+        _SILVER_CTE
+        + """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM silver
+WHERE event_timestamp > (SELECT MAX(event_timestamp) FROM silver
+                         WHERE event_type = 'signup')
+GROUP BY event_type
+"""
+    )
+
+    sql["hourly_tumbling"] = (
+        _SILVER_CTE
+        + """
+SELECT strftime(date_trunc('hour', event_timestamp), '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM silver
+GROUP BY 1
+"""
+    )
+
+    sql["user_sessions"] = (
+        _SILVER_CTE
+        + """
+, seq AS (
+    SELECT user_id, event_timestamp, event_id,
+        CASE WHEN lag(event_timestamp) OVER w IS NULL
+              OR epoch_us(event_timestamp) - epoch_us(lag(event_timestamp) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_sess
+    FROM silver
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_timestamp, event_id)
+),
+sess AS (
+    SELECT user_id,
+        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_timestamp, event_id
+                            ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+    FROM seq
+)
+SELECT user_id,
+       CAST(COUNT(DISTINCT session_idx) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       floor((COUNT(*) / COUNT(DISTINCT session_idx)) * 100 + 0.5) / 100 AS avg_events_per_session
+FROM sess GROUP BY user_id
+"""
+    )
+
+    # -- LLM-pipeline operators --------------------------------------------
+
+    _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+    sql["doc_text_stats"] = f"""
+WITH b AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        text,
+        trim(text) AS tt,
+        CASE WHEN trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+        length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_chars_nws,
+        len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+            x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS sw_hits
+    FROM documents
+),
+m AS (
+    SELECT doc_id, text,
+        CAST(n_tok AS BIGINT) AS n_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars_obs,
+        CASE WHEN n_tok = 0 THEN NULL
+             ELSE floor((CAST(n_chars_nws AS DOUBLE) / n_tok) * 10000 + 0.5) / 10000 END AS avg_token_len,
+        CASE WHEN n_tok = 0 THEN NULL
+             ELSE floor((CAST(sw_hits AS DOUBLE) / n_tok) * 10000 + 0.5) / 10000 END AS stopword_ratio
+    FROM b
+)
+SELECT doc_id, n_tokens, n_chars_obs, avg_token_len, stopword_ratio,
+    floor(((CASE WHEN n_tokens >= 10 AND n_tokens <= 10000 THEN 0.4 ELSE 0.0 END
+          + CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.6 THEN 0.3 ELSE 0.0 END
+          + CASE WHEN avg_token_len >= 2.0 AND avg_token_len <= 12.0 THEN 0.3 ELSE 0.0 END)) * 100 + 0.5) / 100 AS quality_score,
+    md5({_NORM}) AS fingerprint
+FROM m
+"""
+
+    _MARKERS = {
+        "en": "['the','and','of']",
+        "es": "['el','la','de']",
+        "fr": "['le','la','et']",
+        "de": "['der','die','und']",
+        "zh": "['的','是','了']",
+    }
+    marker_cols = ",\n        ".join(
+        f"len(list_filter(toks, x -> list_contains({arr}, x))) AS s_{lang}"
+        for lang, arr in _MARKERS.items()
+    )
+    best = "greatest(s_en, s_es, s_fr, s_de, s_zh)"
+    guess_case = (
+        f"CASE WHEN {best} = 0 THEN 'unknown'\n"
+        + "\n".join(
+            f"             WHEN s_{lang} = {best} THEN '{lang}'"
+            for lang in ("en", "es", "fr", "de", "zh")
+        )
+        + "\n             ELSE 'unknown' END"
+    )
+    sql["doc_language_guess"] = f"""
+WITH t AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+    FROM documents
+),
+sc AS (
+    SELECT doc_id, lang,
+        {marker_cols}
+    FROM t
+),
+g AS (
+    SELECT doc_id, lang AS lang_label,
+        {guess_case} AS lang_guess
+    FROM sc
+)
+SELECT doc_id, lang_label, lang_guess,
+       lang_label = lang_guess AS guess_matches
+FROM g
+"""
+
+    sql["dedup_exact_docs"] = f"""
+SELECT md5({_NORM}) AS fingerprint,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+       CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+    sql["multimodal_meta"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+    _DOT = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    _NORMSQ = (
+        "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    _cos = (
+        _DOT.format(a="{a}", b="{b}")
+        + " / nullif("
+        + _NORMSQ.format(v="{a}")
+        + " * "
+        + _NORMSQ.format(v="{b}")
+        + ", 0)"
+    )
+
+    sql["embedding_topk"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sims AS (
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           {_cos.format(a="embedding", b="(SELECT qv FROM q)")} AS sim
+    FROM embeddings
+)
+SELECT vec_id, floor(sim * 1000000 + 0.5) / 1000000 AS cosine_sim
+FROM sims
+ORDER BY sim DESC, vec_id ASC
+LIMIT 50
+"""
+
+    sql["embedding_similar_pairs"] = f"""
+WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cos.format(a="a.embedding", b="b.embedding")} AS sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, floor(sim * 1000000 + 0.5) / 1000000 AS cosine_sim
+FROM pairs
+WHERE sim >= 0.35
 """
 
     return sql

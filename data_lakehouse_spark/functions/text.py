@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from data_lakehouse_spark.functions.scalars import round_half_up
+
 __all__ = [
     "token_count",
     "char_count",
@@ -53,7 +55,7 @@ def avg_token_len(text: Column | str) -> Column:
     n = token_count(t)
     chars = F.length(F.regexp_replace(t, _WS, ""))
     return F.when(n == 0, F.lit(None).cast("double")).otherwise(
-        F.round(chars.cast("double") / n, 4)
+        round_half_up(chars.cast("double") / n, 4)
     )
 
 
@@ -65,7 +67,7 @@ def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -
     sw = F.array([F.lit(s) for s in stopwords])
     hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
     return F.when(n == 0, F.lit(None).cast("double")).otherwise(
-        F.round(hits.cast("double") / n, 4)
+        round_half_up(hits.cast("double") / n, 4)
     )
 
 
@@ -79,7 +81,7 @@ def quality_score(text: Column | str) -> Column:
     len_ok = F.when((n >= 10) & (n <= 10000), F.lit(0.4)).otherwise(F.lit(0.0))
     sw_ok = F.when((swr >= 0.01) & (swr <= 0.6), F.lit(0.3)).otherwise(F.lit(0.0))
     atl_ok = F.when((atl >= 2.0) & (atl <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
-    return F.round(len_ok + sw_ok + atl_ok, 2)
+    return round_half_up(len_ok + sw_ok + atl_ok, 2)
 
 
 def doc_fingerprint(text: Column | str) -> Column:

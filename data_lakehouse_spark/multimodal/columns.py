@@ -1,0 +1,132 @@
+"""Multimodal (image/audio/video) column handling.
+
+Media travel as opaque ``binary`` columns next to typed metadata
+structs; decode/resize/frame-sample run as Arrow-batched
+``mapInPandas`` stages. The actual codecs aren't available in this
+container, so the decode kernels are STUBS — a deterministic fake
+"decoder" clearly marked as such — while everything Spark-side
+(schemas, batch iteration, partitioning, UDF signatures) is real and
+tested. Swapping in PIL/ffmpeg later only changes the kernel body.
+
+Scale notes: binary payloads dominate row size — keep
+``spark.sql.execution.arrow.maxRecordsPerBatch`` small for wide media
+rows, partition by content-date or modality, and never collect
+payloads to the driver. Metadata-only queries must prune the binary
+column (columnar parquet makes that free).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "attach_binary_payload",
+    "extract_binary_meta",
+    "decode_image_stub",
+    "frame_sample_stub",
+    "DECODED_IMAGE_SCHEMA",
+]
+
+#: Output schema of the (stubbed) image decoder.
+DECODED_IMAGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("format", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Simulate a media column: UTF-8 bytes of ``text_col`` as payload
+    plus a metadata struct (modality/codec/size)."""
+    payload = F.encode(F.col(text_col), "UTF-8").cast(BinaryType())
+    return df.withColumn("payload", payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("fake/raw").alias("codec"),
+            F.length(payload).cast("bigint").alias("n_bytes"),
+        ),
+    )
+
+
+def extract_binary_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Cheap JVM-side metadata over binary payloads (no decode):
+    byte length + md5 content address."""
+    p = F.col(payload_col)
+    return df.withColumn("n_bytes", F.length(p).cast("bigint")).withColumn(
+        "content_md5", F.md5(p)
+    )
+
+
+def decode_image_stub(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """'Decode' images via mapInPandas — STUB kernel.
+
+    Real deployments replace ``_fake_decode`` with PIL/turbojpeg; the
+    Arrow batch plumbing, schema, and partition behavior are identical.
+    The fake derives deterministic dimensions from payload length.
+    """
+
+    def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    # deterministic fake: not a real decode (no codec libs
+                    # in this environment)
+                    "width": (n % 640 + 1).astype("int32"),
+                    "height": (n % 480 + 1).astype("int32"),
+                    "channels": pd.Series([3] * len(pdf), dtype="int32"),
+                    "format": "fake/raw",
+                    "n_bytes": n.astype("int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        _fake_decode, schema=DECODED_IMAGE_SCHEMA
+    )
+
+
+def frame_sample_stub(
+    df: DataFrame, *, id_col: str = "doc_id", every_n_bytes: int = 64
+) -> DataFrame:
+    """'Frame sampling' stub: emits one row per sampled offset of the
+    payload (video frame extraction shape: one input row → many output
+    rows via mapInPandas)."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("offset", LongType()),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "offset": []}
+            for _, r in pdf.iterrows():
+                ln = len(r["payload"])
+                for i, off in enumerate(range(0, ln, every_n_bytes)):
+                    rows["doc_id"].append(r[id_col])
+                    rows["frame_idx"].append(i)
+                    rows["offset"].append(off)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "payload").mapInPandas(_sample, schema=schema)

@@ -1,0 +1,87 @@
+"""Dedup (exact / MinHash-LSH / n-gram Jaccard / SimHash) and similarity
+search (brute-force cosine, LSH ANN)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_lakehouse_spark.functions import vectors
+from data_lakehouse_spark.operators import dedup, similarity
+
+DOCS = "doc_id long, text string"
+
+
+def test_exact_dedup_normalizes(spark):
+    rows = [
+        (1, "Hello  World"),
+        (2, "hello world"),      # same after normalization
+        (3, "something else"),
+    ]
+    out = dedup.exact_dedup(spark.createDataFrame(rows, DOCS)).collect()
+    by_canon = {r["canonical_id"]: r["dup_count"] for r in out}
+    assert by_canon == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different content about spark query engines and columnar io " * 5
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], DOCS)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(df, bands=16, num_hashes=64).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_verification(spark):
+    base = "a b c d e f g h i j k l m n o p"
+    near = "a b c d e f g h i j k l m n o q"
+    df = spark.createDataFrame([(1, base), (2, near)], DOCS)
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = dedup.ngram_jaccard_pairs(df, cand, threshold=0.5).collect()
+    assert len(out) == 1 and 0.5 <= out[0]["jaccard"] < 1.0
+
+
+def test_simhash_near_for_similar(spark):
+    base = "spark engine columnar vectorized execution shuffle partition " * 3
+    near = base + "extra"
+    far = "totally unrelated words about cooking pasta tomatoes basil olive oil"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], DOCS)
+    out = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", dedup.simhash64("text").alias("sh")).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+
+
+def test_cosine_against_python(spark):
+    a, b = [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    got = df.select(vectors.cosine_similarity("a", "b").alias("c")).first()["c"]
+    dot = sum(x * y for x, y in zip(a, b))
+    want = dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+    assert abs(got - want) < 1e-12
+
+
+def test_cosine_zero_norm_null(spark):
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0])], "a array<double>, b array<double>"
+    )
+    assert df.select(vectors.cosine_similarity("a", "b").alias("c")).first()["c"] is None
+
+
+def test_ann_recall_vs_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = similarity.cosine_topk(emb, qv, k=10)
+    approx = similarity.ann_lsh_topk(emb, qv, k=10, num_planes=8, probe_hamming=1)
+    recall = similarity.exact_recall_at_k(approx, exact)
+    assert recall >= 0.3  # LSH with few planes on tiny data: sanity bound
+    # the query vector itself must always be found (sim = 1.0)
+    assert approx.first()["vec_id"] == 0

@@ -1,0 +1,94 @@
+"""Relational operator surface: joins, top-k, unions, windows, sessions."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_lakehouse_spark.operators import relational
+from data_lakehouse_spark.sources.readers import load_tables
+
+
+def test_semi_anti_partition(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["customer", "orders"], register_views=False)
+    keys = t["orders"].select(F.col("o_custkey").alias("c_custkey")).distinct()
+    semi = relational.semi_join(t["customer"], keys, ["c_custkey"]).count()
+    anti = relational.anti_join(t["customer"], keys, ["c_custkey"]).count()
+    assert semi + anti == t["customer"].count()
+
+
+def test_top_k_matches_sort(spark, sf_dir):
+    o = load_tables(spark, sf_dir, ["orders"], register_views=False)["orders"]
+    top = relational.top_k(o, [F.desc("o_totalprice"), F.asc("o_orderkey")], 5)
+    got = [r["o_orderkey"] for r in top.collect()]
+    want = [
+        r["o_orderkey"]
+        for r in o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).collect()[:5]
+    ]
+    assert got == want
+
+
+def test_union_counts(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["region", "nation"], register_views=False)
+    rows = {r["table_name"]: r["row_count"] for r in relational.union_counts(t).collect()}
+    assert rows == {"region": t["region"].count(), "nation": t["nation"].count()}
+
+
+def test_share_of_total_sums_to_100(spark, sf_dir):
+    o = load_tables(spark, sf_dir, ["orders"], register_views=False)["orders"]
+    out = relational.share_of_total(o, "o_orderstatus").collect()
+    assert abs(sum(r["pct"] for r in out) - 100.0) < 0.1
+
+
+def test_watermark_filter(spark):
+    df = spark.createDataFrame([(i, i * 10) for i in range(10)], "id long, v long")
+    target = spark.createDataFrame([(3, 30)], "id long, v long")
+    out = relational.watermark_filter(df, target, "v", F.col("v"))
+    assert out.count() == 6  # v > 30
+    empty = spark.createDataFrame([], "id long, v long")
+    assert relational.watermark_filter(df, empty, "v", F.col("v")).count() == 10
+
+
+def test_sessionize_gap(spark):
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, base, 7),
+        (2, base + dt.timedelta(minutes=10), 7),   # same session
+        (3, base + dt.timedelta(minutes=50), 7),   # gap 40min → new session
+        (4, base, 8),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_timestamp timestamp, user_id long")
+    out = relational.sessionize(df, gap_seconds=1800)
+    per_user = (
+        out.groupBy("user_id")
+        .agg(F.countDistinct("session_idx").alias("n"))
+        .collect()
+    )
+    n = {r["user_id"]: r["n"] for r in per_user}
+    assert n == {7: 2, 8: 1}
+    # session_idx is 0-based
+    assert out.agg(F.min("session_idx")).first()[0] == 0
+
+
+def test_rollup_has_grand_total(spark, sf_dir):
+    o = load_tables(spark, sf_dir, ["orders"], register_views=False)["orders"]
+    out = relational.rollup_agg(
+        o, ["o_orderstatus"], [F.count("*").alias("n")]
+    ).collect()
+    grand = [r for r in out if r["o_orderstatus"] is None]
+    assert len(grand) == 1 and grand[0]["n"] == o.count()
+
+
+def test_tumbling_window_agg(spark):
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 15)),
+        (2, dt.datetime(2024, 1, 1, 10, 45)),
+        (3, dt.datetime(2024, 1, 1, 11, 5)),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = relational.tumbling_window_agg(
+        df, "ts", "1 hour", [F.count("*").alias("n")]
+    ).collect()
+    got = {r["window_start"].isoformat(): r["n"] for r in out}
+    assert got == {"2024-01-01T10:00:00": 2, "2024-01-01T11:00:00": 1}

@@ -1,0 +1,116 @@
+"""Silver transform + gold marts: dedup semantics, dbt-style invariants
+(FIXTURES.md §3), and mart correctness on crafted inputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_lakehouse_spark.operators import gold, quality
+from data_lakehouse_spark.operators.silver import silver_events
+
+EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def _ev(i, ts, uid, typ, val, props='{"k": 1}'):
+    return (i, dt.datetime.fromisoformat(ts), uid, typ, val, props)
+
+
+def test_silver_dedup_keeps_latest(spark):
+    # two rows with identical (user, type, ts) → one survivor, the higher event_id
+    rows = [
+        _ev(1, "2024-01-01 10:00:00", 7, "view", 10.0),
+        _ev(2, "2024-01-01 10:00:00", 7, "view", 99.0),
+        _ev(3, "2024-01-01 11:00:00", 7, "purchase", 25.0),
+    ]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    out = silver_events(df).collect()
+    assert len(out) == 2
+    survivor = [r for r in out if r["event_type"] == "view"][0]
+    assert survivor["event_id"] == 2 and survivor["price"] == 99.0
+
+
+def test_silver_invariants_on_fixture(spark, sf_dir):
+    silver = silver_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    checks = {
+        "unique_event_id": quality.check_unique(silver, "event_unique_id"),
+        "not_null_date": quality.check_not_null(silver, "event_date"),
+        "bucket_domain": quality.check_accepted_values(
+            silver, "price_bucket",
+            ["UNKNOWN", "0-50", "50-100", "100-200", "200-500", "500+"],
+        ),
+        "tod_domain": quality.check_accepted_values(
+            silver, "time_of_day", ["MORNING", "AFTERNOON", "EVENING", "NIGHT"]
+        ),
+        "price_range": quality.check_accepted_range(silver, "price", min_value=0),
+    }
+    assert all(v == 0 for v in checks.values()), checks
+
+
+def test_daily_sales_nullif_guard(spark):
+    # day with carts but zero purchases and zero views → NULL rates, not errors
+    rows = [
+        _ev(1, "2024-01-01 10:00:00", 1, "cart", 5.0),
+        _ev(2, "2024-01-01 11:00:00", 2, "cart", 6.0),
+    ]
+    silver = silver_events(spark.createDataFrame(rows, EVENT_SCHEMA))
+    out = gold.daily_sales_summary(silver).collect()[0]
+    assert out["total_revenue"] == 0.0
+    assert out["avg_order_value"] is None
+    assert out["conversion_rate"] is None
+    assert out["cart_abandonment_rate"] == 100.0
+
+
+def test_category_performance_top_brand(spark):
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), 1, "purchase", 100.0, "a.b", "nike"),
+        (2, dt.datetime(2024, 1, 1, 11), 2, "purchase", 50.0, "a.b", "puma"),
+        (3, dt.datetime(2024, 1, 1, 12), 3, "purchase", 60.0, "a.b", "puma"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, category_code string, brand string",
+    )
+    silver = silver_events(
+        df, category_col="category_code", brand_col="brand", json_props_col=None
+    )
+    out = gold.category_performance(silver).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["top_brand"] == "PUMA" and r["top_brand_revenue"] == 110.0
+    assert r["total_revenue"] == 210.0 and r["unique_customers"] == 3
+
+
+def test_rfm_scalable_ntile_path(spark, sf_dir):
+    silver = silver_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    exact = gold.user_rfm_segments(silver, as_of_date="2024-02-01")
+    approx = gold.user_rfm_segments(
+        silver, as_of_date="2024-02-01", scalable_ntile=True
+    )
+    ec, ac = exact.count(), approx.count()
+    assert ec == ac and ec > 0
+    # scores stay in 1..5 on the scalable path
+    bad = approx.filter(
+        ~F.col("rfm_recency_score").between(1, 5)
+        | ~F.col("rfm_frequency_score").between(1, 5)
+        | ~F.col("rfm_monetary_score").between(1, 5)
+    ).count()
+    assert bad == 0
+
+
+def test_journey_funnel_stages(spark):
+    rows = [
+        # user 1: 3 purchases → repeat_buyer
+        *[_ev(i, f"2024-01-0{i} 10:00:00", 1, "purchase", 10.0) for i in (1, 2, 3)],
+        # user 2: cart only → cart_abandoner
+        _ev(10, "2024-01-01 09:00:00", 2, "cart", None),
+        # user 3: view only → viewer_only
+        _ev(11, "2024-01-01 08:00:00", 3, "view", None),
+    ]
+    silver = silver_events(spark.createDataFrame(rows, EVENT_SCHEMA))
+    out = {r["user_id"]: r for r in gold.user_journey_funnel(silver).collect()}
+    assert out[1]["current_funnel_stage"] == "repeat_buyer"
+    assert out[2]["current_funnel_stage"] == "cart_abandoner"
+    assert out[2]["is_cart_abandoner"] is True
+    assert out[3]["current_funnel_stage"] == "viewer_only"
