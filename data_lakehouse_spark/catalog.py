@@ -1,0 +1,254 @@
+"""Lakehouse-lite table catalog: versioned Parquet tables with schema
+evolution and time travel (SURVEY.md §1.4, §2.1 S2/S3/S10/S11).
+
+The reference gets these from Iceberg (hidden partitioning, ``ALTER
+TABLE ADD COLUMN`` without rewrite, ``.snapshots`` metadata, ``VERSION
+AS OF``; see spark/jobs/bronze_ingestion.py:90-121 and
+schema_add_column.py:24-40). Where the Iceberg Spark runtime jar is
+present our writers can target it with the same calls; this module is
+the dependency-free equivalent so the engine is self-contained:
+
+- a table = directory of immutable snapshot data dirs + a JSON manifest
+  (append-only commit log: version, parent files, schema, operation);
+- append/overwrite = write a new data dir + one manifest entry —
+  never rewrite old files;
+- add_column = manifest schema change only (zero data movement); old
+  files read back with NULLs via parquet schema merge — exactly the
+  reference's schema_verify.py:32-38 semantics;
+- time travel = read the file list recorded at version N;
+- snapshots() = the manifest as a DataFrame (the ``.snapshots`` analog).
+
+Concurrency note: single-writer per table (manifest append is
+last-writer-wins). At scale, swap the manifest for a real catalog
+(Iceberg/Hive) — the call sites don't change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+__all__ = ["Catalog", "TableHandle"]
+
+
+@dataclass
+class TableHandle:
+    name: str
+    path: str
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.path, "_manifest.json")
+
+
+class Catalog:
+    """Namespace of versioned tables rooted at a directory."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest helpers --------------------------------------------------
+    def _handle(self, name: str) -> TableHandle:
+        return TableHandle(name, os.path.join(self.root, name))
+
+    def _load_manifest(self, h: TableHandle) -> list[dict]:
+        if not os.path.exists(h.manifest_path):
+            return []
+        with open(h.manifest_path) as f:
+            return json.load(f)
+
+    def _save_manifest(self, h: TableHandle, entries: list[dict]) -> None:
+        tmp = h.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entries, f, indent=1)
+        os.replace(tmp, h.manifest_path)
+
+    # -- DDL ---------------------------------------------------------------
+    def table_exists(self, name: str) -> bool:
+        return os.path.exists(self._handle(name).manifest_path)
+
+    def tables(self) -> list[str]:
+        return sorted(
+            n
+            for n in os.listdir(self.root)
+            if os.path.exists(os.path.join(self.root, n, "_manifest.json"))
+        )
+
+    def create_table(
+        self,
+        name: str,
+        df: DataFrame,
+        *,
+        partition_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+        mode: str = "error",
+    ) -> TableHandle:
+        """CREATE TABLE AS SELECT (S10). mode: error|ignore|replace."""
+        h = self._handle(name)
+        if self.table_exists(name):
+            if mode == "ignore":
+                return h
+            if mode == "error":
+                raise ValueError(f"table {name} already exists")
+        return self._commit(h, df, op="create", partition_by=partition_by,
+                            properties=properties or {}, replace=True)
+
+    def append(self, name: str, df: DataFrame) -> TableHandle:
+        """S6: append snapshot (new files only)."""
+        h = self._handle(name)
+        if not self.table_exists(name):
+            raise ValueError(f"table {name} does not exist")
+        return self._commit(h, df, op="append", replace=False)
+
+    def overwrite(self, name: str, df: DataFrame) -> TableHandle:
+        """S8: replace contents, keep history (old versions readable)."""
+        h = self._handle(name)
+        if not self.table_exists(name):
+            raise ValueError(f"table {name} does not exist")
+        return self._commit(h, df, op="overwrite", replace=True)
+
+    def _commit(
+        self,
+        h: TableHandle,
+        df: DataFrame,
+        *,
+        op: str,
+        replace: bool,
+        partition_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> TableHandle:
+        entries = self._load_manifest(h)
+        version = len(entries)
+        data_dir = os.path.join(h.path, f"v{version:05d}")
+        prev = entries[-1] if entries else None
+        pb = partition_by if partition_by is not None else (
+            prev.get("partition_by") if prev else None
+        )
+        writer = df.write.format("parquet")
+        if pb:
+            writer = writer.partitionBy(*pb)
+        writer.mode("overwrite").save(data_dir)
+
+        dirs = [] if replace else list(prev["data_dirs"]) if prev else []
+        dirs.append(f"v{version:05d}")
+        entries.append(
+            {
+                "version": version,
+                "op": op,
+                "committed_at": time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()),
+                "data_dirs": dirs,
+                "schema": json.loads(df.schema.json()),
+                "partition_by": pb,
+                "properties": properties or (prev.get("properties") if prev else {}),
+            }
+        )
+        self._save_manifest(h, entries)
+        return h
+
+    # -- schema evolution (S11) --------------------------------------------
+    def add_column(self, name: str, col_name: str, col_type: str,
+                   comment: str | None = None) -> None:
+        """ALTER TABLE ADD COLUMN without rewrite; idempotent like the
+        reference's DESCRIBE check (schema_add_column.py:19-22)."""
+        h = self._handle(name)
+        entries = self._load_manifest(h)
+        if not entries:
+            raise ValueError(f"table {name} does not exist")
+        last = entries[-1]
+        fields = last["schema"]["fields"]
+        if any(f["name"] == col_name for f in fields):
+            return  # idempotent no-op
+        new_schema = dict(last["schema"])
+        new_schema["fields"] = fields + [
+            {
+                "name": col_name,
+                "type": col_type,
+                "nullable": True,
+                "metadata": {"comment": comment} if comment else {},
+            }
+        ]
+        entries.append(
+            {
+                **{k: last[k] for k in ("data_dirs", "partition_by", "properties")},
+                "version": len(entries),
+                "op": "add_column",
+                "committed_at": time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()),
+                "schema": new_schema,
+            }
+        )
+        self._save_manifest(h, entries)
+
+    # -- reads -------------------------------------------------------------
+    def read(self, name: str, *, version: int | None = None) -> DataFrame:
+        """Scan the table, optionally VERSION AS OF (time travel)."""
+        h = self._handle(name)
+        entries = self._load_manifest(h)
+        if not entries:
+            raise ValueError(f"table {name} does not exist")
+        entry = entries[version] if version is not None else entries[-1]
+        paths = [os.path.join(h.path, d) for d in entry["data_dirs"]]
+        schema = StructType.fromJson(entry["schema"])
+        # Each snapshot dir is its own partition-discovery root (they all
+        # hold k=v partition subdirs for partitioned tables), so read them
+        # separately with an explicit basePath and union — Spark refuses a
+        # single multi-root scan (CONFLICTING_DIRECTORY_STRUCTURES).
+        parts = [
+            self.spark.read.schema(schema)
+            .option("basePath", p)
+            .parquet(p)
+            for p in paths
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        # partition columns come back from directory names; enforce the
+        # declared column order
+        return df.select(*[f.name for f in schema.fields])
+
+    def describe(self, name: str) -> list[dict]:
+        """DESCRIBE: (col_name, data_type, comment) rows (S3 analog)."""
+        entries = self._load_manifest(self._handle(name))
+        if not entries:
+            raise ValueError(f"table {name} does not exist")
+        return [
+            {
+                "col_name": f["name"],
+                "data_type": f["type"],
+                "comment": (f.get("metadata") or {}).get("comment"),
+            }
+            for f in entries[-1]["schema"]["fields"]
+        ]
+
+    def snapshots(self, name: str) -> DataFrame:
+        """The Iceberg ``.snapshots`` metadata-table analog."""
+        entries = self._load_manifest(self._handle(name))
+        rows = [
+            (e["version"], e["op"], e["committed_at"], len(e["data_dirs"]))
+            for e in entries
+        ]
+        return self.spark.createDataFrame(
+            rows, "version int, operation string, committed_at string, n_data_dirs int"
+        )
+
+    def register_views(self) -> None:
+        """Expose every table as a temp view for spark.sql()."""
+        for name in self.tables():
+            self.read(name).createOrReplaceTempView(name)
+
+
+def with_audit_columns(df: DataFrame, source_file: str) -> DataFrame:
+    """P1: the reference's ingestion metadata columns
+    (bronze_ingestion.py:166-169)."""
+    return (
+        df.withColumn("_ingestion_time", F.current_timestamp())
+        .withColumn("_source_file", F.lit(source_file))
+        .withColumn("_processing_date", F.current_date())
+    )
