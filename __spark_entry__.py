@@ -512,6 +512,30 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(docs)
 
 
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join
+    (scalable exact tier between MinHash-LSH candidates and human
+    review)."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.ngram_jaccard_similar_pairs(docs, threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable (MD5-nibble) SimHash fingerprint + 16-bit bucket per doc."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_hex_df(docs)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: canonical (min-id) assignment over
+    ≥0.4-cosine neighbor pairs."""
+    _ensure_conf(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_dedup_canonical(emb, threshold=0.4)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: payload bytes + content address (decode
     itself is a stubbed mapInPandas — see multimodal/columns.py)."""
@@ -563,6 +587,30 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, qv, k=20, num_planes=10)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: coarse bucket probe + exact re-rank."""
+    _ensure_conf(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = _query_vec(spark, sf_dir)
+    return similarity.ann_ivf_topk(emb, qv, k=20, num_planes=6)
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) next to exact COUNT(DISTINCT) per
+    day — the scalable variant of the A5/A6 exact-distinct marts (HLL
+    values are engine-specific → rows-only check)."""
+    silver = _events_silver(spark, sf_dir)
+    return (
+        silver.groupBy("event_date")
+        .agg(
+            F.approx_count_distinct("user_id").cast("bigint").alias("approx_users"),
+            F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+        )
+        .withColumn("event_date", F.date_format("event_date", "yyyy-MM-dd"))
+        .orderBy("event_date")
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed media decode through real mapInPandas plumbing."""
     _ensure_conf(spark)
@@ -608,12 +656,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_stats": q_doc_text_stats,
         "doc_language_guess": q_doc_language_guess,
         "dedup_exact_docs": q_dedup_exact_docs,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "multimodal_meta": q_multimodal_meta,
         "embedding_topk": q_embedding_topk,
         "embedding_similar_pairs": q_embedding_similar_pairs,
         # rows-only (hash/LSH/pandas-UDF based; no SQL oracle)
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "approx_distinct_users": q_approx_distinct_users,
         "multimodal_decode": q_multimodal_decode,
     }
 
@@ -1183,13 +1236,6 @@ FROM documents
 GROUP BY 1
 """
 
-    sql["multimodal_meta"] = """
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       md5(text) AS content_md5
-FROM documents
-"""
-
     _DOT = (
         "list_sum(list_transform(list_zip({a}, {b}), "
         "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
@@ -1205,6 +1251,87 @@ FROM documents
         + _NORMSQ.format(v="{b}")
         + ", 0)"
     )
+
+    sql["dedup_ngram_jaccard"] = f"""
+WITH d AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           string_split({_NORM}, ' ') AS toks
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(0, greatest(len(toks) - 3, 0) + 1),
+               i -> array_to_string(toks[i + 1:i + 3], ' '))) AS sh
+    FROM d
+),
+ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+           CAST(COUNT(*) AS BIGINT) AS inter
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       floor((CAST(inter AS DOUBLE) / (na + nb - inter)) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM p
+WHERE floor((CAST(inter AS DOUBLE) / (na + nb - inter)) * 1000000 + 0.5) / 1000000 >= 0.5
+"""
+
+    _HEX = "0123456789abcdef"
+    _bit_sums = ",\n        ".join(
+        f"SUM(((instr('{_HEX}', substr(hx, {j // 4 + 1}, 1)) - 1 >> {j % 4}) & 1)) AS s{j}"
+        for j in range(64)
+    )
+    _maj = lambda j: f"(CASE WHEN s{j} * 2 >= n THEN 1 ELSE 0 END)"  # noqa: E731
+    _nibs = [
+        " + ".join(f"{_maj(4 * g + b)} * {1 << b}" for b in range(4))
+        for g in range(16)
+    ]
+    _sim_concat = " || ".join(
+        f"substr('{_HEX}', ({nib}) + 1, 1)" for nib in _nibs
+    )
+    sql["dedup_simhash"] = f"""
+WITH ex AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           md5(unnest(string_split({_NORM}, ' '))) AS hx
+    FROM documents
+),
+bits AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+        {_bit_sums}
+    FROM ex GROUP BY doc_id
+),
+h AS (SELECT doc_id, {_sim_concat} AS simhash FROM bits)
+SELECT doc_id, simhash, substr(simhash, 1, 4) AS bucket FROM h
+"""
+
+    sql["dedup_embedding_cosine"] = f"""
+WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cos.format(a="a.embedding", b="b.embedding")} AS sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+),
+sel AS (SELECT id_a, id_b FROM pairs WHERE sim >= 0.4),
+sym AS (
+    SELECT id_a AS vid, id_b AS nb FROM sel
+    UNION ALL
+    SELECT id_b AS vid, id_a AS nb FROM sel
+),
+mn AS (SELECT vid, MIN(nb) AS min_nb FROM sym GROUP BY vid)
+SELECT v.vec_id,
+       least(v.vec_id, coalesce(mn.min_nb, v.vec_id)) AS canonical_id,
+       least(v.vec_id, coalesce(mn.min_nb, v.vec_id)) != v.vec_id AS is_duplicate
+FROM v LEFT JOIN mn ON v.vec_id = mn.vid
+"""
+
+    sql["multimodal_meta"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
 
     sql["embedding_topk"] = f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -42,9 +42,14 @@ BENCH_QUERIES = [
     "user_sessions",
     "doc_text_stats",
     "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
     "minhash_lsh_candidates",
     "embedding_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "approx_distinct_users",
     "multimodal_decode",
 ]
 

@@ -30,7 +30,9 @@ __all__ = [
     "minhash_signature_df",
     "minhash_lsh_candidates",
     "simhash64",
+    "simhash_hex_df",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_similar_pairs",
 ]
 
 
@@ -51,20 +53,89 @@ def exact_dedup(
     )
 
 
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingle array from normalized text (distinct)."""
-    t = normalized_text(text)
-    toks = F.split(t, r"\s+")
-    # sliding window of n tokens joined by space
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    array column.
+
+    ``toks`` must be a plain column reference (not an inline split
+    pipeline): Catalyst expression trees are trees, not DAGs, so every
+    reference to an inline expression re-evaluates it — with the
+    normalize+split pipeline referenced once per window element that is
+    an O(len²) blowup. Bound to an attribute, each reference is a row
+    slot read (CollapseProject keeps multiply-referenced non-cheap
+    projections materialized).
+    """
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.array_distinct(
         F.transform(
             idx,
-            lambda i: F.concat_ws(
-                " ", F.slice(toks, i + 1, n)
-            ),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle array from normalized text (distinct).
+
+    Convenience single-expression form; inside operators prefer
+    materializing the token array first and calling
+    :func:`shingles_of_tokens` (see its note on expression-tree
+    duplication).
+    """
+    return shingles_of_tokens(F.split(normalized_text(text), r"\s+"), n)
+
+
+def _shingle_df(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """(doc_id, _sh) with the token array materialized in its own
+    projection step so the shingle window never re-runs the
+    normalize+split pipeline."""
+    return df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.split(normalized_text(text_col), r"\s+").alias("_toks"),
+    ).select(
+        "doc_id", shingles_of_tokens(F.col("_toks"), shingle_n).alias("_sh")
+    )
+
+
+def _shingle_explode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    *,
+    distinct: bool,
+) -> DataFrame:
+    """(doc_id, shingle) one row per window — explode the window INDEX
+    and build each shingle string on the exploded row.
+
+    Everything stays inside one whole-stage-codegen span (generate →
+    project), with no per-doc shingle array and no interpreted
+    higher-order lambda: the fastest shape for the LSH/Jaccard hot
+    path. ``distinct=True`` adds a (doc_id, shingle) shuffle dedup for
+    set semantics (Jaccard); MinHash skips it since MIN is multiplicity-
+    insensitive.
+    """
+    toks_df = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.split(normalized_text(text_col), r"\s+").alias("_toks"),
+    )
+    ex = toks_df.select(
+        "doc_id",
+        "_toks",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.size("_toks") - shingle_n, F.lit(0))
+            )
+        ).alias("_i"),
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.slice("_toks", F.col("_i") + 1, shingle_n)
+        ).alias("shingle"),
+    )
+    return ex.distinct() if distinct else ex
 
 
 def minhash_signature_df(
@@ -84,10 +155,9 @@ def minhash_signature_df(
     re-evaluate the shingle pipeline once per hash function — measured
     16× slower). ANSI-safe: no overflow arithmetic. Deterministic.
     """
-    exploded = df.select(
-        F.col(id_col).alias("_mh_id"),
-        F.explode(shingles(text_col, shingle_n)).alias("_sh"),
-    ).select("_mh_id", F.xxhash64("_sh").alias("_h"))
+    exploded = _shingle_explode(
+        df, text_col, id_col, shingle_n, distinct=False
+    ).select(F.col("doc_id").alias("_mh_id"), F.xxhash64("shingle").alias("_h"))
     aggs = [
         F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}")
         for i in range(num_hashes)
@@ -189,6 +259,119 @@ def simhash64(text: Column | str, *, token_hashes: int = 64) -> Column:
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def simhash_hex_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash: 16-char hex, bucket: first 4 hex chars) per doc.
+
+    Portable SimHash: bit ``j`` of a token's hash is bit ``j % 4`` of the
+    MD5 hex nibble at position ``j // 4`` — pure ANSI string/arith ops, so
+    the DuckDB oracle reproduces it bit-exactly (unlike xxhash64-based
+    :func:`simhash64`, the fast production variant).
+
+    Shape is the scalable one: explode tokens → 64 cheap bit columns on
+    the token's single MD5 → groupBy doc with map-side partial SUMs →
+    majority vote → hex-render. Shuffle is one fixed-width row per doc
+    per input partition. ``bucket`` (leading 16 bits) is the candidate
+    key for hamming-style near-dup grouping at scale.
+    """
+    hexchars = "0123456789abcdef"
+    toks = F.split(normalized_text(text_col), " ")
+    ex = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.explode(toks).alias("_tok"),
+    ).withColumn("_hx", F.md5("_tok"))
+
+    def bit(j: int) -> Column:
+        nib = F.conv(F.substring("_hx", j // 4 + 1, 1), 16, 10).cast("int")
+        return F.shiftright(nib, j % 4).bitwiseAND(F.lit(1))
+
+    aggs = [F.sum(bit(j)).alias(f"_b{j}") for j in range(64)] + [
+        F.count("*").alias("_n")
+    ]
+    g = ex.groupBy("doc_id").agg(*aggs)
+
+    def maj(j: int) -> Column:
+        return F.when(F.col(f"_b{j}") * 2 >= F.col("_n"), F.lit(1)).otherwise(
+            F.lit(0)
+        )
+
+    nibbles = [
+        sum(
+            (maj(4 * g_ + b) * F.lit(1 << b) for b in range(1, 4)),
+            maj(4 * g_),
+        )
+        for g_ in range(16)
+    ]
+    sim = F.concat(
+        *[F.substring(F.lit(hexchars), n + 1, 1) for n in [c.cast("int") for c in nibbles]]
+    )
+    return g.select(
+        "doc_id",
+        sim.alias("simhash"),
+    ).withColumn("bucket", F.substring("simhash", 1, 4))
+
+
+def ngram_jaccard_similar_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """EXACT shingle-Jaccard pairs above threshold — inverted-index join,
+    no cross product.
+
+    |A∩B| comes from a self-join on individual shingles (docs sharing a
+    shingle co-group), |A∪B| = |A|+|B|−|A∩B|. Shuffle is O(total
+    shingles + co-occurring pairs): the scalable exact path, unlike the
+    O(n²) cross join. ``max_shingle_df`` drops shingles appearing in
+    more than that many docs (stopword-shingle skew guard at 100 TB —
+    slightly lowers recall, bounds the worst pair blowup).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
+    6 places half-up.
+    """
+    from data_lakehouse_spark.functions.scalars import round_half_up
+
+    ex = _shingle_explode(df, text_col, id_col, shingle_n, distinct=True)
+    counts = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    if max_shingle_df is not None:
+        dfreq = ex.groupBy("shingle").agg(F.count("*").alias("_df"))
+        ex = ex.join(
+            F.broadcast(dfreq.filter(F.col("_df") <= max_shingle_df).drop("_df")),
+            "shingle",
+        )
+    a = ex.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = ex.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    # attach |A| and |B| after the pair agg: joins against the tiny
+    # one-row-per-doc counts table instead of carrying set widths
+    # through the wide shingle shuffle
+    inter = inter.join(
+        counts.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na")),
+        "id_a",
+    ).join(
+        counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb")),
+        "id_b",
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.withColumn("jaccard", round_half_up(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def ngram_jaccard_pairs(

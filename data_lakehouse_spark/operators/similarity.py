@@ -29,6 +29,8 @@ __all__ = [
     "cosine_pairs_above",
     "random_hyperplane_signature",
     "ann_lsh_topk",
+    "embedding_dedup_canonical",
+    "ann_ivf_topk",
 ]
 
 
@@ -59,25 +61,56 @@ def cosine_pairs_above(
 ) -> DataFrame:
     """Exact similarity self-join: all (a,b) pairs with cosine ≥ t.
 
-    Full cross product — use only as the correctness oracle or within
-    LSH buckets; ``ann_lsh_topk`` is the scale path.
+    Broadcast-matmul shape: the scan side streams through Arrow-batched
+    ``mapInPandas`` while the comparison side is one broadcast numpy
+    matrix — each batch is a single float64 GEMM instead of per-pair
+    expression evaluation (~100× over a nested-loop join with
+    higher-order-function cosine). The broadcast side must fit in
+    executor memory (id + unit vector per row); beyond that, use
+    LSH/IVF bucketing (``ann_lsh_topk``) so the n² never materializes.
     """
-    a = df.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    side = df.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("v")
+    ).collect()
+    b_ids = np.array([r["id"] for r in side], dtype=np.int64)
+    b_mat = np.array([list(r["v"]) for r in side], dtype=np.float64)
+    b_norm = np.linalg.norm(b_mat, axis=1)
+    b_norm[b_norm == 0] = np.nan  # zero-norm → sim NULL → filtered out
+    bc = spark.sparkContext.broadcast((b_ids, b_mat, b_norm))
+
+    t = float(threshold)
+
+    def gen(batches):
+        ids_b, mat_b, norm_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf["id"].to_numpy(dtype=np.int64)
+            a_mat = np.array([list(v) for v in pdf["v"]], dtype=np.float64)
+            a_norm = np.linalg.norm(a_mat, axis=1)
+            a_norm[a_norm == 0] = np.nan
+            # dot / (|a|·|b|): same formula shape as the SQL oracle
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = (a_mat @ mat_b.T) / (a_norm[:, None] * norm_b[None, :])
+                mask = (sims >= t) & (ids_b[None, :] > a_ids[:, None])
+            ai, bi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ai],
+                    "id_b": ids_b[bi],
+                    "cosine_sim": sims[ai, bi],
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("v")
     )
-    b = df.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-    )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = cosine_similarity(F.col("va"), F.col("vb"))
-    return (
-        pairs.withColumn("cosine_sim", sim)
-        .filter(F.col("cosine_sim") >= threshold)
-        .select(
-            F.col("id_a").cast("bigint"),
-            F.col("id_b").cast("bigint"),
-            "cosine_sim",
-        )
+    return src.mapInPandas(
+        gen, "id_a bigint, id_b bigint, cosine_sim double"
     )
 
 
@@ -150,6 +183,90 @@ def ann_lsh_topk(
     return (
         df.withColumn("_sig", sig_col)
         .filter(F.col("_sig").isin(*[int(s) for s in probe]))
+        .select(F.col(id_col).cast("bigint").alias(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_dedup_canonical(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.8,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup dedup: map every vector to the minimum
+    id among itself and its ≥-threshold cosine neighbors.
+
+    One union-find-free single hop (A→min neighbor) — the standard
+    first-pass cluster collapse for near-dup removal; iterate to a fixed
+    point for full transitive closure if needed. ``pairs`` lets the
+    caller supply LSH-bucketed candidates at scale; defaults to the
+    exact pair join (correctness baseline).
+
+    Returns (vec_id, canonical_id, is_duplicate).
+    """
+    if pairs is None:
+        pairs = cosine_pairs_above(
+            df, vec_col=vec_col, id_col=id_col, threshold=threshold
+        )
+    else:
+        pairs = pairs.filter(F.col("cosine_sim") >= threshold)
+    sym = pairs.select(
+        F.col("id_a").alias("vid"), F.col("id_b").alias("nb")
+    ).unionByName(pairs.select(F.col("id_b").alias("vid"), F.col("id_a").alias("nb")))
+    min_nb = sym.groupBy("vid").agg(F.min("nb").alias("min_nb"))
+    return (
+        df.select(F.col(id_col).cast("bigint").alias("vec_id"))
+        .join(min_nb, F.col("vec_id") == F.col("vid"), "left")
+        .select(
+            "vec_id",
+            F.least(F.col("vec_id"), F.coalesce("min_nb", F.col("vec_id"))).alias(
+                "canonical_id"
+            ),
+        )
+        .withColumn("is_duplicate", F.col("canonical_id") != F.col("vec_id"))
+    )
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 20,
+    num_planes: int = 6,
+    seed: int = 7,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse ``ivf_bucket`` assignment
+    (the write-time partition key of an index table), probe the query's
+    bucket ± ``probe_hamming`` bit flips, exact cosine re-rank inside.
+
+    With the index table partitioned by bucket this becomes a
+    partition-pruned scan of ~(1+planes)/2^planes of the data."""
+    dim = len(query_vec)
+    bucket = ivf_bucket(F.col(vec_col), dim, num_planes=num_planes, seed=seed)
+
+    qsig = 0
+    for p in range(num_planes):
+        plane = _plane(dim, p, seed)
+        dot = sum(float(a) * b for a, b in zip(query_vec, plane))
+        if dot >= 0:
+            qsig |= 1 << p
+    probe = {qsig}
+    if probe_hamming >= 1:
+        for p in range(num_planes):
+            probe.add(qsig ^ (1 << p))
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_similarity(F.col(vec_col), q)
+    return (
+        df.withColumn("_bucket", bucket)
+        .filter(F.col("_bucket").isin(*[int(s) for s in probe]))
         .select(F.col(id_col).cast("bigint").alias(id_col), sim.alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)

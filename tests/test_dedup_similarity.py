@@ -60,6 +60,87 @@ def test_simhash_near_for_similar(spark):
     assert hamming(out[1], out[2]) < hamming(out[1], out[3])
 
 
+def test_ngram_jaccard_inverted_index_matches_bruteforce(spark):
+    rows = [
+        (1, "a b c d e f g h i j k l m n o p"),
+        (2, "a b c d e f g h i j k l m n o q"),
+        (3, "z y x w v u t s r q p o n m l k"),
+        (4, "a b c d e f g h i j k l m n o p"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, DOCS)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_similar_pairs(df, threshold=0.5).collect()
+    }
+    # brute force via the verification path over all pairs
+    all_pairs = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)],
+        "id_a long, id_b long",
+    )
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, all_pairs, threshold=0.5).collect()
+    }
+    assert set(got) == set(want)
+    assert got[(1, 4)] == 1.0
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-6
+
+
+def test_ngram_jaccard_max_df_guard_drops_common_shingles(spark):
+    common = "the same boilerplate header line "
+    rows = [(i, common + f"unique tail {i} {i * 7} {i * 13}") for i in range(1, 6)]
+    df = spark.createDataFrame(rows, DOCS)
+    unfiltered = dedup.ngram_jaccard_similar_pairs(df, threshold=0.1).count()
+    filtered = dedup.ngram_jaccard_similar_pairs(
+        df, threshold=0.1, max_shingle_df=2
+    ).count()
+    assert filtered <= unfiltered
+
+
+def test_simhash_hex_portable_and_near(spark):
+    base = "spark engine columnar vectorized execution shuffle partition " * 3
+    near = base + "extra"
+    far = "totally unrelated words about cooking pasta tomatoes basil olive oil"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], DOCS)
+    out = {r["doc_id"]: r for r in dedup.simhash_hex_df(df).collect()}
+    assert all(len(r["simhash"]) == 16 for r in out.values())
+    assert all(r["bucket"] == r["simhash"][:4] for r in out.values())
+
+    def hamming_hex(a: str, b: str) -> int:
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    near_d = hamming_hex(out[1]["simhash"], out[2]["simhash"])
+    far_d = hamming_hex(out[1]["simhash"], out[3]["simhash"])
+    assert near_d < far_d
+
+
+def test_embedding_dedup_canonical(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),     # unique
+        (3, [1.0, 0.001, 0.0]),   # near-dup of 0/1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["canonical_id"], r["is_duplicate"])
+        for r in similarity.embedding_dedup_canonical(df, threshold=0.95).collect()
+    }
+    assert out[0] == (0, False)
+    assert out[1] == (0, True)
+    assert out[2] == (2, False)
+    assert out[3] == (0, True)
+
+
+def test_ann_ivf_topk_finds_query(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    approx = similarity.ann_ivf_topk(emb, qv, k=10, num_planes=6)
+    rows = approx.collect()
+    assert rows and rows[0]["vec_id"] == 0 and abs(rows[0]["cosine_sim"] - 1.0) < 1e-9
+
+
 def test_cosine_against_python(spark):
     a, b = [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]
     df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
