@@ -478,6 +478,104 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_purchase_asof_cart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (engine extension): for each purchase, the user's most
+    recent cart/click at-or-before it, plus the gap in seconds."""
+    silver = _events_silver(spark, sf_dir)
+    purchases = silver.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_timestamp", F.col("event_id").cast("bigint").alias("event_id")
+    )
+    carts = silver.filter(F.col("event_type") == CART_TYPE).select(
+        "user_id", F.col("event_timestamp").alias("cart_ts")
+    )
+    j = relational.asof_join(
+        purchases,
+        carts,
+        on=["user_id"],
+        left_ts="event_timestamp",
+        right_ts="cart_ts",
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        F.date_format("event_timestamp", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "purchase_ts"
+        ),
+        F.date_format("asof_cart_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_cart_ts"
+        ),
+        (
+            (F.unix_micros("event_timestamp") - F.unix_micros("asof_cart_ts"))
+            / F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("secs_since_cart"),
+    )
+
+
+def q_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-surface battery: lag/lead/first_value, running-sum frame,
+    rank — per-customer order sequences."""
+    _ensure_conf(spark)
+    from pyspark.sql.window import Window
+
+    o = load_tables(spark, sf_dir, ["orders"], register_views=False)["orders"]
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    by_price = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        F.col("o_custkey").cast("bigint").alias("custkey"),
+        F.col("o_orderkey").cast("bigint").alias("orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.lag("o_totalprice").over(seq).alias("prev_price"),
+        F.lead("o_totalprice").over(seq).alias("next_price"),
+        F.date_format(F.first("o_orderdate").over(seq), "yyyy-MM-dd").alias(
+            "first_orderdate"
+        ),
+        F.sum(F.col("o_totalprice").cast(_D12))
+        .over(run)
+        .cast("double")
+        .alias("running_spend"),
+        F.row_number().over(seq).cast("bigint").alias("order_seq"),
+        F.rank().over(by_price).cast("bigint").alias("spend_rank"),
+    )
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with a fixed value domain: per-day event counts by type."""
+    silver = _events_silver(spark, sf_dir)
+    df = relational.pivot_agg(
+        silver.withColumn("event_date", F.date_format("event_date", "yyyy-MM-dd")),
+        ["event_date"],
+        "event_type",
+        ["view", "click", "purchase", "signup", "error"],
+        F.count(F.lit(1)).cast("bigint"),
+    )
+    out = df.select(
+        "event_date",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(f"n_{c}")
+          for c in ("view", "click", "purchase", "signup", "error")],
+    )
+    return out.orderBy("event_date")
+
+
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over order priority × status."""
+    _ensure_conf(spark)
+    o = load_tables(spark, sf_dir, ["orders"], register_views=False)["orders"]
+    return relational.cube_agg(
+        o,
+        ["o_orderpriority", "o_orderstatus"],
+        [
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_D12)).cast("double").alias("revenue"),
+        ],
+    )
+
+
 # --------------------------------------------------------------------------
 # LLM-pipeline queries (documents / embeddings)
 # --------------------------------------------------------------------------
@@ -652,6 +750,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermark_incremental": q_watermark_incremental,
         "hourly_tumbling": q_hourly_tumbling,
         "user_sessions": q_user_sessions,
+        "purchase_asof_cart": q_purchase_asof_cart,
+        "window_battery": q_window_battery,
+        "event_type_pivot": q_event_type_pivot,
+        "orders_cube": q_orders_cube,
         # LLM-pipeline operators
         "doc_text_stats": q_doc_text_stats,
         "doc_language_guess": q_doc_language_guess,
@@ -1152,6 +1254,69 @@ SELECT user_id,
 FROM sess GROUP BY user_id
 """
     )
+
+    sql["purchase_asof_cart"] = (
+        _SILVER_CTE
+        + """
+, purchases AS (
+    SELECT user_id, event_timestamp, CAST(event_id AS BIGINT) AS event_id
+    FROM silver WHERE event_type = 'purchase'
+),
+carts AS (
+    SELECT user_id, event_timestamp AS cart_ts
+    FROM silver WHERE event_type = 'click'
+)
+SELECT p.user_id, p.event_id,
+       strftime(p.event_timestamp, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(c.cart_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_cart_ts,
+       CAST(epoch_us(p.event_timestamp) - epoch_us(c.cart_ts) AS BIGINT)
+           // 1000000 AS secs_since_cart
+FROM purchases p
+ASOF LEFT JOIN carts c
+  ON p.user_id = c.user_id AND p.event_timestamp >= c.cart_ts
+"""
+    )
+
+    sql["window_battery"] = """
+SELECT CAST(o_custkey AS BIGINT) AS custkey,
+       CAST(o_orderkey AS BIGINT) AS orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_totalprice AS totalprice,
+       lag(o_totalprice) OVER seq AS prev_price,
+       lead(o_totalprice) OVER seq AS next_price,
+       strftime(first_value(o_orderdate) OVER seq, '%Y-%m-%d') AS first_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+       CAST(row_number() OVER seq AS BIGINT) AS order_seq,
+       CAST(rank() OVER (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT)
+           AS spend_rank
+FROM orders
+WINDOW seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+    sql["event_type_pivot"] = (
+        _SILVER_CTE
+        + """
+SELECT strftime(event_date, '%Y-%m-%d') AS event_date,
+       CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view,
+       CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+       CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+       CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error
+FROM silver
+GROUP BY event_date
+"""
+    )
+
+    sql["orders_cube"] = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
 
     # -- LLM-pipeline operators --------------------------------------------
 

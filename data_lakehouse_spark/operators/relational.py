@@ -23,8 +23,11 @@ __all__ = [
     "share_of_total",
     "watermark_filter",
     "rollup_agg",
+    "cube_agg",
+    "pivot_agg",
     "tumbling_window_agg",
     "top_1_per_group",
+    "asof_join",
 ]
 
 
@@ -97,6 +100,95 @@ def rollup_agg(
     """GROUP BY ROLLUP — subtotal hierarchy (engine extension; the
     reference computes totals with separate queries)."""
     return df.rollup(*keys).agg(*aggs)
+
+
+def cube_agg(
+    df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]
+) -> DataFrame:
+    """GROUP BY CUBE — all grouping-set combinations (engine
+    extension)."""
+    return df.cube(*keys).agg(*aggs)
+
+
+def pivot_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    agg: Column,
+) -> DataFrame:
+    """GROUP BY + PIVOT with an explicit value list.
+
+    The value list is mandatory: it fixes the output schema (required
+    for any production sink) and skips the extra distinct-values job
+    Spark otherwise runs — at 100 TB an unbounded pivot domain is a bug,
+    not a feature.
+    """
+    return df.groupBy(*keys).pivot(pivot_col, list(pivot_values)).agg(agg)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str] = (),
+) -> DataFrame:
+    """As-of (backward) join: attach to each left row the right row with
+    the greatest ``right_ts`` ≤ ``left_ts`` within the same ``on`` keys.
+
+    Implemented as the scalable union+window pattern, not a range join:
+    tag sides, union, then one hash-partition on the keys with a single
+    sort by (ts, side) where right rows order before left rows at equal
+    timestamps; ``last(value, ignorenulls=True)`` over the unbounded-
+    preceding frame carries the latest right values forward. One
+    shuffle, state never leaves the partition — the same shape Spark
+    plans for sessionization, and it degrades gracefully under key skew
+    (AQE splits the sort spill, no n×m range-join blowup).
+
+    Output: all left rows + ``asof_<right_ts>`` + ``asof_<c>`` for each
+    requested right value column (NULL when no prior right row).
+    """
+    on = list(on)
+    carry = [right_ts, *right_value_cols]
+    from pyspark.sql.types import StructField, StructType
+
+    carry_fields = {f.name: f for f in right.schema.fields}
+    carry_type = StructType([StructField(c, carry_fields[c].dataType) for c in carry])
+
+    # the carried right row travels as ONE struct so all asof_* outputs
+    # come from the same right row even when value columns hold NULLs
+    l2 = left.select(
+        *left.columns,
+        F.lit(1).alias("_side"),
+        F.col(left_ts).alias("_ats"),
+        F.lit(None).cast(carry_type).alias("_rv"),
+    )
+    left_fields = {f.name: f.dataType for f in left.schema.fields}
+    r2 = right.select(
+        *[
+            F.lit(None).cast(left_fields[c]).alias(c)
+            for c in left.columns
+            if c not in on
+        ],
+        *on,
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("_ats"),
+        F.struct(*[F.col(c) for c in carry]).alias("_rv"),
+    )
+    u = l2.unionByName(r2)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ats", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("_rv_last", F.last("_rv", ignorenulls=True).over(w))
+    out = u.filter(F.col("_side") == 1)
+    for c in carry:
+        out = out.withColumn(f"asof_{c}", F.col("_rv_last").getField(c))
+    return out.drop("_side", "_ats", "_rv", "_rv_last")
 
 
 def tumbling_window_agg(

@@ -92,3 +92,88 @@ def test_tumbling_window_agg(spark):
     ).collect()
     got = {r["window_start"].isoformat(): r["n"] for r in out}
     assert got == {"2024-01-01T10:00:00": 2, "2024-01-01T11:00:00": 1}
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 0), "p1"),
+            (1, dt.datetime(2024, 1, 1, 12, 0), "p2"),
+            (2, dt.datetime(2024, 1, 1, 9, 0), "p3"),   # before any right row
+        ],
+        "k long, lts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 9, 30), 100.0),
+            (1, dt.datetime(2024, 1, 1, 11, 0), 200.0),
+            (2, dt.datetime(2024, 1, 1, 9, 30), 300.0),
+        ],
+        "k long, rts timestamp, val double",
+    )
+    out = {
+        r["tag"]: (r["asof_rts"], r["asof_val"])
+        for r in relational.asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            right_value_cols=["val"],
+        ).collect()
+    }
+    assert out["p1"] == (dt.datetime(2024, 1, 1, 9, 30), 100.0)
+    assert out["p2"] == (dt.datetime(2024, 1, 1, 11, 0), 200.0)
+    assert out["p3"] == (None, None)
+
+
+def test_asof_join_inclusive_tie(spark):
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0))], "k long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0), 7.0)],
+        "k long, rts timestamp, val double",
+    )
+    row = relational.asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_value_cols=["val"],
+    ).first()
+    assert row["asof_val"] == 7.0  # right row at the same instant matches
+
+
+def test_asof_join_carries_whole_row(spark):
+    # a later right row with a NULL value column must NOT mix with an
+    # earlier row's non-NULL value
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12, 0))], "k long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 0), 5.0),
+            (1, dt.datetime(2024, 1, 1, 11, 0), None),
+        ],
+        "k long, rts timestamp, val double",
+    )
+    row = relational.asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_value_cols=["val"],
+    ).first()
+    assert row["asof_rts"] == dt.datetime(2024, 1, 1, 11, 0)
+    assert row["asof_val"] is None
+
+
+def test_pivot_agg_fixed_domain(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "z")], "g string, t string"
+    )
+    out = relational.pivot_agg(
+        df, ["g"], "t", ["x", "y"], F.count(F.lit(1))
+    )
+    assert set(out.columns) == {"g", "x", "y"}  # 'z' excluded by the domain
+    got = {r["g"]: (r["x"], r["y"]) for r in out.collect()}
+    assert got["a"] == (2, 1)
+    assert got["b"] == (None, None)
+
+
+def test_cube_agg_combinations(spark):
+    df = spark.createDataFrame([("a", "p", 1), ("b", "q", 2)], "x string, y string, v long")
+    out = relational.cube_agg(df, ["x", "y"], [F.count("*").alias("n")]).collect()
+    # cube over 2 distinct keys: 4 grouping sets -> (a,p),(b,q),(a,*),(b,*),(*,p),(*,q),(*,*)
+    assert len(out) == 7
