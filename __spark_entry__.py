@@ -562,6 +562,54 @@ def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_date")
 
 
+def q_part_category_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 category split + D6 MD5 surrogate key exercised with real
+    multi-level values (p_type as a dotted category path; the events
+    fixture has no category column)."""
+    _ensure_conf(spark)
+    from data_lakehouse_spark.functions import scalars
+
+    part = load_tables(spark, sf_dir, ["part"], register_views=False)["part"]
+    cat = F.regexp_replace(F.col("p_type"), " ", ".")
+    df = part.select(
+        F.col("p_partkey").cast("bigint").alias("partkey"),
+        F.col("p_type").alias("type_raw"),
+        cat.alias("category_code"),
+    )
+    c1, c2, c3 = scalars.split_category(F.col("category_code"))
+    return df.select(
+        "partkey",
+        "type_raw",
+        c1.alias("category_level_1"),
+        c2.alias("category_level_2"),
+        c3.alias("category_level_3"),
+        scalars.event_unique_id(
+            F.col("partkey"), c1, c2, c3
+        ).alias("category_key"),
+    )
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction surface: from_json struct parse + get_json_object
+    over the events props column."""
+    _ensure_conf(spark)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    parsed = ev.withColumn(
+        "_props",
+        F.from_json(F.col("props"), StructType([StructField("k", LongType())])),
+    )
+    return (
+        parsed.select(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.col("_props.k").alias("k_struct"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("k_path"),
+        )
+        .withColumn("extract_agree", F.coalesce(F.col("k_struct") == F.col("k_path"), F.lit(True)))
+    )
+
+
 def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY CUBE over order priority × status."""
     _ensure_conf(spark)
@@ -754,6 +802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_battery": q_window_battery,
         "event_type_pivot": q_event_type_pivot,
         "orders_cube": q_orders_cube,
+        "part_category_split": q_part_category_split,
+        "events_json_props": q_events_json_props,
         # LLM-pipeline operators
         "doc_text_stats": q_doc_text_stats,
         "doc_language_guess": q_doc_language_guess,
@@ -1309,6 +1359,41 @@ FROM silver
 GROUP BY event_date
 """
     )
+
+    sql["part_category_split"] = """
+WITH d AS (
+    SELECT CAST(p_partkey AS BIGINT) AS partkey,
+           p_type AS type_raw,
+           replace(p_type, ' ', '.') AS category_code
+    FROM part
+),
+s AS (
+    SELECT partkey, type_raw,
+           string_split(category_code, '.') AS parts,
+           len(string_split(category_code, '.')) AS n
+    FROM d
+)
+SELECT partkey, type_raw,
+       CASE WHEN n >= 1 THEN parts[1] END AS category_level_1,
+       CASE WHEN n >= 2 THEN parts[2] END AS category_level_2,
+       CASE WHEN n >= 3 THEN parts[3] END AS category_level_3,
+       md5(concat_ws('|',
+           CAST(partkey AS VARCHAR),
+           coalesce(CASE WHEN n >= 1 THEN parts[1] END, 'NULL'),
+           coalesce(CASE WHEN n >= 2 THEN parts[2] END, 'NULL'),
+           coalesce(CASE WHEN n >= 3 THEN parts[3] END, 'NULL'))) AS category_key
+FROM s
+"""
+
+    sql["events_json_props"] = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+       coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                = CAST(json_extract_string(props, '$.k') AS BIGINT), TRUE)
+           AS extract_agree
+FROM events
+"""
 
     sql["orders_cube"] = """
 SELECT o_orderpriority, o_orderstatus,

@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "window_battery",
     "event_type_pivot",
     "orders_cube",
+    "part_category_split",
+    "events_json_props",
     "doc_text_stats",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
