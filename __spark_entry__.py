@@ -562,6 +562,34 @@ def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_date")
 
 
+def q_monthly_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 serving shape: aggregate OVER the daily-sales gold mart
+    (month rollup). Re-aggregation goes back through DECIMAL(18,2) so
+    double-sum order never leaks into results."""
+    daily = gold.daily_sales_summary(_events_silver(spark, sf_dir), cart_type=CART_TYPE)
+    dec = F.col("total_revenue").cast("decimal(18,2)")
+    m = (
+        daily.groupBy(
+            F.date_format(F.date_trunc("month", "sale_date"), "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.sum(dec).cast("double").alias("monthly_revenue"),
+            F.sum("total_orders").cast("bigint").alias("monthly_orders"),
+            F.sum("total_views").cast("bigint").alias("monthly_views"),
+            F.count("*").cast("bigint").alias("days_active"),
+        )
+        .withColumn(
+            "avg_order_value",
+            round_half_up(
+                F.col("monthly_revenue")
+                / F.when(F.col("monthly_orders") != 0, F.col("monthly_orders")),
+                2,
+            ),
+        )
+    )
+    return m.orderBy("month")
+
+
 def q_part_category_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5 category split + D6 MD5 surrogate key exercised with real
     multi-level values (p_type as a dotted category path; the events
@@ -804,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube": q_orders_cube,
         "part_category_split": q_part_category_split,
         "events_json_props": q_events_json_props,
+        "monthly_sales_rollup": q_monthly_sales_rollup,
         # LLM-pipeline operators
         "doc_text_stats": q_doc_text_stats,
         "doc_language_guess": q_doc_language_guess,
@@ -1357,6 +1386,34 @@ SELECT strftime(event_date, '%Y-%m-%d') AS event_date,
        CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error
 FROM silver
 GROUP BY event_date
+"""
+    )
+
+    sql["monthly_sales_rollup"] = (
+        _SILVER_CTE
+        + """
+, daily AS (
+    SELECT
+        event_date AS sale_date,
+        CAST(SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(coalesce(price, 0) AS DECIMAL(18,2))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_revenue,
+        CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS total_orders,
+        CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS total_views
+    FROM silver
+    GROUP BY event_date
+),
+m AS (
+    SELECT strftime(date_trunc('month', sale_date), '%Y-%m') AS month,
+           CAST(SUM(CAST(total_revenue AS DECIMAL(18,2))) AS DOUBLE) AS monthly_revenue,
+           CAST(SUM(total_orders) AS BIGINT) AS monthly_orders,
+           CAST(SUM(total_views) AS BIGINT) AS monthly_views,
+           CAST(COUNT(*) AS BIGINT) AS days_active
+    FROM daily GROUP BY 1
+)
+SELECT month, monthly_revenue, monthly_orders, monthly_views, days_active,
+       floor((monthly_revenue / nullif(monthly_orders, 0)) * 100 + 0.5) / 100 AS avg_order_value
+FROM m
 """
     )
 

@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["stream_events", "stream_tumbling_counts", "stream_dedup"]
+__all__ = [
+    "stream_events",
+    "stream_tumbling_counts",
+    "stream_dedup",
+    "stream_running_counts",
+]
 
 
 def stream_events(
@@ -51,6 +56,41 @@ def stream_tumbling_counts(
             "n_events",
             "total_value",
         )
+    )
+
+
+def stream_running_counts(
+    events: DataFrame, *, key_col: str = "event_type"
+) -> DataFrame:
+    """Custom stateful operator: per-key cumulative event count and
+    value sum across micro-batches via ``applyInPandasWithState``.
+
+    The canonical shape for state Spark's built-ins can't express
+    (counters, ML feature state, per-entity models): state lives in the
+    state store partitioned by key, each micro-batch updates it through
+    Arrow-batched pandas, and one updated row per key is emitted per
+    batch. Bound state per key (two numbers) — safe at any key
+    cardinality the state store can shard.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.withColumn("key", F.col(key_col)).groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType="key string, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

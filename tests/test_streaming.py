@@ -85,3 +85,35 @@ def test_stream_dedup_drops_duplicates(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.sql("SELECT count(*) c FROM dedup_out").first()["c"] == 2
+
+
+def test_stream_running_counts_state_across_batches(spark, tmp_path):
+    from data_lakehouse_spark.streaming import stream_running_counts
+
+    src = str(tmp_path / "src3")
+    t0 = dt.datetime(2024, 1, 1, 10)
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    _write_batch(spark, src, [(1, t0, "view", 1.0), (2, t0, "view", 2.0),
+                              (3, t0, "cart", 5.0)])
+    _write_batch(spark, src, [(4, t0, "view", 3.0)])
+
+    stream = stream_events(spark, src, SCHEMA, max_files_per_trigger=1)
+    counts = stream_running_counts(stream, key_col="event_type")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("running_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM running_out").collect()
+    # state accumulates across micro-batches: the final emitted row per
+    # key carries the cumulative totals
+    latest = {}
+    for r in rows:
+        latest[r["key"]] = (r["n_events"], r["total_value"])
+    assert latest["view"] == (3, 6.0)
+    assert latest["cart"] == (1, 5.0)
+    # 'view' must have been emitted more than once (once per batch)
+    assert sum(1 for r in rows if r["key"] == "view") >= 2
