@@ -562,6 +562,27 @@ def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_date")
 
 
+def q_segments_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op surface (INTERSECT / EXCEPT): customers who placed both a
+    finished and an open order, and those with finished but never open,
+    stitched with a UNION ALL discriminator."""
+    _ensure_conf(spark)
+    t = load_tables(spark, sf_dir, ["orders"], register_views=False)
+    f = (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").cast("bigint").alias("custkey"))
+    )
+    o = (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").cast("bigint").alias("custkey"))
+    )
+    both = f.intersect(o).withColumn("segment", F.lit("both"))
+    only_f = f.subtract(o).withColumn("segment", F.lit("finished_only"))
+    return both.unionByName(only_f)
+
+
 def q_monthly_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14 serving shape: aggregate OVER the daily-sales gold mart
     (month rollup). Re-aggregation goes back through DECIMAL(18,2) so
@@ -833,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_category_split": q_part_category_split,
         "events_json_props": q_events_json_props,
         "monthly_sales_rollup": q_monthly_sales_rollup,
+        "segments_intersect_except": q_segments_intersect_except,
         # LLM-pipeline operators
         "doc_text_stats": q_doc_text_stats,
         "doc_language_guess": q_doc_language_guess,
@@ -1388,6 +1410,16 @@ FROM silver
 GROUP BY event_date
 """
     )
+
+    sql["segments_intersect_except"] = """
+WITH f AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS custkey
+           FROM orders WHERE o_orderstatus = 'F'),
+o AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS custkey
+      FROM orders WHERE o_orderstatus = 'O')
+SELECT custkey, 'both' AS segment FROM (SELECT custkey FROM f INTERSECT SELECT custkey FROM o)
+UNION ALL
+SELECT custkey, 'finished_only' AS segment FROM (SELECT custkey FROM f EXCEPT SELECT custkey FROM o)
+"""
 
     sql["monthly_sales_rollup"] = (
         _SILVER_CTE

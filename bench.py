@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "orders_cube",
     "part_category_split",
     "events_json_props",
+    "monthly_sales_rollup",
+    "segments_intersect_except",
     "doc_text_stats",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",

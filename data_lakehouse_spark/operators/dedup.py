@@ -283,10 +283,23 @@ def simhash_hex_df(
         F.col(id_col).cast("bigint").alias("doc_id"),
         F.explode(toks).alias("_tok"),
     ).withColumn("_hx", F.md5("_tok"))
+    # materialize the 16 nibble values once per token (each is referenced
+    # by 4 bit columns — inline they'd re-run conv+substring 64×; see the
+    # expression-tree note on shingles_of_tokens). 64 plain SUM buffers
+    # measured faster than packing 4 counters per long (per-row shift
+    # arithmetic costs more than the buffers save).
+    ex = ex.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("_hx", g_ + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"_nib{g_}")
+            for g_ in range(16)
+        ],
+    )
 
     def bit(j: int) -> Column:
-        nib = F.conv(F.substring("_hx", j // 4 + 1, 1), 16, 10).cast("int")
-        return F.shiftright(nib, j % 4).bitwiseAND(F.lit(1))
+        return F.shiftright(F.col(f"_nib{j // 4}"), j % 4).bitwiseAND(F.lit(1))
 
     aggs = [F.sum(bit(j)).alias(f"_b{j}") for j in range(64)] + [
         F.count("*").alias("_n")

@@ -26,7 +26,26 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["IncrementalMaterializer"]
+__all__ = ["IncrementalMaterializer", "merge_upsert"]
+
+
+def merge_upsert(
+    target: DataFrame, source: DataFrame, keys: list[str]
+) -> DataFrame:
+    """MERGE semantics as a pure DataFrame transform: source rows
+    replace target rows sharing the key (WHEN MATCHED THEN UPDATE),
+    unmatched source rows append (WHEN NOT MATCHED THEN INSERT).
+
+    The dbt ``incremental_strategy='merge'`` / Iceberg MERGE INTO
+    equivalent for plain-Parquet tables (the reference declares a
+    ``unique_key`` its append strategy never enforces — SURVEY.md §4
+    #4; this is the enforcing variant). One anti-join shuffle on the
+    key; with both sides partitioned on the key it stays co-located.
+    Caller rewrites the affected partitions with the result.
+    """
+    cols = target.columns
+    surviving = target.join(source.select(*keys).distinct(), on=keys, how="left_anti")
+    return surviving.select(*cols).unionByName(source.select(*cols))
 
 
 class IncrementalMaterializer:

@@ -36,3 +36,16 @@ def test_dedup_on_write_fixes_inert_unique_key(spark, tmp_path):
     mat.run(lambda: spark.createDataFrame([(1, 99), (2, 50)], "id long, v long"))
     rows = sorted((r["id"], r["v"]) for r in mat.read_target().collect())
     assert rows == [(1, 10), (2, 50)]
+
+
+def test_merge_upsert_updates_and_inserts(spark):
+    from data_lakehouse_spark.plans.incremental import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, name string, v double"
+    )
+    source = spark.createDataFrame(
+        [(2, "b2", 25.0), (3, "c", 30.0)], "k long, name string, v double"
+    )
+    out = {r["k"]: (r["name"], r["v"]) for r in merge_upsert(target, source, ["k"]).collect()}
+    assert out == {1: ("a", 10.0), 2: ("b2", 25.0), 3: ("c", 30.0)}
