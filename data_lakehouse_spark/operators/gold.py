@@ -182,34 +182,55 @@ def category_performance(silver: DataFrame) -> DataFrame:
     purchase = _is("purchase")
     keys = ["analysis_date", "category_level_1", "category_level_2"]
 
-    category_daily = (
+    # ONE scan: pre-aggregate at (date, c1, c2, brand, user) with the
+    # purchase conditions applied per-cell, then derive both CTE shapes
+    # by re-aggregation. Decimal sums and conditional counts compose
+    # associatively, so results are bit-identical to the two-scan form —
+    # at 100 TB this halves the dominant cost (the fact-table scan).
+    pre = (
         silver.filter(F.col("category_level_1").isNotNull())
         .groupBy(
             F.col("event_date").alias("analysis_date"),
             "category_level_1",
             "category_level_2",
+            "brand",
+            "user_id",
         )
         .agg(
-            _money(purchase).alias("total_revenue"),
-            _cnt(purchase).alias("total_orders"),
-            _cntd(purchase, "user_id").alias("unique_customers"),
+            F.sum(
+                F.when(purchase, F.coalesce(F.col("price").cast(_DEC), _zero()))
+                .otherwise(_zero())
+            ).alias("_m"),
+            F.count(F.when(purchase, F.lit(1))).alias("_n"),
+            F.sum(F.when(purchase, F.col("price").cast(_DEC))).alias("_bm"),
+        )
+    )
+
+    category_daily = (
+        pre.groupBy(*keys)
+        .agg(
+            F.sum("_m").cast("double").alias("total_revenue"),
+            F.sum("_n").cast("bigint").alias("total_orders"),
+            F.countDistinct(
+                F.when(F.col("_n") > 0, F.col("user_id"))
+            ).cast("bigint").alias("unique_customers"),
         )
         .withColumn(
             "avg_order_value", _ratio(F.col("total_revenue"), F.col("total_orders"))
         )
     )
 
+    # brand groups exist only where ≥1 purchase row had this brand —
+    # same membership as the reference's filtered CTE
     brand_daily = (
-        silver.filter(
-            purchase & F.col("brand").isNotNull() & F.col("category_level_1").isNotNull()
+        pre.filter(F.col("brand").isNotNull())
+        .groupBy(*keys, "brand")
+        .agg(
+            F.sum("_bm").cast("double").alias("brand_revenue"),
+            F.sum("_n").alias("_np"),
         )
-        .groupBy(
-            F.col("event_date").alias("analysis_date"),
-            "category_level_1",
-            "category_level_2",
-            "brand",
-        )
-        .agg(F.sum(F.col("price").cast(_DEC)).cast("double").alias("brand_revenue"))
+        .filter(F.col("_np") > 0)
+        .drop("_np")
     )
     w = Window.partitionBy(*keys).orderBy(F.desc("brand_revenue"), F.asc("brand"))
     top_brand = (
