@@ -813,6 +813,19 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_stub(multimodal.attach_binary_payload(docs))
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extract stub → embedding column → exact cosine top-k:
+    the binary-to-similarity pipeline end to end (rows-only check —
+    the embedding kernel is a deterministic fake)."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = multimodal.feature_extract_stub(
+        multimodal.attach_binary_payload(docs), dim=16
+    )
+    qv = [float(x) for x in emb.filter(F.col("doc_id") == 0).first()["embedding"]]
+    return similarity.cosine_topk(emb, qv, vec_col="embedding", id_col="doc_id", k=25)
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -871,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "approx_distinct_users": q_approx_distinct_users,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_features": q_multimodal_features,
     }
 
 

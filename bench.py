@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "approx_distinct_users",
     "multimodal_decode",
+    "multimodal_features",
 ]
 
 

@@ -2,12 +2,16 @@ from data_lakehouse_spark.multimodal.columns import (
     attach_binary_payload,
     decode_image_stub,
     extract_binary_meta,
+    feature_extract_stub,
     frame_sample_stub,
+    resize_image_stub,
 )
 
 __all__ = [
     "attach_binary_payload",
     "decode_image_stub",
     "extract_binary_meta",
+    "feature_extract_stub",
     "frame_sample_stub",
+    "resize_image_stub",
 ]

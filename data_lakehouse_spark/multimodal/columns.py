@@ -23,7 +23,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -35,6 +37,8 @@ __all__ = [
     "attach_binary_payload",
     "extract_binary_meta",
     "decode_image_stub",
+    "resize_image_stub",
+    "feature_extract_stub",
     "frame_sample_stub",
     "DECODED_IMAGE_SCHEMA",
 ]
@@ -102,6 +106,73 @@ def decode_image_stub(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(
         _fake_decode, schema=DECODED_IMAGE_SCHEMA
     )
+
+
+def resize_image_stub(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    target_width: int = 224,
+    target_height: int = 224,
+) -> DataFrame:
+    """'Resize' stub: payload → payload row transform through
+    mapInPandas (the shape of a real PIL/opencv resize: binary in,
+    binary out, updated dimension metadata). The fake kernel truncates/
+    pads the payload deterministically to w*h bytes."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+    size = target_width * target_height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[id_col].to_frame(name="doc_id")
+            out["payload"] = pdf["payload"].map(
+                lambda b: bytes(b)[:size].ljust(size, b"\0")
+            )
+            out["width"] = pd.Series([target_width] * len(pdf), dtype="int32")
+            out["height"] = pd.Series([target_height] * len(pdf), dtype="int32")
+            yield out
+
+    return df.select(id_col, "payload").mapInPandas(_resize, schema=schema)
+
+
+def feature_extract_stub(
+    df: DataFrame, *, id_col: str = "doc_id", dim: int = 16
+) -> DataFrame:
+    """'Feature extraction' stub: payload → fixed-dim float embedding
+    via Arrow-batched mapInPandas — the encoder-model shape. The fake
+    kernel hashes byte chunks into a deterministic unit-normalized
+    vector, so the output plugs straight into the similarity operators
+    (cosine_topk / ann_lsh_topk) for end-to-end pipeline tests."""
+    import numpy as np
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                pad = (-len(arr)) % dim
+                if pad:
+                    arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
+                v = arr.reshape(-1, dim).sum(axis=0).astype(np.float64) + 1.0
+                n = np.linalg.norm(v)
+                vecs.append((v / n).tolist())
+            yield pd.DataFrame({"doc_id": pdf[id_col], "embedding": vecs})
+
+    return df.select(id_col, "payload").mapInPandas(_embed, schema=schema)
 
 
 def frame_sample_stub(

@@ -69,3 +69,36 @@ def test_binary_meta_matches_md5(spark):
     ).first()
     assert r["n_bytes"] == 3
     assert r["content_md5"] == "900150983cd24fb0d6963f7d28e17f72"  # md5('abc')
+
+
+def test_multimodal_resize_stub(spark):
+    df = spark.createDataFrame([(1, "hello world " * 10)], "doc_id long, text string")
+    out = multimodal.resize_image_stub(
+        multimodal.attach_binary_payload(df), target_width=8, target_height=4
+    ).first()
+    assert out["width"] == 8 and out["height"] == 4
+    assert len(out["payload"]) == 32  # truncated/padded to w*h
+
+
+def test_multimodal_feature_extract_feeds_similarity(spark):
+    from data_lakehouse_spark.operators import similarity
+
+    rows = [(i, f"document number {i} with some repeated words " * 3) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = multimodal.feature_extract_stub(
+        multimodal.attach_binary_payload(df), dim=8
+    )
+    first = emb.orderBy("doc_id").first()
+    assert len(first["embedding"]) == 8
+    # unit-normalized
+    assert abs(sum(x * x for x in first["embedding"]) - 1.0) < 1e-9
+    # deterministic: same payload -> same vector
+    again = multimodal.feature_extract_stub(
+        multimodal.attach_binary_payload(df), dim=8
+    ).orderBy("doc_id").first()
+    assert again["embedding"] == first["embedding"]
+    # plugs into the similarity surface end-to-end
+    top = similarity.cosine_topk(
+        emb, first["embedding"], vec_col="embedding", id_col="doc_id", k=3
+    ).collect()
+    assert top[0]["doc_id"] == 0 and abs(top[0]["cosine_sim"] - 1.0) < 1e-9
