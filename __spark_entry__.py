@@ -19,6 +19,7 @@ stage (FIXTURES.md §2).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -757,10 +758,12 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine similarity self-join above threshold."""
+    """Exact cosine similarity self-join above threshold — distributed
+    block-pair GEMM (no driver collect; same per-pair arithmetic as the
+    broadcast variant, so oracle-identical)."""
     _ensure_conf(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    df = similarity.cosine_pairs_above(emb, threshold=0.35)
+    df = similarity.cosine_pairs_blocked(emb, threshold=0.35)
     return df.withColumn("cosine_sim", round_half_up(F.col("cosine_sim"), 6))
 
 
@@ -779,15 +782,44 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_conf(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = _query_vec(spark, sf_dir)
-    return similarity.ann_lsh_topk(emb, qv, k=20, num_planes=10)
+    return similarity.ann_lsh_topk(emb, qv, k=20, num_planes=8, probe_hamming=2)
+
+
+def _ann_index_catalog(spark: SparkSession, sf_dir: str):
+    """Catalog holding the materialized ANN index for ``sf_dir``,
+    built once per process+scale and reused (index economics: one scan
+    at build, partition-pruned probes afterwards)."""
+    import tempfile
+
+    from data_lakehouse_spark.catalog import Catalog
+
+    root = os.path.join(
+        tempfile.gettempdir(), "dls_ann_index", os.path.basename(os.path.normpath(sf_dir))
+    )
+    cat = Catalog(spark, root)
+    src = f"{sf_dir}/embeddings.parquet"
+    src_stamp = str(int(os.path.getmtime(src)))
+    fresh = (
+        cat.table_exists("embeddings_ivf")
+        and cat.table_properties("embeddings_ivf").get("index.src_mtime") == src_stamp
+    )
+    if not fresh:
+        emb = spark.read.parquet(src)
+        similarity.build_embedding_index(
+            cat, emb, "embeddings_ivf", num_planes=6, seed=7, mode="replace",
+            extra_properties={"index.src_mtime": src_stamp},
+        )
+    return cat
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate top-k: coarse bucket probe + exact re-rank."""
+    """IVF-style approximate top-k over the MATERIALIZED index table:
+    probe buckets are computed driver-side and the read partition-prunes
+    to ivf_bucket= directories (plan asserted in tests/test_plans.py)."""
     _ensure_conf(spark)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = _query_vec(spark, sf_dir)
-    return similarity.ann_ivf_topk(emb, qv, k=20, num_planes=6)
+    cat = _ann_index_catalog(spark, sf_dir)
+    return similarity.ann_ivf_topk_indexed(cat, "embeddings_ivf", qv, k=20)
 
 
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -213,6 +213,13 @@ class Catalog:
         # declared column order
         return df.select(*[f.name for f in schema.fields])
 
+    def table_properties(self, name: str) -> dict:
+        """Latest-version table properties (TBLPROPERTIES analog)."""
+        entries = self._load_manifest(self._handle(name))
+        if not entries:
+            raise ValueError(f"table {name} does not exist")
+        return dict(entries[-1].get("properties") or {})
+
     def describe(self, name: str) -> list[dict]:
         """DESCRIBE: (col_name, data_type, comment) rows (S3 analog)."""
         entries = self._load_manifest(self._handle(name))

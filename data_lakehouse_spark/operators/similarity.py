@@ -1,23 +1,32 @@
 """Similarity search over embedding columns (``array<float>``).
 
+Four tiers, cheapest-exact to scalable-approximate:
+
 - brute-force top-k / threshold join: JVM-side higher-order-function
   cosine (functions/vectors.py) — the exact baseline. O(n·q) dot
   products; at 100 TB this is the verification path, not the scan path.
-- LSH-bucketed ANN: random-hyperplane signatures (sign of dot with k
-  deterministic pseudo-random planes) → candidates share a bucket →
-  exact cosine re-rank within buckets. Shuffle is O(n) bucket keys;
-  the n² blowup is confined to buckets.
-- IVF-style variant: coarse k-means-free bucketing on leading signature
-  bits doubles as a partition key for writing an "index" table that
-  later queries can partition-prune.
+- blocked exact pair join (:func:`cosine_pairs_blocked`): distributed
+  block-pair GEMM — every pair of row-blocks meets in exactly one
+  ``applyInPandas`` task. Exact (same per-pair float64 dot as the
+  broadcast path), no driver collect, per-task memory bounded by
+  2·n/num_blocks rows. The DEFAULT exact-pairs engine.
+- LSH-bucketed candidates (:func:`lsh_cosine_candidates`): banded
+  random-hyperplane signatures → candidates share a band bucket →
+  exact cosine re-rank on candidates only. Shuffle is O(n·bands);
+  recall < 1 by design — the approximate path when even the blocked
+  O(n²) GEMM is too much.
+- IVF/LSH index tables (:func:`build_embedding_index`,
+  :func:`ann_ivf_topk_indexed`): signatures become write-time partition
+  keys via the catalog; queries partition-prune to the probed buckets.
 
-Planes are generated from a fixed seed via xxhash64 folds so the
-"index" is reproducible without storing state.
+Planes are generated from a fixed seed via MD5 folds (stable across
+Python implementations/versions, unlike builtin ``hash``) so the index
+is reproducible without storing plane state.
 """
 
 from __future__ import annotations
 
-import math
+import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -27,10 +36,14 @@ from data_lakehouse_spark.functions.vectors import cosine_similarity
 __all__ = [
     "cosine_topk",
     "cosine_pairs_above",
+    "cosine_pairs_blocked",
+    "lsh_cosine_candidates",
     "random_hyperplane_signature",
     "ann_lsh_topk",
     "embedding_dedup_canonical",
     "ann_ivf_topk",
+    "build_embedding_index",
+    "ann_ivf_topk_indexed",
 ]
 
 
@@ -58,21 +71,34 @@ def cosine_pairs_above(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.5,
+    max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
-    """Exact similarity self-join: all (a,b) pairs with cosine ≥ t.
+    """Exact similarity self-join: all (a,b) pairs with cosine ≥ t —
+    collect-and-broadcast variant.
 
     Broadcast-matmul shape: the scan side streams through Arrow-batched
     ``mapInPandas`` while the comparison side is one broadcast numpy
-    matrix — each batch is a single float64 GEMM instead of per-pair
-    expression evaluation (~100× over a nested-loop join with
-    higher-order-function cosine). The broadcast side must fit in
-    executor memory (id + unit vector per row); beyond that, use
-    LSH/IVF bucketing (``ann_lsh_topk``) so the n² never materializes.
+    matrix built on the DRIVER — each batch is a single float64 GEMM
+    instead of per-pair expression evaluation (~100× over a nested-loop
+    join with higher-order-function cosine). The comparison side must
+    fit in driver AND executor memory; ``max_broadcast_rows`` fails fast
+    before the collect when it can't. Beyond the ceiling use
+    :func:`cosine_pairs_blocked` (exact, fully distributed — the
+    default in :func:`embedding_dedup_canonical`) or
+    :func:`lsh_cosine_candidates` (approximate) so neither the driver
+    matrix nor the n² ever materializes.
     """
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
+    n = df.count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"cosine_pairs_above: {n} rows exceeds max_broadcast_rows="
+            f"{max_broadcast_rows}; use cosine_pairs_blocked (exact) or "
+            "lsh_cosine_candidates (approximate) instead"
+        )
     side = df.select(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("v")
     ).collect()
@@ -114,12 +140,186 @@ def cosine_pairs_above(
     )
 
 
+def cosine_pairs_blocked(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.5,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Exact similarity self-join with NO driver-side collect: a
+    distributed block-pair GEMM.
+
+    Rows are hashed into ``num_blocks`` blocks; each row is replicated
+    to the ``num_blocks`` unordered block pairs it participates in, so
+    every pair of rows meets in EXACTLY one ``applyInPandas`` group
+    where one float64 GEMM scores the block-vs-block slab. Identical
+    per-pair arithmetic to :func:`cosine_pairs_above` (same numpy dot /
+    norm product), so results are interchangeable — but per-task memory
+    is bounded by ~2·n/num_blocks vectors and nothing touches the
+    driver. Shuffle volume is n·num_blocks rows; pick
+    num_blocks ≈ n·dim·8 / target_task_bytes at scale (the total work
+    stays the inherent exact O(n²) — for sub-quadratic use
+    :func:`lsh_cosine_candidates`).
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = int(num_blocks)
+    t = float(threshold)
+    src = df.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("v")
+    )
+    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int")
+    # every (lo, hi) block pair this row's block participates in;
+    # injective in j, so no duplicate keys per row
+    keys = F.transform(
+        F.sequence(F.lit(0), F.lit(B - 1)),
+        lambda j: F.struct(
+            F.least(F.col("_blk"), j).cast("int").alias("lo"),
+            F.greatest(F.col("_blk"), j).cast("int").alias("hi"),
+        ),
+    )
+    tagged = (
+        src.withColumn("_blk", blk)
+        .withColumn("_k", F.explode(keys))
+        .select(
+            "id", "v", "_blk", F.col("_k.lo").alias("_lo"), F.col("_k.hi").alias("_hi")
+        )
+    )
+
+    def gemm(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.array([list(v) for v in pdf["v"]], dtype=np.float64)
+        norm = np.linalg.norm(mat, axis=1)
+        norm[norm == 0] = np.nan
+        lo, hi = int(pdf["_lo"].iat[0]), int(pdf["_hi"].iat[0])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if lo == hi:
+                sims = (mat @ mat.T) / (norm[:, None] * norm[None, :])
+                mask = (sims >= t) & (ids[None, :] > ids[:, None])
+                ai, bi = np.nonzero(mask)
+                id_a, id_b = ids[ai], ids[bi]
+            else:
+                sel = pdf["_blk"].to_numpy() == lo
+                a_ids, b_ids = ids[sel], ids[~sel]
+                a_mat, b_mat = mat[sel], mat[~sel]
+                a_nrm, b_nrm = norm[sel], norm[~sel]
+                sims = (a_mat @ b_mat.T) / (a_nrm[:, None] * b_nrm[None, :])
+                mask = sims >= t
+                ai, bi = np.nonzero(mask)
+                id_a = np.minimum(a_ids[ai], b_ids[bi])
+                id_b = np.maximum(a_ids[ai], b_ids[bi])
+        return pd.DataFrame(
+            {"id_a": id_a, "id_b": id_b, "cosine_sim": sims[ai, bi]}
+        )
+
+    return tagged.groupBy("_lo", "_hi").applyInPandas(
+        gemm, "id_a bigint, id_b bigint, cosine_sim double"
+    )
+
+
+def lsh_cosine_candidates(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.5,
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    max_bucket_size: int | None = 100_000,
+) -> DataFrame:
+    """APPROXIMATE cosine pairs: banded hyperplane-LSH candidates with
+    exact cosine re-rank — the sub-quadratic scale path.
+
+    The ``num_planes``-bit signature is split into ``bands`` bands of
+    r = num_planes/bands bits; docs sharing any band value co-group.
+    Exact cosine is then evaluated only on candidates (JVM higher-order
+    expression — candidate sets are small). Recall < 1 by design:
+    P(candidate) = 1-(1-p^r)^bands with p = 1-θ/π per bit. Hot band
+    buckets (e.g. many zero vectors) are dropped above
+    ``max_bucket_size`` — same skew guard as minhash
+    (operators/dedup.py ``max_bucket_size``). Returns
+    (id_a, id_b, cosine_sim) with id_a < id_b, like the exact engines.
+    """
+    rows = num_planes // bands
+    src = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"), F.col(vec_col).alias("v")
+    ).withColumn(
+        "_sig",
+        random_hyperplane_signature(
+            F.col("v"), _vec_dim(df, vec_col), num_planes=num_planes, seed=seed
+        ),
+    )
+    banded = src.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("_sig"), b * rows)
+                    .bitwiseAND(F.lit((1 << rows) - 1))
+                    .cast("long")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+    if max_bucket_size is not None:
+        counts = banded.groupBy("band", "band_sig").agg(
+            F.count("*").alias("_bn")
+        )
+        banded = banded.join(
+            F.broadcast(counts.filter(F.col("_bn") <= max_bucket_size)),
+            ["band", "band_sig"],
+        ).drop("_bn")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(
+        F.col(id_col).cast("bigint").alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    vb = df.select(
+        F.col(id_col).cast("bigint").alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    sim = cosine_similarity(F.col("_va"), F.col("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= float(threshold))
+    )
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first row (schema carries no
+    fixed length for array columns). One tiny job, planning-time only."""
+    row = df.select(F.size(vec_col).alias("d")).first()
+    if row is None or row["d"] is None:
+        raise ValueError(f"cannot infer dimension of empty {vec_col}")
+    return int(row["d"])
+
+
 def _plane(dim: int, plane_idx: int, seed: int = 42) -> list[float]:
-    """Deterministic pseudo-random hyperplane: component c is a hash of
-    (seed, plane_idx, c) mapped to [-1, 1). Reproducible everywhere."""
+    """Deterministic pseudo-random hyperplane: component c is an MD5
+    fold of "seed:plane_idx:c" mapped to [-1, 1). MD5 (not builtin
+    ``hash``) so signatures persisted in an index table keep matching
+    query-side signatures across Python implementations/versions."""
     out = []
     for c in range(dim):
-        h = hash((seed, plane_idx, c)) & 0xFFFFFFFF
+        h = int.from_bytes(
+            hashlib.md5(f"{seed}:{plane_idx}:{c}".encode()).digest()[:4], "big"
+        )
         out.append((h / 2**31) - 1.0)
     return out
 
@@ -157,26 +357,16 @@ def ann_lsh_topk(
     """Approximate top-k: candidates from the query's LSH bucket (plus
     buckets within ``probe_hamming`` bit flips), exact cosine re-rank.
 
-    At scale the signature is a partition/sort key on the stored index
-    table, so candidate selection is a partition-pruned scan, not a
-    full pass.
+    INDEX-FREE variant: computes every row's signature at query time —
+    one full scan per query (fine for ad-hoc / one-shot). For repeated
+    queries materialize the signatures once with
+    :func:`build_embedding_index` and probe with
+    :func:`ann_ivf_topk_indexed`, which partition-prunes to the probed
+    buckets instead of scanning.
     """
     dim = len(query_vec)
     sig_col = random_hyperplane_signature(F.col(vec_col), dim, num_planes=num_planes, seed=seed)
-
-    # query signature computed driver-side with identical arithmetic
-    qsig = 0
-    for p in range(num_planes):
-        plane = _plane(dim, p, seed)
-        dot = 0.0
-        for a, b in zip(query_vec, plane):
-            dot = dot + float(a) * b
-        if dot >= 0:
-            qsig |= 1 << p
-    probe = {qsig}
-    if probe_hamming >= 1:
-        for p in range(num_planes):
-            probe.add(qsig ^ (1 << p))
+    probe = _probe_signatures(query_vec, num_planes, seed, probe_hamming)
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine_similarity(F.col(vec_col), q)
@@ -196,22 +386,42 @@ def embedding_dedup_canonical(
     id_col: str = "vec_id",
     threshold: float = 0.8,
     pairs: DataFrame | None = None,
+    strategy: str = "blocked",
+    num_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-dup dedup: map every vector to the minimum
     id among itself and its ≥-threshold cosine neighbors.
 
     One union-find-free single hop (A→min neighbor) — the standard
     first-pass cluster collapse for near-dup removal; iterate to a fixed
-    point for full transitive closure if needed. ``pairs`` lets the
-    caller supply LSH-bucketed candidates at scale; defaults to the
-    exact pair join (correctness baseline).
+    point for full transitive closure if needed.
+
+    Pair generation (``strategy``): ``"blocked"`` (default) uses the
+    fully distributed exact block GEMM — no driver collect, the plan
+    that survives scale while staying exact; ``"broadcast"`` is the
+    collect-and-broadcast exact variant (small inputs only, guarded);
+    ``"lsh"`` is the sub-quadratic approximate path
+    (:func:`lsh_cosine_candidates`, recall < 1). ``pairs`` overrides
+    with caller-supplied (id_a, id_b, cosine_sim) candidates.
 
     Returns (vec_id, canonical_id, is_duplicate).
     """
     if pairs is None:
-        pairs = cosine_pairs_above(
-            df, vec_col=vec_col, id_col=id_col, threshold=threshold
-        )
+        if strategy == "blocked":
+            pairs = cosine_pairs_blocked(
+                df, vec_col=vec_col, id_col=id_col, threshold=threshold,
+                num_blocks=num_blocks,
+            )
+        elif strategy == "broadcast":
+            pairs = cosine_pairs_above(
+                df, vec_col=vec_col, id_col=id_col, threshold=threshold
+            )
+        elif strategy == "lsh":
+            pairs = lsh_cosine_candidates(
+                df, vec_col=vec_col, id_col=id_col, threshold=threshold
+            )
+        else:
+            raise ValueError(f"unknown strategy {strategy!r}")
     else:
         pairs = pairs.filter(F.col("cosine_sim") >= threshold)
     sym = pairs.select(
@@ -242,25 +452,16 @@ def ann_ivf_topk(
     seed: int = 7,
     probe_hamming: int = 1,
 ) -> DataFrame:
-    """IVF-style approximate top-k: coarse ``ivf_bucket`` assignment
-    (the write-time partition key of an index table), probe the query's
-    bucket ± ``probe_hamming`` bit flips, exact cosine re-rank inside.
-
-    With the index table partitioned by bucket this becomes a
-    partition-pruned scan of ~(1+planes)/2^planes of the data."""
+    """IVF-style approximate top-k, INDEX-FREE variant: coarse
+    ``ivf_bucket`` assignment computed at query time (full scan), probe
+    the query's bucket ± ``probe_hamming`` bit flips, exact cosine
+    re-rank inside. The materialized form —
+    :func:`build_embedding_index` + :func:`ann_ivf_topk_indexed` —
+    turns the same probe into a partition-pruned read of
+    ~(1+planes)/2^planes of the data."""
     dim = len(query_vec)
     bucket = ivf_bucket(F.col(vec_col), dim, num_planes=num_planes, seed=seed)
-
-    qsig = 0
-    for p in range(num_planes):
-        plane = _plane(dim, p, seed)
-        dot = sum(float(a) * b for a, b in zip(query_vec, plane))
-        if dot >= 0:
-            qsig |= 1 << p
-    probe = {qsig}
-    if probe_hamming >= 1:
-        for p in range(num_planes):
-            probe.add(qsig ^ (1 << p))
+    probe = _probe_signatures(query_vec, num_planes, seed, probe_hamming)
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine_similarity(F.col(vec_col), q)
@@ -274,9 +475,115 @@ def ann_ivf_topk(
 
 
 def ivf_bucket(vec: Column, dim: int, *, num_planes: int = 6, seed: int = 7) -> Column:
-    """Coarse IVF-style bucket id (64 buckets by default) — intended as
-    a write-time partition key for an embedding index table."""
+    """Coarse IVF-style bucket id (64 buckets by default) — the
+    write-time partition key used by :func:`build_embedding_index`."""
     return random_hyperplane_signature(vec, dim, num_planes=num_planes, seed=seed)
+
+
+def _probe_signatures(
+    query_vec: list[float], num_planes: int, seed: int, probe_hamming: int
+) -> set[int]:
+    """Driver-side query signature (identical plane arithmetic to the
+    executor-side expression) plus all signatures within
+    ``probe_hamming`` bit flips. Pure arithmetic on the query vector —
+    touches no data."""
+    dim = len(query_vec)
+    qsig = 0
+    for p in range(num_planes):
+        plane = _plane(dim, p, seed)
+        dot = 0.0
+        for a, b in zip(query_vec, plane):
+            dot = dot + float(a) * b
+        if dot >= 0:
+            qsig |= 1 << p
+    probe = {qsig}
+    if probe_hamming >= 1:
+        for p in range(num_planes):
+            probe.add(qsig ^ (1 << p))
+    if probe_hamming >= 2:
+        for p in range(num_planes):
+            for r in range(p + 1, num_planes):
+                probe.add(qsig ^ (1 << p) ^ (1 << r))
+    return probe
+
+
+def build_embedding_index(
+    catalog,
+    df: DataFrame,
+    name: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 6,
+    seed: int = 7,
+    mode: str = "replace",
+    extra_properties: dict | None = None,
+):
+    """Materialize the ANN index table: (id, vector, ivf_bucket),
+    written through the catalog PARTITIONED BY ivf_bucket — one
+    directory per coarse bucket, so probes are partition-pruned reads.
+
+    Index parameters (num_planes/seed/dim) are recorded as table
+    properties; :func:`ann_ivf_topk_indexed` reads them back so the
+    query-side signature always matches the write-side one. One full
+    scan at build time, amortized over every subsequent query — the
+    standard index economics (cf. the reference's serving-side ORDER-BY
+    MergeTree layout, clickhouse/create_tables.sql:22-25: organize
+    once at write time so reads don't scan).
+    """
+    dim = _vec_dim(df, vec_col)
+    indexed = df.select(
+        F.col(id_col).cast("bigint").alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        ivf_bucket(F.col(vec_col), dim, num_planes=num_planes, seed=seed).alias(
+            "ivf_bucket"
+        ),
+    )
+    return catalog.create_table(
+        name,
+        indexed,
+        partition_by=["ivf_bucket"],
+        properties={
+            "index.kind": "ivf_hyperplane",
+            "index.num_planes": str(num_planes),
+            "index.seed": str(seed),
+            "index.dim": str(dim),
+            **(extra_properties or {}),
+        },
+        mode=mode,
+    )
+
+
+def ann_ivf_topk_indexed(
+    catalog,
+    name: str,
+    query_vec: list[float],
+    *,
+    k: int = 20,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k over a materialized index table: compute the
+    probe bucket set driver-side (pure arithmetic, no data touched),
+    read ONLY the probed ``ivf_bucket=`` partitions, exact cosine
+    re-rank inside them. The filter is on the partition column, so
+    Catalyst prunes at planning time — ~(1+planes)/2^planes of the
+    files are read (asserted in tests/test_plans.py)."""
+    props = catalog.table_properties(name)
+    num_planes = int(props["index.num_planes"])
+    seed = int(props["index.seed"])
+    dim = int(props["index.dim"])
+    if len(query_vec) != dim:
+        raise ValueError(f"query dim {len(query_vec)} != index dim {dim}")
+    probe = _probe_signatures(query_vec, num_planes, seed, probe_hamming)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_similarity(F.col("embedding"), q)
+    return (
+        catalog.read(name)
+        .filter(F.col("ivf_bucket").isin(*[int(s) for s in probe]))
+        .select(F.col("vec_id"), sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
 
 
 def exact_recall_at_k(approx: DataFrame, exact: DataFrame, id_col: str = "vec_id") -> float:

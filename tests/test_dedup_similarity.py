@@ -161,8 +161,47 @@ def test_ann_recall_vs_exact(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     exact = similarity.cosine_topk(emb, qv, k=10)
-    approx = similarity.ann_lsh_topk(emb, qv, k=10, num_planes=8, probe_hamming=1)
+    approx = similarity.ann_lsh_topk(emb, qv, k=10, num_planes=8, probe_hamming=2)
     recall = similarity.exact_recall_at_k(approx, exact)
     assert recall >= 0.3  # LSH with few planes on tiny data: sanity bound
     # the query vector itself must always be found (sim = 1.0)
     assert approx.first()["vec_id"] == 0
+
+
+def test_lsh_cosine_candidates_subset_of_exact(spark, sf_dir):
+    """LSH candidates re-ranked exactly are a SUBSET of the exact pair
+    join (approximate recall, exact precision), and every reported sim
+    matches the exact engine's value for that pair."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in similarity.cosine_pairs_blocked(emb, threshold=0.35).collect()
+    }
+    approx = similarity.lsh_cosine_candidates(
+        emb, threshold=0.35, num_planes=8, bands=4
+    ).collect()
+    assert approx  # finds something on the fixture
+    for r in approx:
+        assert (r.id_a, r.id_b) in exact
+        assert abs(r.cosine_sim - exact[(r.id_a, r.id_b)]) < 1e-9
+
+
+def test_lsh_cosine_candidates_hot_bucket_cap(spark):
+    """A degenerate bucket (here: many identical vectors) is dropped by
+    max_bucket_size instead of going n² inside the band join."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(50)] + [
+        (100, [0.9, 0.1, 0.0, 0.0]),
+        (101, [0.91, 0.09, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    capped = similarity.lsh_cosine_candidates(
+        df, threshold=0.5, num_planes=8, bands=2, max_bucket_size=10
+    )
+    # the 50-dup clique (50*49/2 pairs) is suppressed; the small pair
+    # survives only if it shares a band with nothing hot — the key
+    # property is the bound, not recall:
+    assert capped.count() <= 2 * 2
+    uncapped = similarity.lsh_cosine_candidates(
+        df, threshold=0.5, num_planes=8, bands=2, max_bucket_size=None
+    )
+    assert uncapped.count() > capped.count()

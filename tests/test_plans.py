@@ -67,6 +67,54 @@ def test_semi_anti_join_operators(spark, sf_dir):
     assert "LeftSemi" in plan
 
 
+def test_ann_index_partition_pruned_read(spark, sf_dir, tmp_path):
+    """The materialized ANN index is read partition-pruned: the probe
+    filter lands in PartitionFilters (planning-time pruning, not
+    row-level filtering) and only probed ivf_bucket= files produce
+    rows — a strict subset of the table's files."""
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.operators import similarity
+
+    cat = Catalog(spark, str(tmp_path / "idx"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    similarity.build_embedding_index(cat, emb, "emb_ivf", num_planes=4, seed=7)
+    qv = [float(x) for x in emb.first()["embedding"]]
+    res = similarity.ann_ivf_topk_indexed(cat, "emb_ivf", qv, k=5)
+    assert res.count() == 5
+
+    plan = _plan(res)
+    scan = plan[plan.index("PartitionFilters"):]
+    assert "ivf_bucket" in scan[: scan.index("]")]
+
+    total_files = {f for f in cat.read("emb_ivf").inputFiles()}
+    probed = cat.read("emb_ivf").filter(
+        F.col("ivf_bucket").isin(
+            *similarity._probe_signatures(qv, 4, 7, 1)
+        )
+    )
+    probed_files = {
+        r[0]
+        for r in probed.select(F.input_file_name()).distinct().collect()
+    }
+    assert probed_files and probed_files < total_files
+
+
+def test_blocked_cosine_pairs_match_broadcast(spark, sf_dir):
+    """The distributed block GEMM returns the same pair set as the
+    collect-broadcast exact engine (same arithmetic, no driver state)."""
+    from data_lakehouse_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = similarity.cosine_pairs_above(emb, threshold=0.35)
+    b = similarity.cosine_pairs_blocked(emb, threshold=0.35, num_blocks=5)
+    pa = {(r.id_a, r.id_b, round(r.cosine_sim, 9)) for r in a.collect()}
+    pb = {(r.id_a, r.id_b, round(r.cosine_sim, 9)) for r in b.collect()}
+    assert pa == pb
+    # and the blocked plan never collects: it is a single-stage
+    # applyInPandas over the block-pair shuffle
+    assert "FlatMapGroupsInPandas" in _plan(b)
+
+
 def test_watermark_folds_to_literal_filter(spark, sf_dir):
     """The incremental watermark is reduced driver-side and lands in the
     scan as a comparable literal (min/max skipping applies)."""
