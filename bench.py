@@ -22,45 +22,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod  # noqa: E402
 from data_lakehouse_spark.session import get_spark  # noqa: E402
 
-#: Queries timed at bench scale (all sf0.1-safe).
-BENCH_QUERIES = [
-    "silver_events",
-    "gold_daily_sales_summary",
-    "gold_product_performance",
-    "gold_user_rfm_segments",
-    "gold_user_journey_funnel",
-    "gold_conversion_funnel_daily",
-    "gold_hourly_traffic",
-    "gold_category_performance",
-    "tpch_pricing_summary",
-    "top_customers",
-    "priority_with_returns",
-    "union_all_counts",
-    "orders_rollup",
-    "event_type_share",
-    "hourly_tumbling",
-    "user_sessions",
-    "purchase_asof_cart",
-    "window_battery",
-    "event_type_pivot",
-    "orders_cube",
-    "part_category_split",
-    "events_json_props",
-    "monthly_sales_rollup",
-    "segments_intersect_except",
-    "doc_text_stats",
-    "dedup_exact_docs",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "minhash_lsh_candidates",
-    "embedding_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "approx_distinct_users",
-    "multimodal_decode",
-    "multimodal_features",
-]
+#: Queries EXCLUDED from the bench, with the reason logged at runtime.
+#: Everything else in ``queries()`` is timed — derived dynamically so a
+#: newly added query can never be silently dropped from the bench.
+BENCH_EXCLUDED = {
+    "embedding_similar_pairs": (
+        "quadratic exact-pair oracle for the LSH path; "
+        "dedup_embedding_cosine + minhash_lsh_candidates cover similarity "
+        "at bench scale"
+    ),
+}
 
 
 def main() -> None:
@@ -70,6 +41,9 @@ def main() -> None:
 
     spark = get_spark("bench")
     queries = entrymod.queries()
+    bench_queries = [q for q in queries if q not in BENCH_EXCLUDED]
+    for name, reason in BENCH_EXCLUDED.items():
+        print(f"bench: skipping {name}: {reason}", file=sys.stderr)
 
     # Warm the JVM (codegen, JIT, parquet footer cache) so per-query
     # timings measure the queries, not first-touch session overhead.
@@ -79,7 +53,7 @@ def main() -> None:
     queries["silver_events"](spark, sf_dir).limit(1).count()
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         fn = queries[name]
         t0 = time.time()
         df = fn(spark, sf_dir)

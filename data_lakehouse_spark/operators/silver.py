@@ -78,44 +78,52 @@ def silver_events(
     cat1, cat2, cat3 = scalars.split_category(opt(category_col))
     price = F.col(price_col).cast("double")
 
-    out = (
-        events.filter(F.col(user_col).isNotNull())
-        .withColumn("event_unique_id", uid)
-        .withColumn("event_timestamp", ts)
-        .withColumn("event_date", F.to_date(ts))
-        .withColumn("event_hour", F.hour(ts).cast("bigint"))
-        .withColumn("day_of_week_num", F.dayofweek(ts).cast("bigint"))
-        .withColumn("event_type", F.lower(F.trim(F.col(type_col))))
-        .withColumn("user_id", F.col(user_col).cast("bigint"))
-        .withColumn(
-            "user_session",
-            F.trim(opt(session_col)) if session_col else F.lit(None).cast("string"),
-        )
-        .withColumn(
-            "product_id",
+    event_hour = F.hour(ts).cast("bigint")
+    derived = [
+        uid.alias("event_unique_id"),
+        ts.alias("event_timestamp"),
+        F.to_date(ts).alias("event_date"),
+        event_hour.alias("event_hour"),
+        F.dayofweek(ts).cast("bigint").alias("day_of_week_num"),
+        F.lower(F.trim(F.col(type_col))).alias("event_type"),
+        F.col(user_col).cast("bigint").alias("user_id"),
+        (
+            F.trim(opt(session_col)) if session_col else F.lit(None).cast("string")
+        ).alias("user_session"),
+        (
             F.col(product_col).cast("bigint")
             if product_col
-            else F.lit(None).cast("bigint"),
-        )
-        .withColumn("category_level_1", cat1)
-        .withColumn("category_level_2", cat2)
-        .withColumn("category_level_3", cat3)
-        .withColumn(
-            "brand",
+            else F.lit(None).cast("bigint")
+        ).alias("product_id"),
+        cat1.alias("category_level_1"),
+        cat2.alias("category_level_2"),
+        cat3.alias("category_level_3"),
+        (
             F.when(opt(brand_col).isNotNull(), F.upper(F.trim(opt(brand_col))))
             if brand_col
-            else F.lit(None).cast("string"),
-        )
-        .withColumn("price", scalars.validated_price(price))
-        .withColumn("price_bucket", scalars.price_bucket(price))
-        .withColumn("time_of_day", scalars.time_of_day(F.col("event_hour")))
-        .withColumn("is_weekend", scalars.is_weekend(ts))
-    )
-
-    if json_props_col:
-        out = out.withColumn(
-            "prop_k", F.get_json_object(F.col(json_props_col), "$.k").cast("bigint")
-        )
+            else F.lit(None).cast("string")
+        ).alias("brand"),
+        scalars.validated_price(price).alias("price"),
+        scalars.price_bucket(price).alias("price_bucket"),
+        scalars.time_of_day(event_hour).alias("time_of_day"),
+        scalars.is_weekend(ts).alias("is_weekend"),
+    ]
+    passthrough = [
+        F.col(c)
+        for c in events.columns
+        if c
+        not in {
+            "event_unique_id", "event_timestamp", "event_date", "event_hour",
+            "day_of_week_num", "event_type", "user_id", "user_session",
+            "product_id", "category_level_1", "category_level_2",
+            "category_level_3", "brand", "price", "price_bucket",
+            "time_of_day", "is_weekend",
+        }
+    ]
+    # One select instead of a 17-deep withColumn chain: each withColumn
+    # adds an analyzer/projection layer; a single projection is both
+    # cheaper to plan and guaranteed to fuse into one codegen stage.
+    out = events.filter(F.col(user_col).isNotNull()).select(*passthrough, *derived)
 
     # W1 dedup: keep the latest row per event_unique_id via the
     # rank-then-filter window. Measured against the max_by(struct(...))
@@ -124,13 +132,23 @@ def silver_events(
     # (~1.7× slower end-to-end at sf0.1), while row_number stays in the
     # codegen window exec — one hash-partition shuffle on a uniform MD5
     # key either way.
-    order_col = F.col(order_by_col) if order_by_col else ts
+    order_col = F.col(order_by_col) if order_by_col else F.col("event_timestamp")
     ordering = [order_col.desc()]
     if dedup_tiebreaker:
         ordering.append(F.col(dedup_tiebreaker).desc())
     w = Window.partitionBy("event_unique_id").orderBy(*ordering)
-    return (
+    out = (
         out.withColumn("row_num", F.row_number().over(w))
         .filter(F.col("row_num") == 1)
         .drop("row_num")
     )
+
+    # JSON extraction AFTER the dedup filter: get_json_object is the
+    # most expensive expression in the transform; running it post-dedup
+    # parses only surviving rows and keeps the parsed column out of the
+    # dedup shuffle. Safe because the dedup key/ordering never reads it.
+    if json_props_col:
+        out = out.withColumn(
+            "prop_k", F.get_json_object(F.col(json_props_col), "$.k").cast("bigint")
+        )
+    return out
