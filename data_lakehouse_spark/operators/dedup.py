@@ -106,6 +106,7 @@ def _shingle_explode(
     shingle_n: int,
     *,
     distinct: bool,
+    hashed: bool = False,
 ) -> DataFrame:
     """(doc_id, shingle) one row per window — explode the window INDEX
     and build each shingle string on the exploded row.
@@ -115,12 +116,19 @@ def _shingle_explode(
     higher-order lambda: the fastest shape for the LSH/Jaccard hot
     path. ``distinct=True`` adds a (doc_id, shingle) shuffle dedup for
     set semantics (Jaccard); MinHash skips it since MIN is multiplicity-
-    insensitive.
+    insensitive. ``hashed=True`` replaces the shingle string with
+    ``xxhash64(shingle)`` before any shuffle: every downstream
+    distinct/groupBy/join moves fixed 8-byte keys instead of
+    variable-length strings (64-bit collisions are ~0 at any realistic
+    shingle count; only use where the shingle text itself isn't needed).
     """
     toks_df = df.select(
         F.col(id_col).cast("bigint").alias("doc_id"),
         F.split(normalized_text(text_col), r"\s+").alias("_toks"),
     )
+    shingle = F.concat_ws(" ", F.slice("_toks", F.col("_i") + 1, shingle_n))
+    if hashed:
+        shingle = F.xxhash64(shingle)
     ex = toks_df.select(
         "doc_id",
         "_toks",
@@ -129,12 +137,7 @@ def _shingle_explode(
                 F.lit(0), F.greatest(F.size("_toks") - shingle_n, F.lit(0))
             )
         ).alias("_i"),
-    ).select(
-        "doc_id",
-        F.concat_ws(
-            " ", F.slice("_toks", F.col("_i") + 1, shingle_n)
-        ).alias("shingle"),
-    )
+    ).select("doc_id", shingle.alias("shingle"))
     return ex.distinct() if distinct else ex
 
 
@@ -177,13 +180,26 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     Docs sharing any band signature become candidates. Returns
     (id_a, id_b, band) with id_a < id_b. Verification (exact Jaccard)
     is a separate, cheaper step over candidates only.
+
+    ``max_bucket_size`` drops (band, signature) buckets holding more
+    docs than the cap before the self-join: a degenerate signature
+    (e.g. masses of near-empty docs hashing identically) otherwise
+    turns one bucket into n² candidate pairs. A bucket that hot is a
+    trivial-duplicate cluster better handled by :func:`exact_dedup`;
+    dropping it bounds the worst case at O(docs × bands × cap) pairs.
+    The count is a window over the same (band, band_sig) hash
+    partitioning the join needs — no extra shuffle key. ``None``
+    disables the guard.
     """
+    from pyspark.sql.window import Window
+
     rows = num_hashes // bands
     sig = minhash_signature_df(
         df, text_col, id_col, shingle_n=shingle_n, num_hashes=num_hashes
@@ -207,6 +223,13 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_sig"),
     )
+    if max_bucket_size is not None:
+        bucket_n = F.count("*").over(Window.partitionBy("band", "band_sig"))
+        banded = (
+            banded.withColumn("_bn", bucket_n)
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -346,12 +369,19 @@ def ngram_jaccard_similar_pairs(
     more than that many docs (stopword-shingle skew guard at 100 TB —
     slightly lowers recall, bounds the worst pair blowup).
 
+    The output never exposes shingle text, so the whole index is keyed
+    on ``xxhash64(shingle)``: the distinct, the df-guard groupBy, and
+    the self-join all shuffle fixed 8-byte longs instead of ~n-word
+    strings (oracle hash-match verified unchanged at sf0.01).
+
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
     6 places half-up.
     """
     from data_lakehouse_spark.functions.scalars import round_half_up
 
-    ex = _shingle_explode(df, text_col, id_col, shingle_n, distinct=True)
+    ex = _shingle_explode(
+        df, text_col, id_col, shingle_n, distinct=True, hashed=True
+    )
     counts = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if max_shingle_df is not None:
         dfreq = ex.groupBy("shingle").agg(F.count("*").alias("_df"))

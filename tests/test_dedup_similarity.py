@@ -37,6 +37,25 @@ def test_minhash_lsh_finds_near_dup(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_lsh_hot_bucket_cap(spark):
+    # 40 identical docs form one degenerate bucket per band (n² = 780
+    # pairs uncapped); a genuine near-dup pair must survive the cap.
+    hot = [(i, "tiny doc same words every time " * 2) for i in range(40)]
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy", 1)
+    df = spark.createDataFrame(hot + [(100, base), (101, near)], DOCS)
+
+    capped = dedup.minhash_lsh_candidates(df, max_bucket_size=10)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in pairs
+    assert not any(a < 40 and b < 40 for a, b in pairs)  # hot cluster dropped
+
+    uncapped = dedup.minhash_lsh_candidates(df, max_bucket_size=None)
+    assert any(
+        r["id_a"] < 40 and r["id_b"] < 40 for r in uncapped.collect()
+    )
+
+
 def test_ngram_jaccard_verification(spark):
     base = "a b c d e f g h i j k l m n o p"
     near = "a b c d e f g h i j k l m n o q"
