@@ -66,16 +66,25 @@ class MedallionPipeline:
         }
 
     # -- silver ------------------------------------------------------------
-    def build_silver(self, **silver_kwargs) -> dict:
+    def build_silver(self, *, dedup_on_write: bool = False, **silver_kwargs) -> dict:
         """Incremental silver: only bronze rows past the silver watermark
-        (max _ingestion_time seen) are cleaned/deduped/appended."""
+        (max _ingestion_time seen) are cleaned/deduped/appended.
+
+        The W1 dedup runs within the increment only — an
+        ``event_unique_id`` already materialized by an earlier batch
+        would append again (the reference's inert ``unique_key`` quirk,
+        ``silver_ecommerce_events.sql``: dbt ``unique_key`` without an
+        incremental merge strategy enforces nothing). ``dedup_on_write``
+        makes the gate enforcing: the increment is anti-joined against
+        the existing silver keys before append. At scale the anti-join's
+        build side is the increment (small, broadcastable) probed
+        against the partition-pruned silver scan.
+        """
         bronze = self.catalog.read("bronze_events")
+        existing = None
         if self.catalog.table_exists("silver_events"):
-            wm = (
-                self.catalog.read("silver_events")
-                .agg(F.max("_bronze_ingestion_time"))
-                .first()[0]
-            )
+            existing = self.catalog.read("silver_events")
+            wm = existing.agg(F.max("_bronze_ingestion_time")).first()[0]
             if wm is not None:
                 bronze = bronze.filter(F.col("_ingestion_time") > F.lit(wm))
             mode = "append"
@@ -88,8 +97,15 @@ class MedallionPipeline:
             self.catalog.create_table(
                 "silver_events", transformed, partition_by=["event_date"]
             )
-        elif transformed.limit(1).count() > 0:
-            self.catalog.append("silver_events", transformed)
+        else:
+            if dedup_on_write:
+                transformed = transformed.join(
+                    existing.select("event_unique_id"),
+                    "event_unique_id",
+                    "left_anti",
+                )
+            if transformed.limit(1).count() > 0:
+                self.catalog.append("silver_events", transformed)
         return {"table": "silver_events", "mode": mode}
 
     def check_silver(self) -> dict[str, int]:
@@ -130,9 +146,20 @@ class MedallionPipeline:
             "gold_hourly_traffic": lambda s: gold_ops.hourly_traffic(s, **kw),
         }
 
+    #: Serving-layer partition keys, mirroring the reference's
+    #: ``partition_by=['event_date']`` on every date-grained gold model
+    #: (gold_daily_sales_summary.sql:4) — a date-filtered mart read then
+    #: partition-prunes at planning time instead of scanning all days.
+    GOLD_PARTITION_BY: dict[str, list[str]] = {
+        "gold_daily_sales_summary": ["sale_date"],
+        "gold_conversion_funnel_daily": ["analysis_date"],
+        "gold_hourly_traffic": ["event_date"],
+    }
+
     def build_gold(self, only: list[str] | None = None) -> dict[str, int]:
         """Full-refresh gold marts (reference: dbt `table` semantics for
-        most gold models; the aggregates are small so replace is cheap)."""
+        most gold models; the aggregates are small so replace is cheap).
+        Date-grained marts materialize partitioned per GOLD_PARTITION_BY."""
         silver = self.catalog.read("silver_events")
         out: dict[str, int] = {}
         for name, builder in self.gold_builders().items():
@@ -142,7 +169,9 @@ class MedallionPipeline:
             if self.catalog.table_exists(name):
                 self.catalog.overwrite(name, df)
             else:
-                self.catalog.create_table(name, df)
+                self.catalog.create_table(
+                    name, df, partition_by=self.GOLD_PARTITION_BY.get(name)
+                )
             out[name] = self.catalog.read(name).count()
         return out
 
