@@ -425,8 +425,16 @@ def q_watermark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9: scalar-subquery high-watermark filter, then grouped stats."""
     silver = _events_silver(spark, sf_dir)
     wm_src = silver.filter(F.col("event_type") == "signup")
+    # empty_means_full=False: this query is compared against the literal
+    # SQL idiom `col > (SELECT MAX(...))`, which yields zero rows when
+    # the watermark source is empty — match those NULL semantics even on
+    # fixtures with no 'signup' rows.
     fresh = relational.watermark_filter(
-        silver, wm_src, "event_timestamp", F.col("event_timestamp")
+        silver,
+        wm_src,
+        "event_timestamp",
+        F.col("event_timestamp"),
+        empty_means_full=False,
     )
     return (
         fresh.groupBy("event_type")

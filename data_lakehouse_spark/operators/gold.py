@@ -370,15 +370,21 @@ def _approx_ntile(df: DataFrame, col: str, *, asc: bool, out: str) -> DataFrame:
 
     One lightweight stats pass (approxQuantile on the driver) + a
     broadcast CASE — no global sort, no single-partition window.
+    Empty input (approxQuantile returns no boundaries) yields no rows to
+    score, so any constant bucket is consistent; NULL metric values score
+    NULL (ntile over an ORDER BY would rank NULLs, but a NULL metric has
+    no meaningful quantile — callers filter them upstream).
     """
     qs = df.approxQuantile(col, [0.2, 0.4, 0.6, 0.8], 0.001)
     c = F.col(col)
+    if not qs:
+        return df.withColumn(out, F.when(c.isNull(), None).otherwise(1))
     expr = F.when(c <= qs[0], 1).when(c <= qs[1], 2).when(c <= qs[2], 3).when(
         c <= qs[3], 4
     ).otherwise(5)
     if not asc:
         expr = F.lit(6) - expr
-    return df.withColumn(out, expr)
+    return df.withColumn(out, F.when(c.isNull(), None).otherwise(expr))
 
 
 def user_journey_funnel(silver: DataFrame, *, cart_type: str = "cart") -> DataFrame:

@@ -19,6 +19,7 @@ __all__ = [
     "check_not_null",
     "check_accepted_values",
     "check_accepted_range",
+    "check_freshness",
     "run_checks",
 ]
 
@@ -60,6 +61,42 @@ def check_accepted_range(
     if max_value is not None:
         cond = cond | (F.col(col) > max_value)
     return d.filter(F.col(col).isNotNull() & cond).count()
+
+
+def check_freshness(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    warn_after_hours: float = 24.0,
+    error_after_hours: float = 48.0,
+    now=None,
+) -> dict:
+    """dbt source freshness SLA (reference:
+    dbt/models/staging/bronze/sources.yml:57-59 — loaded_at
+    ``_ingestion_time``, warn_after 24 h, error_after 48 h).
+
+    One MAX aggregate — the loaded-at column is typically the partition/
+    sort key so parquet footer stats answer it without a full scan.
+    Returns {status: 'pass'|'warn'|'error', max_loaded_at, lag_hours};
+    an empty/NULL source is 'error' (never loaded).
+    """
+    import datetime as _dt
+
+    max_ts = df.agg(F.max(ts_col)).first()[0]
+    if max_ts is None:
+        return {"status": "error", "max_loaded_at": None, "lag_hours": None}
+    now = now or _dt.datetime.now(tz=max_ts.tzinfo)
+    lag_hours = (now - max_ts).total_seconds() / 3600.0
+    status = (
+        "error"
+        if lag_hours > error_after_hours
+        else "warn" if lag_hours > warn_after_hours else "pass"
+    )
+    return {
+        "status": status,
+        "max_loaded_at": max_ts,
+        "lag_hours": round(lag_hours, 3),
+    }
 
 
 def run_checks(df: DataFrame, checks: Sequence[tuple]) -> dict[str, int]:

@@ -79,18 +79,33 @@ def share_of_total(
 
 
 def watermark_filter(
-    df: DataFrame, watermark_df: DataFrame, col: str, watermark_expr: Column
+    df: DataFrame,
+    watermark_df: DataFrame,
+    col: str,
+    watermark_expr: Column,
+    *,
+    empty_means_full: bool = True,
 ) -> DataFrame:
     """P9: incremental high-watermark predicate
     ``WHERE col > (SELECT MAX(expr) FROM target)``.
 
     The scalar is reduced driver-side (one tiny job) and folded into the
     scan filter as a literal → parquet min/max skipping + partition
-    pruning apply. NULL watermark (empty target) → full scan.
+    pruning apply.
+
+    NULL watermark (empty target): ``empty_means_full=True`` (default)
+    returns the full scan — the incremental-materialization semantics
+    (first run processes everything; the reference's dbt
+    ``is_incremental()`` guard behaves the same). This deliberately
+    DIVERGES from bare SQL ``col > (SELECT MAX(...))``, where the NULL
+    scalar makes the predicate UNKNOWN and returns zero rows; pass
+    ``empty_means_full=False`` for those SQL NULL semantics (used when
+    comparing against a SQL oracle on a fixture whose watermark source
+    can be empty).
     """
     wm = watermark_df.agg(F.max(watermark_expr)).first()[0]
     if wm is None:
-        return df
+        return df if empty_means_full else df.filter(F.lit(False))
     return df.filter(F.col(col) > F.lit(wm))
 
 

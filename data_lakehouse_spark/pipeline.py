@@ -55,6 +55,18 @@ class MedallionPipeline:
         n = self.catalog.read("bronze_events").count()
         return {"table": "bronze_events", "total_rows": n}
 
+    def check_bronze_freshness(
+        self, *, warn_after_hours: float = 24.0, error_after_hours: float = 48.0
+    ) -> dict:
+        """Source freshness SLA on bronze's loaded-at column (reference:
+        sources.yml freshness warn 24 h / error 48 h)."""
+        return quality.check_freshness(
+            self.catalog.read("bronze_events"),
+            "_ingestion_time",
+            warn_after_hours=warn_after_hours,
+            error_after_hours=error_after_hours,
+        )
+
     def verify_bronze(self) -> dict[str, DataFrame]:
         """The reference's verify_ingestion battery
         (bronze_ingestion.py:198-255): counts by partition/source/type."""
@@ -178,6 +190,7 @@ class MedallionPipeline:
     # -- end to end --------------------------------------------------------
     def run(self, raw: DataFrame, source_file: str) -> dict:
         stats = {"bronze": self.ingest_bronze(raw, source_file)}
+        stats["bronze_freshness"] = self.check_bronze_freshness()
         stats["silver"] = self.build_silver()
         stats["silver_checks"] = self.check_silver()
         stats["gold"] = self.build_gold()

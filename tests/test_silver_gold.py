@@ -99,6 +99,46 @@ def test_rfm_scalable_ntile_path(spark, sf_dir):
     assert bad == 0
 
 
+def test_approx_ntile_empty_and_null_inputs(spark):
+    """ADVICE gold.py: empty input must not IndexError (approxQuantile
+    returns no boundaries) and NULL metrics must score NULL, not 5."""
+    empty = spark.createDataFrame([], "user_id long, m double")
+    out = gold._approx_ntile(empty, "m", asc=True, out="s")
+    assert out.count() == 0  # no crash, schema intact
+    assert "s" in out.columns
+
+    withnull = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, None)], "user_id long, m double"
+    )
+    rows = {
+        r["user_id"]: r["s"]
+        for r in gold._approx_ntile(withnull, "m", asc=False, out="s").collect()
+    }
+    assert rows[4] is None
+    assert all(1 <= v <= 5 for k, v in rows.items() if k != 4)
+
+
+def test_freshness_sla(spark):
+    import datetime as dt
+
+    now = dt.datetime(2024, 1, 3, 0, 0, 0)
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 2, 12, 0, 0),)], "loaded_at timestamp"
+    )
+    fresh = quality.check_freshness(df, "loaded_at", now=now)
+    assert fresh["status"] == "pass" and fresh["lag_hours"] == 12.0
+    warn = quality.check_freshness(
+        df, "loaded_at", warn_after_hours=6, now=now
+    )
+    assert warn["status"] == "warn"
+    err = quality.check_freshness(
+        df, "loaded_at", warn_after_hours=1, error_after_hours=6, now=now
+    )
+    assert err["status"] == "error"
+    empty = spark.createDataFrame([], "loaded_at timestamp")
+    assert quality.check_freshness(empty, "loaded_at")["status"] == "error"
+
+
 def test_journey_funnel_stages(spark):
     rows = [
         # user 1: 3 purchases → repeat_buyer
