@@ -726,10 +726,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Portable (MD5-nibble) SimHash fingerprint + 16-bit bucket per doc."""
+    """Portable (MD5-nibble) SimHash fingerprint + 16-bit bucket per doc.
+
+    Runs the one-pass Arrow kernel (bit-identical to the SQL-shape
+    ``simhash_hex_df``, measured 4× faster — no explode, no 65-buffer
+    aggregate, no shuffle); the oracle SQL mirrors the same bit logic.
+    """
     _ensure_conf(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.simhash_hex_df(docs)
+    return dedup.simhash_hex_df_arrow(docs)
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

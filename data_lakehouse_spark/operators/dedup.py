@@ -31,6 +31,7 @@ __all__ = [
     "minhash_lsh_candidates",
     "simhash64",
     "simhash_hex_df",
+    "simhash_hex_df_arrow",
     "ngram_jaccard_pairs",
     "ngram_jaccard_similar_pairs",
 ]
@@ -348,6 +349,74 @@ def simhash_hex_df(
         "doc_id",
         sim.alias("simhash"),
     ).withColumn("bucket", F.substring("simhash", 1, 4))
+
+
+def simhash_hex_df_arrow(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bit-identical twin of :func:`simhash_hex_df` as a one-pass Arrow
+    kernel (``mapInPandas`` + numpy), no shuffle at all.
+
+    The SQL shape explodes every token into a row and drives 64 SUM
+    buffers plus 16 ``conv(substring(md5))`` nibble extractions per
+    token through the aggregate — correct and scale-safe, but the
+    per-token expression cost dominates. Here each input partition
+    computes its docs' signatures in one pass: hashlib.md5 per token
+    (same digest as the SQL ``md5``), numpy bit-unpack, columnar
+    majority vote. Narrow plan (no explode, no groupBy): at 100 TB this
+    is embarrassingly parallel over input splits, where the SQL variant
+    still pays the 65-buffer hash aggregate.
+
+    Matching the JVM expressions exactly:
+    - ``lower``/trim/collapse mirror ``normalized_text`` with Java's
+      ASCII ``\\s`` class (NOT Python's unicode-aware ``\\s``);
+    - bit j of a token = bit ``j % 4`` of md5 hex nibble ``j // 4``;
+    - majority = ``ones * 2 >= n_tokens`` (ties set the bit).
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    # Java regex \s == [ \t\n\x0B\f\r] (ASCII-only by default).
+    java_ws = re.compile("[ \t\n\x0b\x0c\r]+")
+    hexchars = "0123456789abcdef"
+    bit_weights = 1 << np.arange(4, dtype=np.int64)  # nibble bit b → 2^b
+
+    def kernel(batches):
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            sims = []
+            for text in pdf[text_col]:
+                norm = java_ws.sub(" ", ("" if text is None else text).lower())
+                norm = norm.strip(" ")
+                toks = norm.split(" ")
+                n = len(toks)
+                digests = b"".join(
+                    hashlib.md5(t.encode("utf-8")).digest() for t in toks
+                )
+                raw = np.frombuffer(digests, dtype=np.uint8).reshape(n, 16)
+                # md5 hex char 2g is the high nibble of byte g, 2g+1 the low
+                nibs = np.empty((n, 32), dtype=np.uint8)
+                nibs[:, 0::2] = raw >> 4
+                nibs[:, 1::2] = raw & 15
+                nibs = nibs[:, :16]  # hex positions 0..15 (64 bits)
+                ones = ((nibs[:, :, None] >> np.arange(4)) & 1).sum(axis=0)
+                maj = (ones * 2 >= n).astype(np.int64)  # (16 nibbles, 4 bits)
+                vals = (maj * bit_weights).sum(axis=1)
+                sims.append("".join(hexchars[v] for v in vals))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "simhash": sims,
+                    "bucket": [s[:4] for s in sims],
+                }
+            )
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col), text_col).mapInPandas(
+        kernel, "doc_id long, simhash string, bucket string"
+    )
 
 
 def ngram_jaccard_similar_pairs(

@@ -134,6 +134,21 @@ def test_simhash_hex_portable_and_near(spark):
     assert near_d < far_d
 
 
+def test_simhash_arrow_twin_bit_identical(spark, sf_dir):
+    """The mapInPandas kernel must reproduce the SQL-shape simhash
+    bit-for-bit (same md5 nibble bits, same tie-setting majority)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sql_rows = {
+        (r.doc_id, r.simhash, r.bucket)
+        for r in dedup.simhash_hex_df(docs).collect()
+    }
+    arrow_rows = {
+        (r.doc_id, r.simhash, r.bucket)
+        for r in dedup.simhash_hex_df_arrow(docs).collect()
+    }
+    assert sql_rows == arrow_rows and sql_rows
+
+
 def test_embedding_dedup_canonical(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),
