@@ -159,6 +159,18 @@ def q_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _date_str(df, "first_purchase_date", "last_purchase_date")
 
 
+def q_user_rfm_segments_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB RFM path: approx-quantile bucket scoring instead of the
+    reference-exact global NTILE windows (no single-partition sort).
+    Rows-only check — approxQuantile boundaries are engine-specific, so
+    labels can flip for users sitting exactly on a quantile boundary;
+    tests assert agreement with the exact path away from boundaries."""
+    df = gold.user_rfm_segments(
+        _events_silver(spark, sf_dir), as_of_date=AS_OF_DATE, scalable_ntile=True
+    )
+    return _date_str(df, "first_purchase_date", "last_purchase_date")
+
+
 def q_user_journey_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = gold.user_journey_funnel(_events_silver(spark, sf_dir), cart_type=CART_TYPE)
     return _date_str(
@@ -886,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gold_daily_sales_summary": q_daily_sales,
         "gold_product_performance": q_product_performance,
         "gold_user_rfm_segments": q_user_rfm_segments,
+        "gold_user_rfm_segments_scalable": q_user_rfm_segments_scalable,
         "gold_user_journey_funnel": q_user_journey_funnel,
         "gold_conversion_funnel_daily": q_conversion_funnel_daily,
         "gold_hourly_traffic": q_hourly_traffic,

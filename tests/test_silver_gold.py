@@ -99,6 +99,37 @@ def test_rfm_scalable_ntile_path(spark, sf_dir):
     assert bad == 0
 
 
+def test_rfm_scalable_labels_agree_away_from_boundaries(spark, sf_dir):
+    """The scalable (approx-quantile) scores must agree with the exact
+    NTILE scores wherever the semantics are well-defined: a tie-free
+    metric (monetary_value is all-distinct on this fixture) agrees
+    exactly; tied metrics differ only because NTILE splits equal values
+    across buckets (by the user_id tiebreaker) while bucketing assigns
+    them all one bucket — so the divergence is bounded by the tie span."""
+    silver = silver_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    kw = {"as_of_date": "2024-02-01"}
+    cols = ["rfm_recency_score", "rfm_frequency_score", "rfm_monetary_score"]
+    exact = {
+        r["user_id"]: r
+        for r in gold.user_rfm_segments(silver, **kw).collect()
+    }
+    approx = {
+        r["user_id"]: r
+        for r in gold.user_rfm_segments(silver, scalable_ntile=True, **kw).collect()
+    }
+    assert set(exact) == set(approx)
+    # monetary_value is tie-free here → bucket assignment is unambiguous
+    monetary = [r["monetary_value"] for r in exact.values()]
+    assert len(set(monetary)) == len(monetary)
+    assert all(
+        exact[u]["rfm_monetary_score"] == approx[u]["rfm_monetary_score"]
+        for u in exact
+    )
+    # tied metrics: approx stays within the NTILE tie span (±2 buckets)
+    for col in cols:
+        assert all(abs(exact[u][col] - approx[u][col]) <= 2 for u in exact)
+
+
 def test_approx_ntile_empty_and_null_inputs(spark):
     """ADVICE gold.py: empty input must not IndexError (approxQuantile
     returns no boundaries) and NULL metrics must score NULL, not 5."""
