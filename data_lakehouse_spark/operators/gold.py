@@ -178,6 +178,14 @@ def category_performance(silver: DataFrame, *, scan_once: bool = False) -> DataF
 
     Parity note (SURVEY.md §4 quirk #1 is about incremental watermarks —
     full-refresh semantics shown here are identical).
+
+    Measured REJECT (sf0.1, warm): sharing one repartition(keys)
+    exchange between both branches (filters/conditions moved post-agg so
+    the subplans match) is 30% SLOWER than the two-scan shape — column
+    pruning specializes each branch's projection so ReuseExchange never
+    fires (4 FileScans remain), and the raw-row repartition forfeits
+    map-side partial aggregation, which is also the wrong trade at
+    100 TB. The two-scan/partial-agg/broadcast plan stands.
     """
     purchase = _is("purchase")
     keys = ["analysis_date", "category_level_1", "category_level_2"]

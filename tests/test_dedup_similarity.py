@@ -29,12 +29,15 @@ def test_minhash_lsh_finds_near_dup(spark):
     near = base.replace("lazy", "sleepy", 1)
     far = "completely different content about spark query engines and columnar io " * 5
     df = spark.createDataFrame([(1, base), (2, near), (3, far)], DOCS)
-    pairs = {
-        (r["id_a"], r["id_b"])
-        for r in dedup.minhash_lsh_candidates(df, bands=16, num_hashes=64).collect()
-    }
-    assert (1, 2) in pairs
-    assert (1, 3) not in pairs and (2, 3) not in pairs
+    for engine in ("arrow", "sql"):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_candidates(
+                df, bands=16, num_hashes=64, engine=engine
+            ).collect()
+        }
+        assert (1, 2) in pairs, engine
+        assert (1, 3) not in pairs and (2, 3) not in pairs, engine
 
 
 def test_minhash_lsh_hot_bucket_cap(spark):
