@@ -712,6 +712,26 @@ def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-style pre-tokenizer token counts — the LLM
+    token-cost estimate pair (code/punctuation-heavy text diverges)."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        text_fns.token_count("text").alias("n_ws_tokens"),
+        text_fns.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k-gram md5 window minima,
+    Schleimer et al. 2003) — position-robust near-dup fingerprint set."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.winnow_fingerprint_df(docs, k=5, window=4)
+
+
 def q_doc_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_conf(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -928,6 +948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segments_intersect_except": q_segments_intersect_except,
         # LLM-pipeline operators
         "doc_text_stats": q_doc_text_stats,
+        "doc_token_counts": q_doc_token_counts,
+        "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "doc_language_guess": q_doc_language_guess,
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1618,6 +1640,39 @@ FROM m
         )
         + "\n             ELSE 'unknown' END"
     )
+    # BPE_ISH_PATTERN is disjoint-class (letters | digits | other-runs),
+    # so Java-regex (Spark) and RE2 (DuckDB) tokenize identically.
+    sql["doc_token_counts"] = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n_ws_tokens,
+    CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+    sql["doc_winnow_fingerprints"] = f"""
+WITH t AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        string_split({_NORM}, ' ') AS toks
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+        [md5(array_to_string(toks[i+1 : i+5], ' '))
+         FOR i IN range(0, greatest(len(toks) - 5, 0) + 1)] AS kg
+    FROM t
+),
+w AS (
+    SELECT doc_id,
+        list_sort(list_distinct(
+            [list_aggregate(kg[j+1 : j+4], 'min')
+             FOR j IN range(0, greatest(len(kg) - 4, 0) + 1)]
+        )) AS fps
+    FROM g
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM w
+"""
+
     sql["doc_language_guess"] = f"""
 WITH t AS (
     SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,

@@ -22,7 +22,16 @@ __all__ = [
     "doc_fingerprint",
     "language_guess",
     "normalized_text",
+    "bpe_ish_token_count",
+    "winnow_fingerprints",
 ]
+
+#: BPE-style pre-tokenizer classes: letter runs, digit runs, and runs of
+#: other non-space symbols — the GPT-2 pattern minus lookahead and
+#: contraction special-cases, so the SAME pattern runs identically under
+#: Java regex (Spark) and RE2 (DuckDB): the three classes are disjoint,
+#: making the tokenization alternation-order-independent.
+BPE_ISH_PATTERN = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+"
 
 # A tiny language-agnostic stopword set used by the quality heuristics.
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -87,6 +96,50 @@ def quality_score(text: Column | str) -> Column:
 def doc_fingerprint(text: Column | str) -> Column:
     """Content fingerprint: MD5 of the normalized text (exact-dup key)."""
     return F.md5(normalized_text(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count via the BPE-style pre-tokenizer regex —
+    the usual first-order estimate of LLM token cost (whitespace counts
+    under-estimate code/punctuation-heavy text). One JVM ``regexp_count``
+    per row, inside codegen."""
+    return F.regexp_count(_col(text), F.lit(BPE_ISH_PATTERN)).cast("bigint")
+
+
+def winnow_fingerprints(
+    text: Column | str, *, k: int = 5, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    hash every ``k``-gram of the normalized token stream, then keep the
+    minimum hash of each sliding ``window`` — the standard
+    position-robust near-dup/plagiarism fingerprint set.
+
+    Returns a sorted distinct ``array<string>`` of selected md5 hashes.
+    Using the md5 HEX STRING as the rolling hash keeps selection
+    (lexicographic min) bit-identical across Spark and any SQL oracle —
+    no base-16 integer folding needed.
+
+    Convenience single-expression form: the window scan references the
+    k-gram array once per window, and Catalyst expression trees are
+    trees — an INLINE kgram pipeline re-evaluates per reference (the
+    O(len²) blowup documented at ``dedup.shingles_of_tokens``). For the
+    hot path use ``dedup.winnow_fingerprint_df``, which materializes
+    the token and k-gram arrays as projection columns first.
+    """
+    toks = F.split(normalized_text(text), " ")
+    kgrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    )
+    return _winnow_from_kgrams(kgrams, window)
+
+
+def _winnow_from_kgrams(kgrams: Column, window: int) -> Column:
+    wins = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(kgrams) - window, F.lit(0))),
+        lambda j: F.array_min(F.slice(kgrams, j + 1, window)),
+    )
+    return F.array_sort(F.array_distinct(wins))
 
 
 def language_guess(text: Column | str) -> Column:

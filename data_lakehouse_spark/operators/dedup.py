@@ -34,6 +34,7 @@ __all__ = [
     "simhash_hex_df_arrow",
     "ngram_jaccard_pairs",
     "ngram_jaccard_similar_pairs",
+    "winnow_fingerprint_df",
 ]
 
 
@@ -528,6 +529,50 @@ def simhash_hex_df_arrow(
 
     return df.select(F.col(id_col).cast("bigint").alias(id_col), text_col).mapInPandas(
         kernel, "doc_id long, simhash string, bucket string"
+    )
+
+
+def winnow_fingerprint_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """(doc_id, fingerprint) — exploded winnowing fingerprints
+    (Schleimer et al. 2003): min md5 k-gram hash per sliding window.
+
+    Hot-path form of :func:`text.winnow_fingerprints`: token and k-gram
+    arrays are materialized as projection columns between selects, so
+    the window scan reads row slots instead of re-evaluating the
+    normalize/split/md5 pipeline per window (the expression-tree rule
+    at :func:`shingles_of_tokens`). Narrow plan — per-row arrays only,
+    the single distinct is on (doc_id, fingerprint). Inverted-index
+    joins over the output find near-dup/plagiarism pairs exactly like
+    :func:`ngram_jaccard_similar_pairs` does over shingles.
+    """
+    from data_lakehouse_spark.functions.text import (
+        _winnow_from_kgrams,
+        normalized_text,
+    )
+
+    toks_df = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.split(normalized_text(text_col), " ").alias("_toks"),
+    )
+    kgram_df = toks_df.select(
+        "doc_id",
+        F.transform(
+            F.sequence(
+                F.lit(0), F.greatest(F.size("_toks") - k, F.lit(0))
+            ),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, k))),
+        ).alias("_kg"),
+    )
+    return kgram_df.select(
+        "doc_id",
+        F.explode(_winnow_from_kgrams(F.col("_kg"), window)).alias("fingerprint"),
     )
 
 

@@ -46,6 +46,49 @@ def test_fingerprint_normalization(spark):
     assert fps[0] == fps[1]
 
 
+def test_bpe_ish_token_count(spark):
+    rows = [
+        (1, "hello world"),            # 2 letter runs
+        (2, "don't stop!"),            # don + ' + t + stop + ! → 5
+        (3, "x=y+42;"),                # x = y + 42 ; → 6
+        (4, ""),                       # 0
+    ]
+    got = {r["doc_id"]: r["n"] for r in spark.createDataFrame(rows, DOCS).select(
+        "doc_id", T.bpe_ish_token_count("text").alias("n")).collect()}
+    assert got == {1: 2, 2: 5, 3: 6, 4: 0}
+
+
+def test_winnow_fingerprints_position_robust(spark):
+    """A shared passage yields shared fingerprints regardless of where
+    it sits in the document; unrelated text shares none."""
+    from data_lakehouse_spark.operators import dedup
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, passage + " extra tail words here"),
+        (2, "completely different preamble first " + passage),
+        (3, "nothing in common with those documents at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, DOCS)
+    fp = dedup.winnow_fingerprint_df(df, k=5, window=4)
+    by_doc = {
+        i: {r["fingerprint"] for r in fp.filter(F.col("doc_id") == i).collect()}
+        for i in (1, 2, 3)
+    }
+    assert by_doc[1] & by_doc[2]          # shared passage → shared prints
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    # matches the single-expression convenience form
+    conv = {
+        (r["doc_id"], f)
+        for r in df.select(
+            "doc_id", T.winnow_fingerprints("text", k=5, window=4).alias("fps")
+        ).collect()
+        for f in r["fps"]
+    }
+    assert conv == {(i, f) for i in by_doc for f in by_doc[i]}
+
+
 def test_multimodal_decode_stub(spark):
     df = spark.createDataFrame([(1, "hello"), (2, "worldly")], DOCS)
     decoded = multimodal.decode_image_stub(multimodal.attach_binary_payload(df))
