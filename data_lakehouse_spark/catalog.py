@@ -186,6 +186,48 @@ class Catalog:
         )
         self._save_manifest(h, entries)
 
+    # -- maintenance -------------------------------------------------------
+    def compact(
+        self, name: str, *, target_file_bytes: int = 128 * 1024 * 1024
+    ) -> dict:
+        """OPTIMIZE: rewrite the current snapshot into ~target-sized
+        files (Iceberg rewrite_data_files / Delta OPTIMIZE analog).
+
+        Incremental appends accumulate small files — each append commit
+        is its own directory — and at 100 TB scan cost becomes dominated
+        by per-file open/footer overhead rather than bytes. Compaction
+        reads the live file set and writes one new snapshot with
+        ``ceil(bytes / target)`` files per partition tree, preserving
+        the partition layout (a plain commit: time travel to the
+        pre-compaction version still works, and readers never see a
+        partial state because the manifest flips atomically).
+        """
+        entries = self._load_manifest(self._handle(name))
+        if not entries:
+            raise ValueError(f"table {name} does not exist")
+        current = self.read(name)
+        files_before = len(current.inputFiles())
+        bytes_total = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for d in entries[-1]["data_dirs"]
+            for dp, _, fs in os.walk(os.path.join(self._handle(name).path, d))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, -(-bytes_total // target_file_bytes))
+        pb = entries[-1].get("partition_by")
+        compacted = (
+            current.repartition(n_files, *pb) if pb else current.coalesce(n_files)
+        )
+        h = self._commit(self._handle(name), compacted, op="compact", replace=True)
+        files_after = len(self.read(name).inputFiles())
+        return {
+            "table": h.name,
+            "files_before": files_before,
+            "files_after": files_after,
+            "bytes": bytes_total,
+        }
+
     # -- reads -------------------------------------------------------------
     def read(self, name: str, *, version: int | None = None) -> DataFrame:
         """Scan the table, optionally VERSION AS OF (time travel)."""

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -21,6 +21,7 @@ __all__ = [
     "check_accepted_range",
     "check_freshness",
     "run_checks",
+    "split_quarantine",
 ]
 
 
@@ -102,3 +103,33 @@ def check_freshness(
 def run_checks(df: DataFrame, checks: Sequence[tuple]) -> dict[str, int]:
     """checks: sequence of (name, callable(df) -> violations)."""
     return {name: fn(df) for name, fn in checks}
+
+
+def split_quarantine(
+    df: DataFrame, rules: Sequence[tuple[str, Column]]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level gate: (good, quarantined) from per-row violation rules.
+
+    ``rules`` are (name, violation_condition) pairs — a row matching ANY
+    condition is quarantined with a ``_quarantine_reasons`` array naming
+    every rule it tripped (the bad-records side-output pattern: the
+    pipeline keeps flowing while violations land in a reviewable table).
+    One narrow projection, evaluated once per row for both outputs —
+    filters fuse into the scan, no shuffle. NULL conditions (e.g.
+    comparisons on NULL) count as non-violations; write an explicit
+    ``isNull`` rule for nullability.
+    """
+    reasons = F.array_compact(
+        F.array(
+            *[
+                F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                for name, cond in rules
+            ]
+        )
+    )
+    tagged = df.withColumn("_quarantine_reasons", reasons)
+    good = tagged.filter(F.size("_quarantine_reasons") == 0).drop(
+        "_quarantine_reasons"
+    )
+    bad = tagged.filter(F.size("_quarantine_reasons") > 0)
+    return good, bad

@@ -20,7 +20,13 @@ from collections.abc import Iterable, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-__all__ = ["read_csv", "read_parquet_table", "load_tables", "rows_source"]
+__all__ = [
+    "read_csv",
+    "read_json",
+    "read_parquet_table",
+    "load_tables",
+    "rows_source",
+]
 
 #: The driver fixture tables (TESTDATA.md).
 FIXTURE_TABLES = (
@@ -52,6 +58,36 @@ def read_csv(
     else:
         reader = reader.option("inferSchema", str(infer).lower())
     return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    multiline: bool = False,
+    corrupt_column: str | None = "_corrupt_record",
+) -> DataFrame:
+    """S1 twin for JSON/NDJSON landing files.
+
+    Default is line-delimited (one object per line — the splittable
+    layout; ``multiline=True`` for whole-file documents, which cannot be
+    split across tasks). With an explicit schema, malformed lines land
+    in ``corrupt_column`` (PERMISSIVE mode) instead of failing the job —
+    pair with ``quality.split_quarantine`` on that column for the
+    bad-records side-output. Prefer an explicit schema at scale:
+    inference is an extra full pass, and on NDJSON it samples every
+    file.
+    """
+    reader = spark.read.option("multiLine", str(multiline).lower())
+    if schema is not None:
+        if corrupt_column and corrupt_column not in schema.fieldNames():
+            from pyspark.sql.types import StringType
+
+            schema = schema.add(corrupt_column, StringType(), True)
+        if corrupt_column:
+            reader = reader.option("columnNameOfCorruptRecord", corrupt_column)
+        reader = reader.schema(schema)
+    return reader.json(path)
 
 
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

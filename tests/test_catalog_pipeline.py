@@ -68,6 +68,80 @@ def test_partitioned_create(spark, tmp_path):
     assert set(cat.read("p").columns) == {"id", "d"}
 
 
+def test_compact_small_files(spark, tmp_path):
+    """OPTIMIZE: many small append files rewrite into few, rows and
+    history preserved, partition layout kept."""
+    cat = _catalog(spark, tmp_path)
+    df0 = spark.createDataFrame([(0, "2024-01-01")], "id long, d string").repartition(4)
+    cat.create_table("t", df0, partition_by=["d"])
+    for i in range(1, 4):
+        cat.append(
+            "t",
+            spark.createDataFrame(
+                [(i, "2024-01-01"), (i + 100, "2024-01-02")], "id long, d string"
+            ).repartition(4),
+        )
+    before = len(cat.read("t").inputFiles())
+    stats = cat.compact("t")
+    assert stats["files_before"] == before and stats["files_after"] < before
+    assert cat.read("t").count() == 7
+    # history: pre-compaction version still readable (time travel)
+    assert cat.read("t", version=3).count() == 7
+    ops = [r["operation"] for r in cat.snapshots("t").collect()]
+    assert ops[-1] == "compact"
+    # partition layout preserved → date filter still prunes
+    pruned = cat.read("t").filter(F.col("d") == "2024-01-02")
+    assert pruned.count() == 3
+
+
+def test_read_json_ndjson_and_corrupt_records(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from data_lakehouse_spark.sources.readers import read_json
+
+    p = tmp_path / "land.ndjson"
+    p.write_text(
+        '{"id": 1, "name": "a"}\n'
+        '{"id": 2, "name": "b"}\n'
+        "this is not json\n"
+    )
+    schema = StructType().add("id", LongType()).add("name", StringType())
+    df = read_json(spark, str(p), schema=schema)
+    rows = df.collect()
+    ok = {(r["id"], r["name"]) for r in rows if r["_corrupt_record"] is None}
+    assert ok == {(1, "a"), (2, "b")}
+    assert sum(r["_corrupt_record"] is not None for r in rows) == 1
+    # schema inference path
+    assert read_json(spark, str(p)).count() == 3
+
+
+def test_split_quarantine(spark):
+    from data_lakehouse_spark.operators import quality
+
+    rows = [
+        (1, 10.0, "purchase"),
+        (2, -5.0, "purchase"),   # negative price
+        (3, 7.0, "teleport"),    # bad type
+        (4, -1.0, "teleport"),   # both
+        (5, None, "view"),       # NULL price → not a range violation
+    ]
+    df = spark.createDataFrame(rows, "id long, price double, event_type string")
+    good, bad = quality.split_quarantine(
+        df,
+        [
+            ("negative_price", F.col("price") < 0),
+            ("unknown_type", ~F.col("event_type").isin("purchase", "view")),
+        ],
+    )
+    assert {r["id"] for r in good.collect()} == {1, 5}
+    reasons = {r["id"]: set(r["_quarantine_reasons"]) for r in bad.collect()}
+    assert reasons == {
+        2: {"negative_price"},
+        3: {"unknown_type"},
+        4: {"negative_price", "unknown_type"},
+    }
+
+
 EVENTS = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
 
 
