@@ -2,6 +2,10 @@ from data_lakehouse_spark.streaming.pipeline import (
     stream_dedup,
     stream_events,
     stream_running_counts,
+    stream_session_windows,
+    stream_sliding_counts,
+    stream_static_enrich,
+    stream_to_catalog,
     stream_tumbling_counts,
 )
 
@@ -9,5 +13,9 @@ __all__ = [
     "stream_dedup",
     "stream_events",
     "stream_running_counts",
+    "stream_session_windows",
+    "stream_sliding_counts",
+    "stream_static_enrich",
+    "stream_to_catalog",
     "stream_tumbling_counts",
 ]

@@ -18,8 +18,12 @@ from pyspark.sql import functions as F
 __all__ = [
     "stream_events",
     "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_static_enrich",
     "stream_dedup",
     "stream_running_counts",
+    "stream_to_catalog",
 ]
 
 
@@ -56,6 +60,103 @@ def stream_tumbling_counts(
             "n_events",
             "total_value",
         )
+    )
+
+
+def stream_sliding_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding-window counts per event_type: each event lands
+    in ``duration / slide`` overlapping windows (state and output scale
+    by the same factor — keep the ratio small at high volume)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), duration, slide), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def stream_session_windows(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization via ``session_window`` (dynamic-length
+    windows closing after ``gap`` of inactivity) — the streaming twin of
+    the batch lag/cumsum sessionization in operators/relational.py.
+    Sessions merge as events arrive; a session finalizes when the
+    watermark passes its close, so state per key is bounded."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static join: enrich the stream with a batch dimension.
+    The static side is re-read per micro-batch (picks up dim updates)
+    and broadcast when small — no streaming state at all, unlike
+    stream-stream joins."""
+    return events.join(F.broadcast(dim), on, how)
+
+
+def stream_to_catalog(
+    stream: DataFrame,
+    catalog,
+    table: str,
+    *,
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+) -> "object":
+    """foreachBatch sink into a versioned Catalog table — the streaming
+    bronze-ingestion path: each micro-batch lands as one atomic append
+    commit, so downstream batch readers see complete snapshots only.
+    Exactly-once to the manifest comes from the checkpoint (a replayed
+    batch re-appends; pair with dedup_on_write downstream for the
+    at-least-once edge). Returns the started StreamingQuery.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            if catalog.table_exists(table):
+                catalog.append(table, batch_df)
+            else:
+                catalog.create_table(table, batch_df, partition_by=partition_by)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )
 
 

@@ -87,6 +87,94 @@ def test_stream_dedup_drops_duplicates(spark, tmp_path):
     assert spark.sql("SELECT count(*) c FROM dedup_out").first()["c"] == 2
 
 
+def test_stream_sliding_counts(spark, tmp_path):
+    from data_lakehouse_spark.streaming import stream_sliding_counts
+
+    src = str(tmp_path / "src_slide")
+    # 10:00-10:02 → 3 events; hour windows sliding by 30 min
+    _write_batch(spark, src, _rows(10, 3))
+    agg = stream_sliding_counts(
+        stream_events(spark, src, SCHEMA), duration="1 hour", slide="30 minutes"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sliding_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"].isoformat(), r["n_events"])
+        for r in spark.sql("SELECT * FROM sliding_out").collect()
+    }
+    # events at 10:00-10:02 belong to the 09:30 and 10:00 hour windows
+    assert got == {("2024-01-01T09:30:00", 3), ("2024-01-01T10:00:00", 3)}
+
+
+def test_stream_session_windows(spark, tmp_path):
+    from data_lakehouse_spark.streaming import stream_session_windows
+
+    src = str(tmp_path / "src_sess")
+    t0 = dt.datetime(2024, 1, 1, 10)
+    rows = [
+        (1, t0, "view", 1.0),
+        (1, t0 + dt.timedelta(minutes=10), "view", 2.0),   # same session
+        (1, t0 + dt.timedelta(hours=3), "view", 4.0),      # new session
+        (2, t0, "cart", 8.0),
+    ]
+    _write_batch(spark, src, rows)
+    sess = stream_session_windows(
+        stream_events(spark, src, SCHEMA), key_col="event_id", gap="30 minutes"
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["n_events"], r["session_value"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    assert got == {(1, 2, 3.0), (1, 1, 4.0), (2, 1, 8.0)}
+
+
+def test_stream_static_enrich_and_catalog_sink(spark, tmp_path):
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.streaming import (
+        stream_static_enrich,
+        stream_to_catalog,
+    )
+
+    src = str(tmp_path / "src_enrich")
+    t0 = dt.datetime(2024, 1, 1, 10)
+    # two files → two micro-batches → two append commits
+    _write_batch(spark, src, [(1, t0, "view", 1.0), (2, t0, "cart", 2.0)])
+    _write_batch(spark, src, [(3, t0, "view", 3.0)])
+    dim = spark.createDataFrame(
+        [("view", "browse"), ("cart", "intent")], "event_type string, stage string"
+    )
+    enriched = stream_static_enrich(
+        stream_events(spark, src, SCHEMA, max_files_per_trigger=1),
+        dim,
+        on="event_type",
+    )
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    q = stream_to_catalog(
+        enriched, cat, "bronze_stream", checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["event_id"], r["stage"]) for r in cat.read("bronze_stream").collect()
+    }
+    assert rows == {(1, "browse"), (2, "intent"), (3, "browse")}
+    ops = [r["operation"] for r in cat.snapshots("bronze_stream").collect()]
+    assert ops[0] == "create" and len(ops) == 2 and ops[1] == "append"
+
+
 def test_stream_running_counts_state_across_batches(spark, tmp_path):
     from data_lakehouse_spark.streaming import stream_running_counts
 
