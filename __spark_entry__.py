@@ -434,9 +434,21 @@ def q_event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_watermark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P9: scalar-subquery high-watermark filter, then grouped stats."""
+    """P9: scalar-subquery high-watermark filter, then grouped stats.
+
+    The watermark scalar folds from a MINIMAL projection of the raw
+    events (filter + max on two columns), not the full silver pipeline:
+    the driver-side reduce is its own job, so pointing it at the full
+    transform would execute silver twice per run. Equivalent because
+    keep-latest dedup preserves each key's max timestamp, hence the
+    global max (unit-checked in tests/test_relational.py).
+    """
     silver = _events_silver(spark, sf_dir)
-    wm_src = silver.filter(F.col("event_type") == "signup")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wm_src = raw.select(
+        F.timestamp_micros(F.expr("ts div 1000")).alias("event_timestamp"),
+        F.lower(F.trim(F.col("event_type"))).alias("event_type"),
+    ).filter((F.col("event_type") == "signup") & F.col("user_id").isNotNull())
     # empty_means_full=False: this query is compared against the literal
     # SQL idiom `col > (SELECT MAX(...))`, which yields zero rows when
     # the watermark source is empty — match those NULL semantics even on
@@ -732,6 +744,41 @@ def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_fingerprint_df(docs, k=5, window=4)
 
 
+def q_training_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM preprocessing recipe in one query: exact-dedup
+    to canonical docs, quality-gate (composite score + token-length
+    band), and emit the per-doc token-cost stats a sampler needs.
+    All JVM expressions + one fingerprint groupBy + one broadcast-size
+    join — the shape that holds when `documents` is 100 TB (the
+    fingerprint agg is the only wide shuffle, on a uniform MD5 key).
+    """
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        text_fns.doc_fingerprint("text").alias("fingerprint"),
+        text_fns.token_count("text").alias("n_ws_tokens"),
+        text_fns.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        text_fns.quality_score("text").alias("quality_score"),
+        text_fns.language_guess("text").alias("lang_guess"),
+    )
+    canon = stats.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_id")
+    )
+    return (
+        stats.join(canon, "fingerprint")
+        .filter(
+            (F.col("doc_id") == F.col("canonical_id"))
+            & (F.col("quality_score") >= 0.7)
+            & F.col("n_ws_tokens").between(10, 10_000)
+            & (F.col("lang_guess") == "en")  # monolingual corpus target
+        )
+        .select(
+            "doc_id", "lang_guess", "n_ws_tokens", "n_bpe_tokens", "quality_score"
+        )
+    )
+
+
 def q_doc_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_conf(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -950,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_stats": q_doc_text_stats,
         "doc_token_counts": q_doc_token_counts,
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
+        "training_corpus_select": q_training_corpus_select,
         "doc_language_guess": q_doc_language_guess,
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1700,6 +1748,56 @@ SELECT md5({_NORM}) AS fingerprint,
        CAST(COUNT(*) AS BIGINT) AS dup_count
 FROM documents
 GROUP BY 1
+"""
+
+    sql["training_corpus_select"] = f"""
+WITH b AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        md5({_NORM}) AS fingerprint,
+        CASE WHEN trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+        length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_chars_nws,
+        len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+            x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS sw_hits,
+        CAST(len(regexp_extract_all(text, '\\p{{L}}+|\\p{{N}}+|[^\\p{{L}}\\p{{N}}\\s]+')) AS BIGINT) AS n_bpe_tokens,
+        regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+    FROM documents
+),
+m AS (
+    SELECT doc_id, fingerprint, n_bpe_tokens, toks,
+        CAST(n_tok AS BIGINT) AS n_ws_tokens,
+        CASE WHEN n_tok = 0 THEN NULL
+             ELSE floor((CAST(n_chars_nws AS DOUBLE) / n_tok) * 10000 + 0.5) / 10000 END AS avg_token_len,
+        CASE WHEN n_tok = 0 THEN NULL
+             ELSE floor((CAST(sw_hits AS DOUBLE) / n_tok) * 10000 + 0.5) / 10000 END AS stopword_ratio
+    FROM b
+),
+q AS (
+    SELECT doc_id, fingerprint, n_ws_tokens, n_bpe_tokens, toks,
+        floor(((CASE WHEN n_ws_tokens >= 10 AND n_ws_tokens <= 10000 THEN 0.4 ELSE 0.0 END
+              + CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.6 THEN 0.3 ELSE 0.0 END
+              + CASE WHEN avg_token_len >= 2.0 AND avg_token_len <= 12.0 THEN 0.3 ELSE 0.0 END)) * 100 + 0.5) / 100 AS quality_score
+    FROM m
+),
+sc AS (
+    SELECT doc_id, fingerprint, n_ws_tokens, n_bpe_tokens, quality_score,
+        {marker_cols}
+    FROM q
+),
+g AS (
+    SELECT doc_id, fingerprint, n_ws_tokens, n_bpe_tokens, quality_score,
+        {guess_case} AS lang_guess
+    FROM sc
+),
+canon AS (
+    SELECT fingerprint, MIN(doc_id) AS canonical_id FROM g GROUP BY 1
+)
+SELECT g.doc_id, g.lang_guess, g.n_ws_tokens, g.n_bpe_tokens, g.quality_score
+FROM g JOIN canon ON g.fingerprint = canon.fingerprint
+WHERE g.doc_id = canon.canonical_id
+  AND g.quality_score >= 0.7
+  AND g.n_ws_tokens BETWEEN 10 AND 10000
+  AND g.lang_guess = 'en'
 """
 
     _DOT = (

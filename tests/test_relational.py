@@ -177,3 +177,27 @@ def test_cube_agg_combinations(spark):
     out = relational.cube_agg(df, ["x", "y"], [F.count("*").alias("n")]).collect()
     # cube over 2 distinct keys: 4 grouping sets -> (a,p),(b,q),(a,*),(b,*),(*,p),(*,q),(*,*)
     assert len(out) == 7
+
+
+def test_keep_latest_dedup_preserves_max_timestamp(spark):
+    """Folding the P9 watermark from the RAW projection is equivalent to
+    folding it from deduped silver: keep-latest retains each key's max
+    order timestamp, hence the global max (q_watermark_incremental)."""
+    from data_lakehouse_spark.operators.silver import silver_events
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    rows = [
+        # one logical event observed twice (same uid parts, later ts wins)
+        (1, t0, 7, "signup", 1.0, None),
+        (2, t0 + dt.timedelta(hours=2), 7, "signup", 1.0, None),
+        (3, t0 + dt.timedelta(hours=1), 8, "signup", 2.0, None),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    raw = spark.createDataFrame(rows, schema)
+    silver = silver_events(raw)
+    raw_max = raw.agg(F.max("ts")).first()[0]
+    silver_max = silver.agg(F.max("event_timestamp")).first()[0]
+    assert raw_max == silver_max
