@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["append_table", "replace_table", "jdbc_sink"]
+__all__ = ["append_table", "replace_table", "jdbc_sink", "write_bucketed"]
 
 
 def _writer(df: DataFrame, partition_by: list[str] | None, sort_by: list[str] | None):
@@ -48,6 +48,32 @@ def replace_table(
 ) -> None:
     """S8: full-table CREATE OR REPLACE materialization."""
     _writer(df, partition_by, sort_by).mode("overwrite").save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    *,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed managed table (CLUSTERED BY ... INTO n BUCKETS).
+
+    THE pre-shuffle for repeated big joins/aggs on a stable key: both
+    sides bucketed on the join key with the same bucket count join with
+    NO Exchange on either side (SortMergeJoin reads co-located buckets
+    directly; asserted in tests/test_plans.py). At 100 TB this converts
+    every fact-to-fact join on the key from a full shuffle into a local
+    merge — the bucketing shuffle is paid once at write time. Bucketed
+    tables must go through the session catalog (``saveAsTable``), not a
+    path — bucket metadata lives in the metastore.
+    """
+    w = df.write.format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.mode(mode).saveAsTable(table)
 
 
 def jdbc_sink(

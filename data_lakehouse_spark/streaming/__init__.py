@@ -5,6 +5,7 @@ from data_lakehouse_spark.streaming.pipeline import (
     stream_session_windows,
     stream_sliding_counts,
     stream_static_enrich,
+    stream_stream_interval_join,
     stream_to_catalog,
     stream_tumbling_counts,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_static_enrich",
+    "stream_stream_interval_join",
     "stream_to_catalog",
     "stream_tumbling_counts",
 ]

@@ -21,6 +21,7 @@ __all__ = [
     "stream_sliding_counts",
     "stream_session_windows",
     "stream_static_enrich",
+    "stream_stream_interval_join",
     "stream_dedup",
     "stream_running_counts",
     "stream_to_catalog",
@@ -127,6 +128,36 @@ def stream_static_enrich(
     and broadcast when small — no streaming state at all, unlike
     stream-stream joins."""
     return events.join(F.broadcast(dim), on, how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join on a key within an event-time interval
+    (right event follows the left within ``max_delay`` — e.g. purchase
+    attributed to a preceding click).
+
+    Both sides MUST be watermarked and the join MUST carry a time-range
+    predicate: together they bound the buffered state (each side keeps
+    only rows inside watermark + delay), which is what makes a
+    stream-stream join runnable indefinitely. Without the range
+    predicate Spark would buffer both streams forever.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[on])
 
 
 def stream_to_catalog(

@@ -99,6 +99,46 @@ def test_ann_index_partition_pruned_read(spark, sf_dir, tmp_path):
     assert probed_files and probed_files < total_files
 
 
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Both sides bucketed on the join key with equal bucket counts →
+    SortMergeJoin with ZERO exchanges: the write-time shuffle is reused
+    by every subsequent join on that key (the co-located-join story)."""
+    from data_lakehouse_spark.sources.writers import write_bucketed
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"], register_views=False)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    try:
+        write_bucketed(
+            t["orders"].select("o_orderkey", "o_totalprice"),
+            "b_orders", ["o_orderkey"], 4,
+        )
+        write_bucketed(
+            t["lineitem"]
+            .select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"),
+            "b_lineitem", ["o_orderkey"], 4,
+        )
+        # disable broadcast so the join would otherwise need exchanges
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table("b_orders")
+            .join(spark.table("b_lineitem"), "o_orderkey")
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        # bucket co-location: nothing below the join (scans included)
+        # shuffles, and the same-key aggregate above it doesn't either —
+        # the whole plan is exchange-free
+        assert "Exchange" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_materialized_marts_partition_pruned(spark, sf_dir, tmp_path):
     """The 100 TB serving story: silver and the date-grained gold marts
     materialize date-partitioned through the catalog, and a date-filtered

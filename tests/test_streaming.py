@@ -175,6 +175,59 @@ def test_stream_static_enrich_and_catalog_sink(spark, tmp_path):
     assert ops[0] == "create" and len(ops) == 2 and ops[1] == "append"
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Purchases attribute to a preceding click of the same user within
+    the delay window; outside-window or unmatched events drop."""
+    from data_lakehouse_spark.streaming import stream_stream_interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    clicks_path = str(tmp_path / "clicks")
+    buys_path = str(tmp_path / "buys")
+    click_schema = StructType(
+        [
+            StructField("user", LongType()),
+            StructField("l_ts", TimestampType()),
+            StructField("click_id", LongType()),
+        ]
+    )
+    buy_schema = StructType(
+        [
+            StructField("user", LongType()),
+            StructField("r_ts", TimestampType()),
+            StructField("buy_id", LongType()),
+        ]
+    )
+    spark.createDataFrame(
+        [(1, t0, 100), (2, t0, 200), (3, t0, 300)], click_schema
+    ).coalesce(1).write.parquet(clicks_path)
+    spark.createDataFrame(
+        [
+            (1, t0 + dt.timedelta(minutes=30), 1000),  # in window
+            (2, t0 + dt.timedelta(hours=5), 2000),     # too late
+        ],
+        buy_schema,
+    ).coalesce(1).write.parquet(buys_path)
+
+    clicks = spark.readStream.schema(click_schema).parquet(clicks_path)
+    buys = spark.readStream.schema(buy_schema).parquet(buys_path)
+    joined = stream_stream_interval_join(
+        clicks, buys, on="user", max_delay="1 hour"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["user"], r["click_id"], r["buy_id"])
+        for r in spark.sql("SELECT * FROM attrib_out").collect()
+    }
+    assert rows == {(1, 100, 1000)}
+
+
 def test_stream_running_counts_state_across_batches(spark, tmp_path):
     from data_lakehouse_spark.streaming import stream_running_counts
 
