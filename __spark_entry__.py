@@ -226,6 +226,36 @@ _D12 = "decimal(12,2)"
 _D4 = "decimal(4,2)"
 
 
+_PRICE_BANDS = [
+    ("0-100k", 0.0, 100_000.0),
+    ("100k-200k", 100_000.0, 200_000.0),
+    ("200k-300k", 200_000.0, 300_000.0),
+    ("300k+", 300_000.0, 1_000_000_000.0),
+]
+
+
+def q_orders_price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment range join: orders against a broadcast band
+    dimension (start <= price < end), then grouped revenue — the
+    calendar/config-dimension range-join pattern."""
+    _ensure_conf(spark)
+    orders = load_tables(spark, sf_dir, ["orders"], register_views=False)["orders"]
+    bands = spark.createDataFrame(
+        _PRICE_BANDS, "price_band string, lo double, hi double"
+    )
+    joined = relational.range_join(
+        orders, bands, fact_col="o_totalprice", start_col="lo", end_col="hi"
+    )
+    return (
+        joined.groupBy("price_band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_D12)).cast("double").alias("revenue"),
+        )
+        .orderBy("price_band")
+    )
+
+
 def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-A13 hash-agg battery (TPC-H Q1 shape): conditional-free grouped
     sums/avgs with decimal-exact money."""
@@ -972,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gold_category_performance": q_category_performance_tpch,
         # relational operator surface (TPC-H-ish)
         "tpch_pricing_summary": q_tpch_pricing_summary,
+        "orders_price_band_range_join": q_orders_price_band_range_join,
         "top_customers": q_top_customers,
         "customers_without_orders": q_customers_without_orders,
         "priority_with_returns": q_priority_with_returns,
@@ -1325,6 +1356,20 @@ LEFT JOIN top_brand tb
 """
 
     # -- relational operator surface ---------------------------------------
+
+    _bands_values = ", ".join(
+        f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS
+    )
+    sql["orders_price_band_range_join"] = f"""
+SELECT price_band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN (VALUES {_bands_values}) AS bands(price_band, lo, hi)
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY price_band
+ORDER BY price_band
+"""
 
     sql["tpch_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,

@@ -28,6 +28,8 @@ __all__ = [
     "tumbling_window_agg",
     "top_1_per_group",
     "asof_join",
+    "range_join",
+    "salted_join",
 ]
 
 
@@ -204,6 +206,70 @@ def asof_join(
     for c in carry:
         out = out.withColumn(f"asof_{c}", F.col("_rv_last").getField(c))
     return out.drop("_side", "_ats", "_rv", "_rv_last")
+
+
+def range_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    *,
+    fact_col: str,
+    start_col: str,
+    end_col: str,
+    how: str = "inner",
+    broadcast_ranges: bool = True,
+) -> DataFrame:
+    """Interval containment join: fact rows matched to range rows where
+    ``start_col <= fact_col < end_col`` (half-open, so adjacent ranges
+    never double-match).
+
+    A pure range predicate has no equi-key, so Spark plans a nested-loop
+    join — correct but O(n·m). The scalable stance: the ranges side is a
+    calendar/config dimension (thousands of rows, not billions), so
+    BROADCAST it and the join is one streaming pass over the facts with
+    an in-memory interval probe per row. If both sides are huge, don't
+    use this — discretize the fact timestamp to a bucket key and
+    equi-join on the bucket (the tumbling_window_agg shape).
+    """
+    r = F.broadcast(ranges) if broadcast_ranges else ranges
+    cond = (facts[fact_col] >= r[start_col]) & (facts[fact_col] < r[end_col])
+    return facts.join(r, cond, how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: explode ONE hot-key shuffle partition into
+    ``salt`` sub-partitions.
+
+    The left (big, skewed) side gets a deterministic salt from
+    ``xxhash64`` of its whole row pmod salt — spreading a hot key's rows
+    across ``salt`` reducers; the right side replicates each row
+    ``salt`` times (explode of a literal range) so every sub-partition
+    still finds its match. Shuffle keys become (key..., _salt). Right
+    side grows ×salt — use when the right side is far smaller than the
+    hot key's row count but too big/high-cardinality to broadcast
+    outright (the broadcast-vs-salt decision). AQE's skew-join handles
+    sort-merge skew automatically (enabled in session.py); explicit
+    salting remains for aggregation-feeding joins and engines where the
+    hot key exceeds what AQE sub-splits.
+
+    Deterministic (hash salt, not rand()) → reproducible across retries,
+    which matters for exactly-once sinks.
+    """
+    on = list(on)
+    lsalt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)
+    ).cast("int")
+    l2 = left.withColumn("_salt", lsalt)
+    r2 = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return l2.join(r2, on + ["_salt"], how).drop("_salt")
 
 
 def tumbling_window_agg(

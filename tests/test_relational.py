@@ -201,3 +201,41 @@ def test_keep_latest_dedup_preserves_max_timestamp(spark):
     raw_max = raw.agg(F.max("ts")).first()[0]
     silver_max = silver.agg(F.max("event_timestamp")).first()[0]
     assert raw_max == silver_max
+
+
+def test_range_join_half_open_bounds(spark):
+    facts = spark.createDataFrame(
+        [(1, 0.0), (2, 50.0), (3, 99.9), (4, 100.0), (5, 250.0)],
+        "id long, v double",
+    )
+    ranges = spark.createDataFrame(
+        [("lo", 0.0, 100.0), ("hi", 100.0, 200.0)],
+        "band string, lo double, hi double",
+    )
+    out = relational.range_join(
+        facts, ranges, fact_col="v", start_col="lo", end_col="hi"
+    )
+    got = {(r["id"], r["band"]) for r in out.collect()}
+    # half-open: 100.0 lands in 'hi' only; 250 matches nothing
+    assert got == {(1, "lo"), (2, "lo"), (3, "lo"), (4, "hi")}
+    # broadcast hint survives into the plan (nested loop over broadcast)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    # hot key: 90% of left rows share key 1
+    left = spark.createDataFrame(
+        [(1 if i % 10 else 2, i) for i in range(1000)], "k long, payload long"
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (2, "cold"), (3, "unmatched")], "k long, label string"
+    )
+    plain = {(r["k"], r["payload"], r["label"])
+             for r in left.join(right, "k").collect()}
+    salted = relational.salted_join(left, right, ["k"], salt=8)
+    got = {(r["k"], r["payload"], r["label"]) for r in salted.collect()}
+    assert got == plain and len(got) == 1000
+    # the shuffle key carries the salt column
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
