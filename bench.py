@@ -45,11 +45,16 @@ def main() -> None:
     for name, reason in BENCH_EXCLUDED.items():
         print(f"bench: skipping {name}: {reason}", file=sys.stderr)
 
-    # Warm the JVM (codegen, JIT, parquet footer cache) so per-query
-    # timings measure the queries, not first-touch session overhead.
+    # Warm the JVM (codegen, JIT, parquet footer cache) AND the Python
+    # worker pool (Arrow mapInPandas daemons fork on first use) so
+    # per-query timings measure the queries, not first-touch session
+    # overhead.
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
     queries["silver_events"](spark, sf_dir).limit(1).count()
 
     timings: dict[str, float] = {}
