@@ -171,6 +171,40 @@ def test_materialized_marts_partition_pruned(spark, sf_dir, tmp_path):
         assert probed_files and probed_files < all_files, table
 
 
+def test_incremental_gold_rebuild_prunes_silver_partitions(spark, sf_dir, tmp_path):
+    """Incremental gold semantics (and the fix for the reference's
+    quirk #1, the CTE that forgot its watermark): filtering the MART
+    output on its date key pushes through the aggregation to EVERY
+    input branch, partition-pruning the materialized silver scan — the
+    watermark cannot be 'forgotten' in one CTE because Catalyst applies
+    it to all of them."""
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.operators import gold
+    from data_lakehouse_spark.pipeline import MedallionPipeline
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    pipe = MedallionPipeline(spark, cat, cart_type="cart")
+    pipe.ingest_bronze(spark.read.parquet(f"{sf_dir}/events.parquet"), "e.parquet")
+    pipe.build_silver()
+
+    silver = cat.read("silver_events")
+    wm = silver.agg(F.min("event_date")).first()[0]  # pretend all-but-day-1 is new
+    mart = gold.daily_sales_summary(silver, cart_type="cart").filter(
+        F.col("sale_date") > F.lit(wm)
+    )
+    plan = _plan(mart)
+    pf = plan[plan.index("PartitionFilters"):]
+    assert "event_date" in pf[: pf.index("]")]
+    probed = {
+        r[0]
+        for r in silver.filter(F.col("event_date") > F.lit(wm))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert probed and probed < set(silver.inputFiles())
+
+
 def test_silver_dedup_on_write_enforces_across_batches(spark, tmp_path):
     """ADVICE pipeline.py: an event_unique_id re-sent in a later batch
     must not land twice when dedup_on_write is on."""
