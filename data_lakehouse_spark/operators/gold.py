@@ -332,10 +332,13 @@ def user_rfm_segments(
         # Distributed 5-bucket scoring: bucket on approx quantile
         # boundaries instead of a total-sort NTILE. All three metrics'
         # boundaries come from ONE lazy percentile_approx aggregate
-        # broadcast back onto the rows — a single pass, fully inside the
-        # plan. (Rejected: per-metric df.approxQuantile — each call is a
-        # driver ACTION that re-executes the whole upstream pipeline;
-        # measured 3 extra silver recomputes, ~2.5× slower end-to-end.)
+        # broadcast back onto the rows — the classic two-distributed-pass
+        # quantile design (stats pass + score pass; the stats branch
+        # re-derives the per-user base, so the plan has 2 scans), with no
+        # driver action and no single-partition sort. (Rejected:
+        # per-metric df.approxQuantile — each call is a driver ACTION
+        # re-executing the whole upstream pipeline; measured 4 passes
+        # total, ~2.5× slower end-to-end.)
         probs = F.array(*[F.lit(p) for p in (0.2, 0.4, 0.6, 0.8)])
         acc = F.lit(10_000)
         bounds = base.agg(
