@@ -28,7 +28,7 @@ from pyspark.sql.window import Window
 
 from data_lakehouse_spark.functions import text as text_fns
 from data_lakehouse_spark.functions.scalars import round_half_up
-from data_lakehouse_spark.operators import dedup, gold, relational, similarity
+from data_lakehouse_spark.operators import corpus, dedup, gold, relational, similarity
 from data_lakehouse_spark.operators.silver import silver_events
 from data_lakehouse_spark.sources.readers import load_tables
 from data_lakehouse_spark import multimodal
@@ -892,6 +892,60 @@ def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("cosine_sim", round_half_up(F.col("cosine_sim"), 6))
 
 
+def q_corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% corpus sample keyed on doc_id: a pure map-side
+    md5-threshold filter — no shuffle, no RNG, identical row set on any
+    engine/partitioning/retry (unlike df.sample)."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.hash_sample(docs, "doc_id", 0.2, seed=7).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source", "lang"
+    )
+
+
+def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: per-language deterministic sampling fractions
+    (keep en, halve es, thin the rest) — the source/language
+    re-weighting step of a training-data pipeline, still one map-side
+    filter with zero shuffles."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = corpus.stratified_hash_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 1.0, "es": 0.5, "fr": 0.25, "de": 0.25},
+        default_fraction=0.1,
+        seed=11,
+    )
+    return kept.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang"
+    )
+
+
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-training-doc count of distinct
+    4-gram shingles shared with a held-out eval split (doc_id % 10 == 0
+    stands in for the benchmark set). Inverted-index shape: training
+    shingles stream past a broadcast of the (small) eval shingle set —
+    never an all-pairs join. Production runs this with 13-grams."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return corpus.contamination_hits(train, ev, shingle_n=4)
+
+
+def q_corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: greedy in-id-order assignment of
+    docs to ~10k-BPE-token shards via a DISTRIBUTED prefix sum
+    (per-chunk window cumsum + tiny broadcast chunk offsets — no
+    single-partition global-order window over the corpus)."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.pack_shards(docs, budget=10_000, chunk_span=100)
+
+
 # ---- rows-only queries (no SQL-expressible oracle: hash/LSH-based) -------
 
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1040,6 +1094,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "embedding_topk": q_embedding_topk,
         "embedding_similar_pairs": q_embedding_similar_pairs,
+        # corpus construction (sampling / decontamination / sharding)
+        "corpus_hash_sample": q_corpus_hash_sample,
+        "corpus_stratified_sample": q_corpus_stratified_sample,
+        "decontaminate_docs": q_decontaminate_docs,
+        "corpus_pack_shards": q_corpus_pack_shards,
         # rows-only (hash/LSH/pandas-UDF based; no SQL oracle)
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1888,6 +1947,60 @@ SELECT id_a, id_b,
        floor((CAST(inter AS DOUBLE) / (na + nb - inter)) * 1000000 + 0.5) / 1000000 AS jaccard
 FROM p
 WHERE floor((CAST(inter AS DOUBLE) / (na + nb - inter)) * 1000000 + 0.5) / 1000000 >= 0.5
+"""
+
+    # -- corpus construction ------------------------------------------------
+
+    _t20 = corpus.sample_threshold(0.2)
+    sql["corpus_hash_sample"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang
+FROM documents
+WHERE md5(concat('7:', CAST(doc_id AS VARCHAR))) < '{_t20}'
+"""
+
+    _strata = {"en": 1.0, "es": 0.5, "fr": 0.25, "de": 0.25}
+    _strat_case = "CASE " + " ".join(
+        f"WHEN lang = '{v}' THEN '{corpus.sample_threshold(f)}'"
+        for v, f in sorted(_strata.items())
+    ) + f" ELSE '{corpus.sample_threshold(0.1)}' END"
+    sql["corpus_stratified_sample"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+FROM documents
+WHERE md5(concat('11:', CAST(doc_id AS VARCHAR))) < {_strat_case}
+"""
+
+    sql["decontaminate_docs"] = f"""
+WITH d AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           string_split({_NORM}, ' ') AS toks
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(0, greatest(len(toks) - 4, 0) + 1),
+               i -> array_to_string(toks[i + 1:i + 4], ' '))) AS sh
+    FROM d
+),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+ev AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % 10 = 0)
+SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+FROM ex JOIN ev USING (shingle)
+WHERE ex.doc_id % 10 <> 0
+GROUP BY ex.doc_id
+"""
+
+    sql["corpus_pack_shards"] = """
+WITH t AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+')) AS BIGINT) AS n_tokens
+    FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 10000.0) AS BIGINT) AS shard_id
+FROM t
 """
 
     _HEX = "0123456789abcdef"

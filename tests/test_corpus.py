@@ -1,0 +1,112 @@
+"""Corpus-construction operators: deterministic sampling, eval-set
+decontamination, token-budget shard packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lakehouse_spark.operators import corpus
+
+
+def _docs(spark, n=400, vocab=("alpha", "beta", "gamma", "delta", "eps")):
+    rows = [
+        (i, " ".join(vocab[(i * 7 + j) % len(vocab)] for j in range(12)), "src%d" % (i % 3))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+def test_hash_sample_fraction_and_determinism(spark):
+    df = _docs(spark, 2000)
+    kept = corpus.hash_sample(df, "doc_id", 0.25, seed=3)
+    n = kept.count()
+    assert abs(n / 2000 - 0.25) < 0.05
+    # deterministic: same rows again, and invariant to partitioning
+    again = corpus.hash_sample(df.repartition(13), "doc_id", 0.25, seed=3)
+    assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == sorted(
+        r.doc_id for r in again.select("doc_id").collect()
+    )
+
+
+def test_hash_sample_subset_lattice(spark):
+    """The 25% sample contains the 10% sample for the same seed —
+    growing a mix never churns previously selected docs."""
+    df = _docs(spark, 1000)
+    small = {r.doc_id for r in corpus.hash_sample(df, "doc_id", 0.1, seed=5).collect()}
+    big = {r.doc_id for r in corpus.hash_sample(df, "doc_id", 0.25, seed=5).collect()}
+    assert small <= big
+
+
+def test_hash_sample_no_shuffle(spark):
+    plan = corpus.hash_sample(
+        _docs(spark, 100), "doc_id", 0.5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_stratified_fractions(spark):
+    df = _docs(spark, 3000)
+    kept = corpus.stratified_hash_sample(
+        df, "doc_id", "source", {"src0": 1.0, "src1": 0.2}, default_fraction=0.0
+    )
+    by_src = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src.get("src0") == 1000  # fraction 1.0 keeps every row
+    assert abs(by_src.get("src1", 0) / 1000 - 0.2) < 0.06
+    assert "src2" not in by_src  # default 0.0 drops unlisted strata
+
+
+def test_contamination_and_decontaminate(spark):
+    # doc 0/1 share their full text with eval doc 100; doc 2 is disjoint.
+    rows = [
+        (0, "one two three four five six"),
+        (1, "zero one two three four five"),
+        (2, "seven eight nine ten eleven twelve"),
+    ]
+    train = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ev = spark.createDataFrame(
+        [(100, "one two three four five six")], "doc_id bigint, text string"
+    )
+    hits = {
+        r.doc_id: r.n_overlap
+        for r in corpus.contamination_hits(train, ev, shingle_n=4).collect()
+    }
+    assert hits[0] == 3  # all three 4-grams of doc 0 appear in eval
+    assert hits[1] == 2  # suffix overlap only
+    assert 2 not in hits
+    clean = corpus.decontaminate(train, ev, shingle_n=4)
+    assert [r.doc_id for r in clean.select("doc_id").collect()] == [2]
+    # a stricter threshold keeps the partial-overlap doc
+    clean3 = corpus.decontaminate(train, ev, shingle_n=4, min_overlap=3)
+    assert sorted(r.doc_id for r in clean3.select("doc_id").collect()) == [1, 2]
+
+
+def test_pack_shards_matches_naive_cumsum(spark):
+    df = _docs(spark, 257)
+    out = corpus.pack_shards(
+        df, budget=100, chunk_span=40  # several chunks, docs span budgets
+    ).collect()
+    got = {r.doc_id: (r.n_tokens, r.shard_id) for r in out}
+    # naive single-stream reference
+    cum = 0
+    for i in sorted(got):
+        toks, shard = got[i]
+        assert shard == cum // 100
+        cum += toks
+    # chunking granularity must not change the assignment
+    one_chunk = corpus.pack_shards(df, budget=100, chunk_span=10**9).collect()
+    assert {r.doc_id: r.shard_id for r in one_chunk} == {
+        i: s for i, (_, s) in got.items()
+    }
+
+
+def test_pack_shards_within_chunk_window_is_partitioned(spark):
+    plan = (
+        corpus.pack_shards(_docs(spark, 100), budget=50, chunk_span=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the corpus-sized window runs partitioned by chunk, and the chunk
+    # offset table reaches the probe side as a broadcast
+    assert "windowspecdefinition(_chunk" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
