@@ -1,4 +1,5 @@
 from data_lakehouse_spark.streaming.pipeline import (
+    ROCKSDB_STATE_CONF,
     stream_dedup,
     stream_events,
     stream_running_counts,
@@ -11,6 +12,7 @@ from data_lakehouse_spark.streaming.pipeline import (
 )
 
 __all__ = [
+    "ROCKSDB_STATE_CONF",
     "stream_dedup",
     "stream_events",
     "stream_running_counts",

@@ -25,7 +25,23 @@ __all__ = [
     "stream_dedup",
     "stream_running_counts",
     "stream_to_catalog",
+    "ROCKSDB_STATE_CONF",
 ]
+
+#: Off-heap, disk-backed streaming state (RocksDB, bundled with Spark).
+#: The default HDFSBackedStateStoreProvider keeps every key in executor
+#: heap — fine for tests, an OOM for billions of dedup/session keys at
+#: 100 TB. RocksDB spills to local disk with changelog checkpointing so
+#: state size is bounded by disk, not heap, and commit cost is an
+#: incremental changelog upload instead of a full snapshot. Apply via
+#: ``extra_conf`` at session build (provider is fixed per query at
+#: start; tests set it before starting the stream).
+ROCKSDB_STATE_CONF: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
 
 
 def stream_events(

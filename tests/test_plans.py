@@ -260,3 +260,42 @@ def test_watermark_folds_to_literal_filter(spark, sf_dir):
     )
     plan = _plan(fresh)
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThan(o_orderdate" in plan
+
+
+def test_runtime_bloom_filter_injected_on_shuffle_join(spark, sf_dir):
+    """When neither join side broadcasts, Spark's runtime row-level
+    filtering injects a bloom filter built from the selective (filtered)
+    orders side into the lineitem scan side — rows that cannot match are
+    dropped BEFORE the shuffle. At 100 TB this is the difference between
+    shuffling the whole fact table and shuffling the ~1% that can join;
+    locally the size thresholds are lowered to make injection visible."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"], register_views=False)
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        joined = (
+            t["lineitem"]
+            .join(
+                t["orders"].filter(F.col("o_orderpriority") == "1-URGENT"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderdate")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        assert joined.count() > 0  # filter is a pre-filter, not a wrong answer
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

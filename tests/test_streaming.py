@@ -258,3 +258,48 @@ def test_stream_running_counts_state_across_batches(spark, tmp_path):
     assert latest["cart"] == (1, 5.0)
     # 'view' must have been emitted more than once (once per batch)
     assert sum(1 for r in rows if r["key"] == "view") >= 2
+
+
+def test_rocksdb_state_store_matches_heap_results(spark, tmp_path):
+    """The scale state backend: the same watermarked tumbling aggregate
+    produces identical results under RocksDBStateStoreProvider (disk-
+    backed, changelog-checkpointed — state bounded by disk, not
+    executor heap). Provider is fixed per query at start, so the conf
+    is set around the stream and restored after."""
+    from data_lakehouse_spark.streaming import ROCKSDB_STATE_CONF
+
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, _rows(10, 3) + _rows(11, 2))
+
+    saved = {k: spark.conf.get(k, None) for k in ROCKSDB_STATE_CONF}
+    try:
+        for k, v in ROCKSDB_STATE_CONF.items():
+            spark.conf.set(k, v)
+        agg = stream_tumbling_counts(
+            stream_events(spark, src, SCHEMA), duration="1 hour", watermark="2 hours"
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("rocksdb_out")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # the running query really used RocksDB state
+        assert "RocksDBStateStoreProvider" in q.lastProgress["stateOperators"][0][
+            "customMetrics"
+        ].__str__() or "rocksdb" in str(q.lastProgress["stateOperators"][0]).lower()
+        got = {
+            (r["window_start"].isoformat(), r["event_type"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM rocksdb_out").collect()
+        }
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert got[("2024-01-01T10:00:00", "view")] == 3
+    assert got[("2024-01-01T11:00:00", "view")] == 2
