@@ -812,6 +812,15 @@ def q_training_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition + quality signals and the composite
+    ``gopher_pass`` corpus-filter gate (operators/corpus.py
+    ``quality_signals``) — all JVM higher-order expressions, one scan."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.quality_signals(docs)
+
+
 def q_doc_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_conf(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1086,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_counts": q_doc_token_counts,
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "training_corpus_select": q_training_corpus_select,
+        "doc_quality_gopher": q_doc_quality_gopher,
         "doc_language_guess": q_doc_language_guess,
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1773,6 +1783,53 @@ SELECT doc_id, n_tokens, n_chars_obs, avg_token_len, stopword_ratio,
           + CASE WHEN avg_token_len >= 2.0 AND avg_token_len <= 12.0 THEN 0.3 ELSE 0.0 END)) * 100 + 0.5) / 100 AS quality_score,
     md5({_NORM}) AS fingerprint
 FROM m
+"""
+
+    # Mirrors operators/corpus.py quality_signals: same tokenizer, same
+    # guarded n-gram construction, same half-up 4 dp rounding, same
+    # threshold set for the composite gate.
+    sql["doc_quality_gopher"] = r"""
+WITH b AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+        CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+             ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+    FROM documents
+), g AS (
+    SELECT doc_id, text, toks, len(toks) AS n,
+        CASE WHEN len(toks) >= 2
+             THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+             ELSE []::VARCHAR[] END AS bi,
+        CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE []::VARCHAR[] END AS tri
+    FROM b
+), s AS (
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        CASE WHEN n = 0 THEN NULL
+             ELSE floor((CAST(length(regexp_replace(trim(lower(text)), '\s+', '', 'g')) AS DOUBLE) / n) * 10000 + 0.5) / 10000 END AS mean_word_len,
+        CASE WHEN n = 0 THEN NULL
+             ELSE floor((CAST(len(list_distinct(toks)) AS DOUBLE) / n) * 10000 + 0.5) / 10000 END AS distinct_token_ratio,
+        CASE WHEN len(bi) = 0 THEN NULL
+             ELSE floor((CAST(list_max(list_transform(bi, bg -> len(list_filter(bi, x -> x = bg)))) AS DOUBLE) / len(bi)) * 10000 + 0.5) / 10000 END AS top_bigram_ratio,
+        CASE WHEN len(tri) = 0 THEN NULL
+             ELSE floor((CAST(len(list_filter(tri, tg -> len(list_filter(tri, y -> y = tg)) > 1)) AS DOUBLE) / len(tri)) * 10000 + 0.5) / 10000 END AS dup_trigram_ratio,
+        CASE WHEN n = 0 THEN NULL
+             ELSE floor((CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE) / n) * 10000 + 0.5) / 10000 END AS symbol_word_ratio,
+        CASE WHEN n = 0 THEN NULL
+             ELSE floor((CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / n) * 10000 + 0.5) / 10000 END AS alpha_word_ratio
+    FROM g
+)
+SELECT *,
+    coalesce(
+        n_tokens >= 50 AND n_tokens <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_word_ratio < 0.1
+        AND alpha_word_ratio > 0.8
+        AND coalesce(top_bigram_ratio, 1.0) < 0.2
+        AND coalesce(dup_trigram_ratio, 1.0) < 0.3
+        AND distinct_token_ratio > 0.3,
+        FALSE) AS gopher_pass
+FROM s
 """
 
     _MARKERS = {

@@ -61,13 +61,23 @@ def main() -> None:
     # partition-pruned probe, not index construction.
     entrymod._ann_index_catalog(spark, sf_dir)
 
+    # Each query is timed BENCH_REPS times and the MIN is reported: the
+    # min over repetitions estimates the true cost of the plan, while
+    # any single run can absorb multi-second host-level noise spikes
+    # (observed: the same query varying 2.4 s ↔ 15 s across back-to-back
+    # runs on an otherwise idle VM). Reps are interleaved across the
+    # whole suite — full passes, not back-to-back per query — so a
+    # transient spike lands in at most one rep of any given query.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
-    for name in bench_queries:
-        fn = queries[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(max(reps, 1)):
+        for name in bench_queries:
+            fn = queries[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            t = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, t), t)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -48,6 +48,7 @@ __all__ = [
     "contamination_hits",
     "decontaminate",
     "pack_shards",
+    "quality_signals",
 ]
 
 
@@ -240,3 +241,145 @@ def pack_shards(
             .alias("shard_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher/C4-style quality signals
+# --------------------------------------------------------------------------
+
+def quality_signals(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+) -> DataFrame:
+    """Repetition/quality signals in the Gopher (Rae et al. 2021) and
+    C4 (Raffel et al. 2020) filtering tradition, plus the composite
+    ``gopher_pass`` gate — the standard pre-training corpus filter.
+
+    Per document: token count, mean word length, distinct-token ratio
+    (inverse of repetition), top-bigram fraction (Gopher "top 2-gram"),
+    duplicate-trigram fraction (Gopher "duplicate n-gram"), symbol-to-
+    word ratio (# and ellipsis), and alphabetic-word ratio (C4's
+    "contains an alphabetic character" rule). ``gopher_pass`` ANDs the
+    published thresholds (length band, word length 3-10, symbols < 0.1,
+    alpha > 0.8, top-bigram < 0.2, dup-trigram < 0.3, distinct > 0.3).
+
+    Everything is a JVM higher-order-function expression — no Python in
+    the hot path, one scan, no shuffle — and every ratio has an exact
+    DuckDB list-lambda equivalent (oracle: ``doc_quality_gopher``).
+    Token and n-gram arrays materialize ONCE as projection stages so
+    Catalyst does not re-evaluate the tokenizer per reference (the
+    expression-tree duplication documented at
+    ``functions.text.winnow_fingerprints``). The n-gram occurrence
+    counts are O(len²) per row in the document's OWN length — constant
+    per row, embarrassingly parallel, no cross-row state — which is the
+    scale-safe shape (cf. dedup shingling at operators/dedup.py).
+    """
+    from data_lakehouse_spark.functions.scalars import round_half_up
+
+    t = F.trim(F.lower(F.col(text_col)))
+    empty = F.array().cast("array<string>")
+    staged = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        F.when(t == "", empty).otherwise(F.split(t, r"\s+")).alias("_toks"),
+    )
+    n = F.size("_toks")
+    # F.get is 0-based and NULL-safe; sequence guarded because Spark's
+    # sequence(1, 0) DESCENDS instead of returning empty.
+    bigram = lambda i: F.concat_ws(" ", F.get("_toks", i), F.get("_toks", i + 1))
+    trigram = lambda i: F.concat_ws(
+        " ", F.get("_toks", i), F.get("_toks", i + 1), F.get("_toks", i + 2)
+    )
+    staged = staged.select(
+        "doc_id",
+        "_text",
+        "_toks",
+        F.when(
+            n >= 2, F.transform(F.sequence(F.lit(0), n - 2), bigram)
+        ).otherwise(empty).alias("_bi"),
+        F.when(
+            n >= 3, F.transform(F.sequence(F.lit(0), n - 3), trigram)
+        ).otherwise(empty).alias("_tri"),
+    )
+
+    n = F.size("_toks")
+    nb = F.size("_bi")
+    nt = F.size("_tri")
+    dbl = lambda c: c.cast("double")
+
+    mean_word_len = F.when(n == 0, F.lit(None).cast("double")).otherwise(
+        round_half_up(
+            dbl(F.length(F.concat_ws("", F.col("_toks")))) / n, 4
+        )
+    )
+    distinct_ratio = F.when(n == 0, F.lit(None).cast("double")).otherwise(
+        round_half_up(dbl(F.size(F.array_distinct("_toks"))) / n, 4)
+    )
+    top_bigram = F.when(nb == 0, F.lit(None).cast("double")).otherwise(
+        round_half_up(
+            dbl(
+                F.array_max(
+                    F.transform(
+                        "_bi",
+                        lambda bg: F.size(F.filter("_bi", lambda x: x == bg)),
+                    )
+                )
+            )
+            / nb,
+            4,
+        )
+    )
+    dup_trigram = F.when(nt == 0, F.lit(None).cast("double")).otherwise(
+        round_half_up(
+            dbl(
+                F.size(
+                    F.filter(
+                        "_tri",
+                        lambda tg: F.size(F.filter("_tri", lambda y: y == tg))
+                        > 1,
+                    )
+                )
+            )
+            / nt,
+            4,
+        )
+    )
+    symbol_ratio = F.when(n == 0, F.lit(None).cast("double")).otherwise(
+        round_half_up(
+            dbl(F.regexp_count(F.col("_text"), F.lit(r"#|\.\.\."))) / n, 4
+        )
+    )
+    alpha_ratio = F.when(n == 0, F.lit(None).cast("double")).otherwise(
+        round_half_up(
+            dbl(F.size(F.filter("_toks", lambda x: x.rlike("[a-z]")))) / n, 4
+        )
+    )
+
+    sig = staged.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        distinct_ratio.alias("distinct_token_ratio"),
+        top_bigram.alias("top_bigram_ratio"),
+        dup_trigram.alias("dup_trigram_ratio"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+    )
+    gate = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_word_ratio") < 0.1)
+        & (F.col("alpha_word_ratio") > 0.8)
+        & (F.coalesce("top_bigram_ratio", F.lit(1.0)) < 0.2)
+        & (F.coalesce("dup_trigram_ratio", F.lit(1.0)) < 0.3)
+        & (F.col("distinct_token_ratio") > 0.3)
+    )
+    # n < min_tokens short-circuits every NULL ratio case to FALSE, so
+    # the gate is always a concrete boolean.
+    return sig.withColumn("gopher_pass", F.coalesce(gate, F.lit(False)))

@@ -110,3 +110,61 @@ def test_pack_shards_within_chunk_window_is_partitioned(spark):
     # offset table reaches the probe side as a broadcast
     assert "windowspecdefinition(_chunk" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_quality_signals_hand_checked(spark):
+    rows = [
+        # 60 distinct-ish tokens, clean prose shape -> passes the gate
+        (1, " ".join(f"tok{i} word{i}" for i in range(30))),
+        # heavy repetition: one bigram dominates -> fails top_bigram/distinct
+        (2, "spam ham " * 40),
+        # symbol-heavy -> fails symbol ratio
+        (3, " ".join("### ..." for _ in range(30))),
+        # short doc -> fails length band
+        (4, "tiny doc here"),
+        (5, ""),
+        (6, "single"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r.asDict() for r in corpus.quality_signals(df).collect()}
+
+    assert out[1]["n_tokens"] == 60
+    assert out[1]["distinct_token_ratio"] == 1.0
+    assert out[1]["gopher_pass"] is True
+
+    # "spam ham" repeated: 80 tokens, 2 distinct; bigrams alternate
+    # "spam ham" (40x) and "ham spam" (39x) -> top bigram 40/79
+    assert out[2]["n_tokens"] == 80
+    assert out[2]["distinct_token_ratio"] == round(2 / 80, 4)
+    assert out[2]["top_bigram_ratio"] == round(40 / 79, 4)
+    assert out[2]["dup_trigram_ratio"] == 1.0
+    assert out[2]["gopher_pass"] is False
+
+    assert out[3]["alpha_word_ratio"] == 0.0
+    assert out[3]["symbol_word_ratio"] > 0.1
+    assert out[3]["gopher_pass"] is False
+
+    assert out[4]["gopher_pass"] is False
+
+    # empty text: 0 tokens, every ratio NULL, gate concrete False
+    assert out[5]["n_tokens"] == 0
+    assert out[5]["mean_word_len"] is None
+    assert out[5]["top_bigram_ratio"] is None
+    assert out[5]["gopher_pass"] is False
+
+    # single token: no bigrams/trigrams -> NULL ratios, not a crash
+    assert out[6]["n_tokens"] == 1
+    assert out[6]["top_bigram_ratio"] is None
+    assert out[6]["dup_trigram_ratio"] is None
+    assert out[6]["gopher_pass"] is False
+
+
+def test_quality_signals_single_scan_no_shuffle(spark):
+    df = _docs(spark, 50)
+    plan = (
+        corpus.quality_signals(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
