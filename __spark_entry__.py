@@ -28,7 +28,14 @@ from pyspark.sql.window import Window
 
 from data_lakehouse_spark.functions import text as text_fns
 from data_lakehouse_spark.functions.scalars import round_half_up
-from data_lakehouse_spark.operators import corpus, dedup, gold, relational, similarity
+from data_lakehouse_spark.operators import (
+    corpus,
+    dedup,
+    gold,
+    graph,
+    relational,
+    similarity,
+)
 from data_lakehouse_spark.operators.silver import silver_events
 from data_lakehouse_spark.sources.readers import load_tables
 from data_lakehouse_spark import multimodal
@@ -866,6 +873,19 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_dedup_canonical(emb, threshold=0.4)
 
 
+def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup clusters: connected components (min reachable id) of
+    the ≥0.4-cosine similarity graph — the transitive closure that
+    single-hop canonicalization (dedup_embedding_cosine) approximates.
+    Pairs come from the distributed block GEMM; closure from min-label
+    propagation + pointer jumping (operators/graph.py). Oracle: DuckDB
+    recursive CTE over the same pair set."""
+    _ensure_conf(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = similarity.cosine_pairs_blocked(emb, threshold=0.4)
+    return graph.connected_components(pairs, vertices=emb, vertex_col="vec_id")
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: payload bytes + content address (decode
     itself is a stubbed mapInPandas — see multimodal/columns.py)."""
@@ -1101,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_cluster_components": q_dedup_cluster_components,
         "multimodal_meta": q_multimodal_meta,
         "embedding_topk": q_embedding_topk,
         "embedding_similar_pairs": q_embedding_similar_pairs,
@@ -2106,6 +2127,29 @@ SELECT v.vec_id,
        least(v.vec_id, coalesce(mn.min_nb, v.vec_id)) AS canonical_id,
        least(v.vec_id, coalesce(mn.min_nb, v.vec_id)) != v.vec_id AS is_duplicate
 FROM v LEFT JOIN mn ON v.vec_id = mn.vid
+"""
+
+    # Transitive closure via recursive CTE (UNION = distinct rows, so
+    # the fixpoint terminates); component = MIN reachable id, matching
+    # the Spark min-label propagation fixpoint exactly.
+    sql["dedup_cluster_components"] = f"""
+WITH RECURSIVE v AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {_cos.format(a="a.embedding", b="b.embedding")} >= 0.4
+),
+sym AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+    SELECT vec_id AS v, vec_id AS r FROM v
+    UNION
+    SELECT reach.v, s.b AS r FROM reach JOIN sym s ON s.a = reach.r
+)
+SELECT v AS vec_id, MIN(r) AS component_id FROM reach GROUP BY v
 """
 
     sql["multimodal_meta"] = """

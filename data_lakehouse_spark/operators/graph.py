@@ -1,0 +1,120 @@
+"""Distributed connected components — the transitive-closure step that
+turns pairwise near-dup candidates into full dedup clusters.
+
+``embedding_dedup_canonical`` / ``minhash``-style pair generators emit
+EDGES; a cluster is the connected component of the similarity graph.
+The single-hop min-neighbor collapse (operators/similarity.py
+``embedding_dedup_canonical``) is the right first pass, but chains
+(A~B~C with A≁C) need the fixed point. This module computes it with
+min-label propagation plus pointer jumping:
+
+- propagate: ``label(v) ← min(label(v), min over neighbors label(u))``
+  — one shuffle keyed on vertex id;
+- compress (pointer jumping): ``label(v) ← label(label(v))`` — halves
+  the depth of every label-reference chain each round, so convergence
+  is O(log n) rounds rather than O(graph diameter) (the classic
+  MapReduce-CC accelerant; cf. Kiveris et al., "Connected Components
+  in MapReduce and Beyond", SoCC 2014 — hash-to-min family).
+
+Scale shape per round: two hash-partitioned joins + one groupBy, all
+keyed on vertex/label ids; lineage is truncated every round with
+``localCheckpoint`` so the plan does not grow unboundedly (at cluster
+scale point ``spark.sparkContext.setCheckpointDir`` at durable storage
+and switch to ``checkpoint``). Dedup similarity graphs have tiny
+components (near-dup clusters), so rounds ≈ 2-4 in practice; the
+``max_iter`` cap is a safety rail, and convergence is detected with a
+changed-label count (one tiny action per round).
+
+Reference parity: the reference has no graph tier; this extends the
+LLM-dedup surface (driver brief) past single-hop canonicalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components"]
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    vertices: DataFrame | None = None,
+    vertex_col: str = "vec_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every vertex with the MINIMUM vertex id reachable from it
+    → ``(vertex, component_id)``.
+
+    ``edges`` is undirected input (each pair once is enough; it is
+    symmetrized internally). ``vertices`` optionally supplies the full
+    vertex universe so isolated vertices (no edges) appear as their own
+    singleton components — pass it for dedup so clean documents are
+    still labeled. Raises if ``max_iter`` rounds don't converge (never
+    observed on near-dup graphs; raise the cap for adversarial chains).
+    """
+    e = edges.select(
+        F.col(src).cast("bigint").alias("a"), F.col(dst).cast("bigint").alias("b")
+    )
+    # Materialize the (possibly expensive) pair-generation plan ONCE —
+    # every propagation round joins against sym, and without this the
+    # upstream candidate generator (e.g. the block GEMM) would re-run
+    # per round.
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    if vertices is None:
+        verts = sym.select(F.col("a").alias("v")).distinct()
+    else:
+        verts = vertices.select(
+            F.col(vertex_col).cast("bigint").alias("v")
+        ).distinct()
+
+    labels = verts.select("v", F.col("v").alias("label")).localCheckpoint()
+    for _ in range(max_iter):
+        # propagate: min over own and neighbors' labels
+        nbr = (
+            sym.join(labels, sym["b"] == labels["v"])
+            .select(F.col("a").alias("v"), "label")
+            .groupBy("v")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        prop = (
+            labels.join(nbr, "v", "left")
+            .select(
+                "v",
+                F.col("label").alias("_old"),
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # compress: label(v) <- label(label(v)) (pointer jumping); the
+        # pre-round label rides along so the convergence check below is
+        # a narrow filter over the checkpointed rows, not another join.
+        ref = prop.select(
+            F.col("v").alias("rv"), F.col("label").alias("rlabel")
+        )
+        jumped = (
+            prop.join(ref, prop["label"] == ref["rv"], "left")
+            .select(
+                "v",
+                "_old",
+                F.least(
+                    F.col("label"), F.coalesce("rlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = jumped.filter(F.col("label") != F.col("_old")).count()
+        labels = jumped.drop("_old")
+        if changed == 0:
+            return labels.select(
+                F.col("v").alias(vertex_col), F.col("label").alias("component_id")
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )

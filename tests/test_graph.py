@@ -1,0 +1,52 @@
+"""Connected components: correctness on hand-built graphs, singleton
+handling, and O(log n)-round convergence on a long chain."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lakehouse_spark.operators.graph import connected_components
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+
+
+def _cc(df):
+    return {r["vec_id"]: r["component_id"] for r in df.collect()}
+
+
+def test_two_components_and_chain(spark):
+    # 1-2-3 chained (no 1-3 edge) plus 10-11; min id labels the cluster
+    out = _cc(connected_components(_edges(spark, [(2, 1), (2, 3), (10, 11)])))
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_isolated_vertices_from_universe(spark):
+    verts = spark.range(6).select(F.col("id").alias("vec_id"))
+    out = _cc(
+        connected_components(
+            _edges(spark, [(4, 5)]), vertices=verts, vertex_col="vec_id"
+        )
+    )
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 4}
+
+
+def test_long_chain_converges_within_log_rounds(spark):
+    # path 0-1-2-...-63: diameter 63; pointer jumping must close it in
+    # far fewer than 63 rounds (log2(64)=6, allow slack)
+    out = _cc(
+        connected_components(
+            _edges(spark, [(i, i + 1) for i in range(63)]), max_iter=10
+        )
+    )
+    assert set(out.values()) == {0}
+    assert len(out) == 64
+
+
+def test_nonconvergence_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            _edges(spark, [(i, i + 1) for i in range(63)]), max_iter=1
+        )
