@@ -1030,6 +1030,54 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf_topk_indexed(cat, "embeddings_ivf", qv, k=20)
 
 
+def _kmeans_index_catalog(spark: SparkSession, sf_dir: str):
+    """Catalog holding the learned (KMeans IVF-Flat) ANN index for
+    ``sf_dir``, built once per process+scale and reused."""
+    import tempfile
+
+    from data_lakehouse_spark.catalog import Catalog
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dls_kmeans_index",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    cat = Catalog(spark, root)
+    src = f"{sf_dir}/embeddings.parquet"
+    src_stamp = str(int(os.path.getmtime(src)))
+    fresh = (
+        cat.table_exists("embeddings_kmeans_ivf")
+        and cat.table_properties("embeddings_kmeans_ivf").get("index.src_mtime")
+        == src_stamp
+    )
+    if not fresh:
+        emb = spark.read.parquet(src)
+        similarity.build_kmeans_ivf_index(
+            cat,
+            emb,
+            "embeddings_kmeans_ivf",
+            k=16,
+            seed=7,
+            mode="replace",
+            extra_properties={"index.src_mtime": src_stamp},
+        )
+    return cat
+
+
+def q_ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-quantizer ANN: KMeans IVF-Flat index table partitioned
+    by nearest-centroid cell; probes read only nprobe cells (driver-side
+    centroid ranking → partition-pruned scan → exact cosine re-rank).
+    KMeans assignment is engine-specific → rows-only check; recall@k
+    vs the exact oracle is pinned in tests/test_dedup_similarity.py."""
+    _ensure_conf(spark)
+    qv = _query_vec(spark, sf_dir)
+    cat = _kmeans_index_catalog(spark, sf_dir)
+    return similarity.ann_kmeans_ivf_topk(
+        cat, "embeddings_kmeans_ivf", qv, k=20, nprobe=3
+    )
+
+
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) next to exact COUNT(DISTINCT) per
     day — the scalable variant of the A5/A6 exact-distinct marts (HLL
@@ -1134,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_kmeans_ivf_topk": q_ann_kmeans_ivf_topk,
         "approx_distinct_users": q_approx_distinct_users,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,

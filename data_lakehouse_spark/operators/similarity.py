@@ -44,6 +44,8 @@ __all__ = [
     "ann_ivf_topk",
     "build_embedding_index",
     "ann_ivf_topk_indexed",
+    "build_kmeans_ivf_index",
+    "ann_kmeans_ivf_topk",
 ]
 
 
@@ -580,6 +582,117 @@ def ann_ivf_topk_indexed(
     return (
         catalog.read(name)
         .filter(F.col("ivf_bucket").isin(*[int(s) for s in probe]))
+        .select(F.col("vec_id"), sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def build_kmeans_ivf_index(
+    catalog,
+    df: DataFrame,
+    name: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    seed: int = 7,
+    max_iter: int = 20,
+    mode: str = "replace",
+    extra_properties: dict | None = None,
+):
+    """Materialize a LEARNED IVF index: Spark ML KMeans centroids as the
+    coarse quantizer (IVF-Flat), rows written through the catalog
+    PARTITIONED BY their nearest-centroid cell.
+
+    Versus the hyperplane buckets of :func:`build_embedding_index`,
+    learned centroids adapt to the data distribution — cells are
+    balanced where the data is dense, which is why IVF-Flat is the
+    standard first tier of production ANN. Centroids are persisted as a
+    table property (k·dim floats — trivially small), so the query side
+    picks its probe cells with pure driver-side arithmetic and never
+    touches data outside the probed partitions. Training cost is the
+    usual index economics: one KMeans fit at build time (Spark ML runs
+    it as distributed Lloyd iterations), amortized over every query.
+    """
+    import json
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    src = df.select(
+        F.col(id_col).cast("bigint").alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+    )
+    feats = src.withColumn(
+        "_features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(
+        k=k,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="_features",
+        predictionCol="ivf_cell",
+    ).fit(feats)
+    indexed = model.transform(feats).select(
+        "vec_id", "embedding", F.col("ivf_cell").cast("int").alias("ivf_cell")
+    )
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    return catalog.create_table(
+        name,
+        indexed,
+        partition_by=["ivf_cell"],
+        properties={
+            "index.kind": "ivf_kmeans",
+            "index.k": str(k),
+            "index.dim": str(len(centroids[0])),
+            "index.centroids": json.dumps(centroids),
+            **(extra_properties or {}),
+        },
+        mode=mode,
+    )
+
+
+def ann_kmeans_ivf_topk(
+    catalog,
+    name: str,
+    query_vec: list[float],
+    *,
+    k: int = 20,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate top-k over a :func:`build_kmeans_ivf_index` table:
+    rank the stored centroids against the query DRIVER-SIDE (pure
+    arithmetic on k·dim floats), read only the ``nprobe`` nearest
+    ``ivf_cell=`` partitions (Catalyst prunes on the partition column),
+    exact cosine re-rank inside them.
+
+    Cell selection uses squared-Euclidean distance — the metric KMeans
+    assigned rows with, so probe cells are exactly the cells whose
+    members are near the query under the quantizer's own geometry; the
+    final ordering is exact cosine like every other tier. Recall
+    depends on nprobe/k as usual for IVF (tests pin recall@k against
+    the brute-force oracle on the fixture).
+    """
+    import json
+
+    props = catalog.table_properties(name)
+    if props.get("index.kind") != "ivf_kmeans":
+        raise ValueError(f"{name} is not an ivf_kmeans index")
+    centroids = json.loads(props["index.centroids"])
+    dim = int(props["index.dim"])
+    if len(query_vec) != dim:
+        raise ValueError(f"query dim {len(query_vec)} != index dim {dim}")
+    d2 = [
+        (sum((float(a) - b) ** 2 for a, b in zip(query_vec, c)), i)
+        for i, c in enumerate(centroids)
+    ]
+    cells = [i for _, i in sorted(d2)[: max(1, nprobe)]]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_similarity(F.col("embedding"), q)
+    return (
+        catalog.read(name)
+        .filter(F.col("ivf_cell").isin(cells))
         .select(F.col("vec_id"), sim.alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(k)

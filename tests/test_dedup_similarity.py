@@ -242,3 +242,56 @@ def test_lsh_cosine_candidates_hot_bucket_cap(spark):
         df, threshold=0.5, num_planes=8, bands=2, max_bucket_size=None
     )
     assert uncapped.count() > capped.count()
+
+
+def test_kmeans_ivf_recall_and_pruned_read(spark, sf_dir, tmp_path):
+    """Learned-quantizer (KMeans IVF-Flat) index: recall@10 against the
+    exact brute-force top-k, query vector always recovered, and the
+    probe reads a strict subset of the index table's partition files."""
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "kidx"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    similarity.build_kmeans_ivf_index(cat, emb, "kivf", k=8, seed=7)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    exact = similarity.cosine_topk(emb, qv, k=10)
+    approx = similarity.ann_kmeans_ivf_topk(cat, "kivf", qv, k=10, nprobe=3)
+    assert similarity.exact_recall_at_k(approx, exact) >= 0.5
+    assert approx.first()["vec_id"] == 0
+
+    # nprobe=3 of k=8 cells -> the probed scan touches a strict subset
+    # of the partition files (inputFiles() is pre-pruning, so collect
+    # the files that actually produce rows)
+    total = set(cat.read("kivf").inputFiles())
+    import json
+
+    centroids = json.loads(cat.table_properties("kivf")["index.centroids"])
+    d2 = [
+        (sum((a - b) ** 2 for a, b in zip(qv, c)), i)
+        for i, c in enumerate(centroids)
+    ]
+    cells = [i for _, i in sorted(d2)[:3]]
+    probed = {
+        r[0]
+        for r in cat.read("kivf")
+        .filter(F.col("ivf_cell").isin(cells))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert probed and probed < total
+
+
+def test_kmeans_ivf_rejects_wrong_index_kind(spark, sf_dir, tmp_path):
+    import pytest
+
+    from data_lakehouse_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "hidx"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    similarity.build_embedding_index(cat, emb, "hyp", num_planes=4, seed=7)
+    with pytest.raises(ValueError, match="not an ivf_kmeans index"):
+        similarity.ann_kmeans_ivf_topk(cat, "hyp", [0.0] * 64)
