@@ -228,6 +228,55 @@ class Catalog:
             "bytes": bytes_total,
         }
 
+    def expire_snapshots(self, name: str, *, keep_last: int = 1) -> dict:
+        """VACUUM / expire_snapshots: reclaim storage held only by old
+        versions (Iceberg ``expire_snapshots`` / Delta ``VACUUM`` analog).
+
+        Every commit keeps prior data dirs alive for time travel; at
+        100 TB that history IS the storage bill, so expiry is the
+        maintenance op that bounds it. The last ``keep_last`` versions
+        stay fully readable; older versions are marked expired (time
+        travel to them raises a clear error instead of reading partial
+        data) and any data dir no retained version references is
+        deleted. The manifest flips atomically, so concurrent readers
+        of retained versions are unaffected.
+        """
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        h = self._handle(name)
+        entries = self._load_manifest(h)
+        if not entries:
+            raise ValueError(f"table {name} does not exist")
+        retained = entries[-keep_last:]
+        keep_dirs = {d for e in retained for d in e["data_dirs"]}
+        expired_versions = 0
+        for e in entries[:-keep_last]:
+            if not e.get("expired"):
+                e["expired"] = True
+                expired_versions += 1
+        bytes_reclaimed = 0
+        dirs_deleted = 0
+        for d in sorted(os.listdir(h.path)):
+            full = os.path.join(h.path, d)
+            if not os.path.isdir(full) or d in keep_dirs:
+                continue
+            bytes_reclaimed += sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(full)
+                for f in fs
+            )
+            shutil.rmtree(full)
+            dirs_deleted += 1
+        self._save_manifest(h, entries)
+        return {
+            "table": name,
+            "versions_expired": expired_versions,
+            "dirs_deleted": dirs_deleted,
+            "bytes_reclaimed": bytes_reclaimed,
+        }
+
     # -- reads -------------------------------------------------------------
     def read(self, name: str, *, version: int | None = None) -> DataFrame:
         """Scan the table, optionally VERSION AS OF (time travel)."""
@@ -236,6 +285,11 @@ class Catalog:
         if not entries:
             raise ValueError(f"table {name} does not exist")
         entry = entries[version] if version is not None else entries[-1]
+        if entry.get("expired"):
+            raise ValueError(
+                f"version {entry['version']} of {name} has been expired "
+                "(expire_snapshots); time travel to it is no longer possible"
+            )
         paths = [os.path.join(h.path, d) for d in entry["data_dirs"]]
         schema = StructType.fromJson(entry["schema"])
         # Each snapshot dir is its own partition-discovery root (they all
@@ -280,11 +334,19 @@ class Catalog:
         """The Iceberg ``.snapshots`` metadata-table analog."""
         entries = self._load_manifest(self._handle(name))
         rows = [
-            (e["version"], e["op"], e["committed_at"], len(e["data_dirs"]))
+            (
+                e["version"],
+                e["op"],
+                e["committed_at"],
+                len(e["data_dirs"]),
+                bool(e.get("expired", False)),
+            )
             for e in entries
         ]
         return self.spark.createDataFrame(
-            rows, "version int, operation string, committed_at string, n_data_dirs int"
+            rows,
+            "version int, operation string, committed_at string, "
+            "n_data_dirs int, expired boolean",
         )
 
     def register_views(self) -> None:

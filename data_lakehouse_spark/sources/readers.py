@@ -23,6 +23,7 @@ from pyspark.sql.types import StructType
 __all__ = [
     "read_csv",
     "read_json",
+    "read_orc",
     "read_parquet_table",
     "load_tables",
     "rows_source",
@@ -93,6 +94,18 @@ def read_json(
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S2: scan one fixture table (``{sf_dir}/{name}.parquet``)."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """S2 twin for ORC tables (Hive-ecosystem interop). Spark's native
+    vectorized ORC reader gives the same pushdown/pruning/min-max
+    skipping as parquet; partition directories discover identically."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
 
 
 def load_tables(

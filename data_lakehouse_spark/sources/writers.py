@@ -18,13 +18,18 @@ from pyspark.sql import DataFrame
 __all__ = ["append_table", "replace_table", "jdbc_sink", "write_bucketed"]
 
 
-def _writer(df: DataFrame, partition_by: list[str] | None, sort_by: list[str] | None):
+def _writer(
+    df: DataFrame,
+    partition_by: list[str] | None,
+    sort_by: list[str] | None,
+    fmt: str = "parquet",
+):
     # sortWithinPartitions stands in for MergeTree ORDER BY / Iceberg
     # sort order: co-locates key ranges inside each file for min/max
     # skipping (reference: clickhouse/create_tables.sql:24,56-60).
     if sort_by:
         df = df.sortWithinPartitions(*sort_by)
-    w = df.write.format("parquet")
+    w = df.write.format(fmt)
     if partition_by:
         w = w.partitionBy(*partition_by)
     return w
@@ -35,9 +40,13 @@ def append_table(
     path: str,
     partition_by: list[str] | None = None,
     sort_by: list[str] | None = None,
+    fmt: str = "parquet",
 ) -> None:
-    """S6/S7: append files to a managed Parquet table directory."""
-    _writer(df, partition_by, sort_by).mode("append").save(path)
+    """S6/S7: append files to a managed table directory. ``fmt`` is any
+    columnar format Spark ships ("parquet" default, "orc" for
+    Hive-ecosystem interop) — both get vectorized scans, min/max
+    skipping, and partition pruning."""
+    _writer(df, partition_by, sort_by, fmt).mode("append").save(path)
 
 
 def replace_table(
@@ -45,9 +54,10 @@ def replace_table(
     path: str,
     partition_by: list[str] | None = None,
     sort_by: list[str] | None = None,
+    fmt: str = "parquet",
 ) -> None:
     """S8: full-table CREATE OR REPLACE materialization."""
-    _writer(df, partition_by, sort_by).mode("overwrite").save(path)
+    _writer(df, partition_by, sort_by, fmt).mode("overwrite").save(path)
 
 
 def write_bucketed(

@@ -187,3 +187,61 @@ def test_medallion_end_to_end_incremental(spark, tmp_path):
     # verification battery runs
     v = pipe.verify_bronze()
     assert v["total"].first()["n"] == 8
+
+
+def test_expire_snapshots_reclaims_and_guards_time_travel(spark, tmp_path):
+    """VACUUM semantics: old versions' storage is reclaimed, time travel
+    to expired versions raises, retained versions stay readable."""
+    import os
+
+    import pytest
+
+    cat = _catalog(spark, tmp_path)
+    cat.create_table("t", spark.createDataFrame([(1,)], "id long"))
+    cat.overwrite("t", spark.createDataFrame([(2,), (3,)], "id long"))
+    cat.append("t", spark.createDataFrame([(4,)], "id long"))
+
+    stats = cat.expire_snapshots("t", keep_last=1)
+    assert stats["versions_expired"] == 2
+    # v0's dir is referenced by nothing retained (v2 = v1's overwrite
+    # dir + v2's append dir) -> exactly one dir reclaimed
+    assert stats["dirs_deleted"] == 1
+    assert stats["bytes_reclaimed"] > 0
+
+    # current read unaffected; expired version refuses cleanly
+    assert sorted(r["id"] for r in cat.read("t").collect()) == [2, 3, 4]
+    with pytest.raises(ValueError, match="expired"):
+        cat.read("t", version=0)
+    # the snapshots metadata view shows the expiry
+    assert [r["expired"] for r in cat.snapshots("t").collect()] == [
+        True,
+        True,
+        False,
+    ]
+    # idempotent: nothing further to reclaim
+    again = cat.expire_snapshots("t", keep_last=1)
+    assert again["dirs_deleted"] == 0 and again["versions_expired"] == 0
+    # on-disk: only retained dirs remain
+    tdir = os.path.join(str(tmp_path / "warehouse"), "t")
+    dirs = sorted(d for d in os.listdir(tdir) if os.path.isdir(os.path.join(tdir, d)))
+    assert dirs == ["v00001", "v00002"]
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    """ORC sink/source parity: partitioned write, partition-pruned read."""
+    from data_lakehouse_spark.sources.readers import read_orc
+    from data_lakehouse_spark.sources.writers import replace_table
+
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-02"), (3, "c", "2024-01-02")],
+        "id long, s string, d string",
+    )
+    path = str(tmp_path / "orc_t")
+    replace_table(df, path, partition_by=["d"], fmt="orc")
+    back = read_orc(spark, path)
+    assert sorted(r["id"] for r in back.collect()) == [1, 2, 3]
+
+    pruned = back.filter(F.col("d") == "2024-01-02")
+    assert pruned.count() == 2
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "d#" in plan[plan.index("PartitionFilters"):][:200]
