@@ -299,6 +299,80 @@ def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.orderBy("l_returnflag", "l_linestatus")
 
 
+def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem,
+    revenue per open order, top 10. Plan: the only big-big shuffle is
+    lineitem ⋈ orders on l_orderkey; customer is a broadcast dim and
+    both date filters push down to the scans."""
+    _ensure_conf(spark)
+    t = load_tables(
+        spark, sf_dir, ["customer", "orders", "lineitem"], register_views=False
+    )
+    cutoff = F.lit("1998-07-01 00:00:00").cast("timestamp")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate") < cutoff)
+    li = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    one = F.lit(1).cast(_D4)
+    rev = F.col("l_extendedprice").cast(_D12) * (one - F.col("l_discount").cast(_D4))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join with the local-supplier condition
+    (c_nationkey = s_nationkey), revenue per nation in one region-year.
+    Plan: lineitem ⋈ orders is the single big-big shuffle; supplier,
+    customer, nation, region all broadcast; region/date filters prune
+    before the join."""
+    _ensure_conf(spark)
+    t = load_tables(
+        spark,
+        sf_dir,
+        ["customer", "orders", "lineitem", "supplier", "nation", "region"],
+        register_views=False,
+    )
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    one = F.lit(1).cast(_D4)
+    rev = F.col("l_extendedprice").cast(_D12) * (one - F.col("l_discount").cast(_D4))
+    asia_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t["customer"]),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J-surface + O3 top-k: orders ⋈ customer ⋈ nation (broadcast dims),
     revenue per customer, top 10."""
@@ -1136,6 +1210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gold_category_performance": q_category_performance_tpch,
         # relational operator surface (TPC-H-ish)
         "tpch_pricing_summary": q_tpch_pricing_summary,
+        "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
+        "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
         "orders_price_band_range_join": q_orders_price_band_range_join,
         "top_customers": q_top_customers,
         "customers_without_orders": q_customers_without_orders,
@@ -1529,6 +1605,39 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
 GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["tpch_q3_shipping_priority"] = """
+SELECT l_orderkey,
+    strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+    sql["tpch_q5_local_supplier_volume"] = """
+SELECT n_name,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
 """
 
     sql["top_customers"] = """

@@ -319,34 +319,52 @@ def quality_signals(
     distinct_ratio = F.when(n == 0, F.lit(None).cast("double")).otherwise(
         round_half_up(dbl(F.size(F.array_distinct("_toks"))) / n, 4)
     )
-    top_bigram = F.when(nb == 0, F.lit(None).cast("double")).otherwise(
-        round_half_up(
-            dbl(
-                F.array_max(
-                    F.transform(
-                        "_bi",
-                        lambda bg: F.size(F.filter("_bi", lambda x: x == bg)),
-                    )
-                )
-            )
-            / nb,
-            4,
+    # Occurrence statistics via ONE pass over the sorted n-gram array
+    # (equal values are adjacent, so "count of x" = run length): the
+    # max count is the longest run, and the duplicated-instance count
+    # is the sum of runs >= 2. O(n log n) per row instead of the naive
+    # O(n²) count-per-element lambda (measured ~3x on the bench docs;
+    # higher-order functions are interpreted, not codegen'd, so lambda
+    # evaluations are the cost that matters). The values are identical
+    # to the quadratic formula the DuckDB oracle keeps.
+    def _run_stats(arr: Column) -> Column:
+        acc0 = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(0).alias("dup"),
         )
+
+        def step(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            flushed_dup = acc["dup"] + F.when(
+                (x != acc["prev"]) & (acc["run"] >= 2), acc["run"]
+            ).otherwise(F.lit(0))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+                flushed_dup.alias("dup"),
+            )
+
+        def finish(acc):
+            return F.struct(
+                acc["best"].alias("best"),
+                (
+                    acc["dup"]
+                    + F.when(acc["run"] >= 2, acc["run"]).otherwise(F.lit(0))
+                ).alias("dup"),
+            )
+
+        return F.aggregate(F.array_sort(arr), acc0, step, finish)
+
+    bi_stats = _run_stats(F.col("_bi"))
+    tri_stats = _run_stats(F.col("_tri"))
+    top_bigram = F.when(nb == 0, F.lit(None).cast("double")).otherwise(
+        round_half_up(dbl(bi_stats["best"]) / nb, 4)
     )
     dup_trigram = F.when(nt == 0, F.lit(None).cast("double")).otherwise(
-        round_half_up(
-            dbl(
-                F.size(
-                    F.filter(
-                        "_tri",
-                        lambda tg: F.size(F.filter("_tri", lambda y: y == tg))
-                        > 1,
-                    )
-                )
-            )
-            / nt,
-            4,
-        )
+        round_half_up(dbl(tri_stats["dup"]) / nt, 4)
     )
     symbol_ratio = F.when(n == 0, F.lit(None).cast("double")).otherwise(
         round_half_up(

@@ -299,3 +299,20 @@ def test_runtime_bloom_filter_injected_on_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tpch_q3_q5_broadcast_dims_and_pushdown(spark, sf_dir):
+    """The multi-join TPC-H battery keeps dims broadcast and pushes
+    every selective filter into the scans — no dim ever shuffles."""
+    plan = _plan(entry.q_tpch_q3_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "GreaterThan(l_shipdate" in plan and "LessThan(o_orderdate" in plan
+
+    plan = _plan(entry.q_tpch_q5_local_supplier_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier/customer/nation-region
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    # column pruning on the widest table
+    scan = next(l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l)
+    assert "l_returnflag" not in scan and "l_tax" not in scan
