@@ -818,6 +818,51 @@ def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY GROUPING SETS — the general form ROLLUP/CUBE
+    specialize: (priority, status), (status), and grand total, skipping
+    the (priority) set a CUBE would also compute."""
+    _ensure_conf(spark)
+    o = load_tables(spark, sf_dir, ["orders"], register_views=False)["orders"]
+    return relational.grouping_sets_agg(
+        o,
+        [["o_orderpriority", "o_orderstatus"], ["o_orderstatus"], []],
+        ["o_orderpriority", "o_orderstatus"],
+        [
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_D12)).cast("double").alias("revenue"),
+        ],
+    )
+
+
+def q_segment_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90 of order value per
+    market segment): Spark's ``percentile`` ≡ SQL PERCENTILE_CONT ≡
+    DuckDB quantile_cont — the exact twin of the approx-quantile scale
+    path used by the RFM mart. Customer is a broadcast dim; one
+    hash-agg shuffle on segment."""
+    _ensure_conf(spark)
+    t = load_tables(spark, sf_dir, ["orders", "customer"], register_views=False)
+    return (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            round_half_up(F.percentile("o_totalprice", F.lit(0.5)), 2).alias(
+                "median_order"
+            ),
+            round_half_up(F.percentile("o_totalprice", F.lit(0.9)), 2).alias(
+                "p90_order"
+            ),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # --------------------------------------------------------------------------
 # LLM-pipeline queries (documents / embeddings)
 # --------------------------------------------------------------------------
@@ -1230,6 +1275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_battery": q_window_battery,
         "event_type_pivot": q_event_type_pivot,
         "orders_cube": q_orders_cube,
+        "orders_grouping_sets": q_orders_grouping_sets,
+        "segment_order_percentiles": q_segment_order_percentiles,
         "part_category_split": q_part_category_split,
         "events_json_props": q_events_json_props,
         "monthly_sales_rollup": q_monthly_sales_rollup,
@@ -1928,6 +1975,25 @@ SELECT o_orderpriority, o_orderstatus,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+    sql["orders_grouping_sets"] = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+"""
+
+    sql["segment_order_percentiles"] = """
+SELECT c_mktsegment,
+    floor(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) / 100 AS median_order,
+    floor(quantile_cont(o_totalprice, 0.9) * 100 + 0.5) / 100 AS p90_order,
+    CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
 """
 
     # -- LLM-pipeline operators --------------------------------------------

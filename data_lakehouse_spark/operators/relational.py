@@ -24,6 +24,7 @@ __all__ = [
     "watermark_filter",
     "rollup_agg",
     "cube_agg",
+    "grouping_sets_agg",
     "pivot_agg",
     "tumbling_window_agg",
     "top_1_per_group",
@@ -125,6 +126,19 @@ def cube_agg(
     """GROUP BY CUBE — all grouping-set combinations (engine
     extension)."""
     return df.cube(*keys).agg(*aggs)
+
+
+def grouping_sets_agg(
+    df: DataFrame,
+    sets: Sequence[Sequence[str]],
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """GROUP BY GROUPING SETS — explicit grouping-set list (the general
+    form rollup/cube specialize). One shuffle; Spark expands the sets
+    map-side like ROLLUP/CUBE, so cost matches a union of grouped aggs
+    without re-scanning the input per set."""
+    return df.groupingSets([list(s) for s in sets], *keys).agg(*aggs)
 
 
 def pivot_agg(
