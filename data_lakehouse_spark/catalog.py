@@ -101,12 +101,24 @@ class Catalog:
         return self._commit(h, df, op="create", partition_by=partition_by,
                             properties=properties or {}, replace=True)
 
-    def append(self, name: str, df: DataFrame) -> TableHandle:
-        """S6: append snapshot (new files only)."""
+    def append(
+        self,
+        name: str,
+        df: DataFrame,
+        *,
+        properties_update: dict[str, str] | None = None,
+    ) -> TableHandle:
+        """S6: append snapshot (new files only). ``properties_update``
+        merges into the table properties IN THE SAME commit — the hook
+        transactional sinks use to record their progress marker (e.g.
+        a streaming batch id) atomically with the data it covers."""
         h = self._handle(name)
         if not self.table_exists(name):
             raise ValueError(f"table {name} does not exist")
-        return self._commit(h, df, op="append", replace=False)
+        props = None
+        if properties_update:
+            props = {**self.table_properties(name), **properties_update}
+        return self._commit(h, df, op="append", replace=False, properties=props)
 
     def overwrite(self, name: str, df: DataFrame) -> TableHandle:
         """S8: replace contents, keep history (old versions readable)."""

@@ -7,6 +7,7 @@ from data_lakehouse_spark.streaming.pipeline import (
     stream_sliding_counts,
     stream_static_enrich,
     stream_stream_interval_join,
+    make_catalog_sink,
     stream_to_catalog,
     stream_tumbling_counts,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "stream_sliding_counts",
     "stream_static_enrich",
     "stream_stream_interval_join",
+    "make_catalog_sink",
     "stream_to_catalog",
     "stream_tumbling_counts",
 ]

@@ -25,6 +25,8 @@ __all__ = [
     "stream_dedup",
     "stream_running_counts",
     "stream_to_catalog",
+    "make_catalog_sink",
+    "LAST_BATCH_PROP",
     "ROCKSDB_STATE_CONF",
 ]
 
@@ -176,6 +178,53 @@ def stream_stream_interval_join(
     return lw.join(rw, cond, "inner").drop(rw[on])
 
 
+#: Table property recording the newest committed micro-batch id.
+LAST_BATCH_PROP = "stream.last_batch_id"
+
+
+def make_catalog_sink(
+    catalog,
+    table: str,
+    *,
+    partition_by: list[str] | None = None,
+    exactly_once: bool = True,
+):
+    """The foreachBatch function :func:`stream_to_catalog` installs,
+    exposed separately so replay behavior is unit-testable.
+
+    With ``exactly_once`` the sink implements the canonical idempotent-
+    foreachBatch pattern: every append commit records its ``batch_id``
+    in the table properties ATOMICALLY with the data (one manifest
+    flip), and a re-delivered batch (failure between sink success and
+    checkpoint write — foreachBatch is at-least-once by contract) sees
+    ``batch_id <= recorded`` and skips. This is the same
+    transactional-marker trick Delta/Iceberg streaming sinks use
+    (txnVersion/txnAppId); single-writer per table like the catalog
+    itself.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not catalog.table_exists(table):
+            catalog.create_table(
+                table,
+                batch_df,
+                partition_by=partition_by,
+                properties={LAST_BATCH_PROP: str(batch_id)},
+            )
+            return
+        if exactly_once:
+            last = catalog.table_properties(table).get(LAST_BATCH_PROP)
+            if last is not None and batch_id <= int(last):
+                return  # replayed batch: already committed
+        catalog.append(
+            table, batch_df, properties_update={LAST_BATCH_PROP: str(batch_id)}
+        )
+
+    return sink
+
+
 def stream_to_catalog(
     stream: DataFrame,
     catalog,
@@ -183,22 +232,18 @@ def stream_to_catalog(
     *,
     checkpoint: str,
     partition_by: list[str] | None = None,
+    exactly_once: bool = True,
 ) -> "object":
     """foreachBatch sink into a versioned Catalog table — the streaming
     bronze-ingestion path: each micro-batch lands as one atomic append
     commit, so downstream batch readers see complete snapshots only.
-    Exactly-once to the manifest comes from the checkpoint (a replayed
-    batch re-appends; pair with dedup_on_write downstream for the
-    at-least-once edge). Returns the started StreamingQuery.
+    End-to-end exactly-once = the checkpoint's replay (at-least-once)
+    plus the sink's batch-id marker (idempotence; see
+    :func:`make_catalog_sink`). Returns the started StreamingQuery.
     """
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.isEmpty():
-            if catalog.table_exists(table):
-                catalog.append(table, batch_df)
-            else:
-                catalog.create_table(table, batch_df, partition_by=partition_by)
-
+    sink = make_catalog_sink(
+        catalog, table, partition_by=partition_by, exactly_once=exactly_once
+    )
     return (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)

@@ -303,3 +303,30 @@ def test_rocksdb_state_store_matches_heap_results(spark, tmp_path):
                 spark.conf.set(k, v)
     assert got[("2024-01-01T10:00:00", "view")] == 3
     assert got[("2024-01-01T11:00:00", "view")] == 2
+
+
+def test_catalog_sink_skips_replayed_batch(spark, tmp_path):
+    """foreachBatch is at-least-once; the sink's batch-id marker makes
+    the catalog table exactly-once: a re-delivered batch is a no-op."""
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.streaming import make_catalog_sink
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    sink = make_catalog_sink(cat, "t")
+    b0 = spark.createDataFrame([(1,), (2,)], "id long")
+    b1 = spark.createDataFrame([(3,)], "id long")
+
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # replay after a crash between commit and checkpoint
+    sink(b0, 0)  # stale replay
+    assert sorted(r["id"] for r in cat.read("t").collect()) == [1, 2, 3]
+    assert cat.table_properties("t")["stream.last_batch_id"] == "1"
+    # only the two real commits exist
+    assert cat.snapshots("t").count() == 2
+
+    # opting out reproduces the raw at-least-once behavior
+    raw = make_catalog_sink(cat, "t_raw", exactly_once=False)
+    raw(b0, 0)
+    raw(b0, 0)
+    assert cat.read("t_raw").count() == 4
