@@ -157,13 +157,50 @@ class Catalog:
                 "op": op,
                 "committed_at": time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()),
                 "data_dirs": dirs,
-                "schema": json.loads(df.schema.json()),
+                "schema": self._assign_field_ids(
+                    json.loads(df.schema.json()), entries
+                ),
                 "partition_by": pb,
                 "properties": properties or (prev.get("properties") if prev else {}),
             }
         )
         self._save_manifest(h, entries)
         return h
+
+    @staticmethod
+    def _max_field_id(entries: list[dict]) -> int:
+        return max(
+            (
+                (f.get("metadata") or {}).get("field_id", 0)
+                for e in entries
+                for f in e["schema"]["fields"]
+            ),
+            default=0,
+        )
+
+    def _assign_field_ids(self, schema_json: dict, entries: list[dict]) -> dict:
+        """Iceberg-style stable field ids: a column keeps its id across
+        commits (matched by name against the previous schema — renames
+        go through :meth:`rename_column`, which preserves the id
+        explicitly), and fresh names get fresh ids so a re-added name
+        never resurrects dropped data. Ids are what let :meth:`read`
+        resolve files written under a column's OLD name."""
+        prev_fields = (
+            {f["name"]: f for f in entries[-1]["schema"]["fields"]}
+            if entries
+            else {}
+        )
+        nid = self._max_field_id(entries)
+        for f in schema_json["fields"]:
+            md = dict(f.get("metadata") or {})
+            pf = prev_fields.get(f["name"])
+            if pf and "field_id" in (pf.get("metadata") or {}):
+                md["field_id"] = pf["metadata"]["field_id"]
+            else:
+                nid += 1
+                md["field_id"] = nid
+            f["metadata"] = md
+        return schema_json
 
     # -- schema evolution (S11) --------------------------------------------
     def add_column(self, name: str, col_name: str, col_type: str,
@@ -179,19 +216,73 @@ class Catalog:
         if any(f["name"] == col_name for f in fields):
             return  # idempotent no-op
         new_schema = dict(last["schema"])
+        md: dict = {"field_id": self._max_field_id(entries) + 1}
+        if comment:
+            md["comment"] = comment
         new_schema["fields"] = fields + [
             {
                 "name": col_name,
                 "type": col_type,
                 "nullable": True,
-                "metadata": {"comment": comment} if comment else {},
+                "metadata": md,
             }
         ]
+        self._schema_commit(h, entries, "add_column", new_schema)
+
+    def rename_column(self, name: str, old: str, new: str) -> None:
+        """ALTER TABLE RENAME COLUMN without rewrite (manifest-only).
+
+        The column keeps its stable field id, so :meth:`read` keeps
+        resolving files written under the old name — the Iceberg
+        rename semantics, impossible with pure name-based parquet
+        schema merge. Partition columns are refused (their old name is
+        baked into directory layouts)."""
+        h = self._handle(name)
+        entries = self._load_manifest(h)
+        if not entries:
+            raise ValueError(f"table {name} does not exist")
+        last = entries[-1]
+        if old in (last.get("partition_by") or []):
+            raise ValueError(f"cannot rename partition column {old}")
+        fields = last["schema"]["fields"]
+        if not any(f["name"] == old for f in fields):
+            raise ValueError(f"column {old} does not exist in {name}")
+        if any(f["name"] == new for f in fields):
+            raise ValueError(f"column {new} already exists in {name}")
+        new_schema = dict(last["schema"])
+        new_schema["fields"] = [
+            {**f, "name": new} if f["name"] == old else f for f in fields
+        ]
+        self._schema_commit(h, entries, "rename_column", new_schema)
+
+    def drop_column(self, name: str, col_name: str) -> None:
+        """ALTER TABLE DROP COLUMN without rewrite (manifest-only): the
+        column disappears from every version ≥ this commit; the bytes
+        stay in old files (and in time travel) until snapshots expire.
+        A later :meth:`add_column` with the same name gets a FRESH field
+        id, so it reads back NULL instead of resurrecting dropped data."""
+        h = self._handle(name)
+        entries = self._load_manifest(h)
+        if not entries:
+            raise ValueError(f"table {name} does not exist")
+        last = entries[-1]
+        if col_name in (last.get("partition_by") or []):
+            raise ValueError(f"cannot drop partition column {col_name}")
+        fields = last["schema"]["fields"]
+        if not any(f["name"] == col_name for f in fields):
+            raise ValueError(f"column {col_name} does not exist in {name}")
+        new_schema = dict(last["schema"])
+        new_schema["fields"] = [f for f in fields if f["name"] != col_name]
+        self._schema_commit(h, entries, "drop_column", new_schema)
+
+    def _schema_commit(
+        self, h: TableHandle, entries: list[dict], op: str, new_schema: dict
+    ) -> None:
         entries.append(
             {
-                **{k: last[k] for k in ("data_dirs", "partition_by", "properties")},
+                **{k: entries[-1][k] for k in ("data_dirs", "partition_by", "properties")},
                 "version": len(entries),
-                "op": "add_column",
+                "op": op,
                 "committed_at": time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()),
                 "schema": new_schema,
             }
@@ -302,18 +393,52 @@ class Catalog:
                 f"version {entry['version']} of {name} has been expired "
                 "(expire_snapshots); time travel to it is no longer possible"
             )
-        paths = [os.path.join(h.path, d) for d in entry["data_dirs"]]
         schema = StructType.fromJson(entry["schema"])
+        tfields = entry["schema"]["fields"]
+
+        def _ids(fields: list[dict]) -> dict[int, str] | None:
+            out = {}
+            for f in fields:
+                fid = (f.get("metadata") or {}).get("field_id")
+                if fid is None:
+                    return None  # legacy manifest without field ids
+                out[fid] = f["name"]
+            return out
+
+        target_ids = _ids(tfields)
         # Each snapshot dir is its own partition-discovery root (they all
         # hold k=v partition subdirs for partitioned tables), so read them
         # separately with an explicit basePath and union — Spark refuses a
         # single multi-root scan (CONFLICTING_DIRECTORY_STRUCTURES).
-        parts = [
-            self.spark.read.schema(schema)
-            .option("basePath", p)
-            .parquet(p)
-            for p in paths
-        ]
+        # Every dir is read with ITS writer's schema (dir vNNNNN was
+        # written by entry N), then projected to the target schema by
+        # stable field id: renamed columns resolve under their old
+        # on-disk name, added columns come back NULL, dropped columns
+        # vanish — Iceberg's schema-evolution read semantics.
+        parts = []
+        for d in entry["data_dirs"]:
+            p = os.path.join(h.path, d)
+            wentry = entries[int(d[1:])]
+            writer_ids = _ids(wentry["schema"]["fields"]) if target_ids else None
+            if target_ids is None or writer_ids is None:
+                parts.append(
+                    self.spark.read.schema(schema).option("basePath", p).parquet(p)
+                )
+                continue
+            wschema = StructType.fromJson(wentry["schema"])
+            raw = (
+                self.spark.read.schema(wschema).option("basePath", p).parquet(p)
+            )
+            cols = []
+            for f, sf in zip(tfields, schema.fields):
+                fid = f["metadata"]["field_id"]
+                if fid in writer_ids:
+                    cols.append(F.col(writer_ids[fid]).alias(f["name"]))
+                else:
+                    cols.append(
+                        F.lit(None).cast(sf.dataType).alias(f["name"])
+                    )
+            parts.append(raw.select(*cols))
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)

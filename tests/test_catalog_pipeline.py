@@ -245,3 +245,58 @@ def test_orc_roundtrip_partitioned(spark, tmp_path):
     assert pruned.count() == 2
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "d#" in plan[plan.index("PartitionFilters"):][:200]
+
+
+def test_rename_column_resolves_old_files_by_field_id(spark, tmp_path):
+    """RENAME COLUMN is manifest-only: files written under the old name
+    keep resolving (stable field ids), new appends use the new name,
+    and both union into one coherent read."""
+    cat = _catalog(spark, tmp_path)
+    cat.create_table("t", spark.createDataFrame([(1, "x")], "id long, val string"))
+    cat.rename_column("t", "val", "label")
+    # append AFTER the rename writes files under the new name
+    cat.append("t", spark.createDataFrame([(2, "y")], "id long, label string"))
+
+    rows = {r["id"]: r["label"] for r in cat.read("t").collect()}
+    assert rows == {1: "x", 2: "y"}
+    assert [c["col_name"] for c in cat.describe("t")] == ["id", "label"]
+    # time travel BEFORE the rename still shows the old name
+    assert cat.read("t", version=0).columns == ["id", "val"]
+
+
+def test_drop_column_then_readd_does_not_resurrect(spark, tmp_path):
+    """DROP COLUMN is manifest-only; re-adding the same name gets a
+    fresh field id, so old bytes do NOT resurrect (Iceberg semantics)."""
+    import pytest
+
+    cat = _catalog(spark, tmp_path)
+    cat.create_table(
+        "t", spark.createDataFrame([(1, "secret")], "id long, s string")
+    )
+    cat.drop_column("t", "s")
+    assert cat.read("t").columns == ["id"]
+    cat.add_column("t", "s", "string")
+    # same name, new identity: reads NULL, not "secret"
+    assert cat.read("t").collect()[0]["s"] is None
+    # time travel to v0 still sees the original value
+    assert cat.read("t", version=0).collect()[0]["s"] == "secret"
+    # guards
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.drop_column("t", "nope")
+    with pytest.raises(ValueError, match="already exists"):
+        cat.rename_column("t", "id", "s")
+
+
+def test_rename_refuses_partition_columns(spark, tmp_path):
+    import pytest
+
+    cat = _catalog(spark, tmp_path)
+    cat.create_table(
+        "p",
+        spark.createDataFrame([(1, "2024-01-01")], "id long, d string"),
+        partition_by=["d"],
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        cat.rename_column("p", "d", "dt")
+    with pytest.raises(ValueError, match="partition column"):
+        cat.drop_column("p", "d")
