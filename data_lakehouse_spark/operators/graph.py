@@ -98,6 +98,8 @@ def connected_components(
         ref = prop.select(
             F.col("v").alias("rv"), F.col("label").alias("rlabel")
         )
+        # lazy checkpoint: the convergence count below is the action
+        # that materializes it — one job per round instead of two
         jumped = (
             prop.join(ref, prop["label"] == ref["rv"], "left")
             .select(
@@ -107,7 +109,7 @@ def connected_components(
                     F.col("label"), F.coalesce("rlabel", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = jumped.filter(F.col("label") != F.col("_old")).count()
         labels = jumped.drop("_old")
