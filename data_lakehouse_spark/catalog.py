@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 from dataclasses import dataclass
 
@@ -34,7 +35,60 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-__all__ = ["Catalog", "TableHandle"]
+__all__ = ["Catalog", "TableHandle", "apply_partition_transforms"]
+
+#: ``partition_by`` entries may be Iceberg-style TRANSFORMS instead of
+#: plain column names: ``days(ts)`` / ``hours(ts)`` / ``months(ts)``
+#: derive a calendar bucket from a timestamp, ``bucket(n, col)`` a hash
+#: bucket, ``truncate(n, col)`` a string prefix. The derived column
+#: (named ``<col>_<transform>``) is computed automatically on create
+#: AND append — callers never materialize it — which is the reference's
+#: hidden-partitioning contract (bronze_ingestion.py:113 partitions by
+#: days(event_timestamp) without a user-facing column).
+_TRANSFORM_RE = re.compile(
+    r"^(days|hours|months)\((\w+)\)$|^(bucket|truncate)\((\d+),\s*(\w+)\)$"
+)
+
+
+def _parse_transform(spec: str):
+    """→ (derived_name, expr_fn) for a transform spec, or None for a
+    plain column name."""
+    m = _TRANSFORM_RE.match(spec.strip())
+    if not m:
+        return None
+    if m.group(1):
+        kind, col = m.group(1), m.group(2)
+        fmt = {"days": "yyyy-MM-dd", "hours": "yyyy-MM-dd-HH", "months": "yyyy-MM"}[
+            kind
+        ]
+        return f"{col}_{kind[:-1]}", lambda: F.date_format(F.col(col), fmt)
+    kind, n, col = m.group(3), int(m.group(4)), m.group(5)
+    if kind == "bucket":
+        return f"{col}_bucket", lambda: F.pmod(F.xxhash64(F.col(col)), F.lit(n)).cast(
+            "int"
+        )
+    return f"{col}_trunc", lambda: F.substring(F.col(col), 1, n)
+
+
+def apply_partition_transforms(
+    df: DataFrame, partition_by: list[str] | None
+) -> tuple[DataFrame, list[str] | None]:
+    """Materialize transform specs in ``partition_by`` as derived
+    columns → (df with derived columns, physical partition column
+    list). Plain column names pass through untouched."""
+    if not partition_by:
+        return df, partition_by
+    out_cols = []
+    for spec in partition_by:
+        parsed = _parse_transform(spec)
+        if parsed is None:
+            out_cols.append(spec)
+        else:
+            name, expr = parsed
+            if name not in df.columns:
+                df = df.withColumn(name, expr())
+            out_cols.append(name)
+    return df, out_cols
 
 
 @dataclass
@@ -141,9 +195,15 @@ class Catalog:
         version = len(entries)
         data_dir = os.path.join(h.path, f"v{version:05d}")
         prev = entries[-1] if entries else None
-        pb = partition_by if partition_by is not None else (
-            prev.get("partition_by") if prev else None
+        # transform specs come from the caller on create, and from the
+        # manifest on every later commit — appends re-derive hidden
+        # partition columns without the caller materializing them
+        pb_spec = partition_by if partition_by is not None else (
+            (prev.get("partition_transforms") or prev.get("partition_by"))
+            if prev
+            else None
         )
+        df, pb = apply_partition_transforms(df, pb_spec)
         writer = df.write.format("parquet")
         if pb:
             writer = writer.partitionBy(*pb)
@@ -161,6 +221,7 @@ class Catalog:
                     json.loads(df.schema.json()), entries
                 ),
                 "partition_by": pb,
+                "partition_transforms": pb_spec,
                 "properties": properties or (prev.get("properties") if prev else {}),
             }
         )
@@ -280,7 +341,15 @@ class Catalog:
     ) -> None:
         entries.append(
             {
-                **{k: entries[-1][k] for k in ("data_dirs", "partition_by", "properties")},
+                **{
+                    k: entries[-1].get(k)
+                    for k in (
+                        "data_dirs",
+                        "partition_by",
+                        "partition_transforms",
+                        "properties",
+                    )
+                },
                 "version": len(entries),
                 "op": op,
                 "committed_at": time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()),

@@ -300,3 +300,47 @@ def test_rename_refuses_partition_columns(spark, tmp_path):
         cat.rename_column("p", "d", "dt")
     with pytest.raises(ValueError, match="partition column"):
         cat.drop_column("p", "d")
+
+
+def test_hidden_partition_transforms_days_and_bucket(spark, tmp_path):
+    """Iceberg-style transform partitioning (reference parity:
+    bronze_ingestion partitions by days(ts) with no user-managed
+    column): the derived column appears on create AND append without
+    the caller materializing it, and filters on it partition-prune."""
+    cat = _catalog(spark, tmp_path)
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 5), "a"),
+            (2, dt.datetime(2024, 1, 2, 6), "b"),
+        ],
+        "id long, ts timestamp, s string",
+    )
+    cat.create_table("ev", df, partition_by=["days(ts)"])
+    # append RAW rows — the hidden column is re-derived
+    cat.append(
+        "ev",
+        spark.createDataFrame(
+            [(3, dt.datetime(2024, 1, 2, 9), "c")], "id long, ts timestamp, s string"
+        ),
+    )
+    back = cat.read("ev")
+    assert "ts_day" in back.columns
+    day2 = back.filter(F.col("ts_day") == "2024-01-02")
+    assert sorted(r["id"] for r in day2.collect()) == [2, 3]
+    plan = day2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    scan = plan[plan.index("PartitionFilters"):]
+    assert "ts_day" in scan[: scan.index("]")]
+
+    # bucket transform: deterministic hash bucket, pruned the same way
+    cat.create_table(
+        "bk",
+        spark.createDataFrame([(i, f"u{i}") for i in range(20)], "id long, u string"),
+        partition_by=["bucket(4, id)"],
+    )
+    bk = cat.read("bk")
+    assert "id_bucket" in bk.columns
+    assert bk.select("id_bucket").distinct().count() <= 4
+    assert bk.filter(F.col("id_bucket") == 0).count() + bk.filter(
+        F.col("id_bucket") != 0
+    ).count() == 20
