@@ -360,7 +360,11 @@ class Catalog:
 
     # -- maintenance -------------------------------------------------------
     def compact(
-        self, name: str, *, target_file_bytes: int = 128 * 1024 * 1024
+        self,
+        name: str,
+        *,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        zorder_by: list[str] | None = None,
     ) -> dict:
         """OPTIMIZE: rewrite the current snapshot into ~target-sized
         files (Iceberg rewrite_data_files / Delta OPTIMIZE analog).
@@ -388,9 +392,19 @@ class Catalog:
         )
         n_files = max(1, -(-bytes_total // target_file_bytes))
         pb = entries[-1].get("partition_by")
-        compacted = (
-            current.repartition(n_files, *pb) if pb else current.coalesce(n_files)
-        )
+        if zorder_by:
+            # OPTIMIZE ZORDER BY: range-partition on the Morton code so
+            # each output file covers a small rectangle in zorder_by
+            # space — min/max file skipping then works for predicates
+            # on ANY clustered column, not just a leading sort key.
+            from data_lakehouse_spark.functions.zorder import zorder_df
+
+            zdf, zcol = zorder_df(current, zorder_by)
+            compacted = zdf.repartitionByRange(n_files, F.col(zcol)).drop(zcol)
+        elif pb:
+            compacted = current.repartition(n_files, *pb)
+        else:
+            compacted = current.coalesce(n_files)
         h = self._commit(self._handle(name), compacted, op="compact", replace=True)
         files_after = len(self.read(name).inputFiles())
         return {
