@@ -947,6 +947,22 @@ def q_doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.quality_signals(docs)
 
 
+def q_doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (email/phone/IPv4): per-class hit counts + redacted
+    text, one JVM-regex scan (operators/corpus.py ``redact_pii``)."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.redact_pii(docs)
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token windows, 8-token overlap —
+    one scan, no shuffle, posexplode fan-out (corpus.chunk_documents)."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.chunk_documents(docs, chunk_tokens=64, overlap=8)
+
+
 def q_doc_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_conf(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1287,6 +1303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "training_corpus_select": q_training_corpus_select,
         "doc_quality_gopher": q_doc_quality_gopher,
+        "doc_pii_redaction": q_doc_pii_redaction,
+        "doc_chunks": q_doc_chunks,
         "doc_language_guess": q_doc_language_guess,
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2075,6 +2093,54 @@ SELECT *,
         AND distinct_token_ratio > 0.3,
         FALSE) AS gopher_pass
 FROM s
+"""
+
+    # Same pattern strings as corpus.PII_PATTERNS (portable regex
+    # subset: identical under Java regex and RE2); DuckDB needs the 'g'
+    # flag for replace-all, which is Java's default.
+    _PII = {
+        "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+        "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    }
+    _pii_counts = ",\n    ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{c}"
+        for c, p in _PII.items()
+    )
+    _pii_total = " + ".join(
+        f"len(regexp_extract_all(text, '{p}'))" for p in _PII.values()
+    )
+    _red = "text"
+    for c, p in _PII.items():
+        _red = f"regexp_replace({_red}, '{p}', '[{c.upper()}]', 'g')"
+    sql["doc_pii_redaction"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    {_pii_counts},
+    CAST({_pii_total} AS BIGINT) AS n_pii_total,
+    {_red} AS redacted_text
+FROM documents
+"""
+
+    # chunk_tokens=64, overlap=8, stride=56 — mirrors corpus.chunk_documents
+    sql["doc_chunks"] = r"""
+WITH b AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+    FROM documents
+), s AS (
+    SELECT doc_id, toks,
+        CASE WHEN len(toks) = 0 THEN []::INT[]
+             ELSE range(0,
+                        CAST(floor(greatest((len(toks) - 1 - 8) / 56.0, 0)) AS INT) * 56 + 1,
+                        56) END AS starts
+    FROM b
+)
+SELECT s.doc_id,
+    CAST(u.start / 56 AS BIGINT) AS chunk_idx,
+    array_to_string(s.toks[u.start + 1 : u.start + 64], ' ') AS chunk_text,
+    CAST(len(s.toks[u.start + 1 : u.start + 64]) AS BIGINT) AS n_chunk_tokens
+FROM s, UNNEST(s.starts) AS u(start)
 """
 
     _MARKERS = {

@@ -49,7 +49,20 @@ __all__ = [
     "decontaminate",
     "pack_shards",
     "quality_signals",
+    "redact_pii",
+    "chunk_documents",
 ]
+
+#: Deliberately simple, oracle-portable PII patterns (same regex class
+#: syntax under Java regex and RE2): email, international-ish phone,
+#: IPv4. Production pipelines swap in their compliance-grade library;
+#: the OPERATOR SHAPE (one scan, regexp_count + regexp_replace, no
+#: Python) is what scales.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
 
 
 def sample_threshold(fraction: float) -> str:
@@ -401,3 +414,88 @@ def quality_signals(
     # n < min_tokens short-circuits every NULL ratio case to FALSE, so
     # the gate is always a concrete boolean.
     return sig.withColumn("gopher_pass", F.coalesce(gate, F.lit(False)))
+
+
+def redact_pii(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: Mapping[str, str] = PII_PATTERNS,
+) -> DataFrame:
+    """PII scrub — the compliance pass every public-corpus pipeline
+    runs before training: per-document hit counts per pattern class
+    plus the redacted text (matches replaced by ``[CLASS]`` tokens).
+
+    One scan, all JVM regex (``regexp_count`` + chained
+    ``regexp_replace``); no shuffle. Returns
+    (doc_id, n_<class>... , n_pii_total, redacted_text).
+    """
+    out = [F.col(id_col).cast("bigint").alias("doc_id")]
+    total = F.lit(0)
+    red = F.col(text_col)
+    for cls, pat in patterns.items():
+        n = F.regexp_count(F.col(text_col), F.lit(pat))
+        out.append(n.cast("bigint").alias(f"n_{cls}"))
+        total = total + n
+        red = F.regexp_replace(red, pat, f"[{cls.upper()}]")
+    out.append(total.cast("bigint").alias("n_pii_total"))
+    out.append(red.alias("redacted_text"))
+    return df.select(*out)
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into ~``chunk_tokens``-token windows with
+    ``overlap`` tokens of context carry-over → one row per chunk
+    (doc_id, chunk_idx, chunk_text, n_chunk_tokens) — the
+    context-window packing step between a cleaned corpus and an
+    embedding/training job.
+
+    Whitespace tokenization (the cheap, oracle-portable stand-in for a
+    real tokenizer — swap :func:`~data_lakehouse_spark.functions.text.
+    bpe_ish_token_count`'s regex in for sub-word budgets). Shape: the
+    token array materializes once, chunk starts come from a
+    ``sequence`` (stride = chunk - overlap), and ``posexplode`` fans
+    out — one scan, no shuffle, output rows ∝ input tokens.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = F.trim(F.col(text_col))
+    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    staged = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"), toks.alias("_toks")
+    ).withColumn(
+        "_starts",
+        F.when(F.size("_toks") == 0, F.array().cast("array<int>")).otherwise(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    (F.size("_toks") - 1 - F.lit(overlap)) / stride, F.lit(0)
+                ).cast("int")
+                * stride,
+                F.lit(stride),
+            )
+        ),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("start") + 1, chunk_tokens)
+    return (
+        staged.select(
+            "doc_id", "_toks", F.posexplode("_starts").alias("chunk_idx", "start")
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+            F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        )
+    )

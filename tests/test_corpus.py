@@ -168,3 +168,44 @@ def test_quality_signals_single_scan_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_redact_pii_counts_and_masks(spark):
+    rows = [
+        (1, "mail me at jo.doe+x@site.org or call +1 (555) 123-4567 now"),
+        (2, "server 10.0.0.1 and 192.168.1.255 pinged"),
+        (3, "clean text only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r.asDict() for r in corpus.redact_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert "[EMAIL]" in out[1]["redacted_text"]
+    assert "[PHONE]" in out[1]["redacted_text"]
+    assert "jo.doe" not in out[1]["redacted_text"]
+    assert out[2]["n_ipv4"] == 2 and out[2]["redacted_text"].count("[IPV4]") == 2
+    assert out[3]["n_pii_total"] == 0 and out[3]["redacted_text"] == "clean text only"
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(130))  # 130 tokens
+    df = spark.createDataFrame(
+        [(1, text), (2, "short doc"), (3, "")], "doc_id bigint, text string"
+    )
+    chunks = corpus.chunk_documents(df, chunk_tokens=64, overlap=8).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0, 56, 112 -> 3 chunks; last one is the tail
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2]
+    assert [r["n_chunk_tokens"] for r in c1] == [64, 64, 130 - 112]
+    # overlap: chunk 1 starts 8 tokens before chunk 0 ends
+    assert c1[0]["chunk_text"].split()[56:] == c1[1]["chunk_text"].split()[:8]
+    # every token appears in at least one chunk
+    covered = set()
+    for r in c1:
+        covered.update(r["chunk_text"].split())
+    assert len(covered) == 130
+    # short doc: one chunk; empty doc: no rows
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 2
+    assert 3 not in by_doc
