@@ -963,6 +963,59 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.chunk_documents(docs, chunk_tokens=64, overlap=8)
 
 
+def q_corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction: top-100 terms by corpus frequency (the
+    tokenizer-training prefix). explode → one hash-agg shuffle →
+    TakeOrdered top-k; no global sort."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(text_fns.normalized_text(F.col("text")), " ")
+    return (
+        docs.select(F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(100)
+    )
+
+
+def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic sparse-relevance
+    scoring every retrieval/quality pipeline keeps around.
+
+    idf is the RATIONAL variant (N/df, no logarithm): tf·N/df on
+    bigint-derived doubles is exact IEEE arithmetic, so Spark and the
+    DuckDB oracle agree bit-for-bit where a ``ln`` would risk last-ulp
+    libm divergence. Shape: explode → (doc,term) hash agg → term df
+    agg → broadcast df back → per-doc window top-k. Three shuffles, all
+    keyed; document-frequency table broadcasts (vocab ≪ corpus).
+    """
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    toks = F.split(text_fns.normalized_text(F.col("text")), " ")
+    terms = (
+        docs.select(F.col("doc_id").cast("bigint").alias("doc_id"), F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "score",
+            F.col("tf").cast("double") * F.lit(float(n_docs)) / F.col("df").cast("double"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
 def q_doc_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_conf(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1305,6 +1358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_gopher": q_doc_quality_gopher,
         "doc_pii_redaction": q_doc_pii_redaction,
         "doc_chunks": q_doc_chunks,
+        "corpus_vocab_topk": q_corpus_vocab_topk,
+        "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
         "doc_language_guess": q_doc_language_guess,
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2141,6 +2196,41 @@ SELECT s.doc_id,
     array_to_string(s.toks[u.start + 1 : u.start + 64], ' ') AS chunk_text,
     CAST(len(s.toks[u.start + 1 : u.start + 64]) AS BIGINT) AS n_chunk_tokens
 FROM s, UNNEST(s.starts) AS u(start)
+"""
+
+    sql["corpus_vocab_topk"] = f"""
+WITH t AS (
+    SELECT unnest(string_split({_NORM}, ' ')) AS term FROM documents
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+FROM t WHERE term != ''
+GROUP BY term
+ORDER BY n DESC, term ASC
+LIMIT 100
+"""
+
+    # Rational idf (tf * N / df, no ln) — exact double arithmetic on
+    # both engines; N computed inline to match the Spark count().
+    sql["doc_tfidf_top_terms"] = f"""
+WITH t AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           unnest(string_split({_NORM}, ' ')) AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM t WHERE term != ''
+    GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        CAST(tf.tf AS DOUBLE) * (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / CAST(dfreq.df AS DOUBLE) AS score
+    FROM tf JOIN dfreq USING (term)
+), ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf, df, score, rank FROM ranked WHERE rank <= 3
 """
 
     _MARKERS = {
