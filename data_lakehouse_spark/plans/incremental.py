@@ -26,7 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["IncrementalMaterializer", "merge_upsert"]
+__all__ = ["IncrementalMaterializer", "merge_upsert", "scd2_merge"]
 
 
 def merge_upsert(
@@ -101,3 +101,93 @@ class IncrementalMaterializer:
             self.target_path
         )
         return {"mode": mode, "watermark": wm}
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    *,
+    keys: list[str],
+    tracked: list[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 merge: history-preserving
+    dimension maintenance (Kimball SCD2) as a pure DataFrame transform.
+
+    ``dim`` carries one row per (key, validity interval) with
+    ``valid_from`` / ``valid_to`` timestamps and a ``current_flag``;
+    ``updates`` carries (keys + tracked + ts_col) rows. For each update
+    whose tracked attributes DIFFER from the key's current row (or
+    whose key is new): the current row closes (``valid_to`` = update
+    ts, flag false) and a new current row opens. Updates equal to the
+    current row are no-ops, so re-applying a batch is idempotent.
+
+    Shape: every join/agg is keyed on ``keys`` — one shuffle family;
+    co-locates if dim and updates are partitioned on the key. History
+    rows pass through untouched (at scale: keep the dimension
+    partitioned so only touched partitions rewrite).
+
+    Null-safe change detection via ``eqNullSafe`` — a tracked NULL ↔
+    value transition IS a change.
+    """
+    if not keys or not tracked:
+        raise ValueError("keys and tracked must be non-empty")
+    out_cols = [*keys, *tracked, valid_from, valid_to, current_flag]
+    cur = dim.filter(F.col(current_flag)).select(*out_cols)
+    hist = dim.filter(~F.col(current_flag)).select(*out_cols)
+
+    # newest update per key wins within a batch (ties: arbitrary but
+    # deterministic via a total ordering on tracked values)
+    w_latest = [F.col(ts_col).desc()] + [F.col(c).desc_nulls_last() for c in tracked]
+    from pyspark.sql.window import Window as _W
+
+    latest = (
+        updates.select(*keys, *tracked, ts_col)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                _W.partitionBy(*keys).orderBy(*w_latest)
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    u = latest.alias("u")
+    c = cur.alias("c")
+    same = None
+    for t in tracked:
+        eq = F.col(f"u.{t}").eqNullSafe(F.col(f"c.{t}"))
+        same = eq if same is None else (same & eq)
+    joined = u.join(c, on=keys, how="left")
+    changed = joined.filter(
+        F.col(f"c.{current_flag}").isNull() | ~same
+    ).select("u.*")
+
+    changed_keys = changed.select(*keys)
+    closed = (
+        cur.join(changed_keys, on=keys, how="inner")
+        .join(
+            changed.select(*keys, F.col(ts_col).alias("_close_ts")), on=keys
+        )
+        .withColumn(valid_to, F.col("_close_ts"))
+        .withColumn(current_flag, F.lit(False))
+        .drop("_close_ts")
+        .select(*out_cols)
+    )
+    untouched_cur = cur.join(changed_keys, on=keys, how="left_anti")
+    opened = changed.select(
+        *keys,
+        *tracked,
+        F.col(ts_col).alias(valid_from),
+        F.lit(None).cast("timestamp").alias(valid_to),
+        F.lit(True).alias(current_flag),
+    )
+    return (
+        hist.unionByName(closed)
+        .unionByName(untouched_cur)
+        .unionByName(opened)
+    )
