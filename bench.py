@@ -70,15 +70,31 @@ def main() -> None:
     # whole suite — full passes, not back-to-back per query — so a
     # transient spike lands in at most one rep of any given query.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # Soft wall-clock budget: the FIRST pass always completes (every
+    # query gets a timing); extra noise-reduction passes stop once the
+    # budget is spent, so a caller-side timeout can never truncate the
+    # result set.
+    max_sec = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_SEC", "480"))
+    bench_start = time.time()
     timings: dict[str, float] = {}
-    for _ in range(max(reps, 1)):
+    for rep in range(max(reps, 1)):
         for name in bench_queries:
+            if rep > 0 and time.time() - bench_start > max_sec:
+                print(
+                    f"bench: wall budget {max_sec}s spent; stopping extra "
+                    f"reps (pass {rep + 1}, at {name})",
+                    file=sys.stderr,
+                )
+                break
             fn = queries[name]
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             t = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, t), t)
+        else:
+            continue
+        break
 
     total = round(sum(timings.values()), 3)
     print(
