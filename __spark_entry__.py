@@ -963,6 +963,27 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.chunk_documents(docs, chunk_tokens=64, overlap=8)
 
 
+def q_training_chunks_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-to-trainer recipe in ONE plan: Gopher/C4
+    quality gate → PII redaction → context-window chunking. Each stage
+    is individually oracle-verified (doc_quality_gopher,
+    doc_pii_redaction, doc_chunks); this entry verifies the
+    COMPOSITION. Plan: the surviving-id set broadcasts back onto the
+    text scan (a semi-probe, no shuffle of the corpus), then redaction
+    + chunking run in the same stage as the scan."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    passed = (
+        corpus.quality_signals(docs)
+        .filter(F.col("gopher_pass"))
+        .select("doc_id")
+    )
+    clean = corpus.redact_pii(docs.join(F.broadcast(passed), "doc_id")).select(
+        "doc_id", F.col("redacted_text").alias("text")
+    )
+    return corpus.chunk_documents(clean, chunk_tokens=64, overlap=8)
+
+
 def q_corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary induction: top-100 terms by corpus frequency (the
     tokenizer-training prefix). explode → one hash-agg shuffle →
@@ -1360,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "corpus_vocab_topk": q_corpus_vocab_topk,
         "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
+        "training_chunks_pipeline": q_training_chunks_pipeline,
         "doc_language_guess": q_doc_language_guess,
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2231,6 +2253,36 @@ WITH t AS (
     FROM scored
 )
 SELECT doc_id, term, tf, df, score, rank FROM ranked WHERE rank <= 3
+"""
+
+    # Composition oracle: gopher gate (reusing the doc_quality_gopher
+    # SQL as a subquery) → PII redaction chain → 64/8 token chunking.
+    sql["training_chunks_pipeline"] = f"""
+WITH passed AS (
+    SELECT doc_id FROM ({sql["doc_quality_gopher"]}) WHERE gopher_pass
+),
+red AS (
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id, {_red} AS rtext
+    FROM documents d JOIN passed ON CAST(d.doc_id AS BIGINT) = passed.doc_id
+),
+b AS (
+    SELECT doc_id,
+        CASE WHEN trim(rtext) = '' THEN []::VARCHAR[]
+             ELSE regexp_split_to_array(trim(rtext), '\\s+') END AS toks
+    FROM red
+), s AS (
+    SELECT doc_id, toks,
+        CASE WHEN len(toks) = 0 THEN []::INT[]
+             ELSE range(0,
+                        CAST(floor(greatest((len(toks) - 1 - 8) / 56.0, 0)) AS INT) * 56 + 1,
+                        56) END AS starts
+    FROM b
+)
+SELECT s.doc_id,
+    CAST(u.start / 56 AS BIGINT) AS chunk_idx,
+    array_to_string(s.toks[u.start + 1 : u.start + 64], ' ') AS chunk_text,
+    CAST(len(s.toks[u.start + 1 : u.start + 64]) AS BIGINT) AS n_chunk_tokens
+FROM s, UNNEST(s.starts) AS u(start)
 """
 
     _MARKERS = {
