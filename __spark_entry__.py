@@ -973,11 +973,14 @@ def q_training_chunks_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     + chunking run in the same stage as the scan."""
     _ensure_conf(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    passed = (
-        corpus.quality_signals(docs)
-        .filter(F.col("gopher_pass"))
-        .select("doc_id")
-    )
+    # Checkpoint barrier between signal computation and the gate
+    # filter: predicate pushdown would otherwise INLINE the whole
+    # gopher_pass expression tree into one projection, re-evaluating
+    # the per-row n-gram aggregates once per conjunct (~25x slower,
+    # measured). Materializing the signal table is also what a real
+    # pipeline does — it IS the quality-score artifact.
+    sig = corpus.quality_signals(docs).localCheckpoint(eager=False)
+    passed = sig.filter(F.col("gopher_pass")).select("doc_id")
     clean = corpus.redact_pii(docs.join(F.broadcast(passed), "doc_id")).select(
         "doc_id", F.col("redacted_text").alias("text")
     )
