@@ -53,8 +53,9 @@ def _ensure_conf(spark: SparkSession) -> None:
     """Pin session confs the comparisons depend on (the driver owns the
     session, so set runtime-mutable knobs defensively per query)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # events.parquet stores TIMESTAMP(NANOS) which Spark rejects by
-    # default; read as long and convert explicitly (silver_events).
+    # Older fixture generations stored events.ts as TIMESTAMP(NANOS),
+    # which Spark rejects by default; keep the long fallback so both
+    # vintages read (silver_events type-dispatches on the column type).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
@@ -557,8 +558,13 @@ def q_watermark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     silver = _events_silver(spark, sf_dir)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw_ts = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if raw.schema["ts"].dataType.typeName() in ("long", "bigint")
+        else F.col("ts").cast("timestamp")
+    )
     wm_src = raw.select(
-        F.timestamp_micros(F.expr("ts div 1000")).alias("event_timestamp"),
+        raw_ts.alias("event_timestamp"),
         F.lower(F.trim(F.col("event_type"))).alias("event_type"),
     ).filter((F.col("event_type") == "signup") & F.col("user_id").isNotNull())
     # empty_means_full=False: this query is compared against the literal
