@@ -69,7 +69,12 @@ def main() -> None:
     # runs on an otherwise idle VM). Reps are interleaved across the
     # whole suite — full passes, not back-to-back per query — so a
     # transient spike lands in at most one rep of any given query.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # 4 passes ≈ the C2-JIT warm plateau on a freshly booted host
+    # (observed: the same plan timing 4.7 → 2.4 → 1.6 → 1.5 s across
+    # back-to-back runs after reboot); the wall budget below still
+    # bounds total bench time, so extra passes never overrun a caller
+    # timeout.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
     # Soft wall-clock budget: the FIRST pass always completes (every
     # query gets a timing); extra noise-reduction passes stop once the
     # budget is spent, so a caller-side timeout can never truncate the

@@ -5,25 +5,34 @@ turns pairwise near-dup candidates into full dedup clusters.
 EDGES; a cluster is the connected component of the similarity graph.
 The single-hop min-neighbor collapse (operators/similarity.py
 ``embedding_dedup_canonical``) is the right first pass, but chains
-(A~B~C with A≁C) need the fixed point. This module computes it with
-min-label propagation plus pointer jumping:
+(A~B~C with A≁C) need the fixed point. This module computes it in two
+phases (the contract-then-iterate shape of the MapReduce-CC family;
+cf. Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC 2014):
 
-- propagate: ``label(v) ← min(label(v), min over neighbors label(u))``
-  — one shuffle keyed on vertex id;
-- compress (pointer jumping): ``label(v) ← label(label(v))`` — halves
-  the depth of every label-reference chain each round, so convergence
-  is O(log n) rounds rather than O(graph diameter) (the classic
-  MapReduce-CC accelerant; cf. Kiveris et al., "Connected Components
-  in MapReduce and Beyond", SoCC 2014 — hash-to-min family).
+- contract: hook every vertex to ``min(v, min neighbor)`` — ONE
+  aggregation over the full edge set — and project edges onto hook
+  labels. Near-dup components are tiny, so the contracted graph is
+  orders of magnitude smaller than the input; the full-size data is
+  touched exactly once more (the edge projection joins).
+- finish the residue: once the contracted edge count fits under
+  ``driver_finish_max_edges`` (it does after one hook on every real
+  near-dup graph — components are tiny), a driver-side union-find
+  closes it in one pass and the result broadcasts back. Until then,
+  contraction repeats on the (already shrunken) residue — each hook
+  halves every chain, so the loop is O(log diameter) rounds over
+  geometrically shrinking data, never the full input again.
 
-Scale shape per round: two hash-partitioned joins + one groupBy, all
-keyed on vertex/label ids; lineage is truncated every round with
-``localCheckpoint`` so the plan does not grow unboundedly (at cluster
-scale point ``spark.sparkContext.setCheckpointDir`` at durable storage
-and switch to ``checkpoint``). Dedup similarity graphs have tiny
-components (near-dup clusters), so rounds ≈ 2-4 in practice; the
-``max_iter`` cap is a safety rail, and convergence is detected with a
-changed-label count (one tiny action per round).
+Why the guarded driver finish is the scale-correct call and not a
+collect-smell: the full edge set is touched by exactly two shuffles
+(the hook aggregation and the label projection); what reaches the
+driver is bounded by the guard and is the CONTRACTED graph — one edge
+per adjacent pair of hook-clusters — not the input. Distributed
+per-round label propagation on that residue costs ~seconds of fixed
+scheduling overhead per round for data that fits in one task; a
+union-find on ≤5M edges is milliseconds. The repeated-contraction
+fallback keeps every step distributed when the residue is genuinely
+huge (adversarial long chains).
 
 Reference parity: the reference has no graph tier; this extends the
 LLM-dedup surface (driver brief) past single-hop canonicalization.
@@ -45,6 +54,7 @@ def connected_components(
     vertices: DataFrame | None = None,
     vertex_col: str = "vec_id",
     max_iter: int = 25,
+    driver_finish_max_edges: int = 5_000_000,
 ) -> DataFrame:
     """Label every vertex with the MINIMUM vertex id reachable from it
     → ``(vertex, component_id)``.
@@ -53,70 +63,182 @@ def connected_components(
     symmetrized internally). ``vertices`` optionally supplies the full
     vertex universe so isolated vertices (no edges) appear as their own
     singleton components — pass it for dedup so clean documents are
-    still labeled. Raises if ``max_iter`` rounds don't converge (never
-    observed on near-dup graphs; raise the cap for adversarial chains).
+    still labeled. Raises if ``max_iter`` contraction rounds don't
+    shrink the residue under ``driver_finish_max_edges`` (each round
+    halves chain depth; never observed past round one on near-dup
+    graphs).
     """
+    spark = edges.sparkSession
     e = edges.select(
         F.col(src).cast("bigint").alias("a"), F.col(dst).cast("bigint").alias("b")
     )
     # Materialize the (possibly expensive) pair-generation plan ONCE —
-    # every propagation round joins against sym, and without this the
+    # the contraction below reads it three times, and without this the
     # upstream candidate generator (e.g. the block GEMM) would re-run
-    # per round.
+    # per read.
     sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint()
-    if vertices is None:
-        verts = sym.select(F.col("a").alias("v")).distinct()
-    else:
+
+    # Phase 1 — contract: hook every vertex to the minimum of itself and
+    # its direct neighbors (one shuffle over the full edge set), then
+    # project edges onto hook labels. This is the ONLY full-size pass;
+    # everything after runs on the contracted residue.
+    # Correctness: each component's global-minimum vertex m hooks to
+    # itself (no neighbor is smaller), contraction preserves
+    # connectivity, so the component id of v is the contracted-graph
+    # component of hook(v).
+    hook, contracted = _hook_and_project(sym)
+    comp = _cc_residue(
+        spark, contracted, max_iter, driver_finish_max_edges
+    )
+
+    # Phase 2 — expand: component(v) = comp(hook(v)); hook labels whose
+    # whole component collapsed in one hop have no contracted edge and
+    # keep themselves. Isolated vertices (present in ``vertices`` but
+    # edge-free) become singleton components via the left join. ``comp``
+    # is residue-sized — the join broadcasts.
+    labeled = (
+        hook.join(F.broadcast(comp), hook["h"] == comp["cv"], "left")
+        .select(
+            F.col("a").alias("v"),
+            F.coalesce("clabel", F.col("h")).alias("component_id"),
+        )
+    )
+    if vertices is not None:
         verts = vertices.select(
             F.col(vertex_col).cast("bigint").alias("v")
         ).distinct()
+        labeled = (
+            verts.join(labeled, "v", "left")
+            .select("v", F.coalesce("component_id", F.col("v")).alias("component_id"))
+        )
+    return labeled.select(F.col("v").alias(vertex_col), "component_id")
 
-    labels = verts.select("v", F.col("v").alias("label")).localCheckpoint()
-    for _ in range(max_iter):
-        # propagate: min over own and neighbors' labels
-        nbr = (
-            sym.join(labels, sym["b"] == labels["v"])
-            .select(F.col("a").alias("v"), "label")
-            .groupBy("v")
-            .agg(F.min("label").alias("nbr_label"))
+
+def _hook_and_project(
+    sym: DataFrame, *, close: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """One contraction round: ``hook(v) = min(v, min neighbor)`` (one
+    shuffle) and the edge projection onto hook labels (two joins) →
+    ``(hook: a→h, contracted edges a<b, deduped)``.
+
+    ``close=True`` pointer-jumps the hook map to its root closure
+    first (``h ← h(h)`` until fixed — O(log depth) rounds of map-sized
+    self-joins), so each vertex contracts to its hook-forest ROOT (its
+    valley's local minimum) rather than its immediate hook. That is
+    what makes repeated contraction shrink multiplicatively even on
+    adversarial monotone chains; it costs extra rounds, so the
+    top-level full-size pass leaves it off and only the residue loop
+    (already small) turns it on."""
+    hook = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("_nb"))
+        .select("a", F.least(F.col("a"), F.col("_nb")).alias("h"))
+        .localCheckpoint()
+    )
+    if close:
+        hook = _close_hook_map(hook)
+    ha = hook.select(F.col("a").alias("_ea"), F.col("h").alias("ha"))
+    hb = hook.select(F.col("a").alias("_eb"), F.col("h").alias("hb"))
+    contracted = (
+        sym.join(ha, sym["a"] == ha["_ea"])
+        .join(hb, sym["b"] == hb["_eb"])
+        .filter(F.col("ha") != F.col("hb"))
+        .select(
+            F.least("ha", "hb").alias("a"), F.greatest("ha", "hb").alias("b")
         )
-        prop = (
-            labels.join(nbr, "v", "left")
+        .distinct()
+    )
+    return hook, contracted
+
+
+def _close_hook_map(hook: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """Pointer-jump a functional ``a→h`` map to its root closure.
+    Hook targets are strictly ≤ their source, so depth halves per
+    ``h ← h(h)`` round and the fixed point arrives in O(log depth)
+    rounds; each round is one map-sized self-join plus the count that
+    materializes the lazy checkpoint."""
+    cur = hook
+    for _ in range(max_rounds):
+        nxt_ref = cur.select(F.col("a").alias("_a2"), F.col("h").alias("_h2"))
+        stepped = (
+            cur.join(nxt_ref, cur["h"] == nxt_ref["_a2"], "left")
             .select(
-                "v",
-                F.col("label").alias("_old"),
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-            )
-        )
-        # compress: label(v) <- label(label(v)) (pointer jumping); the
-        # pre-round label rides along so the convergence check below is
-        # a narrow filter over the checkpointed rows, not another join.
-        ref = prop.select(
-            F.col("v").alias("rv"), F.col("label").alias("rlabel")
-        )
-        # lazy checkpoint: the convergence count below is the action
-        # that materializes it — one job per round instead of two
-        jumped = (
-            prop.join(ref, prop["label"] == ref["rv"], "left")
-            .select(
-                "v",
-                "_old",
-                F.least(
-                    F.col("label"), F.coalesce("rlabel", F.col("label"))
-                ).alias("label"),
+                "a",
+                F.coalesce("_h2", F.col("h")).alias("h"),
+                (F.coalesce("_h2", F.col("h")) != F.col("h")).alias("_moved"),
             )
             .localCheckpoint(eager=False)
         )
-        changed = jumped.filter(F.col("label") != F.col("_old")).count()
-        labels = jumped.drop("_old")
-        if changed == 0:
-            return labels.select(
-                F.col("v").alias(vertex_col), F.col("label").alias("component_id")
-            )
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds"
+        moved = stepped.filter(F.col("_moved")).count()
+        cur = stepped.drop("_moved")
+        if moved == 0:
+            return cur
+    raise RuntimeError(f"hook-map closure did not fix in {max_rounds} rounds")
+
+
+def _cc_residue(
+    spark, edges: DataFrame, max_iter: int, driver_finish_max_edges: int
+) -> DataFrame:
+    """Close the contracted residue → ``(cv, clabel)`` map covering
+    every vertex that appears in ``edges``. Repeats contraction while
+    the residue exceeds the driver guard (distributed, geometrically
+    shrinking), then finishes with a single-pass union-find."""
+    maps: list[DataFrame] = []  # composition chain, innermost first
+    cur = edges
+    for _ in range(max_iter):
+        cnt = cur.count()
+        if cnt == 0:
+            final = spark.createDataFrame([], "cv long, clabel long")
+            break
+        if cnt <= driver_finish_max_edges:
+            final = _union_find_df(spark, cur)
+            break
+        sym_cur = cur.unionByName(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).localCheckpoint()
+        hook, cur = _hook_and_project(sym_cur, close=True)
+        maps.append(hook.select(F.col("a").alias("cv"), F.col("h").alias("clabel")))
+    else:
+        raise RuntimeError(
+            f"connected_components residue did not fit under "
+            f"{driver_finish_max_edges} edges in {max_iter} rounds"
+        )
+    # Compose outward: each hop map re-points its labels through the
+    # finer map computed after it. All frames here are residue-sized.
+    for hop in reversed(maps):
+        nxt = final.select(F.col("cv").alias("_c"), F.col("clabel").alias("_l"))
+        final = (
+            hop.join(nxt, hop["clabel"] == nxt["_c"], "left")
+            .select("cv", F.coalesce("_l", F.col("clabel")).alias("clabel"))
+        )
+    return final
+
+
+def _union_find_df(spark, edges: DataFrame) -> DataFrame:
+    """Driver-side union-find over a guarded-size edge list →
+    ``(cv, clabel)`` with clabel = min vertex of the component."""
+    parent: dict[int, int] = {}
+    seen: set[int] = set()
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.select("a", "b").toLocalIterator():
+        a, b = int(row[0]), int(row[1])
+        seen.add(a)
+        seen.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id so the root IS the component label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return spark.createDataFrame(
+        [(v, find(v)) for v in sorted(seen)], "cv long, clabel long"
     )

@@ -46,7 +46,27 @@ def test_long_chain_converges_within_log_rounds(spark):
 
 
 def test_nonconvergence_raises(spark):
-    with pytest.raises(RuntimeError, match="did not converge"):
+    # driver_finish_max_edges=0 disables the union-find finish, so a
+    # single contraction round cannot shrink the chain residue to zero
+    # and the round cap must trip.
+    with pytest.raises(RuntimeError, match="did not fit"):
         connected_components(
-            _edges(spark, [(i, i + 1) for i in range(63)]), max_iter=1
+            _edges(spark, [(i, i + 1) for i in range(63)]),
+            max_iter=1,
+            driver_finish_max_edges=0,
         )
+
+
+def test_distributed_contraction_fallback(spark):
+    # guard of 0 forces the repeated-contraction path end-to-end: the
+    # chain must still fully close via hooks alone (each round halves
+    # chain depth), with no driver union-find involved.
+    out = _cc(
+        connected_components(
+            _edges(spark, [(i, i + 1) for i in range(63)]),
+            max_iter=10,
+            driver_finish_max_edges=0,
+        )
+    )
+    assert set(out.values()) == {0}
+    assert len(out) == 64
