@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_lakehouse_spark.functions import text as text_fns
+from data_lakehouse_spark.functions import udtfs
 from data_lakehouse_spark.functions.scalars import round_half_up
 from data_lakehouse_spark.operators import (
     corpus,
@@ -34,6 +35,7 @@ from data_lakehouse_spark.operators import (
     gold,
     graph,
     relational,
+    search,
     similarity,
 )
 from data_lakehouse_spark.operators.silver import silver_events
@@ -1046,6 +1048,56 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed query-term set for the BM25 retrieval query (drawn from the
+#: fixture vocabulary; one common, one mid, one rarer term).
+BM25_TERMS = ["spark", "vector", "join"]
+
+
+def q_doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval: BM25 top-50 over the documents table for a
+    fixed query term set — the standard first-stage lexical ranker next
+    to the ANN tier. Two passes: one tiny global stats aggregate
+    (N/avgdl/df, broadcast back), one embarrassingly-parallel scoring
+    scan; no explode, no posting-list shuffle (operators/search.py)."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return search.bm25_topk(docs, BM25_TERMS, k=50)
+
+
+def q_events_props_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic JSON key/value explode (dynamic keys → rows) — built-in
+    path: ``from_json`` string map + ``explode``, all JVM-side."""
+    _ensure_conf(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return udtfs.explode_json_kv_builtin(ev)
+
+
+def q_events_props_kv_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same explode through the Python ``@udtf`` surface (lateral
+    join) — API-parity demonstration; pinned row-for-row equal to the
+    built-in twin by tests/test_udtf.py and by SHARING its DuckDB
+    oracle, so the hash gate covers the UDTF protocol end-to-end."""
+    _ensure_conf(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return udtfs.explode_json_kv(ev)
+
+
+def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface, VARIANT edition: ``parse_json`` →
+    ``variant_get`` typed path extraction over the events props column
+    (Spark 4 VARIANT — the open-format successor to string-typed JSON
+    columns; binary-encoded, so repeated path reads skip re-parsing).
+    The struct/path extraction twin is ``events_json_props``."""
+    _ensure_conf(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = F.try_parse_json(F.col("props"))
+    return ev.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.variant_get(v, "$.k", "bigint").alias("k_variant"),
+        F.variant_get(v, "$.missing", "bigint").alias("k_missing"),
+    )
+
+
 def q_doc_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_conf(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1389,6 +1441,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "corpus_vocab_topk": q_corpus_vocab_topk,
         "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
+        "doc_bm25_search": q_doc_bm25_search,
+        "events_props_variant": q_events_props_variant,
+        "events_props_kv": q_events_props_kv,
+        "events_props_kv_udtf": q_events_props_kv_udtf,
         "training_chunks_pipeline": q_training_chunks_pipeline,
         "doc_language_guess": q_doc_language_guess,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -2274,6 +2330,64 @@ WITH t AS (
 )
 SELECT doc_id, term, tf, df, score, rank FROM ranked WHERE rank <= 3
 """
+
+    # BM25: every arithmetic step mirrors operators/search.py term by
+    # term and in the same association order (left-to-right addend sum,
+    # literal-for-literal k1/b math), so the only cross-engine risk is
+    # libm ln() in the last ulp — absorbed by the shared half-up
+    # rounding to 4 digits that also keys the top-k ordering.
+    _bm25_terms = {0: "spark", 1: "vector", 2: "join"}
+    _bm25_addend = " + ".join(
+        f"""(CASE WHEN tf{i} > 0 THEN ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))
+             * tf{i} * (1.2 + 1.0)
+             / (tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+            ELSE 0.0 END)"""
+        for i in _bm25_terms
+    )
+    sql["doc_bm25_search"] = f"""
+WITH toks AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+             ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+    FROM documents
+), staged AS (
+    SELECT doc_id,
+        CAST(len(toks) AS DOUBLE) AS dl,
+        {", ".join(f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf{i}" for i, t in _bm25_terms.items())}
+    FROM toks
+), stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+        {", ".join(f"SUM(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS df{i}" for i in _bm25_terms)}
+    FROM staged
+), scored AS (
+    SELECT doc_id,
+        {", ".join(f"CAST(tf{i} AS BIGINT) AS tf_{t}" for i, t in _bm25_terms.items())},
+        {_bm25_addend} AS raw
+    FROM staged, stats
+)
+SELECT doc_id, {", ".join(f"tf_{t}" for t in _bm25_terms.values())},
+       floor(raw * 10000 + 0.5) / 10000 AS bm25
+FROM scored WHERE raw > 0
+ORDER BY floor(raw * 10000 + 0.5) / 10000 DESC, doc_id ASC
+LIMIT 50
+"""
+
+    sql["events_props_variant"] = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_variant,
+       CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing
+FROM events
+"""
+
+    # One oracle, two engines-side implementations: the built-in
+    # map-explode and the Python UDTF both hash against this.
+    sql["events_props_kv"] = """
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       u.k AS prop_key,
+       json_extract_string(e.props, '$.' || u.k) AS prop_value
+FROM events e, unnest(json_keys(e.props)) AS u(k)
+"""
+    sql["events_props_kv_udtf"] = sql["events_props_kv"]
 
     # Composition oracle: gopher gate (reusing the doc_quality_gopher
     # SQL as a subquery) → PII redaction chain → 64/8 token chunking.
