@@ -1156,6 +1156,35 @@ def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.connected_components(pairs, vertices=emb, vertex_col="vec_id")
 
 
+def q_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE near-dup dedup story in one query — the exact
+    composition a 100 TB corpus run executes:
+
+    MinHash-LSH candidates (sub-quadratic, banded)
+      → exact shingle-Jaccard verification on candidates only
+      → connected components (transitive closure of verified pairs)
+      → canonical = min doc_id per cluster.
+
+    Rows-only correctness (LSH candidate sets are hash-family-specific,
+    not SQL-expressible); tests/test_neardup_pipeline.py pins the
+    refinement property against the exact-Jaccard clustering: every
+    pipeline cluster sits inside one exact cluster, and recall on the
+    fixture is 1.0.
+    """
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cands = dedup.minhash_lsh_candidates(docs)
+    verified = dedup.ngram_jaccard_pairs(docs, cands, threshold=0.5)
+    comps = graph.connected_components(
+        verified, vertices=docs, vertex_col="doc_id"
+    )
+    return comps.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("component_id").cast("bigint").alias("component_id"),
+        (F.col("component_id") != F.col("doc_id")).alias("is_duplicate"),
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: payload bytes + content address (decode
     itself is a stubbed mapInPandas — see multimodal/columns.py)."""
@@ -1474,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (hash/LSH/HLL/pandas-UDF based; no SQL oracle)
         "gold_user_rfm_segments_scalable": q_user_rfm_segments_scalable,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "near_dup_pipeline": q_near_dup_pipeline,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_kmeans_ivf_topk": q_ann_kmeans_ivf_topk,
