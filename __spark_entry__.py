@@ -1185,6 +1185,35 @@ def q_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: persistent banded-MinHash
+    signature index on 80% of the corpus, then ONE batch step folds the
+    remaining 20% in — signing only the batch, probing the index with a
+    broadcast bucket join, exact-verifying candidates. Returns the
+    batch's verified pairs; equality with the full batch pipeline is
+    pinned in tests/test_incremental_dedup.py. Rows-only correctness
+    (MinHash family not SQL-expressible). The build+add pair runs per
+    call so the query stays idempotent (add_batch mutates the index)."""
+    import tempfile
+
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.plans.incremental_dedup import IncrementalNearDupIndex
+
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dls_neardup_index",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    cat = Catalog(spark, root)
+    idx = IncrementalNearDupIndex(cat, "sigs")
+    idx.build(docs.filter(F.col("doc_id") % 5 != 0))
+    return idx.add_batch(
+        docs.filter(F.col("doc_id") % 5 == 0), docs, threshold=0.5
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: payload bytes + content address (decode
     itself is a stubbed mapInPandas — see multimodal/columns.py)."""
@@ -1504,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gold_user_rfm_segments_scalable": q_user_rfm_segments_scalable,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "near_dup_pipeline": q_near_dup_pipeline,
+        "near_dup_incremental": q_near_dup_incremental,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_kmeans_ivf_topk": q_ann_kmeans_ivf_topk,
