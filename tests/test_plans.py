@@ -316,3 +316,43 @@ def test_tpch_q3_q5_broadcast_dims_and_pushdown(spark, sf_dir):
     # column pruning on the widest table
     scan = next(l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l)
     assert "l_returnflag" not in scan and "l_tax" not in scan
+
+
+def test_bm25_no_explode_single_stats_broadcast(spark, sf_dir):
+    """BM25's plan claims: no Generate (the fixed term set never
+    explodes postings), the corpus-stats side reaches the scoring scan
+    as a broadcast, and the top-k is a TakeOrderedAndProject — the
+    shape that keeps retrieval one stats pass + one scoring pass."""
+    plan = _plan(entry.q_doc_bm25_search(spark, sf_dir))
+    assert "Generate" not in plan          # no explode anywhere
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_neardup_probe_broadcasts_batch(spark, sf_dir, tmp_path):
+    """The incremental near-dup batch probe must broadcast the
+    batch-side signatures/buckets and stream the index — the index is
+    scanned, never shuffled (no Exchange hashpartitioning feeding a
+    SortMergeJoin on the index side)."""
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.plans.incremental_dedup import (
+        IncrementalNearDupIndex,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    idx = IncrementalNearDupIndex(cat, "sigs")
+    idx.build(docs.filter(F.col("doc_id") % 5 != 0))
+
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    new_sigs = idx._sign(new, "text", "doc_id").localCheckpoint()
+    indexed = cat.read("sigs").select("doc_id", "band", "band_sig")
+    universe = indexed.unionByName(new_sigs)
+    probe_buckets = new_sigs.select("band", "band_sig").distinct()
+    hits = universe.join(
+        F.broadcast(probe_buckets), ["band", "band_sig"], "leftsemi"
+    )
+    plan = _plan(hits)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
