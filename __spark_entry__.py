@@ -1249,6 +1249,75 @@ def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("cosine_sim", round_half_up(F.col("cosine_sim"), 6))
 
 
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array analytics over the embedding column: per-label centroid
+    (mean vector) summarized as its L2 norm, plus the mean per-row
+    norm. Shape: posexplode → (label, pos) hash agg → per-label fold —
+    partial aggregation does the heavy lifting map-side; output is
+    labels × dims rows reduced to labels. Per-component means round
+    half-up to 6 before the norm fold so the cross-engine float story
+    stays in the rounded domain."""
+    _ensure_conf(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    comp = (
+        emb.select(
+            F.col("label").cast("bigint").alias("label"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+        )
+        .groupBy("label", "pos")
+        .agg(round_half_up(F.avg("x"), 6).alias("m"))
+    )
+    cent = comp.groupBy("label").agg(
+        round_half_up(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias(
+            "centroid_norm"
+        )
+    )
+    norms = emb.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        ).alias("nrm"),
+    ).groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        round_half_up(F.avg("nrm"), 4).alias("avg_vec_norm"),
+    )
+    return norms.join(cent, "label").select(
+        "label", "n_vecs", "avg_vec_norm", "centroid_norm"
+    )
+
+
+def q_orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (50k bins): binning as a
+    map-side floor-divide, one hash agg — the profiling primitive every
+    table-stats pass needs. Money accumulates in DECIMAL so the sum is
+    order-independent across engines."""
+    _ensure_conf(spark)
+    t = load_tables(spark, sf_dir, ["orders"])
+    bin_w = 50_000.0
+    b = F.floor(F.col("o_totalprice") / F.lit(bin_w)).cast("bigint")
+    return (
+        t["orders"]
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * bin_w).alias("bin_lo"),
+            ((F.col("bin") + 1) * bin_w).alias("bin_hi"),
+            "n_orders",
+            "total_value",
+        )
+    )
+
+
 def q_corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 20% corpus sample keyed on doc_id: a pure map-side
     md5-threshold filter — no shuffle, no RNG, identical row set on any
@@ -1513,6 +1582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "embedding_topk": q_embedding_topk,
         "embedding_similar_pairs": q_embedding_similar_pairs,
+        "embedding_label_centroids": q_embedding_label_centroids,
+        "orders_price_histogram": q_orders_price_histogram,
         # corpus construction (sampling / decontamination / sharding)
         "corpus_hash_sample": q_corpus_hash_sample,
         "corpus_stratified_sample": q_corpus_stratified_sample,
@@ -2783,6 +2854,43 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS content_md5
 FROM documents
+"""
+
+    # Per-component means round half-up to 6 BEFORE the norm fold on
+    # both engines, so parallel-vs-sequential summation ulps never reach
+    # the compared values. Dim 64 is fixture-wide (the Spark side stays
+    # dim-agnostic).
+    sql["embedding_label_centroids"] = """
+WITH comp AS (
+    SELECT CAST(label AS BIGINT) AS label, u.i AS pos,
+           floor(avg(CAST(embedding[u.i + 1] AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS m
+    FROM embeddings, (SELECT unnest(range(0, 64)) AS i) u
+    GROUP BY label, u.i
+), cent AS (
+    SELECT label,
+           floor(sqrt(sum(m * m)) * 10000 + 0.5) / 10000 AS centroid_norm
+    FROM comp GROUP BY label
+), norms AS (
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           floor(avg(sqrt(list_aggregate(
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               'sum'))) * 10000 + 0.5) / 10000 AS avg_vec_norm
+    FROM embeddings GROUP BY label
+)
+SELECT norms.label, n_vecs, avg_vec_norm, centroid_norm
+FROM norms JOIN cent USING (label)
+"""
+
+    sql["orders_price_histogram"] = """
+WITH b AS (
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin, o_totalprice
+    FROM orders
+)
+SELECT bin, bin * 50000.0 AS bin_lo, (bin + 1) * 50000.0 AS bin_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM b GROUP BY bin
 """
 
     sql["embedding_topk"] = f"""
