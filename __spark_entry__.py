@@ -1511,6 +1511,192 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, qv, vec_col="embedding", id_col="doc_id", k=25)
 
 
+def q_orders_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap fill (time-series completeness): daily order
+    counts/revenue with missing days zero-filled and flagged. The spine
+    derives from the single (min,max) aggregate row via
+    ``sequence()``+``explode`` — no driver round-trip — so the full-size
+    table is touched once by the date groupBy and the final join is
+    spine-sized (≤ days of history) regardless of input scale."""
+    _ensure_conf(spark)
+    t = load_tables(spark, sf_dir, ["orders"], register_views=False)
+    daily = (
+        t["orders"]
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_D12)).cast("double").alias("revenue"),
+        )
+    )
+    spine = (
+        t["orders"]
+        .agg(
+            F.to_date(F.min("o_orderdate")).alias("lo"),
+            F.to_date(F.max("o_orderdate")).alias("hi"),
+        )
+        .select(F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"))
+    )
+    return spine.join(daily, "d", "left").select(
+        F.date_format("d", "yyyy-MM-dd").alias("sale_date"),
+        F.col("n_orders").isNull().alias("is_gap"),
+        F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+    )
+
+
+def q_orders_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day revenue via a RANGE window frame (days-since-epoch
+    range −6..0) over the daily pre-aggregate. The full-size scan
+    collapses to ≤ #days rows BEFORE the global window — the same tiny
+    post-agg single-partition shape as W4 (`event_type_share`); the
+    rolling sum accumulates in DECIMAL so frame order can't perturb the
+    hash."""
+    _ensure_conf(spark)
+    t = load_tables(spark, sf_dir, ["orders"], register_views=False)
+    daily = (
+        t["orders"]
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(F.col("o_totalprice").cast(_D12)).alias("_rev"))
+        .withColumn("_ed", F.datediff("d", F.lit("1970-01-01").cast("date")))
+    )
+    w = Window.orderBy("_ed").rangeBetween(-6, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("sale_date"),
+        F.col("_rev").cast("double").alias("revenue"),
+        F.sum("_rev").over(w).cast("double").alias("rolling_7d_revenue"),
+        F.count("*").over(w).cast("bigint").alias("rolling_7d_days"),
+    )
+
+
+def q_purchase_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase event is attributed to the
+    most recent PRIOR 'view' of the same user via
+    ``last(..., ignorenulls=True)`` over an UNBOUNDED-to-1-PRECEDING
+    rows frame — one shuffle on user_id, no self-join, no as-of
+    machinery; scale-safe because partitions are per-user."""
+    silver = _events_silver(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_timestamp", "event_unique_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = silver.select(
+        "user_id",
+        "event_type",
+        "event_timestamp",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("event_timestamp")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("_lv"),
+        F.count(F.when(F.col("event_type") == "view", F.lit(1)))
+        .over(w)
+        .cast("bigint")
+        .alias("n_prior_views"),
+    )
+    return attributed.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_format("event_timestamp", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "purchase_ts"
+        ),
+        F.date_format("_lv", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_view_ts"),
+        "n_prior_views",
+    )
+
+
+def q_tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar-aggregate subquery (per-part
+    average quantity) decorrelated to a pre-aggregate + equi-join:
+    revenue from lineitems below 20% of their part's average quantity.
+    The per-part aggregate shuffles once on l_partkey (the join key),
+    so the probe join reuses the partitioning instead of re-executing
+    the subquery per row (the DuckDB oracle states the correlated
+    form literally)."""
+    _ensure_conf(spark)
+    t = load_tables(spark, sf_dir, ["lineitem"], register_views=False)
+    li = t["lineitem"]
+    per_part = li.groupBy("l_partkey").agg(
+        (F.sum(F.col("l_quantity").cast(_D12)).cast("double") / F.count("*")).alias(
+            "_avg_qty"
+        )
+    )
+    small = li.join(per_part, "l_partkey").filter(
+        F.col("l_quantity") < 0.2 * F.col("_avg_qty")
+    )
+    return small.agg(
+        F.count("*").cast("bigint").alias("n_small_lineitems"),
+        (F.sum(F.col("l_extendedprice").cast(_D12)).cast("double") / 7.0).alias(
+            "avg_yearly"
+        ),
+    )
+
+
+def q_corpus_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate n-gram coverage (corpus contamination metric, cf. the
+    Gopher/C4 duplicate-n-gram analyses): per source, the fraction of
+    distinct per-doc 5-gram shingle occurrences that appear in more
+    than one document. Inverted-index shape — explode → per-shingle doc
+    counts → join back on the shingle key — never all-pairs; at 100 TB
+    the shingle key is uniform (text n-grams) so both shuffles
+    partition evenly."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ex = dedup._shingle_explode(docs, "text", "doc_id", 5, distinct=True)
+    counts = ex.groupBy("shingle").agg(F.count("*").cast("bigint").alias("_docs"))
+    src = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"), "source")
+    per_src = (
+        ex.join(counts, "shingle")
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingle_occurrences"),
+            F.sum(F.when(F.col("_docs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_occurrences"),
+        )
+    )
+    return per_src.select(
+        "source",
+        "n_shingle_occurrences",
+        "n_dup_occurrences",
+        (
+            F.floor(
+                F.col("n_dup_occurrences")
+                / F.col("n_shingle_occurrences")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("dup_coverage"),
+    )
+
+
+def q_events_sliding_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h window, 15 min slide) as a batch
+    query — the overlap fan-out (each event lands in window/slide = 4
+    windows) via ``F.window()``, the batch twin of the streaming
+    sliding aggregation in streaming/pipeline.py. One generate + one
+    shuffle on window start."""
+    _ensure_conf(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if ev.schema["ts"].dataType.typeName() in ("long", "bigint"):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        ev.select(F.window("ts", "1 hour", "15 minutes").alias("w"), "user_id")
+        .groupBy(F.col("w.start").alias("ws"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .select(
+            F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -1589,6 +1775,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "decontaminate_docs": q_decontaminate_docs,
         "corpus_pack_shards": q_corpus_pack_shards,
+        # round-3 additions: spine/rolling/attribution/correlated-agg/
+        # dup-coverage/sliding-window surface
+        "orders_daily_gapfill": q_orders_daily_gapfill,
+        "orders_rolling_7d": q_orders_rolling_7d,
+        "purchase_last_touch": q_purchase_last_touch,
+        "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
+        "corpus_dup_ngram_coverage": q_corpus_dup_ngram_coverage,
+        "events_sliding_traffic": q_events_sliding_traffic,
         # oracle-backed, capability also proven by an earlier entry or pytest
         # (cross join, DISTINCT, conditional agg, cube, split/JSON scalars,
         # mart-over-mart, window frames) — placed after the unique block
@@ -2776,6 +2970,128 @@ SELECT doc_id, n_tokens,
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    - n_tokens) / 10000.0) AS BIGINT) AS shard_id
 FROM t
+"""
+
+    # -- round-3 additions --------------------------------------------------
+
+    sql["orders_daily_gapfill"] = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1
+),
+spine AS (
+    SELECT CAST(unnest(generate_series(
+        CAST(MIN(o_orderdate) AS DATE),
+        CAST(MAX(o_orderdate) AS DATE),
+        INTERVAL 1 DAY)) AS DATE) AS d
+    FROM orders
+)
+SELECT strftime(spine.d, '%Y-%m-%d') AS sale_date,
+       daily.n_orders IS NULL AS is_gap,
+       COALESCE(daily.n_orders, 0) AS n_orders,
+       COALESCE(daily.revenue, 0.0) AS revenue
+FROM spine LEFT JOIN daily ON spine.d = daily.d
+"""
+
+    sql["orders_rolling_7d"] = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+    FROM orders GROUP BY 1
+)
+SELECT strftime(d, '%Y-%m-%d') AS sale_date,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(SUM(rev) OVER (
+           ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS rolling_7d_revenue,
+       CAST(COUNT(*) OVER (
+           ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS rolling_7d_days
+FROM daily
+"""
+
+    sql["purchase_last_touch"] = (
+        _SILVER_CTE
+        + """
+, att AS (
+    SELECT user_id, event_type, event_timestamp,
+           last_value(CASE WHEN event_type = 'view' THEN event_timestamp END
+                      IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY event_timestamp, event_unique_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) OVER (
+               PARTITION BY user_id
+               ORDER BY event_timestamp, event_unique_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+               AS n_prior_views
+    FROM silver
+)
+SELECT user_id,
+       strftime(event_timestamp, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(lv, '%Y-%m-%d %H:%M:%S.%f') AS last_view_ts,
+       n_prior_views
+FROM att
+WHERE event_type = 'purchase'
+"""
+    )
+
+    sql["tpch_q17_small_qty_revenue"] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lineitems,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+           AS avg_yearly
+FROM lineitem l1
+WHERE l_quantity < 0.2 * (
+    SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+    FROM lineitem l2
+    WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+    sql["corpus_dup_ngram_coverage"] = f"""
+WITH d AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           string_split({_NORM}, ' ') AS toks
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, source,
+           list_distinct(list_transform(
+               range(0, greatest(len(toks) - 5, 0) + 1),
+               i -> array_to_string(toks[i + 1:i + 5], ' '))) AS sh
+    FROM d
+),
+ex AS (SELECT doc_id, source, unnest(sh) AS shingle FROM sh),
+c AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_docs FROM ex GROUP BY 1),
+p AS (
+    SELECT ex.source,
+           CAST(COUNT(*) AS BIGINT) AS n_shingle_occurrences,
+           CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_occurrences
+    FROM ex JOIN c USING (shingle)
+    GROUP BY 1
+)
+SELECT source, n_shingle_occurrences, n_dup_occurrences,
+       floor(CAST(n_dup_occurrences AS DOUBLE) / n_shingle_occurrences
+             * 1000000 + 0.5) / 1000000 AS dup_coverage
+FROM p
+"""
+
+    sql["events_sliding_traffic"] = """
+WITH k AS (
+    SELECT ts, user_id, unnest(range(0, 4)) AS k FROM events
+),
+w AS (
+    SELECT make_timestamp(CAST((floor(epoch(ts) / 900) * 900 - k * 900)
+                               * 1000000 AS BIGINT)) AS ws,
+           user_id
+    FROM k
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM w GROUP BY 1
 """
 
     _HEX = "0123456789abcdef"
