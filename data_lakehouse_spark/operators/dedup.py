@@ -653,9 +653,29 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Exact shingle-Jaccard verification over candidate (id_a, id_b)
-    pairs — two broadcast-friendly joins back to the shingle sets."""
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), shingles(text_col, shingle_n).alias("sh")
+    pairs — two broadcast-friendly joins back to the shingle sets.
+
+    The shingle side is semi-join-pruned to documents that actually
+    appear in a candidate pair BEFORE the shingle arrays are built:
+    at corpus scale the candidate set is a sliver of the corpus, and
+    without the prune every document would pay the normalize+split+
+    shingle cost just to be dropped by the verify join. The token
+    array is materialized in its own projection step (see
+    :func:`shingles_of_tokens` on inline-pipeline re-evaluation)."""
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("_cid"))
+        .unionByName(candidates.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    sh = (
+        df.join(cand_ids, df[id_col] == cand_ids["_cid"], "leftsemi")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.split(normalized_text(text_col), r"\s+").alias("_toks"),
+        )
+        .select(
+            "doc_id", shingles_of_tokens(F.col("_toks"), shingle_n).alias("sh")
+        )
     )
     j = (
         candidates.select("id_a", "id_b")

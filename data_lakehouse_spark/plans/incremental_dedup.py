@@ -19,6 +19,8 @@ old documents never change. This materializes them once:
   probe side unions into the build side — verifies candidates with
   exact shingle-Jaccard against the corpus (joins touch candidate ids
   only), and appends the new signatures so the next batch sees them.
+  ``probe_batch`` is the same detection WITHOUT the fold-in append
+  (idempotent; what a dry-run or a read-only replica executes).
 
 Per batch the full corpus is never rescanned: work is
 O(batch × bands + candidate pairs). The signature family is the
@@ -101,17 +103,33 @@ class IncrementalNearDupIndex:
         *,
         text_col: str = "text",
         id_col: str = "doc_id",
+        extra_properties: dict | None = None,
     ):
         """Full (re)build: sign every document, write partitioned by
-        band. One corpus scan — the amortized cost every later batch
-        avoids."""
+        band. One corpus scan — the amortized write-time cost every
+        later batch avoids (standard index economics)."""
         return self.catalog.create_table(
             self.name,
             self._sign(docs, text_col, id_col),
             partition_by=["band"],
-            properties=self._props(),
+            properties={**self._props(), **(extra_properties or {})},
             mode="replace",
         )
+
+    def probe_batch(
+        self,
+        new_docs: DataFrame,
+        corpus: DataFrame,
+        *,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.5,
+    ) -> DataFrame:
+        """Detection only — the read side of :meth:`add_batch`, with no
+        index mutation (idempotent, safe to re-run): sign the batch,
+        probe the index, exact-verify candidates. This is the
+        steady-state per-batch cost of incremental near-dup."""
+        return self._probe(new_docs, corpus, text_col, id_col, threshold)[1]
 
     def add_batch(
         self,
@@ -132,6 +150,24 @@ class IncrementalNearDupIndex:
         candidate rows). The signature append happens AFTER the
         candidate join so a batch never pairs with itself twice.
         """
+        new_sigs, verified = self._probe(
+            new_docs, corpus, text_col, id_col, threshold
+        )
+        # Materialize results BEFORE mutating the index: `verified` is
+        # lazy, and appending first would let a re-computation see the
+        # batch's own signatures on the build side.
+        verified = verified.localCheckpoint()
+        self.catalog.append(self.name, new_sigs)
+        return verified
+
+    def _probe(
+        self,
+        new_docs: DataFrame,
+        corpus: DataFrame,
+        text_col: str,
+        id_col: str,
+        threshold: float,
+    ) -> tuple[DataFrame, DataFrame]:
         self._check_props()
         new_sigs = self._sign(new_docs, text_col, id_col).localCheckpoint()
         indexed = self.catalog.read(self.name).select("doc_id", "band", "band_sig")
@@ -174,9 +210,4 @@ class IncrementalNearDupIndex:
             shingle_n=self.shingle_n,
             threshold=threshold,
         )
-        # Materialize results BEFORE mutating the index: `verified` is
-        # lazy, and appending first would let a re-computation see the
-        # batch's own signatures on the build side.
-        verified = verified.localCheckpoint()
-        self.catalog.append(self.name, new_sigs)
-        return verified
+        return new_sigs, verified
