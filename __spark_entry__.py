@@ -1694,6 +1694,58 @@ def q_corpus_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column (per-vector
+    min/max affine codes — the memory-compression step an ANN index
+    applies before storing 100 TB of vectors) plus reconstruction-error
+    stats. Everything is JVM-side higher-order array expressions
+    (transform/zip_with/aggregate) — one narrow scan, no shuffle, no
+    Python; the error fold accumulates in array order so the oracle
+    hash is bit-stable."""
+    _ensure_conf(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    b = emb.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "embedding",
+        mn.alias("mn"),
+        mx.alias("mx"),
+        F.when(mx == mn, F.lit(0.0)).otherwise((mx - mn) / 255.0).alias("scale"),
+    )
+    q = F.when(
+        F.col("mx") == F.col("mn"),
+        F.transform("embedding", lambda x: F.lit(0).cast("bigint")),
+    ).otherwise(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                (x.cast("double") - F.col("mn")) / F.col("scale") + F.lit(0.5)
+            ).cast("bigint"),
+        )
+    )
+    qd = b.withColumn("q", q)
+    errs = F.zip_with(
+        "embedding",
+        "q",
+        lambda x, c: F.abs(
+            x.cast("double") - (F.col("mn") + c * F.col("scale"))
+        ),
+    )
+    ed = qd.withColumn("errs", errs)
+    return ed.select(
+        "vec_id",
+        F.size("q").cast("bigint").alias("n_dims"),
+        round_half_up(F.col("mn"), 6).alias("mn"),
+        round_half_up(F.col("mx"), 6).alias("mx"),
+        round_half_up(
+            F.aggregate("errs", F.lit(0.0), lambda a, x: a + x) / F.size("errs"),
+            6,
+        ).alias("mean_abs_err"),
+        round_half_up(F.array_max("errs"), 6).alias("max_abs_err"),
+    )
+
+
 def q_events_sliding_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time windows (1 h window, 15 min slide) as a batch
     query — the overlap fan-out (each event lands in window/slide = 4
@@ -1805,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
         "corpus_dup_ngram_coverage": q_corpus_dup_ngram_coverage,
         "events_sliding_traffic": q_events_sliding_traffic,
+        "embedding_quantize_int8": q_embedding_quantize_int8,
         # oracle-backed, capability also proven by an earlier entry or pytest
         # (cross join, DISTINCT, conditional agg, cube, split/JSON scalars,
         # mart-over-mart, window frames) — placed after the unique block
@@ -3098,6 +3151,43 @@ SELECT source, n_shingle_occurrences, n_dup_occurrences,
        floor(CAST(n_dup_occurrences AS DOUBLE) / n_shingle_occurrences
              * 1000000 + 0.5) / 1000000 AS dup_coverage
 FROM p
+"""
+
+    sql["embedding_quantize_int8"] = """
+WITH b AS (
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           embedding,
+           CAST(list_min(embedding) AS DOUBLE) AS mn,
+           CAST(list_max(embedding) AS DOUBLE) AS mx
+    FROM embeddings
+),
+s AS (
+    SELECT *, CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn) / 255.0 END AS scale
+    FROM b
+),
+qd AS (
+    SELECT vec_id, embedding, mn, mx, scale,
+           CASE WHEN mx = mn
+                THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                ELSE list_transform(embedding, x ->
+                    CAST(floor((CAST(x AS DOUBLE) - mn) / scale + 0.5) AS BIGINT))
+           END AS q
+    FROM s
+),
+e AS (
+    SELECT vec_id, mn, mx, scale, q,
+           list_transform(range(1, len(q) + 1), i ->
+               abs(CAST(embedding[i] AS DOUBLE) - (mn + q[i] * scale))) AS errs
+    FROM qd
+)
+SELECT vec_id,
+       CAST(len(q) AS BIGINT) AS n_dims,
+       floor(mn * 1000000 + 0.5) / 1000000 AS mn,
+       floor(mx * 1000000 + 0.5) / 1000000 AS mx,
+       floor((0.0 + list_reduce(errs, (a, x) -> a + x)) / len(errs)
+             * 1000000 + 0.5) / 1000000 AS mean_abs_err,
+       floor(list_max(errs) * 1000000 + 0.5) / 1000000 AS max_abs_err
+FROM e
 """
 
     sql["events_sliding_traffic"] = """

@@ -353,3 +353,22 @@ def stream_dedup(
     watermark horizon (late duplicates beyond it are the batch layer's
     job — same contract as the reference's watermark+dedup pairing)."""
     return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols + [ts_col])
+
+
+def stream_dedup_within_watermark(
+    events: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` variant of :func:`stream_dedup`:
+    dedups on the KEY alone, so duplicates whose event times differ
+    (e.g. retries re-stamped at send time) still collapse as long as
+    they arrive within the watermark delay of each other. Per-key state
+    is evicted once the watermark passes — memory is bounded by the
+    horizon, not by the number of distinct (key, ts) pairs, which is
+    the property that matters when replaying days of a 100 TB firehose."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

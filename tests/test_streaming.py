@@ -16,6 +16,7 @@ from pyspark.sql.types import (
 
 from data_lakehouse_spark.streaming import (
     stream_dedup,
+    stream_dedup_within_watermark,
     stream_events,
     stream_tumbling_counts,
 )
@@ -85,6 +86,44 @@ def test_stream_dedup_drops_duplicates(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.sql("SELECT count(*) c FROM dedup_out").first()["c"] == 2
+
+
+def test_stream_dedup_within_watermark_collapses_restamped_retries(spark, tmp_path):
+    """Same event_id re-sent 5 minutes later with a NEW timestamp:
+    (key, ts) dedup keeps both rows, dropDuplicatesWithinWatermark
+    collapses them to one."""
+    src = str(tmp_path / "src2w")
+    t0 = dt.datetime(2024, 1, 1, 10)
+    rows = [
+        (1, t0, "view", 1.0),
+        (1, t0 + dt.timedelta(minutes=5), "view", 1.0),  # re-stamped retry
+        (2, t0, "cart", 2.0),
+    ]
+    _write_batch(spark, src, rows)
+    stream = stream_events(spark, src, SCHEMA)
+    deduped = stream_dedup_within_watermark(
+        stream, key_cols=["event_id"], ts_col="ts", watermark="2 hours"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_ww_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("SELECT count(*) c FROM dedup_ww_out").first()["c"] == 2
+    # the (key, ts) variant keeps the re-stamped retry as a distinct row
+    q2 = (
+        stream_dedup(stream_events(spark, src, SCHEMA), key_cols=["event_id"], ts_col="ts")
+        .writeStream.format("memory")
+        .queryName("dedup_ts_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.sql("SELECT count(*) c FROM dedup_ts_out").first()["c"] == 3
 
 
 def test_stream_sliding_counts(spark, tmp_path):
