@@ -330,6 +330,54 @@ def test_bm25_no_explode_single_stats_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_gapfill_spine_never_shuffles_full_table(spark, sf_dir):
+    """The calendar-spine join operates on two post-aggregate inputs:
+    the orders table is consumed only by aggregations (no raw-row
+    exchange of the fact table for the join)."""
+    plan = _plan(entry.q_orders_daily_gapfill(spark, sf_dir))
+    # both sides are pre-aggregated: partial aggregation present,
+    # and the join is between agg outputs (broadcast or tiny shuffle)
+    assert "partial_" in plan or "merge_" in plan
+    # the fact scan feeds HashAggregate, never a Join directly
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
+    assert len(scan_lines) == 2  # min/max spine scan + daily agg scan
+    for l in scan_lines:  # pruned to the two needed columns
+        assert "o_custkey" not in l and "o_orderpriority" not in l
+
+
+def test_q17_decorrelates_to_single_partkey_shuffle(spark, sf_dir):
+    """The correlated per-part average must become ONE aggregation +
+    join on l_partkey — no nested-loop re-execution."""
+    plan = _plan(entry.q_tpch_q17_small_qty_revenue(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the probe join and the per-part agg share the l_partkey key
+    assert plan.count("Exchange hashpartitioning(l_partkey") <= 2
+
+
+def test_last_touch_single_user_shuffle(spark, sf_dir):
+    """Attribution is one window pass: exactly one hash exchange on
+    user_id beyond the silver dedup exchange, and no join."""
+    plan = _plan(entry.q_purchase_last_touch(spark, sf_dir))
+    assert "Join" not in plan  # window-only, no self-join fallback
+    # silver dedup exchange + user window exchange
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_jaccard_verify_prunes_corpus_to_candidates(spark, sf_dir):
+    """ngram_jaccard_pairs computes shingles only for docs surviving
+    the candidate semi-join — the corpus scan must feed a semi join
+    BEFORE any shingle transform evaluates."""
+    from data_lakehouse_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cands = spark.createDataFrame(
+        [(0, 1), (2, 3)], "id_a long, id_b long"
+    )
+    plan = _plan(dedup.ngram_jaccard_pairs(docs, cands, threshold=0.0))
+    assert "LeftSemi" in plan
+
+
 def test_incremental_neardup_probe_broadcasts_batch(spark, sf_dir, tmp_path):
     """The incremental near-dup batch probe must broadcast the
     batch-side signatures/buckets and stream the index — the index is
