@@ -251,6 +251,13 @@ def minhash_lsh_candidates(
             .filter(F.col("_bn") <= max_bucket_size)
             .drop("_bn")
         )
+    # Materialize the signatures ONCE before the self-join: the two join
+    # sides are the same subplan, but Catalyst's ReuseExchange does not
+    # fire across the Python-kernel boundary (verified: the plan holds
+    # two MapInPandas nodes without this), so the signing would run
+    # twice. The banded table is docs × bands short rows (~40 B each) —
+    # exactly what the persistent index materializes at scale anyway.
+    banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
