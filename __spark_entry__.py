@@ -949,10 +949,12 @@ def q_training_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition + quality signals and the composite
     ``gopher_pass`` corpus-filter gate (operators/corpus.py
-    ``quality_signals``) — all JVM higher-order expressions, one scan."""
+    ``quality_signals``). Arrow engine: Counter-based O(n) n-gram
+    stats, measured 3.3× over the expression path at sf0.1; bit-exact
+    with it (engine-agreement test) and with the DuckDB oracle."""
     _ensure_conf(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return corpus.quality_signals(docs)
+    return corpus.quality_signals(docs, engine="arrow")
 
 
 def q_doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -987,7 +989,9 @@ def q_training_chunks_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-row n-gram aggregates once per conjunct (~25x slower,
     # measured). Materializing the signal table is also what a real
     # pipeline does — it IS the quality-score artifact.
-    sig = corpus.quality_signals(docs).localCheckpoint(eager=False)
+    sig = corpus.quality_signals(docs, engine="arrow").localCheckpoint(
+        eager=False
+    )
     passed = sig.filter(F.col("gopher_pass")).select("doc_id")
     clean = corpus.redact_pii(docs.join(F.broadcast(passed), "doc_id")).select(
         "doc_id", F.col("redacted_text").alias("text")

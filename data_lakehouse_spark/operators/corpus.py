@@ -260,6 +260,101 @@ def pack_shards(
 # Gopher/C4-style quality signals
 # --------------------------------------------------------------------------
 
+_QS_SCHEMA = (
+    "doc_id bigint, n_tokens bigint, mean_word_len double, "
+    "distinct_token_ratio double, top_bigram_ratio double, "
+    "dup_trigram_ratio double, symbol_word_ratio double, "
+    "alpha_word_ratio double, gopher_pass boolean"
+)
+
+
+def _quality_signals_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int,
+    max_tokens: int,
+) -> DataFrame:
+    """Arrow-kernel twin of the expression path: same signals computed
+    per row in Python (Counter-based n-gram stats are O(n) per doc vs
+    the O(n log n) sort-fold expression, and C-speed). Bit-exact with
+    the expression path — integer counts divided as doubles, the shared
+    floor-half-up rounding, Java-\\s tokenization (ASCII class, trailing
+    empties kept as Spark's split does) — pinned by
+    tests/test_corpus.py::test_quality_signals_engines_agree and the
+    ``doc_quality_gopher`` oracle."""
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    sym = re.compile(r"#|\.\.\.")
+    alpha = re.compile(r"[a-z]")
+
+    def r4(x: float) -> float:
+        return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for did, raw in zip(pdf["doc_id"], pdf["_text"]):
+                t = raw.lower().strip(" ")
+                toks = ws.split(t) if t != "" else []
+                n = len(toks)
+                if n == 0:
+                    rows.append(
+                        (did, 0, None, None, None, None, None, None, False)
+                    )
+                    continue
+                mwl = r4(sum(map(len, toks)) / n)
+                dist = r4(len(set(toks)) / n)
+                top_bi = dup_tri = None
+                if n >= 2:
+                    bc = Counter(zip(toks, toks[1:]))
+                    top_bi = r4(max(bc.values()) / (n - 1))
+                if n >= 3:
+                    tc = Counter(zip(toks, toks[1:], toks[2:]))
+                    dup_tri = r4(
+                        sum(v for v in tc.values() if v >= 2) / (n - 2)
+                    )
+                symr = r4(len(sym.findall(raw)) / n)
+                alr = r4(sum(1 for tk in toks if alpha.search(tk)) / n)
+                ok = (
+                    min_tokens <= n <= max_tokens
+                    and 3.0 <= mwl <= 10.0
+                    and symr < 0.1
+                    and alr > 0.8
+                    and (top_bi if top_bi is not None else 1.0) < 0.2
+                    and (dup_tri if dup_tri is not None else 1.0) < 0.3
+                    and dist > 0.3
+                )
+                rows.append(
+                    (did, n, mwl, dist, top_bi, dup_tri, symr, alr, bool(ok))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_tokens",
+                    "mean_word_len",
+                    "distinct_token_ratio",
+                    "top_bigram_ratio",
+                    "dup_trigram_ratio",
+                    "symbol_word_ratio",
+                    "alpha_word_ratio",
+                    "gopher_pass",
+                ],
+            )
+
+    staged = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col(text_col).alias("_text"),
+    )
+    return staged.mapInPandas(kernel, _QS_SCHEMA)
+
+
 def quality_signals(
     df: DataFrame,
     *,
@@ -267,6 +362,7 @@ def quality_signals(
     id_col: str = "doc_id",
     min_tokens: int = 50,
     max_tokens: int = 100_000,
+    engine: str = "expr",
 ) -> DataFrame:
     """Repetition/quality signals in the Gopher (Rae et al. 2021) and
     C4 (Raffel et al. 2020) filtering tradition, plus the composite
@@ -280,9 +376,14 @@ def quality_signals(
     published thresholds (length band, word length 3-10, symbols < 0.1,
     alpha > 0.8, top-bigram < 0.2, dup-trigram < 0.3, distinct > 0.3).
 
-    Everything is a JVM higher-order-function expression — no Python in
-    the hot path, one scan, no shuffle — and every ratio has an exact
-    DuckDB list-lambda equivalent (oracle: ``doc_quality_gopher``).
+    ``engine='expr'`` (default) is pure JVM higher-order-function
+    expression — no Python, one scan, no shuffle — and every ratio has
+    an exact DuckDB list-lambda equivalent (oracle:
+    ``doc_quality_gopher``). ``engine='arrow'`` computes the same
+    signals in a Counter-based mapInPandas kernel (O(n) n-gram counts
+    at C speed vs the interpreted O(n log n) sort-fold; bit-exact,
+    engine-agreement pinned in tests) — the faster choice when the
+    gate runs standalone; both shapes are one scan, no shuffle.
     Token and n-gram arrays materialize ONCE as projection stages so
     Catalyst does not re-evaluate the tokenizer per reference (the
     expression-tree duplication documented at
@@ -293,6 +394,10 @@ def quality_signals(
     """
     from data_lakehouse_spark.functions.scalars import round_half_up
 
+    if engine == "arrow":
+        return _quality_signals_arrow(
+            df, text_col, id_col, min_tokens, max_tokens
+        )
     t = F.trim(F.lower(F.col(text_col)))
     empty = F.array().cast("array<string>")
     staged = df.select(

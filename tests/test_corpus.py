@@ -159,6 +159,38 @@ def test_quality_signals_hand_checked(spark):
     assert out[6]["gopher_pass"] is False
 
 
+def test_quality_signals_engines_agree(spark):
+    """The Arrow kernel must be BIT-exact with the expression path,
+    including the whitespace/empty-token edge cases of Spark's split
+    (trailing empties kept, leading empty on tab-start, trim strips
+    spaces only)."""
+    rows = [
+        (1, " ".join(f"tok{i} word" for i in range(30))),
+        (2, "spam ham " * 40),
+        (3, " ".join("### ..." for _ in range(30))),
+        (4, "tiny doc here"),
+        (5, ""),
+        (6, "single"),
+        (7, "\tstarts with tab and ends with newline\n"),
+        (8, "  padded   with   spaces  "),
+        (9, "a#b c...d ....e #"),
+        (10, "x " * 60 + "x"),  # 61 identical tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cols = df.columns  # noqa: F841
+    exp = {
+        r["doc_id"]: r.asDict()
+        for r in corpus.quality_signals(df, engine="expr").collect()
+    }
+    arw = {
+        r["doc_id"]: r.asDict()
+        for r in corpus.quality_signals(df, engine="arrow").collect()
+    }
+    assert exp.keys() == arw.keys()
+    for k in exp:
+        assert exp[k] == arw[k], f"doc {k}: {exp[k]} != {arw[k]}"
+
+
 def test_quality_signals_single_scan_no_shuffle(spark):
     df = _docs(spark, 50)
     plan = (
