@@ -1665,10 +1665,16 @@ def q_corpus_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     than one document. Inverted-index shape — explode → per-shingle doc
     counts → join back on the shingle key — never all-pairs; at 100 TB
     the shingle key is uniform (text n-grams) so both shuffles
-    partition evenly."""
+    partition evenly. Shingles shuffle as xxhash64 longs — the text is
+    never output (same keying as ngram_jaccard_similar_pairs; oracle
+    hash-match verified unchanged). The exploded index is materialized
+    once (sign-once rule: it feeds both the count side and the join
+    side)."""
     _ensure_conf(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    ex = dedup._shingle_explode(docs, "text", "doc_id", 5, distinct=True)
+    ex = dedup._shingle_explode(
+        docs, "text", "doc_id", 5, distinct=True, hashed=True
+    ).localCheckpoint(eager=False)
     counts = ex.groupBy("shingle").agg(F.count("*").cast("bigint").alias("_docs"))
     src = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"), "source")
     per_src = (
