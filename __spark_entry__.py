@@ -1756,6 +1756,45 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection (pipeline monitoring): per event type,
+    flag days whose event count deviates more than 2σ from that type's
+    mean daily volume. The variance derives from EXACT integer sums
+    (Σx, Σx² as BIGINT — order-independent), then one double formula on
+    both engines, so the z-scores are bit-identical — unlike engine
+    stddev aggregates, whose accumulation schemes differ in the last
+    ulp. Two tiny aggregations over the daily rollup; the full-size
+    scan is touched once."""
+    silver = _events_silver(spark, sf_dir)
+    daily = (
+        silver.groupBy("event_type", "event_date")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.sum("n_events").cast("bigint").alias("_s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("bigint").alias("_ss"),
+        F.count("*").cast("bigint").alias("_n"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    mean = F.col("_s").cast("double") / F.col("_n")
+    var = F.greatest(
+        (F.col("_ss").cast("double") - F.col("_n") * mean * mean)
+        / F.nullif((F.col("_n") - 1).cast("double"), F.lit(0.0)),
+        F.lit(0.0),
+    )
+    z = (F.col("n_events").cast("double") - mean) / F.nullif(
+        F.sqrt(var), F.lit(0.0)
+    )
+    return j.select(
+        "event_type",
+        F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
+        "n_events",
+        round_half_up(mean, 6).alias("mean_daily"),
+        round_half_up(z, 6).alias("zscore"),
+        F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("is_anomaly"),
+    )
+
+
 def q_events_sliding_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time windows (1 h window, 15 min slide) as a batch
     query — the overlap fan-out (each event lands in window/slide = 4
@@ -1868,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dup_ngram_coverage": q_corpus_dup_ngram_coverage,
         "events_sliding_traffic": q_events_sliding_traffic,
         "embedding_quantize_int8": q_embedding_quantize_int8,
+        "events_daily_anomaly": q_events_daily_anomaly,
         # oracle-backed, capability also proven by an earlier entry or pytest
         # (cross join, DISTINCT, conditional agg, cube, split/JSON scalars,
         # mart-over-mart, window frames) — placed after the unique block
@@ -3162,6 +3202,40 @@ SELECT source, n_shingle_occurrences, n_dup_occurrences,
              * 1000000 + 0.5) / 1000000 AS dup_coverage
 FROM p
 """
+
+    sql["events_daily_anomaly"] = (
+        _SILVER_CTE
+        + """
+, daily AS (
+    SELECT event_type, event_date, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM silver GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type,
+           CAST(SUM(n_events) AS BIGINT) AS s,
+           CAST(SUM(n_events * n_events) AS BIGINT) AS ss,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM daily GROUP BY 1
+),
+j AS (
+    SELECT d.event_type, d.event_date, d.n_events,
+           CAST(s AS DOUBLE) / n AS mean,
+           greatest((CAST(ss AS DOUBLE)
+                     - n * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                    / nullif(CAST(n - 1 AS DOUBLE), 0.0), 0.0) AS var
+    FROM daily d JOIN stats USING (event_type)
+)
+SELECT event_type,
+       strftime(event_date, '%Y-%m-%d') AS event_date,
+       n_events,
+       floor(mean * 1000000 + 0.5) / 1000000 AS mean_daily,
+       floor((CAST(n_events AS DOUBLE) - mean) / nullif(sqrt(var), 0.0)
+             * 1000000 + 0.5) / 1000000 AS zscore,
+       COALESCE(abs((CAST(n_events AS DOUBLE) - mean)
+                    / nullif(sqrt(var), 0.0)) > 2.0, FALSE) AS is_anomaly
+FROM j
+"""
+    )
 
     sql["embedding_quantize_int8"] = """
 WITH b AS (
