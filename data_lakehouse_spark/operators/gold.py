@@ -185,7 +185,11 @@ def category_performance(silver: DataFrame, *, scan_once: bool = False) -> DataF
     pruning specializes each branch's projection so ReuseExchange never
     fires (4 FileScans remain), and the raw-row repartition forfeits
     map-side partial aggregation, which is also the wrong trade at
-    100 TB. The two-scan/partial-agg/broadcast plan stands.
+    100 TB. Measured REJECT #2 (r3): localCheckpointing the joined
+    projection so both branches read it from memory — materializing
+    600 k wide rows costs more than the second scan + broadcast join it
+    saves (2.47 s → 2.59 s). The two-scan/partial-agg/broadcast plan
+    stands.
     """
     purchase = _is("purchase")
     keys = ["analysis_date", "category_level_1", "category_level_2"]
