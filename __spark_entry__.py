@@ -1867,6 +1867,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_grouping_sets": q_orders_grouping_sets,
         "segment_order_percentiles": q_segment_order_percentiles,
         "segments_intersect_except": q_segments_intersect_except,
+        # round-3 additions (new unique capabilities lead the sweep order
+        # so a time-truncated correctness run records them): spine /
+        # rolling / attribution / correlated-agg / dup-coverage /
+        # sliding-window / quantization / anomaly surface
+        "orders_daily_gapfill": q_orders_daily_gapfill,
+        "orders_rolling_7d": q_orders_rolling_7d,
+        "purchase_last_touch": q_purchase_last_touch,
+        "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
+        "corpus_dup_ngram_coverage": q_corpus_dup_ngram_coverage,
+        "events_sliding_traffic": q_events_sliding_traffic,
+        "embedding_quantize_int8": q_embedding_quantize_int8,
+        "events_daily_anomaly": q_events_daily_anomaly,
         # LLM-pipeline operators
         "doc_text_stats": q_doc_text_stats,
         "doc_token_counts": q_doc_token_counts,
@@ -1898,16 +1910,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "decontaminate_docs": q_decontaminate_docs,
         "corpus_pack_shards": q_corpus_pack_shards,
-        # round-3 additions: spine/rolling/attribution/correlated-agg/
-        # dup-coverage/sliding-window surface
-        "orders_daily_gapfill": q_orders_daily_gapfill,
-        "orders_rolling_7d": q_orders_rolling_7d,
-        "purchase_last_touch": q_purchase_last_touch,
-        "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
-        "corpus_dup_ngram_coverage": q_corpus_dup_ngram_coverage,
-        "events_sliding_traffic": q_events_sliding_traffic,
-        "embedding_quantize_int8": q_embedding_quantize_int8,
-        "events_daily_anomaly": q_events_daily_anomaly,
         # oracle-backed, capability also proven by an earlier entry or pytest
         # (cross join, DISTINCT, conditional agg, cube, split/JSON scalars,
         # mart-over-mart, window frames) — placed after the unique block
