@@ -22,7 +22,35 @@ __all__ = [
     "check_freshness",
     "run_checks",
     "split_quarantine",
+    "schema_drift",
 ]
+
+
+def schema_drift(expected: DataFrame, batch: DataFrame) -> dict[str, list]:
+    """Detect schema drift of an incoming batch against the table's
+    expected schema — the operational complement to zero-rewrite ADD
+    COLUMN (catalog.add_column): evolution you *chose* goes through the
+    catalog; drift you *didn't* is surfaced before it corrupts a layer.
+
+    Returns ``{"added": [...], "removed": [...], "retyped":
+    [(col, expected_type, batch_type), ...], "compatible": bool}``.
+    ``added`` columns are forward-compatible (the catalog can evolve);
+    ``removed`` and ``retyped`` are breaking for an append pipeline.
+    Pure metadata comparison — no job runs.
+    """
+    exp = {f.name: f.dataType.simpleString() for f in expected.schema.fields}
+    got = {f.name: f.dataType.simpleString() for f in batch.schema.fields}
+    added = sorted(set(got) - set(exp))
+    removed = sorted(set(exp) - set(got))
+    retyped = sorted(
+        (c, exp[c], got[c]) for c in set(exp) & set(got) if exp[c] != got[c]
+    )
+    return {
+        "added": added,
+        "removed": removed,
+        "retyped": retyped,
+        "compatible": not removed and not retyped,
+    }
 
 
 def check_unique(df: DataFrame, col: str) -> int:

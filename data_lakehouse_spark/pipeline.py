@@ -46,14 +46,32 @@ class MedallionPipeline:
 
     # -- bronze ------------------------------------------------------------
     def ingest_bronze(self, raw: DataFrame, source_file: str) -> dict:
-        """S1/S6/P1: append raw events + audit columns into bronze."""
+        """S1/S6/P1: append raw events + audit columns into bronze.
+
+        Incoming batches are schema-drift-gated against the existing
+        bronze table: breaking drift (dropped/retyped columns) raises
+        before any write; added columns are forward-compatible and flow
+        through the catalog's zero-rewrite evolution."""
         df = with_audit_columns(raw, source_file)
+        drift = None
         if self.catalog.table_exists("bronze_events"):
+            drift = quality.schema_drift(self.catalog.read("bronze_events"), df)
+            if not drift["compatible"]:
+                raise ValueError(
+                    f"bronze_events: breaking schema drift in {source_file}: "
+                    f"removed={drift['removed']} retyped={drift['retyped']}"
+                )
+            for col in drift["added"]:
+                self.catalog.add_column(
+                    "bronze_events",
+                    col,
+                    df.schema[col].dataType.simpleString(),
+                )
             self.catalog.append("bronze_events", df)
         else:
             self.catalog.create_table("bronze_events", df)
         n = self.catalog.read("bronze_events").count()
-        return {"table": "bronze_events", "total_rows": n}
+        return {"table": "bronze_events", "total_rows": n, "drift": drift}
 
     def check_bronze_freshness(
         self, *, warn_after_hours: float = 24.0, error_after_hours: float = 48.0

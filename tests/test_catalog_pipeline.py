@@ -344,3 +344,53 @@ def test_hidden_partition_transforms_days_and_bucket(spark, tmp_path):
     assert bk.filter(F.col("id_bucket") == 0).count() + bk.filter(
         F.col("id_bucket") != 0
     ).count() == 20
+
+
+def test_bronze_schema_drift_gate(spark, tmp_path):
+    """Added columns auto-evolve through the catalog; dropped or
+    retyped columns raise BEFORE any write."""
+    import pytest
+
+    from data_lakehouse_spark.operators import quality
+
+    cat = _catalog(spark, tmp_path)
+    pipe = MedallionPipeline(spark, cat)
+    pipe.ingest_bronze(spark.createDataFrame(_batch(range(1, 4), 1), EVENTS), "b1")
+
+    # forward-compatible drift: new column appears -> zero-rewrite evolve
+    wide = EVENTS + ", channel string"
+    rows = [
+        (i, dt.datetime(2024, 1, 2, 10), 1, "view", 1.0, '{"k": 1}', "web")
+        for i in range(4, 6)
+    ]
+    stats = pipe.ingest_bronze(spark.createDataFrame(rows, wide), "b2")
+    assert stats["drift"]["added"] == ["channel"]
+    assert stats["drift"]["compatible"]
+    back = cat.read("bronze_events")
+    assert "channel" in back.columns
+    # old rows read back NULL for the evolved column (schema_verify.py
+    # semantics), new rows carry the value
+    vals = {r["event_id"]: r["channel"] for r in back.collect()}
+    assert vals[1] is None and vals[4] == "web"
+
+    # breaking drift: missing column
+    with pytest.raises(ValueError, match="removed="):
+        pipe.ingest_bronze(
+            spark.createDataFrame(
+                [(9, dt.datetime(2024, 1, 3, 10), 1, "view", 1.0)],
+                "event_id long, ts timestamp, user_id long, event_type string, value double",
+            ),
+            "b3",
+        )
+
+    # breaking drift: retyped column
+    retyped = spark.createDataFrame(
+        [(9, dt.datetime(2024, 1, 3, 10), 1, "view", "1.0", '{"k": 1}', "web")],
+        "event_id long, ts timestamp, user_id long, event_type string, value string, props string, channel string",
+    )
+    with pytest.raises(ValueError, match="retyped="):
+        pipe.ingest_bronze(retyped, "b4")
+
+    # pure-metadata check: no job should have run for the report itself
+    rep = quality.schema_drift(cat.read("bronze_events"), retyped)
+    assert rep["retyped"] == [("value", "double", "string")]
