@@ -394,3 +394,54 @@ def test_bronze_schema_drift_gate(spark, tmp_path):
     # pure-metadata check: no job should have run for the report itself
     rep = quality.schema_drift(cat.read("bronze_events"), retyped)
     assert rep["retyped"] == [("value", "double", "string")]
+
+
+def test_sql_serving_layer_over_gold(spark, tmp_path):
+    """Entry-point-B/C parity: the reference serves analytics as SQL
+    strings (dbt models on Thrift; ClickHouse/Superset datasets). After
+    the medallion run, every layer is queryable through spark.sql over
+    registered views — the A14 serving aggregates and the dags/05
+    UNION-count stitching run as literal SQL and agree with the
+    DataFrame reads."""
+    cat = _catalog(spark, tmp_path)
+    pipe = MedallionPipeline(spark, cat, cart_type="cart", as_of_date="2024-02-01")
+    pipe.run(spark.createDataFrame(_batch(range(1, 9), 1), EVENTS), "b1")
+    cat.register_views()
+
+    # A14: aggregate over a mart, as a SQL string
+    row = spark.sql(
+        """
+        SELECT SUM(total_revenue) AS rev, SUM(total_orders) AS orders
+        FROM gold_daily_sales_summary
+        """
+    ).first()
+    df_rev = (
+        cat.read("gold_daily_sales_summary")
+        .agg(F.sum("total_revenue").alias("r"))
+        .first()["r"]
+    )
+    assert row["rev"] == df_rev and row["orders"] > 0
+
+    # dags/05 row-count stitching across layers via UNION ALL
+    counts = {
+        r["t"]: r["c"]
+        for r in spark.sql(
+            """
+            SELECT 'silver' AS t, COUNT(*) AS c FROM silver_events
+            UNION ALL
+            SELECT 'daily', COUNT(*) FROM gold_daily_sales_summary
+            UNION ALL
+            SELECT 'rfm', COUNT(*) FROM gold_user_rfm_segments
+            """
+        ).collect()
+    }
+    assert counts["silver"] == 8 and counts["daily"] >= 1 and counts["rfm"] >= 1
+
+    # top-k serving query (ClickHouse sample-analytics parity)
+    top = spark.sql(
+        """
+        SELECT event_hour, total_events FROM gold_hourly_traffic
+        ORDER BY total_events DESC, event_hour LIMIT 3
+        """
+    ).collect()
+    assert 1 <= len(top) <= 3 and top[0]["total_events"] >= top[-1]["total_events"]
