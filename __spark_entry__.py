@@ -1537,6 +1537,33 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, qv, vec_col="embedding", id_col="doc_id", k=25)
 
 
+def q_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) revenue concentration: cumulative revenue share
+    per customer plus the cume_dist / percent_rank / dense_rank window
+    surface the battery lacks. The full-size table collapses to one row
+    per customer BEFORE the global window (W4's post-agg shape); shares
+    divide identical doubles so the flags are bit-stable."""
+    _ensure_conf(spark)
+    t = load_tables(spark, sf_dir, ["orders"], register_views=False)
+    per_cust = t["orders"].groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(_D12)).alias("_r")
+    )
+    w = Window.orderBy(F.desc("_r"), F.asc("o_custkey"))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum("_r").over(run).cast("double")
+    tot = F.sum("_r").over(Window.partitionBy()).cast("double")
+    share = cum / tot
+    return per_cust.select(
+        F.col("o_custkey").cast("bigint").alias("custkey"),
+        F.col("_r").cast("double").alias("revenue"),
+        round_half_up(share, 6).alias("cum_share"),
+        round_half_up(F.cume_dist().over(w), 6).alias("cust_frac"),
+        round_half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("dense_rk"),
+        (share <= 0.8).alias("is_top80"),
+    )
+
+
 def q_orders_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-spine gap fill (time-series completeness): daily order
     counts/revenue with missing days zero-filled and flagged. The spine
@@ -1879,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_traffic": q_events_sliding_traffic,
         "embedding_quantize_int8": q_embedding_quantize_int8,
         "events_daily_anomaly": q_events_daily_anomaly,
+        "customer_pareto": q_customer_pareto,
         # LLM-pipeline operators
         "doc_text_stats": q_doc_text_stats,
         "doc_token_counts": q_doc_token_counts,
@@ -3203,6 +3231,26 @@ SELECT source, n_shingle_occurrences, n_dup_occurrences,
        floor(CAST(n_dup_occurrences AS DOUBLE) / n_shingle_occurrences
              * 1000000 + 0.5) / 1000000 AS dup_coverage
 FROM p
+"""
+
+    sql["customer_pareto"] = """
+WITH pc AS (
+    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS r
+    FROM orders GROUP BY 1
+)
+SELECT CAST(o_custkey AS BIGINT) AS custkey,
+       CAST(r AS DOUBLE) AS revenue,
+       floor(CAST(SUM(r) OVER wrun AS DOUBLE) / CAST(SUM(r) OVER () AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS cum_share,
+       floor(cume_dist() OVER word * 1000000 + 0.5) / 1000000 AS cust_frac,
+       floor(percent_rank() OVER word * 1000000 + 0.5) / 1000000 AS pct_rank,
+       CAST(dense_rank() OVER word AS BIGINT) AS dense_rk,
+       CAST(SUM(r) OVER wrun AS DOUBLE) / CAST(SUM(r) OVER () AS DOUBLE)
+           <= 0.8 AS is_top80
+FROM pc
+WINDOW word AS (ORDER BY r DESC, o_custkey),
+       wrun AS (ORDER BY r DESC, o_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 
     sql["events_daily_anomaly"] = (
