@@ -1537,6 +1537,49 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, qv, vec_col="embedding", id_col="doc_id", k=25)
 
 
+def q_serving_business_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-layer 'Total Business Metrics' (reference:
+    dags/05_clickhouse_complete_setup.py:396-402 runs this exact
+    aggregate over lakehouse.daily_sales_summary): grand totals + avg
+    conversion over the daily mart. The AVG accumulates the 2-dp rates
+    in DECIMAL (exactly representable, order-independent) then divides
+    by the non-null count — bit-stable unlike engine AVG(double)."""
+    silver = _events_silver(spark, sf_dir)
+    daily = gold.daily_sales_summary(silver, cart_type=CART_TYPE)
+    rate_dec = F.col("conversion_rate").cast("decimal(18,2)")
+    return daily.agg(
+        F.sum(F.col("total_revenue").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_revenue"),
+        F.sum("total_orders").cast("bigint").alias("total_orders"),
+        F.countDistinct("sale_date").cast("bigint").alias("days_of_data"),
+        round_half_up(
+            F.sum(rate_dec).cast("double") / F.count("conversion_rate"), 2
+        ).alias("avg_conversion_rate"),
+    )
+
+
+def q_serving_rfm_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-layer 'RFM Segment Distribution' (reference:
+    dags/05:424-432): customers + total value per segment over the RFM
+    mart — an aggregate over a windowed mart (A14 on top of W3/D7)."""
+    silver = _events_silver(spark, sf_dir)
+    rfm = gold.user_rfm_segments(silver, as_of_date=AS_OF_DATE)
+    return (
+        rfm.groupBy("rfm_segment")
+        .agg(
+            F.count("*").cast("bigint").alias("customers"),
+            round_half_up(
+                F.sum(F.col("monetary_value").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_value"),
+        )
+        .orderBy(F.desc("total_value"), F.asc("rfm_segment"))
+    )
+
+
 def q_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto (80/20) revenue concentration: cumulative revenue share
     per customer plus the cume_dist / percent_rank / dense_rank window
@@ -1907,6 +1950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_int8": q_embedding_quantize_int8,
         "events_daily_anomaly": q_events_daily_anomaly,
         "customer_pareto": q_customer_pareto,
+        "serving_business_metrics": q_serving_business_metrics,
+        "serving_rfm_distribution": q_serving_rfm_distribution,
         # LLM-pipeline operators
         "doc_text_stats": q_doc_text_stats,
         "doc_token_counts": q_doc_token_counts,
@@ -3231,6 +3276,25 @@ SELECT source, n_shingle_occurrences, n_dup_occurrences,
        floor(CAST(n_dup_occurrences AS DOUBLE) / n_shingle_occurrences
              * 1000000 + 0.5) / 1000000 AS dup_coverage
 FROM p
+"""
+
+    sql["serving_business_metrics"] = f"""
+SELECT
+    CAST(SUM(CAST(total_revenue AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+    CAST(SUM(total_orders) AS BIGINT) AS total_orders,
+    CAST(COUNT(DISTINCT sale_date) AS BIGINT) AS days_of_data,
+    floor(CAST(SUM(CAST(conversion_rate AS DECIMAL(18,2))) AS DOUBLE)
+          / COUNT(conversion_rate) * 100 + 0.5) / 100 AS avg_conversion_rate
+FROM ({sql["gold_daily_sales_summary"]}) d
+"""
+
+    sql["serving_rfm_distribution"] = f"""
+SELECT rfm_segment,
+       CAST(COUNT(*) AS BIGINT) AS customers,
+       floor(CAST(SUM(CAST(monetary_value AS DECIMAL(18,2))) AS DOUBLE)
+             * 100 + 0.5) / 100 AS total_value
+FROM ({sql["gold_user_rfm_segments"]}) r
+GROUP BY rfm_segment
 """
 
     sql["customer_pareto"] = """
