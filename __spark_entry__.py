@@ -871,6 +871,44 @@ def q_segment_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_segment_order_percentiles_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB twin of ``segment_order_percentiles``:
+    ``percentile_approx`` (t-digest-style sketch, fixed memory per
+    group, single-pass mergeable) next to the exact interpolated
+    percentile for direct error inspection. Rows-only check — sketch
+    boundaries are engine-specific; the exact columns anchor the
+    comparison and max relative error is bounded by accuracy=10000."""
+    _ensure_conf(spark)
+    t = load_tables(spark, sf_dir, ["orders", "customer"], register_views=False)
+    return (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            round_half_up(F.percentile("o_totalprice", F.lit(0.5)), 2).alias(
+                "median_exact"
+            ),
+            round_half_up(
+                F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)),
+                2,
+            ).alias("median_approx"),
+            round_half_up(F.percentile("o_totalprice", F.lit(0.9)), 2).alias(
+                "p90_exact"
+            ),
+            round_half_up(
+                F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000)),
+                2,
+            ).alias("p90_approx"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # --------------------------------------------------------------------------
 # LLM-pipeline queries (documents / embeddings)
 # --------------------------------------------------------------------------
@@ -1996,6 +2034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_battery": q_window_battery,
         # rows-only (hash/LSH/HLL/pandas-UDF based; no SQL oracle)
         "gold_user_rfm_segments_scalable": q_user_rfm_segments_scalable,
+        "segment_order_percentiles_approx": q_segment_order_percentiles_approx,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "near_dup_pipeline": q_near_dup_pipeline,
         "near_dup_incremental": q_near_dup_incremental,
