@@ -995,6 +995,37 @@ def q_doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.quality_signals(docs, engine="arrow")
 
 
+def q_corpus_quality_by_source_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus curation report: Gopher-gate pass rates and token volume
+    per (source, language) — the table a data curator reads to decide
+    which slices to keep, re-crawl, or re-filter. One broadcast join of
+    the signal table back to the doc dims; aggregates are exact
+    integers + the shared rounding."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = corpus.quality_signals(docs, engine="arrow")
+    dims = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source", "lang"
+    )
+    return (
+        sig.join(dims, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pass"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .withColumn(
+            "pass_rate",
+            round_half_up(F.col("n_pass") / F.col("n_docs"), 4),
+        )
+    )
+
+
 def q_doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (email/phone/IPv4): per-class hit counts + redacted
     text, one JVM-regex scan (operators/corpus.py ``redact_pii``)."""
@@ -1990,6 +2021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_pareto": q_customer_pareto,
         "serving_business_metrics": q_serving_business_metrics,
         "serving_rfm_distribution": q_serving_rfm_distribution,
+        "corpus_quality_by_source_lang": q_corpus_quality_by_source_lang,
         # LLM-pipeline operators
         "doc_text_stats": q_doc_text_stats,
         "doc_token_counts": q_doc_token_counts,
@@ -3334,6 +3366,18 @@ SELECT rfm_segment,
              * 100 + 0.5) / 100 AS total_value
 FROM ({sql["gold_user_rfm_segments"]}) r
 GROUP BY rfm_segment
+"""
+
+    sql["corpus_quality_by_source_lang"] = f"""
+SELECT d.source, d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(g.n_tokens) AS BIGINT) AS total_tokens,
+       floor(CAST(SUM(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) * 10000 + 0.5) / 10000 AS pass_rate
+FROM ({sql["doc_quality_gopher"]}) g
+JOIN documents d ON g.doc_id = CAST(d.doc_id AS BIGINT)
+GROUP BY d.source, d.lang
 """
 
     sql["customer_pareto"] = """
