@@ -442,3 +442,47 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path
     assert latest["view"] == (3, 6.0)
     assert latest["cart"] == (1, 5.0)
     assert sum(1 for r in rows if r["key"] == "view") >= 2
+
+
+def test_streaming_corpus_quality_intake(spark, tmp_path):
+    """LLM-pipeline streaming intake: documents stream through the
+    Arrow quality gate (mapInPandas runs inside the streaming plan)
+    into the exactly-once catalog sink; only gate-passing docs land,
+    and their signals match the batch path bit-for-bit."""
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.operators import corpus
+    from data_lakehouse_spark.streaming import stream_to_catalog
+    from pyspark.sql.types import StructField
+
+    src = str(tmp_path / "docs_src")
+    good = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(20))
+    rows = [(1, good), (2, "tiny"), (3, good + " extra tail tokens")]
+    doc_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(doc_schema).parquet(src)
+    gated = corpus.quality_signals(stream, engine="arrow").filter(
+        F.col("gopher_pass")
+    )
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    q = stream_to_catalog(
+        gated, cat, "corpus_signals", checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    landed = cat.read("corpus_signals")
+    batch = {
+        r["doc_id"]: r.asDict()
+        for r in corpus.quality_signals(
+            spark.createDataFrame(rows, doc_schema), engine="arrow"
+        )
+        .filter(F.col("gopher_pass"))
+        .collect()
+    }
+    got = {r["doc_id"]: r.asDict() for r in landed.collect()}
+    assert set(got) == set(batch) == {1, 3}
+    assert got == batch  # streaming plan == batch plan, bit-for-bit
