@@ -1457,6 +1457,21 @@ def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.contamination_hits(train, ev, shingle_n=4)
 
 
+def q_decontaminate_docs_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter twin of ``decontaminate_docs`` — the 100 TB path:
+    eval shingles compile to a broadcast bit array; the corpus is one
+    narrow scan with a vectorized Arrow membership probe (per-row
+    array_distinct, so the corpus never shuffles; only flagged hits
+    do). No false negatives by construction; ≤fpp false positives —
+    rows-only check (bit-array membership isn't SQL-expressible), with
+    the superset-of-exact property pinned in tests/test_corpus.py."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return corpus.contamination_hits_bloom(train, ev, shingle_n=4, fpp=1e-4)
+
+
 def q_corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard packing: greedy in-id-order assignment of
     docs to ~10k-BPE-token shards via a DISTRIBUTED prefix sum
@@ -2067,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (hash/LSH/HLL/pandas-UDF based; no SQL oracle)
         "gold_user_rfm_segments_scalable": q_user_rfm_segments_scalable,
         "segment_order_percentiles_approx": q_segment_order_percentiles_approx,
+        "decontaminate_docs_bloom": q_decontaminate_docs_bloom,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "near_dup_pipeline": q_near_dup_pipeline,
         "near_dup_incremental": q_near_dup_incremental,

@@ -160,6 +160,109 @@ def contamination_hits(
     )
 
 
+def contamination_hits_bloom(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 4,
+    fpp: float = 1e-4,
+    max_eval_shingles: int = 50_000_000,
+) -> DataFrame:
+    """Bloom-filter twin of :func:`contamination_hits` — the 100 TB
+    decontamination path: the eval side compiles into a broadcast bit
+    array and the training corpus is ONE narrow scan with a vectorized
+    Arrow membership probe — no join, no shuffle of the corpus at all
+    (the exact variant still broadcast-probes but pays a distinct
+    (doc, shingle) shuffle for the per-doc overlap counts).
+
+    Guarantees: NO false negatives (every truly contaminated doc is
+    flagged — the property decontamination must have); false positives
+    over-drop clean docs at rate ≤ ``fpp`` per probed shingle. Returns
+    ``(doc_id, n_probable_overlap)``, hits only. Bits are derived from
+    the same ``xxhash64`` shingle keys as the exact path via
+    Kirsch-Mitzenmacher double hashing (h1 + i·h2), so results are
+    deterministic across engines, retries, and partitionings.
+
+    ``max_eval_shingles`` bounds the driver-side compile (eval sets are
+    benchmark-sized; 50M shingles ≈ tens of MB of bits at 1e-4) —
+    exceeding it raises rather than silently OOMing the driver.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    ev = (
+        _shingle_explode(
+            eval_docs, text_col, id_col, shingle_n, distinct=True, hashed=True
+        )
+        .select("shingle")
+        .distinct()
+    )
+    hashes = np.array(
+        [r["shingle"] for r in ev.collect()], dtype=np.uint64
+    )
+    n = max(len(hashes), 1)
+    if n > max_eval_shingles:
+        raise ValueError(
+            f"eval shingle count {n} exceeds max_eval_shingles "
+            f"{max_eval_shingles}; raise the bound or pre-shard the eval set"
+        )
+    # standard Bloom sizing: m = -n ln p / (ln 2)^2, k = (m/n) ln 2
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, int(round(m / n * math.log(2))))
+    bits = np.zeros((m + 63) // 64, dtype=np.uint64)
+    h1 = hashes & np.uint64(0xFFFFFFFF)
+    h2 = (hashes >> np.uint64(32)) | np.uint64(1)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        np.bitwise_or.at(
+            bits, (idx >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (idx & np.uint64(63)),
+        )
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast((bits, m, k))
+
+    # Per-doc distinct shingles WITHOUT a corpus shuffle: the distinct
+    # is per-row (array_distinct inside _shingle_df), unlike
+    # _shingle_explode(distinct=True) whose global distinct would
+    # shuffle every (doc, shingle) row — the cost this variant exists
+    # to avoid. Same xxhash64 keys as the eval side.
+    from data_lakehouse_spark.operators.dedup import _shingle_df
+
+    train = (
+        _shingle_df(docs, text_col, id_col, shingle_n)
+        .select("doc_id", F.explode("_sh").alias("_s"))
+        .select("doc_id", F.xxhash64("_s").alias("shingle"))
+    )
+
+    def probe(batches):
+        b_bits, b_m, b_k = bc.value
+        for pdf in batches:
+            h = pdf["shingle"].to_numpy(dtype=np.int64).view(np.uint64)
+            p1 = h & np.uint64(0xFFFFFFFF)
+            p2 = (h >> np.uint64(32)) | np.uint64(1)
+            hit = np.ones(len(h), dtype=bool)
+            for i in range(b_k):
+                idx = (p1 + np.uint64(i) * p2) % np.uint64(b_m)
+                word = b_bits[(idx >> np.uint64(6)).astype(np.int64)]
+                hit &= (
+                    word & (np.uint64(1) << (idx & np.uint64(63)))
+                ).astype(bool)
+            out = pdf.loc[hit, ["doc_id"]]
+            yield pd.DataFrame(
+                {"doc_id": out["doc_id"].to_numpy(dtype=np.int64)}
+            )
+
+    flagged = train.mapInPandas(probe, "doc_id bigint")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_probable_overlap"))
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     eval_docs: DataFrame,

@@ -241,3 +241,37 @@ def test_chunk_documents_windows_and_overlap(spark):
     # short doc: one chunk; empty doc: no rows
     assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 2
     assert 3 not in by_doc
+
+
+def test_bloom_decontamination_superset_of_exact(spark):
+    """The Bloom path must flag EVERY truly contaminated doc (no false
+    negatives) with per-doc probable-overlap >= the exact distinct
+    overlap; over-flagging is bounded by the filter's fpp."""
+    docs = _docs(spark, 120)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    exact = {
+        r["doc_id"]: r["n_overlap"]
+        for r in corpus.contamination_hits(train, ev, shingle_n=4).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_probable_overlap"]
+        for r in corpus.contamination_hits_bloom(
+            train, ev, shingle_n=4, fpp=1e-6
+        ).collect()
+    }
+    # no false negatives, and counts can only grow
+    assert set(exact) <= set(bloom)
+    for d, n in exact.items():
+        assert bloom[d] >= n
+    # false positives bounded: at fpp=1e-6 on this fixture, expect none
+    extra = set(bloom) - set(exact)
+    assert len(extra) <= 1
+
+    # driver-compile guard trips instead of OOMing
+    import pytest
+
+    with pytest.raises(ValueError, match="max_eval_shingles"):
+        corpus.contamination_hits_bloom(
+            train, ev, shingle_n=4, max_eval_shingles=2
+        )
