@@ -1482,6 +1482,18 @@ def q_corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.pack_shards(docs, budget=10_000, chunk_span=100)
 
 
+def q_corpus_pack_shards_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-shuffle packing: the trainer's reproducible
+    'random' document order — docs pack into token-budget shards in
+    ``md5(seed:id)`` order, identical on any cluster size, retry, or
+    engine (unlike ``df.sample``/``rand()``, which depend on partition
+    layout). Chunks for the distributed prefix sum become the order
+    key's leading hex digits, so the same no-global-sort shape holds."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.pack_shards(docs, budget=10_000, shuffle_seed=7)
+
+
 # ---- rows-only queries (no SQL-expressible oracle: hash/LSH-based) -------
 
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2068,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "decontaminate_docs": q_decontaminate_docs,
         "corpus_pack_shards": q_corpus_pack_shards,
+        "corpus_pack_shards_shuffled": q_corpus_pack_shards_shuffled,
         # oracle-backed, capability also proven by an earlier entry or pytest
         # (cross join, DISTINCT, conditional agg, cube, split/JSON scalars,
         # mart-over-mart, window frames) — placed after the unique block
@@ -3254,6 +3267,20 @@ WITH t AS (
 )
 SELECT doc_id, n_tokens,
        CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 10000.0) AS BIGINT) AS shard_id
+FROM t
+"""
+
+    sql["corpus_pack_shards_shuffled"] = """
+WITH t AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+')) AS BIGINT) AS n_tokens,
+           md5(concat('7:', CAST(doc_id AS VARCHAR))) AS ord_key
+    FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(floor((SUM(n_tokens) OVER (ORDER BY ord_key, doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    - n_tokens) / 10000.0) AS BIGINT) AS shard_id
 FROM t

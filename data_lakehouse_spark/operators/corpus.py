@@ -290,6 +290,7 @@ def pack_shards(
     token_col: str | None = None,
     budget: int,
     chunk_span: int = 100_000,
+    shuffle_seed: int | None = None,
 ) -> DataFrame:
     """Assign each doc to a fixed-token-budget shard in ``id_col``
     order → ``(doc_id, n_tokens, shard_id)``.
@@ -314,6 +315,14 @@ def pack_shards(
     Pick ``chunk_span`` so a chunk's rows fit an executor partition
     (default 100k docs/chunk → ~10k chunks per billion docs: the offset
     table stays driver-trivial).
+
+    ``shuffle_seed`` packs in DETERMINISTIC SHUFFLED order instead of
+    id order — the training-order requirement (reproducible "random"
+    document order, identical on any cluster size, retry, or engine):
+    the order key becomes ``md5(seed:id)`` and chunks become the key's
+    leading 3 hex digits (4096 uniform buckets) — a prefix of the order
+    key, so chunks still partition the global order and the same
+    prefix-sum shape applies unchanged.
     """
     tokens = (
         F.col(token_col).cast("bigint")
@@ -323,11 +332,28 @@ def pack_shards(
     base = df.select(
         F.col(id_col).cast("bigint").alias("doc_id"),
         tokens.alias("n_tokens"),
-    ).withColumn("_chunk", F.floor(F.col("doc_id") / chunk_span))
+    )
+    if shuffle_seed is None:
+        base = base.withColumn("_chunk", F.floor(F.col("doc_id") / chunk_span))
+        order_cols = [F.col("doc_id")]
+    else:
+        base = base.withColumn(
+            "_ord",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(str(shuffle_seed)),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+        ).withColumn(
+            "_chunk", F.conv(F.substring("_ord", 1, 3), 16, 10).cast("bigint")
+        )
+        order_cols = [F.col("_ord"), F.col("doc_id")]
 
     w_in = (
         Window.partitionBy("_chunk")
-        .orderBy("doc_id")
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_off = Window.orderBy("_chunk").rowsBetween(

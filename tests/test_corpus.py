@@ -275,3 +275,30 @@ def test_bloom_decontamination_superset_of_exact(spark):
         corpus.contamination_hits_bloom(
             train, ev, shingle_n=4, max_eval_shingles=2
         )
+
+
+def test_pack_shards_shuffled_deterministic_and_shuffled(spark):
+    """Seeded shuffle-order packing: invariant to partitioning and
+    chunk granularity, differs from id order, and changes with seed."""
+    df = _docs(spark, 300)
+    a = {r.doc_id: r.shard_id for r in corpus.pack_shards(df, budget=100, shuffle_seed=7).collect()}
+    b = {
+        r.doc_id: r.shard_id
+        for r in corpus.pack_shards(df.repartition(17), budget=100, shuffle_seed=7).collect()
+    }
+    assert a == b  # partition-layout invariant
+    ident = {r.doc_id: r.shard_id for r in corpus.pack_shards(df, budget=100).collect()}
+    assert a != ident  # genuinely shuffled vs id order
+    other = {r.doc_id: r.shard_id for r in corpus.pack_shards(df, budget=100, shuffle_seed=8).collect()}
+    assert a != other  # seed changes the permutation
+    # naive single-stream reference over the same md5(seed:id) order
+    import hashlib
+
+    toks = {r.doc_id: r.n_tokens for r in corpus.pack_shards(df, budget=100, shuffle_seed=7).collect()}
+    order = sorted(
+        toks, key=lambda d: (hashlib.md5(f"7:{d}".encode()).hexdigest(), d)
+    )
+    cum = 0
+    for d in order:
+        assert a[d] == cum // 100, d
+        cum += toks[d]
