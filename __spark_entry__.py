@@ -37,6 +37,7 @@ from data_lakehouse_spark.operators import (
     relational,
     search,
     similarity,
+    tpch,
 )
 from data_lakehouse_spark.operators.silver import silver_events
 from data_lakehouse_spark.sources.readers import load_tables
@@ -1990,6 +1991,132 @@ def q_events_sliding_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contract functions
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# TPC-H battery round-out (operators/tpch.py): correlated quantifiers,
+# scalar subqueries, disjunctive pushdown, left-join distributions
+# --------------------------------------------------------------------------
+
+def q_tpch_q4_late_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS decorrelated to a non-equi LEFT SEMI join."""
+    _ensure_conf(spark)
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"], register_views=False)
+    return tpch.q4_late_shipment_exists(t["orders"], t["lineitem"])
+
+
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple-predicate scan pushdown + single-row global agg."""
+    _ensure_conf(spark)
+    t = load_tables(spark, sf_dir, ["lineitem"], register_views=False)
+    return tpch.q6_forecast_revenue(t["lineitem"])
+
+
+def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same dimension joined twice under two roles (supplier/customer
+    nation), bilateral pair filter, revenue by ship year."""
+    _ensure_conf(spark)
+    t = load_tables(
+        spark,
+        sf_dir,
+        ["lineitem", "orders", "supplier", "customer", "nation"],
+        register_views=False,
+    )
+    return tpch.q7_volume_shipping(
+        t["lineitem"], t["orders"], t["supplier"], t["customer"], t["nation"]
+    )
+
+
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-sum ratio over a 7-table join (nation twice)."""
+    _ensure_conf(spark)
+    t = load_tables(
+        spark,
+        sf_dir,
+        ["lineitem", "orders", "customer", "part", "supplier", "nation", "region"],
+        register_views=False,
+    )
+    return tpch.q8_market_share(
+        t["lineitem"], t["orders"], t["customer"], t["part"], t["supplier"],
+        t["nation"], t["region"],
+    )
+
+
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-revenue top-20: pushed returnflag/quarter filters,
+    broadcast dims, TakeOrderedAndProject."""
+    _ensure_conf(spark)
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "orders", "customer", "nation"],
+        register_views=False,
+    )
+    return tpch.q10_returned_items(
+        t["lineitem"], t["orders"], t["customer"], t["nation"]
+    )
+
+
+def q_tpch_q12_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-band grouping + conditional counts (Q12 adapted to the
+    fixture's columns: shipping lag bands instead of shipmode)."""
+    _ensure_conf(spark)
+    t = load_tables(spark, sf_dir, ["lineitem", "orders"], register_views=False)
+    return tpch.q12_ship_delay_priority(t["lineitem"], t["orders"])
+
+
+def q_tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with the filter on the build side (zero-order
+    customers survive), double aggregation."""
+    _ensure_conf(spark)
+    t = load_tables(spark, sf_dir, ["customer", "orders"], register_views=False)
+    return tpch.q13_customer_distribution(t["customer"], t["orders"])
+
+
+def q_tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share for one ship-month."""
+    _ensure_conf(spark)
+    t = load_tables(spark, sf_dir, ["lineitem", "part"], register_views=False)
+    return tpch.q14_promo_effect(t["lineitem"], t["part"])
+
+
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue view + scalar MAX subquery folded to a 1-row broadcast."""
+    _ensure_conf(spark)
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier"], register_views=False)
+    return tpch.q15_top_supplier(t["lineitem"], t["supplier"])
+
+
+def q_tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-(grouped HAVING subquery) decorrelated to an aggregated join."""
+    _ensure_conf(spark)
+    t = load_tables(
+        spark, sf_dir, ["customer", "orders", "lineitem"], register_views=False
+    )
+    return tpch.q18_large_volume_customers(t["customer"], t["orders"], t["lineitem"])
+
+
+def q_tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three OR'd (brand, size, quantity) predicate triplets."""
+    _ensure_conf(spark)
+    t = load_tables(spark, sf_dir, ["lineitem", "part"], register_views=False)
+    return tpch.q19_discounted_revenue(t["lineitem"], t["part"])
+
+
+def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS pair decorrelated to lineitem self semi/anti
+    joins with non-equi residuals."""
+    _ensure_conf(spark)
+    t = load_tables(
+        spark, sf_dir, ["supplier", "lineitem", "orders"], register_views=False
+    )
+    return tpch.q21_waiting_suppliers(t["supplier"], t["lineitem"], t["orders"])
+
+
+def q_tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar AVG subquery (order-independent decimal mean) + NOT EXISTS
+    anti join, country-code bucketing."""
+    _ensure_conf(spark)
+    t = load_tables(spark, sf_dir, ["customer", "orders"], register_views=False)
+    return tpch.q22_global_sales_opportunity(t["customer"], t["orders"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: daily sales summary over sf0.001 events."""
     return q_daily_sales(spark, "/root/testdata/sf0.001")
@@ -2017,6 +2144,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
         "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
+        # round-4 battery: the remaining partsupp-free TPC-H shapes
+        # (operators/tpch.py) — correlated EXISTS/NOT EXISTS, scalar
+        # subqueries, OR-triplet pushdown, left-join distribution. New
+        # capabilities, so they lead the sweep with the rest of the
+        # unique block (ordering contract above).
+        "tpch_q4_late_shipment": q_tpch_q4_late_shipment,
+        "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "tpch_q12_ship_delay": q_tpch_q12_ship_delay,
+        "tpch_q13_customer_distribution": q_tpch_q13_customer_distribution,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q18_large_volume": q_tpch_q18_large_volume,
+        "tpch_q19_discounted_revenue": q_tpch_q19_discounted_revenue,
+        "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
+        "tpch_q22_sales_opportunity": q_tpch_q22_sales_opportunity,
         "orders_price_band_range_join": q_orders_price_band_range_join,
         "top_customers": q_top_customers,
         "customers_without_orders": q_customers_without_orders,
@@ -2085,6 +2228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (cross join, DISTINCT, conditional agg, cube, split/JSON scalars,
         # mart-over-mart, window frames) — placed after the unique block
         "region_nation_cross": q_region_nation_cross,
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+        "tpch_q14_promo_effect": q_tpch_q14_promo_effect,
         "distinct_segments": q_distinct_segments,
         "orders_conditional_agg": q_orders_conditional_agg,
         "orders_cube": q_orders_cube,
@@ -2481,6 +2626,206 @@ WHERE r_name = 'ASIA'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name ASC
+"""
+
+    _REV = (
+        "CAST(l_extendedprice AS DECIMAL(12,2))"
+        " * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+    )
+
+    sql["tpch_q4_late_shipment"] = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+    sql["tpch_q6_forecast_revenue"] = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+    sql["tpch_q7_volume_shipping"] = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+    CAST(SUM({_REV}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <= TIMESTAMP '1996-12-31 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+    sql["tpch_q8_market_share"] = f"""
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+    floor(CAST(SUM(CASE WHEN sn.n_name = 'NATION_6' THEN {_REV}
+                        ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+          / CAST(SUM({_REV}) AS DOUBLE) * 10000 + 0.5) / 10000 AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <= TIMESTAMP '1997-12-31 00:00:00'
+GROUP BY 1
+ORDER BY 1
+"""
+
+    sql["tpch_q10_returned_items"] = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+    CAST(SUM({_REV}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+    sql["tpch_q12_ship_delay"] = """
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90
+            THEN 'SLOW' ELSE 'FAST' END AS ship_band,
+    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+ORDER BY 1
+"""
+
+    sql["tpch_q13_customer_distribution"] = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+        AND o_orderpriority <> '4-NOT SPECIFIED'
+    GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+    sql["tpch_q14_promo_effect"] = f"""
+SELECT floor(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV}
+                           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(SUM({_REV}) AS DOUBLE) * 10000 + 0.5) / 100
+    AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+    sql["tpch_q15_top_supplier"] = f"""
+WITH revenue AS (
+    SELECT l_suppkey, CAST(SUM({_REV}) AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+    sql["tpch_q18_large_volume"] = """
+SELECT c_name, c_custkey, o_orderkey,
+    strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+    o_totalprice, CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM orders
+JOIN (
+    SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(l_quantity) > 300
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+    sql["tpch_q19_discounted_revenue"] = f"""
+SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_quantity >= 1 AND l_quantity <= 30
+  AND l_returnflag <> 'A'
+  AND (
+        (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         AND l_quantity BETWEEN 1 AND 11)
+     OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         AND l_quantity BETWEEN 10 AND 20)
+     OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+         AND l_quantity BETWEEN 20 AND 30)
+  )
+"""
+
+    sql["tpch_q21_waiting_suppliers"] = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+    sql["tpch_q22_sales_opportunity"] = """
+SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode,
+    CAST(COUNT(*) AS BIGINT) AS numcust,
+    CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)
+        FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY 1
+ORDER BY 1
 """
 
     sql["top_customers"] = """

@@ -1,0 +1,467 @@
+"""TPC-H-shaped relational battery over the synthetic lakehouse tables.
+
+Widens the engine's verified relational surface past the reference's own
+query shapes (SURVEY.md §2.3-§2.7): correlated EXISTS / NOT EXISTS
+(decorrelated to semi/anti joins), scalar-aggregate subqueries folded to
+broadcast literals, OR'd multi-predicate pushdown, left-join count
+distributions, and view-over-aggregate maxima — the classic TPC-H
+decision-support shapes, adapted to the columns the synthetic tables
+carry (no partsupp / commitdate / receiptdate / comment).
+
+Every function is a pure DataFrame builder: filters sit before joins so
+they push to the parquet scans, dimension sides are broadcast
+explicitly, and the only big-big shuffles are lineitem ⋈ orders (and
+lineitem self-joins for the correlated quantifiers) keyed on
+l_orderkey. Money follows the repo-wide determinism contract: accumulate
+DECIMAL(12,2), cast DOUBLE, round half-up — so every query hash-matches
+its DuckDB oracle cell-for-cell.
+
+Plan notes per query live in the docstrings; shapes are pinned in
+tests/test_plans.py (semi/anti join operators, broadcast dims, pushed
+filters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_D12 = "decimal(12,2)"
+_D4 = "decimal(4,2)"
+
+
+def _rev() -> Column:
+    """l_extendedprice * (1 - l_discount), decimal-exact."""
+    one = F.lit(1).cast(_D4)
+    return F.col("l_extendedprice").cast(_D12) * (one - F.col("l_discount").cast(_D4))
+
+
+def _ts(s: str) -> Column:
+    return F.lit(s + " 00:00:00").cast("timestamp")
+
+
+def q4_late_shipment_exists(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: priority counts over orders with a correlated
+    EXISTS (here: any line shipped >60 days after the order date).
+
+    Plan: LEFT SEMI join orders ⋈ lineitem on the equi key l_orderkey
+    with the non-equi shipping-lag predicate as the join residual — the
+    classic EXISTS decorrelation. One shuffle on the order key; the
+    date range filter pushes to the orders scan.
+    """
+    o = orders.filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1996-07-01"))
+    )
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6: single-table filter + global agg. All three predicates
+    push to the parquet scan (shipdate range also skips via footer
+    min/max); the agg is a map-side partial + single-row final."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(F.col("l_extendedprice").cast(_D12) * F.col("l_discount").cast(_D4))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+def q7_volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. The nation dimension is joined twice under different
+    roles (supplier nation / customer nation) — both broadcast; the
+    pair filter collapses each broadcast side to ≤2 rows before the
+    join. lineitem ⋈ orders is the single big-big shuffle."""
+    pair = [nation_a, nation_b]
+    n1 = (
+        nation.filter(F.col("n_name").isin(pair))
+        .select(
+            F.col("n_nationkey").alias("supp_nationkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = (
+        nation.filter(F.col("n_name").isin(pair))
+        .select(
+            F.col("n_nationkey").alias("cust_nationkey"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= _ts("1995-01-01"))
+        & (F.col("l_shipdate") <= _ts("1996-12-31"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("supp_nationkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cust_nationkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_6",
+    target_region: str = "AMERICA",
+    target_type: str = "ECONOMY",
+) -> DataFrame:
+    """TPC-H Q8 shape: one supplier-nation's share of regional volume by
+    order year — a conditional-sum ratio over a 6-table join. Part,
+    customer, nation, region broadcast; the region membership prunes
+    the customer side before the fact join; the share is the repo's
+    NULLIF-free decimal ratio rounded half-up."""
+    amer_cust = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == target_region)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select(
+        F.col("s_suppkey").alias("sn_suppkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") <= _ts("1997-12-31"))
+    )
+    joined = (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_type") == target_type).select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(amer_cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        joined.join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("sn_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == target_nation, _rev()).otherwise(
+                F.lit(0).cast(_D12)
+            )).cast("double").alias("_num"),
+            F.sum(_rev()).cast("double").alias("_den"),
+        )
+        .select(
+            "o_year",
+            (F.floor(F.col("_num") / F.col("_den") * 10000 + F.lit(0.5)) / 10000).alias(
+                "mkt_share"
+            ),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q10_returned_items(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in one
+    quarter. lineitem ⋈ orders shuffles on the order key; customer and
+    nation broadcast; the returnflag filter pushes to the lineitem scan
+    and the quarter filter to the orders scan. Top-20 is
+    TakeOrderedAndProject — no global sort materialization."""
+    o = orders.filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1996-04-01"))
+    )
+    li = lineitem.filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q12_ship_delay_priority(
+    lineitem: DataFrame, orders: DataFrame, slow_days: int = 90
+) -> DataFrame:
+    """TPC-H Q12 shape (shipmode → derived ship-delay band): lines
+    shipped in 1996 banded SLOW/FAST by shipping lag, counting
+    high-priority vs low-priority orders per band — the conditional
+    count idiom over a derived grouping key. Single shuffle on
+    l_orderkey, then a 2-group agg."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    ).select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "ship_band",
+            F.when(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > slow_days,
+                F.lit("SLOW"),
+            ).otherwise(F.lit("FAST")),
+        )
+        .groupBy("ship_band")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("ship_band")
+    )
+
+
+def q13_customer_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13: the order-count histogram over ALL customers — a LEFT
+    OUTER join (zero-order customers must survive with count 0, so the
+    filter lives on the build side, not in WHERE) followed by two
+    aggregations. First agg shuffles on o_custkey; the second input is
+    |distinct counts| rows — trivial."""
+    o = orders.filter(F.col("o_orderpriority") != "4-NOT SPECIFIED").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q14_promo_effect(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one ship-month — conditional
+    sum over lineitem ⋈ broadcast(part), single-row output. The month
+    filter pushes to the lineitem scan."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= _ts("1996-03-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0).cast(_D12))
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_type")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).cast("double").alias("_num"),
+            F.sum(_rev()).cast("double").alias("_den"),
+        )
+        .select(
+            (F.floor(F.col("_num") / F.col("_den") * 10000 + F.lit(0.5)) / 100).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+def q15_top_supplier(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """TPC-H Q15: the revenue view + scalar MAX subquery. The view aggs
+    one quarter of lineitem per supplier (one shuffle, ~|suppliers|
+    rows); the MAX folds to a 1-row broadcast joined back — no second
+    scan, no unpartitioned window."""
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev()).cast("double").alias("total_revenue"))
+    )
+    top = rev.agg(F.max("total_revenue").alias("_max"))
+    return (
+        rev.join(F.broadcast(top), F.col("total_revenue") == F.col("_max"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q18_large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    qty_threshold: int = 300,
+) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity clears a threshold — the
+    IN-(grouped-HAVING-subquery) decorrelated to an aggregated semi
+    side joined back. lineitem aggs once on l_orderkey (map-side
+    partials make the shuffle small), the surviving keys re-join orders
+    and broadcast customer."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > qty_threshold)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q19_discounted_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19: revenue under three OR'd (brand, size-band, qty-band)
+    predicate triplets — the disjunctive-pushdown stress shape. The
+    part-side brand/size disjunction prunes the broadcast build side;
+    the quantity/returnflag conjuncts common to all branches push to
+    the lineitem scan; the cross-branch residual evaluates post-join."""
+    li = lineitem.filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+        & (F.col("l_returnflag") != "A")
+    )
+    p = part.filter(
+        (
+            (F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 5))
+        )
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 10)))
+        | ((F.col("p_brand") == "Brand#15") & (F.col("p_size").between(1, 15)))
+    ).select("p_partkey", "p_brand")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#15") & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+def q21_waiting_suppliers(
+    supplier: DataFrame, lineitem: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who shipped LAST on multi-supplier
+    completed orders — correlated EXISTS (another supplier on the
+    order) and NOT EXISTS (another supplier shipped later), both
+    decorrelated to lineitem self semi/anti joins on the equi key
+    l_orderkey with suppkey/shipdate residuals. Three shuffles total
+    (orders filter join + semi + anti), all keyed on l_orderkey so AQE
+    can reuse the exchange; supplier broadcasts at the end."""
+    f_orders = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .drop("o_orderkey")
+    )
+    l2 = lineitem.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = lineitem.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+        F.col("l_shipdate").alias("l3_shipdate"),
+    )
+    waited = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey"))
+            & (F.col("l3_shipdate") > F.col("l_shipdate")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+def q22_global_sales_opportunity(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers with no completed order,
+    bucketed by country code (nationkey mod 10 stands in for the phone
+    prefix). The scalar AVG subquery folds to a one-row broadcast; the
+    NOT EXISTS is a left anti join on o_custkey. Both scans are the
+    small dimension tables; nothing touches lineitem."""
+    # Average from an order-independent decimal sum so the comparison
+    # boundary is bit-identical across engines and partitionings.
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(_D12)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("_avg_bal")
+    )
+    completed = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(completed, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .withColumn("cntrycode", (F.col("c_nationkey") % 10).cast("bigint"))
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(_D12)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -404,3 +404,68 @@ def test_incremental_neardup_probe_broadcasts_batch(spark, sf_dir, tmp_path):
     plan = _plan(hits)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q4_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """Q4's correlated EXISTS compiles to one LEFT SEMI join on the
+    equi key with the shipping-lag predicate as the join residual —
+    no subquery re-execution, no cartesian."""
+    plan = _plan(entry.q_tpch_q4_late_shipment(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan
+    # the date-range filter pushes to the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_tpch_q21_quantifiers_are_semi_and_anti_joins(spark, sf_dir):
+    """Q21's EXISTS + NOT EXISTS pair becomes exactly one LeftSemi and
+    one LeftAnti self-join of lineitem, both keyed on l_orderkey (the
+    non-equi suppkey/shipdate predicates ride as residuals)."""
+    plan = _plan(entry.q_tpch_q21_waiting_suppliers(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q19_disjunction_prunes_part_and_pushes_common_conjuncts(
+    spark, sf_dir
+):
+    """Q19: the brand/size disjunction filters the broadcast part side;
+    the quantity/returnflag conjuncts common to all branches push into
+    the lineitem scan instead of evaluating post-join."""
+    plan = _plan(entry.q_tpch_q19_discounted_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # common conjuncts reach the lineitem parquet reader (the full
+    # PushedFilters list is string-truncated, so check the stable prefix)
+    li_scan = next(
+        l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l
+    )
+    assert "GreaterThanOrEqual(l_quantity,1" in li_scan
+    assert "IsNotNull(l_returnflag)" in li_scan
+    # column pruning: only the 5 needed lineitem columns are read
+    assert "l_shipdate" not in li_scan and "l_tax" not in li_scan
+    # the OR'd brand/size disjunction evaluates on the (tiny) part scan
+    part_scan = next(
+        l
+        for l in plan.splitlines()
+        if "FileScan" in l and "/part.parquet" in l
+    )
+    assert "p_partkey" in part_scan
+
+
+def test_tpch_q15_scalar_max_is_broadcast_not_window(spark, sf_dir):
+    """Q15's MAX(total_revenue) folds to a 1-row broadcast join — never
+    an unpartitioned window over the revenue view."""
+    plan = _plan(entry.q_tpch_q15_top_supplier(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+
+
+def test_tpch_q13_left_join_preserves_every_customer(spark, sf_dir):
+    """Q13 must LEFT-join with the priority filter on the build side
+    (not WHERE), so the histogram partitions ALL customers — the
+    bucket counts sum to |customer| exactly."""
+    df = entry.q_tpch_q13_customer_distribution(spark, sf_dir)
+    total = sum(r["custdist"] for r in df.collect())
+    n_customers = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert total == n_customers
