@@ -1138,6 +1138,33 @@ def q_doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_topk(docs, BM25_TERMS, k=50)
 
 
+def q_doc_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    top-50 and the exact-cosine semantic top-50 (vec_id ↔ doc_id is the
+    fixture's embedding↔document alignment, FIXTURES.md). Both input
+    lists are bounded top-k results, so the fusion join/windows are
+    intentionally tiny — the corpus-sized work lives in the upstream
+    rankers. Ranks and the fused score are computed over the ROUNDED
+    scores with id tiebreaks, so the result is bit-stable across
+    engines (operators/search.py::rrf_fuse)."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lex = search.bm25_topk(docs, BM25_TERMS, k=50)
+    qv = _query_vec(spark, sf_dir)
+    sem = similarity.cosine_topk(emb, qv, k=50).withColumn(
+        "cosine_sim", round_half_up(F.col("cosine_sim"), 6)
+    )
+    return search.rrf_fuse(
+        [
+            (lex, "doc_id", "bm25", "lex_rank"),
+            (sem, "vec_id", "cosine_sim", "sem_rank"),
+        ],
+        k_rrf=60,
+        top_k=20,
+    )
+
+
 def q_events_props_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic JSON key/value explode (dynamic keys → rows) — built-in
     path: ``from_json`` string map + ``explode``, all JVM-side."""
@@ -2160,6 +2187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_discounted_revenue": q_tpch_q19_discounted_revenue,
         "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
         "tpch_q22_sales_opportunity": q_tpch_q22_sales_opportunity,
+        # hybrid retrieval: RRF fusion of the lexical + semantic rankers
+        "doc_hybrid_rrf_search": q_doc_hybrid_rrf_search,
         "orders_price_band_range_join": q_orders_price_band_range_join,
         "top_customers": q_top_customers,
         "customers_without_orders": q_customers_without_orders,
@@ -4013,6 +4042,31 @@ pairs AS (
 SELECT id_a, id_b, floor(sim * 1000000 + 0.5) / 1000000 AS cosine_sim
 FROM pairs
 WHERE sim >= 0.35
+"""
+
+    # RRF hybrid fusion: ranks over the two systems' (already verified)
+    # result lists, computed on the ROUNDED scores with id tiebreaks so
+    # rank assignment is engine-independent; addends sum lex-then-sem.
+    sql["doc_hybrid_rrf_search"] = f"""
+WITH lex AS (
+    SELECT doc_id,
+        ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+    FROM ({sql["doc_bm25_search"]})
+), sem AS (
+    SELECT vec_id AS doc_id,
+        ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, vec_id ASC) AS sem_rank
+    FROM ({sql["embedding_topk"]})
+)
+SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+    CAST(lex_rank AS BIGINT) AS lex_rank,
+    CAST(sem_rank AS BIGINT) AS sem_rank,
+    floor((COALESCE(1.0 / (60.0 + lex_rank), 0)
+           + COALESCE(1.0 / (60.0 + sem_rank), 0)) * 1000000 + 0.5)
+        / 1000000 AS rrf_score
+FROM lex
+FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+ORDER BY rrf_score DESC, COALESCE(lex.doc_id, sem.doc_id) ASC
+LIMIT 20
 """
 
     return sql

@@ -201,9 +201,11 @@ def contamination_hits_bloom(
         .select("shingle")
         .distinct()
     )
+    # xxhash64 values arrive as signed 64-bit; view-cast to uint64 (NumPy
+    # rejects out-of-bound negative ints on direct uint64 construction)
     hashes = np.array(
-        [r["shingle"] for r in ev.collect()], dtype=np.uint64
-    )
+        [r["shingle"] for r in ev.collect()], dtype=np.int64
+    ).view(np.uint64)
     n = max(len(hashes), 1)
     if n > max_eval_shingles:
         raise ValueError(

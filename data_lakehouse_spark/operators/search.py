@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_scores", "bm25_topk"]
+__all__ = ["bm25_scores", "bm25_topk", "rrf_fuse"]
 
 
 def _tokens(text_col: str) -> Column:
@@ -134,4 +134,55 @@ def bm25_topk(
         .withColumn("bm25", round_half_up(F.col("bm25"), round_digits))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def rrf_fuse(
+    ranked: list[tuple[DataFrame, str, str, str]],
+    k_rrf: int = 60,
+    top_k: int = 20,
+    id_out: str = "doc_id",
+    score_out: str = "rrf_score",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N
+    ranked retrieval lists: ``score(d) = Σ_lists 1/(k + rank_l(d))``.
+
+    ``ranked`` is a list of ``(df, id_col, score_col, rank_out)``: each
+    df is one system's (already top-k'd) result list; its rank is the
+    ROW_NUMBER over (score desc, id asc) — a total order so the fused
+    score is deterministic. Documents missing from a list contribute
+    nothing for it (rank column stays NULL in the output).
+
+    Shape for scale: the inputs are top-k lists (tens to thousands of
+    rows — bounded by construction, NOT corpus-sized), so the
+    unpartitioned rank windows and the full-outer id join are
+    intentionally tiny; the heavy lifting happened in the upstream
+    rankers (BM25 scan / ANN probe). The addends sum in explicit list
+    order for bit-stable floats.
+    """
+    fused: DataFrame | None = None
+    rank_cols: list[str] = []
+    from pyspark.sql.window import Window
+
+    for df, id_col, score_col, rank_out in ranked:
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        one = df.select(
+            F.col(id_col).cast("bigint").alias(id_out),
+            F.row_number().over(w).cast("bigint").alias(rank_out),
+        )
+        rank_cols.append(rank_out)
+        fused = one if fused is None else fused.join(one, id_out, "full_outer")
+    assert fused is not None, "rrf_fuse needs at least one ranked list"
+    score = None
+    for rc in rank_cols:
+        addend = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(rc)), F.lit(0.0)
+        )
+        score = addend if score is None else score + addend
+    return (
+        fused.withColumn(
+            score_out, F.floor(score * 1000000 + F.lit(0.5)) / 1000000
+        )
+        .orderBy(F.desc(score_out), F.asc(id_out))
+        .limit(top_k)
     )
