@@ -1165,6 +1165,34 @@ def q_doc_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_intra_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving within-document segment dedup (RefinedWeb line
+    dedup shape; the fixture's repetition lives at token granularity so
+    sep=' ' — see corpus.dedup_intra_doc_segments). Output: per doc the
+    original segment count, surviving unique count, and the reassembled
+    first-occurrence text."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    deduped = corpus.dedup_intra_doc_segments(docs, sep=" ")
+    n_orig = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ", -1)).cast("bigint").alias("n_segments")
+    )
+    return (
+        n_orig.join(deduped, "doc_id")
+        .select("doc_id", "n_segments", "n_unique_segments", "dedup_text")
+        .orderBy("doc_id")
+    )
+
+
+def q_doc_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-estimated unigram LM quality score per document (CCNet
+    signal; broadcast model + one scoring scan). Decimal-accumulated
+    logprobs — bit-stable across engines and partitionings."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.unigram_logprob_scores(docs).orderBy("doc_id")
+
+
 def q_events_props_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic JSON key/value explode (dynamic keys → rows) — built-in
     path: ``from_json`` string map + ``explode``, all JVM-side."""
@@ -2189,6 +2217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22_sales_opportunity": q_tpch_q22_sales_opportunity,
         # hybrid retrieval: RRF fusion of the lexical + semantic rankers
         "doc_hybrid_rrf_search": q_doc_hybrid_rrf_search,
+        # corpus cleaning round-out: intra-doc dedup + LM quality score
+        "doc_intra_dedup": q_doc_intra_dedup,
+        "doc_lm_unigram_score": q_doc_lm_unigram_score,
         "orders_price_band_range_join": q_orders_price_band_range_join,
         "top_customers": q_top_customers,
         "customers_without_orders": q_customers_without_orders,
@@ -4067,6 +4098,61 @@ FROM lex
 FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
 ORDER BY rrf_score DESC, COALESCE(lex.doc_id, sem.doc_id) ASC
 LIMIT 20
+"""
+
+    # Intra-document first-occurrence segment dedup: zipped parallel
+    # unnests give (segment, 1-based position); Spark's posexplode is
+    # 0-based but MIN(pos) ordering is offset-invariant.
+    sql["doc_intra_dedup"] = """
+WITH segs AS (
+    SELECT doc_id,
+        unnest(string_split(text, ' ')) AS seg,
+        unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+    FROM documents
+), firsts AS (
+    SELECT doc_id, seg, MIN(pos) AS pos
+    FROM segs
+    GROUP BY doc_id, seg
+)
+SELECT f.doc_id,
+    CAST(d.n AS BIGINT) AS n_segments,
+    CAST(COUNT(*) AS BIGINT) AS n_unique_segments,
+    string_agg(f.seg, ' ' ORDER BY f.pos) AS dedup_text
+FROM firsts f
+JOIN (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents) d
+    ON f.doc_id = d.doc_id
+GROUP BY f.doc_id, d.n
+ORDER BY f.doc_id
+"""
+
+    # Unigram LM score: per-token log10 prob rounds half-up to 6dp then
+    # accumulates as DECIMAL(18,6) — order-independent document sums.
+    sql["doc_lm_unigram_score"] = """
+WITH toks AS (
+    SELECT doc_id,
+        unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+    FROM documents
+), toks_ne AS (
+    SELECT doc_id, tok FROM toks WHERE tok <> ''
+), vocab AS (
+    SELECT tok, COUNT(*) AS cnt FROM toks_ne GROUP BY tok
+), tot AS (
+    SELECT COUNT(*) AS total FROM toks_ne
+), probs AS (
+    SELECT tok,
+        CAST(floor(log10(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                   * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS logp
+    FROM vocab, tot
+)
+SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(SUM(logp) AS DOUBLE) AS sum_logprob,
+    floor(CAST(SUM(logp) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000
+        AS avg_logprob
+FROM toks_ne
+JOIN probs USING (tok)
+GROUP BY doc_id
+ORDER BY doc_id
 """
 
     return sql

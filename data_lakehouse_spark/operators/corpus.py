@@ -51,6 +51,8 @@ __all__ = [
     "quality_signals",
     "redact_pii",
     "chunk_documents",
+    "dedup_intra_doc_segments",
+    "unigram_logprob_scores",
 ]
 
 #: Deliberately simple, oracle-portable PII patterns (same regex class
@@ -734,4 +736,114 @@ def chunk_documents(
             F.concat_ws(" ", chunk).alias("chunk_text"),
             F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
         )
+    )
+
+
+def dedup_intra_doc_segments(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """Order-preserving WITHIN-document segment dedup: split each
+    document on ``sep``, keep the FIRST occurrence of every distinct
+    segment, and reassemble in original order (RefinedWeb-style exact
+    line dedup; on real corpora ``sep`` is a newline — the synthetic
+    fixture exercises the identical shape at token granularity, where
+    its repetition actually lives).
+
+    Shape for scale: posexplode → (doc, segment) MIN(pos) hash agg →
+    per-doc ordered fold via sort_array(collect_list(struct)). Two
+    shuffles, both keyed by document (never corpus-global); the per-doc
+    collect is bounded by document length — the same per-doc memory
+    contract as chunk_documents. No windows, no Python.
+    """
+    segs = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "seg"),
+    )
+    firsts = segs.groupBy(id_col, "seg").agg(F.min("pos").alias("pos"))
+    return (
+        firsts.groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_unique_segments"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "seg"))),
+                    lambda x: x["seg"],
+                ),
+            ).alias("dedup_text"),
+        )
+    )
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """CCNet-style language-model quality score: mean unigram log10
+    probability per document, with the unigram model ESTIMATED FROM THE
+    CORPUS ITSELF (two-pass: tiny vocab aggregate broadcast back, then
+    an embarrassingly-parallel scoring scan — the BM25/TF-IDF stats
+    shape). Low scores flag rare-token/OOV-heavy documents; real
+    pipelines use the same signal from a pretrained KenLM — the
+    OPERATOR SHAPE (broadcast model, one scan) is identical.
+
+    ``vocab_size`` caps the broadcast model for web-scale vocabularies
+    (out-of-vocab tokens then score at the add-half floor
+    ``log10(0.5/total)``); None keeps the full vocabulary.
+
+    Determinism: per-token logprobs round half-up to ``round_dp`` then
+    accumulate as DECIMAL — the document sum is order-independent and
+    bit-identical across engines/partitionings; only the final mean
+    divides doubles.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+", -1)
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    if vocab_size is not None:
+        vocab = (
+            vocab.orderBy(F.desc("cnt"), F.asc("tok")).limit(vocab_size)
+        )
+    total = toks.agg(F.count("*").alias("total"))
+    scale = F.lit(float(10 ** round_dp))
+    logp = F.floor(
+        F.log10(F.col("cnt").cast("double") / F.col("total").cast("double"))
+        * scale
+        + F.lit(0.5)
+    ) / scale
+    probs = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", logp.cast(f"decimal(18,{round_dp})").alias("logp")
+    )
+    oov = F.floor(
+        F.log10(F.lit(0.5) / F.col("total").cast("double")) * scale + F.lit(0.5)
+    ) / scale
+    oov_probs = total.select(
+        oov.cast(f"decimal(18,{round_dp})").alias("oov_logp")
+    )
+    scored = (
+        toks.join(F.broadcast(probs), "tok", "left")
+        .crossJoin(F.broadcast(oov_probs))
+        .select(
+            id_col,
+            F.coalesce(F.col("logp"), F.col("oov_logp")).alias("logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("logp").cast("double").alias("sum_logprob"),
+        (
+            F.floor(
+                F.sum("logp").cast("double") / F.count("*") * scale + F.lit(0.5)
+            )
+            / scale
+        ).alias("avg_logprob"),
     )

@@ -302,3 +302,91 @@ def test_pack_shards_shuffled_deterministic_and_shuffled(spark):
     for d in order:
         assert a[d] == cum // 100, d
         cum += toks[d]
+
+
+def test_intra_doc_dedup_first_occurrence_order(spark):
+    """Line-granularity check (the real-corpus configuration): repeated
+    lines vanish, first occurrences keep document order, distinct docs
+    never interact."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\nalpha\ngamma\nbeta"),
+            (2, "x\nx\nx"),
+            (3, "one"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in corpus.dedup_intra_doc_segments(docs, sep="\n").collect()
+    }
+    assert out[1]["dedup_text"] == "alpha\nbeta\ngamma"
+    assert out[1]["n_unique_segments"] == 3
+    assert out[2]["dedup_text"] == "x"
+    assert out[2]["n_unique_segments"] == 1
+    assert out[3]["dedup_text"] == "one"
+
+
+def test_intra_doc_dedup_shuffles_are_doc_keyed(spark):
+    docs = spark.createDataFrame([(1, "a b a")], ["doc_id", "text"])
+    plan = (
+        corpus.dedup_intra_doc_segments(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # two doc-keyed hash exchanges (first-occurrence agg + reassembly),
+    # nothing corpus-global: no range partitioning, no single-partition
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Exchange rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_unigram_logprob_scores_hand_checked(spark):
+    """4 'the' + 2 'cat' + 2 'sat' = 8 tokens; doc scores follow from
+    exact counts; vocab cap routes tail tokens to the OOV floor."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the the cat sat"), (3, "the")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in corpus.unigram_logprob_scores(docs).collect()
+    }
+
+    def rhu6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    lp = {t: rhu6(math.log10(c / 8)) for t, c in
+          {"the": 4, "cat": 2, "sat": 2}.items()}
+    assert rows[3]["n_tokens"] == 1
+    assert rows[3]["sum_logprob"] == lp["the"]
+    expected_doc1 = round(lp["the"] + lp["cat"] + lp["sat"], 6)
+    assert abs(rows[1]["sum_logprob"] - expected_doc1) < 1e-9
+    assert rows[1]["avg_logprob"] == rhu6(rows[1]["sum_logprob"] / 3)
+
+    # vocab_size=1 keeps only 'the'; everything else scores the
+    # add-half OOV floor log10(0.5/8)
+    capped = {
+        r["doc_id"]: r
+        for r in corpus.unigram_logprob_scores(docs, vocab_size=1).collect()
+    }
+    oov = rhu6(math.log10(0.5 / 8))
+    assert abs(capped[1]["sum_logprob"] - round(lp["the"] + 2 * oov, 6)) < 1e-9
+
+
+def test_unigram_model_broadcasts(spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 3} common") for i in range(20)], ["doc_id", "text"]
+    )
+    plan = (
+        corpus.unigram_logprob_scores(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the model joins to the corpus via broadcast, never a shuffle join
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
