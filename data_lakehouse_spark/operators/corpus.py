@@ -229,18 +229,17 @@ def contamination_hits_bloom(
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast((bits, m, k))
 
-    # Per-doc distinct shingles WITHOUT a corpus shuffle: the distinct
-    # is per-row (array_distinct inside _shingle_df), unlike
-    # _shingle_explode(distinct=True) whose global distinct would
-    # shuffle every (doc, shingle) row — the cost this variant exists
-    # to avoid. Same xxhash64 keys as the eval side.
-    from data_lakehouse_spark.operators.dedup import _shingle_df
+    # Shingle production stays on the codegen explode-index path
+    # (_shingle_explode: generate → project in one whole-stage span;
+    # the per-doc-array higher-order lambda variant is interpreted and
+    # measured ~20× slower at sf0.1). distinct=False keeps the corpus
+    # scan shuffle-free — shingles flow WITH multiplicity and only the
+    # flagged HITS are deduped per doc afterwards, so the only shuffle
+    # is over contaminated rows (rare by construction). Same xxhash64
+    # keys as the eval side.
+    from data_lakehouse_spark.operators.dedup import _shingle_explode as _sx
 
-    train = (
-        _shingle_df(docs, text_col, id_col, shingle_n)
-        .select("doc_id", F.explode("_sh").alias("_s"))
-        .select("doc_id", F.xxhash64("_s").alias("shingle"))
-    )
+    train = _sx(docs, text_col, id_col, shingle_n, distinct=False, hashed=True)
 
     def probe(batches):
         b_bits, b_m, b_k = bc.value
@@ -255,15 +254,24 @@ def contamination_hits_bloom(
                 hit &= (
                     word & (np.uint64(1) << (idx & np.uint64(63)))
                 ).astype(bool)
-            out = pdf.loc[hit, ["doc_id"]]
+            out = pdf.loc[hit, ["doc_id", "shingle"]]
             yield pd.DataFrame(
-                {"doc_id": out["doc_id"].to_numpy(dtype=np.int64)}
+                {
+                    "doc_id": out["doc_id"].to_numpy(dtype=np.int64),
+                    "shingle": out["shingle"].to_numpy(dtype=np.int64),
+                }
             )
 
-    flagged = train.mapInPandas(probe, "doc_id bigint")
+    flagged = train.mapInPandas(probe, "doc_id bigint, shingle bigint")
+    # per-doc distinct over the FLAGGED rows only (the corpus itself
+    # never shuffled; multiplicity collapses here)
     return (
         flagged.groupBy("doc_id")
-        .agg(F.count("*").cast("bigint").alias("n_probable_overlap"))
+        .agg(
+            F.count_distinct("shingle").cast("bigint").alias(
+                "n_probable_overlap"
+            )
+        )
     )
 
 
