@@ -1193,6 +1193,25 @@ def q_doc_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.unigram_logprob_scores(docs).orderBy("doc_id")
 
 
+#: Token-budget mixing targets for the fixture's 20 sources: one fully
+#: kept source, two explicitly truncated, everything else at the
+#: default — exercises full-keep, tight, and default budget paths.
+MIX_BUDGETS = {"src0": 1_000_000, "src1": 800, "src2": 400}
+MIX_DEFAULT_BUDGET = 600
+
+
+def q_corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing by TOKEN volume: per source, keep docs in
+    deterministic md5(seed:id) shuffled order until the source's token
+    budget is met (corpus.token_budget_mix — chunked prefix sum, no
+    global sort). The row-fraction twin is corpus_stratified_sample."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.token_budget_mix(
+        docs, MIX_BUDGETS, default_budget=MIX_DEFAULT_BUDGET, seed=7
+    ).orderBy("source", "doc_id")
+
+
 def q_events_props_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic JSON key/value explode (dynamic keys → rows) — built-in
     path: ``from_json`` string map + ``explode``, all JVM-side."""
@@ -2222,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
         "decontaminate_docs": q_decontaminate_docs,
         "corpus_pack_shards_shuffled": q_corpus_pack_shards_shuffled,
+        "corpus_token_budget_mix": q_corpus_token_budget_mix,
         "training_chunks_pipeline": q_training_chunks_pipeline,
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "embedding_topk": q_embedding_topk,
@@ -3672,6 +3692,33 @@ SELECT doc_id, n_tokens,
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    - n_tokens) / 10000.0) AS BIGINT) AS shard_id
 FROM t
+"""
+
+    # Token-budget mixing: per-source greedy selection in md5(7:id)
+    # order; a doc is kept iff the tokens before it (within source)
+    # are under the source's budget.
+    sql["corpus_token_budget_mix"] = """
+WITH t AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+')) AS BIGINT) AS n_tokens,
+           md5(concat('7:', CAST(doc_id AS VARCHAR))) AS ord_key
+    FROM documents
+), cum AS (
+    SELECT doc_id, source, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+                     ORDER BY ord_key, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS before
+    FROM t
+)
+SELECT doc_id, source, n_tokens
+FROM cum
+WHERE before < CASE source
+                   WHEN 'src0' THEN 1000000
+                   WHEN 'src1' THEN 800
+                   WHEN 'src2' THEN 400
+                   ELSE 600 END
+ORDER BY source, doc_id
 """
 
     # -- round-3 additions --------------------------------------------------

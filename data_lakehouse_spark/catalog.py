@@ -190,6 +190,7 @@ class Catalog:
         replace: bool,
         partition_by: list[str] | None = None,
         properties: dict[str, str] | None = None,
+        base_dirs: list[str] | None = None,
     ) -> TableHandle:
         entries = self._load_manifest(h)
         version = len(entries)
@@ -209,7 +210,10 @@ class Catalog:
             writer = writer.partitionBy(*pb)
         writer.mode("overwrite").save(data_dir)
 
-        dirs = [] if replace else list(prev["data_dirs"]) if prev else []
+        if base_dirs is not None:
+            dirs = list(base_dirs)
+        else:
+            dirs = [] if replace else list(prev["data_dirs"]) if prev else []
         dirs.append(f"v{version:05d}")
         entries.append(
             {
@@ -413,6 +417,88 @@ class Catalog:
             "files_after": files_after,
             "bytes": bytes_total,
         }
+
+    def _cow_rewrite(
+        self,
+        name: str,
+        condition,
+        op: str,
+        build_rewritten,
+    ) -> dict:
+        """Shared copy-on-write machinery for row-level DML: find the
+        data directories that actually contain matching rows, rewrite
+        ONLY those, and carry every untouched directory into the new
+        snapshot unmodified (Iceberg copy-on-write semantics at
+        directory granularity — with date-partitioned appends, a delete
+        scoped to one day rewrites one day, not the table). Time travel
+        to the pre-DML version keeps working; readers flip atomically
+        with the manifest."""
+        import functools
+
+        h = self._handle(name)
+        entries = self._load_manifest(h)
+        if not entries:
+            raise ValueError(f"table {name} does not exist")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        # SQL DML semantics: only cond IS TRUE rows are affected;
+        # FALSE and NULL rows are kept verbatim.
+        is_hit = F.coalesce(cond, F.lit(False))
+        live = entries[-1]["data_dirs"]
+        cur = self.read(name).withColumn("_cow_file", F.input_file_name())
+        hit_files = [
+            r["_cow_file"]
+            for r in cur.filter(is_hit).select("_cow_file").distinct().collect()
+        ]
+        touched = [d for d in live if any(f"/{d}/" in fp for fp in hit_files)]
+        if not touched:
+            return {"table": name, "affected_rows": 0,
+                    "rewritten_dirs": [], "kept_dirs": list(live)}
+        kept = [d for d in live if d not in touched]
+        in_touched = functools.reduce(
+            lambda a, b: a | b,
+            [F.col("_cow_file").contains(f"/{d}/") for d in touched],
+        )
+        affected = cur.filter(is_hit).count()
+        rewritten = build_rewritten(
+            cur.filter(in_touched), is_hit
+        ).drop("_cow_file")
+        self._commit(h, rewritten, op=op, replace=True, base_dirs=kept)
+        return {"table": name, "affected_rows": affected,
+                "rewritten_dirs": touched, "kept_dirs": kept}
+
+    def delete_where(self, name: str, condition) -> dict:
+        """DELETE FROM name WHERE condition (GDPR right-to-be-forgotten
+        path). Copy-on-write with directory-level pruning — see
+        :meth:`_cow_rewrite`. ``condition`` is a SQL string or Column.
+        Returns affected/rewritten/kept accounting."""
+        return self._cow_rewrite(
+            name, condition, "delete",
+            lambda touched_df, is_hit: touched_df.filter(~is_hit),
+        )
+
+    def update_where(
+        self, name: str, condition, assignments: dict[str, object]
+    ) -> dict:
+        """UPDATE name SET assignments WHERE condition — copy-on-write
+        twin of :meth:`delete_where`. ``assignments`` maps column name →
+        SQL string or Column; non-matching rows in rewritten
+        directories are preserved verbatim."""
+        def build(touched_df, is_hit):
+            cols = []
+            for c in touched_df.columns:
+                if c == "_cow_file":
+                    cols.append(F.col(c))
+                elif c in assignments:
+                    v = assignments[c]
+                    vcol = F.expr(v) if isinstance(v, str) else v
+                    cols.append(
+                        F.when(is_hit, vcol).otherwise(F.col(c)).alias(c)
+                    )
+                else:
+                    cols.append(F.col(c))
+            return touched_df.select(*cols)
+
+        return self._cow_rewrite(name, condition, "update", build)
 
     def expire_snapshots(self, name: str, *, keep_last: int = 1) -> dict:
         """VACUUM / expire_snapshots: reclaim storage held only by old

@@ -53,6 +53,7 @@ __all__ = [
     "chunk_documents",
     "dedup_intra_doc_segments",
     "unigram_logprob_scores",
+    "token_budget_mix",
 ]
 
 #: Deliberately simple, oracle-portable PII patterns (same regex class
@@ -854,4 +855,94 @@ def unigram_logprob_scores(
             )
             / scale
         ).alias("avg_logprob"),
+    )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budgets: Mapping[str, int],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    token_col: str | None = None,
+    default_budget: int = 0,
+    seed: int = 0,
+) -> DataFrame:
+    """Data-mixing selection: per ``source_col`` stratum, keep documents
+    in deterministic shuffled order until that source's TOKEN budget is
+    met → the \"2T web / 300B code / 50B wiki\" mixing step of corpus
+    construction, expressed by token volume rather than row fraction
+    (which :func:`stratified_hash_sample` covers).
+
+    Greedy boundary rule: a doc is kept iff the tokens accumulated
+    BEFORE it (within its source, in ``md5(seed:id)`` order) are below
+    the budget — so each source overshoots by at most one document, and
+    shrinking a budget only ever removes the tail of the same order
+    (stable selection lattice, like hash sampling). Sources absent from
+    ``budgets`` get ``default_budget``.
+
+    Shape for scale: the same chunked prefix-sum as :func:`pack_shards`
+    — the order key's leading 2 hex digits (256 uniform buckets) chunk
+    each source's order, within-(source, chunk) window cumsums run hash-
+    partitioned, and only the tiny per-(source, chunk) offset table pays
+    a per-source total-order window before broadcasting back. No global
+    sort, no driver state.
+    """
+    tokens = (
+        F.col(token_col).cast("bigint")
+        if token_col
+        else bpe_ish_token_count(text_col)
+    )
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col(source_col).alias("_src"),
+        tokens.alias("n_tokens"),
+    ).withColumn(
+        "_ord",
+        F.md5(
+            F.concat_ws(":", F.lit(str(seed)), F.col("doc_id").cast("string"))
+        ),
+    ).withColumn(
+        "_chunk", F.conv(F.substring("_ord", 1, 2), 16, 10).cast("bigint")
+    )
+    budget_expr: Column = F.lit(int(default_budget))
+    for src, b in sorted(budgets.items()):
+        budget_expr = F.when(
+            F.col("_src") == F.lit(src), F.lit(int(b))
+        ).otherwise(budget_expr)
+
+    w_in = (
+        Window.partitionBy("_src", "_chunk")
+        .orderBy("_ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_off = (
+        Window.partitionBy("_src")
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("_src", "_chunk")
+        .agg(F.sum("n_tokens").alias("_chunk_tokens"))
+        .select(
+            "_src",
+            "_chunk",
+            F.coalesce(F.sum("_chunk_tokens").over(w_off), F.lit(0)).alias(
+                "_offset"
+            ),
+        )
+    )
+    return (
+        base.withColumn("_cum", F.sum("n_tokens").over(w_in))
+        .join(F.broadcast(offsets), ["_src", "_chunk"])
+        .filter(
+            (F.col("_offset") + F.col("_cum") - F.col("n_tokens"))
+            < budget_expr
+        )
+        .select(
+            "doc_id",
+            F.col("_src").alias(source_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        )
     )

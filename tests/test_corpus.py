@@ -390,3 +390,53 @@ def test_unigram_model_broadcasts(spark):
     # the model joins to the corpus via broadcast, never a shuffle join
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_token_budget_mix_greedy_boundary_and_lattice(spark):
+    """Per-source greedy: tokens-before < budget keeps the doc (one-doc
+    overshoot max); shrinking a budget removes only the tail of the
+    same deterministic order (selection lattice)."""
+    rows = [(i, "wiki" if i % 2 == 0 else "web", "tok " * 10) for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    big = corpus.token_budget_mix(
+        docs, {"wiki": 1_000_000, "web": 55}, seed=3
+    )
+    got = big.collect()
+    wiki = [r for r in got if r["source"] == "wiki"]
+    web = sorted(
+        (r for r in got if r["source"] == "web"), key=lambda r: r["doc_id"]
+    )
+    assert len(wiki) == 20  # budget never binds: everything kept
+    # each doc is 10 tokens; budget 55 → 6 docs (before-values 0..50)
+    assert len(web) == 6
+    # lattice: the 35-token selection is a prefix (subset) of the 55 one
+    small = corpus.token_budget_mix(docs, {"wiki": 0, "web": 35}, seed=3)
+    small_ids = {r["doc_id"] for r in small.collect()}
+    assert small_ids <= {r["doc_id"] for r in web}
+    assert len(small_ids) == 4
+
+    # determinism across partitionings
+    again = {
+        (r["doc_id"], r["source"])
+        for r in corpus.token_budget_mix(
+            docs.repartition(7), {"wiki": 1_000_000, "web": 55}, seed=3
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["source"]) for r in got}
+
+
+def test_token_budget_mix_no_global_sort(spark):
+    docs = spark.createDataFrame(
+        [(i, f"s{i%3}", "a b c") for i in range(30)],
+        ["doc_id", "source", "text"],
+    )
+    plan = (
+        corpus.token_budget_mix(docs, {"s0": 100})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # every window is partitioned; the corpus never funnels into one
+    # partition and never takes a global range sort
+    assert "SinglePartition" not in plan
+    assert "Exchange rangepartitioning" not in plan
