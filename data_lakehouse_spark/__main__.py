@@ -1,0 +1,134 @@
+"""Operational CLI — the engine's spark-submit job surface.
+
+The reference's entry points are Airflow-triggered ``spark-submit`` jobs
+(ingestion, SURVEY.md §3.1) and SQL over the lakehouse (dbt → Thrift,
+§3.2). This CLI is the engine-side equivalent of both, runnable locally
+or via ``spark-submit`` on a cluster unchanged:
+
+    python -m data_lakehouse_spark pipeline --input events.parquet \
+        --warehouse /tmp/wh          # bronze → silver → gold, JSON stats
+    python -m data_lakehouse_spark sql --warehouse /tmp/wh \
+        -e "SELECT COUNT(*) FROM gold_daily_sales_summary"
+    python -m data_lakehouse_spark query --name tpch_q3_shipping_priority \
+        --sf-dir /root/testdata/sf0.01 --limit 5 [--explain]
+    python -m data_lakehouse_spark tables --warehouse /tmp/wh
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(app: str):
+    from data_lakehouse_spark.session import get_spark
+
+    return get_spark(app)
+
+
+def _read_input(spark, path: str):
+    from data_lakehouse_spark.sources.readers import read_csv, read_json
+
+    if path.endswith(".csv"):
+        return read_csv(spark, path)
+    if path.endswith((".json", ".ndjson", ".jsonl")):
+        return read_json(spark, path)
+    return spark.read.parquet(path)
+
+
+def cmd_pipeline(args: argparse.Namespace) -> int:
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.pipeline import MedallionPipeline
+
+    spark = _spark("pipeline")
+    cat = Catalog(spark, args.warehouse)
+    pipe = MedallionPipeline(
+        spark, cat, cart_type=args.cart_type, as_of_date=args.as_of_date
+    )
+    raw = _read_input(spark, args.input)
+    stats = pipe.run(raw, args.source_file or args.input)
+    print(json.dumps(stats, default=str))
+    return 0
+
+
+def cmd_sql(args: argparse.Namespace) -> int:
+    from data_lakehouse_spark.catalog import Catalog
+
+    spark = _spark("sql")
+    Catalog(spark, args.warehouse).register_views()
+    df = spark.sql(args.execute)
+    if args.explain:
+        df.explain("formatted")
+    for line in df.limit(args.limit).toJSON().collect():
+        print(line)
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    spark = _spark("query")
+    qs = entrymod.queries()
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; available: {sorted(qs)}",
+              file=sys.stderr)
+        return 2
+    df = qs[args.name](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    for line in df.limit(args.limit).toJSON().collect():
+        print(line)
+    return 0
+
+
+def cmd_tables(args: argparse.Namespace) -> int:
+    from data_lakehouse_spark.catalog import Catalog
+
+    spark = _spark("tables")
+    cat = Catalog(spark, args.warehouse)
+    for name in cat.tables():
+        snaps = cat.snapshots(name).count()
+        props = cat.table_properties(name)
+        print(json.dumps({"table": name, "snapshots": snaps,
+                          "properties": props}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="data_lakehouse_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("pipeline", help="run bronze→silver→gold")
+    p.add_argument("--input", required=True)
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--source-file", default=None)
+    p.add_argument("--cart-type", default="cart")
+    p.add_argument("--as-of-date", default=None)
+    p.set_defaults(fn=cmd_pipeline)
+
+    p = sub.add_parser("sql", help="SQL over the lakehouse (views registered)")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("-e", "--execute", required=True)
+    p.add_argument("--limit", type=int, default=100)
+    p.add_argument("--explain", action="store_true")
+    p.set_defaults(fn=cmd_sql)
+
+    p = sub.add_parser("query", help="run a __spark_entry__ query by name")
+    p.add_argument("--name", required=True)
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--limit", type=int, default=20)
+    p.add_argument("--explain", action="store_true")
+    p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser("tables", help="list catalog tables")
+    p.add_argument("--warehouse", required=True)
+    p.set_defaults(fn=cmd_tables)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

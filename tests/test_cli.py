@@ -1,0 +1,54 @@
+"""CLI surface: pipeline run + SQL over the produced warehouse + query
+runner — the engine's spark-submit job parity (SURVEY.md §3.1/§3.2)."""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from data_lakehouse_spark.__main__ import main  # noqa: E402
+
+
+def test_cli_pipeline_sql_tables(spark, sf_dir, tmp_path, capsys):
+    wh = str(tmp_path / "wh")
+    rc = main([
+        "pipeline",
+        "--input", f"{sf_dir}/events.parquet",
+        "--warehouse", wh,
+        "--cart-type", "click",
+        "--as-of-date", "2024-02-01",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["silver"]["mode"] == "create"
+    assert stats["gold"]
+
+    rc = main([
+        "sql", "--warehouse", wh,
+        "-e", "SELECT COUNT(*) AS n FROM silver_events",
+    ])
+    assert rc == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["n"] > 0
+
+    rc = main(["tables", "--warehouse", wh])
+    assert rc == 0
+    names = {
+        json.loads(l)["table"]
+        for l in capsys.readouterr().out.strip().splitlines()
+    }
+    assert {"bronze_events", "silver_events"} <= names
+
+
+def test_cli_query_runner(spark, sf_dir, capsys):
+    rc = main([
+        "query", "--name", "tpch_q6_forecast_revenue",
+        "--sf-dir", sf_dir, "--limit", "5",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(out[-1])["revenue"] > 0
+    assert main(["query", "--name", "nope", "--sf-dir", sf_dir]) == 2
