@@ -667,6 +667,49 @@ def q_purchase_asof_cart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_purchase_asof_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance (merge_asof parity): for each
+    purchase, the user's next view at-or-after it, NULLed when more
+    than a day away — post-purchase engagement attribution. Same
+    single-shuffle union+window shape as the backward variant, time
+    ordering reversed (relational.asof_join direction='forward');
+    verified against DuckDB ASOF LEFT JOIN with the <= inequality."""
+    silver = _events_silver(spark, sf_dir)
+    purchases = silver.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_timestamp",
+        F.col("event_id").cast("bigint").alias("event_id"),
+    )
+    views = silver.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_timestamp").alias("view_ts")
+    )
+    j = relational.asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="event_timestamp",
+        right_ts="view_ts",
+        direction="forward",
+        tolerance_seconds=86400.0,
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        F.date_format("event_timestamp", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "purchase_ts"
+        ),
+        F.date_format("asof_view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "next_view_ts"
+        ),
+        (
+            (F.unix_micros("asof_view_ts") - F.unix_micros("event_timestamp"))
+            / F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("secs_to_view"),
+    )
+
+
 def q_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W-surface battery: lag/lead/first_value, running-sum frame,
     rank — per-customer order sequences."""
@@ -2249,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_counts": q_doc_token_counts,
         "watermark_incremental": q_watermark_incremental,
         "purchase_asof_cart": q_purchase_asof_cart,
+        "purchase_asof_next_view": q_purchase_asof_next_view,
         "user_sessions": q_user_sessions,
         "hourly_tumbling": q_hourly_tumbling,
         "orders_price_band_range_join": q_orders_price_band_range_join,
@@ -3064,6 +3108,37 @@ SELECT p.user_id, p.event_id,
 FROM purchases p
 ASOF LEFT JOIN carts c
   ON p.user_id = c.user_id AND p.event_timestamp >= c.cart_ts
+"""
+    )
+
+    # Forward as-of with a 1-day tolerance: DuckDB's ASOF <= picks the
+    # nearest following view; both engines apply the same post-mask.
+    sql["purchase_asof_next_view"] = (
+        _SILVER_CTE
+        + """
+, purchases AS (
+    SELECT user_id, event_timestamp, CAST(event_id AS BIGINT) AS event_id
+    FROM silver WHERE event_type = 'purchase'
+),
+views AS (
+    SELECT user_id, event_timestamp AS view_ts
+    FROM silver WHERE event_type = 'view'
+)
+SELECT p.user_id, p.event_id,
+       strftime(p.event_timestamp, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       CASE WHEN v.view_ts IS NOT NULL
+                 AND epoch_us(v.view_ts) - epoch_us(p.event_timestamp)
+                     <= CAST(86400 AS BIGINT) * 1000000
+            THEN strftime(v.view_ts, '%Y-%m-%d %H:%M:%S.%f') END
+           AS next_view_ts,
+       CASE WHEN v.view_ts IS NOT NULL
+                 AND epoch_us(v.view_ts) - epoch_us(p.event_timestamp)
+                     <= CAST(86400 AS BIGINT) * 1000000
+            THEN CAST(epoch_us(v.view_ts) - epoch_us(p.event_timestamp)
+                      AS BIGINT) // 1000000 END AS secs_to_view
+FROM purchases p
+ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND p.event_timestamp <= v.view_ts
 """
     )
 

@@ -166,9 +166,17 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_value_cols: Sequence[str] = (),
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """As-of (backward) join: attach to each left row the right row with
-    the greatest ``right_ts`` ≤ ``left_ts`` within the same ``on`` keys.
+    """As-of join: attach to each left row the nearest right row within
+    the same ``on`` keys — ``direction="backward"`` (default) takes the
+    greatest ``right_ts`` ≤ ``left_ts``, ``direction="forward"`` the
+    smallest ``right_ts`` ≥ ``left_ts`` (pandas ``merge_asof``
+    directions; DuckDB ``ASOF JOIN`` with ``>=`` resp. ``<=``).
+    ``tolerance_seconds`` NULLs out matches farther than the bound
+    (merge_asof ``tolerance``), applied post-carry so it never changes
+    the join shape.
 
     Implemented as the scalable union+window pattern, not a range join:
     tag sides, union, then one hash-partition on the keys with a single
@@ -182,6 +190,8 @@ def asof_join(
     Output: all left rows + ``asof_<right_ts>`` + ``asof_<c>`` for each
     requested right value column (NULL when no prior right row).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     on = list(on)
     carry = [right_ts, *right_value_cols]
     from pyspark.sql.types import StructField, StructType
@@ -210,13 +220,28 @@ def asof_join(
         F.struct(*[F.col(c) for c in carry]).alias("_rv"),
     )
     u = l2.unionByName(r2)
+    # backward: ascending time, right rows first at equal ts → the last
+    # carried right row is the greatest right_ts ≤ left_ts. forward:
+    # DESCENDING time (right still first at equal ts) → the last carried
+    # right row is the smallest right_ts ≥ left_ts. Same single-shuffle
+    # union+window shape either way.
+    ts_order = F.col("_ats").asc() if direction == "backward" else F.col("_ats").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy("_ats", "_side")
+        .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = u.withColumn("_rv_last", F.last("_rv", ignorenulls=True).over(w))
     out = u.filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col(left_ts).cast("double")
+            - F.col("_rv_last").getField(right_ts).cast("double")
+        )
+        out = out.withColumn(
+            "_rv_last",
+            F.when(gap <= F.lit(float(tolerance_seconds)), F.col("_rv_last")),
+        )
     for c in carry:
         out = out.withColumn(f"asof_{c}", F.col("_rv_last").getField(c))
     return out.drop("_side", "_ats", "_rv", "_rv_last")

@@ -239,3 +239,47 @@ def test_salted_join_matches_plain_join(spark):
     # the shuffle key carries the salt column
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan
+
+
+def test_asof_forward_and_tolerance(spark):
+    """merge_asof parity: forward picks the smallest right_ts >= left_ts
+    (equality matches); tolerance NULLs matches beyond the bound without
+    dropping left rows."""
+    import datetime as dt
+
+    from data_lakehouse_spark.operators import relational
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10, 0, 0)), (1, T(2024, 1, 1, 12, 0, 0)),
+         (2, T(2024, 1, 1, 9, 0, 0))],
+        ["k", "lts"],
+    )
+    right = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10, 0, 0), "at"),
+         (1, T(2024, 1, 1, 11, 0, 0), "mid"),
+         (2, T(2024, 1, 2, 9, 0, 1), "late")],
+        ["k", "rts", "tag"],
+    )
+    out = {
+        (r["k"], r["lts"]): r
+        for r in relational.asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            right_value_cols=["tag"], direction="forward",
+        ).collect()
+    }
+    assert out[(1, T(2024, 1, 1, 10))]["asof_tag"] == "at"  # equality matches
+    assert out[(1, T(2024, 1, 1, 12))]["asof_tag"] is None  # nothing after
+    assert out[(2, T(2024, 1, 1, 9))]["asof_tag"] == "late"
+
+    tol = {
+        (r["k"], r["lts"]): r
+        for r in relational.asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            right_value_cols=["tag"], direction="forward",
+            tolerance_seconds=3600.0,
+        ).collect()
+    }
+    # k=2's only following view is >24h away: masked, row kept
+    assert tol[(2, T(2024, 1, 1, 9))]["asof_tag"] is None
+    assert tol[(1, T(2024, 1, 1, 10))]["asof_tag"] == "at"
