@@ -111,6 +111,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # normalization context: the query set GROWS every round,
+                # so totals are not comparable across rounds — sec/query is
+                "n_queries": len(timings),
+                "sec_per_query": round(total / max(len(timings), 1), 3),
             }
         )
     )
