@@ -18,13 +18,17 @@ the dependency-free equivalent so the engine is self-contained:
 - time travel = read the file list recorded at version N;
 - snapshots() = the manifest as a DataFrame (the ``.snapshots`` analog).
 
-Concurrency note: single-writer per table (manifest append is
-last-writer-wins). At scale, swap the manifest for a real catalog
-(Iceberg/Hive) — the call sites don't change.
+Concurrency: commits serialize through a per-table lock file acquired
+with an atomic O_EXCL create, so concurrent writers (threads or
+processes on one filesystem) linearize — both commits land, neither
+clobbers the manifest. On an object store you'd replace the lock with
+the catalog service's conditional PUT / CAS (Iceberg REST commit);
+the call sites don't change.
 """
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
@@ -191,8 +195,68 @@ class Catalog:
         partition_by: list[str] | None = None,
         properties: dict[str, str] | None = None,
         base_dirs: list[str] | None = None,
+        expected_version: int | None = None,
+    ) -> TableHandle:
+        with self._commit_lock(h):
+            return self._commit_locked(
+                h, df, op=op, replace=replace, partition_by=partition_by,
+                properties=properties, base_dirs=base_dirs,
+                expected_version=expected_version,
+            )
+
+    @contextlib.contextmanager
+    def _commit_lock(self, h: TableHandle, timeout: float = 60.0):
+        """Per-table writer lock via atomic O_EXCL create. Serializes
+        the version-number read, data-dir write, and manifest flip so
+        concurrent commits linearize instead of clobbering each other.
+        A crashed holder is detected by lock age > 10×timeout and the
+        lock is broken (local-filesystem pragmatism; a real deployment
+        uses the catalog service's CAS)."""
+        os.makedirs(h.path, exist_ok=True)
+        lock = os.path.join(h.path, "_commit.lock")
+        t0 = time.time()
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > 10 * timeout:
+                        os.unlink(lock)
+                        continue
+                except OSError:
+                    continue
+                if time.time() - t0 > timeout:
+                    raise TimeoutError(
+                        f"commit lock on {h.name} held for >{timeout}s: {lock}"
+                    )
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            os.close(fd)
+            with contextlib.suppress(OSError):
+                os.unlink(lock)
+
+    def _commit_locked(
+        self,
+        h: TableHandle,
+        df: DataFrame,
+        *,
+        op: str,
+        replace: bool,
+        partition_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+        base_dirs: list[str] | None = None,
+        expected_version: int | None = None,
     ) -> TableHandle:
         entries = self._load_manifest(h)
+        if expected_version is not None and len(entries) != expected_version:
+            raise RuntimeError(
+                f"concurrent modification of {h.name}: commit built against "
+                f"version {expected_version - 1} but table is now at "
+                f"{len(entries) - 1}; re-read and retry"
+            )
         version = len(entries)
         data_dir = os.path.join(h.path, f"v{version:05d}")
         prev = entries[-1] if entries else None
@@ -462,7 +526,13 @@ class Catalog:
         rewritten = build_rewritten(
             cur.filter(in_touched), is_hit
         ).drop("_cow_file")
-        self._commit(h, rewritten, op=op, replace=True, base_dirs=kept)
+        # validate the base snapshot at commit time: a concurrent append
+        # between our read and this commit must FAIL the DML (its data
+        # would silently vanish from the rewrite), Iceberg-style
+        self._commit(
+            h, rewritten, op=op, replace=True, base_dirs=kept,
+            expected_version=len(entries),
+        )
         return {"table": name, "affected_rows": affected,
                 "rewritten_dirs": touched, "kept_dirs": kept}
 

@@ -517,3 +517,61 @@ def test_update_where_copy_on_write(spark, tmp_path):
     # no-match DML is a no-op commit-wise
     res2 = cat.update_where("u", "grp = 'zzz'", {"val": "0"})
     assert res2["affected_rows"] == 0 and res2["rewritten_dirs"] == []
+
+
+def test_concurrent_appends_both_land(spark, tmp_path):
+    """Two threads appending simultaneously: the commit lock serializes
+    them — both snapshots exist, no rows lost, versions consistent."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    cat = _catalog(spark, tmp_path)
+    cat.create_table(
+        "c", spark.createDataFrame([(0, "seed")], ["id", "v"])
+    )
+
+    def add(tag):
+        df = spark.createDataFrame(
+            [(i, tag) for i in range(1, 4)], ["id", "v"]
+        )
+        cat.append("c", df)
+
+    with ThreadPoolExecutor(2) as ex:
+        list(ex.map(add, ["a", "b"]))
+
+    rows = cat.read("c").collect()
+    assert len(rows) == 7  # 1 seed + 3 + 3
+    assert {r["v"] for r in rows} == {"seed", "a", "b"}
+    assert cat.snapshots("c").count() == 3  # create + 2 appends
+
+
+def test_dml_fails_on_concurrent_append(spark, tmp_path, monkeypatch):
+    """Copy-on-write DML built against a stale snapshot must raise, not
+    silently drop the concurrently appended data."""
+    import pytest as _pytest
+
+    from data_lakehouse_spark.catalog import Catalog
+
+    cat = _catalog(spark, tmp_path)
+    cat.create_table("d", spark.createDataFrame([(1, 5)], ["id", "x"]))
+
+    # simulate a concurrent append landing between the DML's read and
+    # its commit by intercepting _commit_locked once
+    orig = Catalog._commit_locked
+    state = {"injected": False}
+
+    def racy(self, h, df, **kw):
+        if not state["injected"] and kw.get("expected_version") is not None:
+            state["injected"] = True
+            cat2 = Catalog(spark, self.root)
+            orig(
+                cat2, h,
+                spark.createDataFrame([(99, 5)], ["id", "x"]),
+                op="append", replace=False,
+            )
+        return orig(self, h, df, **kw)
+
+    monkeypatch.setattr(Catalog, "_commit_locked", racy)
+    with _pytest.raises(RuntimeError, match="concurrent modification"):
+        cat.delete_where("d", "x = 5")
+    # the concurrently appended row survived
+    assert {r["id"] for r in cat.read("d").collect()} == {1, 99}
