@@ -291,10 +291,61 @@ class Catalog:
                 "partition_by": pb,
                 "partition_transforms": pb_spec,
                 "properties": properties or (prev.get("properties") if prev else {}),
+                "stats": self._dir_stats(data_dir),
             }
         )
         self._save_manifest(h, entries)
         return h
+
+    @staticmethod
+    def _dir_stats(data_dir: str) -> dict:
+        """Per-directory column min/max/null-count aggregated from the
+        parquet FOOTERS of the just-written files (metadata-only reads,
+        no data scan) — the Iceberg manifest-metrics analog. Powers
+        :meth:`read`'s snapshot-dir pruning: a predicate outside a
+        dir's [min, max] skips the whole dir without listing or opening
+        its files. Only scalar orderable types are recorded."""
+        import pyarrow.parquet as pq
+
+        mins: dict = {}
+        maxs: dict = {}
+        nulls: dict = {}
+        rows = 0
+        for dp, _, fs in os.walk(data_dir):
+            for fname in fs:
+                if not fname.endswith(".parquet"):
+                    continue
+                md = pq.read_metadata(os.path.join(dp, fname))
+                rows += md.num_rows
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        name = col.path_in_schema
+                        if "." in name:  # nested: skip
+                            continue
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        mn, mx = st.min, st.max
+                        if isinstance(mn, bytes):
+                            continue  # undecoded binary stats: skip
+                        if not isinstance(
+                            mn, (int, float, str)
+                        ):  # timestamps/dates → ISO strings
+                            mn, mx = str(mn), str(mx)
+                        prev_mn = mins.get(name)
+                        mins[name] = mn if prev_mn is None else min(prev_mn, mn)
+                        prev_mx = maxs.get(name)
+                        maxs[name] = mx if prev_mx is None else max(prev_mx, mx)
+                        if st.has_null_count:
+                            nulls[name] = nulls.get(name, 0) + st.null_count
+        return {
+            "rows": rows,
+            "min": mins,
+            "max": maxs,
+            "null_count": nulls,
+        }
 
     @staticmethod
     def _max_field_id(entries: list[dict]) -> int:
@@ -620,8 +671,26 @@ class Catalog:
         }
 
     # -- reads -------------------------------------------------------------
-    def read(self, name: str, *, version: int | None = None) -> DataFrame:
-        """Scan the table, optionally VERSION AS OF (time travel)."""
+    def read(
+        self,
+        name: str,
+        *,
+        version: int | None = None,
+        prune: dict[str, tuple] | None = None,
+    ) -> DataFrame:
+        """Scan the table, optionally VERSION AS OF (time travel).
+
+        ``prune`` enables MANIFEST-LEVEL data skipping (the Iceberg
+        manifest-metrics analog): ``{col: (lo, hi)}`` drops whole
+        snapshot directories whose footer-aggregated [min, max] for
+        ``col`` cannot intersect [lo, hi] (either bound may be None) —
+        before any file listing or parquet footer open. The caller must
+        still apply the row filter: pruning only guarantees that
+        SKIPPED dirs contain no row matching ``col BETWEEN lo AND hi``
+        (NULLs never match a range predicate, so NULL-bearing dirs may
+        be skipped too). Timestamps compare as their ``str()`` ISO
+        rendering. Dirs from legacy entries without stats are kept.
+        """
         h = self._handle(name)
         entries = self._load_manifest(h)
         if not entries:
@@ -658,6 +727,8 @@ class Catalog:
         for d in entry["data_dirs"]:
             p = os.path.join(h.path, d)
             wentry = entries[int(d[1:])]
+            if prune and self._dir_prunable(wentry.get("stats"), prune):
+                continue
             writer_ids = _ids(wentry["schema"]["fields"]) if target_ids else None
             if target_ids is None or writer_ids is None:
                 parts.append(
@@ -678,12 +749,36 @@ class Catalog:
                         F.lit(None).cast(sf.dataType).alias(f["name"])
                     )
             parts.append(raw.select(*cols))
+        if not parts:  # every dir pruned away
+            return self.spark.createDataFrame([], schema).select(
+                *[f.name for f in schema.fields]
+            )
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
         # partition columns come back from directory names; enforce the
         # declared column order
         return df.select(*[f.name for f in schema.fields])
+
+    @staticmethod
+    def _dir_prunable(stats: dict | None, prune: dict[str, tuple]) -> bool:
+        """True iff the dir's footer stats PROVE no row can satisfy every
+        ``col BETWEEN lo AND hi`` predicate. Conservative: missing
+        stats/columns keep the dir."""
+        if not stats:
+            return False
+        mins, maxs = stats.get("min") or {}, stats.get("max") or {}
+        for col, (lo, hi) in prune.items():
+            if col not in mins or col not in maxs:
+                continue
+            try:
+                if lo is not None and maxs[col] < lo:
+                    return True
+                if hi is not None and mins[col] > hi:
+                    return True
+            except TypeError:  # caller/stat type mismatch: keep the dir
+                continue
+        return False
 
     def table_properties(self, name: str) -> dict:
         """Latest-version table properties (TBLPROPERTIES analog)."""

@@ -575,3 +575,40 @@ def test_dml_fails_on_concurrent_append(spark, tmp_path, monkeypatch):
         cat.delete_where("d", "x = 5")
     # the concurrently appended row survived
     assert {r["id"] for r in cat.read("d").collect()} == {1, 99}
+
+
+def test_manifest_stats_and_dir_pruned_read(spark, tmp_path):
+    """Iceberg-manifest-metrics analog: per-dir footer min/max recorded
+    at commit; a pruned read skips whole snapshot dirs (fewer input
+    files), returns exactly the rows a BETWEEN filter needs, and an
+    impossible range reads zero files."""
+    cat = _catalog(spark, tmp_path)
+    cat.create_table(
+        "m", spark.createDataFrame([(i, f"d{i}") for i in range(10)], ["id", "s"])
+    )
+    cat.append(
+        "m",
+        spark.createDataFrame([(i, f"d{i}") for i in range(100, 110)], ["id", "s"]),
+    )
+    cat.append(
+        "m",
+        spark.createDataFrame([(i, f"d{i}") for i in range(200, 210)], ["id", "s"]),
+    )
+    # stats landed in the manifest
+    ent = cat._load_manifest(cat._handle("m"))[-1]
+    assert ent["stats"]["rows"] == 10
+    assert ent["stats"]["min"]["id"] == 200 and ent["stats"]["max"]["id"] == 209
+
+    full_files = len(cat.read("m").inputFiles())
+    pruned = cat.read("m", prune={"id": (100, 150)})
+    assert len(pruned.inputFiles()) < full_files
+    got = sorted(
+        r["id"] for r in pruned.filter("id BETWEEN 100 AND 150").collect()
+    )
+    assert got == list(range(100, 110))
+
+    # open upper bound; impossible range reads nothing
+    assert cat.read("m", prune={"id": (150, None)}).count() == 10
+    assert cat.read("m", prune={"id": (900, None)}).count() == 0
+    # conservative on unknown columns / type mismatch
+    assert cat.read("m", prune={"nope": (1, 2)}).count() == 30
