@@ -103,21 +103,40 @@ def main() -> None:
         break
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # normalization context: the query set GROWS every round,
-                # so totals are not comparable across rounds — sec/query is
-                "n_queries": len(timings),
-                "sec_per_query": round(total / max(len(timings), 1), 3),
-            }
-        )
-    )
+    result = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # normalization context: the query set GROWS every round,
+        # so totals are not comparable across rounds — sec/query is
+        "n_queries": len(timings),
+        "sec_per_query": round(total / max(len(timings), 1), 3),
+    }
+    # Full per-query detail always lands on disk for the judge/plan work.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_full.json")
+    with open(full_path, "w") as f:
+        json.dump(result, f, indent=1)
+
+    # The driver keeps only the LAST ~2000 chars of output and parses the
+    # JSON line out of that tail (BENCH_r02.json recorded parsed=null when
+    # the 66-query line overran the window). Guarantee the printed line
+    # fits: round per-query values to 2 decimals and, if still too long,
+    # keep only the slowest queries (most informative for perf review),
+    # recording how many were omitted and where the full dict lives.
+    LINE_BUDGET = 1600
+    compact = {k: round(v, 2) for k, v in timings.items()}
+    line_obj = dict(result, queries=compact)
+    by_cost = sorted(compact, key=compact.get, reverse=True)
+    kept = len(by_cost)
+    while kept > 0 and len(json.dumps(line_obj)) > LINE_BUDGET:
+        kept -= 1
+        line_obj["queries"] = {k: compact[k] for k in by_cost[:kept]}
+        line_obj["queries_omitted"] = len(compact) - kept
+        line_obj["queries_full"] = "bench_full.json"
+    print(json.dumps(line_obj))
 
 
 if __name__ == "__main__":
