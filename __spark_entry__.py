@@ -2234,6 +2234,35 @@ def q_tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch.q22_global_sales_opportunity(t["customer"], t["orders"])
 
 
+def q_corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT frequent terms (count·m > total) via the two-pass
+    Misra–Gries sketch-then-verify shape: per-partition capped summaries
+    (mapInPandas, no shuffle) produce a guaranteed-superset candidate
+    set; a broadcast semi-join prunes the token stream before its only
+    hash aggregation. Same answer as GROUP BY/HAVING (oracle-verified)
+    without ever shuffling the full vocabulary — the step naive
+    vocab induction pays O(corpus) shuffle for at web scale."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(
+            F.split(text_fns.normalized_text(F.col("text")), " ")
+        ).alias("term")
+    ).filter(F.col("term") != "")
+    return corpus.heavy_hitters(toks, "term", m=100)
+
+
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means clusters + within-cluster
+    cosine pruning over the embeddings table — the semantic third tier
+    next to exact (dedup_exact_docs) and lexical near-dup
+    (minhash_lsh_candidates). Rows-only: k-means is not
+    SQL-expressible; semantics pinned in tests/test_dedup_similarity.py."""
+    _ensure_conf(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.semdedup(emb, k=8, threshold=0.9, seed=7)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: daily sales summary over sf0.001 events."""
     return q_daily_sales(spark, "/root/testdata/sf0.001")
@@ -2345,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": q_events_json_props,
         "monthly_sales_rollup": q_monthly_sales_rollup,
         "window_battery": q_window_battery,
+        "corpus_heavy_hitters": q_corpus_heavy_hitters,
         # --- rows-only (hash/LSH/HLL/pandas-UDF based; no SQL oracle) ---
         "gold_user_rfm_segments_scalable": q_user_rfm_segments_scalable,
         "segment_order_percentiles_approx": q_segment_order_percentiles_approx,
@@ -2358,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": q_approx_distinct_users,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
+        "semdedup_prune": q_semdedup_prune,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -3413,6 +3444,20 @@ FROM t WHERE term != ''
 GROUP BY term
 ORDER BY n DESC, term ASC
 LIMIT 100
+"""
+
+    # Exact threshold semantics: integer compare count*m > total on
+    # both engines (the MG pass only prunes the candidate space).
+    sql["corpus_heavy_hitters"] = f"""
+WITH t AS (
+    SELECT unnest(string_split({_NORM}, ' ')) AS term FROM documents
+), tt AS (
+    SELECT term FROM t WHERE term != ''
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+FROM tt
+GROUP BY term
+HAVING COUNT(*) * 100 > (SELECT COUNT(*) FROM tt)
 """
 
     # Rational idf (tf * N / df, no ln) — exact double arithmetic on

@@ -54,6 +54,7 @@ __all__ = [
     "dedup_intra_doc_segments",
     "unigram_logprob_scores",
     "token_budget_mix",
+    "heavy_hitters",
 ]
 
 #: Deliberately simple, oracle-portable PII patterns (same regex class
@@ -945,4 +946,71 @@ def token_budget_mix(
             F.col("_src").alias(source_col),
             F.col("n_tokens").cast("bigint").alias("n_tokens"),
         )
+    )
+
+
+def heavy_hitters(
+    tokens: DataFrame,
+    key_col: str = "term",
+    *,
+    m: int = 200,
+    summary_cap_factor: int = 4,
+) -> DataFrame:
+    """EXACT frequent-items (keys with count·m > total) without ever
+    shuffling the full key space — the two-pass sketch-then-verify
+    pattern (Misra–Gries 1982; Frequent/SpaceSaving family).
+
+    Pass 1 runs a batched Misra–Gries summary with ``m`` counters
+    INSIDE each partition (``mapInPandas``, no shuffle): whenever the
+    summary exceeds ``summary_cap_factor·m`` keys it subtracts the
+    (m+1)-th largest count from every counter and drops the non-positive
+    ones. Each unit of subtraction hits ≥ m+1 keys, so total undercount
+    per key ≤ n_p/(m+1) — any key with partition count > n_p/m is
+    guaranteed to survive. A global heavy hitter (count > n/m = Σn_p/m)
+    must exceed n_p/m in at least one partition (pigeonhole), so the
+    union of partition summaries is a SUPERSET of the true answer:
+    ≤ cap·n_partitions candidate keys, independent of vocabulary size.
+
+    Pass 2 exact-counts ONLY the candidates — a broadcast semi-join
+    prunes the token stream before its one hash aggregation — and
+    applies the true threshold. Output is therefore exactly the SQL
+    ``GROUP BY key HAVING count(*)·m > total`` (oracle-verified), while
+    the full-vocabulary shuffle that a naive GROUP BY pays at web scale
+    (vocab ~ O(corpus)) never happens.
+
+    No reference analogue (reference has no corpus tier); the shape is
+    the standard first step of tokenizer induction / stopword discovery
+    over a 100 TB corpus.
+    """
+    import pandas as pd
+
+    spark = tokens.sparkSession
+    cap = max(int(summary_cap_factor) * m, m + 1)
+
+    src = tokens.select(F.col(key_col).alias("_k"))
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for k, c in pdf["_k"].value_counts().items():
+                counters[k] = counters.get(k, 0) + int(c)
+            if len(counters) > cap:
+                vals = sorted(counters.values(), reverse=True)
+                thresh = vals[m]
+                counters = {
+                    k: v - thresh for k, v in counters.items() if v > thresh
+                }
+        yield pd.DataFrame({"_k": list(counters.keys())})
+
+    candidates = (
+        src.mapInPandas(summarize, f"_k {dict(src.dtypes)['_k']}")
+        .distinct()
+    )
+    total = src.count()
+    return (
+        src.join(F.broadcast(candidates), "_k", "left_semi")
+        .groupBy("_k")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .filter(F.col("n") * F.lit(int(m)) > F.lit(int(total)))
+        .select(F.col("_k").alias(key_col), "n")
     )

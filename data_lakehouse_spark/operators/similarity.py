@@ -46,6 +46,7 @@ __all__ = [
     "ann_ivf_topk_indexed",
     "build_kmeans_ivf_index",
     "ann_kmeans_ivf_topk",
+    "semdedup",
 ]
 
 
@@ -704,3 +705,141 @@ def exact_recall_at_k(approx: DataFrame, exact: DataFrame, id_col: str = "vec_id
     a = {r[0] for r in approx.select(id_col).collect()}
     e = {r[0] for r in exact.select(id_col).collect()}
     return len(a & e) / max(len(e), 1)
+
+
+def semdedup(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    threshold: float = 0.95,
+    seed: int = 7,
+    max_iter: int = 20,
+    max_cluster_size: int = 100_000,
+    chunk: int = 2048,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + within-cluster cosine
+    pruning — the embedding-space analogue of MinHash near-dup, built
+    for web-scale corpora where even LSH pair enumeration is too much.
+
+    Algorithm (faithful to the paper): cluster all embeddings with
+    k-means (Spark ML, distributed Lloyd iterations); within each
+    cluster order items by cosine similarity TO THE CLUSTER CENTROID
+    ascending (the paper's keep-the-least-typical choice, tie-broken by
+    id for determinism) and mark an item a duplicate iff its max cosine
+    to any EARLIER item in that order exceeds ``threshold``. Pairs in
+    different clusters are never compared — that is the approximation
+    that makes the O(n²) pairwise step O(Σ c_i²) with bounded c_i.
+
+    Scale shape: one KMeans fit (k scales with corpus size — the paper
+    uses k≈110k for LAION; cost amortizes like index builds), one
+    broadcast join against the k·dim centroid table for the centroid
+    similarity (JVM expression), one shuffle keyed on cluster into an
+    ``applyInPandas`` kernel that runs the intra-cluster comparison as
+    chunked float64 GEMMs (memory bounded by chunk·|cluster|, never
+    |cluster|²). Degenerate clusters larger than ``max_cluster_size``
+    are deterministically sub-split by ``xxhash64(id)`` — sub-cells
+    dedup independently (bounded recall loss on pathological data,
+    same guard stance as ``max_bucket_size`` in operators/dedup.py).
+
+    Returns one row per input: (vec_id, cluster, centroid_sim,
+    max_prior_sim, keep). ``filter(keep)`` is the deduplicated corpus.
+    No SQL-expressible oracle (k-means), so the query entry is
+    rows-only; determinism + pruning semantics are pinned in tests.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = df.sparkSession
+    src = df.select(
+        F.col(id_col).cast("bigint").alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+    )
+    feats = src.withColumn(
+        "_features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(
+        k=k,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="_features",
+        predictionCol="cluster",
+    ).fit(feats)
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    assigned = model.transform(feats).select(
+        "vec_id", "embedding", F.col("cluster").cast("int").alias("cluster")
+    )
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cluster int, _centroid array<double>",
+    )
+    scored = assigned.join(F.broadcast(cdf), "cluster").select(
+        "vec_id",
+        "embedding",
+        "cluster",
+        cosine_similarity(
+            F.col("embedding"), F.col("_centroid")
+        ).alias("centroid_sim"),
+    )
+    # skew guard: sub-split clusters above max_cluster_size (counts is a
+    # k-row aggregate — broadcast back, never a driver collect)
+    counts = scored.groupBy("cluster").agg(F.count("*").alias("_cn"))
+    sub = F.when(
+        F.col("_cn") <= max_cluster_size, F.lit(0)
+    ).otherwise(
+        F.pmod(
+            F.xxhash64(F.col("vec_id")),
+            F.ceil(F.col("_cn") / F.lit(max_cluster_size)).cast("bigint"),
+        )
+    ).cast("int")
+    keyed = (
+        scored.join(F.broadcast(counts), "cluster")
+        .withColumn("_sub", sub)
+        .drop("_cn")
+    )
+
+    t = float(threshold)
+    blk = int(chunk)
+
+    def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["centroid_sim", "vec_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        n = len(pdf)
+        mat = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+        norm = np.linalg.norm(mat, axis=1)
+        norm[norm == 0] = np.nan
+        with np.errstate(invalid="ignore", divide="ignore"):
+            unit = mat / norm[:, None]
+        unit = np.nan_to_num(unit, nan=0.0)
+        max_prior = np.full(n, -1.0)
+        for s in range(0, n, blk):
+            e = min(s + blk, n)
+            if s > 0:
+                sims = unit[s:e] @ unit[:s].T
+                max_prior[s:e] = sims.max(axis=1)
+            intra = unit[s:e] @ unit[s:e].T
+            ii, jj = np.tril_indices(e - s, k=-1)
+            if len(ii):
+                intra_max = np.full(e - s, -1.0)
+                np.maximum.at(intra_max, ii, intra[ii, jj])
+                max_prior[s:e] = np.maximum(max_prior[s:e], intra_max)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                "cluster": pdf["cluster"].to_numpy(dtype=np.int32),
+                "centroid_sim": pdf["centroid_sim"].to_numpy(dtype=np.float64),
+                "max_prior_sim": max_prior,
+                "keep": max_prior < t,
+            }
+        )
+
+    return keyed.groupBy("cluster", "_sub").applyInPandas(
+        prune,
+        "vec_id bigint, cluster int, centroid_sim double, "
+        "max_prior_sim double, keep boolean",
+    )

@@ -440,3 +440,46 @@ def test_token_budget_mix_no_global_sort(spark):
     # partition and never takes a global range sort
     assert "SinglePartition" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    """Two-pass Misra–Gries + exact verify returns EXACTLY the naive
+    GROUP BY ... HAVING n*m > total result, on a skewed stream with a
+    vocabulary far larger than the summary."""
+    import random
+
+    rng = random.Random(7)
+    tokens = (
+        ["the"] * 500
+        + ["of"] * 300
+        + ["spark"] * 120
+        + [f"rare{i}" for i in range(2000)]  # huge tail vocabulary
+        + [f"mid{i % 50}" for i in range(500)]
+    )
+    rng.shuffle(tokens)
+    df = spark.createDataFrame([(t,) for t in tokens], "term string")
+    m = 20
+    got = {
+        (r["term"], r["n"])
+        for r in corpus.heavy_hitters(df, "term", m=m).collect()
+    }
+    total = df.count()
+    want = {
+        (r["term"], r["n"])
+        for r in df.groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .filter(F.col("n") * m > total)
+        .collect()
+    }
+    assert got == want and len(want) >= 2  # 'the' and 'of' qualify
+
+
+def test_heavy_hitters_summary_never_holds_full_vocab(spark):
+    """The pass-1 summary is capped: even with an all-distinct stream
+    (worst case) the candidate set stays <= cap per partition, and the
+    result is empty (nothing exceeds total/m)."""
+    df = spark.createDataFrame(
+        [(f"u{i}",) for i in range(5000)], "term string"
+    ).repartition(4)
+    out = corpus.heavy_hitters(df, "term", m=10, summary_cap_factor=2)
+    assert out.count() == 0

@@ -295,3 +295,75 @@ def test_kmeans_ivf_rejects_wrong_index_kind(spark, sf_dir, tmp_path):
     similarity.build_embedding_index(cat, emb, "hyp", num_planes=4, seed=7)
     with pytest.raises(ValueError, match="not an ivf_kmeans index"):
         similarity.ann_kmeans_ivf_topk(cat, "hyp", [0.0] * 64)
+
+
+def _semdedup_fixture(spark):
+    """Three tight direction-groups plus a singleton; group members are
+    scaled/perturbed copies so within-group cosine > 0.99 while
+    between-group cosine is far lower."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = {
+        0: np.array([1.0, 0.0, 0.0, 0.0]),
+        1: np.array([0.0, 1.0, 0.0, 0.0]),
+        2: np.array([0.0, 0.0, 1.0, 0.0]),
+    }
+    rows = []
+    vid = 0
+    for g, b in base.items():
+        for _ in range(5):
+            v = b * rng.uniform(0.5, 2.0) + rng.normal(0, 0.001, 4)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    rows.append((vid, [0.5, 0.5, 0.5, 0.5]))  # singleton direction
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semdedup_prunes_within_cluster_only(spark):
+    df = _semdedup_fixture(spark)
+    out = similarity.semdedup(df, k=4, threshold=0.99, seed=3).collect()
+    assert len(out) == df.count()  # one verdict per input row
+    kept = [r for r in out if r["keep"]]
+    pruned = [r for r in out if not r["keep"]]
+    # every pruned row really saw a >threshold earlier neighbor
+    assert all(r["max_prior_sim"] > 0.99 for r in pruned)
+    assert all(r["max_prior_sim"] <= 0.99 for r in kept)
+    # near-dup groups collapse: 16 rows in 3 tight groups + singleton
+    # leave at most one representative per direction (clusters may
+    # split a group -> allow <=2) and at least the 4 directions
+    assert 4 <= len(kept) <= 8
+    # pruning respects cluster boundaries: a pruned row's cluster must
+    # contain an earlier kept/dropped row — i.e. it is never alone
+    from collections import Counter
+
+    sizes = Counter(r["cluster"] for r in out)
+    assert all(sizes[r["cluster"]] > 1 for r in pruned)
+
+
+def test_semdedup_deterministic(spark):
+    df = _semdedup_fixture(spark)
+    a = sorted(
+        similarity.semdedup(df, k=4, threshold=0.99, seed=3).collect()
+    )
+    b = sorted(
+        similarity.semdedup(df, k=4, threshold=0.99, seed=3).collect()
+    )
+    assert a == b
+
+
+def test_semdedup_subsplit_guard(spark):
+    """A cluster larger than max_cluster_size is deterministically
+    sub-split; every row still gets exactly one verdict."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 4)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semdedup(
+        df, k=2, threshold=0.999, seed=3, max_cluster_size=10
+    )
+    assert out.count() == 60
+    assert out.select("vec_id").distinct().count() == 60
