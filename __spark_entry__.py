@@ -1731,6 +1731,32 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-(day, type) HLL sketch table rolled
+    up to per-type unique users by sketch UNION — the pre-aggregation
+    that answers distinct-count dashboards from KB of sketches instead
+    of rescanning events (Σ daily uniques ≠ monthly uniques, but HLL
+    unions are lossless). Exact COUNT(DISTINCT) inline for error
+    inspection; sketch estimates are engine-specific → rows-only."""
+    from data_lakehouse_spark.operators import sketches
+
+    silver = _events_silver(spark, sf_dir)
+    daily = sketches.hll_sketch_table(
+        silver, ["event_date", "event_type"], "user_id"
+    )
+    rolled = sketches.hll_rollup(daily, ["event_type"]).withColumnRenamed(
+        "approx_distinct", "approx_users"
+    )
+    exact = silver.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return (
+        rolled.join(F.broadcast(exact), "event_type")
+        .select("event_type", "approx_users", "exact_users", "n_rows")
+        .orderBy("event_type")
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed media decode through real mapInPandas plumbing."""
     _ensure_conf(spark)
@@ -2260,7 +2286,7 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible; semantics pinned in tests/test_dedup_similarity.py."""
     _ensure_conf(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.semdedup(emb, k=8, threshold=0.9, seed=7)
+    return similarity.semdedup(emb, k=8, threshold=0.9, seed=7, max_iter=10)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2294,7 +2320,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8_market_share": q_tpch_q8_market_share,
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
         "tpch_q12_ship_delay": q_tpch_q12_ship_delay,
-        "tpch_q13_customer_distribution": q_tpch_q13_customer_distribution,
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "tpch_q18_large_volume": q_tpch_q18_large_volume,
         "tpch_q19_discounted_revenue": q_tpch_q19_discounted_revenue,
@@ -2311,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_gopher": q_doc_quality_gopher,
         "doc_bm25_search": q_doc_bm25_search,
         "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
+        "corpus_heavy_hitters": q_corpus_heavy_hitters,
         "decontaminate_docs": q_decontaminate_docs,
         "corpus_pack_shards_shuffled": q_corpus_pack_shards_shuffled,
         "corpus_token_budget_mix": q_corpus_token_budget_mix,
@@ -2374,7 +2400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": q_events_json_props,
         "monthly_sales_rollup": q_monthly_sales_rollup,
         "window_battery": q_window_battery,
-        "corpus_heavy_hitters": q_corpus_heavy_hitters,
+        "tpch_q13_customer_distribution": q_tpch_q13_customer_distribution,
         # --- rows-only (hash/LSH/HLL/pandas-UDF based; no SQL oracle) ---
         "gold_user_rfm_segments_scalable": q_user_rfm_segments_scalable,
         "segment_order_percentiles_approx": q_segment_order_percentiles_approx,
@@ -2386,6 +2412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_kmeans_ivf_topk": q_ann_kmeans_ivf_topk,
         "approx_distinct_users": q_approx_distinct_users,
+        "hll_sketch_rollup": q_hll_sketch_rollup,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
         "semdedup_prune": q_semdedup_prune,

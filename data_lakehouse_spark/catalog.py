@@ -279,12 +279,21 @@ class Catalog:
         else:
             dirs = [] if replace else list(prev["data_dirs"]) if prev else []
         dirs.append(f"v{version:05d}")
+        # Positional-delete files survive any commit that carries prior
+        # data dirs forward (append, COW DML on other dirs); a full
+        # replace starts from a clean slate. Dropping them on a carry
+        # would RESURRECT merge-on-read-deleted rows.
+        if replace and base_dirs is None:
+            ddirs: list[str] = []
+        else:
+            ddirs = list(prev.get("delete_dirs") or []) if prev else []
         entries.append(
             {
                 "version": version,
                 "op": op,
                 "committed_at": time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()),
                 "data_dirs": dirs,
+                "delete_dirs": ddirs,
                 "schema": self._assign_field_ids(
                     json.loads(df.schema.json()), entries
                 ),
@@ -559,7 +568,15 @@ class Catalog:
         # FALSE and NULL rows are kept verbatim.
         is_hit = F.coalesce(cond, F.lit(False))
         live = entries[-1]["data_dirs"]
-        cur = self.read(name).withColumn("_cow_file", F.input_file_name())
+        # lineage read, not input_file_name(): once MOR delete files
+        # exist the scan is a join of two file sources and
+        # input_file_name() is ambiguous; _file is pinned at the data
+        # scan.
+        cur = (
+            self.read(name, with_lineage=True)
+            .withColumnRenamed("_file", "_cow_file")
+            .drop("_pos")
+        )
         hit_files = [
             r["_cow_file"]
             for r in cur.filter(is_hit).select("_cow_file").distinct().collect()
@@ -587,15 +604,101 @@ class Catalog:
         return {"table": name, "affected_rows": affected,
                 "rewritten_dirs": touched, "kept_dirs": kept}
 
-    def delete_where(self, name: str, condition) -> dict:
+    def delete_where(self, name: str, condition, *, mode: str = "cow") -> dict:
         """DELETE FROM name WHERE condition (GDPR right-to-be-forgotten
-        path). Copy-on-write with directory-level pruning — see
-        :meth:`_cow_rewrite`. ``condition`` is a SQL string or Column.
-        Returns affected/rewritten/kept accounting."""
+        path). ``condition`` is a SQL string or Column.
+
+        ``mode='cow'`` (default): copy-on-write with directory-level
+        pruning — see :meth:`_cow_rewrite`. Write-amplified (touched
+        dirs rewritten), read-clean.
+
+        ``mode='mor'``: merge-on-read positional deletes (Iceberg v2
+        delete-file analog) — writes ONLY a (file, row-position) delete
+        file; no data is rewritten. Reads anti-join the broadcast
+        position set until :meth:`rewrite_position_deletes` folds them
+        in. The right tier for frequent small deletes over huge tables,
+        where COW's write amplification dominates.
+        """
+        if mode == "mor":
+            return self._mor_delete(name, condition)
+        if mode != "cow":
+            raise ValueError(f"unknown delete mode {mode!r}: use cow|mor")
         return self._cow_rewrite(
             name, condition, "delete",
             lambda touched_df, is_hit: touched_df.filter(~is_hit),
         )
+
+    def _mor_delete(self, name: str, condition) -> dict:
+        """Merge-on-read DELETE: commit a positional-delete file
+        addressing the matching rows by (file path, row index); data
+        dirs are untouched. O(matching rows) write instead of O(touched
+        dirs) — deletes cost what they delete."""
+        h = self._handle(name)
+        entries = self._load_manifest(h)
+        if not entries:
+            raise ValueError(f"table {name} does not exist")
+        base_version = len(entries)
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        is_hit = F.coalesce(cond, F.lit(False))
+        positions = (
+            self.read(name, with_lineage=True)
+            .filter(is_hit)
+            .select("_file", "_pos")
+        )
+        affected = positions.count()
+        live = list(entries[-1]["data_dirs"])
+        if affected == 0:
+            return {"table": name, "affected_rows": 0, "delete_dir": None,
+                    "rewritten_dirs": [], "kept_dirs": live}
+        with self._commit_lock(h):
+            entries = self._load_manifest(h)
+            if len(entries) != base_version:
+                raise RuntimeError(
+                    f"concurrent modification of {h.name}: MOR delete built "
+                    f"against version {base_version - 1} but table is now at "
+                    f"{len(entries) - 1}; re-read and retry"
+                )
+            version = len(entries)
+            ddir = f"d{version:05d}"
+            positions.write.mode("overwrite").parquet(
+                os.path.join(h.path, ddir)
+            )
+            prev = entries[-1]
+            entries.append(
+                {
+                    "version": version,
+                    "op": "delete_mor",
+                    "committed_at": time.strftime(
+                        "%Y-%m-%d %H:%M:%S", time.gmtime()
+                    ),
+                    "data_dirs": list(prev["data_dirs"]),
+                    "delete_dirs": list(prev.get("delete_dirs") or [])
+                    + [ddir],
+                    "schema": prev["schema"],
+                    "partition_by": prev.get("partition_by"),
+                    "partition_transforms": prev.get("partition_transforms"),
+                    "properties": prev.get("properties") or {},
+                    "stats": prev.get("stats"),
+                }
+            )
+            self._save_manifest(h, entries)
+        return {"table": name, "affected_rows": affected, "delete_dir": ddir,
+                "rewritten_dirs": [], "kept_dirs": live}
+
+    def rewrite_position_deletes(self, name: str) -> dict:
+        """Maintenance: fold accumulated positional deletes into the
+        data (Iceberg ``rewrite_position_delete_files`` analog) — one
+        replace commit of the merged view; subsequent reads pay no
+        anti-join. Run when the delete set grows past broadcast size."""
+        h = self._handle(name)
+        entries = self._load_manifest(h)
+        if not entries:
+            raise ValueError(f"table {name} does not exist")
+        ddirs = entries[-1].get("delete_dirs") or []
+        if not ddirs:
+            return {"table": name, "delete_dirs_removed": 0}
+        self._commit(h, self.read(name), op="rewrite_deletes", replace=True)
+        return {"table": name, "delete_dirs_removed": len(ddirs)}
 
     def update_where(
         self, name: str, condition, assignments: dict[str, object]
@@ -644,6 +747,9 @@ class Catalog:
             raise ValueError(f"table {name} does not exist")
         retained = entries[-keep_last:]
         keep_dirs = {d for e in retained for d in e["data_dirs"]}
+        keep_dirs |= {
+            d for e in retained for d in (e.get("delete_dirs") or [])
+        }
         expired_versions = 0
         for e in entries[:-keep_last]:
             if not e.get("expired"):
@@ -677,6 +783,7 @@ class Catalog:
         *,
         version: int | None = None,
         prune: dict[str, tuple] | None = None,
+        with_lineage: bool = False,
     ) -> DataFrame:
         """Scan the table, optionally VERSION AS OF (time travel).
 
@@ -701,6 +808,55 @@ class Catalog:
                 f"version {entry['version']} of {name} has been expired "
                 "(expire_snapshots); time travel to it is no longer possible"
             )
+        dirs = []
+        for d in entry["data_dirs"]:
+            wentry = entries[int(d[1:])]
+            if prune and self._dir_prunable(wentry.get("stats"), prune):
+                continue
+            dirs.append(d)
+        ddirs = entry.get("delete_dirs") or []
+        lineage = with_lineage or bool(ddirs)
+        df = self._project_dirs(h, entries, entry, dirs, lineage=lineage)
+        if ddirs:
+            # merge-on-read: subtract positional deletes. The delete set
+            # is broadcast — position files are small relative to data
+            # (that's the point of MOR); when they aren't, run
+            # rewrite_position_deletes to fold them into the data.
+            df = df.join(
+                F.broadcast(self._read_positions(h, ddirs)),
+                ["_file", "_pos"],
+                "left_anti",
+            )
+        if lineage and not with_lineage:
+            df = df.drop("_file", "_pos")
+        return df
+
+    def _read_positions(self, h: TableHandle, ddirs: list[str]) -> DataFrame:
+        """Union of positional-delete files: (_file, _pos) pairs."""
+        paths = [os.path.join(h.path, d) for d in ddirs]
+        return self.spark.read.parquet(*paths).select("_file", "_pos")
+
+    def _project_dirs(
+        self,
+        h: TableHandle,
+        entries: list[dict],
+        entry: dict,
+        dirs: list[str],
+        *,
+        lineage: bool = False,
+    ) -> DataFrame:
+        """Read the given snapshot dirs projected to ``entry``'s schema.
+
+        Each snapshot dir is its own partition-discovery root (they all
+        hold k=v partition subdirs for partitioned tables), so read them
+        separately with an explicit basePath and union — Spark refuses a
+        single multi-root scan (CONFLICTING_DIRECTORY_STRUCTURES).
+        Every dir is read with ITS writer's schema (dir vNNNNN was
+        written by entry N), then projected to the target schema by
+        stable field id: renamed columns resolve under their old
+        on-disk name, added columns come back NULL, dropped columns
+        vanish — Iceberg's schema-evolution read semantics.
+        """
         schema = StructType.fromJson(entry["schema"])
         tfields = entry["schema"]["fields"]
 
@@ -714,26 +870,27 @@ class Catalog:
             return out
 
         target_ids = _ids(tfields)
-        # Each snapshot dir is its own partition-discovery root (they all
-        # hold k=v partition subdirs for partitioned tables), so read them
-        # separately with an explicit basePath and union — Spark refuses a
-        # single multi-root scan (CONFLICTING_DIRECTORY_STRUCTURES).
-        # Every dir is read with ITS writer's schema (dir vNNNNN was
-        # written by entry N), then projected to the target schema by
-        # stable field id: renamed columns resolve under their old
-        # on-disk name, added columns come back NULL, dropped columns
-        # vanish — Iceberg's schema-evolution read semantics.
+        # row lineage: (file path, within-file row index) — the stable
+        # physical row id positional deletes address (Iceberg v2's
+        # (file_path, pos) delete-file key). Must be captured AT the
+        # scan, before any union/join hides the file source.
+        lin_cols = [
+            F.col("_metadata.file_path").alias("_file"),
+            F.col("_metadata.row_index").alias("_pos"),
+        ]
+        out_names = [f.name for f in schema.fields] + (
+            ["_file", "_pos"] if lineage else []
+        )
         parts = []
-        for d in entry["data_dirs"]:
+        for d in dirs:
             p = os.path.join(h.path, d)
             wentry = entries[int(d[1:])]
-            if prune and self._dir_prunable(wentry.get("stats"), prune):
-                continue
             writer_ids = _ids(wentry["schema"]["fields"]) if target_ids else None
             if target_ids is None or writer_ids is None:
-                parts.append(
-                    self.spark.read.schema(schema).option("basePath", p).parquet(p)
-                )
+                raw = self.spark.read.schema(schema).option("basePath", p).parquet(p)
+                if lineage:
+                    raw = raw.select("*", *lin_cols)
+                parts.append(raw)
                 continue
             wschema = StructType.fromJson(wentry["schema"])
             raw = (
@@ -748,17 +905,116 @@ class Catalog:
                     cols.append(
                         F.lit(None).cast(sf.dataType).alias(f["name"])
                     )
+            if lineage:
+                cols.extend(lin_cols)
             parts.append(raw.select(*cols))
-        if not parts:  # every dir pruned away
-            return self.spark.createDataFrame([], schema).select(
-                *[f.name for f in schema.fields]
-            )
+        if not parts:  # every dir pruned away / no dirs requested
+            empty = self.spark.createDataFrame([], schema)
+            if lineage:
+                empty = empty.select(
+                    "*",
+                    F.lit(None).cast("string").alias("_file"),
+                    F.lit(None).cast("bigint").alias("_pos"),
+                )
+            return empty.select(*out_names)
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
         # partition columns come back from directory names; enforce the
         # declared column order
-        return df.select(*[f.name for f in schema.fields])
+        return df.select(*out_names)
+
+    def table_changes(
+        self, name: str, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change data feed between two snapshots (the Delta CDF /
+        Iceberg changelog-scan analog): the row-level diff rendered in
+        the ``to`` version's schema plus a ``_change_type`` column
+        (``'insert'`` | ``'delete'``; an UPDATE surfaces as its
+        delete+insert image pair).
+
+        Directory-level fast path: every commit here is append or
+        copy-on-write, so dirs shared by both manifests are bit-
+        identical and are NEVER read — only dirs present on one side
+        enter the diff. COW rewrites (delete_where / update_where /
+        compact) carry unchanged rows into new dirs, so the two
+        candidate sets are reconciled row-level with ``exceptAll`` both
+        ways: carried rows cancel, leaving exactly the changed row
+        images. Cost is bounded by the CHANGED dirs (one shuffle over
+        them), not by table size — with date-partitioned appends a
+        one-day delete feeds a one-day diff. Multiset semantics
+        (exceptAll, not except) keep duplicate rows honest.
+        """
+        h = self._handle(name)
+        entries = self._load_manifest(h)
+        if not entries:
+            raise ValueError(f"table {name} does not exist")
+        fe = entries[from_version]
+        te = entries[to_version] if to_version is not None else entries[-1]
+        for e in (fe, te):
+            if e.get("expired"):
+                raise ValueError(
+                    f"version {e['version']} of {name} has been expired; "
+                    "its changes are no longer reconstructable"
+                )
+        fdirs, tdirs = set(fe["data_dirs"]), set(te["data_dirs"])
+        fdd = list(fe.get("delete_dirs") or [])
+        tdd = list(te.get("delete_dirs") or [])
+
+        def _live(dirs: set, ddirs: list[str]) -> DataFrame:
+            # rows of `dirs` as visible AT that version: each side's own
+            # positional deletes applied (a row appended and MOR-deleted
+            # within the span nets to no change; a row already deleted
+            # at `from` can't be deleted again)
+            df = self._project_dirs(
+                h, entries, te, sorted(dirs), lineage=bool(ddirs)
+            )
+            if ddirs:
+                df = df.join(
+                    F.broadcast(self._read_positions(h, ddirs)),
+                    ["_file", "_pos"],
+                    "left_anti",
+                ).drop("_file", "_pos")
+            return df
+
+        added = _live(tdirs - fdirs, tdd)
+        removed = _live(fdirs - tdirs, fdd)
+        inserts = added.exceptAll(removed).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        deletes = removed.exceptAll(added).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        out = inserts.unionByName(deletes)
+
+        # MOR deletes committed within the span against dirs BOTH
+        # versions share: surface their row images. Scan only the dirs
+        # the new position files actually reference (the dir list is
+        # bounded and tiny — safe to collect).
+        new_dd = [d for d in tdd if d not in fdd]
+        common = fdirs & tdirs
+        if new_dd and common:
+            pos = self._read_positions(h, new_dd)
+            refdirs = {
+                r["_d"]
+                for r in pos.select(
+                    F.regexp_extract("_file", r"/(v\d{5})/", 1).alias("_d")
+                )
+                .distinct()
+                .collect()
+            }
+            touch = sorted(common & refdirs)
+            if touch:
+                base = self._project_dirs(h, entries, te, touch, lineage=True)
+                mor = (
+                    base.join(
+                        F.broadcast(pos), ["_file", "_pos"], "left_semi"
+                    )
+                    .drop("_file", "_pos")
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+                out = out.unionByName(mor)
+        return out
 
     @staticmethod
     def _dir_prunable(stats: dict | None, prune: dict[str, tuple]) -> bool:
@@ -819,6 +1075,74 @@ class Catalog:
             "version int, operation string, committed_at string, "
             "n_data_dirs int, expired boolean",
         )
+
+    def files(self, name: str, *, version: int | None = None) -> DataFrame:
+        """The Iceberg ``.files`` metadata-table analog: one row per
+        live data file — snapshot dir, relative path, bytes, rows
+        (parquet footer counts; no data scan). The operational view
+        compaction decisions read (small-file counts, rows per file)."""
+        import pyarrow.parquet as pq
+
+        h = self._handle(name)
+        entries = self._load_manifest(h)
+        if not entries:
+            raise ValueError(f"table {name} does not exist")
+        entry = entries[version] if version is not None else entries[-1]
+        rows = []
+        for d in entry["data_dirs"]:
+            root = os.path.join(h.path, d)
+            for dp, _, fs in os.walk(root):
+                for fname in sorted(fs):
+                    if not fname.endswith(".parquet"):
+                        continue
+                    full = os.path.join(dp, fname)
+                    rows.append(
+                        (
+                            d,
+                            os.path.relpath(full, h.path),
+                            os.path.getsize(full),
+                            pq.read_metadata(full).num_rows,
+                        )
+                    )
+        return self.spark.createDataFrame(
+            rows, "snapshot_dir string, file string, bytes bigint, rows bigint"
+        )
+
+    def row_count(self, name: str, *, version: int | None = None) -> int:
+        """Metadata-only COUNT(*): manifest row stats summed per dir,
+        minus positional-delete counts (delete-file footers) — the
+        Iceberg/Delta trick that answers ``SELECT COUNT(*)`` without
+        touching data. Falls back to footer reads for legacy dirs
+        committed before stats existed."""
+        import pyarrow.parquet as pq
+
+        h = self._handle(name)
+        entries = self._load_manifest(h)
+        if not entries:
+            raise ValueError(f"table {name} does not exist")
+        entry = entries[version] if version is not None else entries[-1]
+        total = 0
+        for d in entry["data_dirs"]:
+            stats = entries[int(d[1:])].get("stats")
+            if stats and "rows" in stats:
+                total += stats["rows"]
+                continue
+            root = os.path.join(h.path, d)
+            for dp, _, fs in os.walk(root):
+                for fname in fs:
+                    if fname.endswith(".parquet"):
+                        total += pq.read_metadata(
+                            os.path.join(dp, fname)
+                        ).num_rows
+        for d in entry.get("delete_dirs") or []:
+            root = os.path.join(h.path, d)
+            for dp, _, fs in os.walk(root):
+                for fname in fs:
+                    if fname.endswith(".parquet"):
+                        total -= pq.read_metadata(
+                            os.path.join(dp, fname)
+                        ).num_rows
+        return total
 
     def register_views(self) -> None:
         """Expose every table as a temp view for spark.sql()."""

@@ -612,3 +612,195 @@ def test_manifest_stats_and_dir_pruned_read(spark, tmp_path):
     assert cat.read("m", prune={"id": (900, None)}).count() == 0
     # conservative on unknown columns / type mismatch
     assert cat.read("m", prune={"nope": (1, 2)}).count() == 30
+
+
+def test_table_changes_append_and_cow_diff(spark, tmp_path):
+    """Change data feed: append versions diff as pure inserts; a COW
+    delete surfaces ONLY the deleted row images (carried rows cancel);
+    an update surfaces as its delete+insert pair; unchanged dirs are
+    never part of the diff's input."""
+    cat = _catalog(spark, tmp_path)
+    day1 = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0)], ["id", "name", "val"]
+    )
+    day2 = spark.createDataFrame(
+        [(3, "carol", 30.0), (4, "dan", 40.0)], ["id", "name", "val"]
+    )
+    cat.create_table("cdf", day1)          # v0
+    cat.append("cdf", day2)                # v1
+    # v0 -> v1: the appended rows, as inserts
+    ch = cat.table_changes("cdf", 0, 1).collect()
+    assert {(r["id"], r["_change_type"]) for r in ch} == {
+        (3, "insert"), (4, "insert")
+    }
+
+    cat.delete_where("cdf", "id = 3")      # v2 (COW rewrite of day2 dir)
+    ch = cat.table_changes("cdf", 1, 2).collect()
+    assert [(r["id"], r["_change_type"]) for r in ch] == [(3, "delete")]
+    # the untouched day1 dir is shared by both manifests -> not scanned
+    ch_plan = cat.table_changes("cdf", 1, 2)
+    assert "v00000" not in ch_plan._jdf.queryExecution().executedPlan().toString()
+
+    cat.update_where("cdf", "id = 4", {"val": "val + 1"})  # v3
+    ch = cat.table_changes("cdf", 2, 3).collect()
+    images = {(r["id"], r["val"], r["_change_type"]) for r in ch}
+    assert images == {(4, 40.0, "delete"), (4, 41.0, "insert")}
+
+    # full-span diff v0 -> latest: net change only (3 and 4's old image
+    # never existed at v0, so only the net inserts appear)
+    ch = cat.table_changes("cdf", 0).collect()
+    assert {(r["id"], r["val"], r["_change_type"]) for r in ch} == {
+        (4, 41.0, "insert")
+    }
+
+
+def test_table_changes_multiset_and_expired(spark, tmp_path):
+    """exceptAll keeps duplicate-row multiplicity honest; expired
+    versions refuse to diff."""
+    cat = _catalog(spark, tmp_path)
+    dup = spark.createDataFrame([(1, "x"), (1, "x")], ["id", "v"])
+    cat.create_table("m", dup)                       # v0
+    cat.append("m", spark.createDataFrame([(1, "x")], ["id", "v"]))  # v1
+    ch = cat.table_changes("m", 0, 1).collect()
+    # one MORE copy of the same row = exactly one insert image
+    assert [(r["id"], r["_change_type"]) for r in ch] == [(1, "insert")]
+
+    cat.expire_snapshots("m", keep_last=1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="expired"):
+        cat.table_changes("m", 0, 1)
+
+
+def test_mor_delete_writes_no_data_just_positions(spark, tmp_path):
+    """Merge-on-read DELETE: data dirs untouched, a positional delete
+    file appears, reads hide the rows, time travel still sees them,
+    and rewrite_position_deletes folds everything back to a clean
+    snapshot."""
+    import os
+
+    cat = _catalog(spark, tmp_path)
+    day1 = spark.createDataFrame(
+        [(1, "alice", "2024-01-01"), (2, "bob", "2024-01-01")],
+        ["user_id", "name", "day"],
+    )
+    day2 = spark.createDataFrame(
+        [(1, "alice", "2024-01-02"), (3, "carol", "2024-01-02")],
+        ["user_id", "name", "day"],
+    )
+    cat.create_table("m", day1)            # v0
+    cat.append("m", day2)                  # v1
+    res = cat.delete_where("m", "user_id = 1", mode="mor")  # v2
+    assert res["affected_rows"] == 2
+    assert res["rewritten_dirs"] == []     # THE point of MOR
+    assert res["delete_dir"] == "d00002"
+    # live read hides the rows
+    assert sorted(
+        r["user_id"] for r in cat.read("m").collect()
+    ) == [2, 3]
+    # the data dirs are bit-untouched (still both original dirs)
+    tdir = os.path.join(str(tmp_path / "warehouse"), "m")
+    assert sorted(
+        d for d in os.listdir(tdir) if d.startswith("v")
+    ) == ["v00000", "v00001"]
+    # time travel to pre-delete still sees user 1
+    assert cat.read("m", version=1).filter("user_id = 1").count() == 2
+
+    # deletes stack: second MOR delete composes with the first
+    cat.delete_where("m", "user_id = 2", mode="mor")        # v3
+    assert [r["user_id"] for r in cat.read("m").collect()] == [3]
+
+    # appends after MOR deletes must NOT resurrect deleted rows
+    cat.append("m", spark.createDataFrame(
+        [(4, "dan", "2024-01-03")], ["user_id", "name", "day"]
+    ))                                                       # v4
+    assert sorted(
+        r["user_id"] for r in cat.read("m").collect()
+    ) == [3, 4]
+
+    # maintenance: fold positions into data; reads stay identical and
+    # the new snapshot has no delete dirs
+    res2 = cat.rewrite_position_deletes("m")                 # v5
+    assert res2["delete_dirs_removed"] == 2
+    assert sorted(
+        r["user_id"] for r in cat.read("m").collect()
+    ) == [3, 4]
+    assert (cat._load_manifest(cat._handle("m"))[-1].get("delete_dirs")) == []
+
+
+def test_mor_delete_then_cow_dml_and_update(spark, tmp_path):
+    """COW DML layered over MOR deletes: the rewrite consumes the LIVE
+    view (deleted rows stay gone), kept dirs keep their delete files."""
+    cat = _catalog(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], ["id", "val"]
+    )
+    cat.create_table("x", df)              # v0
+    cat.delete_where("x", "id = 0", mode="mor")   # v1
+    cat.update_where("x", "id = 5", {"val": "val * 10"})  # v2 (COW)
+    rows = {r["id"]: r["val"] for r in cat.read("x").collect()}
+    assert 0 not in rows and rows[5] == 50.0 and rows[1] == 1.0
+
+
+def test_mor_delete_in_table_changes(spark, tmp_path):
+    """CDF across a MOR delete surfaces the deleted row images even
+    though no data dir changed."""
+    cat = _catalog(spark, tmp_path)
+    cat.create_table("c", spark.createDataFrame(
+        [(1, "a"), (2, "b")], ["id", "v"]
+    ))                                      # v0
+    cat.delete_where("c", "id = 1", mode="mor")   # v1
+    ch = cat.table_changes("c", 0, 1).collect()
+    assert [(r["id"], r["_change_type"]) for r in ch] == [(1, "delete")]
+    # append post-delete: span v0->v2 shows the delete and the insert
+    cat.append("c", spark.createDataFrame([(3, "c")], ["id", "v"]))  # v2
+    ch = {(r["id"], r["_change_type"])
+          for r in cat.table_changes("c", 0, 2).collect()}
+    assert ch == {(1, "delete"), (3, "insert")}
+    # a row appended AND MOR-deleted within the span nets out
+    cat.delete_where("c", "id = 3", mode="mor")   # v3
+    ch = {(r["id"], r["_change_type"])
+          for r in cat.table_changes("c", 0, 3).collect()}
+    assert ch == {(1, "delete")}
+
+
+def test_mor_delete_null_semantics_and_noop(spark, tmp_path):
+    """SQL NULL predicate keeps rows; a no-match MOR delete commits
+    nothing."""
+    cat = _catalog(spark, tmp_path)
+    cat.create_table("n", spark.createDataFrame(
+        [(1, None), (2, 5)], "id int, score int"
+    ))
+    res = cat.delete_where("n", "score > 10", mode="mor")
+    assert res["affected_rows"] == 0 and res["delete_dir"] is None
+    assert len(cat._load_manifest(cat._handle("n"))) == 1  # no new version
+    res = cat.delete_where("n", "score > 4", mode="mor")
+    assert res["affected_rows"] == 1
+    assert sorted(r["id"] for r in cat.read("n").collect()) == [1]
+
+
+def test_files_metadata_table_and_metadata_only_count(spark, tmp_path):
+    """.files rows match the physical layout; row_count answers
+    COUNT(*) from manifest stats + delete-file footers alone, agreeing
+    with the scan across append / MOR delete / COW update / time
+    travel."""
+    cat = _catalog(spark, tmp_path)
+    cat.create_table("f", spark.createDataFrame(
+        [(i, f"u{i}") for i in range(10)], ["id", "v"]
+    ))                                      # v0
+    cat.append("f", spark.createDataFrame(
+        [(i, f"u{i}") for i in range(10, 15)], ["id", "v"]
+    ))                                      # v1
+    fl = cat.files("f").collect()
+    assert sum(r["rows"] for r in fl) == 15
+    assert {r["snapshot_dir"] for r in fl} == {"v00000", "v00001"}
+    assert all(r["bytes"] > 0 for r in fl)
+    assert cat.row_count("f") == 15 == cat.read("f").count()
+
+    cat.delete_where("f", "id < 3", mode="mor")      # v2: -3 via positions
+    assert cat.row_count("f") == 12 == cat.read("f").count()
+    cat.delete_where("f", "id >= 13")                # v3: COW -2
+    assert cat.row_count("f") == 10 == cat.read("f").count()
+    # time travel counts stay version-accurate
+    assert cat.row_count("f", version=0) == 10
+    assert cat.row_count("f", version=2) == 12

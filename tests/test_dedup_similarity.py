@@ -367,3 +367,39 @@ def test_semdedup_subsplit_guard(spark):
     )
     assert out.count() == 60
     assert out.select("vec_id").distinct().count() == 60
+
+
+def test_hll_rollup_merge_equals_direct_sketch(spark):
+    """Sketch mergeability: per-day sketches unioned to per-type equal
+    sketching the raw data directly (HLL unions are lossless), and the
+    estimate lands within HLL error of exact."""
+    from data_lakehouse_spark.operators import sketches
+
+    rows = [
+        (d, t, u)
+        for d in ("2024-01-01", "2024-01-02", "2024-01-03")
+        for t in ("view", "purchase")
+        for u in range(0, 500, 2 if t == "view" else 7)
+    ]
+    df = spark.createDataFrame(rows, "day string, typ string, user long")
+    daily = sketches.hll_sketch_table(df, ["day", "typ"], "user")
+    assert daily.count() == 6
+    rolled = {
+        (r["typ"], r["approx_distinct"], r["n_rows"])
+        for r in sketches.hll_rollup(daily, ["typ"]).collect()
+    }
+    direct = {
+        (r["typ"], r["approx_distinct"], r["n_rows"])
+        for r in sketches.hll_rollup(
+            sketches.hll_sketch_table(df, ["typ"], "user"), ["typ"]
+        ).collect()
+    }
+    assert rolled == direct
+    exact = {
+        r["typ"]: r["x"]
+        for r in df.groupBy("typ")
+        .agg(F.count_distinct("user").alias("x"))
+        .collect()
+    }
+    for typ, approx, _ in rolled:
+        assert abs(approx - exact[typ]) / exact[typ] < 0.05
