@@ -96,6 +96,18 @@ def cmd_tables(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_changes(args: argparse.Namespace) -> int:
+    """Change data feed between snapshots (catalog.table_changes)."""
+    from data_lakehouse_spark.catalog import Catalog
+
+    spark = _spark("changes")
+    cat = Catalog(spark, args.warehouse)
+    df = cat.table_changes(args.table, args.from_version, args.to_version)
+    for row in df.limit(args.limit).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="data_lakehouse_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -125,6 +137,16 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("tables", help="list catalog tables")
     p.add_argument("--warehouse", required=True)
     p.set_defaults(fn=cmd_tables)
+
+    p = sub.add_parser(
+        "changes", help="row-level change feed between table versions"
+    )
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--from-version", type=int, required=True)
+    p.add_argument("--to-version", type=int, default=None)
+    p.add_argument("--limit", type=int, default=100)
+    p.set_defaults(fn=cmd_changes)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -638,8 +638,8 @@ def test_table_changes_append_and_cow_diff(spark, tmp_path):
     ch = cat.table_changes("cdf", 1, 2).collect()
     assert [(r["id"], r["_change_type"]) for r in ch] == [(3, "delete")]
     # the untouched day1 dir is shared by both manifests -> not scanned
-    ch_plan = cat.table_changes("cdf", 1, 2)
-    assert "v00000" not in ch_plan._jdf.queryExecution().executedPlan().toString()
+    scanned = cat.table_changes("cdf", 1, 2).inputFiles()
+    assert scanned and not any("/v00000/" in f for f in scanned)
 
     cat.update_where("cdf", "id = 4", {"val": "val + 1"})  # v3
     ch = cat.table_changes("cdf", 2, 3).collect()

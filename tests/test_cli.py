@@ -52,3 +52,19 @@ def test_cli_query_runner(spark, sf_dir, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert json.loads(out[-1])["revenue"] > 0
     assert main(["query", "--name", "nope", "--sf-dir", sf_dir]) == 2
+
+
+def test_cli_changes(spark, tmp_path, capsys):
+    from data_lakehouse_spark.catalog import Catalog
+
+    wh = str(tmp_path / "wh")
+    cat = Catalog(spark, wh)
+    cat.create_table("t", spark.createDataFrame([(1, "a")], ["id", "v"]))
+    cat.append("t", spark.createDataFrame([(2, "b")], ["id", "v"]))
+    rc = main([
+        "changes", "--warehouse", wh, "--table", "t",
+        "--from-version", "0", "--to-version", "1",
+    ])
+    assert rc == 0
+    out = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert out == [{"id": 2, "v": "b", "_change_type": "insert"}]
