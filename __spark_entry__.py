@@ -2278,6 +2278,17 @@ def q_corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.heavy_hitters(toks, "term", m=100)
 
 
+def q_doc_scrub_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate-span scrubbing (Lee et al. 2021):
+    tokens covered by any corpus-duplicated 8-gram window are removed,
+    unique prose survives. Fully SQL-expressible → oracle-verified;
+    shuffles keyed on window hash and doc id only (no suffix array,
+    no pairwise step)."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.scrub_duplicate_spans(docs, span_tokens=8)
+
+
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means clusters + within-cluster
     cosine pruning over the embeddings table — the semantic third tier
@@ -2401,6 +2412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_sales_rollup": q_monthly_sales_rollup,
         "window_battery": q_window_battery,
         "tpch_q13_customer_distribution": q_tpch_q13_customer_distribution,
+        "doc_scrub_dup_spans": q_doc_scrub_dup_spans,
         # --- rows-only (hash/LSH/HLL/pandas-UDF based; no SQL oracle) ---
         "gold_user_rfm_segments_scalable": q_user_rfm_segments_scalable,
         "segment_order_percentiles_approx": q_segment_order_percentiles_approx,
@@ -3471,6 +3483,44 @@ FROM t WHERE term != ''
 GROUP BY term
 ORDER BY n DESC, term ASC
 LIMIT 100
+"""
+
+    # Duplicate-span scrubbing: 0-based window starts on both engines;
+    # DuckDB list slicing is 1-based inclusive, hence the +1 offsets.
+    sql["doc_scrub_dup_spans"] = f"""
+WITH b AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        CASE WHEN COALESCE({_NORM}, '') = '' THEN []::VARCHAR[]
+             ELSE string_split({_NORM}, ' ') END AS toks
+    FROM documents
+), e AS (
+    SELECT doc_id, u.i AS i,
+        array_to_string(toks[u.i + 1 : u.i + 8], ' ') AS sh
+    FROM b, UNNEST(CASE WHEN len(toks) >= 8
+                        THEN range(0, len(toks) - 8 + 1)
+                        ELSE []::BIGINT[] END) AS u(i)
+), dup AS (
+    SELECT sh FROM e GROUP BY sh HAVING COUNT(*) >= 2
+), st AS (
+    SELECT e.doc_id, list_sort(list(e.i)) AS starts
+    FROM e JOIN dup USING (sh) GROUP BY e.doc_id
+), k AS (
+    SELECT b.doc_id, b.toks, COALESCE(st.starts, []::BIGINT[]) AS starts
+    FROM b LEFT JOIN st USING (doc_id)
+), kept AS (
+    SELECT doc_id, toks,
+        list_transform(
+            list_filter(range(0, len(toks)),
+                i -> len(list_filter(starts,
+                         s -> i >= s AND i < s + 8)) = 0),
+            i -> toks[i + 1]) AS kt
+    FROM k
+)
+SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(len(toks) - len(kt) AS BIGINT) AS n_removed,
+    COALESCE(array_to_string(kt, ' '), '') AS scrubbed_text
+FROM kept
 """
 
     # Exact threshold semantics: integer compare count*m > total on

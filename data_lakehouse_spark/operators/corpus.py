@@ -38,7 +38,10 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_lakehouse_spark.functions.text import bpe_ish_token_count
+from data_lakehouse_spark.functions.text import (
+    bpe_ish_token_count,
+    normalized_text,
+)
 from data_lakehouse_spark.operators.dedup import _shingle_explode
 
 __all__ = [
@@ -55,6 +58,7 @@ __all__ = [
     "unigram_logprob_scores",
     "token_budget_mix",
     "heavy_hitters",
+    "scrub_duplicate_spans",
 ]
 
 #: Deliberately simple, oracle-portable PII patterns (same regex class
@@ -1013,4 +1017,87 @@ def heavy_hitters(
         .agg(F.count("*").cast("bigint").alias("n"))
         .filter(F.col("n") * F.lit(int(m)) > F.lit(int(total)))
         .select(F.col("_k").alias(key_col), "n")
+    )
+
+
+def scrub_duplicate_spans(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span scrubbing (Lee et al. 2021,
+    arXiv:2107.06499 — "Deduplicating Training Data Makes Language
+    Models Better"): REMOVE every token covered by a ``span_tokens``-
+    gram that occurs ≥ ``min_occurrences`` times corpus-wide (across or
+    within documents), keeping the rest of each document. The
+    span-level counterpart of whole-doc dedup: boilerplate, licenses,
+    and quoted chunks vanish while the unique prose stays.
+
+    Distributed shape (no suffix array needed): explode positioned
+    n-gram windows (codegen explode-index path, xxhash64 keys), one
+    hash-agg occurrence count keyed on the 8-byte hash, semi-join the
+    duplicated keys back to get per-doc duplicated start positions,
+    collect them per doc (bounded by doc length), and rebuild the text
+    with one JVM higher-order filter — token i survives iff no
+    duplicated window starts in (i - n, i]. Shuffles are keyed on
+    window hash and doc id only; nothing is ever pairwise.
+
+    Returns (doc_id, n_tokens, n_removed, scrubbed_text). Exactly
+    SQL-expressible → oracle-verified (query ``doc_scrub_dup_spans``).
+    """
+    n = int(span_tokens)
+    toks_df = docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        # NULL text ≡ empty doc (renders '' on both engines)
+        F.filter(
+            F.split(
+                F.coalesce(normalized_text(text_col), F.lit("")), r"\s+"
+            ),
+            lambda t: t != "",
+        ).alias("_toks"),
+    )
+    ex = toks_df.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("_toks") >= n,
+                F.sequence(F.lit(0), F.size("_toks") - n),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("_i"),
+        "_toks",
+    ).select(
+        "doc_id",
+        "_i",
+        F.xxhash64(
+            F.concat_ws(" ", F.slice("_toks", F.col("_i") + 1, n))
+        ).alias("_h"),
+    )
+    dup = (
+        ex.groupBy("_h")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= int(min_occurrences))
+        .select("_h")
+    )
+    starts = (
+        ex.join(dup, "_h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("_i")).alias("_starts"))
+    )
+    out = toks_df.join(starts, "doc_id", "left").withColumn(
+        "_starts", F.coalesce("_starts", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda x, i: ~F.exists(
+            F.col("_starts"), lambda s: (i >= s) & (i < s + F.lit(n))
+        ),
+    )
+    return out.select(
+        "doc_id",
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("scrubbed_text"),
     )

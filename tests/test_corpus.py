@@ -483,3 +483,40 @@ def test_heavy_hitters_summary_never_holds_full_vocab(spark):
     ).repartition(4)
     out = corpus.heavy_hitters(df, "term", m=10, summary_cap_factor=2)
     assert out.count() == 0
+
+
+def test_scrub_duplicate_spans_hand_checked(spark):
+    """A span repeated across two docs is scrubbed from both; unique
+    prose and short docs survive verbatim."""
+    shared = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    rows = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"one two three {shared} four"),
+        (3, "totally unique sentence with no repeats anywhere at all ok"),
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in corpus.scrub_duplicate_spans(df, span_tokens=8).collect()
+    }
+    # doc 1: 13 tokens, the 9 shared ones covered by dup 8-gram windows
+    assert out[1]["n_tokens"] == 13 and out[1]["n_removed"] == 9
+    assert out[1]["scrubbed_text"] == "alpha beta gamma delta"
+    assert out[2]["scrubbed_text"] == "one two three four"
+    assert out[3]["n_removed"] == 0
+    assert out[3]["scrubbed_text"].startswith("totally unique")
+    # shorter than the span: no windows, untouched
+    assert out[4]["n_removed"] == 0 and out[4]["scrubbed_text"] == "tiny doc"
+
+
+def test_scrub_duplicate_spans_within_doc_repetition(spark):
+    """min_occurrences counts occurrences, not documents: a span
+    repeated twice INSIDE one doc is scrubbed too."""
+    loop = "ra pid re peat ed boiler plate text"  # 8 tokens
+    df = spark.createDataFrame(
+        [(1, f"{loop} {loop} tail words here")], "doc_id long, text string"
+    )
+    out = corpus.scrub_duplicate_spans(df, span_tokens=8).collect()[0]
+    assert out["n_removed"] >= 16
+    assert "tail" in out["scrubbed_text"]
