@@ -2330,7 +2330,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
         "tpch_q8_market_share": q_tpch_q8_market_share,
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
-        "tpch_q12_ship_delay": q_tpch_q12_ship_delay,
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "tpch_q18_large_volume": q_tpch_q18_large_volume,
         "tpch_q19_discounted_revenue": q_tpch_q19_discounted_revenue,
@@ -2348,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_search": q_doc_bm25_search,
         "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
         "corpus_heavy_hitters": q_corpus_heavy_hitters,
+        "doc_scrub_dup_spans": q_doc_scrub_dup_spans,
         "decontaminate_docs": q_decontaminate_docs,
         "corpus_pack_shards_shuffled": q_corpus_pack_shards_shuffled,
         "corpus_token_budget_mix": q_corpus_token_budget_mix,
@@ -2412,7 +2412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_sales_rollup": q_monthly_sales_rollup,
         "window_battery": q_window_battery,
         "tpch_q13_customer_distribution": q_tpch_q13_customer_distribution,
-        "doc_scrub_dup_spans": q_doc_scrub_dup_spans,
+        "tpch_q12_ship_delay": q_tpch_q12_ship_delay,
         # --- rows-only (hash/LSH/HLL/pandas-UDF based; no SQL oracle) ---
         "gold_user_rfm_segments_scalable": q_user_rfm_segments_scalable,
         "segment_order_percentiles_approx": q_segment_order_percentiles_approx,

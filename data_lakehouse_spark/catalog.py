@@ -165,18 +165,61 @@ class Catalog:
         df: DataFrame,
         *,
         properties_update: dict[str, str] | None = None,
+        staged: bool = False,
     ) -> TableHandle:
         """S6: append snapshot (new files only). ``properties_update``
         merges into the table properties IN THE SAME commit — the hook
         transactional sinks use to record their progress marker (e.g.
-        a streaming batch id) atomically with the data it covers."""
+        a streaming batch id) atomically with the data it covers.
+
+        ``staged=True`` is the write side of WRITE-AUDIT-PUBLISH
+        (Iceberg WAP): the commit lands as a staged snapshot that
+        default reads skip. Audit it with ``read(version=...)``, then
+        :meth:`publish` to make it current or :meth:`rollback` to the
+        last published version to abort. Further staged appends stack;
+        a NON-staged commit on top of unpublished staged data refuses
+        (it would silently publish it)."""
         h = self._handle(name)
         if not self.table_exists(name):
             raise ValueError(f"table {name} does not exist")
         props = None
         if properties_update:
             props = {**self.table_properties(name), **properties_update}
-        return self._commit(h, df, op="append", replace=False, properties=props)
+        return self._commit(
+            h, df, op="append", replace=False, properties=props,
+            staged=staged,
+        )
+
+    def publish(self, name: str) -> TableHandle:
+        """WAP publish: make the latest staged snapshot current by
+        committing a new (unstaged) version referencing its dirs —
+        zero data movement, atomic manifest flip."""
+        h = self._handle(name)
+        with self._commit_lock(h):
+            entries = self._load_manifest(h)
+            if not entries or not entries[-1].get("staged"):
+                raise ValueError(f"{name}: nothing staged to publish")
+            target = entries[-1]
+            entries.append(
+                {
+                    "version": len(entries),
+                    "op": "publish",
+                    "committed_at": time.strftime(
+                        "%Y-%m-%d %H:%M:%S", time.gmtime()
+                    ),
+                    "data_dirs": list(target["data_dirs"]),
+                    "delete_dirs": list(target.get("delete_dirs") or []),
+                    "schema": target["schema"],
+                    "partition_by": target.get("partition_by"),
+                    "partition_transforms": target.get(
+                        "partition_transforms"
+                    ),
+                    "properties": target.get("properties") or {},
+                    "stats": target.get("stats"),
+                }
+            )
+            self._save_manifest(h, entries)
+        return h
 
     def overwrite(self, name: str, df: DataFrame) -> TableHandle:
         """S8: replace contents, keep history (old versions readable)."""
@@ -196,12 +239,13 @@ class Catalog:
         properties: dict[str, str] | None = None,
         base_dirs: list[str] | None = None,
         expected_version: int | None = None,
+        staged: bool = False,
     ) -> TableHandle:
         with self._commit_lock(h):
             return self._commit_locked(
                 h, df, op=op, replace=replace, partition_by=partition_by,
                 properties=properties, base_dirs=base_dirs,
-                expected_version=expected_version,
+                expected_version=expected_version, staged=staged,
             )
 
     @contextlib.contextmanager
@@ -249,6 +293,7 @@ class Catalog:
         properties: dict[str, str] | None = None,
         base_dirs: list[str] | None = None,
         expected_version: int | None = None,
+        staged: bool = False,
     ) -> TableHandle:
         entries = self._load_manifest(h)
         if expected_version is not None and len(entries) != expected_version:
@@ -256,6 +301,12 @@ class Catalog:
                 f"concurrent modification of {h.name}: commit built against "
                 f"version {expected_version - 1} but table is now at "
                 f"{len(entries) - 1}; re-read and retry"
+            )
+        if entries and entries[-1].get("staged") and not staged:
+            raise ValueError(
+                f"{h.name} has unpublished staged snapshots: publish() or "
+                "rollback() before committing on top of them (a plain "
+                "commit would silently publish the staged data)"
             )
         version = len(entries)
         data_dir = os.path.join(h.path, f"v{version:05d}")
@@ -301,6 +352,7 @@ class Catalog:
                 "partition_transforms": pb_spec,
                 "properties": properties or (prev.get("properties") if prev else {}),
                 "stats": self._dir_stats(data_dir),
+                **({"staged": True} if staged else {}),
             }
         )
         self._save_manifest(h, entries)
@@ -724,6 +776,44 @@ class Catalog:
 
         return self._cow_rewrite(name, condition, "update", build)
 
+    def rollback(self, name: str, version: int) -> TableHandle:
+        """Iceberg ``rollback_to_snapshot`` analog: make ``version``
+        current again by committing a NEW version that references its
+        data (and delete) dirs — history stays linear, the audit trail
+        of the undone commits is preserved, and time travel to them
+        still works. Zero data movement: only the manifest flips."""
+        h = self._handle(name)
+        with self._commit_lock(h):
+            entries = self._load_manifest(h)
+            if not entries:
+                raise ValueError(f"table {name} does not exist")
+            target = entries[version]
+            if target.get("expired"):
+                raise ValueError(
+                    f"version {version} of {name} has been expired; "
+                    "cannot roll back to it"
+                )
+            entries.append(
+                {
+                    "version": len(entries),
+                    "op": "rollback",
+                    "committed_at": time.strftime(
+                        "%Y-%m-%d %H:%M:%S", time.gmtime()
+                    ),
+                    "data_dirs": list(target["data_dirs"]),
+                    "delete_dirs": list(target.get("delete_dirs") or []),
+                    "schema": target["schema"],
+                    "partition_by": target.get("partition_by"),
+                    "partition_transforms": target.get(
+                        "partition_transforms"
+                    ),
+                    "properties": target.get("properties") or {},
+                    "stats": target.get("stats"),
+                }
+            )
+            self._save_manifest(h, entries)
+        return h
+
     def expire_snapshots(self, name: str, *, keep_last: int = 1) -> dict:
         """VACUUM / expire_snapshots: reclaim storage held only by old
         versions (Iceberg ``expire_snapshots`` / Delta ``VACUUM`` analog).
@@ -782,10 +872,16 @@ class Catalog:
         name: str,
         *,
         version: int | None = None,
+        as_of: str | None = None,
         prune: dict[str, tuple] | None = None,
         with_lineage: bool = False,
     ) -> DataFrame:
-        """Scan the table, optionally VERSION AS OF (time travel).
+        """Scan the table, optionally VERSION AS OF (time travel) or
+        TIMESTAMP AS OF (``as_of``, UTC ``YYYY-mm-dd HH:MM:SS`` —
+        resolves to the last published snapshot committed at or before
+        that instant). Default reads return the latest PUBLISHED
+        snapshot — staged WAP commits are invisible until
+        :meth:`publish` (audit them with an explicit ``version=``).
 
         ``prune`` enables MANIFEST-LEVEL data skipping (the Iceberg
         manifest-metrics analog): ``{col: (lo, hi)}`` drops whole
@@ -802,7 +898,21 @@ class Catalog:
         entries = self._load_manifest(h)
         if not entries:
             raise ValueError(f"table {name} does not exist")
-        entry = entries[version] if version is not None else entries[-1]
+        if version is not None:
+            entry = entries[version]
+        else:
+            candidates = [e for e in entries if not e.get("staged")]
+            if as_of is not None:
+                candidates = [
+                    e for e in candidates if e["committed_at"] <= as_of
+                ]
+                if not candidates:
+                    raise ValueError(
+                        f"no snapshot of {name} existed at or before {as_of}"
+                    )
+            if not candidates:
+                raise ValueError(f"table {name} has no published snapshot")
+            entry = candidates[-1]
         if entry.get("expired"):
             raise ValueError(
                 f"version {entry['version']} of {name} has been expired "

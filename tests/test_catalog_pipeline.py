@@ -804,3 +804,97 @@ def test_files_metadata_table_and_metadata_only_count(spark, tmp_path):
     # time travel counts stay version-accurate
     assert cat.row_count("f", version=0) == 10
     assert cat.row_count("f", version=2) == 12
+
+
+def test_rollback_restores_version_and_feeds_cdc(spark, tmp_path):
+    """rollback makes an old version current with zero data movement;
+    the undone span reads back through the change feed as re-inserts,
+    and history/time-travel stay intact."""
+    cat = _catalog(spark, tmp_path)
+    cat.create_table("r", spark.createDataFrame(
+        [(1, "a"), (2, "b")], ["id", "v"]
+    ))                                       # v0
+    cat.append("r", spark.createDataFrame([(3, "c")], ["id", "v"]))  # v1
+    cat.delete_where("r", "id <= 2")         # v2 (COW)
+    assert sorted(r["id"] for r in cat.read("r").collect()) == [3]
+
+    cat.rollback("r", 1)                     # v3 == v1 content
+    assert sorted(r["id"] for r in cat.read("r").collect()) == [1, 2, 3]
+    # the bad delete is still visible in history
+    assert sorted(r["id"] for r in cat.read("r", version=2).collect()) == [3]
+    ops = [e["op"] for e in cat._load_manifest(cat._handle("r"))]
+    assert ops == ["create", "append", "delete", "rollback"]
+    # CDC across the rollback: the restored rows are re-inserts
+    ch = {(r["id"], r["_change_type"])
+          for r in cat.table_changes("r", 2, 3).collect()}
+    assert ch == {(1, "insert"), (2, "insert")}
+    # rollback of a MOR state carries delete files too
+    cat.delete_where("r", "id = 1", mode="mor")   # v4
+    cat.append("r", spark.createDataFrame([(9, "z")], ["id", "v"]))  # v5
+    cat.rollback("r", 4)                     # v6: 2,3 (1 still deleted)
+    assert sorted(r["id"] for r in cat.read("r").collect()) == [2, 3]
+
+
+def test_wap_staged_commit_audit_publish(spark, tmp_path):
+    """Write-audit-publish: a staged append is invisible to default
+    reads, auditable by explicit version, published with zero data
+    movement; plain commits atop unpublished staged data refuse; abort
+    is rollback to the last published version."""
+    import pytest
+
+    cat = _catalog(spark, tmp_path)
+    cat.create_table("w", spark.createDataFrame(
+        [(1, 10.0)], ["id", "val"]
+    ))                                          # v0
+    cat.append("w", spark.createDataFrame(
+        [(2, -99.0)], ["id", "val"]
+    ), staged=True)                             # v1 (staged)
+    # default read: still only the published row
+    assert [r["id"] for r in cat.read("w").collect()] == [1]
+    # audit path sees it explicitly
+    staged_rows = cat.read("w", version=1).collect()
+    assert sorted(r["id"] for r in staged_rows) == [1, 2]
+    # a plain commit on top of staged data refuses
+    with pytest.raises(ValueError, match="staged"):
+        cat.append("w", spark.createDataFrame([(3, 1.0)], ["id", "val"]))
+    # audit fails -> abort = rollback to last published
+    cat.rollback("w", 0)                        # v2
+    assert [r["id"] for r in cat.read("w").collect()] == [1]
+
+    # second attempt with clean data: stage, audit passes, publish
+    cat.append("w", spark.createDataFrame(
+        [(2, 42.0)], ["id", "val"]
+    ), staged=True)                             # v3 (staged)
+    audit = cat.read("w", version=3).filter("val < 0").count()
+    assert audit == 0
+    cat.publish("w")                            # v4
+    assert sorted(r["id"] for r in cat.read("w").collect()) == [1, 2]
+    ops = [e["op"] for e in cat._load_manifest(cat._handle("w"))]
+    assert ops == ["create", "append", "rollback", "append", "publish"]
+    with pytest.raises(ValueError, match="nothing staged"):
+        cat.publish("w")
+
+
+def test_timestamp_as_of_read(spark, tmp_path):
+    """TIMESTAMP AS OF resolves to the last published snapshot at or
+    before the instant (manifest timestamps rewritten to distinct
+    values to sidestep same-second commits)."""
+    import pytest
+
+    cat = _catalog(spark, tmp_path)
+    cat.create_table("ts", spark.createDataFrame([(1,)], ["id"]))
+    cat.append("ts", spark.createDataFrame([(2,)], ["id"]))
+    cat.append("ts", spark.createDataFrame([(3,)], ["id"]))
+    h = cat._handle("ts")
+    entries = cat._load_manifest(h)
+    for e, t in zip(entries, ["2024-01-01 00:00:00",
+                              "2024-01-02 00:00:00",
+                              "2024-01-03 00:00:00"]):
+        e["committed_at"] = t
+    cat._save_manifest(h, entries)
+
+    assert cat.read("ts", as_of="2024-01-01 12:00:00").count() == 1
+    assert cat.read("ts", as_of="2024-01-02 00:00:00").count() == 2
+    assert cat.read("ts", as_of="2030-01-01 00:00:00").count() == 3
+    with pytest.raises(ValueError, match="no snapshot"):
+        cat.read("ts", as_of="2020-01-01 00:00:00")

@@ -199,3 +199,46 @@ def test_half_up_rounding_formula_is_floorlike_for_negatives():
     # formula rather than their native ROUND.
     assert f(1.005) == 1.0
     assert f(1.0150000000000001) == 1.02
+
+
+def test_scrub_duplicate_spans_matches_naive_reference(spark):
+    """Randomized docs from a tiny vocabulary (forcing frequent span
+    collisions) scrubbed by the distributed operator must equal a
+    naive O(corpus²) Python reference, including full-scrub and
+    short-doc edges."""
+    from collections import Counter
+
+    from data_lakehouse_spark.operators.corpus import scrub_duplicate_spans
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(6)]
+    n = 4  # span_tokens small so collisions are common
+    docs = []
+    for i in range(40):
+        ln = int(rng.integers(0, 12))
+        docs.append((i, " ".join(rng.choice(vocab, ln))))
+    docs.append((98, ""))     # empty
+    docs.append((99, None))   # NULL text
+
+    # naive reference
+    toks = {d: (t.split() if t else []) for d, t in docs}
+    counts = Counter(
+        " ".join(tk[i : i + n])
+        for tk in toks.values()
+        for i in range(max(len(tk) - n + 1, 0))
+    )
+    expect = {}
+    for d, tk in toks.items():
+        covered = set()
+        for i in range(max(len(tk) - n + 1, 0)):
+            if counts[" ".join(tk[i : i + n])] >= 2:
+                covered.update(range(i, i + n))
+        kept = [t for i, t in enumerate(tk) if i not in covered]
+        expect[d] = (len(tk), len(tk) - len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["scrubbed_text"])
+        for r in scrub_duplicate_spans(df, span_tokens=n).collect()
+    }
+    assert got == expect
