@@ -108,6 +108,36 @@ def cmd_changes(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_maintain(args: argparse.Namespace) -> int:
+    """Table maintenance: compact / expire / rollback / publish /
+    rewrite-deletes / row-count."""
+    from data_lakehouse_spark.catalog import Catalog
+
+    spark = _spark("maintain")
+    cat = Catalog(spark, args.warehouse)
+    op = args.op
+    if op == "compact":
+        out = cat.compact(args.table)
+    elif op == "expire":
+        out = cat.expire_snapshots(args.table, keep_last=args.keep_last)
+    elif op == "rollback":
+        if args.version is None:
+            raise SystemExit("rollback requires --version")
+        cat.rollback(args.table, args.version)
+        out = {"table": args.table, "rolled_back_to": args.version}
+    elif op == "publish":
+        cat.publish(args.table)
+        out = {"table": args.table, "published": True}
+    elif op == "rewrite-deletes":
+        out = cat.rewrite_position_deletes(args.table)
+    elif op == "row-count":
+        out = {"table": args.table, "rows": cat.row_count(args.table)}
+    else:  # pragma: no cover — argparse choices guard this
+        raise SystemExit(f"unknown op {op}")
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="data_lakehouse_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -147,6 +177,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--to-version", type=int, default=None)
     p.add_argument("--limit", type=int, default=100)
     p.set_defaults(fn=cmd_changes)
+
+    p = sub.add_parser("maintain", help="table maintenance operations")
+    p.add_argument(
+        "op",
+        choices=["compact", "expire", "rollback", "publish",
+                 "rewrite-deletes", "row-count"],
+    )
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--version", type=int, default=None)
+    p.add_argument("--keep-last", type=int, default=1)
+    p.set_defaults(fn=cmd_maintain)
 
     args = ap.parse_args(argv)
     return args.fn(args)

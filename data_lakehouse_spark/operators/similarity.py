@@ -707,6 +707,55 @@ def exact_recall_at_k(approx: DataFrame, exact: DataFrame, id_col: str = "vec_id
     return len(a & e) / max(len(e), 1)
 
 
+def _sample_kmeans_centroids(
+    src: DataFrame,
+    *,
+    k: int,
+    seed: int,
+    max_iter: int,
+    sample_size: int,
+) -> list[list[float]]:
+    """Deterministic k-means centroids from a bounded hash-sample:
+    the ``sample_size`` rows with smallest ``md5(seed:vec_id)``
+    (TakeOrdered — no global sort, stable across partitioning and
+    retries), Lloyd on the driver. Initial centroids are the first k
+    distinct sampled vectors in hash order; an emptied cluster reseeds
+    to the point farthest from its assigned centroid (deterministic
+    argmax). Convergence or ``max_iter``, whichever first."""
+    import numpy as np
+
+    sample = (
+        src.select(
+            "vec_id",
+            "embedding",
+            F.md5(
+                F.concat_ws(":", F.lit(str(seed)), F.col("vec_id"))
+            ).alias("_h"),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(int(sample_size))
+        .collect()
+    )
+    mat = np.array([list(r["embedding"]) for r in sample], dtype=np.float64)
+    uniq, idx = np.unique(mat, axis=0, return_index=True)
+    first_k = mat[np.sort(idx)[: min(k, len(idx))]]
+    cents = first_k.copy()
+    for _ in range(max(int(max_iter), 1)):
+        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = cents.copy()
+        for j in range(len(cents)):
+            members = mat[assign == j]
+            if len(members):
+                new[j] = members.mean(axis=0)
+            else:
+                new[j] = mat[d2.min(axis=1).argmax()]
+        if np.allclose(new, cents, rtol=0, atol=1e-12):
+            break
+        cents = new
+    return [[float(x) for x in c] for c in cents]
+
+
 def semdedup(
     df: DataFrame,
     *,
@@ -718,6 +767,8 @@ def semdedup(
     max_iter: int = 20,
     max_cluster_size: int = 100_000,
     chunk: int = 2048,
+    fit: str = "sample",
+    sample_size: int = 65_536,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by k-means clustering + within-cluster cosine
@@ -725,16 +776,26 @@ def semdedup(
     for web-scale corpora where even LSH pair enumeration is too much.
 
     Algorithm (faithful to the paper): cluster all embeddings with
-    k-means (Spark ML, distributed Lloyd iterations); within each
-    cluster order items by cosine similarity TO THE CLUSTER CENTROID
-    ascending (the paper's keep-the-least-typical choice, tie-broken by
-    id for determinism) and mark an item a duplicate iff its max cosine
-    to any EARLIER item in that order exceeds ``threshold``. Pairs in
-    different clusters are never compared — that is the approximation
-    that makes the O(n²) pairwise step O(Σ c_i²) with bounded c_i.
+    k-means; within each cluster order items by cosine similarity TO
+    THE CLUSTER CENTROID ascending (the paper's keep-the-least-typical
+    choice, tie-broken by id for determinism) and mark an item a
+    duplicate iff its max cosine to any EARLIER item in that order
+    exceeds ``threshold``. Pairs in different clusters are never
+    compared — that is the approximation that makes the O(n²) pairwise
+    step O(Σ c_i²) with bounded c_i.
 
-    Scale shape: one KMeans fit (k scales with corpus size — the paper
-    uses k≈110k for LAION; cost amortizes like index builds), one
+    ``fit='sample'`` (default, and what the paper itself does —
+    centroids come from a subset): deterministic hash-sample of
+    ``sample_size`` vectors (top-k by ``md5(seed:id)``, a TakeOrdered
+    — no global sort), Lloyd iterations on the DRIVER over that
+    bounded matrix (numpy, k·sample_size·dim flops — trivial next to
+    the scan), empty clusters reseeded to the farthest point. Cluster
+    ASSIGNMENT of the full corpus is a pure JVM expression (argmin of
+    k squared distances via zip_with/aggregate) — no ML pipeline, no
+    Python in the scan. ``fit='ml'`` keeps the Spark ML distributed
+    Lloyd fit for when the fit itself must be exact over all rows.
+
+    Scale shape: one fit (bounded sample or amortized ML job), one
     broadcast join against the k·dim centroid table for the centroid
     similarity (JVM expression), one shuffle keyed on cluster into an
     ``applyInPandas`` kernel that runs the intra-cluster comparison as
@@ -751,28 +812,57 @@ def semdedup(
     """
     import numpy as np
     import pandas as pd
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     spark = df.sparkSession
     src = df.select(
         F.col(id_col).cast("bigint").alias("vec_id"),
         F.col(vec_col).alias("embedding"),
     )
-    feats = src.withColumn(
-        "_features", array_to_vector(F.col("embedding").cast("array<double>"))
-    )
-    model = KMeans(
-        k=k,
-        seed=seed,
-        maxIter=max_iter,
-        featuresCol="_features",
-        predictionCol="cluster",
-    ).fit(feats)
-    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
-    assigned = model.transform(feats).select(
-        "vec_id", "embedding", F.col("cluster").cast("int").alias("cluster")
-    )
+    if fit == "sample":
+        centroids = _sample_kmeans_centroids(
+            src, k=k, seed=seed, max_iter=max_iter, sample_size=sample_size
+        )
+        emb = F.col("embedding").cast("array<double>")
+
+        def _d2(c: list[float]) -> Column:
+            return F.aggregate(
+                F.zip_with(
+                    emb,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        dists = F.array(*[_d2(c) for c in centroids])
+        assigned = src.withColumn(
+            "cluster",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        )
+    elif fit == "ml":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = src.withColumn(
+            "_features",
+            array_to_vector(F.col("embedding").cast("array<double>")),
+        )
+        model = KMeans(
+            k=k,
+            seed=seed,
+            maxIter=max_iter,
+            featuresCol="_features",
+            predictionCol="cluster",
+        ).fit(feats)
+        centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+        assigned = model.transform(feats).select(
+            "vec_id",
+            "embedding",
+            F.col("cluster").cast("int").alias("cluster"),
+        )
+    else:
+        raise ValueError(f"unknown fit mode {fit!r}: use sample|ml")
     cdf = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
         "cluster int, _centroid array<double>",

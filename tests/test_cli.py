@@ -68,3 +68,36 @@ def test_cli_changes(spark, tmp_path, capsys):
     assert rc == 0
     out = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     assert out == [{"id": 2, "v": "b", "_change_type": "insert"}]
+
+
+def test_cli_maintain(spark, tmp_path, capsys):
+    from data_lakehouse_spark.catalog import Catalog
+
+    wh = str(tmp_path / "wh")
+    cat = Catalog(spark, wh)
+    cat.create_table("t", spark.createDataFrame(
+        [(i, f"u{i}") for i in range(6)], ["id", "v"]
+    ))
+    cat.delete_where("t", "id = 0", mode="mor")
+
+    rc = main(["maintain", "row-count", "--warehouse", wh, "--table", "t"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip())["rows"] == 5
+
+    rc = main(["maintain", "rewrite-deletes", "--warehouse", wh,
+               "--table", "t"])
+    assert rc == 0
+    assert json.loads(
+        capsys.readouterr().out.strip()
+    )["delete_dirs_removed"] == 1
+
+    rc = main(["maintain", "rollback", "--warehouse", wh, "--table", "t",
+               "--version", "0"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["maintain", "row-count", "--warehouse", wh, "--table", "t"])
+    assert json.loads(capsys.readouterr().out.strip())["rows"] == 6
+
+    rc = main(["maintain", "compact", "--warehouse", wh, "--table", "t"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip())["files_after"] >= 1

@@ -403,3 +403,13 @@ def test_hll_rollup_merge_equals_direct_sketch(spark):
     }
     for typ, approx, _ in rolled:
         assert abs(approx - exact[typ]) / exact[typ] < 0.05
+
+
+def test_semdedup_ml_fit_mode_and_bad_mode(spark):
+    df = _semdedup_fixture(spark)
+    out = similarity.semdedup(df, k=4, threshold=0.99, seed=3, fit="ml")
+    assert out.count() == df.count()
+    import pytest
+
+    with pytest.raises(ValueError, match="fit mode"):
+        similarity.semdedup(df, fit="bogus").collect()
