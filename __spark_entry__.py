@@ -2260,6 +2260,70 @@ def q_tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch.q22_global_sales_opportunity(t["customer"], t["orders"])
 
 
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar-MIN subquery on the join key (Q2 adapted: supply
+    cost = min unit sale price from lineitem history), decorrelated to a
+    per-part MIN joined back on (part, cost)."""
+    _ensure_conf(spark)
+    t = load_tables(
+        spark,
+        sf_dir,
+        ["lineitem", "part", "supplier", "nation", "region"],
+        register_views=False,
+    )
+    return tpch.q2_min_cost_supplier(
+        t["lineitem"], t["part"], t["supplier"], t["nation"], t["region"]
+    )
+
+
+def q_tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit per nation per ship year (Q9 adapted: cost basis is 60% of
+    retail price), decimal-exact signed sums."""
+    _ensure_conf(spark)
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "part", "supplier", "nation"], register_views=False
+    )
+    return tpch.q9_product_type_profit(
+        t["lineitem"], t["part"], t["supplier"], t["nation"]
+    )
+
+
+def q_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING against a scalar fraction-of-total subquery (Q11 adapted:
+    stock value = revenue shipped by one nation's suppliers)."""
+    _ensure_conf(spark)
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "supplier", "nation"], register_views=False
+    )
+    return tpch.q11_important_part_values(t["lineitem"], t["supplier"], t["nation"])
+
+
+def q_tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT DISTINCT per descriptor with a NOT IN subquery decorrelated
+    to a broadcast anti join (Q16 adapted: complaints = negative
+    account balance)."""
+    _ensure_conf(spark)
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "part", "supplier"], register_views=False
+    )
+    return tpch.q16_supplier_count_by_descriptor(
+        t["lineitem"], t["part"], t["supplier"]
+    )
+
+
+def q_tpch_q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested IN-(IN-subquery) chain decorrelated to two semi joins
+    around a (supp, part) aggregate (Q20 adapted: availability inverts
+    to shipped volume)."""
+    _ensure_conf(spark)
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "part", "supplier", "nation"], register_views=False
+    )
+    return tpch.q20_heavy_shippers(
+        t["lineitem"], t["part"], t["supplier"], t["nation"]
+    )
+
+
 def q_corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT frequent terms (count·m > total) via the two-pass
     Misra–Gries sketch-then-verify shape: per-partition capped summaries
@@ -2413,6 +2477,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_battery": q_window_battery,
         "tpch_q13_customer_distribution": q_tpch_q13_customer_distribution,
         "tpch_q12_ship_delay": q_tpch_q12_ship_delay,
+        "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+        "tpch_q9_product_type_profit": q_tpch_q9_product_type_profit,
+        "tpch_q11_important_parts": q_tpch_q11_important_parts,
+        "tpch_q16_supplier_count": q_tpch_q16_supplier_count,
+        "tpch_q20_heavy_shippers": q_tpch_q20_heavy_shippers,
         # --- rows-only (hash/LSH/HLL/pandas-UDF based; no SQL oracle) ---
         "gold_user_rfm_segments_scalable": q_user_rfm_segments_scalable,
         "segment_order_percentiles_approx": q_segment_order_percentiles_approx,
@@ -3003,6 +3072,102 @@ WHERE c_acctbal > (
                   WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
 GROUP BY 1
 ORDER BY 1
+"""
+
+    sql["tpch_q2_min_cost_supplier"] = """
+WITH rs AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+),
+cost AS (
+    SELECT l_partkey, l_suppkey,
+           MIN(l_extendedprice / l_quantity) AS supply_cost
+    FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey FROM rs)
+    GROUP BY 1, 2
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supply_cost
+FROM part
+JOIN cost ON p_partkey = l_partkey
+JOIN rs ON l_suppkey = s_suppkey
+WHERE p_type = 'SMALL' AND p_size <= 15
+  AND supply_cost = (SELECT MIN(c2.supply_cost) FROM cost c2
+                     WHERE c2.l_partkey = p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+    sql["tpch_q9_product_type_profit"] = """
+SELECT n_name AS nation,
+    CAST(YEAR(l_shipdate) AS BIGINT) AS o_year,
+    CAST(SUM(
+        CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        - CAST(p_retailprice AS DECIMAL(12,2))
+            * CAST(l_quantity AS DECIMAL(4,0))
+            * CAST(0.6 AS DECIMAL(2,1))
+    ) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+    sql["tpch_q11_important_parts"] = """
+WITH scope AS (
+    SELECT l_partkey,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2))) AS v
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+),
+per_part AS (
+    SELECT l_partkey, SUM(v) AS value_d FROM scope GROUP BY 1
+)
+SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+       CAST(value_d AS DOUBLE) AS part_value
+FROM per_part
+WHERE CAST(value_d AS DOUBLE) >
+      (SELECT CAST(SUM(v) AS DOUBLE) * 0.0001 FROM scope)
+ORDER BY part_value DESC, p_partkey
+"""
+
+    sql["tpch_q16_supplier_count"] = """
+SELECT p_brand, p_type, p_size,
+    CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#12'
+  AND p_type <> 'ECONOMY'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25, 28)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+    sql["tpch_q20_heavy_shippers"] = """
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 30
+  )
+ORDER BY s_name
 """
 
     sql["top_customers"] = """

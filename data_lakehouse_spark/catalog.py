@@ -313,17 +313,46 @@ class Catalog:
         prev = entries[-1] if entries else None
         # transform specs come from the caller on create, and from the
         # manifest on every later commit — appends re-derive hidden
-        # partition columns without the caller materializing them
-        pb_spec = partition_by if partition_by is not None else (
-            (prev.get("partition_transforms") or prev.get("partition_by"))
-            if prev
-            else None
-        )
+        # partition columns without the caller materializing them.
+        # partition_transforms == [] means EXPLICITLY unpartitioned
+        # (set_partition_spec(None)); only a missing key (legacy
+        # manifest) falls back to the physical partition_by list.
+        if partition_by is not None:
+            pb_spec = partition_by
+        elif prev:
+            pt = prev.get("partition_transforms")
+            pb_spec = pt if pt is not None else prev.get("partition_by")
+        else:
+            pb_spec = None
         df, pb = apply_partition_transforms(df, pb_spec)
+        props_now = properties or (prev.get("properties") if prev else {}) or {}
+        bloom_cols = [
+            c.strip()
+            for c in (props_now.get("bloom.columns") or "").split(",")
+            if c.strip() and c.strip() in df.columns
+        ]
         writer = df.write.format("parquet")
+        for c in bloom_cols:
+            # parquet-native per-file bloom filters: the row-group tier
+            # of the skipping hierarchy (dir sidecar > file bloom >
+            # row-group min/max). Spark's reader consults them for
+            # pushed equality predicates with zero extra code here.
+            # Dictionary encoding is disabled for bloom columns:
+            # parquet-mr suppresses the bloom when a column is fully
+            # dict-encoded, and bloom columns are by definition
+            # high-cardinality keys whose dictionaries overflow to
+            # plain at any real scale anyway.
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            writer = writer.option(f"parquet.enable.dictionary#{c}", "false")
+            # adaptive sizing: the bloom is sized by the ACTUAL ndv of
+            # each file instead of the 1 MiB worst-case default — small
+            # files carry kilobyte blooms, big files grow as needed
+            writer = writer.option("parquet.bloom.filter.adaptive.enabled", "true")
         if pb:
             writer = writer.partitionBy(*pb)
         writer.mode("overwrite").save(data_dir)
+        for c in bloom_cols:
+            self._write_dir_bloom(data_dir, c)
 
         if base_dirs is not None:
             dirs = list(base_dirs)
@@ -357,6 +386,98 @@ class Catalog:
         )
         self._save_manifest(h, entries)
         return h
+
+    #: Dir-level bloom geometry: FIXED size so build memory is bounded
+    #: by the filter, never by the key count. 2^23 bits (1 MiB) / k=4
+    #: gives ~1.2% false positives at 1M distinct keys per dir and
+    #: degrades gracefully above; a false positive only costs reading a
+    #: dir that min/max couldn't skip anyway.
+    _BLOOM_BITS = 1 << 23
+    _BLOOM_K = 4
+
+    def _bloom_positions(self, col_expr) -> list:
+        """The k bit positions for a column expression, as Spark SQL
+        columns — Spark's xxhash64 with seeds 0..k-1 so build and probe
+        use the exact same hash family (no Python-side reimplementation
+        to drift)."""
+        return [
+            F.pmod(F.xxhash64(col_expr, F.lit(seed)), F.lit(self._BLOOM_BITS))
+            for seed in range(self._BLOOM_K)
+        ]
+
+    def _write_dir_bloom(self, data_dir: str, col: str) -> None:
+        """Commit-time dir-level bloom sidecar (``_bloom_<col>.json``)
+        for point-lookup data skipping on high-cardinality keys, where
+        footer min/max is useless (a uuid/hash key's [min, max] spans
+        everything after a handful of rows).
+
+        Build is scale-bounded: the DISTINCT set of bit positions is at
+        most 2^23 regardless of row count, so the shuffle and the
+        driver collect are capped at the filter size (~8M ints), never
+        O(rows). The sidecar lives inside the snapshot dir (underscore
+        prefix: invisible to parquet readers) so expiry reclaims it
+        with the data."""
+        import base64
+
+        import numpy as np
+
+        df = self.spark.read.parquet(data_dir).select(F.col(col))
+        positions = (
+            df.filter(F.col(col).isNotNull())
+            .select(
+                F.explode(F.array(*self._bloom_positions(F.col(col)))).alias(
+                    "_bit"
+                )
+            )
+            .distinct()
+            .collect()
+        )
+        bits = np.zeros(self._BLOOM_BITS // 8, dtype=np.uint8)
+        idx = np.array([r["_bit"] for r in positions], dtype=np.int64)
+        if len(idx):
+            np.bitwise_or.at(bits, idx // 8, (1 << (idx % 8)).astype(np.uint8))
+        payload = {
+            "column": col,
+            "m": self._BLOOM_BITS,
+            "k": self._BLOOM_K,
+            "bits": base64.b64encode(bits.tobytes()).decode("ascii"),
+        }
+        with open(os.path.join(data_dir, f"_bloom_{col}.json"), "w") as f:
+            json.dump(payload, f)
+
+    def _bloom_might_contain(
+        self, dir_path: str, col: str, positions: list[int]
+    ) -> bool:
+        """Probe a dir's bloom sidecar. Missing sidecar → True (keep the
+        dir: the column wasn't bloom-tracked when it was written)."""
+        import base64
+
+        path = os.path.join(dir_path, f"_bloom_{col}.json")
+        if not os.path.exists(path):
+            return True
+        with open(path) as f:
+            payload = json.load(f)
+        bits = base64.b64decode(payload["bits"])
+        for p in positions:
+            if not (bits[p // 8] >> (p % 8)) & 1:
+                return False
+        return True
+
+    def _probe_positions(self, values: dict[str, object]) -> dict[str, list[int]]:
+        """Bit positions of each probe literal, computed BY SPARK (one
+        tiny local-relation job) so the probe hash is bit-identical to
+        the build hash."""
+        row = (
+            self.spark.range(1)
+            .select(
+                *[
+                    F.array(*self._bloom_positions(F.lit(v))).alias(c)
+                    for c, v in values.items()
+                ]
+            )
+            .collect()[0]
+        )
+        return {c: list(row[c]) for c in values}
 
     @staticmethod
     def _dir_stats(data_dir: str) -> dict:
@@ -515,6 +636,50 @@ class Catalog:
         new_schema = dict(last["schema"])
         new_schema["fields"] = [f for f in fields if f["name"] != col_name]
         self._schema_commit(h, entries, "drop_column", new_schema)
+
+    def set_partition_spec(
+        self, name: str, partition_by: list[str] | None
+    ) -> None:
+        """ALTER TABLE ... WRITE ORDERED BY / partition-spec EVOLUTION
+        (Iceberg's signature metadata-only op): change how FUTURE
+        appends are laid out without rewriting a byte of existing data.
+
+        Existing snapshot dirs keep their old directory layout and stay
+        fully readable — :meth:`read` already unions dirs each under
+        its own basePath with its writer's schema, so mixed layouts
+        coexist in one table. New appends derive the new spec's hidden
+        partition columns (old hidden columns simply stop being
+        produced and read back NULL for new dirs once the schema
+        evolves). Accepts the same transform specs as
+        :meth:`create_table` (``days(ts)``, ``bucket(n, col)``, ...);
+        ``None`` switches to unpartitioned appends."""
+        h = self._handle(name)
+        with self._commit_lock(h):
+            entries = self._load_manifest(h)
+            if not entries:
+                raise ValueError(f"table {name} does not exist")
+            last = entries[-1]
+            entries.append(
+                {
+                    "version": len(entries),
+                    "op": "set_partition_spec",
+                    "committed_at": time.strftime(
+                        "%Y-%m-%d %H:%M:%S", time.gmtime()
+                    ),
+                    "data_dirs": list(last["data_dirs"]),
+                    "delete_dirs": list(last.get("delete_dirs") or []),
+                    "schema": last["schema"],
+                    "partition_by": last.get("partition_by"),
+                    # [] = explicitly unpartitioned (None would read as
+                    # a legacy manifest and fall back to partition_by)
+                    "partition_transforms": (
+                        partition_by if partition_by is not None else []
+                    ),
+                    "properties": last.get("properties") or {},
+                    "stats": last.get("stats"),
+                }
+            )
+            self._save_manifest(h, entries)
 
     def _schema_commit(
         self, h: TableHandle, entries: list[dict], op: str, new_schema: dict
@@ -874,6 +1039,7 @@ class Catalog:
         version: int | None = None,
         as_of: str | None = None,
         prune: dict[str, tuple] | None = None,
+        prune_eq: dict[str, object] | None = None,
         with_lineage: bool = False,
     ) -> DataFrame:
         """Scan the table, optionally VERSION AS OF (time travel) or
@@ -893,6 +1059,16 @@ class Catalog:
         (NULLs never match a range predicate, so NULL-bearing dirs may
         be skipped too). Timestamps compare as their ``str()`` ISO
         rendering. Dirs from legacy entries without stats are kept.
+
+        ``prune_eq`` is the POINT-LOOKUP tier: ``{col: value}`` skips
+        dirs by BOTH the min/max range (lo = hi = value) and the
+        dir-level bloom sidecar written when the table carries
+        ``bloom.columns`` in its properties — the structure that still
+        prunes when the key is hash-like and every dir's [min, max]
+        spans the whole domain. Same contract as ``prune``: the caller
+        still applies the row filter; skipped dirs provably contain no
+        row with ``col = value`` (up to bloom false positives, which
+        only KEEP extra dirs, never skip live ones).
         """
         h = self._handle(name)
         entries = self._load_manifest(h)
@@ -918,10 +1094,21 @@ class Catalog:
                 f"version {entry['version']} of {name} has been expired "
                 "(expire_snapshots); time travel to it is no longer possible"
             )
+        eq_ranges = {c: (v, v) for c, v in (prune_eq or {}).items()}
+        bloom_pos = self._probe_positions(prune_eq) if prune_eq else {}
         dirs = []
         for d in entry["data_dirs"]:
             wentry = entries[int(d[1:])]
             if prune and self._dir_prunable(wentry.get("stats"), prune):
+                continue
+            if eq_ranges and self._dir_prunable(wentry.get("stats"), eq_ranges):
+                continue
+            if bloom_pos and any(
+                not self._bloom_might_contain(
+                    os.path.join(h.path, d), c, pos
+                )
+                for c, pos in bloom_pos.items()
+            ):
                 continue
             dirs.append(d)
         ddirs = entry.get("delete_dirs") or []

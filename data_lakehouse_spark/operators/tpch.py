@@ -436,6 +436,225 @@ def q21_waiting_suppliers(
     )
 
 
+def q2_min_cost_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_region: str = "EUROPE",
+    target_type: str = "SMALL",
+    max_size: int = 15,
+) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp: supply cost derives from lineitem
+    sale history as MIN(l_extendedprice / l_quantity) per part+supplier):
+    for small parts, the region supplier(s) achieving the per-part
+    minimum cost — the classic correlated scalar-MIN subquery on the
+    join key, decorrelated to a per-part min aggregate joined back on
+    (part, cost).
+
+    Plan: region suppliers resolve via two broadcast dim joins and stay
+    broadcast against lineitem; the (part, supp) cost agg shuffles once
+    on a two-column key; the per-part MIN is a window PARTITIONED BY
+    l_partkey over that tiny agg output — lineitem scans exactly once
+    (a separate min re-aggregate branch would defeat exchange reuse:
+    Spark collapses agg-over-agg into a direct scan-level aggregate with
+    a different exchange, forcing a second scan). Unit price is a plain
+    double division — bit-identical across engines, so the min-equality
+    filter needs no epsilon.
+    """
+    from pyspark.sql import Window
+    rs = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == target_region)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        lineitem.join(
+            F.broadcast(rs.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
+        )
+    )
+    p = part.filter(
+        (F.col("p_type") == target_type) & (F.col("p_size") <= max_size)
+    ).select("p_partkey", "p_brand")
+    part_cost = cost.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        part_cost.withColumn("_min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("_min_cost"))
+        .join(F.broadcast(rs), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supply_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q9_product_type_profit(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_token: str = "red",
+) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp: cost basis is 60% of the part's
+    retail price): profit per supplier nation per ship year over parts
+    whose name carries a token. All three dimensions broadcast; the
+    single shuffle is the (nation, year) aggregation. Every term is
+    decimal-exact (retailprice and quantity have ≤2 fractional digits),
+    so the signed sum is order-independent and hash-stable.
+    """
+    p = part.filter(F.col("p_name").contains(name_token)).select("p_partkey")
+    cost = (
+        F.col("p_retailprice").cast(_D12)
+        * F.col("l_quantity").cast("decimal(4,0)")
+        * F.lit(0.6).cast("decimal(2,1)")
+    )
+    return (
+        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            "p_partkey",
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(_rev() - cost).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q11_important_part_values(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    target_nation: str = "NATION_3",
+    fraction: float = 0.0001,
+) -> DataFrame:
+    """TPC-H Q11 shape (no partsupp: "stock value" is revenue shipped by
+    one nation's suppliers): per-part value with a HAVING against a
+    scalar fraction-of-total subquery. The grand total folds to a
+    one-row broadcast against the per-part aggregate — never an
+    unpartitioned window.
+
+    Deliberate trade: the diamond (per-part + total over the same
+    scope) re-reads lineitem for the total branch, because Spark
+    collapses agg-over-agg into a direct scan-level aggregate whose
+    exchange differs from the per-part branch (no ReusedExchange; a
+    rollup over grouping sets hits the same wall — the grouping-id
+    filter pushes into the Expand and splits the subtrees). Both scans
+    are pruned to the same four columns (pinned in tests); at warehouse
+    scale the per-part aggregate is exactly the kind of mart the
+    catalog materializes incrementally (plans/cdc.py), which removes
+    the recompute entirely.
+    """
+    ns = (
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name") == target_nation)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    scope = lineitem.join(
+        F.broadcast(ns), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    per_part = scope.groupBy("l_partkey").agg(F.sum(_rev()).alias("_value_d"))
+    total = scope.agg(
+        (F.sum(_rev()).cast("double") * F.lit(fraction)).alias("_threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("_value_d").cast("double") > F.col("_threshold"))
+        .select(
+            F.col("l_partkey").cast("bigint").alias("p_partkey"),
+            F.col("_value_d").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+def q16_supplier_count_by_descriptor(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    excluded_brand: str = "Brand#12",
+    excluded_type: str = "ECONOMY",
+    sizes: tuple[int, ...] = (1, 4, 7, 10, 13, 16, 19, 22, 25, 28),
+) -> DataFrame:
+    """TPC-H Q16 shape (no partsupp: supply relationships come from
+    lineitem shipping history; the complaint filter is a negative
+    account balance): distinct-supplier counts per part descriptor with
+    a NOT IN subquery decorrelated to a broadcast anti join. The only
+    shuffle is the COUNT DISTINCT aggregation keyed on the descriptor.
+    """
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = part.filter(
+        (F.col("p_brand") != excluded_brand)
+        & (F.col("p_type") != excluded_type)
+        & (F.col("p_size").isin(*sizes))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q20_heavy_shippers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_prefix: str = "small",
+    target_nation: str = "NATION_5",
+    qty_threshold: int = 30,
+) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp: availability inverts to shipped
+    volume): suppliers in one nation who shipped more than a threshold
+    quantity of any name-prefixed part in 1996 — the nested
+    IN-(IN-subquery) chain decorrelated to two broadcast semi joins
+    around a (supp, part) aggregate. Quantity sums accumulate decimal so
+    the HAVING boundary is engine-independent.
+    """
+    pk = part.filter(F.col("p_name").startswith(name_prefix)).select("p_partkey")
+    heavy = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast(_D12)).alias("_q"))
+        .filter(F.col("_q") > qty_threshold)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name") == target_nation)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
 def q22_global_sales_opportunity(
     customer: DataFrame, orders: DataFrame
 ) -> DataFrame:

@@ -469,3 +469,53 @@ def test_tpch_q13_left_join_preserves_every_customer(spark, sf_dir):
     total = sum(r["custdist"] for r in df.collect())
     n_customers = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
     assert total == n_customers
+
+
+def test_tpch_q2_correlated_min_single_scan_partitioned_window(spark, sf_dir):
+    """Q2's correlated scalar-MIN becomes a window PARTITIONED BY
+    p_partkey over the (part, supp) cost aggregate: lineitem is scanned
+    ONCE, dims broadcast, and the window is never unpartitioned (a min
+    re-aggregate branch would collapse to a second scan)."""
+    plan = _plan(entry.q_tpch_q2_min_cost_supplier(spark, sf_dir))
+    assert plan.count("/lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+    assert "hashpartitioning(p_partkey" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_tpch_q11_fraction_of_total_broadcast_and_pruned(spark, sf_dir):
+    """Q11's grand total folds to a one-row broadcast (no unpartitioned
+    window). The diamond re-reads lineitem for the total branch — a
+    documented trade (agg-over-agg collapses past exchange reuse) — so
+    BOTH scans must stay pruned to the same four fact columns."""
+    plan = _plan(entry.q_tpch_q11_important_parts(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    li_scans = [
+        l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l
+    ]
+    assert len(li_scans) == 2
+    for scan in li_scans:
+        assert "l_quantity" not in scan and "l_shipdate" not in scan
+
+
+def test_tpch_q16_not_in_is_broadcast_anti_join(spark, sf_dir):
+    """Q16's NOT IN (complained suppliers) compiles to a broadcast LEFT
+    ANTI join against the tiny negative-balance supplier set."""
+    plan = _plan(entry.q_tpch_q16_supplier_count(spark, sf_dir))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_tpch_q20_nested_in_chain_is_semi_joins(spark, sf_dir):
+    """Q20's IN-(IN-subquery) chain becomes two LEFT SEMI joins (part
+    prefix filter into lineitem; heavy suppliers into supplier) with the
+    ship-year filter pushed to the lineitem scan."""
+    plan = _plan(entry.q_tpch_q20_heavy_shippers(spark, sf_dir))
+    assert plan.count("LeftSemi") >= 2
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    li_scan = next(
+        l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l
+    )
+    assert "GreaterThanOrEqual(l_shipdate" in li_scan

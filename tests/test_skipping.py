@@ -1,0 +1,176 @@
+"""Dir-level bloom-filter point-lookup skipping and partition-spec
+evolution (Iceberg metadata-only op analogs)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from data_lakehouse_spark.catalog import Catalog
+
+
+def _catalog(spark, tmp_path) -> Catalog:
+    return Catalog(spark, str(tmp_path / "warehouse"))
+
+
+def _keys(tag: str, n: int) -> list[str]:
+    """Hash-like keys: every dir's [min, max] spans ~the whole hex
+    domain, so footer min/max stats CANNOT prune point lookups —
+    exactly the regime the bloom sidecar exists for."""
+    return [hashlib.md5(f"{tag}:{i}".encode()).hexdigest() for i in range(n)]
+
+
+def _bloom_table(spark, cat: Catalog):
+    batches = [_keys(tag, 200) for tag in ("a", "b", "c")]
+    dfs = [
+        spark.createDataFrame([(k, tag) for k in batch], "doc_key string, src string")
+        for batch, tag in zip(batches, "abc")
+    ]
+    cat.create_table(
+        "docs", dfs[0], properties={"bloom.columns": "doc_key"}
+    )
+    cat.append("docs", dfs[1])
+    cat.append("docs", dfs[2])
+    return batches
+
+
+def test_bloom_point_lookup_prunes_to_one_dir(spark, tmp_path):
+    cat = _catalog(spark, tmp_path)
+    batches = _bloom_table(spark, cat)
+    probe = batches[1][17]  # lives only in the second dir (v00001)
+    df = cat.read("docs", prune_eq={"doc_key": probe})
+    files = df.inputFiles()
+    assert files, "probe dir must survive pruning"
+    assert all("/v00001/" in f for f in files), files
+    rows = df.filter(F.col("doc_key") == probe).collect()
+    assert len(rows) == 1 and rows[0]["src"] == "b"
+    # min/max alone could NOT have pruned: the range tier keeps all dirs
+    eq = {"doc_key": (probe, probe)}
+    entries = cat._load_manifest(cat._handle("docs"))
+    kept = [
+        e for e in entries[:3] if not Catalog._dir_prunable(e.get("stats"), eq)
+    ]
+    assert len(kept) == 3
+
+
+def test_bloom_absent_key_prunes_every_dir(spark, tmp_path):
+    cat = _catalog(spark, tmp_path)
+    _bloom_table(spark, cat)
+    df = cat.read("docs", prune_eq={"doc_key": "not-a-real-key"})
+    assert df.inputFiles() == []
+    assert df.count() == 0
+    # schema survives the empty-scan path
+    assert df.columns == ["doc_key", "src"]
+
+
+def test_bloom_pruned_read_equals_full_scan(spark, tmp_path):
+    cat = _catalog(spark, tmp_path)
+    batches = _bloom_table(spark, cat)
+    for probe in (batches[0][0], batches[2][199]):
+        pruned = (
+            cat.read("docs", prune_eq={"doc_key": probe})
+            .filter(F.col("doc_key") == probe)
+            .collect()
+        )
+        full = (
+            cat.read("docs").filter(F.col("doc_key") == probe).collect()
+        )
+        assert sorted(map(tuple, pruned)) == sorted(map(tuple, full))
+
+
+def test_prune_eq_range_tier_without_blooms(spark, tmp_path):
+    """Tables without bloom.columns still get the min/max tier for
+    prune_eq (lo = hi = value) — ordered keys prune by footer stats."""
+    cat = _catalog(spark, tmp_path)
+    cat.create_table(
+        "m", spark.createDataFrame([(i,) for i in range(100)], "id long")
+    )
+    cat.append(
+        "m", spark.createDataFrame([(i,) for i in range(1000, 1100)], "id long")
+    )
+    df = cat.read("m", prune_eq={"id": 1050})
+    assert df.inputFiles() and all("/v00001/" in f for f in df.inputFiles())
+
+
+def test_parquet_native_bloom_written(spark, tmp_path):
+    """The file tier: parquet-native bloom filters are present in the
+    written files for bloom.columns (Spark's reader consults them for
+    pushed equality predicates). This pyarrow build doesn't expose
+    bloom_filter_offset, so presence is asserted by the byte overhead a
+    bloom-bearing file carries over the identical bloom-less write,
+    plus plain (non-dictionary) encoding of the bloom column —
+    parquet-mr suppresses blooms on fully dict-encoded columns."""
+    import pyarrow.parquet as pq
+
+    cat = _catalog(spark, tmp_path)
+    _bloom_table(spark, cat)
+    plain = Catalog(spark, str(tmp_path / "warehouse_plain"))
+    keys = _keys("a", 200)
+    plain.create_table(
+        "docs",
+        spark.createDataFrame([(k, "a") for k in keys], "doc_key string, src string"),
+    )
+
+    def _bytes(root: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    with_bloom = _bytes(os.path.join(str(tmp_path / "warehouse"), "docs", "v00000"))
+    without = _bytes(os.path.join(str(tmp_path / "warehouse_plain"), "docs", "v00000"))
+    assert with_bloom > without
+    pfile = next(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(
+            os.path.join(str(tmp_path / "warehouse"), "docs", "v00000")
+        )
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    col = pq.read_metadata(pfile).row_group(0).column(0)
+    assert col.path_in_schema == "doc_key"
+    assert not col.has_dictionary_page
+
+
+def test_partition_spec_evolution_mixed_layouts(spark, tmp_path):
+    """Spec evolution is metadata-only: old dirs keep the old layout,
+    new appends use the new spec, reads union both."""
+    cat = _catalog(spark, tmp_path)
+    df1 = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 1), ("2024-01-02 11:00:00", 2)],
+        "ts_s string, v long",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    cat.create_table("ev", df1, partition_by=["days(ts)"])
+    cat.set_partition_spec("ev", ["months(ts)"])
+    df2 = spark.createDataFrame(
+        [("2024-02-05 09:00:00", 3)], "ts_s string, v long"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    cat.append("ev", df2)
+
+    root = os.path.join(str(tmp_path / "warehouse"), "ev")
+    assert any(d.startswith("ts_day=") for d in os.listdir(f"{root}/v00000"))
+    assert any(d.startswith("ts_month=") for d in os.listdir(f"{root}/v00002"))
+    # all rows visible; no data was rewritten for the spec change
+    out = cat.read("ev")
+    assert sorted(r["v"] for r in out.collect()) == [1, 2, 3]
+    ops = [r["operation"] for r in cat.snapshots("ev").collect()]
+    assert ops == ["create", "set_partition_spec", "append"]
+
+
+def test_partition_spec_evolution_to_unpartitioned(spark, tmp_path):
+    cat = _catalog(spark, tmp_path)
+    cat.create_table(
+        "t",
+        spark.createDataFrame([("x", 1)], "k string, v long"),
+        partition_by=["k"],
+    )
+    cat.set_partition_spec("t", None)
+    cat.append("t", spark.createDataFrame([("y", 2)], "k string, v long"))
+    assert sorted(r["v"] for r in cat.read("t").collect()) == [1, 2]
+    root = os.path.join(str(tmp_path / "warehouse"), "t")
+    assert not any(d.startswith("k=") for d in os.listdir(f"{root}/v00002"))
