@@ -110,7 +110,7 @@ def cmd_changes(args: argparse.Namespace) -> int:
 
 def cmd_maintain(args: argparse.Namespace) -> int:
     """Table maintenance: compact / expire / rollback / publish /
-    rewrite-deletes / row-count."""
+    rewrite-deletes / row-count / tag / branch / fast-forward."""
     from data_lakehouse_spark.catalog import Catalog
 
     spark = _spark("maintain")
@@ -132,6 +132,21 @@ def cmd_maintain(args: argparse.Namespace) -> int:
         out = cat.rewrite_position_deletes(args.table)
     elif op == "row-count":
         out = {"table": args.table, "rows": cat.row_count(args.table)}
+    elif op == "tag":
+        if not args.ref:
+            raise SystemExit("tag requires --ref")
+        cat.create_tag(args.table, args.ref, version=args.version)
+        out = {"table": args.table, "tag": args.ref}
+    elif op == "branch":
+        if not args.ref:
+            raise SystemExit("branch requires --ref")
+        cat.create_branch(args.table, args.ref, version=args.version)
+        out = {"table": args.table, "branch": args.ref}
+    elif op == "fast-forward":
+        if not args.ref:
+            raise SystemExit("fast-forward requires --ref")
+        cat.fast_forward(args.table, args.ref)
+        out = {"table": args.table, "fast_forwarded_from": args.ref}
     else:  # pragma: no cover — argparse choices guard this
         raise SystemExit(f"unknown op {op}")
     print(json.dumps(out, default=str))
@@ -182,12 +197,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "op",
         choices=["compact", "expire", "rollback", "publish",
-                 "rewrite-deletes", "row-count"],
+                 "rewrite-deletes", "row-count", "tag", "branch",
+                 "fast-forward"],
     )
     p.add_argument("--warehouse", required=True)
     p.add_argument("--table", required=True)
     p.add_argument("--version", type=int, default=None)
     p.add_argument("--keep-last", type=int, default=1)
+    p.add_argument("--ref", default=None,
+                   help="tag/branch name for tag|branch|fast-forward")
     p.set_defaults(fn=cmd_maintain)
 
     args = ap.parse_args(argv)

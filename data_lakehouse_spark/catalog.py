@@ -166,6 +166,7 @@ class Catalog:
         *,
         properties_update: dict[str, str] | None = None,
         staged: bool = False,
+        branch: str | None = None,
     ) -> TableHandle:
         """S6: append snapshot (new files only). ``properties_update``
         merges into the table properties IN THE SAME commit — the hook
@@ -178,7 +179,10 @@ class Catalog:
         :meth:`publish` to make it current or :meth:`rollback` to the
         last published version to abort. Further staged appends stack;
         a NON-staged commit on top of unpublished staged data refuses
-        (it would silently publish it)."""
+        (it would silently publish it).
+
+        ``branch=`` appends to a named branch lineage instead of main
+        (see :meth:`create_branch`)."""
         h = self._handle(name)
         if not self.table_exists(name):
             raise ValueError(f"table {name} does not exist")
@@ -187,8 +191,168 @@ class Catalog:
             props = {**self.table_properties(name), **properties_update}
         return self._commit(
             h, df, op="append", replace=False, properties=props,
-            staged=staged,
+            staged=staged, branch=branch,
         )
+
+    # -- branches & tags (Iceberg refs) ------------------------------------
+    @staticmethod
+    def _branch_head(entries: list[dict], branch: str | None) -> dict | None:
+        """Head entry of a lineage. ``None`` = main: the last entry not
+        belonging to a named branch (staged WAP entries ARE main
+        lineage — appends stack on them)."""
+        for e in reversed(entries):
+            if e.get("branch_dropped"):
+                continue
+            hit = (e.get("branch") == branch) if branch else ("branch" not in e)
+            if hit:
+                return e
+        return None
+
+    def _tags_path(self, h: TableHandle) -> str:
+        return os.path.join(h.path, "_tags.json")
+
+    def _load_tags(self, h: TableHandle) -> dict[str, int]:
+        if not os.path.exists(self._tags_path(h)):
+            return {}
+        with open(self._tags_path(h)) as f:
+            return json.load(f)
+
+    def create_tag(self, name: str, tag: str, version: int | None = None) -> None:
+        """Named immutable pointer to a snapshot (Iceberg tag).
+        Tagged snapshots are RETAINED by :meth:`expire_snapshots`
+        regardless of ``keep_last`` — a tag is a retention contract
+        (audit snapshots, model-training data freezes)."""
+        h = self._handle(name)
+        entries = self._load_manifest(h)
+        if not entries:
+            raise ValueError(f"table {name} does not exist")
+        v = version if version is not None else entries[-1]["version"]
+        if entries[v].get("expired"):
+            raise ValueError(f"version {v} of {name} has been expired")
+        tags = self._load_tags(h)
+        if tag in tags:
+            raise ValueError(f"tag {tag!r} already exists on {name}")
+        tags[tag] = v
+        tmp = self._tags_path(h) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(tags, f, indent=1)
+        os.replace(tmp, self._tags_path(h))
+
+    def drop_tag(self, name: str, tag: str) -> None:
+        h = self._handle(name)
+        tags = self._load_tags(h)
+        if tag not in tags:
+            raise ValueError(f"tag {tag!r} does not exist on {name}")
+        del tags[tag]
+        tmp = self._tags_path(h) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(tags, f, indent=1)
+        os.replace(tmp, self._tags_path(h))
+
+    def create_branch(
+        self, name: str, branch: str, version: int | None = None
+    ) -> TableHandle:
+        """Iceberg branch: an independent lineage starting from a
+        snapshot. Commits with ``branch=`` advance only this branch;
+        default reads and main commits never see it (audit / backfill /
+        experiment isolation — WAP generalized past one staging slot).
+        Zero data movement: the branch entry references the base
+        snapshot's dirs."""
+        h = self._handle(name)
+        with self._commit_lock(h):
+            entries = self._load_manifest(h)
+            if not entries:
+                raise ValueError(f"table {name} does not exist")
+            if self._branch_head(entries, branch) is not None:
+                raise ValueError(f"branch {branch!r} already exists on {name}")
+            base = (
+                entries[version]
+                if version is not None
+                else self._branch_head(entries, None)
+            )
+            if base is None or base.get("expired"):
+                raise ValueError(f"no usable base snapshot for branch {branch!r}")
+            entries.append(
+                {
+                    "version": len(entries),
+                    "op": "create_branch",
+                    "branch": branch,
+                    "base_version": base["version"],
+                    "committed_at": time.strftime(
+                        "%Y-%m-%d %H:%M:%S", time.gmtime()
+                    ),
+                    "data_dirs": list(base["data_dirs"]),
+                    "delete_dirs": list(base.get("delete_dirs") or []),
+                    "schema": base["schema"],
+                    "partition_by": base.get("partition_by"),
+                    "partition_transforms": base.get("partition_transforms"),
+                    "properties": base.get("properties") or {},
+                    "stats": base.get("stats"),
+                }
+            )
+            self._save_manifest(h, entries)
+        return h
+
+    def drop_branch(self, name: str, branch: str) -> None:
+        """Remove a branch ref: its entries stop resolving (reads and
+        commits to the branch fail) and lose their expiry protection —
+        the next :meth:`expire_snapshots` reclaims any dirs only the
+        branch referenced. The manifest entries stay for audit."""
+        h = self._handle(name)
+        with self._commit_lock(h):
+            entries = self._load_manifest(h)
+            hit = False
+            for e in entries:
+                if e.get("branch") == branch and not e.get("branch_dropped"):
+                    e["branch_dropped"] = True
+                    hit = True
+            if not hit:
+                raise ValueError(f"branch {branch!r} does not exist on {name}")
+            self._save_manifest(h, entries)
+
+    def fast_forward(self, name: str, branch: str) -> TableHandle:
+        """Make a branch's state current on main (Iceberg
+        fast_forward): requires main's head to still BE the branch's
+        base — if main diverged since the branch was cut, refuse (a
+        silent overwrite would drop main's commits; merge by rebasing
+        the branch work instead)."""
+        h = self._handle(name)
+        with self._commit_lock(h):
+            entries = self._load_manifest(h)
+            head = self._branch_head(entries, branch)
+            if head is None:
+                raise ValueError(f"branch {branch!r} does not exist on {name}")
+            base_v = next(
+                e["base_version"]
+                for e in entries
+                if e.get("branch") == branch and e["op"] == "create_branch"
+            )
+            main_head = self._branch_head(entries, None)
+            if main_head is None or main_head["version"] != base_v:
+                raise ValueError(
+                    f"cannot fast-forward {name} to branch {branch!r}: main "
+                    f"moved from version {base_v} to "
+                    f"{main_head['version'] if main_head else None} since the "
+                    "branch was cut — rebase the branch instead"
+                )
+            entries.append(
+                {
+                    "version": len(entries),
+                    "op": "fast_forward",
+                    "committed_at": time.strftime(
+                        "%Y-%m-%d %H:%M:%S", time.gmtime()
+                    ),
+                    "data_dirs": list(head["data_dirs"]),
+                    "delete_dirs": list(head.get("delete_dirs") or []),
+                    "schema": head["schema"],
+                    "partition_by": head.get("partition_by"),
+                    "partition_transforms": head.get("partition_transforms"),
+                    "properties": head.get("properties") or {},
+                    "stats": head.get("stats"),
+                }
+            )
+            self._save_manifest(h, entries)
+        return h
 
     def publish(self, name: str) -> TableHandle:
         """WAP publish: make the latest staged snapshot current by
@@ -240,12 +404,14 @@ class Catalog:
         base_dirs: list[str] | None = None,
         expected_version: int | None = None,
         staged: bool = False,
+        branch: str | None = None,
     ) -> TableHandle:
         with self._commit_lock(h):
             return self._commit_locked(
                 h, df, op=op, replace=replace, partition_by=partition_by,
                 properties=properties, base_dirs=base_dirs,
                 expected_version=expected_version, staged=staged,
+                branch=branch,
             )
 
     @contextlib.contextmanager
@@ -294,6 +460,7 @@ class Catalog:
         base_dirs: list[str] | None = None,
         expected_version: int | None = None,
         staged: bool = False,
+        branch: str | None = None,
     ) -> TableHandle:
         entries = self._load_manifest(h)
         if expected_version is not None and len(entries) != expected_version:
@@ -302,7 +469,16 @@ class Catalog:
                 f"version {expected_version - 1} but table is now at "
                 f"{len(entries) - 1}; re-read and retry"
             )
-        if entries and entries[-1].get("staged") and not staged:
+        if branch is not None and self._branch_head(entries, branch) is None:
+            raise ValueError(
+                f"branch {branch!r} does not exist on {h.name}: create_branch first"
+            )
+        # lineage-aware parent: a branch commit inherits from ITS
+        # branch's head; a main commit from the last main entry —
+        # interleaved branch commits must never leak dirs across
+        # lineages. Staged WAP entries belong to main (appends stack).
+        prev = self._branch_head(entries, branch)
+        if branch is None and prev is not None and prev.get("staged") and not staged:
             raise ValueError(
                 f"{h.name} has unpublished staged snapshots: publish() or "
                 "rollback() before committing on top of them (a plain "
@@ -310,7 +486,6 @@ class Catalog:
             )
         version = len(entries)
         data_dir = os.path.join(h.path, f"v{version:05d}")
-        prev = entries[-1] if entries else None
         # transform specs come from the caller on create, and from the
         # manifest on every later commit — appends re-derive hidden
         # partition columns without the caller materializing them.
@@ -382,6 +557,7 @@ class Catalog:
                 "properties": properties or (prev.get("properties") if prev else {}),
                 "stats": self._dir_stats(data_dir),
                 **({"staged": True} if staged else {}),
+                **({"branch": branch} if branch else {}),
             }
         )
         self._save_manifest(h, entries)
@@ -1000,13 +1176,24 @@ class Catalog:
         entries = self._load_manifest(h)
         if not entries:
             raise ValueError(f"table {name} does not exist")
-        retained = entries[-keep_last:]
+        # retention contracts: tagged snapshots and live branch entries
+        # stay readable (and keep their dirs) regardless of keep_last —
+        # drop the tag/branch to release them
+        protected = set(self._load_tags(h).values())
+        protected |= {
+            e["version"]
+            for e in entries
+            if e.get("branch") and not e.get("branch_dropped")
+        }
+        retained = entries[-keep_last:] + [entries[v] for v in sorted(protected)]
         keep_dirs = {d for e in retained for d in e["data_dirs"]}
         keep_dirs |= {
             d for e in retained for d in (e.get("delete_dirs") or [])
         }
         expired_versions = 0
         for e in entries[:-keep_last]:
+            if e["version"] in protected:
+                continue
             if not e.get("expired"):
                 e["expired"] = True
                 expired_versions += 1
@@ -1038,6 +1225,8 @@ class Catalog:
         *,
         version: int | None = None,
         as_of: str | None = None,
+        branch: str | None = None,
+        tag: str | None = None,
         prune: dict[str, tuple] | None = None,
         prune_eq: dict[str, object] | None = None,
         with_lineage: bool = False,
@@ -1074,10 +1263,25 @@ class Catalog:
         entries = self._load_manifest(h)
         if not entries:
             raise ValueError(f"table {name} does not exist")
+        if sum(x is not None for x in (version, tag, branch)) > 1:
+            raise ValueError("version=, tag= and branch= are mutually exclusive")
+        if tag is not None:
+            tags = self._load_tags(h)
+            if tag not in tags:
+                raise ValueError(f"tag {tag!r} does not exist on {name}")
+            version = tags[tag]
         if version is not None:
             entry = entries[version]
+        elif branch is not None:
+            entry = self._branch_head(entries, branch)
+            if entry is None:
+                raise ValueError(f"branch {branch!r} does not exist on {name}")
         else:
-            candidates = [e for e in entries if not e.get("staged")]
+            candidates = [
+                e
+                for e in entries
+                if not e.get("staged") and "branch" not in e
+            ]
             if as_of is not None:
                 candidates = [
                     e for e in candidates if e["committed_at"] <= as_of
@@ -1364,13 +1568,14 @@ class Catalog:
                 e["committed_at"],
                 len(e["data_dirs"]),
                 bool(e.get("expired", False)),
+                e.get("branch"),
             )
             for e in entries
         ]
         return self.spark.createDataFrame(
             rows,
             "version int, operation string, committed_at string, "
-            "n_data_dirs int, expired boolean",
+            "n_data_dirs int, expired boolean, branch string",
         )
 
     def files(self, name: str, *, version: int | None = None) -> DataFrame:

@@ -17,12 +17,29 @@ module maintains the mart from the CHANGE FEED instead:
 - commit the new mart AND the processed source version in the SAME
   catalog commit (exactly-once: a crashed refresh replays the span).
 
+COUNT DISTINCT — not algebraic (a delete may or may not remove the
+last occurrence of a value) — is maintained EXACTLY via the classic
+IVM support-table construction: per measure, an auxiliary table
+``<target>__dv_<out>`` holds (group, value, live-occurrence count).
+Change rows fold into signed per-(group, value) deltas against the
+support table; the mart's distinct count is then re-derived
+ABSOLUTELY for affected groups (count of support rows, which are all
+live) rather than diffed — absolute re-derivation makes the refresh
+idempotent under crash-replay between the support and mart commits
+(the support commit records its own processed version and skips a
+double-fold). Cost: the support table is O(distinct (group, value)),
+the honest price of exact distinct maintenance; the cheap alternative
+remains an HLL sketch column (operators/sketches.py), which unions
+under inserts but cannot retract deletes.
+
+Percentile-style holistic aggregates stay out of scope by design:
+recompute those marts (or maintain a t-digest-like sketch, accepting
+no-retraction).
+
 Correctness contract (pinned in tests/test_cdc_mart.py): after any
 sequence of appends / COW or MOR deletes / updates on the source,
 ``refresh()`` produces the same mart as a full recompute — while
-reading only changed directories. Non-algebraic aggregates
-(COUNT DISTINCT, percentiles) are out of scope by design: maintain a
-sketch column (operators/sketches.py) or recompute those marts.
+reading only changed directories.
 """
 
 from __future__ import annotations
@@ -36,12 +53,12 @@ _LAST_VERSION_PROP = "cdc.last_source_version"
 
 
 class CdcAggregate:
-    """Incrementally-maintained SUM/COUNT aggregate table.
+    """Incrementally-maintained aggregate table.
 
-    ``measures`` maps output column → ("sum", expr) or ("count", None)
-    where expr is a SQL string evaluated against source rows. The
-    mart also always carries ``_n_rows`` (live row count per group)
-    to decide group retirement.
+    ``measures`` maps output column → ("sum", expr), ("count", None)
+    or ("count_distinct", expr) where expr is a SQL string evaluated
+    against source rows. The mart also always carries ``_n_rows``
+    (live row count per group) to decide group retirement.
     """
 
     def __init__(
@@ -53,9 +70,10 @@ class CdcAggregate:
         measures: dict[str, tuple[str, str | None]],
     ) -> None:
         for out, (agg, _) in measures.items():
-            if agg not in ("sum", "count"):
+            if agg not in ("sum", "count", "count_distinct"):
                 raise ValueError(
-                    f"{out}: only algebraic sum/count are CDC-maintainable"
+                    f"{out}: only sum/count/count_distinct are "
+                    "CDC-maintainable (holistic aggregates need recompute)"
                 )
         self.catalog = catalog
         self.source = source
@@ -64,9 +82,26 @@ class CdcAggregate:
         self.measures = dict(measures)
 
     # -- internals --------------------------------------------------------
+    @property
+    def _algebraic(self) -> dict[str, tuple[str, str | None]]:
+        return {
+            o: m for o, m in self.measures.items() if m[0] != "count_distinct"
+        }
+
+    @property
+    def _distinct(self) -> dict[str, str]:
+        return {
+            o: m[1]
+            for o, m in self.measures.items()
+            if m[0] == "count_distinct"
+        }
+
+    def _dv_table(self, out: str) -> str:
+        return f"{self.target}__dv_{out}"
+
     def _signed_aggs(self, sign: Column) -> list[Column]:
         aggs = []
-        for out, (agg, expr) in self.measures.items():
+        for out, (agg, expr) in self._algebraic.items():
             contrib = (
                 sign.cast("double") * F.expr(expr).cast("double")
                 if agg == "sum"
@@ -79,6 +114,23 @@ class CdcAggregate:
     def _aggregate(self, rows: DataFrame, sign: Column) -> DataFrame:
         return rows.groupBy(*self.group_cols).agg(*self._signed_aggs(sign))
 
+    def _full_mart(self, rows: DataFrame) -> DataFrame:
+        aggs = self._signed_aggs(F.lit(1))
+        aggs += [
+            F.countDistinct(F.expr(expr)).cast("bigint").alias(out)
+            for out, expr in self._distinct.items()
+        ]
+        return rows.groupBy(*self.group_cols).agg(*aggs)
+
+    def _dv_full(self, rows: DataFrame, expr: str) -> DataFrame:
+        """(group, value, live count) — COUNT DISTINCT ignores NULLs."""
+        v = F.expr(expr)
+        return (
+            rows.filter(v.isNotNull())
+            .groupBy(*self.group_cols, v.alias("_dv"))
+            .agg(F.count(F.lit(1)).alias("_dv_n"))
+        )
+
     def _source_version(self) -> int:
         entries = self.catalog._load_manifest(
             self.catalog._handle(self.source)
@@ -87,18 +139,83 @@ class CdcAggregate:
             raise ValueError(f"source table {self.source} does not exist")
         return len(entries) - 1
 
+    def _refresh_support(
+        self, out: str, expr: str, signed: DataFrame, last: int, cur: int
+    ) -> DataFrame:
+        """Fold the change feed into the support table (skipping the
+        fold if a crashed prior refresh already committed it), then
+        return the ABSOLUTE per-group distinct count for the groups the
+        feed touched."""
+        dv_name = self._dv_table(out)
+        dv_props = self.catalog.table_properties(dv_name)
+        dv_last = int(dv_props[_LAST_VERSION_PROP])
+        v = F.expr(expr)
+        dv_delta = (
+            signed.filter(v.isNotNull())
+            .groupBy(*self.group_cols, v.alias("_dv"))
+            .agg(F.sum(F.col("_sign").cast("bigint")).alias("_dv_n"))
+        )
+        if dv_last < cur:
+            support = self.catalog.read(dv_name)
+            merged = (
+                support.alias("s")
+                .join(
+                    dv_delta.alias("d"),
+                    on=[*self.group_cols, "_dv"],
+                    how="full_outer",
+                )
+                .select(
+                    *self.group_cols,
+                    "_dv",
+                    (
+                        F.coalesce(F.col("s._dv_n"), F.lit(0))
+                        + F.coalesce(F.col("d._dv_n"), F.lit(0))
+                    ).alias("_dv_n"),
+                )
+                .filter(F.col("_dv_n") > 0)
+            )
+            # replace-commit carries the processed version on the
+            # SUPPORT table in the same atomic commit, so a crash
+            # before the mart commit replays without double-folding
+            self.catalog.create_table(
+                dv_name,
+                merged,
+                properties={_LAST_VERSION_PROP: str(cur)},
+                mode="replace",
+            )
+        affected = dv_delta.select(*self.group_cols).distinct()
+        counts = (
+            self.catalog.read(self._dv_table(out))
+            .join(F.broadcast(affected), on=self.group_cols, how="left_semi")
+            .groupBy(*self.group_cols)
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+        # join FROM the affected side: a group whose last distinct value
+        # just died has no support rows left and must come back as 0,
+        # not vanish (vanishing would leave the stale old count in the
+        # mart merge)
+        return affected.join(counts, on=self.group_cols, how="left").select(
+            *self.group_cols,
+            F.coalesce(F.col(out), F.lit(0).cast("bigint")).alias(out),
+        )
+
     # -- API --------------------------------------------------------------
     def refresh(self) -> dict:
         """Bring the mart up to the source's current version. First call
         is a full build; later calls fold only the change feed."""
         cur = self._source_version()
         if not self.catalog.table_exists(self.target):
-            full = self._aggregate(
-                self.catalog.read(self.source), F.lit(1)
-            )
+            rows = self.catalog.read(self.source)
+            for out, expr in self._distinct.items():
+                self.catalog.create_table(
+                    self._dv_table(out),
+                    self._dv_full(rows, expr),
+                    properties={_LAST_VERSION_PROP: str(cur)},
+                    mode="replace",
+                )
             self.catalog.create_table(
                 self.target,
-                full,
+                self._full_mart(rows),
                 properties={_LAST_VERSION_PROP: str(cur)},
                 mode="replace",
             )
@@ -118,21 +235,26 @@ class CdcAggregate:
         ).drop("_change_type")
         delta = self._aggregate(signed, F.col("_sign"))
 
+        countd_abs: dict[str, DataFrame] = {
+            out: self._refresh_support(out, expr, signed, last, cur)
+            for out, expr in self._distinct.items()
+        }
+
         mart = self.catalog.read(self.target)
         merged_cols = [
-            F.coalesce(F.col(f"m.{c}"), F.lit(0.0) if agg == "sum" else F.lit(0))
-            + F.coalesce(F.col(f"d.{c}"), F.lit(0.0) if agg == "sum" else F.lit(0))
-            for c, (agg, _) in self.measures.items()
+            (
+                F.coalesce(F.col(f"m.{c}"), F.lit(0.0) if agg == "sum" else F.lit(0))
+                + F.coalesce(F.col(f"d.{c}"), F.lit(0.0) if agg == "sum" else F.lit(0))
+            ).alias(c)
+            for c, (agg, _) in self._algebraic.items()
         ]
         merged = (
             mart.alias("m")
             .join(delta.alias("d"), on=self.group_cols, how="full_outer")
             .select(
                 *self.group_cols,
-                *[
-                    c.alias(out)
-                    for c, out in zip(merged_cols, self.measures)
-                ],
+                *merged_cols,
+                *[F.col(f"m.{c}").alias(f"_old_{c}") for c in countd_abs],
                 (
                     F.coalesce(F.col("m._n_rows"), F.lit(0))
                     + F.coalesce(F.col("d._n_rows"), F.lit(0))
@@ -140,6 +262,25 @@ class CdcAggregate:
             )
             .filter(F.col("_n_rows") > 0)  # group retirement
         )
+        for out, abs_df in countd_abs.items():
+            # absolute replacement for touched groups; untouched keep
+            # their old value; brand-new NULL-only groups get 0
+            merged = (
+                merged.join(
+                    abs_df.withColumnRenamed(out, f"_new_{out}"),
+                    on=self.group_cols,
+                    how="left",
+                )
+                .withColumn(
+                    out,
+                    F.coalesce(
+                        F.col(f"_new_{out}"),
+                        F.col(f"_old_{out}"),
+                        F.lit(0).cast("bigint"),
+                    ),
+                )
+                .drop(f"_new_{out}", f"_old_{out}")
+            )
         self.catalog.create_table(
             self.target,
             merged,

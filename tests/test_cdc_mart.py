@@ -66,6 +66,147 @@ def test_cdc_aggregate_matches_full_recompute(spark, tmp_path):
     assert agg.refresh()["mode"] == "noop"
 
 
+def test_cdc_count_distinct_matches_full_recompute(spark, tmp_path):
+    """Exact COUNT DISTINCT maintenance via the support table: deletes
+    must decrement only when the LAST occurrence of a value dies, NULLs
+    never count, retired groups drop, and every refresh equals a full
+    recompute."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table(
+        "ev",
+        spark.createDataFrame(
+            [
+                ("d1", 1, 10.0),
+                ("d1", 1, 20.0),  # duplicate user on d1
+                ("d1", 2, 5.0),
+                ("d2", 1, 3.0),
+                ("d2", None, 4.0),  # NULL user: never counted
+            ],
+            "day string, user_id long, amount double",
+        ),
+    )
+    agg = CdcAggregate(
+        cat, "ev", "mart", ["day"],
+        {
+            "revenue": ("sum", "amount"),
+            "n": ("count", None),
+            "users": ("count_distinct", "user_id"),
+        },
+    )
+
+    def full() -> dict:
+        rows = (
+            cat.read("ev")
+            .groupBy("day")
+            .agg(
+                F.sum(F.col("amount").cast("double")).alias("revenue"),
+                F.count("*").cast("bigint").alias("n"),
+                F.countDistinct("user_id").cast("bigint").alias("users"),
+            )
+            .collect()
+        )
+        return {r["day"]: (r["revenue"], r["n"], r["users"]) for r in rows}
+
+    def mart() -> dict:
+        return {
+            r["day"]: (r["revenue"], r["n"], r["users"])
+            for r in cat.read("mart").collect()
+        }
+
+    assert agg.refresh()["mode"] == "full"
+    assert mart() == full() == {"d1": (35.0, 3, 2), "d2": (7.0, 2, 1)}
+
+    # delete ONE of user 1's two d1 rows: users must NOT drop (support
+    # table still holds a live occurrence)
+    cat.delete_where("ev", "day = 'd1' and amount = 20.0", mode="mor")
+    assert agg.refresh()["mode"] == "incremental"
+    assert mart() == full()
+    assert mart()["d1"][2] == 2
+
+    # delete the LAST occurrence: now users drops to 1
+    cat.delete_where("ev", "day = 'd1' and amount = 10.0", mode="mor")
+    agg.refresh()
+    assert mart() == full()
+    assert mart()["d1"][2] == 1
+
+    # append a new group with ONLY a NULL distinct value -> users = 0
+    cat.append(
+        "ev",
+        spark.createDataFrame(
+            [("d3", None, 9.0)], "day string, user_id long, amount double"
+        ),
+    )
+    agg.refresh()
+    assert mart() == full()
+    assert mart()["d3"][2] == 0
+
+    # update moves a user between days: both sides re-derive exactly
+    cat.update_where("ev", "day = 'd2' and user_id = 1", {"day": "'d3'"})
+    agg.refresh()
+    assert mart() == full()
+
+    # group retirement cleans the mart row
+    cat.delete_where("ev", "day = 'd1'")
+    agg.refresh()
+    m = mart()
+    assert "d1" not in m and m == full()
+    # support table's d1 rows are gone too (no zombie values)
+    assert (
+        cat.read("mart__dv_users").filter(F.col("day") == "d1").count() == 0
+    )
+
+
+def test_cdc_count_distinct_crash_replay_idempotent(spark, tmp_path):
+    """Crash between the support commit and the mart commit: the replay
+    must not double-fold the change feed into the support table."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table(
+        "ev",
+        spark.createDataFrame(
+            [("d1", 1), ("d1", 2)], "day string, user_id long"
+        ),
+    )
+    agg = CdcAggregate(
+        cat, "ev", "mart", ["day"], {"users": ("count_distinct", "user_id")}
+    )
+    agg.refresh()
+    cat.append(
+        "ev", spark.createDataFrame([("d1", 3)], "day string, user_id long")
+    )
+
+    # simulate the crash: fold the support table forward, then "die"
+    # before the mart commit by calling only the internal step
+    signed = (
+        cat.table_changes("ev", 0, 1)
+        .withColumn(
+            "_sign",
+            F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+        .drop("_change_type")
+    )
+    agg._refresh_support("users", "user_id", signed, 0, 1)
+    support_after_crash = sorted(
+        (r["day"], r["_dv"], r["_dv_n"])
+        for r in cat.read("mart__dv_users").collect()
+    )
+
+    # the real refresh replays the same span: support must be unchanged
+    # (no double-fold) and the mart must land on the exact count
+    assert agg.refresh()["mode"] == "incremental"
+    assert (
+        sorted(
+            (r["day"], r["_dv"], r["_dv_n"])
+            for r in cat.read("mart__dv_users").collect()
+        )
+        == support_after_crash
+    )
+    assert [
+        (r["day"], r["users"]) for r in cat.read("mart").collect()
+    ] == [("d1", 3)]
+
+
 def test_cdc_refresh_reads_only_changed_dirs(spark, tmp_path):
     """The incremental path's scan set is the changed dirs, not the
     whole source: the v0 dir must not appear in the merge plan."""

@@ -101,3 +101,31 @@ def test_cli_maintain(spark, tmp_path, capsys):
     rc = main(["maintain", "compact", "--warehouse", wh, "--table", "t"])
     assert rc == 0
     assert json.loads(capsys.readouterr().out.strip())["files_after"] >= 1
+
+
+def test_cli_maintain_refs(spark, tmp_path, capsys):
+    """tag / branch / fast-forward through the CLI."""
+    from data_lakehouse_spark.catalog import Catalog
+
+    wh = str(tmp_path / "wh")
+    cat = Catalog(spark, wh)
+    cat.create_table("t", spark.createDataFrame([(1,)], "id long"))
+
+    rc = main(["maintain", "tag", "--warehouse", wh, "--table", "t",
+               "--ref", "rel1"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip())["tag"] == "rel1"
+    assert [r["id"] for r in cat.read("t", tag="rel1").collect()] == [1]
+
+    rc = main(["maintain", "branch", "--warehouse", wh, "--table", "t",
+               "--ref", "wip"])
+    assert rc == 0
+    capsys.readouterr()
+    cat.append("t", spark.createDataFrame([(2,)], "id long"), branch="wip")
+    rc = main(["maintain", "fast-forward", "--warehouse", wh, "--table", "t",
+               "--ref", "wip"])
+    assert rc == 0
+    assert json.loads(
+        capsys.readouterr().out.strip()
+    )["fast_forwarded_from"] == "wip"
+    assert sorted(r["id"] for r in cat.read("t").collect()) == [1, 2]
