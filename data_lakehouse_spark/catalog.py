@@ -542,6 +542,24 @@ class Catalog:
             ddirs: list[str] = []
         else:
             ddirs = list(prev.get("delete_dirs") or []) if prev else []
+        schema_json = self._assign_field_ids(
+            json.loads(df.schema.json()), entries
+        )
+        if not replace and prev is not None:
+            # appends may omit optional columns (Iceberg write
+            # semantics): the TABLE schema is the union — prior fields
+            # the writer didn't supply persist with their type and
+            # metadata (initial defaults, comments) instead of being
+            # silently dropped. `written_fields` records what this
+            # dir physically carries so reads apply defaults only to
+            # genuinely absent columns.
+            present = {f["name"] for f in schema_json["fields"]}
+            missing = [
+                f
+                for f in prev["schema"]["fields"]
+                if f["name"] not in present
+            ]
+            schema_json["fields"] = schema_json["fields"] + missing
         entries.append(
             {
                 "version": version,
@@ -549,9 +567,8 @@ class Catalog:
                 "committed_at": time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()),
                 "data_dirs": dirs,
                 "delete_dirs": ddirs,
-                "schema": self._assign_field_ids(
-                    json.loads(df.schema.json()), entries
-                ),
+                "schema": schema_json,
+                "written_fields": list(df.columns),
                 "partition_by": pb,
                 "partition_transforms": pb_spec,
                 "properties": properties or (prev.get("properties") if prev else {}),
@@ -730,11 +747,16 @@ class Catalog:
         )
         nid = self._max_field_id(entries)
         for f in schema_json["fields"]:
-            md = dict(f.get("metadata") or {})
             pf = prev_fields.get(f["name"])
-            if pf and "field_id" in (pf.get("metadata") or {}):
-                md["field_id"] = pf["metadata"]["field_id"]
-            else:
+            # inherit the previous field metadata wholesale (field_id,
+            # comment, initial default) — a write must never strip
+            # schema-level contracts like the default; the writer's own
+            # metadata keys overlay
+            md = {
+                **(dict(pf.get("metadata") or {}) if pf else {}),
+                **dict(f.get("metadata") or {}),
+            }
+            if "field_id" not in md:
                 nid += 1
                 md["field_id"] = nid
             f["metadata"] = md
@@ -742,9 +764,16 @@ class Catalog:
 
     # -- schema evolution (S11) --------------------------------------------
     def add_column(self, name: str, col_name: str, col_type: str,
-                   comment: str | None = None) -> None:
+                   comment: str | None = None,
+                   default: object | None = None) -> None:
         """ALTER TABLE ADD COLUMN without rewrite; idempotent like the
-        reference's DESCRIBE check (schema_add_column.py:19-22)."""
+        reference's DESCRIBE check (schema_add_column.py:19-22).
+
+        ``default`` is the Iceberg-v3 INITIAL DEFAULT: every file that
+        does not carry the column (i.e. was written while the column
+        didn't exist, or without it) reads the default back instead of
+        NULL — still zero rewrite, the value lives only in the field
+        metadata."""
         h = self._handle(name)
         entries = self._load_manifest(h)
         if not entries:
@@ -757,6 +786,8 @@ class Catalog:
         md: dict = {"field_id": self._max_field_id(entries) + 1}
         if comment:
             md["comment"] = comment
+        if default is not None:
+            md["default"] = default
         new_schema["fields"] = fields + [
             {
                 "name": col_name,
@@ -766,6 +797,61 @@ class Catalog:
             }
         ]
         self._schema_commit(h, entries, "add_column", new_schema)
+
+    #: Zero-rewrite type promotions: every old on-disk value is exactly
+    #: representable in the new type (Iceberg's safe-widening set).
+    _SAFE_PROMOTIONS = {
+        ("short", "integer"),
+        ("short", "long"),
+        ("integer", "long"),
+        ("float", "double"),
+    }
+
+    @classmethod
+    def _is_safe_promotion(cls, old: str, new: str) -> bool:
+        if (old, new) in cls._SAFE_PROMOTIONS:
+            return True
+        mo = re.match(r"^decimal\((\d+),(\d+)\)$", old)
+        mn = re.match(r"^decimal\((\d+),(\d+)\)$", new)
+        if mo and mn:
+            # precision may grow; scale must not change (a scale change
+            # re-interprets the stored unscaled values)
+            return (
+                int(mn.group(1)) >= int(mo.group(1))
+                and mn.group(2) == mo.group(2)
+            )
+        return False
+
+    def alter_column_type(self, name: str, col_name: str, new_type: str) -> None:
+        """ALTER TABLE ALTER COLUMN TYPE without rewrite — safe
+        WIDENING promotions only (short→int→long, float→double,
+        decimal precision growth): old files keep their narrow physical
+        type and reads cast per directory to the target schema; a
+        narrowing or re-interpreting change raises."""
+        h = self._handle(name)
+        entries = self._load_manifest(h)
+        if not entries:
+            raise ValueError(f"table {name} does not exist")
+        last = entries[-1]
+        fields = last["schema"]["fields"]
+        cur = next((f for f in fields if f["name"] == col_name), None)
+        if cur is None:
+            raise ValueError(f"column {col_name} does not exist in {name}")
+        if cur["type"] == new_type:
+            return  # idempotent no-op
+        if not self._is_safe_promotion(cur["type"], new_type):
+            raise ValueError(
+                f"cannot alter {name}.{col_name} from {cur['type']} to "
+                f"{new_type}: only widening promotions are zero-rewrite "
+                f"(allowed: short→int→long, float→double, decimal "
+                "precision growth)"
+            )
+        new_schema = dict(last["schema"])
+        new_schema["fields"] = [
+            {**f, "type": new_type} if f["name"] == col_name else f
+            for f in fields
+        ]
+        self._schema_commit(h, entries, "alter_column_type", new_schema)
 
     def rename_column(self, name: str, old: str, new: str) -> None:
         """ALTER TABLE RENAME COLUMN without rewrite (manifest-only).
@@ -1117,6 +1203,152 @@ class Catalog:
 
         return self._cow_rewrite(name, condition, "update", build)
 
+    def merge_into(
+        self,
+        name: str,
+        source: DataFrame,
+        on: list[str],
+        *,
+        when_matched: str | dict[str, object] = "update_all",
+        when_matched_delete: object | None = None,
+        insert_not_matched: bool = True,
+    ) -> dict:
+        """MERGE INTO (Delta/Iceberg semantics) as copy-on-write at
+        directory granularity — the upsert verb next to
+        :meth:`delete_where` / :meth:`update_where`.
+
+        Only directories holding MATCHED target rows are rewritten;
+        source rows with no target match cannot, by construction, match
+        rows in untouched dirs, so inserts ride in the same rewrite
+        commit and every untouched dir carries forward unmodified.
+
+        ``when_matched``: ``"update_all"`` replaces matched rows with
+        the source row; a dict maps column → SQL string/Column
+        (evaluated with target columns in scope and source columns as
+        ``_s_<name>``). ``when_matched_delete``: optional SQL
+        string/Column — matched rows satisfying it are deleted instead
+        of updated. ``insert_not_matched=False`` makes it an
+        update-only merge.
+
+        Duplicate join keys in ``source`` raise (a target row matching
+        two source rows is the Delta ``MERGE`` cardinality violation —
+        nondeterministic which update wins).
+        """
+        import functools
+
+        h = self._handle(name)
+        entries = self._load_manifest(h)
+        if not entries:
+            raise ValueError(f"table {name} does not exist")
+        dup = (
+            source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                f"MERGE INTO {name}: source has duplicate keys on {on} — "
+                "a matched target row would receive two updates"
+            )
+        tcols = [f["name"] for f in entries[-1]["schema"]["fields"]]
+        src = source.select(
+            *[F.col(c).alias(f"_s_{c}") for c in source.columns]
+        )
+        src_keys = [F.col(f"_s_{c}").alias(c) for c in on]
+        tgt = (
+            self.read(name, with_lineage=True)
+            .withColumnRenamed("_file", "_cow_file")
+            .drop("_pos")
+        )
+        hit_files = [
+            r["_cow_file"]
+            for r in tgt.join(
+                F.broadcast(src.select(*src_keys)), on=on, how="left_semi"
+            )
+            .select("_cow_file")
+            .distinct()
+            .collect()
+        ]
+        live = entries[-1]["data_dirs"]
+        touched = [d for d in live if any(f"/{d}/" in fp for fp in hit_files)]
+        kept = [d for d in live if d not in touched]
+        if touched:
+            in_touched = functools.reduce(
+                lambda a, b: a | b,
+                [F.col("_cow_file").contains(f"/{d}/") for d in touched],
+            )
+            touched_rows = tgt.filter(in_touched).drop("_cow_file")
+        else:
+            touched_rows = tgt.filter(F.lit(False)).drop("_cow_file")
+
+        join_cond = functools.reduce(
+            lambda a, b: a & b,
+            [F.col(c).eqNullSafe(F.col(f"_s_{c}")) for c in on],
+        )
+        # explicit presence markers: key columns may legally be NULL
+        # (eqNullSafe join), so side presence can't be inferred from
+        # key nullness
+        joined = touched_rows.withColumn("_t_present", F.lit(True)).join(
+            src.withColumn("_s_present", F.lit(True)), join_cond, "full_outer"
+        )
+        has_target = F.col("_t_present").isNotNull()
+        has_source = F.col("_s_present").isNotNull()
+        matched = has_target & has_source
+
+        if when_matched == "update_all":
+            upd = {
+                c: F.col(f"_s_{c}") for c in tcols if f"_s_{c}" in joined.columns
+            }
+        else:
+            upd = {
+                c: (F.expr(v) if isinstance(v, str) else v)
+                for c, v in when_matched.items()
+            }
+        del_cond = None
+        if when_matched_delete is not None:
+            del_cond = (
+                F.expr(when_matched_delete)
+                if isinstance(when_matched_delete, str)
+                else when_matched_delete
+            )
+
+        out_cols = []
+        for c in tcols:
+            src_c = F.col(f"_s_{c}") if f"_s_{c}" in joined.columns else F.lit(None)
+            updated = upd.get(c, F.col(c))
+            out_cols.append(
+                F.when(matched, updated)
+                .when(has_target, F.col(c))  # not matched by source
+                .otherwise(src_c)  # insert
+                .alias(c)
+            )
+        result = joined
+        if del_cond is not None:
+            result = result.filter(~(matched & F.coalesce(del_cond, F.lit(False))))
+        if not insert_not_matched:
+            result = result.filter(has_target)
+        result = result.select(*out_cols)
+
+        n_matched = touched_rows.join(
+            F.broadcast(src.select(*src_keys)), on=on, how="left_semi"
+        ).count()
+        n_insert = (
+            src.select(*src_keys)
+            .join(tgt.select(*on), on=on, how="left_anti")
+            .count()
+            if insert_not_matched
+            else 0
+        )
+        self._commit(
+            h, result, op="merge", replace=True, base_dirs=kept,
+            expected_version=len(entries),
+        )
+        return {
+            "table": name,
+            "matched_rows": n_matched,
+            "inserted_rows": n_insert,
+            "rewritten_dirs": touched,
+            "kept_dirs": kept,
+        }
+
     def rollback(self, name: str, version: int) -> TableHandle:
         """Iceberg ``rollback_to_snapshot`` analog: make ``version``
         current again by committing a NEW version that references its
@@ -1387,6 +1619,14 @@ class Catalog:
             p = os.path.join(h.path, d)
             wentry = entries[int(d[1:])]
             writer_ids = _ids(wentry["schema"]["fields"]) if target_ids else None
+            if writer_ids is not None and "written_fields" in wentry:
+                # only fields the dir PHYSICALLY carries resolve from
+                # files; schema-union carry-overs fall through to the
+                # default/NULL branch
+                written = set(wentry["written_fields"])
+                writer_ids = {
+                    fid: n for fid, n in writer_ids.items() if n in written
+                }
             if target_ids is None or writer_ids is None:
                 raw = self.spark.read.schema(schema).option("basePath", p).parquet(p)
                 if lineage:
@@ -1401,10 +1641,21 @@ class Catalog:
             for f, sf in zip(tfields, schema.fields):
                 fid = f["metadata"]["field_id"]
                 if fid in writer_ids:
-                    cols.append(F.col(writer_ids[fid]).alias(f["name"]))
-                else:
+                    # cast to the TARGET type: after a widening
+                    # alter_column_type, old dirs still carry the
+                    # narrow physical type (safe by construction —
+                    # only exact promotions are allowed)
                     cols.append(
-                        F.lit(None).cast(sf.dataType).alias(f["name"])
+                        F.col(writer_ids[fid])
+                        .cast(sf.dataType)
+                        .alias(f["name"])
+                    )
+                else:
+                    # Iceberg-v3 initial default: files without the
+                    # column read the default recorded at add_column
+                    default = (f.get("metadata") or {}).get("default")
+                    cols.append(
+                        F.lit(default).cast(sf.dataType).alias(f["name"])
                     )
             if lineage:
                 cols.extend(lin_cols)

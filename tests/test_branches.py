@@ -111,6 +111,67 @@ def test_drop_branch_releases_expiry_protection(spark, tmp_path):
     assert _ids(cat.read("t")) == [1, 2]
 
 
+def test_merge_into_upsert_with_dir_pruning(spark, tmp_path):
+    """MERGE INTO: matched dirs rewrite, untouched dirs carry forward,
+    inserts ride the same commit."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t", spark.createDataFrame([(1, "a", 10.0)], "id long, k string, v double")
+    )  # v0
+    cat.append(
+        "t", spark.createDataFrame([(2, "b", 20.0)], "id long, k string, v double")
+    )  # v1
+    src = spark.createDataFrame(
+        [(2, "b2", 25.0), (3, "c", 30.0)], "id long, k string, v double"
+    )
+    res = cat.merge_into("t", src, ["id"])
+    assert res["matched_rows"] == 1 and res["inserted_rows"] == 1
+    # only the dir holding id=2 was rewritten
+    assert res["rewritten_dirs"] == ["v00001"] and res["kept_dirs"] == ["v00000"]
+    rows = {r["id"]: (r["k"], r["v"]) for r in cat.read("t").collect()}
+    assert rows == {1: ("a", 10.0), 2: ("b2", 25.0), 3: ("c", 30.0)}
+    # time travel to pre-merge intact
+    assert sorted(
+        r["id"] for r in cat.read("t", version=1).collect()
+    ) == [1, 2]
+
+
+def test_merge_into_update_exprs_delete_and_no_insert(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t",
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"
+        ),
+    )
+    src = spark.createDataFrame(
+        [(1, 5.0), (2, 99.0), (9, 1.0)], "id long, v double"
+    )
+    res = cat.merge_into(
+        "t",
+        src,
+        ["id"],
+        when_matched={"v": "v + _s_v"},  # accumulate instead of replace
+        when_matched_delete="_s_v > 50",  # source v=99 deletes id=2
+        insert_not_matched=False,  # id=9 is dropped
+    )
+    assert res["inserted_rows"] == 0
+    rows = {r["id"]: r["v"] for r in cat.read("t").collect()}
+    assert rows == {1: 15.0, 3: 30.0}
+
+
+def test_merge_into_duplicate_source_keys_refused(spark, tmp_path):
+    import pytest
+
+    cat = _cat(spark, tmp_path)
+    cat.create_table("t", spark.createDataFrame([(1, 1.0)], "id long, v double"))
+    src = spark.createDataFrame(
+        [(1, 2.0), (1, 3.0)], "id long, v double"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        cat.merge_into("t", src, ["id"])
+
+
 def test_branch_write_audit_then_fast_forward_quality_gate(spark, tmp_path):
     """The WAP pattern generalized: land data on a branch, audit it
     there with the quality gate, fast-forward only if it passes."""

@@ -34,6 +34,7 @@ SINGLE_PARTITION_OK = {
     "tpch_q19_discounted_revenue": "bounded: single-row revenue agg",
     "tpch_q15_top_supplier": "bounded: 1-row MAX fold over the revenue view",
     "tpch_q22_sales_opportunity": "bounded: 1-row AVG fold",
+    "tpch_q11_important_parts": "bounded: 1-row fraction-of-total fold",
     "doc_bm25_search": "bounded: 1-row corpus-stats agg (N/avgdl/df)",
     "doc_lm_unigram_score": "bounded: 1-row token-total agg",
     "serving_business_metrics": "bounded: single-row grand totals",
@@ -62,6 +63,7 @@ NESTED_LOOP_OK = {
     "doc_hybrid_rrf_search": "inherits the BM25 1-row stats broadcast",
     "gold_user_rfm_segments_scalable": "1-row percentile-boundary broadcast",
     "tpch_q22_sales_opportunity": "1-row AVG broadcast",
+    "tpch_q11_important_parts": "1-row fraction-of-total broadcast",
 }
 
 

@@ -162,6 +162,61 @@ def test_partition_spec_evolution_mixed_layouts(spark, tmp_path):
     assert ops == ["create", "set_partition_spec", "append"]
 
 
+def test_alter_column_type_widening_zero_rewrite(spark, tmp_path):
+    """int→long widening is manifest-only: old dirs keep the narrow
+    physical type and reads cast per directory; values past int range
+    land in new dirs; narrowing refuses."""
+    import pytest
+
+    cat = _catalog(spark, tmp_path)
+    cat.create_table("t", spark.createDataFrame([(1,)], "id int"))
+    cat.alter_column_type("t", "id", "long")
+    cat.append(
+        "t", spark.createDataFrame([(2**40,)], "id long")
+    )
+    out = cat.read("t")
+    assert dict(out.dtypes)["id"] == "bigint"
+    assert sorted(r["id"] for r in out.collect()) == [1, 2**40]
+    # time travel to the pre-widen version still reads (as int)
+    assert [r["id"] for r in cat.read("t", version=0).collect()] == [1]
+    # narrowing / scale reinterpretation refuse
+    with pytest.raises(ValueError, match="widening"):
+        cat.alter_column_type("t", "id", "int")
+    cat.add_column("t", "price", "decimal(10,2)")
+    cat.alter_column_type("t", "price", "decimal(14,2)")  # precision ok
+    with pytest.raises(ValueError, match="widening"):
+        cat.alter_column_type("t", "price", "decimal(14,4)")  # scale no
+    ops = [r["operation"] for r in cat.snapshots("t").collect()]
+    assert ops == [
+        "create", "alter_column_type", "append", "add_column",
+        "alter_column_type",
+    ]
+
+
+def test_add_column_initial_default(spark, tmp_path):
+    """Iceberg-v3 initial default: files lacking the column read the
+    default recorded in the field metadata — zero rewrite; files that
+    carry the column keep their written values."""
+    cat = _catalog(spark, tmp_path)
+    cat.create_table(
+        "ev", spark.createDataFrame([(1,)], "id long")
+    )
+    cat.add_column("ev", "status", "string", default="active")
+    # old rows (file predates the column): default, not NULL
+    assert [r["status"] for r in cat.read("ev").collect()] == ["active"]
+    # a later append WITHOUT the column also reads the default
+    cat.append("ev", spark.createDataFrame([(2,)], "id long"))
+    # and one WITH the column keeps its explicit values (incl. NULL)
+    cat.append(
+        "ev",
+        spark.createDataFrame(
+            [(3, "churned"), (4, None)], "id long, status string"
+        ),
+    )
+    rows = {r["id"]: r["status"] for r in cat.read("ev").collect()}
+    assert rows == {1: "active", 2: "active", 3: "churned", 4: None}
+
+
 def test_partition_spec_evolution_to_unpartitioned(spark, tmp_path):
     cat = _catalog(spark, tmp_path)
     cat.create_table(
