@@ -1212,6 +1212,7 @@ class Catalog:
         when_matched: str | dict[str, object] = "update_all",
         when_matched_delete: object | None = None,
         insert_not_matched: bool = True,
+        properties_update: dict[str, str] | None = None,
     ) -> dict:
         """MERGE INTO (Delta/Iceberg semantics) as copy-on-write at
         directory granularity — the upsert verb next to
@@ -1337,9 +1338,12 @@ class Catalog:
             if insert_not_matched
             else 0
         )
+        props = None
+        if properties_update:
+            props = {**self.table_properties(name), **properties_update}
         self._commit(
             h, result, op="merge", replace=True, base_dirs=kept,
-            expected_version=len(entries),
+            expected_version=len(entries), properties=props,
         )
         return {
             "table": name,

@@ -27,6 +27,8 @@ __all__ = [
     "stream_running_counts_tws",
     "stream_to_catalog",
     "make_catalog_sink",
+    "stream_merge_to_catalog",
+    "make_catalog_merge_sink",
     "LAST_BATCH_PROP",
     "ROCKSDB_STATE_CONF",
 ]
@@ -245,6 +247,77 @@ def stream_to_catalog(
     sink = make_catalog_sink(
         catalog, table, partition_by=partition_by, exactly_once=exactly_once
     )
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def make_catalog_merge_sink(
+    catalog,
+    table: str,
+    on: list[str],
+    *,
+    seq_col: str | None = None,
+    exactly_once: bool = True,
+):
+    """foreachBatch UPSERT sink: each micro-batch MERGEs into the
+    catalog table (``catalog.merge_into`` — COW, dir-pruned) instead of
+    appending — the streaming-CDC serving path where the stream carries
+    the LATEST state per key (user profiles, inventory levels).
+
+    ``seq_col`` handles multiple updates for one key inside a batch:
+    the row with the highest sequence value wins (CDC ordering). Without
+    it, duplicate keys in a batch raise (merge cardinality violation).
+
+    Exactly-once: the batch id commits WITH the merge (one manifest
+    flip); replayed batches skip. Replay safety holds for update-style
+    merges because the skip happens before any rewrite."""
+    from pyspark.sql import Window
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if seq_col is not None:
+            w = Window.partitionBy(*on).orderBy(F.desc(seq_col))
+            batch_df = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        if not catalog.table_exists(table):
+            catalog.create_table(
+                table, batch_df, properties={LAST_BATCH_PROP: str(batch_id)}
+            )
+            return
+        if exactly_once:
+            last = catalog.table_properties(table).get(LAST_BATCH_PROP)
+            if last is not None and batch_id <= int(last):
+                return  # replayed batch: already merged
+        catalog.merge_into(
+            table,
+            batch_df,
+            on,
+            properties_update={LAST_BATCH_PROP: str(batch_id)},
+        )
+
+    return sink
+
+
+def stream_merge_to_catalog(
+    stream: DataFrame,
+    catalog,
+    table: str,
+    on: list[str],
+    *,
+    checkpoint: str,
+    seq_col: str | None = None,
+) -> "object":
+    """Streaming upsert into a versioned Catalog table via per-batch
+    MERGE INTO — see :func:`make_catalog_merge_sink`."""
+    sink = make_catalog_merge_sink(catalog, table, on, seq_col=seq_col)
     return (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)

@@ -371,6 +371,78 @@ def test_catalog_sink_skips_replayed_batch(spark, tmp_path):
     assert cat.read("t_raw").count() == 4
 
 
+def test_catalog_merge_sink_streaming_upsert(spark, tmp_path):
+    """Per-batch MERGE INTO sink: the stream carries latest-state-per-key
+    CDC rows; the table converges to the newest value per key, replays
+    are no-ops, and within-batch duplicates resolve by the seq column."""
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.streaming import make_catalog_merge_sink
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    sink = make_catalog_merge_sink(cat, "profiles", ["user_id"], seq_col="seq")
+
+    b0 = spark.createDataFrame(
+        [(1, "bronze", 1), (2, "bronze", 1)], "user_id long, tier string, seq long"
+    )
+    # batch 1: update user 1 twice (seq decides), insert user 3
+    b1 = spark.createDataFrame(
+        [(1, "silver", 2), (1, "gold", 3), (3, "bronze", 1)],
+        "user_id long, tier string, seq long",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # replay: must be a no-op (no extra snapshot, same rows)
+    rows = {r["user_id"]: r["tier"] for r in cat.read("profiles").collect()}
+    assert rows == {1: "gold", 2: "bronze", 3: "bronze"}
+    assert cat.table_properties("profiles")["stream.last_batch_id"] == "1"
+    assert cat.snapshots("profiles").count() == 2  # create + one merge
+
+
+def test_stream_merge_to_catalog_end_to_end(spark, tmp_path):
+    """Full streaming upsert: two micro-batch files through
+    stream_merge_to_catalog; the table holds the latest row per key."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.streaming import stream_merge_to_catalog
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("tier", StringType()),
+            StructField("seq", LongType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "bronze", 1), (2, "bronze", 1)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_merge_to_catalog(
+        stream, cat, "profiles", ["user_id"],
+        checkpoint=str(tmp_path / "ckpt"), seq_col="seq",
+    )
+    q.awaitTermination(120)
+
+    spark.createDataFrame([(2, "gold", 2), (4, "silver", 1)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q2 = stream_merge_to_catalog(
+        stream, cat, "profiles", ["user_id"],
+        checkpoint=str(tmp_path / "ckpt"), seq_col="seq",
+    )
+    q2.awaitTermination(120)
+    rows = {r["user_id"]: r["tier"] for r in cat.read("profiles").collect()}
+    assert rows == {1: "bronze", 2: "gold", 4: "silver"}
+
+
 def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path):
     """The Spark 4 arbitrary-state API (transformWithStateInPandas /
     StatefulProcessor) must reproduce the applyInPandasWithState twin:
