@@ -2324,6 +2324,64 @@ def q_tpch_q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_bloom_catalog(spark: SparkSession, sf_dir: str):
+    """Catalog with the events table landed as 8 hash-disjoint append
+    commits and ``bloom.columns=event_id`` sidecars — the point-lookup
+    fixture. Each dir holds a random slice of ids, so every dir's
+    [min, max] spans the whole domain and footer stats can prune
+    NOTHING; the dir-level blooms are what make a needle lookup read
+    one dir instead of eight. Built once per process+scale."""
+    import tempfile
+
+    from data_lakehouse_spark.catalog import Catalog
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dls_events_bloom",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    cat = Catalog(spark, root)
+    src = f"{sf_dir}/events.parquet"
+    src_stamp = str(int(os.path.getmtime(src)))
+    fresh = (
+        cat.table_exists("events_bloom")
+        and cat.table_properties("events_bloom").get("index.src_mtime")
+        == src_stamp
+    )
+    if not fresh:
+        ev = spark.read.parquet(src).select("event_id", "user_id", "event_type")
+        shard = F.pmod(F.xxhash64(F.col("event_id")), F.lit(8))
+        cat.create_table(
+            "events_bloom",
+            ev.filter(shard == 0),
+            properties={
+                "bloom.columns": "event_id",
+                "index.src_mtime": src_stamp,
+            },
+            mode="replace",
+        )
+        for i in range(1, 8):
+            cat.append("events_bloom", ev.filter(shard == i))
+    return cat
+
+
+def q_events_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needle-in-haystack point lookup through the catalog's dir-level
+    bloom tier: `read(prune_eq={'event_id': k})` consults the per-dir
+    bloom sidecars and opens ONE of the 8 append dirs (footer min/max
+    is useless here — every dir spans the id domain). The 100 TB story
+    for 'fetch this one event/user record' over date-partitioned
+    history without a full scan; pruning pinned in tests/test_plans.py.
+    """
+    _ensure_conf(spark)
+    cat = _events_bloom_catalog(spark, sf_dir)
+    return (
+        cat.read("events_bloom", prune_eq={"event_id": 4242})
+        .filter(F.col("event_id") == 4242)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
 def q_corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT frequent terms (count·m > total) via the two-pass
     Misra–Gries sketch-then-verify shape: per-partition capped summaries
@@ -2482,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11_important_parts": q_tpch_q11_important_parts,
         "tpch_q16_supplier_count": q_tpch_q16_supplier_count,
         "tpch_q20_heavy_shippers": q_tpch_q20_heavy_shippers,
+        "events_point_lookup": q_events_point_lookup,
         # --- rows-only (hash/LSH/HLL/pandas-UDF based; no SQL oracle) ---
         "gold_user_rfm_segments_scalable": q_user_rfm_segments_scalable,
         "segment_order_percentiles_approx": q_segment_order_percentiles_approx,
@@ -3168,6 +3227,12 @@ WHERE n_name = 'NATION_5'
     HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 30
   )
 ORDER BY s_name
+"""
+
+    sql["events_point_lookup"] = """
+SELECT event_id, user_id, event_type
+FROM events
+WHERE event_id = 4242
 """
 
     sql["top_customers"] = """

@@ -62,6 +62,7 @@ def main() -> None:
     entrymod._ann_index_catalog(spark, sf_dir)
     entrymod._kmeans_index_catalog(spark, sf_dir)
     entrymod._neardup_index(spark, sf_dir)
+    entrymod._events_bloom_catalog(spark, sf_dir)
 
     # Each query is timed BENCH_REPS times and the MIN is reported: the
     # min over repetitions estimates the true cost of the plan, while

@@ -506,6 +506,28 @@ class Catalog:
             for c in (props_now.get("bloom.columns") or "").split(",")
             if c.strip() and c.strip() in df.columns
         ]
+        sort_cols = [
+            c.strip()
+            for c in (props_now.get("sort.columns") or "").split(",")
+            if c.strip() and c.strip() in df.columns
+        ]
+        if sort_cols:
+            # declared sort order (Iceberg WRITE ORDERED BY / MergeTree
+            # ORDER BY analog): cluster key ranges in every written
+            # file so min/max skipping works on every read — a
+            # property, so EVERY commit (append, compact, COW DML)
+            # preserves the clustering without callers remembering to.
+            # sort.distribute=range adds Iceberg's range distribution
+            # (one shuffle per write): keys land in DISJOINT per-file
+            # ranges instead of merely sorted within whatever
+            # partitioning arrived — the mode that makes file-level
+            # skipping sharp; the default stays shuffle-free.
+            if (props_now.get("sort.distribute") or "").lower() == "range":
+                n_parts = df.rdd.getNumPartitions()
+                df = df.repartitionByRange(
+                    n_parts, *[F.col(c) for c in sort_cols]
+                )
+            df = df.sortWithinPartitions(*sort_cols)
         writer = df.write.format("parquet")
         for c in bloom_cols:
             # parquet-native per-file bloom filters: the row-group tier
@@ -656,15 +678,24 @@ class Catalog:
                 return False
         return True
 
-    def _probe_positions(self, values: dict[str, object]) -> dict[str, list[int]]:
+    def _probe_positions(
+        self, values: dict[str, object], col_types: dict[str, str]
+    ) -> dict[str, list[int]]:
         """Bit positions of each probe literal, computed BY SPARK (one
         tiny local-relation job) so the probe hash is bit-identical to
-        the build hash."""
+        the build hash. Each literal is CAST to its column's declared
+        type first — xxhash64 hashes the physical representation, so an
+        int literal probing a bigint column would silently produce a
+        false NEGATIVE (the one failure mode a bloom must never have)."""
         row = (
             self.spark.range(1)
             .select(
                 *[
-                    F.array(*self._bloom_positions(F.lit(v))).alias(c)
+                    F.array(
+                        *self._bloom_positions(
+                            F.lit(v).cast(col_types.get(c, "string"))
+                        )
+                    ).alias(c)
                     for c, v in values.items()
                 ]
             )
@@ -1535,7 +1566,18 @@ class Catalog:
                 "(expire_snapshots); time travel to it is no longer possible"
             )
         eq_ranges = {c: (v, v) for c, v in (prune_eq or {}).items()}
-        bloom_pos = self._probe_positions(prune_eq) if prune_eq else {}
+        if prune_eq:
+            col_types = {
+                f["name"]: (
+                    f["type"]
+                    if isinstance(f["type"], str)
+                    else json.dumps(f["type"])
+                )
+                for f in entry["schema"]["fields"]
+            }
+            bloom_pos = self._probe_positions(prune_eq, col_types)
+        else:
+            bloom_pos = {}
         dirs = []
         for d in entry["data_dirs"]:
             wentry = entries[int(d[1:])]

@@ -26,7 +26,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_sketch_table", "hll_rollup"]
+__all__ = [
+    "hll_sketch_table",
+    "hll_rollup",
+    "kll_sketch_table",
+    "kll_quantile_rollup",
+    "theta_sketch_table",
+    "theta_audience_overlap",
+]
 
 
 def hll_sketch_table(
@@ -67,4 +74,110 @@ def hll_rollup(
         .cast("bigint")
         .alias(estimate_col),
         F.sum("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
+def kll_sketch_table(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    *,
+    k: int = 200,
+    sketch_col: str = "kll_sketch",
+) -> DataFrame:
+    """Quantiles get the same treatment as distinct counts: percentiles
+    do NOT add across days (p95 of daily p95s is meaningless), so the
+    mergeable KLL sketch (Datasketches, Spark 4's
+    ``kll_sketch_agg_double``) is the materialize-once side for
+    percentile dashboards — fixed-size per group, lossless merge."""
+    return df.groupBy(*keys).agg(
+        F.kll_sketch_agg_double(
+            F.col(value_col).cast("double"), F.lit(int(k))
+        ).alias(sketch_col),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+
+
+def kll_quantile_rollup(
+    sketches: DataFrame,
+    group_keys: list[str],
+    *,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    sketch_col: str = "kll_sketch",
+) -> DataFrame:
+    """Roll a KLL sketch table up to coarser keys and read quantiles
+    off the merged sketch — a month's p99 from KB of daily sketches,
+    never rescanning events. Rank error is the KLL guarantee (~1.65%
+    at k=200), independent of data size."""
+    merged = sketches.groupBy(*group_keys).agg(
+        F.kll_merge_agg_double(sketch_col).alias("_m"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+    )
+    qcols = [
+        F.kll_sketch_get_quantile_double(F.col("_m"), F.lit(float(q))).alias(
+            f"p{int(q * 100)}"
+        )
+        for q in quantiles
+    ]
+    return merged.select(*group_keys, *qcols, "n_rows")
+
+
+def theta_sketch_table(
+    df: DataFrame,
+    keys: list[str],
+    distinct_col: str,
+    *,
+    lg_k: int = 12,
+    sketch_col: str = "theta_sketch",
+) -> DataFrame:
+    """Theta sketches are the SET-ALGEBRA tier above HLL: same
+    mergeable-distinct-count contract, but sketches also intersect and
+    difference — the operations that answer audience questions
+    ("users who did X AND Y") that no union-only sketch can."""
+    return df.groupBy(*keys).agg(
+        F.theta_sketch_agg(distinct_col, F.lit(int(lg_k))).alias(sketch_col),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+
+
+def theta_audience_overlap(
+    df: DataFrame,
+    segment_col: str,
+    member_col: str,
+    *,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Pairwise audience overlap between segments from ONE pass over
+    the data: per-segment theta sketches, then |A∩B| / |A∪B| / |A\\B|
+    estimated entirely in sketch space (``theta_intersection`` /
+    ``theta_union`` / ``theta_difference`` on the tiny sketch table's
+    cross pairs — |segments|² sketch ops, zero re-scans). The Jaccard
+    column is the overlap score audience/dedup dashboards chart."""
+    sk = df.groupBy(F.col(segment_col).alias("segment")).agg(
+        F.theta_sketch_agg(member_col, F.lit(int(lg_k))).alias("s")
+    )
+    a = sk.select(
+        F.col("segment").alias("segment_a"), F.col("s").alias("_sa")
+    )
+    b = sk.select(
+        F.col("segment").alias("segment_b"), F.col("s").alias("_sb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("segment_a") < F.col("segment_b"))
+    inter = F.theta_sketch_estimate(
+        F.theta_intersection(F.col("_sa"), F.col("_sb"))
+    )
+    union = F.theta_sketch_estimate(F.theta_union(F.col("_sa"), F.col("_sb")))
+    only_a = F.theta_sketch_estimate(
+        F.theta_difference(F.col("_sa"), F.col("_sb"))
+    )
+    return (
+        pairs.select(
+            "segment_a",
+            "segment_b",
+            inter.cast("bigint").alias("overlap"),
+            union.cast("bigint").alias("union_size"),
+            only_a.cast("bigint").alias("only_a"),
+            (inter / union).alias("jaccard"),
+        )
+        .orderBy("segment_a", "segment_b")
     )

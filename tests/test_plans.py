@@ -508,6 +508,29 @@ def test_tpch_q16_not_in_is_broadcast_anti_join(spark, sf_dir):
     assert "NestedLoop" not in plan
 
 
+def test_events_point_lookup_bloom_prunes_to_one_dir(spark, sf_dir):
+    """The point-lookup read must touch exactly ONE of the 8
+    hash-disjoint append dirs — dir-level bloom pruning (min/max can't
+    help: every dir spans the id domain)."""
+    from pyspark.sql import functions as F
+
+    cat = entry._events_bloom_catalog(spark, sf_dir)
+    df = cat.read("events_bloom", prune_eq={"event_id": 424}).filter(
+        F.col("event_id") == 424
+    )
+    files = df.inputFiles()
+    assert files, "the needle's dir must survive"
+    dirs = {f.split("/events_bloom/")[1].split("/")[0] for f in files}
+    assert len(dirs) == 1, dirs
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["event_id"] == 424
+    # absent key: every dir pruned, zero files opened
+    assert (
+        cat.read("events_bloom", prune_eq={"event_id": 10**12}).inputFiles()
+        == []
+    )
+
+
 def test_tpch_q20_nested_in_chain_is_semi_joins(spark, sf_dir):
     """Q20's IN-(IN-subquery) chain becomes two LEFT SEMI joins (part
     prefix filter into lineitem; heavy suppliers into supplier) with the

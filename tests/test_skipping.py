@@ -162,6 +162,45 @@ def test_partition_spec_evolution_mixed_layouts(spark, tmp_path):
     assert ops == ["create", "set_partition_spec", "append"]
 
 
+def test_sort_columns_property_clusters_files(spark, tmp_path):
+    """sort.columns is a declared write order: every commit clusters key
+    ranges within files, so per-row-group min/max spans shrink from
+    ~whole-domain (random order) to tight slices."""
+    import pyarrow.parquet as pq
+
+    def spans(root: str) -> list[tuple[int, int]]:
+        out = []
+        for dp, _, fs in os.walk(root):
+            for fname in fs:
+                if not fname.endswith(".parquet"):
+                    continue
+                md = pq.read_metadata(os.path.join(dp, fname))
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(0).statistics
+                    out.append((st.min, st.max))
+        return out
+
+    rows = [(i * 37 % 10_000,) for i in range(10_000)]  # shuffled keys
+    df = lambda: spark.createDataFrame(rows, "k long").repartition(8)  # noqa: E731
+
+    sorted_cat = Catalog(spark, str(tmp_path / "w_sorted"))
+    sorted_cat.create_table(
+        "t",
+        df(),
+        properties={"sort.columns": "k", "sort.distribute": "range"},
+    )
+    plain_cat = Catalog(spark, str(tmp_path / "w_plain"))
+    plain_cat.create_table("t", df())
+
+    sorted_spans = spans(str(tmp_path / "w_sorted" / "t" / "v00000"))
+    plain_spans = spans(str(tmp_path / "w_plain" / "t" / "v00000"))
+    avg = lambda xs: sum(b - a for a, b in xs) / len(xs)  # noqa: E731
+    # clustered row groups cover far less of the key domain each
+    assert avg(sorted_spans) < avg(plain_spans) / 2
+    # rows unchanged
+    assert sorted_cat.read("t").count() == 10_000
+
+
 def test_alter_column_type_widening_zero_rewrite(spark, tmp_path):
     """int→long widening is manifest-only: old dirs keep the narrow
     physical type and reads cast per directory; values past int range
