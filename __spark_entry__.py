@@ -2382,6 +2382,55 @@ def q_events_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE rollup: per-(day, type) KLL sketches of event
+    value merged to per-type p50/p95/p99 — percentiles don't add across
+    days (p95 of daily p95s is meaningless), the KLL merge is the
+    lossless fix, and a month's p99 reads KB of sketches instead of the
+    events. Exact percentile inline for error inspection; sketch
+    estimates are engine-specific → rows-only."""
+    from data_lakehouse_spark.operators import sketches
+
+    _ensure_conf(spark)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # same nanos-vintage type dispatch as silver_events
+    ts = (
+        F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
+        if dict(raw.dtypes).get("ts") == "bigint"
+        else F.col("ts")
+    )
+    ev = raw.select(
+        F.to_date(ts).alias("event_date"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    daily = sketches.kll_sketch_table(ev, ["event_date", "event_type"], "value")
+    rolled = sketches.kll_quantile_rollup(daily, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.95)").alias("exact_p95")
+    )
+    return (
+        rolled.join(F.broadcast(exact), "event_type")
+        .select("event_type", "p50", "p95", "p99", "exact_p95", "n_rows")
+        .orderBy("event_type")
+    )
+
+
+def q_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra: pairwise audience overlap between
+    event types (|A∩B|, |A∪B|, |A\\B|, Jaccard) estimated entirely in
+    sketch space from ONE scan — the audience question
+    ("users who viewed AND purchased") union-only HLL cannot answer.
+    Sketch estimates are engine-specific → rows-only."""
+    from data_lakehouse_spark.operators import sketches
+
+    _ensure_conf(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    return sketches.theta_audience_overlap(ev, "event_type", "user_id")
+
+
 def q_corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT frequent terms (count·m > total) via the two-pass
     Misra–Gries sketch-then-verify shape: per-partition capped summaries
@@ -2553,6 +2602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_kmeans_ivf_topk": q_ann_kmeans_ivf_topk,
         "approx_distinct_users": q_approx_distinct_users,
         "hll_sketch_rollup": q_hll_sketch_rollup,
+        "kll_quantile_rollup": q_kll_quantile_rollup,
+        "theta_audience_overlap": q_theta_audience_overlap,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
         "semdedup_prune": q_semdedup_prune,
