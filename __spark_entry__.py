@@ -1452,6 +1452,49 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("cosine_sim", round_half_up(F.col("cosine_sim"), 6))
 
 
+def q_training_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard-negative mining: for 16 anchor
+    embeddings, the top-5 most-similar OTHER vectors below the
+    near-duplicate ceiling (sim < 0.95) — similar enough to be hard,
+    not so similar they're the same content. Plan: the fixed anchor set
+    broadcasts against one scan (n×16 dot products, no self-join
+    blow-up); ranking is a window PARTITIONED per anchor. Exact cosine
+    (same formula as embedding_topk) → fully oracle-verified."""
+    from pyspark.sql import Window
+
+    _ensure_conf(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchors = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("_a_id"), F.col("embedding").alias("_a_emb")
+    )
+    from data_lakehouse_spark.functions.vectors import cosine_similarity
+
+    sim = cosine_similarity(F.col("embedding"), F.col("_a_emb"))
+    scored = (
+        emb.join(F.broadcast(anchors), F.col("vec_id") != F.col("_a_id"))
+        .select(
+            F.col("_a_id").cast("bigint").alias("anchor_id"),
+            F.col("vec_id").cast("bigint").alias("neg_id"),
+            sim.alias("_sim"),
+        )
+        .filter(F.col("_sim").isNotNull() & (F.col("_sim") < 0.95))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("_sim"), F.asc("neg_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "anchor_id",
+            "neg_id",
+            "rank",
+            round_half_up(F.col("_sim"), 6).alias("cosine_sim"),
+        )
+        .orderBy("anchor_id", "rank")
+    )
+
+
 def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine similarity self-join above threshold — distributed
     block-pair GEMM (no driver collect; same per-pair arithmetic as the
@@ -1775,6 +1818,60 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qv = [float(x) for x in emb.filter(F.col("doc_id") == 0).first()["embedding"]]
     return similarity.cosine_topk(emb, qv, vec_col="embedding", id_col="doc_id", k=25)
+
+
+def q_multimodal_frame_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-shaped cross-modal retrieval end to end: payload →
+    per-frame embeddings in one mapInPandas pass (fan-out AFTER the
+    binary column stops shuffling) → exact cosine top-k of frames
+    similar to doc 0's first frame. Rows-only: the frame 'decoder' is
+    a deterministic STUB (no codecs in this container); everything
+    Spark-side — schema, fan-out, Arrow batching, similarity hookup —
+    is the real pipeline."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frames = multimodal.frame_embed_stub(
+        multimodal.attach_binary_payload(docs), frame_bytes=64, dim=16
+    ).withColumn(
+        # stable scalar id so the similarity operators' bigint id
+        # contract holds: (doc_id, frame_idx) → doc_id * 2^20 + idx
+        "frame_id",
+        (F.col("doc_id") * F.lit(1 << 20) + F.col("frame_idx")).cast("bigint"),
+    )
+    qv = [
+        float(x)
+        for x in frames.filter(
+            (F.col("doc_id") == 0) & (F.col("frame_idx") == 0)
+        ).first()["embedding"]
+    ]
+    return similarity.cosine_topk(
+        frames, qv, vec_col="embedding", id_col="frame_id", k=25
+    )
+
+
+def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-analysis shape: payload → overlapping windows (hop <
+    window, STFT framing) with per-window RMS/peak features, rolled up
+    per doc. Rows-only: byte-RMS stands in for real DSP (STUB kernel);
+    the overlap fan-out and rollup are the real plumbing."""
+    _ensure_conf(spark)
+    # doc_id filter (not LIMIT): pushes to the scan and keeps the plan
+    # fully parallel — a limit would funnel through one partition
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    wins = multimodal.audio_window_stub(
+        multimodal.attach_binary_payload(docs), window_bytes=128, hop_bytes=64
+    )
+    return (
+        wins.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_windows"),
+            (F.floor(F.avg("rms") * 100 + F.lit(0.5)) / 100).alias("avg_rms"),
+            (F.floor(F.max("peak") * 100 + F.lit(0.5)) / 100).alias("max_peak"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def q_serving_business_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2525,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_chunks_pipeline": q_training_chunks_pipeline,
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "embedding_topk": q_embedding_topk,
+        "training_hard_negatives": q_training_hard_negatives,
         "embedding_label_centroids": q_embedding_label_centroids,
         "doc_token_counts": q_doc_token_counts,
         "watermark_incremental": q_watermark_incremental,
@@ -2606,6 +2704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_audience_overlap": q_theta_audience_overlap,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frame_search": q_multimodal_frame_search,
+        "multimodal_audio_windows": q_multimodal_audio_windows,
         "semdedup_prune": q_semdedup_prune,
     }
 
@@ -4556,6 +4656,30 @@ SELECT bin, bin * 50000.0 AS bin_lo, (bin + 1) * 50000.0 AS bin_hi,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM b GROUP BY bin
+"""
+
+    sql["training_hard_negatives"] = f"""
+WITH anchors AS (
+    SELECT vec_id AS a_id, embedding AS a_emb
+    FROM embeddings WHERE vec_id < 16
+),
+sims AS (
+    SELECT CAST(a.a_id AS BIGINT) AS anchor_id,
+           CAST(e.vec_id AS BIGINT) AS neg_id,
+           {_cos.format(a="e.embedding", b="a.a_emb")} AS sim
+    FROM embeddings e, anchors a
+    WHERE e.vec_id <> a.a_id
+),
+ranked AS (
+    SELECT anchor_id, neg_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY anchor_id
+                              ORDER BY sim DESC, neg_id) AS rank
+    FROM sims WHERE sim IS NOT NULL AND sim < 0.95
+)
+SELECT anchor_id, neg_id, CAST(rank AS BIGINT) AS rank,
+       floor(sim * 1000000 + 0.5) / 1000000 AS cosine_sim
+FROM ranked WHERE rank <= 5
+ORDER BY anchor_id, rank
 """
 
     sql["embedding_topk"] = f"""

@@ -511,6 +511,22 @@ class Catalog:
             for c in (props_now.get("sort.columns") or "").split(",")
             if c.strip() and c.strip() in df.columns
         ]
+        constraints = props_now.get("check.constraints")
+        if constraints and op not in ("compact", "rewrite_deletes"):
+            # Delta-style CHECK constraints: every write validates the
+            # incoming rows against the declared predicates and REFUSES
+            # the commit on violation — the table can never hold a row
+            # that fails a constraint. Maintenance rewrites (compact /
+            # delete-fold) carry existing rows and skip the re-check.
+            for pred in [p.strip() for p in constraints.split(";") if p.strip()]:
+                bad = df.filter(
+                    ~F.coalesce(F.expr(pred), F.lit(False))
+                ).limit(1).count()
+                if bad:
+                    raise ValueError(
+                        f"CHECK constraint violated on {h.name}: ({pred}) "
+                        "— commit refused, no data written"
+                    )
         if sort_cols:
             # declared sort order (Iceberg WRITE ORDERED BY / MergeTree
             # ORDER BY analog): cluster key ranges in every written
@@ -1943,10 +1959,60 @@ class Catalog:
                         ).num_rows
         return total
 
+    # -- SQL views ---------------------------------------------------------
+    def _views_path(self) -> str:
+        return os.path.join(self.root, "_views.json")
+
+    def views(self) -> dict[str, str]:
+        """Defined view name → SQL text, in definition order."""
+        if not os.path.exists(self._views_path()):
+            return {}
+        with open(self._views_path()) as f:
+            return json.load(f)
+
+    def create_view(self, name: str, sql_text: str, *, replace: bool = False) -> None:
+        """CREATE [OR REPLACE] VIEW: a named SQL definition over catalog
+        tables (and earlier views) — the dbt-model naming layer. Views
+        are logical only (re-resolved at read against the CURRENT table
+        snapshots); definition order is preserved so views may reference
+        earlier views."""
+        if self.table_exists(name):
+            raise ValueError(f"{name} already exists as a table")
+        views = self.views()
+        if name in views and not replace:
+            raise ValueError(f"view {name} already exists")
+        views[name] = sql_text
+        tmp = self._views_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(views, f, indent=1)
+        os.replace(tmp, self._views_path())
+
+    def drop_view(self, name: str) -> None:
+        views = self.views()
+        if name not in views:
+            raise ValueError(f"view {name} does not exist")
+        del views[name]
+        tmp = self._views_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(views, f, indent=1)
+        os.replace(tmp, self._views_path())
+
+    def read_view(self, name: str) -> DataFrame:
+        """Resolve a view against the current snapshots."""
+        views = self.views()
+        if name not in views:
+            raise ValueError(f"view {name} does not exist")
+        self.register_views()
+        return self.spark.sql(views[name])
+
     def register_views(self) -> None:
-        """Expose every table as a temp view for spark.sql()."""
+        """Expose every table AND defined SQL view for spark.sql()
+        (views registered in definition order, so later views may build
+        on earlier ones)."""
         for name in self.tables():
             self.read(name).createOrReplaceTempView(name)
+        for name, sql_text in self.views().items():
+            self.spark.sql(sql_text).createOrReplaceTempView(name)
 
 
 def with_audit_columns(df: DataFrame, source_file: str) -> DataFrame:

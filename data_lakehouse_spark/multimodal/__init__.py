@@ -4,6 +4,8 @@ from data_lakehouse_spark.multimodal.columns import (
     extract_binary_meta,
     feature_extract_stub,
     frame_sample_stub,
+    frame_embed_stub,
+    audio_window_stub,
     resize_image_stub,
 )
 
@@ -13,5 +15,7 @@ __all__ = [
     "extract_binary_meta",
     "feature_extract_stub",
     "frame_sample_stub",
+    "frame_embed_stub",
+    "audio_window_stub",
     "resize_image_stub",
 ]

@@ -40,6 +40,8 @@ __all__ = [
     "resize_image_stub",
     "feature_extract_stub",
     "frame_sample_stub",
+    "frame_embed_stub",
+    "audio_window_stub",
     "DECODED_IMAGE_SCHEMA",
 ]
 
@@ -201,3 +203,113 @@ def frame_sample_stub(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, "payload").mapInPandas(_sample, schema=schema)
+
+
+def frame_embed_stub(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    frame_bytes: int = 64,
+    dim: int = 16,
+) -> DataFrame:
+    """Video path end-to-end: payload → per-frame slices → per-frame
+    embeddings, in ONE mapInPandas pass (the ffmpeg-decode +
+    frame-encoder shape: one input row fans out to many embedded frame
+    rows without ever materializing raw frames in a shuffle). STUB
+    kernel — frames are fixed-size byte slices, the embedding is the
+    same deterministic hash-fold as :func:`feature_extract_stub`, so
+    frame vectors plug straight into the similarity/ANN operators for
+    cross-modal "find similar frames" pipelines.
+
+    Scale note: output rows ≈ payload_bytes / frame_bytes per video —
+    the fan-out happens AFTER the binary column is pruned down to one
+    task's batch, and only (id, frame_idx, dim floats) rows shuffle.
+    """
+    import numpy as np
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+
+    def _embed_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, vecs = [], [], []
+            for _, r in pdf.iterrows():
+                raw = bytes(r["payload"])
+                for i in range(0, max(len(raw), 1), frame_bytes):
+                    chunk = np.frombuffer(
+                        raw[i : i + frame_bytes], dtype=np.uint8
+                    )
+                    pad = (-len(chunk)) % dim
+                    if pad or len(chunk) == 0:
+                        chunk = np.concatenate(
+                            [chunk, np.zeros(pad or dim, dtype=np.uint8)]
+                        )
+                    v = chunk.reshape(-1, dim).sum(axis=0).astype(np.float64) + 1.0
+                    vecs.append((v / np.linalg.norm(v)).tolist())
+                    ids.append(r[id_col])
+                    idxs.append(i // frame_bytes)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": pd.array(idxs, dtype="int32"),
+                 "embedding": vecs}
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        _embed_frames, schema=schema
+    )
+
+
+def audio_window_stub(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    window_bytes: int = 128,
+    hop_bytes: int = 64,
+) -> DataFrame:
+    """Audio analysis shape: payload → OVERLAPPING windows (hop <
+    window, the STFT framing contract) with per-window energy features.
+    STUB kernel — 'samples' are raw bytes, 'energy' is their RMS; a
+    real deployment swaps in librosa/soundfile framing + real features
+    with the same schema and fan-out behavior."""
+    import numpy as np
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("window_idx", IntegerType()),
+            StructField("start_byte", LongType()),
+            StructField("rms", DoubleType()),
+            StructField("peak", DoubleType()),
+        ]
+    )
+
+    def _windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "window_idx": [], "start_byte": [],
+                    "rms": [], "peak": []}
+            for _, r in pdf.iterrows():
+                raw = np.frombuffer(bytes(r["payload"]), dtype=np.uint8)
+                for i, start in enumerate(range(0, max(len(raw), 1), hop_bytes)):
+                    w = raw[start : start + window_bytes].astype(np.float64)
+                    if len(w) == 0:
+                        continue
+                    rows["doc_id"].append(r[id_col])
+                    rows["window_idx"].append(i)
+                    rows["start_byte"].append(start)
+                    rows["rms"].append(float(np.sqrt((w**2).mean())))
+                    rows["peak"].append(float(w.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"],
+                    "window_idx": pd.array(rows["window_idx"], dtype="int32"),
+                    "start_byte": rows["start_byte"],
+                    "rms": rows["rms"],
+                    "peak": rows["peak"],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(_windows, schema=schema)

@@ -64,6 +64,14 @@ NESTED_LOOP_OK = {
     "gold_user_rfm_segments_scalable": "1-row percentile-boundary broadcast",
     "tpch_q22_sales_opportunity": "1-row AVG broadcast",
     "tpch_q11_important_parts": "1-row fraction-of-total broadcast",
+    "theta_audience_overlap": (
+        "pairwise sketch join over |segments| rows (one fixed-size "
+        "sketch per segment) — |segments|^2 sketch ops, never row data"
+    ),
+    "training_hard_negatives": (
+        "16 fixed anchors broadcast against one scan (non-equi "
+        "self-exclusion) — n x 16 dot products, bounded broadcast side"
+    ),
 }
 
 

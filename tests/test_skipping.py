@@ -80,6 +80,23 @@ def test_bloom_pruned_read_equals_full_scan(spark, tmp_path):
         assert sorted(map(tuple, pruned)) == sorted(map(tuple, full))
 
 
+def test_compaction_regenerates_bloom_sidecars(spark, tmp_path):
+    """OPTIMIZE rewrites dirs through the same commit path, so the
+    compacted dir gets fresh bloom sidecars: absent-key lookups still
+    open zero files after compaction."""
+    cat = _catalog(spark, tmp_path)
+    batches = _bloom_table(spark, cat)
+    cat.compact("docs")
+    assert cat.read("docs", prune_eq={"doc_key": "nope"}).inputFiles() == []
+    probe = batches[1][3]
+    hits = (
+        cat.read("docs", prune_eq={"doc_key": probe})
+        .filter(F.col("doc_key") == probe)
+        .collect()
+    )
+    assert len(hits) == 1
+
+
 def test_prune_eq_range_tier_without_blooms(spark, tmp_path):
     """Tables without bloom.columns still get the min/max tier for
     prune_eq (lo = hi = value) — ordered keys prune by footer stats."""
@@ -160,6 +177,81 @@ def test_partition_spec_evolution_mixed_layouts(spark, tmp_path):
     assert sorted(r["v"] for r in out.collect()) == [1, 2, 3]
     ops = [r["operation"] for r in cat.snapshots("ev").collect()]
     assert ops == ["create", "set_partition_spec", "append"]
+
+
+def test_catalog_sql_views(spark, tmp_path):
+    """Named SQL views over catalog tables: logical (track snapshots),
+    stackable (view-over-view), visible to spark.sql after
+    register_views — the dbt-model naming layer."""
+    import pytest
+
+    cat = _catalog(spark, tmp_path)
+    cat.create_table(
+        "orders",
+        spark.createDataFrame(
+            [(1, "A", 10.0), (2, "B", 20.0), (3, "A", 5.0)],
+            "id long, seg string, amt double",
+        ),
+    )
+    cat.create_view(
+        "seg_totals",
+        "SELECT seg, SUM(amt) AS total FROM orders GROUP BY seg",
+    )
+    cat.create_view(
+        "big_segs", "SELECT * FROM seg_totals WHERE total > 12"
+    )
+    out = {r["seg"]: r["total"] for r in cat.read_view("seg_totals").collect()}
+    assert out == {"A": 15.0, "B": 20.0}
+    assert [r["seg"] for r in cat.read_view("big_segs").collect()] == ["A", "B"]
+
+    # logical: a new append is visible through the view immediately
+    cat.append(
+        "orders", spark.createDataFrame([(4, "B", 1.0)], "id long, seg string, amt double")
+    )
+    out = {r["seg"]: r["total"] for r in cat.read_view("seg_totals").collect()}
+    assert out["B"] == 21.0
+
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_view("seg_totals", "SELECT 1")
+    cat.create_view("seg_totals", "SELECT seg, COUNT(*) AS total FROM orders GROUP BY seg", replace=True)
+    assert {r["seg"]: r["total"] for r in cat.read_view("seg_totals").collect()} == {"A": 2, "B": 2}
+    cat.drop_view("big_segs")
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.read_view("big_segs")
+    with pytest.raises(ValueError, match="as a table"):
+        cat.create_view("orders", "SELECT 1")
+
+
+def test_check_constraints_enforced_on_write(spark, tmp_path):
+    """Delta-style CHECK constraints: violating commits refuse before
+    any manifest change; DML that would create a violation refuses;
+    maintenance rewrites skip the re-check."""
+    import pytest
+
+    cat = _catalog(spark, tmp_path)
+    cat.create_table(
+        "t",
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double"),
+        properties={"check.constraints": "v >= 0; id IS NOT NULL"},
+    )
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        cat.append("t", spark.createDataFrame([(3, -1.0)], "id long, v double"))
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        cat.append(
+            "t", spark.createDataFrame([(None, 1.0)], "id long, v double")
+        )
+    # refused commits left no trace
+    assert cat.snapshots("t").count() == 1
+    assert cat.read("t").count() == 2
+    cat.append("t", spark.createDataFrame([(3, 0.0)], "id long, v double"))
+    assert cat.read("t").count() == 3
+    # an UPDATE that would break the constraint refuses too
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        cat.update_where("t", "id = 1", {"v": "-5.0"})
+    assert {r["id"]: r["v"] for r in cat.read("t").collect()}[1] == 10.0
+    # compaction (carries validated rows) passes untouched
+    cat.compact("t")
+    assert cat.read("t").count() == 3
 
 
 def test_sort_columns_property_clusters_files(spark, tmp_path):

@@ -145,3 +145,40 @@ def test_multimodal_feature_extract_feeds_similarity(spark):
         emb, first["embedding"], vec_col="embedding", id_col="doc_id", k=3
     ).collect()
     assert top[0]["doc_id"] == 0 and abs(top[0]["cosine_sim"] - 1.0) < 1e-9
+
+
+def test_frame_embed_stub_fanout_and_determinism(spark):
+    """One video row fans out to ceil(bytes/frame_bytes) embedded frame
+    rows; embeddings are unit-normalized and deterministic, and
+    identical frames embed identically (the cross-modal dedup hook)."""
+    text = "x" * 100  # 100 bytes -> frames of 64 -> 2 frames
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    frames = multimodal.frame_embed_stub(
+        multimodal.attach_binary_payload(df), frame_bytes=64, dim=8
+    ).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert {len(v) for v in by_doc.values()} == {2}
+    for r in frames:
+        assert abs(sum(x * x for x in r["embedding"]) - 1.0) < 1e-9
+    # same payload -> same per-frame vectors across docs
+    v1 = sorted((r["frame_idx"], tuple(r["embedding"])) for r in by_doc[1])
+    v2 = sorted((r["frame_idx"], tuple(r["embedding"])) for r in by_doc[2])
+    assert v1 == v2
+
+
+def test_audio_window_stub_overlap_contract(spark):
+    """Windows advance by hop (< window): a 256-byte payload with
+    window=128/hop=64 yields 4 windows starting at 0,64,128,192; RMS
+    and peak are exact for a constant payload."""
+    payload_text = chr(65) * 256  # byte value 65 throughout
+    df = spark.createDataFrame([(7, payload_text)], "doc_id long, text string")
+    wins = multimodal.audio_window_stub(
+        multimodal.attach_binary_payload(df), window_bytes=128, hop_bytes=64
+    ).orderBy("window_idx").collect()
+    assert [w["start_byte"] for w in wins] == [0, 64, 128, 192]
+    for w in wins:
+        assert abs(w["rms"] - 65.0) < 1e-9 and w["peak"] == 65.0
