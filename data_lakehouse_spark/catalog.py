@@ -1068,6 +1068,14 @@ class Catalog:
             "bytes": bytes_total,
         }
 
+    def _dir_abs(self, h: TableHandle, d: str) -> str:
+        """Normalized absolute path of a snapshot dir (foreign cloned
+        dirs carry ``../`` segments that never appear in the RESOLVED
+        file paths Spark reports, so containment checks must compare
+        normalized absolutes — a raw substring test silently misses
+        cloned dirs and would make COW DML no-op on their rows)."""
+        return os.path.normpath(os.path.join(h.path, d)) + os.sep
+
     def _cow_rewrite(
         self,
         name: str,
@@ -1107,14 +1115,23 @@ class Catalog:
             r["_cow_file"]
             for r in cur.filter(is_hit).select("_cow_file").distinct().collect()
         ]
-        touched = [d for d in live if any(f"/{d}/" in fp for fp in hit_files)]
+        touched = [
+            d
+            for d in live
+            if any(re.sub(r"^file:/+", "/", fp).startswith(self._dir_abs(h, d))
+                   for fp in hit_files)
+        ]
         if not touched:
             return {"table": name, "affected_rows": 0,
                     "rewritten_dirs": [], "kept_dirs": list(live)}
         kept = [d for d in live if d not in touched]
         in_touched = functools.reduce(
             lambda a, b: a | b,
-            [F.col("_cow_file").contains(f"/{d}/") for d in touched],
+            [
+                F.regexp_replace(F.col("_cow_file"), "^file:/+", "/")
+                .startswith(self._dir_abs(h, d))
+                for d in touched
+            ],
         )
         affected = cur.filter(is_hit).count()
         rewritten = build_rewritten(
@@ -1316,12 +1333,21 @@ class Catalog:
             .collect()
         ]
         live = entries[-1]["data_dirs"]
-        touched = [d for d in live if any(f"/{d}/" in fp for fp in hit_files)]
+        touched = [
+            d
+            for d in live
+            if any(re.sub(r"^file:/+", "/", fp).startswith(self._dir_abs(h, d))
+                   for fp in hit_files)
+        ]
         kept = [d for d in live if d not in touched]
         if touched:
             in_touched = functools.reduce(
                 lambda a, b: a | b,
-                [F.col("_cow_file").contains(f"/{d}/") for d in touched],
+                [
+                    F.regexp_replace(F.col("_cow_file"), "^file:/+", "/")
+                    .startswith(self._dir_abs(h, d))
+                    for d in touched
+                ],
             )
             touched_rows = tgt.filter(in_touched).drop("_cow_file")
         else:
@@ -1399,6 +1425,91 @@ class Catalog:
             "rewritten_dirs": touched,
             "kept_dirs": kept,
         }
+
+    def clone_table(
+        self, source: str, target: str, *, version: int | None = None
+    ) -> TableHandle:
+        """SHALLOW CLONE (Delta analog): a NEW table whose first
+        snapshot references the SOURCE's data dirs — zero data
+        movement. The clone evolves independently (its appends/DML land
+        in its own dirs; the shared dirs are immutable by the
+        append-only design, so neither table can disturb the other).
+
+        Caveat, stated loudly: the clone's shared dirs live under the
+        source table's path, so `expire_snapshots` on the SOURCE can
+        reclaim dirs a clone still references — same as Delta shallow
+        clones (VACUUM on the source breaks them). Re-materialize with
+        `compact(clone)` to cut the dependency."""
+        src_h = self._handle(source)
+        entries = self._load_manifest(src_h)
+        if not entries:
+            raise ValueError(f"table {source} does not exist")
+        if self.table_exists(target):
+            raise ValueError(f"table {target} already exists")
+        base = (
+            entries[version]
+            if version is not None
+            else self._branch_head(entries, None)
+        )
+        if base is None or base.get("expired"):
+            raise ValueError(f"no usable snapshot of {source} to clone")
+        tgt = self._handle(target)
+        rel = os.path.relpath(src_h.path, tgt.path)
+        # per-dir writer metadata travels WITH the clone: the normal
+        # reader resolves a dir's writer schema/stats from its own
+        # manifest entry index, which foreign dirs don't have
+        dir_meta = {}
+        for d in base["data_dirs"]:
+            we = entries[int(d[1:])]
+            dir_meta[os.path.join(rel, d)] = {
+                k: we.get(k)
+                for k in ("schema", "written_fields", "stats")
+            }
+        with self._commit_lock(tgt):
+            os.makedirs(tgt.path, exist_ok=True)
+            self._save_manifest(
+                tgt,
+                [
+                    {
+                        "version": 0,
+                        "op": "clone",
+                        "cloned_from": f"{source}@v{base['version']}",
+                        "committed_at": time.strftime(
+                            "%Y-%m-%d %H:%M:%S", time.gmtime()
+                        ),
+                        "data_dirs": list(dir_meta),
+                        "delete_dirs": [
+                            os.path.join(rel, d)
+                            for d in (base.get("delete_dirs") or [])
+                        ],
+                        "dir_meta": dir_meta,
+                        "schema": base["schema"],
+                        "partition_by": base.get("partition_by"),
+                        "partition_transforms": base.get(
+                            "partition_transforms"
+                        ),
+                        "properties": base.get("properties") or {},
+                        "stats": base.get("stats"),
+                    }
+                ],
+            )
+        return tgt
+
+    @staticmethod
+    def _writer_entry(entries: list[dict], entry: dict, d: str) -> dict:
+        """Resolve the manifest entry that WROTE dir ``d``: local
+        ``vNNNNN`` dirs index their own manifest; foreign (cloned) dirs
+        carry their writer metadata in the referencing entry's
+        ``dir_meta``."""
+        try:
+            return entries[int(d[1:])]
+        except (ValueError, IndexError):
+            pass
+        for e in entries:
+            meta = (e.get("dir_meta") or {}).get(d)
+            if meta:
+                return meta
+        return entry
 
     def rollback(self, name: str, version: int) -> TableHandle:
         """Iceberg ``rollback_to_snapshot`` analog: make ``version``
@@ -1596,7 +1707,7 @@ class Catalog:
             bloom_pos = {}
         dirs = []
         for d in entry["data_dirs"]:
-            wentry = entries[int(d[1:])]
+            wentry = self._writer_entry(entries, entry, d)
             if prune and self._dir_prunable(wentry.get("stats"), prune):
                 continue
             if eq_ranges and self._dir_prunable(wentry.get("stats"), eq_ranges):
@@ -1679,7 +1790,7 @@ class Catalog:
         parts = []
         for d in dirs:
             p = os.path.join(h.path, d)
-            wentry = entries[int(d[1:])]
+            wentry = self._writer_entry(entries, entry, d)
             writer_ids = _ids(wentry["schema"]["fields"]) if target_ids else None
             if writer_ids is not None and "written_fields" in wentry:
                 # only fields the dir PHYSICALLY carries resolve from
@@ -1938,7 +2049,7 @@ class Catalog:
         entry = entries[version] if version is not None else entries[-1]
         total = 0
         for d in entry["data_dirs"]:
-            stats = entries[int(d[1:])].get("stats")
+            stats = self._writer_entry(entries, entry, d).get("stats")
             if stats and "rows" in stats:
                 total += stats["rows"]
                 continue

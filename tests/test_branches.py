@@ -160,6 +160,51 @@ def test_merge_into_update_exprs_delete_and_no_insert(spark, tmp_path):
     assert rows == {1: 15.0, 3: 30.0}
 
 
+def test_shallow_clone_zero_copy_and_independent_evolution(spark, tmp_path):
+    """SHALLOW CLONE: the clone's first snapshot references the
+    source's dirs (no data copied); both tables then evolve
+    independently; schema-evolved source dirs still project correctly
+    through the clone's carried writer metadata."""
+    import os
+
+    cat = _cat(spark, tmp_path)
+    cat.create_table("src", spark.createDataFrame([(1,)], "id long"))
+    cat.add_column("src", "tag", "string", default="old")
+    cat.append(
+        "src", spark.createDataFrame([(2, "new")], "id long, tag string")
+    )
+    cat.clone_table("src", "dup")
+    # zero copy: the clone dir holds only its manifest
+    clone_dir = os.path.join(str(tmp_path / "w"), "dup")
+    assert sorted(os.listdir(clone_dir)) == ["_manifest.json"]
+    rows = {r["id"]: r["tag"] for r in cat.read("dup").collect()}
+    assert rows == {1: "old", 2: "new"}  # initial default survives
+    # metadata-only count through foreign dir stats
+    assert cat.row_count("dup") == 2
+
+    # independent evolution in both directions
+    cat.append("dup", spark.createDataFrame([(3, "c")], "id long, tag string"))
+    cat.append("src", spark.createDataFrame([(9, "s")], "id long, tag string"))
+    assert sorted(r["id"] for r in cat.read("dup").collect()) == [1, 2, 3]
+    assert sorted(r["id"] for r in cat.read("src").collect()) == [1, 2, 9]
+    # the clone's own DML never touches source dirs
+    cat.delete_where("dup", "id = 3")
+    assert sorted(r["id"] for r in cat.read("dup").collect()) == [1, 2]
+    assert sorted(r["id"] for r in cat.read("src").collect()) == [1, 2, 9]
+    # COW DML on a row living in a FOREIGN (cloned) dir: the clone
+    # rewrites that dir's survivors into its OWN storage; the source
+    # keeps the row (regression: substring containment silently
+    # no-opped on cloned dirs)
+    res = cat.delete_where("dup", "id = 1")
+    assert res["affected_rows"] == 1 and res["rewritten_dirs"]
+    assert sorted(r["id"] for r in cat.read("dup").collect()) == [2]
+    assert sorted(r["id"] for r in cat.read("src").collect()) == [1, 2, 9]
+    # re-materialization cuts the dependency on source storage
+    cat.compact("dup")
+    files = cat.read("dup").inputFiles()
+    assert files and all("/dup/" in f for f in files)
+
+
 def test_merge_into_duplicate_source_keys_refused(spark, tmp_path):
     import pytest
 
