@@ -2060,14 +2060,26 @@ class Catalog:
                         total += pq.read_metadata(
                             os.path.join(dp, fname)
                         ).num_rows
-        for d in entry.get("delete_dirs") or []:
-            root = os.path.join(h.path, d)
-            for dp, _, fs in os.walk(root):
-                for fname in fs:
-                    if fname.endswith(".parquet"):
-                        total -= pq.read_metadata(
-                            os.path.join(dp, fname)
-                        ).num_rows
+        ddirs = entry.get("delete_dirs") or []
+        if ddirs:
+            # subtract ONLY positions whose data file is still live: a
+            # COW/merge rewrite may have replaced a MOR-deleted dir
+            # (the rewritten output already excludes those rows), and
+            # its delete files are carried for any OTHER dirs they
+            # cover — blind footer subtraction would double-count.
+            # This one case reads the (small, broadcast-sized by the
+            # MOR contract) delete files' file column instead of being
+            # purely footer-metadata.
+            import functools
+
+            live = [self._dir_abs(h, d) for d in entry["data_dirs"]]
+            pos = self._read_positions(h, ddirs)
+            if live:
+                norm = F.regexp_replace(F.col("_file"), "^file:/+", "/")
+                cond = functools.reduce(
+                    lambda a, b: a | b, [norm.startswith(p) for p in live]
+                )
+                total -= pos.filter(cond).count()
         return total
 
     # -- SQL views ---------------------------------------------------------
