@@ -147,6 +147,11 @@ def cmd_maintain(args: argparse.Namespace) -> int:
             raise SystemExit("fast-forward requires --ref")
         cat.fast_forward(args.table, args.ref)
         out = {"table": args.table, "fast_forwarded_from": args.ref}
+    elif op == "clone":
+        if not args.ref:
+            raise SystemExit("clone requires --ref (the target table name)")
+        cat.clone_table(args.table, args.ref, version=args.version)
+        out = {"table": args.table, "cloned_to": args.ref}
     else:  # pragma: no cover — argparse choices guard this
         raise SystemExit(f"unknown op {op}")
     print(json.dumps(out, default=str))
@@ -198,7 +203,7 @@ def main(argv: list[str] | None = None) -> int:
         "op",
         choices=["compact", "expire", "rollback", "publish",
                  "rewrite-deletes", "row-count", "tag", "branch",
-                 "fast-forward"],
+                 "fast-forward", "clone"],
     )
     p.add_argument("--warehouse", required=True)
     p.add_argument("--table", required=True)

@@ -129,3 +129,9 @@ def test_cli_maintain_refs(spark, tmp_path, capsys):
         capsys.readouterr().out.strip()
     )["fast_forwarded_from"] == "wip"
     assert sorted(r["id"] for r in cat.read("t").collect()) == [1, 2]
+
+    rc = main(["maintain", "clone", "--warehouse", wh, "--table", "t",
+               "--ref", "t_dev"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip())["cloned_to"] == "t_dev"
+    assert sorted(r["id"] for r in cat.read("t_dev").collect()) == [1, 2]
