@@ -23,6 +23,7 @@ __all__ = [
     "run_checks",
     "split_quarantine",
     "schema_drift",
+    "observe_quality",
 ]
 
 
@@ -131,6 +132,29 @@ def check_freshness(
 def run_checks(df: DataFrame, checks: Sequence[tuple]) -> dict[str, int]:
     """checks: sequence of (name, callable(df) -> violations)."""
     return {name: fn(df) for name, fn in checks}
+
+
+def observe_quality(
+    df: DataFrame, metrics: Sequence[tuple[str, Column]]
+) -> tuple[DataFrame, "object"]:
+    """ZERO-EXTRA-PASS quality metrics via Spark's Observation API:
+    attach named aggregate metrics (violation counts, totals) to a
+    DataFrame so they're collected AS A SIDE EFFECT of whatever action
+    the pipeline runs anyway (the write, the count) — at 100 TB, N
+    separate ``check_*`` jobs re-scan the table N times; observed
+    metrics ride the one scan that was already happening.
+
+    ``metrics``: (name, aggregate_column) pairs, e.g.
+    ``("null_ids", sum(when(col(id).isNull(), 1).otherwise(0)))``.
+    Returns ``(observed_df, observation)`` — run exactly one action on
+    ``observed_df``, then read ``observation.get`` (dict name → value;
+    blocks until the action finishes). One Observation instance is
+    single-use by Spark's contract: re-observe for a second action.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    return df.observe(obs, *[c.alias(n) for n, c in metrics]), obs
 
 
 def split_quarantine(

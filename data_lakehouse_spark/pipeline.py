@@ -123,20 +123,49 @@ class MedallionPipeline:
         transformed = silver_events(bronze, **silver_kwargs).withColumn(
             "_bronze_ingestion_time", F.col("_ingestion_time")
         )
-        if mode == "create":
-            self.catalog.create_table(
-                "silver_events", transformed, partition_by=["event_date"]
+        if mode == "append" and dedup_on_write:
+            transformed = transformed.join(
+                existing.select("event_unique_id"),
+                "event_unique_id",
+                "left_anti",
             )
+        # write-time quality counters ride the write job itself (the
+        # Observation API) — zero extra passes over the increment; the
+        # deep post-build audit (check_silver) stays a separate tier.
+        # The observation attaches to the exact DataFrame the write
+        # action runs on (an Observation reports its FIRST action, so a
+        # probe on an observed frame would poison the metrics).
+        def _observed(df: DataFrame):
+            return quality.observe_quality(
+                df,
+                [
+                    ("rows_written", F.count(F.lit(1))),
+                    (
+                        "null_event_date",
+                        F.sum(
+                            F.when(F.col("event_date").isNull(), 1).otherwise(0)
+                        ),
+                    ),
+                    (
+                        "negative_price",
+                        F.sum(F.when(F.col("price") < 0, 1).otherwise(0)),
+                    ),
+                ],
+            )
+
+        if mode == "create":
+            obs_df, obs = _observed(transformed)
+            self.catalog.create_table(
+                "silver_events", obs_df, partition_by=["event_date"]
+            )
+            observed = dict(obs.get)
+        elif transformed.limit(1).count() > 0:
+            obs_df, obs = _observed(transformed)
+            self.catalog.append("silver_events", obs_df)
+            observed = dict(obs.get)
         else:
-            if dedup_on_write:
-                transformed = transformed.join(
-                    existing.select("event_unique_id"),
-                    "event_unique_id",
-                    "left_anti",
-                )
-            if transformed.limit(1).count() > 0:
-                self.catalog.append("silver_events", transformed)
-        return {"table": "silver_events", "mode": mode}
+            observed = {"rows_written": 0}
+        return {"table": "silver_events", "mode": mode, "observed": observed}
 
     def check_silver(self) -> dict[str, int]:
         s = self.catalog.read("silver_events")

@@ -163,12 +163,18 @@ def test_medallion_end_to_end_incremental(spark, tmp_path):
     assert all(v == 0 for v in stats1["silver_checks"].values())
     n1 = cat.read("silver_events").count()
     assert n1 == 5
+    # write-time observed metrics rode the write job (no extra pass)
+    assert stats1["silver"]["observed"]["rows_written"] == 5
+    assert stats1["silver"]["observed"]["null_event_date"] == 0
+    assert stats1["silver"]["observed"]["negative_price"] == 0
 
     # batch 2 arrives later — silver must only append the new rows
     raw2 = spark.createDataFrame(_batch(range(6, 9), 2, "view"), EVENTS)
     stats2 = pipe.run(raw2, "batch2.parquet")
     assert stats2["silver"]["mode"] == "append"
     assert cat.read("silver_events").count() == 8
+    # observed metrics describe the INCREMENT, not the whole table
+    assert stats2["silver"]["observed"]["rows_written"] == 3
     # re-running with no new data must not duplicate
     stats3 = pipe.ingest_bronze(
         spark.createDataFrame([], EVENTS), "empty.parquet"
