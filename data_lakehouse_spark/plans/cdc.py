@@ -55,10 +55,15 @@ _LAST_VERSION_PROP = "cdc.last_source_version"
 class CdcAggregate:
     """Incrementally-maintained aggregate table.
 
-    ``measures`` maps output column → ("sum", expr), ("count", None)
-    or ("count_distinct", expr) where expr is a SQL string evaluated
-    against source rows. The mart also always carries ``_n_rows``
-    (live row count per group) to decide group retirement.
+    ``measures`` maps output column → ("sum", expr), ("count", None),
+    ("count_distinct", expr), ("min", expr) or ("max", expr), where
+    expr is a SQL string evaluated against source rows. MIN/MAX are
+    NOT algebraic under deletes (removing the current extreme needs
+    the runner-up), so they share the count_distinct support-table
+    machinery: the per-(group, value) live multiset re-derives the
+    extreme absolutely for affected groups. The mart also always
+    carries ``_n_rows`` (live row count per group) to decide group
+    retirement.
     """
 
     def __init__(
@@ -70,9 +75,9 @@ class CdcAggregate:
         measures: dict[str, tuple[str, str | None]],
     ) -> None:
         for out, (agg, _) in measures.items():
-            if agg not in ("sum", "count", "count_distinct"):
+            if agg not in ("sum", "count", "count_distinct", "min", "max"):
                 raise ValueError(
-                    f"{out}: only sum/count/count_distinct are "
+                    f"{out}: only sum/count/count_distinct/min/max are "
                     "CDC-maintainable (holistic aggregates need recompute)"
                 )
         self.catalog = catalog
@@ -82,18 +87,24 @@ class CdcAggregate:
         self.measures = dict(measures)
 
     # -- internals --------------------------------------------------------
+    #: measure kinds that need the per-(group, value) support table
+    _SUPPORTED_KINDS = ("count_distinct", "min", "max")
+
     @property
     def _algebraic(self) -> dict[str, tuple[str, str | None]]:
         return {
-            o: m for o, m in self.measures.items() if m[0] != "count_distinct"
+            o: m
+            for o, m in self.measures.items()
+            if m[0] not in self._SUPPORTED_KINDS
         }
 
     @property
-    def _distinct(self) -> dict[str, str]:
+    def _supported(self) -> dict[str, tuple[str, str]]:
+        """out → (kind, expr) for support-table-backed measures."""
         return {
-            o: m[1]
+            o: (m[0], m[1])
             for o, m in self.measures.items()
-            if m[0] == "count_distinct"
+            if m[0] in self._SUPPORTED_KINDS
         }
 
     def _dv_table(self, out: str) -> str:
@@ -114,12 +125,23 @@ class CdcAggregate:
     def _aggregate(self, rows: DataFrame, sign: Column) -> DataFrame:
         return rows.groupBy(*self.group_cols).agg(*self._signed_aggs(sign))
 
+    @staticmethod
+    def _abs_agg(kind: str, col: Column) -> Column:
+        if kind == "count_distinct":
+            return F.count(F.lit(1)).cast("bigint")
+        return F.min(col) if kind == "min" else F.max(col)
+
     def _full_mart(self, rows: DataFrame) -> DataFrame:
         aggs = self._signed_aggs(F.lit(1))
-        aggs += [
-            F.countDistinct(F.expr(expr)).cast("bigint").alias(out)
-            for out, expr in self._distinct.items()
-        ]
+        for out, (kind, expr) in self._supported.items():
+            if kind == "count_distinct":
+                aggs.append(
+                    F.countDistinct(F.expr(expr)).cast("bigint").alias(out)
+                )
+            elif kind == "min":
+                aggs.append(F.min(F.expr(expr)).alias(out))
+            else:
+                aggs.append(F.max(F.expr(expr)).alias(out))
         return rows.groupBy(*self.group_cols).agg(*aggs)
 
     def _dv_full(self, rows: DataFrame, expr: str) -> DataFrame:
@@ -140,12 +162,15 @@ class CdcAggregate:
         return len(entries) - 1
 
     def _refresh_support(
-        self, out: str, expr: str, signed: DataFrame, last: int, cur: int
+        self, out: str, expr: str, signed: DataFrame, last: int, cur: int,
+        kind: str = "count_distinct",
     ) -> DataFrame:
         """Fold the change feed into the support table (skipping the
         fold if a crashed prior refresh already committed it), then
-        return the ABSOLUTE per-group distinct count for the groups the
-        feed touched."""
+        return the ABSOLUTE per-group value (distinct count, or min/max
+        over the live multiset) for the groups the feed touched, with a
+        ``_has_<out>`` presence marker so the merge can distinguish
+        "re-derived (possibly NULL)" from "group untouched"."""
         dv_name = self._dv_table(out)
         dv_props = self.catalog.table_properties(dv_name)
         dv_last = int(dv_props[_LAST_VERSION_PROP])
@@ -184,19 +209,25 @@ class CdcAggregate:
                 mode="replace",
             )
         affected = dv_delta.select(*self.group_cols).distinct()
-        counts = (
+        derived = (
             self.catalog.read(self._dv_table(out))
             .join(F.broadcast(affected), on=self.group_cols, how="left_semi")
             .groupBy(*self.group_cols)
-            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+            .agg(self._abs_agg(kind, F.col("_dv")).alias(out))
         )
-        # join FROM the affected side: a group whose last distinct value
-        # just died has no support rows left and must come back as 0,
-        # not vanish (vanishing would leave the stale old count in the
-        # mart merge)
-        return affected.join(counts, on=self.group_cols, how="left").select(
+        # join FROM the affected side: a group whose last live value
+        # just died has no support rows left and must come back as
+        # 0 (count) / NULL (min, max), not vanish — vanishing would
+        # leave the stale old value in the mart merge
+        fill = (
+            F.coalesce(F.col(out), F.lit(0).cast("bigint"))
+            if kind == "count_distinct"
+            else F.col(out)
+        )
+        return affected.join(derived, on=self.group_cols, how="left").select(
             *self.group_cols,
-            F.coalesce(F.col(out), F.lit(0).cast("bigint")).alias(out),
+            fill.alias(out),
+            F.lit(True).alias(f"_has_{out}"),
         )
 
     # -- API --------------------------------------------------------------
@@ -206,7 +237,7 @@ class CdcAggregate:
         cur = self._source_version()
         if not self.catalog.table_exists(self.target):
             rows = self.catalog.read(self.source)
-            for out, expr in self._distinct.items():
+            for out, (kind, expr) in self._supported.items():
                 self.catalog.create_table(
                     self._dv_table(out),
                     self._dv_full(rows, expr),
@@ -236,8 +267,8 @@ class CdcAggregate:
         delta = self._aggregate(signed, F.col("_sign"))
 
         countd_abs: dict[str, DataFrame] = {
-            out: self._refresh_support(out, expr, signed, last, cur)
-            for out, expr in self._distinct.items()
+            out: self._refresh_support(out, expr, signed, last, cur, kind)
+            for out, (kind, expr) in self._supported.items()
         }
 
         mart = self.catalog.read(self.target)
@@ -263,8 +294,17 @@ class CdcAggregate:
             .filter(F.col("_n_rows") > 0)  # group retirement
         )
         for out, abs_df in countd_abs.items():
-            # absolute replacement for touched groups; untouched keep
-            # their old value; brand-new NULL-only groups get 0
+            kind = self._supported[out][0]
+            # REPLACE semantics gated on the presence marker: a touched
+            # group takes the re-derived value even when that value is
+            # NULL (min/max with no live values); untouched groups keep
+            # their old value; brand-new NULL-only groups get 0 for
+            # counts and NULL for extremes
+            default = (
+                F.lit(0).cast("bigint")
+                if kind == "count_distinct"
+                else F.lit(None)
+            )
             merged = (
                 merged.join(
                     abs_df.withColumnRenamed(out, f"_new_{out}"),
@@ -273,13 +313,11 @@ class CdcAggregate:
                 )
                 .withColumn(
                     out,
-                    F.coalesce(
-                        F.col(f"_new_{out}"),
-                        F.col(f"_old_{out}"),
-                        F.lit(0).cast("bigint"),
-                    ),
+                    F.when(
+                        F.col(f"_has_{out}").isNotNull(), F.col(f"_new_{out}")
+                    ).otherwise(F.coalesce(F.col(f"_old_{out}"), default)),
                 )
-                .drop(f"_new_{out}", f"_old_{out}")
+                .drop(f"_new_{out}", f"_old_{out}", f"_has_{out}")
             )
         self.catalog.create_table(
             self.target,

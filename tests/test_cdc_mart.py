@@ -156,6 +156,90 @@ def test_cdc_count_distinct_matches_full_recompute(spark, tmp_path):
     )
 
 
+def test_cdc_min_max_survive_extreme_deletion(spark, tmp_path):
+    """MIN/MAX are not algebraic under deletes: removing the current
+    extreme must surface the runner-up (support-table re-derivation),
+    and a group with no live values lands on NULL, not a stale extreme."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table(
+        "ev",
+        spark.createDataFrame(
+            [
+                ("d1", 10.0),
+                ("d1", 50.0),
+                ("d1", 90.0),
+                ("d2", 5.0),
+            ],
+            "day string, amount double",
+        ),
+    )
+    agg = CdcAggregate(
+        cat, "ev", "mart", ["day"],
+        {
+            "lo": ("min", "amount"),
+            "hi": ("max", "amount"),
+            "n": ("count", None),
+        },
+    )
+
+    def full() -> dict:
+        rows = (
+            cat.read("ev")
+            .groupBy("day")
+            .agg(
+                F.min("amount").alias("lo"),
+                F.max("amount").alias("hi"),
+                F.count("*").cast("bigint").alias("n"),
+            )
+            .collect()
+        )
+        return {r["day"]: (r["lo"], r["hi"], r["n"]) for r in rows}
+
+    def mart() -> dict:
+        return {
+            r["day"]: (r["lo"], r["hi"], r["n"])
+            for r in cat.read("mart").collect()
+        }
+
+    agg.refresh()
+    assert mart() == full() == {"d1": (10.0, 90.0, 3), "d2": (5.0, 5.0, 1)}
+
+    # delete the current MAX: the runner-up surfaces
+    cat.delete_where("ev", "amount = 90.0", mode="mor")
+    agg.refresh()
+    assert mart() == full()
+    assert mart()["d1"] == (10.0, 50.0, 2)
+
+    # delete the current MIN via COW update (moves it up)
+    cat.update_where("ev", "amount = 10.0", {"amount": "60.0"})
+    agg.refresh()
+    assert mart() == full()
+    assert mart()["d1"] == (50.0, 60.0, 2)
+
+    # duplicate extremes: deleting one occurrence keeps the extreme
+    cat.append(
+        "ev", spark.createDataFrame([("d2", 5.0)], "day string, amount double")
+    )
+    agg.refresh()
+    assert mart()["d2"] == (5.0, 5.0, 2)
+    cat.delete_where("ev", "day = 'd2' and amount = 5.0", mode="mor")
+    # both occurrences died (predicate matches both) -> group retires
+    agg.refresh()
+    m = mart()
+    assert "d2" not in m and m == full()
+
+    # a NULL-amount-only group: count lives, extremes are NULL
+    cat.append(
+        "ev",
+        spark.createDataFrame(
+            [("d3", None)], "day string, amount double"
+        ),
+    )
+    agg.refresh()
+    assert mart() == full()
+    assert mart()["d3"] == (None, None, 1)
+
+
 def test_cdc_count_distinct_crash_replay_idempotent(spark, tmp_path):
     """Crash between the support commit and the mart commit: the replay
     must not double-fold the change feed into the support table."""
