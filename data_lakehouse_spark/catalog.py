@@ -208,6 +208,20 @@ class Catalog:
                 return e
         return None
 
+    def _main_head(self, entries: list[dict], name: str) -> dict:
+        """Head entry of the MAIN lineage, raising if there is none.
+
+        Every main-lineage operation (DML, schema DDL, maintenance,
+        metadata reads) must resolve its base through here rather than
+        ``entries[-1]``: branch commits land at the manifest TAIL, so
+        the tail entry may belong to a branch — basing a main op on it
+        would leak branch data dirs (or branch schema/properties) into
+        the main lineage."""
+        head = self._branch_head(entries, None)
+        if head is None:
+            raise ValueError(f"table {name} has no main-lineage snapshot")
+        return head
+
     def _tags_path(self, h: TableHandle) -> str:
         return os.path.join(h.path, "_tags.json")
 
@@ -226,7 +240,11 @@ class Catalog:
         entries = self._load_manifest(h)
         if not entries:
             raise ValueError(f"table {name} does not exist")
-        v = version if version is not None else entries[-1]["version"]
+        v = (
+            version
+            if version is not None
+            else self._main_head(entries, name)["version"]
+        )
         if entries[v].get("expired"):
             raise ValueError(f"version {v} of {name} has been expired")
         tags = self._load_tags(h)
@@ -361,9 +379,9 @@ class Catalog:
         h = self._handle(name)
         with self._commit_lock(h):
             entries = self._load_manifest(h)
-            if not entries or not entries[-1].get("staged"):
+            target = self._branch_head(entries, None) if entries else None
+            if target is None or not target.get("staged"):
                 raise ValueError(f"{name}: nothing staged to publish")
-            target = entries[-1]
             entries.append(
                 {
                     "version": len(entries),
@@ -581,7 +599,7 @@ class Catalog:
         else:
             ddirs = list(prev.get("delete_dirs") or []) if prev else []
         schema_json = self._assign_field_ids(
-            json.loads(df.schema.json()), entries
+            json.loads(df.schema.json()), entries, prev=prev
         )
         if not replace and prev is not None:
             # appends may omit optional columns (Iceberg write
@@ -669,6 +687,11 @@ class Catalog:
             np.bitwise_or.at(bits, idx // 8, (1 << (idx % 8)).astype(np.uint8))
         payload = {
             "column": col,
+            # build-time PHYSICAL type: probes must hash the literal at
+            # this type, not the table's declared type — after a
+            # widening alter_column_type the two diverge and
+            # xxhash64(int value) != xxhash64(long value)
+            "type": df.schema[col].dataType.simpleString(),
             "m": self._BLOOM_BITS,
             "k": self._BLOOM_K,
             "bits": base64.b64encode(bits.tobytes()).decode("ascii"),
@@ -677,10 +700,22 @@ class Catalog:
             json.dump(payload, f)
 
     def _bloom_might_contain(
-        self, dir_path: str, col: str, positions: list[int]
+        self, dir_path: str, col: str, value, declared_type: str,
+        pos_cache: dict,
     ) -> bool:
         """Probe a dir's bloom sidecar. Missing sidecar → True (keep the
-        dir: the column wasn't bloom-tracked when it was written)."""
+        dir: the column wasn't bloom-tracked when it was written).
+
+        The probe literal is cast to the sidecar's RECORDED build-time
+        type, not the table's declared type: after a widening
+        ``alter_column_type`` the declared type diverges from the
+        physical type the sidecar hashed, and probing at the declared
+        type would yield false NEGATIVES — live dirs silently skipped,
+        the one failure mode a bloom must never have. Positions are
+        cached per (column, build type) so the per-read Spark probe job
+        runs once per distinct sidecar generation, not per dir. Legacy
+        sidecars without a recorded type fall back to the declared
+        type (their builds predate alter_column_type support)."""
         import base64
 
         path = os.path.join(dir_path, f"_bloom_{col}.json")
@@ -688,8 +723,14 @@ class Catalog:
             return True
         with open(path) as f:
             payload = json.load(f)
+        btype = payload.get("type") or declared_type
+        key = (col, btype)
+        if key not in pos_cache:
+            pos_cache[key] = self._probe_positions(
+                {col: value}, {col: btype}
+            )[col]
         bits = base64.b64decode(payload["bits"])
-        for p in positions:
+        for p in pos_cache[key]:
             if not (bits[p // 8] >> (p % 8)) & 1:
                 return False
         return True
@@ -780,17 +821,25 @@ class Catalog:
             default=0,
         )
 
-    def _assign_field_ids(self, schema_json: dict, entries: list[dict]) -> dict:
+    def _assign_field_ids(
+        self, schema_json: dict, entries: list[dict],
+        prev: dict | None = None,
+    ) -> dict:
         """Iceberg-style stable field ids: a column keeps its id across
         commits (matched by name against the previous schema — renames
         go through :meth:`rename_column`, which preserves the id
         explicitly), and fresh names get fresh ids so a re-added name
         never resurrects dropped data. Ids are what let :meth:`read`
-        resolve files written under a column's OLD name."""
+        resolve files written under a column's OLD name.
+
+        ``prev`` is the LINEAGE head the commit builds on (main head for
+        main commits, branch head for branch commits) — names must be
+        matched against that lineage's schema, not the manifest tail,
+        which may belong to another lineage."""
+        if prev is None and entries:
+            prev = entries[-1]
         prev_fields = (
-            {f["name"]: f for f in entries[-1]["schema"]["fields"]}
-            if entries
-            else {}
+            {f["name"]: f for f in prev["schema"]["fields"]} if prev else {}
         )
         nid = self._max_field_id(entries)
         for f in schema_json["fields"]:
@@ -825,7 +874,7 @@ class Catalog:
         entries = self._load_manifest(h)
         if not entries:
             raise ValueError(f"table {name} does not exist")
-        last = entries[-1]
+        last = self._main_head(entries, name)
         fields = last["schema"]["fields"]
         if any(f["name"] == col_name for f in fields):
             return  # idempotent no-op
@@ -879,7 +928,7 @@ class Catalog:
         entries = self._load_manifest(h)
         if not entries:
             raise ValueError(f"table {name} does not exist")
-        last = entries[-1]
+        last = self._main_head(entries, name)
         fields = last["schema"]["fields"]
         cur = next((f for f in fields if f["name"] == col_name), None)
         if cur is None:
@@ -912,7 +961,7 @@ class Catalog:
         entries = self._load_manifest(h)
         if not entries:
             raise ValueError(f"table {name} does not exist")
-        last = entries[-1]
+        last = self._main_head(entries, name)
         if old in (last.get("partition_by") or []):
             raise ValueError(f"cannot rename partition column {old}")
         fields = last["schema"]["fields"]
@@ -936,7 +985,7 @@ class Catalog:
         entries = self._load_manifest(h)
         if not entries:
             raise ValueError(f"table {name} does not exist")
-        last = entries[-1]
+        last = self._main_head(entries, name)
         if col_name in (last.get("partition_by") or []):
             raise ValueError(f"cannot drop partition column {col_name}")
         fields = last["schema"]["fields"]
@@ -967,7 +1016,7 @@ class Catalog:
             entries = self._load_manifest(h)
             if not entries:
                 raise ValueError(f"table {name} does not exist")
-            last = entries[-1]
+            last = self._main_head(entries, name)
             entries.append(
                 {
                     "version": len(entries),
@@ -993,15 +1042,21 @@ class Catalog:
     def _schema_commit(
         self, h: TableHandle, entries: list[dict], op: str, new_schema: dict
     ) -> None:
+        # base on the MAIN head, not the manifest tail (a branch commit
+        # may be the tail), and carry delete_dirs: dropping them on a
+        # schema DDL would resurrect merge-on-read-deleted rows
+        base = self._main_head(entries, h.name)
         entries.append(
             {
                 **{
-                    k: entries[-1].get(k)
+                    k: base.get(k)
                     for k in (
                         "data_dirs",
+                        "delete_dirs",
                         "partition_by",
                         "partition_transforms",
                         "properties",
+                        "stats",
                     )
                 },
                 "version": len(entries),
@@ -1035,17 +1090,18 @@ class Catalog:
         entries = self._load_manifest(self._handle(name))
         if not entries:
             raise ValueError(f"table {name} does not exist")
+        head = self._main_head(entries, name)
         current = self.read(name)
         files_before = len(current.inputFiles())
         bytes_total = sum(
             os.path.getsize(os.path.join(dp, f))
-            for d in entries[-1]["data_dirs"]
+            for d in head["data_dirs"]
             for dp, _, fs in os.walk(os.path.join(self._handle(name).path, d))
             for f in fs
             if f.endswith(".parquet")
         )
         n_files = max(1, -(-bytes_total // target_file_bytes))
-        pb = entries[-1].get("partition_by")
+        pb = head.get("partition_by")
         if zorder_by:
             # OPTIMIZE ZORDER BY: range-partition on the Morton code so
             # each output file covers a small rectangle in zorder_by
@@ -1101,7 +1157,7 @@ class Catalog:
         # SQL DML semantics: only cond IS TRUE rows are affected;
         # FALSE and NULL rows are kept verbatim.
         is_hit = F.coalesce(cond, F.lit(False))
-        live = entries[-1]["data_dirs"]
+        live = self._main_head(entries, name)["data_dirs"]
         # lineage read, not input_file_name(): once MOR delete files
         # exist the scan is a join of two file sources and
         # input_file_name() is ambiguous; _file is pinned at the data
@@ -1189,7 +1245,7 @@ class Catalog:
             .select("_file", "_pos")
         )
         affected = positions.count()
-        live = list(entries[-1]["data_dirs"])
+        live = list(self._main_head(entries, name)["data_dirs"])
         if affected == 0:
             return {"table": name, "affected_rows": 0, "delete_dir": None,
                     "rewritten_dirs": [], "kept_dirs": live}
@@ -1206,7 +1262,7 @@ class Catalog:
             positions.write.mode("overwrite").parquet(
                 os.path.join(h.path, ddir)
             )
-            prev = entries[-1]
+            prev = self._main_head(entries, name)
             entries.append(
                 {
                     "version": version,
@@ -1237,7 +1293,7 @@ class Catalog:
         entries = self._load_manifest(h)
         if not entries:
             raise ValueError(f"table {name} does not exist")
-        ddirs = entries[-1].get("delete_dirs") or []
+        ddirs = self._main_head(entries, name).get("delete_dirs") or []
         if not ddirs:
             return {"table": name, "delete_dirs_removed": 0}
         self._commit(h, self.read(name), op="rewrite_deletes", replace=True)
@@ -1313,11 +1369,21 @@ class Catalog:
                 f"MERGE INTO {name}: source has duplicate keys on {on} — "
                 "a matched target row would receive two updates"
             )
-        tcols = [f["name"] for f in entries[-1]["schema"]["fields"]]
+        head = self._main_head(entries, name)
+        tcols = [f["name"] for f in head["schema"]["fields"]]
         src = source.select(
             *[F.col(c).alias(f"_s_{c}") for c in source.columns]
         )
-        src_keys = [F.col(f"_s_{c}").alias(c) for c in on]
+        src_key_cols = [f"_s_{c}" for c in on]
+        # eqNullSafe THROUGHOUT: the merge join itself is null-safe, so
+        # hit-file detection and the stats joins must be too — a
+        # name-based equality join would never match NULL keys, leaving
+        # a NULL-key target row's dir untouched while the merge inserts
+        # the source row (a duplicate under the documented semantics)
+        key_cond = functools.reduce(
+            lambda a, b: a & b,
+            [F.col(c).eqNullSafe(F.col(f"_s_{c}")) for c in on],
+        )
         tgt = (
             self.read(name, with_lineage=True)
             .withColumnRenamed("_file", "_cow_file")
@@ -1326,13 +1392,13 @@ class Catalog:
         hit_files = [
             r["_cow_file"]
             for r in tgt.join(
-                F.broadcast(src.select(*src_keys)), on=on, how="left_semi"
+                F.broadcast(src.select(*src_key_cols)), key_cond, "left_semi"
             )
             .select("_cow_file")
             .distinct()
             .collect()
         ]
-        live = entries[-1]["data_dirs"]
+        live = head["data_dirs"]
         touched = [
             d
             for d in live
@@ -1353,15 +1419,11 @@ class Catalog:
         else:
             touched_rows = tgt.filter(F.lit(False)).drop("_cow_file")
 
-        join_cond = functools.reduce(
-            lambda a, b: a & b,
-            [F.col(c).eqNullSafe(F.col(f"_s_{c}")) for c in on],
-        )
         # explicit presence markers: key columns may legally be NULL
         # (eqNullSafe join), so side presence can't be inferred from
         # key nullness
         joined = touched_rows.withColumn("_t_present", F.lit(True)).join(
-            src.withColumn("_s_present", F.lit(True)), join_cond, "full_outer"
+            src.withColumn("_s_present", F.lit(True)), key_cond, "full_outer"
         )
         has_target = F.col("_t_present").isNotNull()
         has_source = F.col("_s_present").isNotNull()
@@ -1402,11 +1464,11 @@ class Catalog:
         result = result.select(*out_cols)
 
         n_matched = touched_rows.join(
-            F.broadcast(src.select(*src_keys)), on=on, how="left_semi"
+            F.broadcast(src.select(*src_key_cols)), key_cond, "left_semi"
         ).count()
         n_insert = (
-            src.select(*src_keys)
-            .join(tgt.select(*on), on=on, how="left_anti")
+            src.select(*src_key_cols)
+            .join(tgt.select(*on), key_cond, "left_anti")
             .count()
             if insert_not_matched
             else 0
@@ -1579,14 +1641,24 @@ class Catalog:
             for e in entries
             if e.get("branch") and not e.get("branch_dropped")
         }
-        retained = entries[-keep_last:] + [entries[v] for v in sorted(protected)]
+        # the retention window counts MAIN-lineage snapshots, not raw
+        # manifest positions: branch commits land at the tail, so
+        # entries[-keep_last:] could be entirely branch entries and the
+        # still-live main head would be expired out from under default
+        # reads. The main head is always retained by construction
+        # (it is the last element of main_entries).
+        main_entries = [e for e in entries if "branch" not in e]
+        retained_versions = {
+            e["version"] for e in main_entries[-keep_last:]
+        } | protected
+        retained = [entries[v] for v in sorted(retained_versions)]
         keep_dirs = {d for e in retained for d in e["data_dirs"]}
         keep_dirs |= {
             d for e in retained for d in (e.get("delete_dirs") or [])
         }
         expired_versions = 0
-        for e in entries[:-keep_last]:
-            if e["version"] in protected:
+        for e in entries:
+            if e["version"] in retained_versions:
                 continue
             if not e.get("expired"):
                 e["expired"] = True
@@ -1702,9 +1774,12 @@ class Catalog:
                 )
                 for f in entry["schema"]["fields"]
             }
-            bloom_pos = self._probe_positions(prune_eq, col_types)
         else:
-            bloom_pos = {}
+            col_types = {}
+        # probe positions are resolved per-dir against each sidecar's
+        # recorded build type (cached per distinct type) — see
+        # _bloom_might_contain
+        bloom_cache: dict = {}
         dirs = []
         for d in entry["data_dirs"]:
             wentry = self._writer_entry(entries, entry, d)
@@ -1712,11 +1787,12 @@ class Catalog:
                 continue
             if eq_ranges and self._dir_prunable(wentry.get("stats"), eq_ranges):
                 continue
-            if bloom_pos and any(
+            if prune_eq and any(
                 not self._bloom_might_contain(
-                    os.path.join(h.path, d), c, pos
+                    os.path.join(h.path, d), c, v,
+                    col_types.get(c, "string"), bloom_cache,
                 )
-                for c, pos in bloom_pos.items()
+                for c, v in prune_eq.items()
             ):
                 continue
             dirs.append(d)
@@ -1875,7 +1951,11 @@ class Catalog:
         if not entries:
             raise ValueError(f"table {name} does not exist")
         fe = entries[from_version]
-        te = entries[to_version] if to_version is not None else entries[-1]
+        te = (
+            entries[to_version]
+            if to_version is not None
+            else self._main_head(entries, name)
+        )
         for e in (fe, te):
             if e.get("expired"):
                 raise ValueError(
@@ -1966,7 +2046,7 @@ class Catalog:
         entries = self._load_manifest(self._handle(name))
         if not entries:
             raise ValueError(f"table {name} does not exist")
-        return dict(entries[-1].get("properties") or {})
+        return dict(self._main_head(entries, name).get("properties") or {})
 
     def describe(self, name: str) -> list[dict]:
         """DESCRIBE: (col_name, data_type, comment) rows (S3 analog)."""
@@ -1979,7 +2059,7 @@ class Catalog:
                 "data_type": f["type"],
                 "comment": (f.get("metadata") or {}).get("comment"),
             }
-            for f in entries[-1]["schema"]["fields"]
+            for f in self._main_head(entries, name)["schema"]["fields"]
         ]
 
     def snapshots(self, name: str) -> DataFrame:
@@ -2013,7 +2093,11 @@ class Catalog:
         entries = self._load_manifest(h)
         if not entries:
             raise ValueError(f"table {name} does not exist")
-        entry = entries[version] if version is not None else entries[-1]
+        entry = (
+            entries[version]
+            if version is not None
+            else self._main_head(entries, name)
+        )
         rows = []
         for d in entry["data_dirs"]:
             root = os.path.join(h.path, d)
@@ -2046,7 +2130,11 @@ class Catalog:
         entries = self._load_manifest(h)
         if not entries:
             raise ValueError(f"table {name} does not exist")
-        entry = entries[version] if version is not None else entries[-1]
+        entry = (
+            entries[version]
+            if version is not None
+            else self._main_head(entries, name)
+        )
         total = 0
         for d in entry["data_dirs"]:
             stats = self._writer_entry(entries, entry, d).get("stats")

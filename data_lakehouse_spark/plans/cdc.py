@@ -153,13 +153,30 @@ class CdcAggregate:
             .agg(F.count(F.lit(1)).alias("_dv_n"))
         )
 
+    def _signed_changes(self, frm: int, to: int) -> DataFrame:
+        """Change feed over (frm, to] with ``_change_type`` folded into
+        a ±1 ``_sign`` column."""
+        return (
+            self.catalog.table_changes(self.source, frm, to)
+            .withColumn(
+                "_sign",
+                F.when(
+                    F.col("_change_type") == "insert", F.lit(1)
+                ).otherwise(F.lit(-1)),
+            )
+            .drop("_change_type")
+        )
+
     def _source_version(self) -> int:
         entries = self.catalog._load_manifest(
             self.catalog._handle(self.source)
         )
         if not entries:
             raise ValueError(f"source table {self.source} does not exist")
-        return len(entries) - 1
+        # MAIN-head version, not len(entries)-1: a branch commit at the
+        # manifest tail is invisible to default reads and must be
+        # invisible to the change feed too
+        return self.catalog._main_head(entries, self.source)["version"]
 
     def _refresh_support(
         self, out: str, expr: str, signed: DataFrame, last: int, cur: int,
@@ -181,11 +198,31 @@ class CdcAggregate:
             .agg(F.sum(F.col("_sign").cast("bigint")).alias("_dv_n"))
         )
         if dv_last < cur:
+            # Fold ONLY the span the support hasn't seen. The mart's
+            # feed spans (last, cur], but a prior refresh may have
+            # crashed AFTER the support commit (dv_last > last, mart
+            # still at last) with the source advancing before the
+            # retry — re-folding the mart's feed would re-apply
+            # (last, dv_last] a second time and permanently corrupt the
+            # live-occurrence counts. `affected` below still derives
+            # from the mart's full feed: the mart needs re-derived
+            # values for every group touched since ITS version.
+            if dv_last > last:
+                fold_signed = self._signed_changes(dv_last, cur)
+                fold_delta = (
+                    fold_signed.filter(v.isNotNull())
+                    .groupBy(*self.group_cols, v.alias("_dv"))
+                    .agg(
+                        F.sum(F.col("_sign").cast("bigint")).alias("_dv_n")
+                    )
+                )
+            else:
+                fold_delta = dv_delta
             support = self.catalog.read(dv_name)
             merged = (
                 support.alias("s")
                 .join(
-                    dv_delta.alias("d"),
+                    fold_delta.alias("d"),
                     on=[*self.group_cols, "_dv"],
                     how="full_outer",
                 )
@@ -257,13 +294,7 @@ class CdcAggregate:
         if last == cur:
             return {"mode": "noop", "source_version": cur}
 
-        changes = self.catalog.table_changes(self.source, last, cur)
-        signed = changes.withColumn(
-            "_sign",
-            F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        ).drop("_change_type")
+        signed = self._signed_changes(last, cur)
         delta = self._aggregate(signed, F.col("_sign"))
 
         countd_abs: dict[str, DataFrame] = {

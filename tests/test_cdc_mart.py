@@ -291,6 +291,59 @@ def test_cdc_count_distinct_crash_replay_idempotent(spark, tmp_path):
     ] == [("d1", 3)]
 
 
+def test_cdc_crash_replay_with_source_advance(spark, tmp_path):
+    """Crash between the support commit and the mart commit, AND the
+    source advances before the retry: the retry's fold must cover only
+    the span the support hasn't seen — re-folding the mart's full feed
+    would re-apply the already-folded prefix and permanently corrupt
+    the live-occurrence counts."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table(
+        "ev",
+        spark.createDataFrame(
+            [("d1", 1), ("d1", 2)], "day string, user_id long"
+        ),
+    )  # v0
+    agg = CdcAggregate(
+        cat, "ev", "mart", ["day"], {"users": ("count_distinct", "user_id")}
+    )
+    agg.refresh()  # mart + support at v0
+    cat.append(
+        "ev", spark.createDataFrame([("d1", 2)], "day string, user_id long")
+    )  # v1: duplicate occurrence of user 2
+
+    # crashed refresh: support folds (0, 1] (user 2 count -> 2), mart
+    # stays at v0
+    agg._refresh_support(
+        "users", "user_id", agg._signed_changes(0, 1), 0, 1
+    )
+
+    # source advances before the retry
+    cat.append(
+        "ev", spark.createDataFrame([("d1", 3)], "day string, user_id long")
+    )  # v2
+
+    assert agg.refresh()["mode"] == "incremental"
+    support = {
+        (r["day"], r["_dv"]): r["_dv_n"]
+        for r in cat.read("mart__dv_users").collect()
+    }
+    # user 2 has exactly 2 live occurrences — a double-fold of (0, 1]
+    # would have left 3
+    assert support[("d1", 2)] == 2
+    assert [
+        (r["day"], r["users"]) for r in cat.read("mart").collect()
+    ] == [("d1", 3)]
+
+    # and the corruption would persist: delete the duplicate occurrence
+    # and both the support and the distinct count must still be exact
+    cat.delete_where("ev", "user_id = 2")
+    agg.refresh()
+    assert [
+        (r["day"], r["users"]) for r in cat.read("mart").collect()
+    ] == [("d1", 2)]
+
+
 def test_cdc_refresh_reads_only_changed_dirs(spark, tmp_path):
     """The incremental path's scan set is the changed dirs, not the
     whole source: the v0 dir must not appear in the merge plan."""
