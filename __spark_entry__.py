@@ -2568,6 +2568,38 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup(emb, k=8, threshold=0.9, seed=7, max_iter=10)
 
 
+def q_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-format interop: catalog table -> Apache Iceberg v2 export
+    (JSON table metadata + Avro manifests written by the Java Avro
+    library) -> independent pure-Python spec reader. The oracle is the
+    source table itself: a lossless round-trip must hash-match it.
+    Parity target: the reference's storage contract is genuine Iceberg
+    v2 (spark/spark-defaults.conf:16-22, bronze_ingestion.py:36-49)."""
+    import shutil
+    import tempfile
+
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.interop import export_iceberg, read_iceberg
+
+    _ensure_conf(spark)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dls_iceberg_rt",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(spark, os.path.join(root, "cat"))
+    cat.create_table(
+        "region_ice", spark.read.parquet(f"{sf_dir}/region.parquet")
+    )
+    export_iceberg(cat, "region_ice", os.path.join(root, "ice"))
+    return (
+        read_iceberg(spark, os.path.join(root, "ice"))
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: daily sales summary over sf0.001 events."""
     return q_daily_sales(spark, "/root/testdata/sf0.001")
@@ -2688,6 +2720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16_supplier_count": q_tpch_q16_supplier_count,
         "tpch_q20_heavy_shippers": q_tpch_q20_heavy_shippers,
         "events_point_lookup": q_events_point_lookup,
+        "iceberg_roundtrip": q_iceberg_roundtrip,
         # --- rows-only (hash/LSH/HLL/pandas-UDF based; no SQL oracle) ---
         "gold_user_rfm_segments_scalable": q_user_rfm_segments_scalable,
         "segment_order_percentiles_approx": q_segment_order_percentiles_approx,
@@ -3384,6 +3417,14 @@ ORDER BY s_name
 SELECT event_id, user_id, event_type
 FROM events
 WHERE event_id = 4242
+"""
+
+    # lossless interop: the Iceberg export/read round-trip must return
+    # the source table bit-identically
+    sql["iceberg_roundtrip"] = """
+SELECT r_regionkey, r_name
+FROM region
+ORDER BY r_regionkey
 """
 
     sql["top_customers"] = """

@@ -1,0 +1,707 @@
+"""Apache Iceberg v2 export / read — open-format interoperability for
+the catalog.
+
+The reference's entire storage contract is genuine Iceberg v2 (REST
+catalog at ``spark/spark-defaults.conf:16-22``; ``format-version`` 2
+tables created by ``spark/jobs/bronze_ingestion.py:36-49``): any second
+engine — Trino, DuckDB, pyiceberg — can read its tables. The catalog
+here is semantically at parity (snapshots, time travel, MOR deletes,
+branches) but stores a private manifest format, so this module closes
+the interop gap:
+
+- :func:`export_iceberg` writes a REAL Iceberg v2 table (JSON table
+  metadata + Avro manifest list + Avro manifest, per the public
+  Iceberg table spec, https://iceberg.apache.org/spec/) for a catalog
+  table's current snapshot. Zero data movement in the default path:
+  the Iceberg manifests reference the catalog's existing parquet files
+  in place. Manifests are written with the Apache Avro JAVA library
+  bundled with Spark (the same implementation Iceberg itself uses), so
+  the container files are produced by the reference Avro writer, not a
+  home-grown encoder.
+- :func:`read_iceberg` reads an Iceberg table directory into a
+  DataFrame using an INDEPENDENT pure-Python implementation of the
+  spec (JSON metadata walk + a from-scratch Avro OCF decoder). Tests
+  round-trip export→read, giving a genuine cross-implementation check
+  (Java Avro writer vs Python Avro reader) even though this container
+  ships no pyiceberg/duckdb-iceberg to read against.
+
+Scale note: export is O(files) metadata work — no data is read, only
+parquet FOOTERS (record counts) — so exporting a 100 TB table costs
+what listing it costs. Materializing paths (MOR deletes, hive
+partitioning) rewrite through Spark and cost one full scan, stated
+loudly below.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import struct
+import time
+import uuid
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["export_iceberg", "read_iceberg"]
+
+
+# ---------------------------------------------------------------------------
+# Spark schema JSON  ->  Iceberg schema JSON
+# ---------------------------------------------------------------------------
+
+_PRIMITIVES = {
+    "boolean": "boolean",
+    "byte": "int",
+    "short": "int",
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "binary",
+    "date": "date",
+    # Spark TIMESTAMP is session-tz-relative instant -> Iceberg timestamptz;
+    # TIMESTAMP_NTZ is the wall-clock type -> Iceberg timestamp
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+}
+
+
+class _IdGen:
+    def __init__(self, start: int) -> None:
+        self.next_id = start
+
+    def take(self) -> int:
+        self.next_id += 1
+        return self.next_id
+
+
+def _iceberg_type(t, ids: _IdGen):
+    """Convert a Spark schema-JSON type to an Iceberg type. Nested
+    element/key/value ids are freshly assigned past the top-level ids
+    (the catalog only tracks top-level field ids)."""
+    if isinstance(t, str):
+        if t in _PRIMITIVES:
+            return _PRIMITIVES[t]
+        m = re.match(r"^decimal\((\d+),(\d+)\)$", t)
+        if m:
+            return f"decimal({m.group(1)}, {m.group(2)})"
+        raise ValueError(f"cannot export Spark type {t!r} to Iceberg")
+    kind = t.get("type")
+    if kind == "array":
+        return {
+            "type": "list",
+            "element-id": ids.take(),
+            "element": _iceberg_type(t["elementType"], ids),
+            "element-required": not t.get("containsNull", True),
+        }
+    if kind == "map":
+        return {
+            "type": "map",
+            "key-id": ids.take(),
+            "key": _iceberg_type(t["keyType"], ids),
+            "value-id": ids.take(),
+            "value": _iceberg_type(t["valueType"], ids),
+            "value-required": not t.get("valueContainsNull", True),
+        }
+    if kind == "struct":
+        return {
+            "type": "struct",
+            "fields": [
+                {
+                    "id": ids.take(),
+                    "name": f["name"],
+                    "required": not f.get("nullable", True),
+                    "type": _iceberg_type(f["type"], ids),
+                }
+                for f in t["fields"]
+            ],
+        }
+    raise ValueError(f"cannot export Spark type {t!r} to Iceberg")
+
+
+def _iceberg_schema(catalog_schema: dict) -> tuple[dict, int, list[dict]]:
+    """(iceberg schema json, last-column-id, name-mapping) from the
+    catalog's Spark schema JSON (top-level field ids are the catalog's
+    stable ids — preserved so an Iceberg reader sees the same id
+    space)."""
+    top_ids = [
+        (f.get("metadata") or {}).get("field_id") for f in catalog_schema["fields"]
+    ]
+    if any(i is None for i in top_ids):
+        # non-catalog schema (no stable ids): assign positionally
+        top_ids = list(range(1, len(catalog_schema["fields"]) + 1))
+    ids = _IdGen(max(top_ids))
+    fields = []
+    mapping = []
+    for f, fid in zip(catalog_schema["fields"], top_ids):
+        fields.append(
+            {
+                "id": fid,
+                "name": f["name"],
+                "required": not f.get("nullable", True),
+                "type": _iceberg_type(f["type"], ids),
+            }
+        )
+        mapping.append({"field-id": fid, "names": [f["name"]]})
+    schema = {"type": "struct", "schema-id": 0, "fields": fields}
+    return schema, ids.next_id, mapping
+
+
+# ---------------------------------------------------------------------------
+# Avro schemas for v2 manifests (field names / ids per the Iceberg spec)
+# ---------------------------------------------------------------------------
+
+_MANIFEST_LIST_SCHEMA = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string", "field-id": 500},
+            {"name": "manifest_length", "type": "long", "field-id": 501},
+            {"name": "partition_spec_id", "type": "int", "field-id": 502},
+            {"name": "content", "type": "int", "field-id": 517},
+            {"name": "sequence_number", "type": "long", "field-id": 515},
+            {"name": "min_sequence_number", "type": "long", "field-id": 516},
+            {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+            {"name": "added_files_count", "type": "int", "field-id": 504},
+            {"name": "existing_files_count", "type": "int", "field-id": 505},
+            {"name": "deleted_files_count", "type": "int", "field-id": 506},
+            {"name": "added_rows_count", "type": "long", "field-id": 512},
+            {"name": "existing_rows_count", "type": "long", "field-id": 513},
+            {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        ],
+}
+
+# unpartitioned spec-0: the partition struct is an EMPTY record
+_MANIFEST_ENTRY_SCHEMA = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {
+                "name": "snapshot_id",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 1,
+            },
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 3,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 4,
+            },
+            {
+                "name": "data_file",
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int", "field-id": 134},
+                        {"name": "file_path", "type": "string", "field-id": 100},
+                        {"name": "file_format", "type": "string", "field-id": 101},
+                        {
+                            "name": "partition",
+                            "field-id": 102,
+                            "type": {"type": "record", "name": "r102", "fields": []},
+                        },
+                        {"name": "record_count", "type": "long", "field-id": 103},
+                        {
+                            "name": "file_size_in_bytes",
+                            "type": "long",
+                            "field-id": 104,
+                        },
+                    ],
+                },
+            },
+        ],
+}
+
+
+# ---------------------------------------------------------------------------
+# Avro writing (Apache Avro JAVA library via the Spark JVM)
+# ---------------------------------------------------------------------------
+
+
+def _avro_json(schema, v):
+    """Encode a python value as Avro-JSON for the given schema node
+    (union branches labeled ``{"long": 1}``, records field-ordered) —
+    the wire format Java's schema-driven ``JsonDecoder`` parses into
+    correctly-typed ``GenericRecord``s. Building records through py4j
+    directly cannot work: py4j auto-unboxes ``Long.valueOf`` results
+    back to python ints and re-boxes small ints as ``Integer``, which
+    Avro rejects for ``long``/union fields."""
+    if isinstance(schema, list):  # union
+        if v is None:
+            return None
+        branch = next(b for b in schema if b != "null")
+        label = branch if isinstance(branch, str) else branch["name"]
+        return {label: _avro_json(branch, v)}
+    if isinstance(schema, str):
+        return v
+    t = schema["type"]
+    if t == "record":
+        v = v or {}
+        return {
+            f["name"]: _avro_json(f["type"], v.get(f["name"]))
+            for f in schema["fields"]
+        }
+    if t == "array":
+        return [_avro_json(schema["items"], x) for x in (v or [])]
+    if t == "map":
+        return {k: _avro_json(schema["values"], x) for k, x in (v or {}).items()}
+    return v
+
+
+def _write_avro(
+    spark: SparkSession,
+    path: str,
+    schema: dict,
+    rows: list[dict],
+    meta: dict[str, str],
+) -> None:
+    """Write an Avro OCF with the Apache Avro JAVA library (bundled
+    with Spark): rows go over as Avro-JSON and are parsed by Java's
+    JsonDecoder against the schema, so the on-disk bytes come from the
+    reference implementation's encoder."""
+    jvm = spark._jvm
+    schema_str = json.dumps(schema)
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(schema_str)
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(jschema)
+    factory = jvm.org.apache.avro.io.DecoderFactory.get()
+    dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
+    for k, v in meta.items():
+        dfw.setMeta(k, v)
+    dfw.create(jschema, jvm.java.io.File(path))
+    try:
+        for row in rows:
+            decoder = factory.jsonDecoder(
+                jschema, json.dumps(_avro_json(schema, row))
+            )
+            dfw.append(reader.read(None, decoder))
+    finally:
+        dfw.close()
+
+
+# ---------------------------------------------------------------------------
+# Export
+# ---------------------------------------------------------------------------
+
+
+def export_iceberg(
+    catalog,
+    name: str,
+    dest: str,
+    *,
+    materialize: bool | None = None,
+) -> dict:
+    """Export the catalog table's CURRENT snapshot as an Apache Iceberg
+    v2 table at ``dest`` (``dest/metadata/v1.metadata.json`` +
+    ``version-hint.text`` + Avro manifests — the HadoopTables layout
+    any Iceberg reader can open by path).
+
+    Default is ZERO-COPY: manifests reference the catalog's existing
+    parquet files in place (absolute paths; Iceberg permits files
+    outside the table location). Costs O(files) footer reads, no data
+    scan — the property that makes exporting a 100 TB table a metadata
+    operation. Two shapes force ``materialize=True`` (one Spark rewrite
+    of the merged snapshot into ``dest/data/``, auto-detected):
+
+    - merge-on-read delete files (the catalog's positional-delete
+      encoding is not Iceberg's);
+    - hive-partitioned layouts (partition column values live in
+      directory names, not in the files — an Iceberg reader would
+      return NULLs for them).
+
+    The exported snapshot is FROZEN: later catalog commits don't
+    appear (re-export for a new snapshot), and
+    ``catalog.expire_snapshots`` can reclaim zero-copy-referenced
+    files — the same caveat as shallow clones.
+
+    A ``schema.name-mapping.default`` property carries the catalog's
+    stable field ids for the parquet files, which were written without
+    embedded Iceberg ids (name mapping is the spec's mechanism for
+    exactly this).
+    """
+    import pyarrow.parquet as pq
+
+    h = catalog._handle(name)
+    entries = catalog._load_manifest(h)
+    if not entries:
+        raise ValueError(f"table {name} does not exist")
+    head = catalog._main_head(entries, name)
+    has_deletes = bool(head.get("delete_dirs"))
+    partitioned = bool(head.get("partition_by"))
+    if materialize is None:
+        materialize = has_deletes or partitioned
+    if (has_deletes or partitioned) and not materialize:
+        raise ValueError(
+            f"cannot zero-copy export {name}: "
+            + ("it carries MOR delete files; " if has_deletes else "")
+            + ("it is hive-partitioned; " if partitioned else "")
+            + "pass materialize=True (one rewrite into the export)"
+        )
+
+    dest = os.path.abspath(dest)
+    meta_dir = os.path.join(dest, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+
+    if materialize:
+        data_dir = os.path.join(dest, "data")
+        catalog.read(name).write.mode("overwrite").parquet(data_dir)
+        roots = [data_dir]
+    else:
+        roots = [
+            os.path.normpath(os.path.join(h.path, d))
+            for d in head["data_dirs"]
+        ]
+    data_files = []
+    for root in roots:
+        for dp, _, fs in os.walk(root):
+            for fname in sorted(fs):
+                if fname.endswith(".parquet"):
+                    full = os.path.join(dp, fname)
+                    data_files.append(
+                        {
+                            "path": full,
+                            "bytes": os.path.getsize(full),
+                            "rows": pq.read_metadata(full).num_rows,
+                        }
+                    )
+
+    snapshot_id = uuid.uuid4().int % ((1 << 62) - 1) + 1
+    now_ms = int(time.time() * 1000)
+    commit_uuid = str(uuid.uuid4())
+
+    manifest_path = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
+    schema, last_col_id, name_mapping = _iceberg_schema(head["schema"])
+    entry_rows = [
+        {
+            "status": 1,  # ADDED
+            "snapshot_id": snapshot_id,
+            "sequence_number": 1,
+            "file_sequence_number": 1,
+            "data_file": {
+                "content": 0,
+                "file_path": f["path"],
+                "file_format": "PARQUET",
+                "partition": None,  # empty struct (unpartitioned spec-0)
+                "record_count": f["rows"],
+                "file_size_in_bytes": f["bytes"],
+            },
+        }
+        for f in data_files
+    ]
+    _write_avro(
+        catalog.spark,
+        manifest_path,
+        _MANIFEST_ENTRY_SCHEMA,
+        entry_rows,
+        {
+            "schema": json.dumps(schema),
+            "schema-id": "0",
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+
+    total_rows = sum(f["rows"] for f in data_files)
+    list_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro"
+    )
+    _write_avro(
+        catalog.spark,
+        list_path,
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(data_files),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": total_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ],
+        {"format-version": "2", "snapshot-id": str(snapshot_id)},
+    )
+
+    metadata = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": dest,
+        "last-sequence-number": 1,
+        "last-updated-ms": now_ms,
+        "last-column-id": last_col_id,
+        "current-schema-id": 0,
+        "schemas": [schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {
+            "schema.name-mapping.default": json.dumps(name_mapping),
+            "exported-from": f"data_lakehouse_spark:{name}"
+            f"@v{head['version']}",
+        },
+        "current-snapshot-id": snapshot_id,
+        "refs": {"main": {"snapshot-id": snapshot_id, "type": "branch"}},
+        "snapshots": [
+            {
+                "snapshot-id": snapshot_id,
+                "sequence-number": 1,
+                "timestamp-ms": now_ms,
+                "summary": {
+                    "operation": "append",
+                    "added-data-files": str(len(data_files)),
+                    "added-records": str(total_rows),
+                },
+                "manifest-list": list_path,
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [
+            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+        ],
+        "metadata-log": [],
+    }
+    meta_file = os.path.join(meta_dir, "v1.metadata.json")
+    with open(meta_file, "w") as f:
+        json.dump(metadata, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("1")
+    return {
+        "table": name,
+        "location": dest,
+        "snapshot_id": snapshot_id,
+        "data_files": len(data_files),
+        "rows": total_rows,
+        "materialized": bool(materialize),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Independent pure-Python Avro OCF decoder (reader side)
+# ---------------------------------------------------------------------------
+
+
+class _AvroDecoder:
+    """Minimal Avro binary decoder for the subset manifests use
+    (records, unions, arrays, maps, primitives, fixed). Independent of
+    the Java writer — the cross-implementation half of the round-trip
+    tests."""
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        b = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return b
+
+    def zigzag(self) -> int:
+        shift = 0
+        acc = 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)
+
+    def decode(self, schema):
+        if isinstance(schema, str):
+            t = schema
+        elif isinstance(schema, list):  # union: branch index, then value
+            return self.decode(schema[self.zigzag()])
+        else:
+            t = schema["type"]
+        if t == "null":
+            return None
+        if t == "boolean":
+            return self.read(1) != b"\x00"
+        if t in ("int", "long"):
+            return self.zigzag()
+        if t == "float":
+            return struct.unpack("<f", self.read(4))[0]
+        if t == "double":
+            return struct.unpack("<d", self.read(8))[0]
+        if t == "bytes":
+            return self.read(self.zigzag())
+        if t == "string":
+            return self.read(self.zigzag()).decode("utf-8")
+        if t == "fixed":
+            return self.read(schema["size"])
+        if t == "enum":
+            return schema["symbols"][self.zigzag()]
+        if t == "record":
+            return {
+                f["name"]: self.decode(f["type"]) for f in schema["fields"]
+            }
+        if t == "array":
+            out = []
+            while True:
+                n = self.zigzag()
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    self.zigzag()  # block byte size: unused
+                for _ in range(n):
+                    out.append(self.decode(schema["items"]))
+        if t == "map":
+            out = {}
+            while True:
+                n = self.zigzag()
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    self.zigzag()
+                for _ in range(n):
+                    k = self.read(self.zigzag()).decode("utf-8")
+                    out[k] = self.decode(schema["values"])
+        raise ValueError(f"unsupported Avro type {t!r}")
+
+
+def _read_avro_file(path: str) -> tuple[dict, list]:
+    """(header metadata, records) of an Avro Object Container File —
+    null and deflate codecs."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:4] != b"Obj\x01":
+        raise ValueError(f"{path}: not an Avro object container file")
+    d = _AvroDecoder(raw)
+    d.pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n = d.zigzag()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            d.zigzag()
+        for _ in range(n):
+            k = d.read(d.zigzag()).decode("utf-8")
+            meta[k] = bytes(d.read(d.zigzag()))
+    sync = d.read(16)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    records = []
+    while d.pos < len(raw):
+        count = d.zigzag()
+        size = d.zigzag()
+        block = bytes(d.read(size))
+        if d.read(16) != sync:
+            raise ValueError(f"{path}: bad sync marker")
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise ValueError(f"{path}: unsupported codec {codec!r}")
+        bd = _AvroDecoder(block)
+        for _ in range(count):
+            records.append(bd.decode(schema))
+    header_meta = {
+        k: v.decode("utf-8", "replace")
+        for k, v in meta.items()
+        if k != "avro.schema"
+    }
+    return header_meta, records
+
+
+# ---------------------------------------------------------------------------
+# Read
+# ---------------------------------------------------------------------------
+
+
+def _strip_uri(p: str) -> str:
+    return re.sub(r"^file:/+", "/", p)
+
+
+def read_iceberg(
+    spark: SparkSession, location: str, *, snapshot_id: int | None = None
+) -> DataFrame:
+    """Read an Iceberg v2 table directory into a DataFrame by walking
+    the public spec: resolve the current metadata file
+    (``version-hint.text``, else the newest ``*.metadata.json``),
+    follow the current (or requested) snapshot's manifest list to its
+    manifests, and scan the live data files.
+
+    Pure-Python metadata walk (no Iceberg runtime jar needed) + Spark's
+    parquet scan for the data. Supports data manifests with
+    existing/added entries; refuses delete manifests (positional or
+    equality delete files) rather than silently returning undeleted
+    rows."""
+    location = os.path.abspath(location)
+    meta_dir = os.path.join(location, "metadata")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            v = f.read().strip()
+        meta_file = os.path.join(meta_dir, f"v{v}.metadata.json")
+    else:
+        cands = sorted(
+            f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")
+        )
+        if not cands:
+            raise ValueError(f"{location}: no Iceberg metadata files")
+        meta_file = os.path.join(meta_dir, cands[-1])
+    with open(meta_file) as f:
+        meta = json.load(f)
+    snap_id = snapshot_id if snapshot_id is not None else meta.get(
+        "current-snapshot-id"
+    )
+    snap = next(
+        (s for s in meta.get("snapshots", []) if s["snapshot-id"] == snap_id),
+        None,
+    )
+    if snap is None:
+        raise ValueError(f"{location}: snapshot {snap_id} not found")
+    _, manifests = _read_avro_file(_strip_uri(snap["manifest-list"]))
+    data_paths: list[str] = []
+    for m in manifests:
+        if m.get("content", 0) not in (0, None):
+            raise ValueError(
+                f"{location}: delete manifests are not supported by this "
+                "reader (rewrite the table or read with an Iceberg runtime)"
+            )
+        _, mentries = _read_avro_file(_strip_uri(m["manifest_path"]))
+        for e in mentries:
+            if e["status"] == 2:  # DELETED
+                continue
+            df_rec = e["data_file"]
+            if df_rec.get("content", 0) not in (0, None):
+                raise ValueError(
+                    f"{location}: delete files are not supported"
+                )
+            if df_rec["file_format"].upper() != "PARQUET":
+                raise ValueError(
+                    f"{location}: unsupported file format "
+                    f"{df_rec['file_format']!r}"
+                )
+            data_paths.append(_strip_uri(df_rec["file_path"]))
+    if not data_paths:
+        raise ValueError(f"{location}: snapshot {snap_id} has no data files")
+    return spark.read.parquet(*data_paths)
