@@ -65,6 +65,23 @@ def cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_serve(args: argparse.Namespace) -> int:
+    """Long-lived SQL endpoint (Thrift-server analog; see server.py)."""
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.server import SqlEndpoint
+
+    spark = _spark("serve")
+    # FAIR scheduling: concurrent endpoint clients share the cluster
+    # instead of queueing FIFO behind a long query
+    spark.conf.set("spark.scheduler.mode", "FAIR")
+    ep = SqlEndpoint(
+        Catalog(spark, args.warehouse), host=args.host, port=args.port
+    )
+    print(json.dumps({"serving": f"http://{args.host}:{ep.port}"}))
+    ep.serve_forever()
+    return 0
+
+
 def cmd_query(args: argparse.Namespace) -> int:
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
@@ -176,6 +193,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--limit", type=int, default=100)
     p.add_argument("--explain", action="store_true")
     p.set_defaults(fn=cmd_sql)
+
+    p = sub.add_parser(
+        "serve", help="long-lived multi-client SQL endpoint (HTTP/JSON)"
+    )
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8099)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("query", help="run a __spark_entry__ query by name")
     p.add_argument("--name", required=True)

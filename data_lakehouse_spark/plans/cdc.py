@@ -32,9 +32,13 @@ the honest price of exact distinct maintenance; the cheap alternative
 remains an HLL sketch column (operators/sketches.py), which unions
 under inserts but cannot retract deletes.
 
-Percentile-style holistic aggregates stay out of scope by design:
-recompute those marts (or maintain a t-digest-like sketch, accepting
-no-retraction).
+Percentile-style holistic aggregates cannot be maintained exactly from
+deltas (a percentile needs the full multiset). :class:`CdcQuantile` is
+the documented APPROXIMATE path: per-group mergeable KLL sketches
+(fixed size, lossless merge, ~1.65% rank error at k=200) fold insert
+batches incrementally; groups touched by deletes are rebuilt from the
+source bounded to those groups (KLL cannot retract). Exact recompute
+remains the fallback for rank-error-intolerant marts.
 
 Correctness contract (pinned in tests/test_cdc_mart.py): after any
 sequence of appends / COW or MOR deletes / updates on the source,
@@ -47,7 +51,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["CdcAggregate"]
+__all__ = ["CdcAggregate", "CdcQuantile"]
 
 _LAST_VERSION_PROP = "cdc.last_source_version"
 
@@ -357,3 +361,167 @@ class CdcAggregate:
             mode="replace",
         )
         return {"mode": "incremental", "from": last, "source_version": cur}
+
+
+class CdcQuantile:
+    """Approximately-maintained PERCENTILE mart — the documented CDC
+    path for p50/p95/p99 dashboards (the holistic aggregates
+    :class:`CdcAggregate` refuses).
+
+    Mechanism: a support table ``<target>__kll`` holds one mergeable
+    KLL sketch per group (Spark 4 ``kll_sketch_agg_double``; fixed
+    ~KB size per group, rank error ~1.65% at the default k=200,
+    independent of data volume). ``refresh()``:
+
+    - INSERT rows fold cheaply: sketch the batch per group, merge into
+      the support (KLL merge ≡ direct build within the rank-error
+      guarantee — the property that makes this the 100 TB answer:
+      refresh cost is O(changed rows), never a rescan);
+    - DELETE rows cannot retract from a sketch, so every group the
+      feed deleted from is REBUILT from the source, bounded to those
+      groups by a semi-join (with group-aligned partitioning this
+      prunes to the affected partitions). Groups whose rows all died
+      retire from the mart.
+
+    The mart is derived absolutely from the support each refresh, and
+    the support commit carries its own processed version, so a crash
+    between the two commits replays without double-folding — the same
+    unseen-span contract as :meth:`CdcAggregate._refresh_support`.
+
+    Accuracy contract (pinned in tests): each reported quantile q lies
+    within the exact [q - eps, q + eps] rank window of the true
+    distribution, eps = KLL's normalized rank error for k.
+    """
+
+    def __init__(
+        self,
+        catalog,
+        source: str,
+        target: str,
+        group_cols: list[str],
+        value_expr: str,
+        quantiles: dict[str, float],
+        *,
+        k: int = 200,
+    ) -> None:
+        if not quantiles:
+            raise ValueError("quantiles must map output column -> fraction")
+        for out, q in quantiles.items():
+            if not 0.0 <= q <= 1.0:
+                raise ValueError(f"{out}: quantile {q} outside [0, 1]")
+        self.catalog = catalog
+        self.source = source
+        self.target = target
+        self.group_cols = list(group_cols)
+        self.value_expr = value_expr
+        self.quantiles = dict(quantiles)
+        self.k = int(k)
+
+    _signed_changes = CdcAggregate._signed_changes
+    _source_version = CdcAggregate._source_version
+
+    @property
+    def _kll_table(self) -> str:
+        return f"{self.target}__kll"
+
+    def _sketch(self, rows: DataFrame) -> DataFrame:
+        v = F.expr(self.value_expr).cast("double")
+        return (
+            rows.filter(v.isNotNull())
+            .groupBy(*self.group_cols)
+            .agg(
+                F.kll_sketch_agg_double(v, F.lit(self.k)).alias("_kll"),
+                F.count(F.lit(1)).cast("bigint").alias("_n"),
+            )
+        )
+
+    def _mart_from_support(self, support: DataFrame) -> DataFrame:
+        qcols = [
+            F.kll_sketch_get_quantile_double(
+                F.col("_kll"), F.lit(float(q))
+            ).alias(out)
+            for out, q in self.quantiles.items()
+        ]
+        return support.select(*self.group_cols, *qcols, F.col("_n").alias("n_rows"))
+
+    def _commit_support(self, support: DataFrame, cur: int) -> None:
+        self.catalog.create_table(
+            self._kll_table,
+            support,
+            properties={_LAST_VERSION_PROP: str(cur)},
+            mode="replace",
+        )
+
+    def refresh(self) -> dict:
+        cur = self._source_version()
+        if not self.catalog.table_exists(self.target):
+            support = self._sketch(self.catalog.read(self.source))
+            self._commit_support(support, cur)
+            self.catalog.create_table(
+                self.target,
+                self._mart_from_support(self.catalog.read(self._kll_table)),
+                properties={_LAST_VERSION_PROP: str(cur)},
+                mode="replace",
+            )
+            return {"mode": "full", "source_version": cur}
+
+        last = int(
+            self.catalog.table_properties(self.target)[_LAST_VERSION_PROP]
+        )
+        if last == cur:
+            return {"mode": "noop", "source_version": cur}
+        kll_last = int(
+            self.catalog.table_properties(self._kll_table)[_LAST_VERSION_PROP]
+        )
+        rebuilt_groups = 0
+        if kll_last < cur:
+            # fold only the span the support hasn't seen (crash-replay
+            # with source advance: see CdcAggregate._refresh_support)
+            frm = max(last, kll_last)
+            signed = self._signed_changes(frm, cur)
+            inserts = signed.filter(F.col("_sign") == 1).drop("_sign")
+            del_groups = (
+                signed.filter(F.col("_sign") == -1)
+                .select(*self.group_cols)
+                .distinct()
+            )
+            support = self.catalog.read(self._kll_table)
+            batch = self._sketch(inserts)
+            merged = (
+                support.unionByName(batch)
+                .groupBy(*self.group_cols)
+                .agg(
+                    F.kll_merge_agg_double("_kll").alias("_kll"),
+                    F.sum("_n").cast("bigint").alias("_n"),
+                )
+            )
+            n_del = del_groups.count()
+            if n_del:
+                rebuilt_groups = n_del
+                # deletes can't retract: rebuild ONLY the touched
+                # groups from the source (absolute, hence replay-safe);
+                # fully-deleted groups produce no rebuilt row -> retire
+                kept = merged.join(
+                    F.broadcast(del_groups), on=self.group_cols,
+                    how="left_anti",
+                )
+                rebuilt = self._sketch(
+                    self.catalog.read(self.source).join(
+                        F.broadcast(del_groups), on=self.group_cols,
+                        how="left_semi",
+                    )
+                )
+                merged = kept.unionByName(rebuilt)
+            self._commit_support(merged, cur)
+        self.catalog.create_table(
+            self.target,
+            self._mart_from_support(self.catalog.read(self._kll_table)),
+            properties={_LAST_VERSION_PROP: str(cur)},
+            mode="replace",
+        )
+        return {
+            "mode": "incremental",
+            "from": last,
+            "source_version": cur,
+            "rebuilt_groups": rebuilt_groups,
+        }

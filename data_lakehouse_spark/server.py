@@ -1,0 +1,166 @@
+"""Long-lived multi-client SQL endpoint — the engine's analog of the
+reference's Spark Thrift Server serving dbt and BI clients
+(``dbt/profiles.yml:5-9`` connects dbt to a thrift endpoint that
+``spark/entrypoint.sh:30-55`` keeps running).
+
+Architecture parity, protocol pragmatism: ONE long-lived driver
+process owns the SparkSession and the registered catalog views; N
+concurrent clients submit SQL and get result sets back. The idiomatic
+Spark 4 transport would be Spark Connect (gRPC) — this environment
+ships no gRPC/protobuf Python stack, so the endpoint speaks minimal
+HTTP/JSON over the standard library instead. Client concurrency is
+real: ``ThreadingHTTPServer`` hands each request its own thread and
+``spark.sql`` is thread-safe on a shared session (each query gets its
+own Spark job; the scheduler interleaves them — set
+``spark.scheduler.mode=FAIR`` for latency fairness on a busy
+endpoint).
+
+API
+---
+- ``POST /sql`` body ``{"sql": "...", "limit": 1000}`` →
+  ``{"columns": [...], "rows": [[...], ...], "n": int,
+  "truncated": bool}``
+- ``GET /tables`` → ``{"tables": [...], "views": [...]}``
+- ``GET /health`` → ``{"ok": true, ...}``
+
+Every request re-registers catalog views, so clients always see the
+LATEST published snapshots (the endpoint serves reads; writes go
+through the engine APIs and become visible at their commit).
+
+Scale note: result sets are driver-materialized (``limit`` caps them,
+default 1000, hard server cap) — this is a SERVING endpoint for
+dashboards/dbt-style queries over marts, not a bulk-extract path; bulk
+egress belongs in a sink (``sources/writers.py``).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+__all__ = ["SqlEndpoint"]
+
+#: hard ceiling on rows returned per request, whatever the client asks
+MAX_ROWS = 100_000
+
+
+class SqlEndpoint:
+    """Serve ``catalog`` over HTTP/JSON on ``host:port`` (port 0 picks
+    a free port — read it back from ``.port`` after ``start()``)."""
+
+    def __init__(self, catalog, host: str = "127.0.0.1", port: int = 0):
+        self.catalog = catalog
+        self._lock = threading.Lock()  # view (re-)registration only
+        endpoint = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet: no stderr spam
+                pass
+
+            def _json(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode("utf-8")
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/health":
+                    self._json(200, {"ok": True})
+                elif self.path == "/tables":
+                    self._json(
+                        200,
+                        {
+                            "tables": endpoint.catalog.tables(),
+                            "views": sorted(endpoint.catalog.views()),
+                        },
+                    )
+                else:
+                    self._json(404, {"error": f"no route {self.path}"})
+
+            def do_POST(self):
+                if self.path != "/sql":
+                    self._json(404, {"error": f"no route {self.path}"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    sql = req["sql"]
+                    limit = min(int(req.get("limit", 1000)), MAX_ROWS)
+                except (KeyError, ValueError, json.JSONDecodeError) as e:
+                    self._json(400, {"error": f"bad request: {e}"})
+                    return
+                try:
+                    self._json(200, endpoint.execute(sql, limit))
+                except Exception as e:  # surface analysis errors to client
+                    self._json(400, {"error": str(e).split("\n")[0]})
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._server.server_address[1]
+
+    def execute(self, sql: str, limit: int = 1000) -> dict:
+        """Run one SQL statement against current catalog views and
+        return a JSON-able result set (rows stringified via Spark's own
+        casts so types round-trip deterministically)."""
+        with self._lock:
+            # re-register so every query sees the latest snapshots;
+            # locked because two threads re-registering the same view
+            # name concurrently is a needless race (queries themselves
+            # run unlocked and in parallel)
+            self.catalog.register_views()
+        df = self.catalog.spark.sql(sql)
+        rows = df.limit(limit + 1).collect()
+        truncated = len(rows) > limit
+        rows = rows[:limit]
+        return {
+            "columns": df.columns,
+            "rows": [[_plain(v) for v in r] for r in rows],
+            "n": len(rows),
+            "truncated": truncated,
+        }
+
+    def start(self) -> "SqlEndpoint":
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+        if self._thread:
+            self._thread.join(timeout=10)
+
+    def serve_forever(self) -> None:
+        """Foreground variant for the CLI ``serve`` subcommand."""
+        self._server.serve_forever()
+
+
+def _plain(v):
+    """JSON-safe rendering of a Spark row value."""
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ")
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, bytes):
+        import base64
+
+        return base64.b64encode(v).decode("ascii")
+    if isinstance(v, list):
+        return [_plain(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _plain(x) for k, x in v.items()}
+    try:  # Row (struct)
+        return {k: _plain(x) for k, x in v.asDict().items()}
+    except AttributeError:
+        return v

@@ -68,6 +68,17 @@ def get_spark(
 
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_LOCAL_DEFAULTS)
+    if master.startswith("local"):
+        # local mode runs every executor thread inside the DRIVER JVM,
+        # whose heap defaults to 1g — 32 concurrent tasks' shuffle/scan
+        # buffers blow that at any real data size (observed: hard OOM at
+        # a 10× fixture). Size the single JVM like the worker it is;
+        # only effective before the JVM launches, so set it here, not in
+        # extra_conf of a later getOrCreate.
+        conf.setdefault(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from data_lakehouse_spark.catalog import Catalog
-from data_lakehouse_spark.plans.cdc import CdcAggregate
+from data_lakehouse_spark.plans.cdc import CdcAggregate, CdcQuantile
 
 
 def _full(cat: Catalog, source: str) -> dict:
@@ -415,3 +415,118 @@ def test_streaming_intake_feeds_cdc_mart(spark, tmp_path):
     res = agg.refresh()
     assert res["mode"] == "incremental"
     assert _mart(cat, "mart") == _full(cat, "ev")
+
+
+def _exact_quantile_window(cat, source, day, q, eps):
+    """[lo, hi] = exact values at ranks (q-eps, q+eps) of the group's
+    live distribution — the KLL accuracy contract window."""
+    vals = sorted(
+        r["amount"]
+        for r in cat.read(source).filter(F.col("day") == day).collect()
+    )
+    n = len(vals)
+    lo_i = max(0, int((q - eps) * n) - 1)
+    hi_i = min(n - 1, int((q + eps) * n) + 1)
+    return vals[lo_i], vals[hi_i]
+
+
+def test_cdc_quantile_within_rank_error(spark, tmp_path):
+    """Approximate percentile maintenance: after appends AND deletes,
+    every reported quantile lies within KLL's rank-error window of the
+    exact live distribution, delete-touched groups are rebuilt, and
+    fully-deleted groups retire."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    rows = [("d1", float(i)) for i in range(1, 1001)] + [
+        ("d2", float(10 * i)) for i in range(1, 101)
+    ]
+    cat.create_table(
+        "ev", spark.createDataFrame(rows, "day string, amount double")
+    )
+    cq = CdcQuantile(
+        cat, "ev", "qmart", ["day"], "amount",
+        {"p50": 0.5, "p95": 0.95},
+    )
+    assert cq.refresh()["mode"] == "full"
+
+    eps = 0.03  # ~1.65% rank error at k=200, with slack
+    m = {r["day"]: r for r in cat.read("qmart").collect()}
+    for day in ("d1", "d2"):
+        for out, q in (("p50", 0.5), ("p95", 0.95)):
+            lo, hi = _exact_quantile_window(cat, "ev", day, q, eps)
+            assert lo <= m[day][out] <= hi, (day, out, m[day][out], lo, hi)
+
+    # insert-only refresh: pure sketch merge, no rebuild
+    cat.append(
+        "ev",
+        spark.createDataFrame(
+            [("d1", float(2000 + i)) for i in range(500)],
+            "day string, amount double",
+        ),
+    )
+    res = cq.refresh()
+    assert res["mode"] == "incremental" and res["rebuilt_groups"] == 0
+
+    # delete the top half of d1: its sketch must be rebuilt, not stale
+    cat.delete_where("ev", "day = 'd1' and amount > 500")
+    res = cq.refresh()
+    assert res["rebuilt_groups"] == 1
+    m = {r["day"]: r for r in cat.read("qmart").collect()}
+    for out, q in (("p50", 0.5), ("p95", 0.95)):
+        lo, hi = _exact_quantile_window(cat, "ev", "d1", q, eps)
+        assert lo <= m["d1"][out] <= hi, (out, m["d1"][out], lo, hi)
+    # a stale (un-rebuilt) sketch would still report ~p95 ≈ 2400
+    assert m["d1"]["p95"] <= 501.0
+    assert m["d1"]["n_rows"] == 500
+
+    # group retirement: deleting ALL of d2 drops its mart row
+    cat.delete_where("ev", "day = 'd2'")
+    cq.refresh()
+    assert sorted(r["day"] for r in cat.read("qmart").collect()) == ["d1"]
+
+    assert cq.refresh()["mode"] == "noop"
+
+
+def test_cdc_quantile_crash_replay(spark, tmp_path):
+    """Crash between the support commit and the mart commit with source
+    advance: the sketch must not double-fold the already-seen span
+    (n_rows would overcount and the quantiles would skew)."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table(
+        "ev",
+        spark.createDataFrame(
+            [("d1", float(i)) for i in range(100)], "day string, amount double"
+        ),
+    )
+    cq = CdcQuantile(cat, "ev", "qmart", ["day"], "amount", {"p50": 0.5})
+    cq.refresh()
+    cat.append(
+        "ev",
+        spark.createDataFrame(
+            [("d1", float(i)) for i in range(100, 200)],
+            "day string, amount double",
+        ),
+    )  # v1
+    # simulate the crashed refresh: support folds (0, 1], mart stays
+    signed = cq._signed_changes(0, 1)
+    inserts = signed.filter(F.col("_sign") == 1).drop("_sign")
+    merged = (
+        cat.read(cq._kll_table)
+        .unionByName(cq._sketch(inserts))
+        .groupBy("day")
+        .agg(
+            F.kll_merge_agg_double("_kll").alias("_kll"),
+            F.sum("_n").cast("bigint").alias("_n"),
+        )
+    )
+    cq._commit_support(merged, 1)
+    # source advances before the retry
+    cat.append(
+        "ev",
+        spark.createDataFrame(
+            [("d1", float(i)) for i in range(200, 250)],
+            "day string, amount double",
+        ),
+    )  # v2
+    cq.refresh()
+    m = cat.read("qmart").first()
+    assert m["n_rows"] == 250  # double-fold would report 350

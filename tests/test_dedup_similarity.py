@@ -413,3 +413,48 @@ def test_semdedup_ml_fit_mode_and_bad_mode(spark):
 
     with pytest.raises(ValueError, match="fit mode"):
         similarity.semdedup(df, fit="bogus").collect()
+
+
+def test_ann_recall_floors_panel(spark, sf_dir, tmp_path):
+    """Pinned quality floors per ANN tier: MEAN recall@10 over a panel
+    of query anchors (single-anchor recall is noise) at each tier's
+    recommended setting from ANN_EVAL.md. Floors sit well under the
+    measured means (lsh 0.58, ivf 0.81, kmeans-ivf 0.90 at sf0.01) so
+    they fail on regressions, not on fixture jitter."""
+    from data_lakehouse_spark.catalog import Catalog
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    anchors = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    exact = [
+        {r["vec_id"] for r in
+         similarity.cosine_topk(emb, qv, k=10).select("vec_id").collect()}
+        for qv in anchors
+    ]
+
+    def mean_recall(fn) -> float:
+        rec = []
+        for qv, e in zip(anchors, exact):
+            got = {r["vec_id"] for r in fn(qv).select("vec_id").collect()}
+            rec.append(len(got & e) / max(len(e), 1))
+        return sum(rec) / len(rec)
+
+    assert mean_recall(
+        lambda qv: similarity.ann_lsh_topk(
+            emb, qv, k=10, num_planes=6, probe_hamming=2
+        )
+    ) >= 0.40
+    assert mean_recall(
+        lambda qv: similarity.ann_ivf_topk(
+            emb, qv, k=10, num_planes=4, probe_hamming=2
+        )
+    ) >= 0.60
+    cat = Catalog(spark, str(tmp_path / "kidx"))
+    similarity.build_kmeans_ivf_index(cat, emb, "kivf", k=8, seed=7)
+    assert mean_recall(
+        lambda qv: similarity.ann_kmeans_ivf_topk(
+            cat, "kivf", qv, k=10, nprobe=4
+        )
+    ) >= 0.70

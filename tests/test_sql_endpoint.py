@@ -1,0 +1,83 @@
+"""Long-lived multi-client SQL endpoint (server.py): concurrent
+clients over one shared SparkSession, fresh-snapshot visibility, error
+surfacing — the Thrift-server-serving-dbt analog
+(dbt/profiles.yml:5-9)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+from data_lakehouse_spark.catalog import Catalog
+from data_lakehouse_spark.server import SqlEndpoint
+
+
+def _post(port: int, sql: str, limit: int = 1000) -> dict:
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/sql",
+        data=json.dumps({"sql": sql, "limit": limit}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return json.loads(e.read())
+
+
+def test_endpoint_concurrent_clients(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table(
+        "sales",
+        spark.createDataFrame(
+            [("a", 10.0), ("a", 5.0), ("b", 7.0)], "seg string, amt double"
+        ),
+    )
+    cat.create_view(
+        "seg_totals",
+        "SELECT seg, CAST(SUM(amt) AS DOUBLE) AS total FROM sales "
+        "GROUP BY seg",
+    )
+    ep = SqlEndpoint(cat).start()
+    try:
+        # two clients fire CONCURRENTLY against the shared session
+        results: dict[str, dict] = {}
+
+        def client(name: str, sql: str) -> None:
+            results[name] = _post(ep.port, sql)
+
+        t1 = threading.Thread(
+            target=client,
+            args=("sum", "SELECT seg, SUM(amt) AS t FROM sales "
+                  "GROUP BY seg ORDER BY seg"),
+        )
+        t2 = threading.Thread(
+            target=client, args=("cnt", "SELECT COUNT(*) AS n FROM sales")
+        )
+        t1.start(); t2.start(); t1.join(120); t2.join(120)
+        assert results["sum"]["rows"] == [["a", 15.0], ["b", 7.0]]
+        assert results["cnt"]["rows"] == [[3]]
+
+        # writes through the engine become visible to the NEXT query —
+        # the endpoint always serves the latest published snapshot
+        cat.append(
+            "sales",
+            spark.createDataFrame([("c", 1.0)], "seg string, amt double"),
+        )
+        assert _post(ep.port, "SELECT COUNT(*) AS n FROM sales")["rows"] == [
+            [4]
+        ]
+
+        # /tables, limit/truncation, and analysis errors as 400-JSON
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{ep.port}/tables", timeout=60
+        ) as r:
+            assert "sales" in json.loads(r.read())["tables"]
+        limited = _post(ep.port, "SELECT * FROM sales", limit=2)
+        assert limited["n"] == 2 and limited["truncated"] is True
+        err = _post(ep.port, "SELECT nope FROM sales")
+        assert "error" in err
+    finally:
+        ep.stop()

@@ -6,10 +6,16 @@ and the order-insensitive multiset of values (exact equality — stricter
 than any hash).
 
 Usage: python tools/check.py [sf_dir] [query_name ...]
+
+A machine-readable summary lands in CHECK_SUMMARY.json next to this
+repo's root on every FULL sweep (per-query status + the ok/skip/fail
+split), so a reviewer can read the gate result without re-running it.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 import time
 
@@ -96,6 +102,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    statuses: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -104,15 +111,18 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            statuses[name] = {"status": "fail", "error": str(e)[:200]}
             failures += 1
             continue
         if name not in oracles:
             print(f"skip  {name}: no oracle ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            statuses[name] = {"status": "skip_no_oracle", "rows": len(sdf)}
             continue
         try:
             ddf = con.execute(oracles[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            statuses[name] = {"status": "fail", "error": str(e)[:200]}
             failures += 1
             continue
         problems = compare(name, sdf, ddf)
@@ -121,9 +131,30 @@ def main() -> int:
             print(f"FAIL  {name} ({len(sdf)} vs {len(ddf)} rows):")
             for p in problems:
                 print(f"      {p}")
+            statuses[name] = {"status": "fail", "problems": problems[:5]}
         else:
             print(f"ok    {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            statuses[name] = {"status": "ok", "rows": len(sdf)}
     print("failures:", failures)
+    if not only:  # full sweep: persist the gate result for reviewers
+        by = {"ok": 0, "skip_no_oracle": 0, "fail": 0}
+        for v in statuses.values():
+            by[v["status"]] += 1
+        summary = {
+            "sf_dir": sf_dir,
+            "ran_at": time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()),
+            "n_queries": len(statuses),
+            "counts": by,
+            "failures": failures,
+            "queries": statuses,
+        }
+        out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CHECK_SUMMARY.json",
+        )
+        with open(out, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"summary: {out}")
     return 1 if failures else 0
 
 

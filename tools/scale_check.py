@@ -1,0 +1,94 @@
+"""Scaling-ratio check: compare per-query bench timings across two
+scale factors and flag super-linear blowups.
+
+The 100 TB design claims rest on plan shapes (tests/test_plan_audit.py)
+— this tool adds MEASURED evidence: with a 10× data-size step, a
+healthy query's time ratio sits well under 10 (fixed per-query session
+overhead dominates at these sizes); anything approaching the square of
+the data ratio (100×) is a quadratic and fails the check. The default
+ceiling of 15× allows linear cost plus noise while catching any
+O(n²) candidate explosion or driver-side collect that snuck past the
+plan audit.
+
+Usage:
+  python tools/scale_check.py <small_bench_full.json> <big_bench_full.json>
+      [--max-ratio 15] [--md SCALING.md]
+
+Writes a markdown ratio table (sorted by ratio, worst first) and exits
+non-zero if any query exceeds the ceiling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("small")
+    ap.add_argument("big")
+    ap.add_argument("--max-ratio", type=float, default=15.0)
+    ap.add_argument("--md", default=None)
+    args = ap.parse_args()
+
+    with open(args.small) as f:
+        small = json.load(f)
+    with open(args.big) as f:
+        big = json.load(f)
+    sq, bq = small["queries"], big["queries"]
+    common = sorted(set(sq) & set(bq))
+    missing = sorted(set(sq) ^ set(bq))
+    if missing:
+        print(f"note: {len(missing)} queries not in both runs: {missing}",
+              file=sys.stderr)
+
+    rows = []
+    for q in common:
+        # floor the denominator: sub-100ms timings are all session
+        # overhead and make ratios meaningless
+        ratio = bq[q] / max(sq[q], 0.1)
+        rows.append((ratio, q, sq[q], bq[q]))
+    rows.sort(reverse=True)
+
+    data_ratio = big.get("sf", 0) / max(small.get("sf", 1), 1e-9)
+    bad = [r for r in rows if r[0] > args.max_ratio]
+    lines = [
+        "# Scaling check",
+        "",
+        f"Data ratio: sf{small.get('sf')} → sf{big.get('sf')} "
+        f"(**{data_ratio:.0f}×** rows). Time-ratio ceiling: "
+        f"{args.max_ratio}× (linear + noise; a quadratic would show "
+        f"~{data_ratio**2:.0f}×).",
+        "",
+        f"**{len(common)} queries compared — "
+        + (f"{len(bad)} FAILED the ceiling.**" if bad
+           else "all under the ceiling.**"),
+        "",
+        "| query | sec @ small | sec @ big | ratio |",
+        "|---|---|---|---|",
+    ]
+    for ratio, q, s, b in rows:
+        flag = " ⚠️" if ratio > args.max_ratio else ""
+        lines.append(f"| {q}{flag} | {s:.2f} | {b:.2f} | {ratio:.1f}× |")
+    md = "\n".join(lines) + "\n"
+    if args.md:
+        with open(args.md, "w") as f:
+            f.write(md)
+        print(f"wrote {args.md}", file=sys.stderr)
+    total_ratio = big["value"] / max(small["value"], 1e-9)
+    print(json.dumps({
+        "data_ratio": data_ratio,
+        "total_time_ratio": round(total_ratio, 2),
+        "n_compared": len(common),
+        "n_failed": len(bad),
+        "worst": [
+            {"query": q, "ratio": round(r, 1)} for r, q, _, _ in rows[:5]
+        ],
+    }))
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
