@@ -1807,6 +1807,32 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_stub(multimodal.attach_binary_payload(docs))
 
 
+def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end to end: each doc gets a valid binary PPM
+    payload built JVM-side (header + text bytes as pixel data), and the
+    real-codec tier (multimodal/codecs.py, pure Python — PIL adapter
+    when installed) decodes true dimensions back out. Rows-only check;
+    every row must come off the 'pnm'/'pil' path, never the stub —
+    asserted by the decoder filter, so a codec regression empties the
+    result and fails the rows gate."""
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = 16
+    # pixel bytes: text repeated/truncated to exactly w*w*3 bytes
+    body = F.substring(
+        F.rpad(F.col("text"), w * w * 3, "x"), 1, w * w * 3
+    )
+    payload = F.concat(
+        F.encode(F.lit(f"P6\n{w} {w}\n255\n"), "UTF-8"),
+        F.encode(body, "UTF-8"),
+    ).cast("binary")
+    with_payload = docs.select("doc_id", payload.alias("payload"))
+    decoded = multimodal.decode_image(with_payload, allow_stub=False)
+    return decoded.filter(
+        F.col("decoder").isin("pnm", "pil")
+    ).orderBy("doc_id")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extract stub → embedding column → exact cosine top-k:
     the binary-to-similarity pipeline end to end (rows-only check —
@@ -2736,6 +2762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantile_rollup": q_kll_quantile_rollup,
         "theta_audience_overlap": q_theta_audience_overlap,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_real_decode": q_multimodal_real_decode,
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_search": q_multimodal_frame_search,
         "multimodal_audio_windows": q_multimodal_audio_windows,

@@ -2,11 +2,17 @@
 
 Media travel as opaque ``binary`` columns next to typed metadata
 structs; decode/resize/frame-sample run as Arrow-batched
-``mapInPandas`` stages. The actual codecs aren't available in this
-container, so the decode kernels are STUBS — a deterministic fake
-"decoder" clearly marked as such — while everything Spark-side
-(schemas, batch iteration, partitioning, UDF signatures) is real and
-tested. Swapping in PIL/ffmpeg later only changes the kernel body.
+``mapInPandas`` stages. Two kernel tiers:
+
+- ``decode_image`` / ``feature_extract`` / ``audio_windows`` — REAL
+  decoders (codecs.py): PIL/soundfile adapters when importable, a
+  pure-Python tier always (PPM/PGM + uncompressed BMP pixel decode,
+  PNG/JPEG/GIF header decode, PCM WAV via stdlib ``wave``), stub
+  fallback for unrecognized payloads — every output row carries a
+  ``decoder`` column naming the path, so real and fake rows are never
+  silently mixed.
+- the ``*_stub`` twins — deterministic fakes, kept for plumbing tests
+  and formats with no in-container codec (jpeg pixels, video).
 
 Scale notes: binary payloads dominate row size — keep
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` small for wide media
@@ -42,7 +48,11 @@ __all__ = [
     "frame_sample_stub",
     "frame_embed_stub",
     "audio_window_stub",
+    "decode_image",
+    "feature_extract",
+    "audio_windows",
     "DECODED_IMAGE_SCHEMA",
+    "DECODED_IMAGE_REAL_SCHEMA",
 ]
 
 #: Output schema of the (stubbed) image decoder.
@@ -309,6 +319,204 @@ def audio_window_stub(
                     "start_byte": rows["start_byte"],
                     "rms": rows["rms"],
                     "peak": rows["peak"],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(_windows, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# real-codec tier (codecs.py): best-available decode, stub fallback,
+# every row labeled with the decoder that produced it
+# ---------------------------------------------------------------------------
+
+DECODED_IMAGE_REAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("format", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("decoder", StringType()),
+    ]
+)
+
+
+def decode_image(
+    df: DataFrame, *, id_col: str = "doc_id", allow_stub: bool = True
+) -> DataFrame:
+    """Decode images via mapInPandas, REAL codecs first: PIL when
+    importable, else the pure-Python tier (full pixel decode for
+    PPM/PGM/uncompressed BMP; header decode for PNG/JPEG/GIF — see
+    codecs.py). Unrecognized payloads fall back to the deterministic
+    stub geometry when ``allow_stub`` (labeled ``decoder='stub'``,
+    never silently mixed) or are dropped when not. The ``decoder``
+    column is the honesty contract: filter on it to keep only
+    real-decoded rows."""
+    from data_lakehouse_spark.multimodal import codecs
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "channels", "format",
+                "n_bytes", "decoder",
+            )}
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                raw = bytes(payload)
+                out = codecs.decode_image_bytes(raw)
+                if out is None:
+                    if not allow_stub:
+                        continue
+                    n = len(raw)
+                    out = {
+                        "width": n % 640 + 1,
+                        "height": n % 480 + 1,
+                        "channels": 3,
+                        "format": "fake/raw",
+                        "decoder": "stub",
+                    }
+                rows["doc_id"].append(did)
+                rows["width"].append(out["width"])
+                rows["height"].append(out["height"])
+                rows["channels"].append(out["channels"])
+                rows["format"].append(out["format"])
+                rows["n_bytes"].append(len(raw))
+                rows["decoder"].append(out["decoder"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"],
+                    "width": pd.array(rows["width"], dtype="int32"),
+                    "height": pd.array(rows["height"], dtype="int32"),
+                    "channels": pd.array(rows["channels"], dtype="int32"),
+                    "format": rows["format"],
+                    "n_bytes": pd.array(rows["n_bytes"], dtype="int64"),
+                    "decoder": rows["decoder"],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        _decode, schema=DECODED_IMAGE_REAL_SCHEMA
+    )
+
+
+def feature_extract(
+    df: DataFrame, *, id_col: str = "doc_id", dim: int = 16
+) -> DataFrame:
+    """Fixed-dim embedding per payload: REAL grid mean-pool luminance
+    features for pixel-decodable payloads (codecs.grid_pool_features —
+    resolution-invariant-ish, unlike a byte hash), the stub hash-fold
+    for the rest; ``decoder`` column labels which."""
+    import numpy as np
+
+    from data_lakehouse_spark.multimodal import codecs
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+            StructField("decoder", StringType()),
+        ]
+    )
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs, decs = [], [], []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                raw = bytes(payload)
+                out = codecs.decode_image_bytes(raw)
+                if out is not None and out.get("pixels"):
+                    v = codecs.grid_pool_features(
+                        out["pixels"], out["width"], out["height"],
+                        out["channels"], dim=dim,
+                    )
+                    decs.append(out["decoder"])
+                else:
+                    arr = np.frombuffer(raw, dtype=np.uint8)
+                    pad = (-len(arr)) % dim
+                    if pad:
+                        arr = np.concatenate(
+                            [arr, np.zeros(pad, dtype=np.uint8)]
+                        )
+                    sv = arr.reshape(-1, dim).sum(axis=0).astype(np.float64) + 1.0
+                    v = (sv / np.linalg.norm(sv)).tolist()
+                    decs.append("stub")
+                ids.append(did)
+                vecs.append([float(x) for x in v])
+            yield pd.DataFrame(
+                {"doc_id": ids, "embedding": vecs, "decoder": decs}
+            )
+
+    return df.select(id_col, "payload").mapInPandas(_embed, schema=schema)
+
+
+def audio_windows(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    window_samples: int = 1024,
+    hop_samples: int = 512,
+) -> DataFrame:
+    """Overlapping-window audio features over REAL decoded samples:
+    payloads parse as PCM WAV (soundfile when importable, stdlib
+    ``wave`` otherwise — codecs.decode_wav_bytes); undecodable payloads
+    fall back to the byte-window stub framing. Windows are in SAMPLES
+    with true ``start_sec`` timing for the real path; rms/peak computed
+    on normalized [-1, 1] amplitudes either way."""
+    import numpy as np
+
+    from data_lakehouse_spark.multimodal import codecs
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("window_idx", IntegerType()),
+            StructField("start_sec", DoubleType()),
+            StructField("rms", DoubleType()),
+            StructField("peak", DoubleType()),
+            StructField("decoder", StringType()),
+        ]
+    )
+
+    def _windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "window_idx", "start_sec", "rms", "peak", "decoder",
+            )}
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                raw = bytes(payload)
+                wav = codecs.decode_wav_bytes(raw)
+                if wav is not None:
+                    samples = np.asarray(wav["samples"], dtype=np.float64)
+                    rate = wav["sample_rate"] * wav["channels"]
+                    dec = wav["decoder"]
+                else:
+                    samples = (
+                        np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                        - 128.0
+                    ) / 128.0
+                    rate = float(len(samples)) or 1.0  # whole payload = 1s
+                    dec = "stub"
+                for i, start in enumerate(
+                    range(0, max(len(samples), 1), hop_samples)
+                ):
+                    w = samples[start : start + window_samples]
+                    if len(w) == 0:
+                        continue
+                    rows["doc_id"].append(did)
+                    rows["window_idx"].append(i)
+                    rows["start_sec"].append(start / rate)
+                    rows["rms"].append(float(np.sqrt((w**2).mean())))
+                    rows["peak"].append(float(np.abs(w).max()))
+                    rows["decoder"].append(dec)
+            yield pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"],
+                    "window_idx": pd.array(rows["window_idx"], dtype="int32"),
+                    "start_sec": rows["start_sec"],
+                    "rms": rows["rms"],
+                    "peak": rows["peak"],
+                    "decoder": rows["decoder"],
                 }
             )
 
