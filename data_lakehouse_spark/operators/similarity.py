@@ -35,6 +35,7 @@ from data_lakehouse_spark.functions.vectors import cosine_similarity
 
 __all__ = [
     "cosine_topk",
+    "cosine_pairs",
     "cosine_pairs_above",
     "cosine_pairs_blocked",
     "lsh_cosine_candidates",
@@ -68,6 +69,36 @@ def cosine_topk(
     )
 
 
+def cosine_pairs(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.5,
+    max_broadcast_rows: int = 100_000,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Exact similarity self-join: all (a,b) pairs with cosine ≥ t —
+    the RECOMMENDED entry point. One count decides the physical
+    strategy: at or under ``max_broadcast_rows`` the comparison side
+    broadcasts as a single numpy matrix (one GEMM per Arrow batch — the
+    small-input fast path); above it, the fully distributed block-pair
+    GEMM of :func:`cosine_pairs_blocked` runs with nothing on the
+    driver. Identical arithmetic either way, so the choice is invisible
+    in the results. Sub-quadratic needs go to
+    :func:`lsh_cosine_candidates` instead — exact all-pairs is
+    inherently O(n²) whatever the strategy."""
+    n = df.count()
+    if n <= max_broadcast_rows:
+        return _pairs_broadcast(
+            df, vec_col=vec_col, id_col=id_col, threshold=threshold
+        )
+    return cosine_pairs_blocked(
+        df, vec_col=vec_col, id_col=id_col, threshold=threshold,
+        num_blocks=num_blocks,
+    )
+
+
 def cosine_pairs_above(
     df: DataFrame,
     *,
@@ -76,25 +107,21 @@ def cosine_pairs_above(
     threshold: float = 0.5,
     max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
-    """Exact similarity self-join: all (a,b) pairs with cosine ≥ t —
-    collect-and-broadcast variant.
+    """DEPRECATED collect-and-broadcast exact pair join — use
+    :func:`cosine_pairs` (auto strategy) or
+    :func:`cosine_pairs_blocked` (always distributed). This was the one
+    anti-pattern-shaped API in the package (a documented "must fit in
+    driver" contract); it now guards the same fast-path kernel the
+    facade uses, and still fails fast over ``max_broadcast_rows``
+    rather than OOMing."""
+    import warnings
 
-    Broadcast-matmul shape: the scan side streams through Arrow-batched
-    ``mapInPandas`` while the comparison side is one broadcast numpy
-    matrix built on the DRIVER — each batch is a single float64 GEMM
-    instead of per-pair expression evaluation (~100× over a nested-loop
-    join with higher-order-function cosine). The comparison side must
-    fit in driver AND executor memory; ``max_broadcast_rows`` fails fast
-    before the collect when it can't. Beyond the ceiling use
-    :func:`cosine_pairs_blocked` (exact, fully distributed — the
-    default in :func:`embedding_dedup_canonical`) or
-    :func:`lsh_cosine_candidates` (approximate) so neither the driver
-    matrix nor the n² ever materializes.
-    """
-    import numpy as np
-    import pandas as pd
-
-    spark = df.sparkSession
+    warnings.warn(
+        "cosine_pairs_above is deprecated: use cosine_pairs "
+        "(auto broadcast/blocked) or cosine_pairs_blocked",
+        DeprecationWarning,
+        stacklevel=2,
+    )
     n = df.count()
     if n > max_broadcast_rows:
         raise ValueError(
@@ -102,6 +129,28 @@ def cosine_pairs_above(
             f"{max_broadcast_rows}; use cosine_pairs_blocked (exact) or "
             "lsh_cosine_candidates (approximate) instead"
         )
+    return _pairs_broadcast(
+        df, vec_col=vec_col, id_col=id_col, threshold=threshold
+    )
+
+
+def _pairs_broadcast(
+    df: DataFrame,
+    *,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Broadcast-matmul exact pair kernel: the scan side streams
+    through Arrow-batched ``mapInPandas`` while the comparison side is
+    one broadcast numpy matrix built on the driver — each batch is a
+    single float64 GEMM instead of per-pair expression evaluation.
+    Callers guarantee the comparison side fits in driver and executor
+    memory (:func:`cosine_pairs` sizes this automatically)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
     side = df.select(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("v")
     ).collect()
@@ -416,7 +465,7 @@ def embedding_dedup_canonical(
                 num_blocks=num_blocks,
             )
         elif strategy == "broadcast":
-            pairs = cosine_pairs_above(
+            pairs = cosine_pairs(
                 df, vec_col=vec_col, id_col=id_col, threshold=threshold
             )
         elif strategy == "lsh":
