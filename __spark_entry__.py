@@ -2626,6 +2626,36 @@ def q_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-format interop, Delta flavor: catalog table -> Delta log
+    export (pure-JSON protocol actions, zero-copy adds) -> independent
+    log-replay reader. Oracle = the source table (lossless
+    round-trip)."""
+    import shutil
+    import tempfile
+
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.interop import export_delta, read_delta
+
+    _ensure_conf(spark)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dls_delta_rt",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(spark, os.path.join(root, "cat"))
+    cat.create_table(
+        "nation_dl", spark.read.parquet(f"{sf_dir}/nation.parquet")
+    )
+    export_delta(cat, "nation_dl", os.path.join(root, "dl"))
+    return (
+        read_delta(spark, os.path.join(root, "dl"))
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: daily sales summary over sf0.001 events."""
     return q_daily_sales(spark, "/root/testdata/sf0.001")
@@ -2747,6 +2777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20_heavy_shippers": q_tpch_q20_heavy_shippers,
         "events_point_lookup": q_events_point_lookup,
         "iceberg_roundtrip": q_iceberg_roundtrip,
+        "delta_roundtrip": q_delta_roundtrip,
         # --- rows-only (hash/LSH/HLL/pandas-UDF based; no SQL oracle) ---
         "gold_user_rfm_segments_scalable": q_user_rfm_segments_scalable,
         "segment_order_percentiles_approx": q_segment_order_percentiles_approx,
@@ -3452,6 +3483,12 @@ WHERE event_id = 4242
 SELECT r_regionkey, r_name
 FROM region
 ORDER BY r_regionkey
+"""
+
+    sql["delta_roundtrip"] = """
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation
+ORDER BY n_nationkey
 """
 
     sql["top_customers"] = """

@@ -1,10 +1,14 @@
 """Open-format interoperability: export catalog tables as Apache
-Iceberg v2 tables readable by external engines, and read Iceberg
-tables written by other engines."""
+Iceberg v2 or Delta Lake tables readable by external engines, and read
+such tables written by other engines."""
 
+from data_lakehouse_spark.interop.delta import (  # noqa: F401
+    export_delta,
+    read_delta,
+)
 from data_lakehouse_spark.interop.iceberg import (  # noqa: F401
     export_iceberg,
     read_iceberg,
 )
 
-__all__ = ["export_iceberg", "read_iceberg"]
+__all__ = ["export_delta", "export_iceberg", "read_delta", "read_iceberg"]

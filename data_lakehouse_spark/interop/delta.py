@@ -1,0 +1,346 @@
+"""Delta Lake export / read — the second open storage format next to
+:mod:`data_lakehouse_spark.interop.iceberg`.
+
+A Delta table is parquet data plus a ``_delta_log/`` of ordered JSON
+commits (public protocol: https://github.com/delta-io/delta/blob/master/PROTOCOL.md);
+no Avro, no manifest indirection — which makes export a pure-JSON
+metadata write and the reader a log replay:
+
+- :func:`export_delta` writes ``_delta_log/…0.json`` with
+  protocol/metaData/add actions for the catalog table's current
+  snapshot. Zero-copy by default (``add.path`` may be absolute per the
+  protocol); identity-hive-partitioned tables stay zero-copy because
+  Delta restores partition column values from ``add.partitionValues``
+  (unlike the Iceberg export, which must materialize those). MOR
+  deletes and transform-partitioned layouts materialize.
+- :func:`read_delta` replays a Delta log — latest checkpoint parquet
+  (if any) plus later JSON commits, add/remove reconciliation,
+  partition-value reconstruction, schema from the last ``metaData`` —
+  and refuses deletion vectors / column mapping rather than returning
+  wrong rows.
+
+``schemaString`` IS Spark's schema JSON (Delta inherited it), so
+conversion is the identity — the catalog's schema round-trips exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import urllib.parse
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+__all__ = ["export_delta", "read_delta"]
+
+
+def _schema_string(catalog_schema: dict) -> str:
+    """Catalog (Spark) schema JSON -> Delta schemaString. Identity
+    except metadata: Delta stores column metadata too, but our
+    field_id etc. are engine-internal — strip to keep the log clean."""
+    fields = [
+        {
+            "name": f["name"],
+            "type": f["type"],
+            "nullable": f.get("nullable", True),
+            "metadata": {},
+        }
+        for f in catalog_schema["fields"]
+    ]
+    return json.dumps({"type": "struct", "fields": fields})
+
+
+def export_delta(
+    catalog,
+    name: str,
+    dest: str,
+    *,
+    materialize: bool | None = None,
+) -> dict:
+    """Export the catalog table's CURRENT snapshot as a Delta table at
+    ``dest`` (``_delta_log/00000000000000000000.json`` + referenced
+    parquet). Zero-copy by default — O(files) footer reads, no data
+    scan. Auto-materializes (one Spark rewrite into ``dest/data/``)
+    when the snapshot carries MOR delete files or non-identity
+    (transform) partitioning; identity hive partitioning exports
+    zero-copy with per-file ``partitionValues`` parsed from the
+    directory layout.
+
+    Same freshness caveat as the Iceberg export: the log references a
+    frozen snapshot, and ``expire_snapshots`` on the source can reclaim
+    zero-copy-referenced files."""
+    import pyarrow.parquet as pq
+
+    h = catalog._handle(name)
+    entries = catalog._load_manifest(h)
+    if not entries:
+        raise ValueError(f"table {name} does not exist")
+    head = catalog._main_head(entries, name)
+    has_deletes = bool(head.get("delete_dirs"))
+    pb = list(head.get("partition_by") or [])
+    schema_fields = {f["name"] for f in head["schema"]["fields"]}
+    # identity partitioning = every physical partition dir column is a
+    # declared schema column; hidden transform columns (days(ts),
+    # bucket(n, col)) are derived and NOT restorable from the path
+    identity_part = all(c in schema_fields for c in pb)
+    must_materialize = has_deletes or (bool(pb) and not identity_part)
+    if materialize is None:
+        materialize = must_materialize
+    if must_materialize and not materialize:
+        raise ValueError(
+            f"cannot zero-copy export {name}: "
+            + ("it carries MOR delete files; " if has_deletes else "")
+            + ("its partitioning uses hidden transforms; "
+               if pb and not identity_part else "")
+            + "pass materialize=True (one rewrite into the export)"
+        )
+
+    dest = os.path.abspath(dest)
+    log_dir = os.path.join(dest, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+
+    part_cols = [] if materialize else pb
+    if materialize:
+        data_dir = os.path.join(dest, "data")
+        catalog.read(name).write.mode("overwrite").parquet(data_dir)
+        roots = [data_dir]
+    else:
+        roots = [
+            os.path.normpath(os.path.join(h.path, d))
+            for d in head["data_dirs"]
+        ]
+
+    now_ms = int(time.time() * 1000)
+    adds = []
+    total_rows = 0
+    for root in roots:
+        for dp, _, fs in os.walk(root):
+            for fname in sorted(fs):
+                if not fname.endswith(".parquet"):
+                    continue
+                full = os.path.join(dp, fname)
+                rel_dirs = os.path.relpath(dp, root)
+                pvals: dict[str, str] = {}
+                for comp in rel_dirs.split(os.sep):
+                    if "=" in comp:
+                        k, v = comp.split("=", 1)
+                        if k in part_cols:
+                            pvals[k] = urllib.parse.unquote(v)
+                n_rows = pq.read_metadata(full).num_rows
+                total_rows += n_rows
+                adds.append(
+                    {
+                        "add": {
+                            "path": full,  # absolute: allowed by protocol
+                            "partitionValues": pvals,
+                            "size": os.path.getsize(full),
+                            "modificationTime": now_ms,
+                            "dataChange": True,
+                            "stats": json.dumps({"numRecords": n_rows}),
+                        }
+                    }
+                )
+
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _schema_string(head["schema"]),
+                "partitionColumns": part_cols,
+                "configuration": {},
+                "createdTime": now_ms,
+            }
+        },
+        *adds,
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE",
+                "operationParameters": {"mode": "ErrorIfExists"},
+                "engineInfo": f"data_lakehouse_spark export of {name}"
+                f"@v{head['version']}",
+            }
+        },
+    ]
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    return {
+        "table": name,
+        "location": dest,
+        "data_files": len(adds),
+        "rows": total_rows,
+        "materialized": bool(materialize),
+        "partition_columns": part_cols,
+    }
+
+
+# ---------------------------------------------------------------------------
+# read
+# ---------------------------------------------------------------------------
+
+
+def _log_versions(log_dir: str) -> list[int]:
+    out = []
+    for f in os.listdir(log_dir):
+        m = re.match(r"^(\d{20})\.json$", f)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _latest_checkpoint(log_dir: str) -> tuple[int, list[str]] | None:
+    """(version, checkpoint parquet paths) of the newest checkpoint, or
+    None. Handles single-file and multi-part checkpoint names."""
+    last = os.path.join(log_dir, "_last_checkpoint")
+    if not os.path.exists(last):
+        return None
+    with open(last) as f:
+        info = json.load(f)
+    v = int(info["version"])
+    parts = info.get("parts")
+    if parts:
+        paths = [
+            os.path.join(
+                log_dir, f"{v:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet"
+            )
+            for i in range(int(parts))
+        ]
+    else:
+        paths = [os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")]
+    return (v, paths) if all(os.path.exists(p) for p in paths) else None
+
+
+def read_delta(
+    spark: SparkSession, location: str, *, version: int | None = None
+) -> DataFrame:
+    """Read a Delta table directory by replaying its log (checkpoint +
+    JSON commits ≤ ``version``, default latest). Supports add/remove
+    reconciliation and identity-partitioned tables (partition columns
+    reconstructed from ``partitionValues`` and cast to the declared
+    schema types). Refuses deletion vectors and column-mapping tables
+    — wrong-rows failure modes — rather than guessing."""
+    location = os.path.abspath(location)
+    log_dir = os.path.join(location, "_delta_log")
+    versions = _log_versions(log_dir)
+    if not versions:
+        raise ValueError(f"{location}: no _delta_log commits")
+    target = version if version is not None else versions[-1]
+    if target not in versions and version is not None:
+        # commits before a cleaned-up checkpoint may be gone
+        raise ValueError(f"{location}: version {target} not in log")
+
+    live: dict[str, dict] = {}
+    meta: dict | None = None
+    protocol: dict | None = None
+
+    ckpt = _latest_checkpoint(log_dir)
+    start = 0
+    if ckpt and ckpt[0] <= target:
+        cv, paths = ckpt
+        cdf = spark.read.parquet(*paths)
+        cols = set(cdf.columns)
+        rows = cdf.select(
+            *[c for c in ("add", "remove", "metaData", "protocol")
+              if c in cols]
+        ).collect()
+        for r in rows:
+            d = r.asDict(recursive=True)
+            if d.get("add"):
+                live[d["add"]["path"]] = d["add"]
+            elif d.get("remove"):
+                live.pop(d["remove"]["path"], None)
+            if d.get("metaData") and d["metaData"].get("schemaString"):
+                meta = d["metaData"]
+            if d.get("protocol") and d["protocol"].get(
+                "minReaderVersion"
+            ) is not None:
+                protocol = d["protocol"]
+        start = cv + 1
+
+    for v in versions:
+        if v < start or v > target:
+            continue
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "add" in a:
+                    if a["add"].get("deletionVector"):
+                        raise ValueError(
+                            f"{location}: deletion vectors are not "
+                            "supported by this reader"
+                        )
+                    live[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    live.pop(a["remove"]["path"], None)
+                elif "metaData" in a:
+                    meta = a["metaData"]
+                elif "protocol" in a:
+                    protocol = a["protocol"]
+    if meta is None:
+        raise ValueError(f"{location}: no metaData action in log")
+    if protocol and protocol.get("minReaderVersion", 1) > 1:
+        feats = protocol.get("readerFeatures") or []
+        unsupported = [
+            ft for ft in feats
+            if ft not in ("timestampNtz", "v2Checkpoint")
+        ]
+        if unsupported:
+            raise ValueError(
+                f"{location}: reader features {unsupported} not supported"
+            )
+    if (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) not in ("none", ""):
+        raise ValueError(f"{location}: column mapping not supported")
+    if not live:
+        raise ValueError(f"{location}: table has no live data files")
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = meta.get("partitionColumns") or []
+    types = {f.name: f.dataType for f in schema.fields}
+
+    def _abs(p: str) -> str:
+        p = urllib.parse.unquote(p)
+        p = re.sub(r"^file:/+", "/", p)
+        return p if os.path.isabs(p) else os.path.join(location, p)
+
+    if not part_cols:
+        return spark.read.schema(
+            StructType([f for f in schema.fields])
+        ).parquet(*[_abs(p) for p in live])
+
+    # partition columns live in partitionValues, not the files: group
+    # files by their partition tuple, read each group once, attach the
+    # literals cast to the declared types, union
+    file_schema = StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    groups: dict[tuple, list[str]] = {}
+    for p, add in live.items():
+        key = tuple(
+            (add.get("partitionValues") or {}).get(c) for c in part_cols
+        )
+        groups.setdefault(key, []).append(_abs(p))
+    out: DataFrame | None = None
+    for key, paths in sorted(groups.items()):
+        df = spark.read.schema(file_schema).parquet(*paths)
+        for c, v in zip(part_cols, key):
+            df = df.withColumn(
+                c,
+                (F.lit(None) if v is None else F.lit(v)).cast(
+                    types[c]
+                ),
+            )
+        df = df.select(*[f.name for f in schema.fields])
+        out = df if out is None else out.unionByName(df)
+    return out

@@ -43,6 +43,7 @@ import uuid
 import zlib
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 __all__ = ["export_iceberg", "read_iceberg"]
 
@@ -650,10 +651,12 @@ def read_iceberg(
     manifests, and scan the live data files.
 
     Pure-Python metadata walk (no Iceberg runtime jar needed) + Spark's
-    parquet scan for the data. Supports data manifests with
-    existing/added entries; refuses delete manifests (positional or
-    equality delete files) rather than silently returning undeleted
-    rows."""
+    parquet scan for the data. Supports data manifests AND v2
+    POSITIONAL delete manifests: delete files (``file_path``, ``pos``)
+    anti-join the scan on Spark's ``_metadata.file_path`` /
+    ``_metadata.row_index`` — the broadcast merge-on-read plan, same
+    shape as the engine's own MOR reads. Equality deletes are refused
+    rather than silently returning undeleted rows."""
     location = os.path.abspath(location)
     meta_dir = os.path.join(location, "metadata")
     hint = os.path.join(meta_dir, "version-hint.text")
@@ -681,27 +684,48 @@ def read_iceberg(
         raise ValueError(f"{location}: snapshot {snap_id} not found")
     _, manifests = _read_avro_file(_strip_uri(snap["manifest-list"]))
     data_paths: list[str] = []
+    delete_paths: list[str] = []
     for m in manifests:
-        if m.get("content", 0) not in (0, None):
-            raise ValueError(
-                f"{location}: delete manifests are not supported by this "
-                "reader (rewrite the table or read with an Iceberg runtime)"
-            )
         _, mentries = _read_avro_file(_strip_uri(m["manifest_path"]))
         for e in mentries:
             if e["status"] == 2:  # DELETED
                 continue
             df_rec = e["data_file"]
-            if df_rec.get("content", 0) not in (0, None):
-                raise ValueError(
-                    f"{location}: delete files are not supported"
-                )
+            content = df_rec.get("content") or 0
             if df_rec["file_format"].upper() != "PARQUET":
                 raise ValueError(
                     f"{location}: unsupported file format "
                     f"{df_rec['file_format']!r}"
                 )
-            data_paths.append(_strip_uri(df_rec["file_path"]))
+            if content == 0:
+                data_paths.append(_strip_uri(df_rec["file_path"]))
+            elif content == 1:  # position deletes
+                delete_paths.append(_strip_uri(df_rec["file_path"]))
+            else:  # equality deletes: need column matching semantics
+                raise ValueError(
+                    f"{location}: equality delete files are not supported"
+                )
     if not data_paths:
         raise ValueError(f"{location}: snapshot {snap_id} has no data files")
-    return spark.read.parquet(*data_paths)
+    df = spark.read.parquet(*data_paths)
+    if not delete_paths:
+        return df
+    out_cols = df.columns
+    strip = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    positions = spark.read.parquet(*delete_paths).select(
+        strip(F.col("file_path")).alias("_del_fp"),
+        F.col("pos").cast("bigint").alias("_del_pos"),
+    )
+    return (
+        df.withColumn(
+            "_fp", strip(F.col("_metadata.file_path"))
+        )
+        .withColumn("_pos", F.col("_metadata.row_index"))
+        .join(
+            F.broadcast(positions),
+            (F.col("_fp") == F.col("_del_fp"))
+            & (F.col("_pos") == F.col("_del_pos")),
+            "left_anti",
+        )
+        .select(*out_cols)
+    )

@@ -165,3 +165,116 @@ def test_read_iceberg_time_travel_by_snapshot(spark, tmp_path):
     export_iceberg(cat, "t", d2)
     assert _rows(read_iceberg(spark, d1).select("id")) == [(1,)]
     assert _rows(read_iceberg(spark, d2).select("id")) == [(1,), (2,)]
+
+
+def test_read_iceberg_applies_position_deletes(spark, tmp_path):
+    """v2 merge-on-read: a position-delete manifest (written with the
+    same Java-Avro machinery, as another engine would) anti-joins the
+    scan on (file, row position) — deleted rows must vanish, equality
+    deletes must refuse."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_lakehouse_spark.interop import iceberg as ice
+
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t",
+        spark.createDataFrame([(i,) for i in range(10)], "id long")
+        .coalesce(1),
+    )
+    dest = str(tmp_path / "icemor")
+    res = export_iceberg(cat, "t", dest)
+    meta_dir = os.path.join(dest, "metadata")
+    with open(os.path.join(meta_dir, "v1.metadata.json")) as f:
+        meta = json.load(f)
+    snap = meta["snapshots"][0]
+    _, manifests = _read_avro_file(snap["manifest-list"])
+    _, entries = _read_avro_file(manifests[0]["manifest_path"])
+    data_file = entries[0]["data_file"]["file_path"]
+    first_two = [
+        r["id"]
+        for r in spark.read.parquet(data_file).limit(2).collect()
+    ]
+
+    # position-delete parquet: kill rows 0 and 1 of that file
+    del_file = os.path.join(meta_dir, "pos-deletes.parquet")
+    pq.write_table(
+        pa.table(
+            {"file_path": [data_file] * 2, "pos": pa.array([0, 1], pa.int64())}
+        ),
+        del_file,
+    )
+    # delete manifest via the same Avro writer (content=1 entries)
+    del_manifest = os.path.join(meta_dir, "del-m0.avro")
+    ice._write_avro(
+        spark, del_manifest, ice._MANIFEST_ENTRY_SCHEMA,
+        [{
+            "status": 1, "snapshot_id": 7, "sequence_number": 2,
+            "file_sequence_number": 2,
+            "data_file": {
+                "content": 1, "file_path": del_file,
+                "file_format": "PARQUET", "partition": None,
+                "record_count": 2,
+                "file_size_in_bytes": os.path.getsize(del_file),
+            },
+        }],
+        {"format-version": "2", "content": "deletes"},
+    )
+    # new snapshot: old data manifest + the delete manifest
+    new_list = os.path.join(meta_dir, "snap-7-1-deletes.avro")
+    base = dict(manifests[0])
+    ice._write_avro(
+        spark, new_list, ice._MANIFEST_LIST_SCHEMA,
+        [base, {**base, "manifest_path": del_manifest, "content": 1,
+                "added_snapshot_id": 7}],
+        {"format-version": "2"},
+    )
+    meta2 = dict(meta)
+    meta2["current-snapshot-id"] = 7
+    meta2["snapshots"] = meta["snapshots"] + [
+        {**snap, "snapshot-id": 7, "sequence-number": 2,
+         "manifest-list": new_list}
+    ]
+    with open(os.path.join(meta_dir, "v2.metadata.json"), "w") as f:
+        json.dump(meta2, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("2")
+
+    got = sorted(r["id"] for r in read_iceberg(spark, dest).collect())
+    assert got == sorted(set(range(10)) - set(first_two))
+    assert res["rows"] == 10  # original export untouched
+
+    # equality deletes (content=2) refuse instead of wrong rows
+    eq_manifest = os.path.join(meta_dir, "eq-m0.avro")
+    ice._write_avro(
+        spark, eq_manifest, ice._MANIFEST_ENTRY_SCHEMA,
+        [{
+            "status": 1, "snapshot_id": 8, "sequence_number": 3,
+            "file_sequence_number": 3,
+            "data_file": {
+                "content": 2, "file_path": del_file,
+                "file_format": "PARQUET", "partition": None,
+                "record_count": 2, "file_size_in_bytes": 1,
+            },
+        }],
+        {"format-version": "2"},
+    )
+    ice._write_avro(
+        spark, os.path.join(meta_dir, "snap-8.avro"),
+        ice._MANIFEST_LIST_SCHEMA,
+        [base, {**base, "manifest_path": eq_manifest, "content": 1}],
+        {"format-version": "2"},
+    )
+    meta3 = dict(meta2)
+    meta3["current-snapshot-id"] = 8
+    meta3["snapshots"] = meta2["snapshots"] + [
+        {**snap, "snapshot-id": 8,
+         "manifest-list": os.path.join(meta_dir, "snap-8.avro")}
+    ]
+    with open(os.path.join(meta_dir, "v3.metadata.json"), "w") as f:
+        json.dump(meta3, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("3")
+    with pytest.raises(ValueError, match="equality delete"):
+        read_iceberg(spark, dest).collect()
