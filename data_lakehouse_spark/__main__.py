@@ -147,6 +147,11 @@ def cmd_maintain(args: argparse.Namespace) -> int:
         out = {"table": args.table, "published": True}
     elif op == "rewrite-deletes":
         out = cat.rewrite_position_deletes(args.table)
+    elif op == "remove-orphans":
+        out = cat.remove_orphan_files(
+            args.table, older_than_hours=args.older_than_hours,
+            dry_run=args.dry_run,
+        )
     elif op == "row-count":
         out = {"table": args.table, "rows": cat.row_count(args.table)}
     elif op == "tag":
@@ -227,13 +232,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "op",
         choices=["compact", "expire", "rollback", "publish",
-                 "rewrite-deletes", "row-count", "tag", "branch",
-                 "fast-forward", "clone"],
+                 "rewrite-deletes", "remove-orphans", "row-count", "tag",
+                 "branch", "fast-forward", "clone"],
     )
     p.add_argument("--warehouse", required=True)
     p.add_argument("--table", required=True)
     p.add_argument("--version", type=int, default=None)
     p.add_argument("--keep-last", type=int, default=1)
+    p.add_argument("--older-than-hours", type=float, default=24.0)
+    p.add_argument("--dry-run", action="store_true")
     p.add_argument("--ref", default=None,
                    help="tag/branch name for tag|branch|fast-forward")
     p.set_defaults(fn=cmd_maintain)

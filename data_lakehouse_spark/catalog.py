@@ -1611,6 +1611,73 @@ class Catalog:
             self._save_manifest(h, entries)
         return h
 
+    def remove_orphan_files(
+        self,
+        name: str,
+        *,
+        older_than_hours: float = 24.0,
+        dry_run: bool = False,
+    ) -> dict:
+        """Iceberg ``remove_orphan_files`` analog: reclaim snapshot
+        directories that NO manifest entry references — the debris of
+        writes that crashed between ``writer.save()`` and the manifest
+        flip (the commit protocol writes data first, so a crash leaks a
+        fully-written dir with no manifest entry; :meth:`expire_snapshots`
+        never touches those because it only walks referenced dirs out of
+        retention).
+
+        ``older_than_hours`` is the safety margin against IN-FLIGHT
+        writes: a concurrent commit's dir exists before its manifest
+        entry does, so only dirs whose newest file is older than the
+        cutoff qualify (Iceberg ships the same default for the same
+        race). ``dry_run`` lists without deleting."""
+        import shutil
+
+        h = self._handle(name)
+        with self._commit_lock(h):
+            entries = self._load_manifest(h)
+            if not entries:
+                raise ValueError(f"table {name} does not exist")
+            referenced: set[str] = set()
+            for e in entries:
+                for d in e.get("data_dirs") or []:
+                    referenced.add(os.path.normpath(os.path.join(h.path, d)))
+                for d in e.get("delete_dirs") or []:
+                    referenced.add(os.path.normpath(os.path.join(h.path, d)))
+            cutoff = time.time() - older_than_hours * 3600.0
+            orphans: list[str] = []
+            bytes_total = 0
+            for d in sorted(os.listdir(h.path)):
+                full = os.path.join(h.path, d)
+                if not os.path.isdir(full):
+                    continue  # manifest/tags/lock files
+                if os.path.normpath(full) in referenced:
+                    continue
+                newest = max(
+                    (
+                        os.path.getmtime(os.path.join(dp, f))
+                        for dp, _, fs in os.walk(full)
+                        for f in fs
+                    ),
+                    default=os.path.getmtime(full),
+                )
+                if newest > cutoff:
+                    continue
+                bytes_total += sum(
+                    os.path.getsize(os.path.join(dp, f))
+                    for dp, _, fs in os.walk(full)
+                    for f in fs
+                )
+                orphans.append(d)
+                if not dry_run:
+                    shutil.rmtree(full)
+        return {
+            "table": name,
+            "orphan_dirs": orphans,
+            "bytes_reclaimed": bytes_total,
+            "dry_run": dry_run,
+        }
+
     def expire_snapshots(self, name: str, *, keep_last: int = 1) -> dict:
         """VACUUM / expire_snapshots: reclaim storage held only by old
         versions (Iceberg ``expire_snapshots`` / Delta ``VACUUM`` analog).

@@ -219,3 +219,43 @@ def test_bloom_probe_after_type_widening(spark, tmp_path):
     assert hit2.count() == 1
     hit3 = cat.read("t", prune_eq={"id": 7}).filter(F.col("id") == 7)
     assert hit3.count() == 1
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """Crashed-write debris (a fully written dir with no manifest
+    entry) is reclaimed; referenced dirs and RECENT unreferenced dirs
+    (possible in-flight commits) are untouched."""
+    import os
+    import shutil
+    import time as _time
+
+    cat = _cat(spark, tmp_path)
+    cat.create_table("t", spark.createDataFrame([(1,), (2,)], "id long"))
+    cat.append("t", spark.createDataFrame([(3,)], "id long"))
+    h = cat._handle("t")
+
+    # simulate a crashed write: copy a real dir to an unreferenced name
+    old_orphan = os.path.join(h.path, "v99990")
+    shutil.copytree(os.path.join(h.path, "v00000"), old_orphan)
+    stale = _time.time() - 48 * 3600
+    for dp, _, fs in os.walk(old_orphan):
+        os.utime(dp, (stale, stale))
+        for f in fs:
+            os.utime(os.path.join(dp, f), (stale, stale))
+    fresh_orphan = os.path.join(h.path, "v99991")
+    shutil.copytree(os.path.join(h.path, "v00000"), fresh_orphan)
+
+    dry = cat.remove_orphan_files("t", dry_run=True)
+    assert dry["orphan_dirs"] == ["v99990"] and dry["bytes_reclaimed"] > 0
+    assert os.path.isdir(old_orphan)  # dry run deletes nothing
+
+    res = cat.remove_orphan_files("t")
+    assert res["orphan_dirs"] == ["v99990"]
+    assert not os.path.isdir(old_orphan)
+    assert os.path.isdir(fresh_orphan)  # too recent: kept
+    assert _ids(cat.read("t")) == [1, 2, 3]  # table intact
+    # the fresh orphan qualifies once the margin is waived
+    assert cat.remove_orphan_files("t", older_than_hours=0)[
+        "orphan_dirs"
+    ] == ["v99991"]
+    assert _ids(cat.read("t")) == [1, 2, 3]
