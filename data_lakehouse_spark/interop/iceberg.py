@@ -39,6 +39,7 @@ import os
 import re
 import struct
 import time
+import urllib.parse
 import uuid
 import zlib
 
@@ -298,6 +299,31 @@ def _write_avro(
 # ---------------------------------------------------------------------------
 
 
+#: Iceberg primitive -> Avro type for partition-struct fields (only
+#: these partition-value types export zero-copy; others materialize)
+_PART_AVRO = {"int": "int", "long": "long", "string": "string"}
+
+
+def _entry_schema_with_partition(part_fields: list[dict]) -> dict:
+    """Manifest-entry Avro schema whose r102 partition record carries
+    the identity partition fields (nullable, spec field-ids 1000+)."""
+    schema = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
+    df_schema = next(
+        f for f in schema["fields"] if f["name"] == "data_file"
+    )["type"]
+    part = next(f for f in df_schema["fields"] if f["name"] == "partition")
+    part["type"]["fields"] = [
+        {
+            "name": pf["name"],
+            "type": ["null", _PART_AVRO[pf["ice_type"]]],
+            "default": None,
+            "field-id": pf["field-id"],
+        }
+        for pf in part_fields
+    ]
+    return schema
+
+
 def export_iceberg(
     catalog,
     name: str,
@@ -314,14 +340,16 @@ def export_iceberg(
     parquet files in place (absolute paths; Iceberg permits files
     outside the table location). Costs O(files) footer reads, no data
     scan — the property that makes exporting a 100 TB table a metadata
-    operation. Two shapes force ``materialize=True`` (one Spark rewrite
-    of the merged snapshot into ``dest/data/``, auto-detected):
-
-    - merge-on-read delete files (the catalog's positional-delete
-      encoding is not Iceberg's);
-    - hive-partitioned layouts (partition column values live in
-      directory names, not in the files — an Iceberg reader would
-      return NULLs for them).
+    operation. IDENTITY-hive-partitioned tables stay zero-copy: the
+    export writes a real identity partition spec and per-file partition
+    structs parsed from the directory layout — the spec's reading rule
+    ("use the partition value for identity-transformed fields missing
+    from the data file") restores the column values. Two shapes force
+    ``materialize=True`` (one Spark rewrite into ``dest/data/``,
+    auto-detected): merge-on-read delete files (the catalog's
+    positional-delete encoding is not Iceberg's) and hidden-transform
+    partitioning (``days(ts)`` etc. — derived values are not identity-
+    restorable).
 
     The exported snapshot is FROZEN: later catalog commits don't
     appear (re-export for a new snapshot), and
@@ -341,20 +369,40 @@ def export_iceberg(
         raise ValueError(f"table {name} does not exist")
     head = catalog._main_head(entries, name)
     has_deletes = bool(head.get("delete_dirs"))
-    partitioned = bool(head.get("partition_by"))
+    pb = list(head.get("partition_by") or [])
+    schema, last_col_id, name_mapping = _iceberg_schema(head["schema"])
+    ice_types = {f["name"]: f["type"] for f in schema["fields"]}
+    identity_ok = all(
+        isinstance(ice_types.get(c), str) and ice_types[c] in _PART_AVRO
+        for c in pb
+    )
+    must_materialize = has_deletes or (bool(pb) and not identity_ok)
     if materialize is None:
-        materialize = has_deletes or partitioned
-    if (has_deletes or partitioned) and not materialize:
+        materialize = must_materialize
+    if must_materialize and not materialize:
         raise ValueError(
             f"cannot zero-copy export {name}: "
             + ("it carries MOR delete files; " if has_deletes else "")
-            + ("it is hive-partitioned; " if partitioned else "")
+            + ("its partitioning is not identity-restorable; "
+               if pb and not identity_ok else "")
             + "pass materialize=True (one rewrite into the export)"
         )
 
     dest = os.path.abspath(dest)
     meta_dir = os.path.join(dest, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
+
+    part_cols = [] if materialize else pb
+    field_ids = {f["name"]: f["id"] for f in schema["fields"]}
+    part_fields = [
+        {
+            "name": c,
+            "ice_type": ice_types[c],
+            "source-id": field_ids[c],
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(part_cols)
+    ]
 
     if materialize:
         data_dir = os.path.join(dest, "data")
@@ -365,9 +413,23 @@ def export_iceberg(
             os.path.normpath(os.path.join(h.path, d))
             for d in head["data_dirs"]
         ]
+
+    def _pval(col: str, raw: str):
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        v = urllib.parse.unquote(raw)
+        return int(v) if ice_types[col] in ("int", "long") else v
+
     data_files = []
     for root in roots:
         for dp, _, fs in os.walk(root):
+            pvals: dict[str, object] = {}
+            if part_cols:
+                for comp in os.path.relpath(dp, root).split(os.sep):
+                    if "=" in comp:
+                        k, v = comp.split("=", 1)
+                        if k in part_cols:
+                            pvals[k] = _pval(k, v)
             for fname in sorted(fs):
                 if fname.endswith(".parquet"):
                     full = os.path.join(dp, fname)
@@ -376,6 +438,7 @@ def export_iceberg(
                             "path": full,
                             "bytes": os.path.getsize(full),
                             "rows": pq.read_metadata(full).num_rows,
+                            "partition": dict(pvals),
                         }
                     )
 
@@ -384,7 +447,20 @@ def export_iceberg(
     commit_uuid = str(uuid.uuid4())
 
     manifest_path = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
-    schema, last_col_id, name_mapping = _iceberg_schema(head["schema"])
+    entry_schema = (
+        _entry_schema_with_partition(part_fields)
+        if part_fields
+        else _MANIFEST_ENTRY_SCHEMA
+    )
+    spec_json = [
+        {
+            "name": pf["name"],
+            "transform": "identity",
+            "source-id": pf["source-id"],
+            "field-id": pf["field-id"],
+        }
+        for pf in part_fields
+    ]
     entry_rows = [
         {
             "status": 1,  # ADDED
@@ -395,7 +471,7 @@ def export_iceberg(
                 "content": 0,
                 "file_path": f["path"],
                 "file_format": "PARQUET",
-                "partition": None,  # empty struct (unpartitioned spec-0)
+                "partition": f["partition"] if part_fields else None,
                 "record_count": f["rows"],
                 "file_size_in_bytes": f["bytes"],
             },
@@ -405,12 +481,12 @@ def export_iceberg(
     _write_avro(
         catalog.spark,
         manifest_path,
-        _MANIFEST_ENTRY_SCHEMA,
+        entry_schema,
         entry_rows,
         {
             "schema": json.dumps(schema),
             "schema-id": "0",
-            "partition-spec": "[]",
+            "partition-spec": json.dumps(spec_json),
             "partition-spec-id": "0",
             "format-version": "2",
             "content": "data",
@@ -455,8 +531,8 @@ def export_iceberg(
         "current-schema-id": 0,
         "schemas": [schema],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{"spec-id": 0, "fields": spec_json}],
+        "last-partition-id": 999 + len(spec_json),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {
@@ -497,6 +573,7 @@ def export_iceberg(
         "data_files": len(data_files),
         "rows": total_rows,
         "materialized": bool(materialize),
+        "partition_columns": part_cols,
     }
 
 
@@ -698,7 +775,12 @@ def read_iceberg(
                     f"{df_rec['file_format']!r}"
                 )
             if content == 0:
-                data_paths.append(_strip_uri(df_rec["file_path"]))
+                data_paths.append(
+                    (
+                        _strip_uri(df_rec["file_path"]),
+                        df_rec.get("partition") or {},
+                    )
+                )
             elif content == 1:  # position deletes
                 delete_paths.append(_strip_uri(df_rec["file_path"]))
             else:  # equality deletes: need column matching semantics
@@ -707,7 +789,7 @@ def read_iceberg(
                 )
     if not data_paths:
         raise ValueError(f"{location}: snapshot {snap_id} has no data files")
-    df = spark.read.parquet(*data_paths)
+    df = _scan_with_partitions(spark, location, meta, data_paths)
     if not delete_paths:
         return df
     out_cols = df.columns
@@ -729,3 +811,91 @@ def read_iceberg(
         )
         .select(*out_cols)
     )
+
+
+#: Iceberg primitive -> Spark SQL type for partition-value casts
+_ICE_TO_SPARK = {
+    "int": "int",
+    "long": "bigint",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "date": "date",
+}
+
+
+def _scan_with_partitions(
+    spark: SparkSession,
+    location: str,
+    meta: dict,
+    data_paths: list[tuple[str, dict]],
+) -> DataFrame:
+    """Scan data files, restoring IDENTITY partition columns from the
+    manifest partition structs when the files don't physically carry
+    them (the spec's reading rule for identity transforms). Files that
+    do carry every column scan directly; a mix of carrying and
+    non-carrying files refuses rather than guessing."""
+    import pyarrow.parquet as pq
+
+    paths = [p for p, _ in data_paths]
+    spec_id = meta.get("default-spec-id", 0)
+    specs = {s["spec-id"]: s for s in meta.get("partition-specs", [])}
+    fields = (specs.get(spec_id) or {}).get("fields") or []
+    identity = [f for f in fields if f.get("transform") == "identity"]
+    if not identity:
+        return spark.read.parquet(*paths)
+
+    schema_fields = {
+        f["id"]: f
+        for f in next(
+            s
+            for s in meta["schemas"]
+            if s["schema-id"] == meta.get("current-schema-id", 0)
+        )["fields"]
+    }
+    id_cols = []
+    for f in identity:
+        sf = schema_fields.get(f["source-id"])
+        if sf is None or not isinstance(sf["type"], str):
+            raise ValueError(
+                f"{location}: identity partition source {f['source-id']} "
+                "not resolvable"
+            )
+        stype = _ICE_TO_SPARK.get(sf["type"]) or (
+            sf["type"] if sf["type"].startswith("decimal") else None
+        )
+        if stype is None:
+            raise ValueError(
+                f"{location}: unsupported identity partition type "
+                f"{sf['type']!r}"
+            )
+        id_cols.append((f["name"], sf["name"], stype))
+
+    physical = set(pq.read_schema(paths[0]).names)
+    carried = [c for _, c, _ in id_cols if c in physical]
+    if len(carried) == len(id_cols):
+        return spark.read.parquet(*paths)  # files carry the columns
+    if carried:
+        raise ValueError(
+            f"{location}: some identity partition columns are in the "
+            f"files and some are not ({carried} vs "
+            f"{[c for _, c, _ in id_cols]}); refusing mixed layout"
+        )
+
+    groups: dict[tuple, list[str]] = {}
+    for p, pvals in data_paths:
+        key = tuple(pvals.get(pname) for pname, _, _ in id_cols)
+        groups.setdefault(key, []).append(p)
+    out: DataFrame | None = None
+    for key, gpaths in sorted(
+        groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])
+    ):
+        g = spark.read.parquet(*gpaths)
+        for (pname, cname, stype), v in zip(id_cols, key):
+            g = g.withColumn(
+                cname,
+                (F.lit(None) if v is None else F.lit(v)).cast(stype),
+            )
+        out = g if out is None else out.unionByName(g)
+    return out

@@ -20,6 +20,7 @@ __all__ = [
     "check_accepted_values",
     "check_accepted_range",
     "check_freshness",
+    "check_relationships",
     "run_checks",
     "split_quarantine",
     "schema_drift",
@@ -73,6 +74,25 @@ def check_accepted_values(df: DataFrame, col: str, values: Sequence) -> int:
     return df.filter(
         F.col(col).isNotNull() & ~F.col(col).isin(list(values))
     ).count()
+
+
+def check_relationships(
+    child: DataFrame, col: str, parent: DataFrame, parent_col: str
+) -> int:
+    """dbt `relationships` (referential integrity): count of non-NULL
+    child keys with no matching parent row. Anti-join on the key —
+    broadcastable when the parent is a dim, shuffle-join otherwise;
+    NULL children are not violations (dbt semantics)."""
+    return (
+        child.filter(F.col(col).isNotNull())
+        .select(F.col(col).alias("_k"))
+        .join(
+            parent.select(F.col(parent_col).alias("_k")).distinct(),
+            on="_k",
+            how="left_anti",
+        )
+        .count()
+    )
 
 
 def check_accepted_range(

@@ -259,3 +259,32 @@ def test_remove_orphan_files(spark, tmp_path):
         "orphan_dirs"
     ] == ["v99991"]
     assert _ids(cat.read("t")) == [1, 2, 3]
+
+
+def test_concurrent_appends_all_land(spark, tmp_path):
+    """The commit lock serializes concurrent appends: N threads each
+    append once; every row lands, versions are distinct, no manifest
+    corruption."""
+    import threading
+
+    cat = _cat(spark, tmp_path)
+    cat.create_table("t", spark.createDataFrame([(0,)], "id long"))
+    errors = []
+
+    def worker(i: int) -> None:
+        try:
+            cat.append(
+                "t", spark.createDataFrame([(i,)], "id long")
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(1, 7)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    assert not errors
+    assert _ids(cat.read("t")) == list(range(7))
+    versions = [e["version"] for e in cat._load_manifest(cat._handle("t"))]
+    assert versions == sorted(set(versions))  # dense, no duplicates

@@ -105,21 +105,62 @@ def test_export_materializes_mor_deletes(spark, tmp_path):
         export_iceberg(cat, "t", str(tmp_path / "ice2"), materialize=False)
 
 
-def test_export_materializes_partitioned_layout(spark, tmp_path):
-    """Hive-partitioned dirs keep partition values OUT of the files —
-    zero-copy export would read NULLs; materialization restores them."""
+def test_identity_partitioned_zero_copy(spark, tmp_path):
+    """Identity hive partitioning exports ZERO-COPY: the metadata
+    carries a real identity partition spec, manifests carry per-file
+    partition structs parsed from the dir layout, and the reader
+    restores the column values per the spec's identity reading rule."""
     cat = _cat(spark, tmp_path)
     df = spark.createDataFrame(
-        [(1, "d1"), (2, "d1"), (3, "d2")], "id long, day string"
+        [(1, "d1"), (2, "d1"), (3, "d2"), (4, None)], "id long, day string"
     )
     cat.create_table("t", df, partition_by=["day"])
     dest = str(tmp_path / "ice")
     res = export_iceberg(cat, "t", dest)
-    assert res["materialized"]
+    assert not res["materialized"]
+    assert res["partition_columns"] == ["day"]
+    with open(os.path.join(dest, "metadata", "v1.metadata.json")) as f:
+        meta = json.load(f)
+    spec = meta["partition-specs"][0]["fields"]
+    assert spec and spec[0]["transform"] == "identity"
+    assert spec[0]["field-id"] == 1000
     got = read_iceberg(spark, dest)
     assert _rows(got.select("id", "day")) == _rows(
         cat.read("t").select("id", "day")
     )
+    # int partition values restore with their declared type
+    cat.create_table(
+        "t2",
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, b int"),
+        partition_by=["b"],
+    )
+    d2 = str(tmp_path / "ice_int")
+    assert not export_iceberg(cat, "t2", d2)["materialized"]
+    got2 = read_iceberg(spark, d2)
+    assert dict(got2.dtypes)["b"] == "int"
+    assert _rows(got2.select("id", "b")) == [(1, 10), (2, 20)]
+
+
+def test_transform_partitioned_zero_copy_via_derived_column(spark, tmp_path):
+    """Hidden-transform partitioning (days(ts)): the catalog
+    materializes the derived column into the table schema, so the
+    export degenerates to identity over that column and stays
+    zero-copy — the reader restores BOTH the source timestamp (from
+    the files) and the derived day (from partition structs)."""
+    cat = _cat(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-02-01 11:00:00")],
+        "id long, ts_s string",
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"))
+    cat.create_table("t", df, partition_by=["days(ts)"])
+    dest = str(tmp_path / "ice")
+    res = export_iceberg(cat, "t", dest)
+    assert not res["materialized"] and res["partition_columns"]
+    got = read_iceberg(spark, dest)
+    want = cat.read("t")
+    assert sorted(got.columns) == sorted(want.columns)
+    common = sorted(want.columns)
+    assert _rows(got.select(*common)) == _rows(want.select(*common))
 
 
 def test_export_complex_types(spark, tmp_path):

@@ -185,3 +185,15 @@ def test_journey_funnel_stages(spark):
     assert out[2]["current_funnel_stage"] == "cart_abandoner"
     assert out[2]["is_cart_abandoner"] is True
     assert out[3]["current_funnel_stage"] == "viewer_only"
+
+
+def test_check_relationships_referential(spark):
+    """dbt `relationships`: non-NULL child keys missing from the parent
+    count as violations; NULL children don't (dbt semantics)."""
+    parent = spark.createDataFrame([(1,), (2,)], "id long")
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (7,), (None,)], "fk long"
+    )
+    assert quality.check_relationships(child, "fk", parent, "id") == 1
+    ok = spark.createDataFrame([(1,), (None,)], "fk long")
+    assert quality.check_relationships(ok, "fk", parent, "id") == 0

@@ -360,3 +360,28 @@ def test_partition_spec_evolution_to_unpartitioned(spark, tmp_path):
     assert sorted(r["v"] for r in cat.read("t").collect()) == [1, 2]
     root = os.path.join(str(tmp_path / "warehouse"), "t")
     assert not any(d.startswith("k=") for d in os.listdir(f"{root}/v00002"))
+
+
+def test_partition_filters_push_through_catalog_read(spark, tmp_path):
+    """A filter on the hive partition column must land as
+    PartitionFilters in EVERY per-dir scan of the union — the property
+    that makes `day = X` on a date-partitioned table read one
+    partition, not the table."""
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "w"))
+    mk = lambda lo: spark.range(lo, lo + 300).select(  # noqa: E731
+        F.col("id"), (F.col("id") % 3).cast("int").alias("b")
+    )
+    cat.create_table("p", mk(0), partition_by=["b"])
+    cat.append("p", mk(300))
+    plan = (
+        cat.read("p").filter("b = 1")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert len(scans) == 2  # one per snapshot dir
+    for ln in scans:
+        assert "PartitionFilters: [isnotnull(b" in ln and "= 1)" in ln
