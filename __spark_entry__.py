@@ -2626,6 +2626,58 @@ def q_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_mart_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC incremental aggregate maintenance, oracle-verified END TO
+    END: the mart is built from 80% of events, the source then
+    advances (remaining 20% appended, a slice MOR-deleted), and ONE
+    incremental refresh folds only the change feed — yet the result
+    must hash-match DuckDB's full GROUP BY over the final state
+    (tests/test_cdc_mart.py pins the same contract unit-level; this
+    entry pins it against the external oracle). The money measure sums
+    FLOOR(value*100) as integer cents so incremental fold order cannot
+    drift from the oracle's single-pass float sum."""
+    import shutil
+    import tempfile
+
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.plans.cdc import CdcAggregate
+
+    _ensure_conf(spark)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dls_cdc_mart",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(spark, root)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    cat.create_table("ev", ev.filter(F.col("event_id") % 5 != 0))
+    agg = CdcAggregate(
+        cat, "ev", "mart", ["event_type"],
+        {
+            "revenue_cents": ("sum", "cast(floor(value * 100) as bigint)"),
+            "n_events": ("count", None),
+            "n_users": ("count_distinct", "user_id"),
+        },
+    )
+    agg.refresh()  # full build at 80%
+    cat.append("ev", ev.filter(F.col("event_id") % 5 == 0))
+    cat.delete_where("ev", "event_id % 97 = 0", mode="mor")
+    agg.refresh()  # ONE incremental fold of the change feed
+    return (
+        cat.read("mart")
+        .select(
+            "event_type",
+            F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open-format interop, Delta flavor: catalog table -> Delta log
     export (pure-JSON protocol actions, zero-copy adds) -> independent
@@ -2778,6 +2830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_point_lookup": q_events_point_lookup,
         "iceberg_roundtrip": q_iceberg_roundtrip,
         "delta_roundtrip": q_delta_roundtrip,
+        "cdc_mart_incremental": q_cdc_mart_incremental,
         # --- rows-only (hash/LSH/HLL/pandas-UDF based; no SQL oracle) ---
         "gold_user_rfm_segments_scalable": q_user_rfm_segments_scalable,
         "segment_order_percentiles_approx": q_segment_order_percentiles_approx,
@@ -3489,6 +3542,19 @@ ORDER BY r_regionkey
 SELECT n_nationkey, n_name, n_regionkey
 FROM nation
 ORDER BY n_nationkey
+"""
+
+    # the incrementally-maintained mart must equal a full recompute of
+    # the FINAL source state (appends applied, event_id%97 deleted)
+    sql["cdc_mart_incremental"] = """
+SELECT event_type,
+    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE event_id % 97 <> 0
+GROUP BY event_type
+ORDER BY event_type
 """
 
     sql["top_customers"] = """

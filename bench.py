@@ -31,6 +31,12 @@ BENCH_EXCLUDED = {
         "dedup_embedding_cosine + minhash_lsh_candidates cover similarity "
         "at bench scale"
     ),
+    "cdc_mart_incremental": (
+        "multi-commit DML maintenance SCENARIO (catalog build + append + "
+        "MOR delete + incremental refresh), not a read query — timing it "
+        "would measure tmp-dir catalog writes; the oracle gate verifies "
+        "it end-to-end and tests/test_cdc_mart.py times nothing else"
+    ),
 }
 
 
