@@ -65,6 +65,55 @@ def cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_export(args: argparse.Namespace) -> int:
+    """Export a catalog table as an open-format table (Iceberg v2 or
+    Delta Lake) readable by external engines."""
+    from data_lakehouse_spark import interop
+    from data_lakehouse_spark.catalog import Catalog
+
+    spark = _spark("export")
+    cat = Catalog(spark, args.warehouse)
+    if args.format == "iceberg" and args.history:
+        out = interop.export_iceberg_history(cat, args.table, args.dest)
+    elif args.format == "iceberg":
+        out = interop.export_iceberg(
+            cat, args.table, args.dest, materialize=args.materialize
+        )
+    else:
+        out = interop.export_delta(
+            cat, args.table, args.dest, materialize=args.materialize
+        )
+    print(json.dumps(out, default=str))
+    return 0
+
+
+def cmd_import(args: argparse.Namespace) -> int:
+    """Import an external Iceberg/Delta table into the catalog (one
+    materializing read — the inbound half of the migration story)."""
+    from data_lakehouse_spark import interop
+    from data_lakehouse_spark.catalog import Catalog
+
+    spark = _spark("import")
+    cat = Catalog(spark, args.warehouse)
+    df = (
+        interop.read_iceberg(spark, args.source)
+        if args.format == "iceberg"
+        else interop.read_delta(spark, args.source)
+    )
+    cat.create_table(
+        args.table,
+        df,
+        properties={"imported-from": f"{args.format}:{args.source}"},
+    )
+    print(
+        json.dumps(
+            {"table": args.table, "rows": cat.row_count(args.table),
+             "source": args.source}
+        )
+    )
+    return 0
+
+
 def cmd_serve(args: argparse.Namespace) -> int:
     """Long-lived SQL endpoint (Thrift-server analog; see server.py)."""
     from data_lakehouse_spark.catalog import Catalog
@@ -198,6 +247,29 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--limit", type=int, default=100)
     p.add_argument("--explain", action="store_true")
     p.set_defaults(fn=cmd_sql)
+
+    p = sub.add_parser(
+        "export", help="export a table as Iceberg v2 / Delta Lake"
+    )
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--dest", required=True)
+    p.add_argument("--format", choices=["iceberg", "delta"],
+                   default="iceberg")
+    p.add_argument("--history", action="store_true",
+                   help="iceberg only: export every published snapshot")
+    p.add_argument("--materialize", action="store_true", default=None)
+    p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser(
+        "import", help="import an external Iceberg/Delta table"
+    )
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--source", required=True)
+    p.add_argument("--format", choices=["iceberg", "delta"],
+                   default="iceberg")
+    p.set_defaults(fn=cmd_import)
 
     p = sub.add_parser(
         "serve", help="long-lived multi-client SQL endpoint (HTTP/JSON)"

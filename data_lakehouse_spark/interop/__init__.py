@@ -8,7 +8,14 @@ from data_lakehouse_spark.interop.delta import (  # noqa: F401
 )
 from data_lakehouse_spark.interop.iceberg import (  # noqa: F401
     export_iceberg,
+    export_iceberg_history,
     read_iceberg,
 )
 
-__all__ = ["export_delta", "export_iceberg", "read_delta", "read_iceberg"]
+__all__ = [
+    "export_delta",
+    "export_iceberg",
+    "export_iceberg_history",
+    "read_delta",
+    "read_iceberg",
+]

@@ -46,7 +46,7 @@ import zlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["export_iceberg", "read_iceberg"]
+__all__ = ["export_iceberg", "export_iceberg_history", "read_iceberg"]
 
 
 # ---------------------------------------------------------------------------
@@ -574,6 +574,265 @@ def export_iceberg(
         "rows": total_rows,
         "materialized": bool(materialize),
         "partition_columns": part_cols,
+    }
+
+
+def export_iceberg_history(catalog, name: str, dest: str) -> dict:
+    """Export EVERY published main-lineage snapshot of a catalog table
+    as one Iceberg v2 table with a full snapshot history — external
+    time travel over the catalog's versions
+    (``read_iceberg(..., snapshot_id=...)`` / any Iceberg reader's
+    ``VERSION AS OF``).
+
+    Zero-copy only: each catalog version becomes an Iceberg snapshot
+    whose manifest references that version's files in place, with
+    increasing sequence numbers and a monotone snapshot-log. Refused
+    shapes (export the current snapshot with :func:`export_iceberg`
+    instead): any version carrying MOR delete files, non-identity
+    partition values, or a partition-spec change across versions
+    (old dirs' layouts would parse wrong under the final spec).
+    Expired versions are skipped (their files are reclaimed).
+
+    Cost is O(total files across versions) metadata — shared dirs are
+    re-listed per snapshot (manifest reuse is an optimization the
+    single-writer layout doesn't need locally, noted for scale)."""
+    import pyarrow.parquet as pq
+
+    h = catalog._handle(name)
+    entries = catalog._load_manifest(h)
+    if not entries:
+        raise ValueError(f"table {name} does not exist")
+    versions = [
+        e
+        for e in entries
+        if "branch" not in e and not e.get("staged") and not e.get("expired")
+    ]
+    if not versions:
+        raise ValueError(f"table {name} has no published snapshots")
+    specs = {
+        tuple(e.get("partition_by") or []) for e in versions
+    }
+    if len(specs) > 1:
+        raise ValueError(
+            f"{name}: partition spec changed across versions {specs}; "
+            "history export supports a constant spec — export the "
+            "current snapshot instead"
+        )
+    if any(e.get("delete_dirs") for e in versions):
+        raise ValueError(
+            f"{name}: history export is zero-copy only and a version "
+            "carries MOR delete files; export the current snapshot "
+            "with materialize=True instead"
+        )
+
+    head = versions[-1]
+    pb = list(head.get("partition_by") or [])
+    schema, last_col_id, _ = _iceberg_schema(head["schema"])
+    ice_types = {f["name"]: f["type"] for f in schema["fields"]}
+    if not all(
+        isinstance(ice_types.get(c), str) and ice_types[c] in _PART_AVRO
+        for c in pb
+    ):
+        raise ValueError(
+            f"{name}: partition values are not identity-restorable; "
+            "history export refused"
+        )
+    field_ids = {f["name"]: f["id"] for f in schema["fields"]}
+    part_fields = [
+        {
+            "name": c,
+            "ice_type": ice_types[c],
+            "source-id": field_ids[c],
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(pb)
+    ]
+    spec_json = [
+        {
+            "name": pf["name"],
+            "transform": "identity",
+            "source-id": pf["source-id"],
+            "field-id": pf["field-id"],
+        }
+        for pf in part_fields
+    ]
+    entry_schema = (
+        _entry_schema_with_partition(part_fields)
+        if part_fields
+        else _MANIFEST_ENTRY_SCHEMA
+    )
+    # name mapping: every name each field id EVER had (renames resolve
+    # old files under old names — multiple names per id is the spec's
+    # mechanism)
+    names_by_id: dict[int, list[str]] = {}
+    for e in versions:
+        for f in e["schema"]["fields"]:
+            fid = (f.get("metadata") or {}).get("field_id")
+            if fid is not None and f["name"] not in names_by_id.setdefault(
+                fid, []
+            ):
+                names_by_id[fid].append(f["name"])
+    name_mapping = [
+        {"field-id": fid, "names": names}
+        for fid, names in sorted(names_by_id.items())
+    ]
+
+    dest = os.path.abspath(dest)
+    meta_dir = os.path.join(dest, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+
+    def _pval(col: str, raw: str):
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        v = urllib.parse.unquote(raw)
+        return int(v) if ice_types[col] in ("int", "long") else v
+
+    base_id = uuid.uuid4().int % ((1 << 53) - 1) + 1
+    now_ms = int(time.time() * 1000)
+    snapshots = []
+    snapshot_log = []
+    for i, e in enumerate(versions):
+        files = []
+        for d in e["data_dirs"]:
+            root = os.path.normpath(os.path.join(h.path, d))
+            for dp, _, fs in os.walk(root):
+                pvals: dict[str, object] = {}
+                for comp in os.path.relpath(dp, root).split(os.sep):
+                    if "=" in comp:
+                        k, v = comp.split("=", 1)
+                        if k in pb:
+                            pvals[k] = _pval(k, v)
+                for fname in sorted(fs):
+                    if fname.endswith(".parquet"):
+                        full = os.path.join(dp, fname)
+                        files.append(
+                            {
+                                "path": full,
+                                "bytes": os.path.getsize(full),
+                                "rows": pq.read_metadata(full).num_rows,
+                                "partition": dict(pvals),
+                            }
+                        )
+        sid = base_id + e["version"]
+        seq = i + 1
+        manifest_path = os.path.join(meta_dir, f"hist-{sid}-m0.avro")
+        _write_avro(
+            catalog.spark,
+            manifest_path,
+            entry_schema,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": sid,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": f["path"],
+                        "file_format": "PARQUET",
+                        "partition": f["partition"] if part_fields else None,
+                        "record_count": f["rows"],
+                        "file_size_in_bytes": f["bytes"],
+                    },
+                }
+                for f in files
+            ],
+            {
+                "schema": json.dumps(schema),
+                "schema-id": "0",
+                "partition-spec": json.dumps(spec_json),
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        list_path = os.path.join(meta_dir, f"snap-{sid}-1-hist.avro")
+        total_rows = sum(f["rows"] for f in files)
+        _write_avro(
+            catalog.spark,
+            list_path,
+            _MANIFEST_LIST_SCHEMA,
+            [
+                {
+                    "manifest_path": manifest_path,
+                    "manifest_length": os.path.getsize(manifest_path),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": sid,
+                    "added_files_count": len(files),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": total_rows,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            ],
+            {"format-version": "2", "snapshot-id": str(sid)},
+        )
+        ts = now_ms + i  # strictly increasing snapshot-log
+        snapshots.append(
+            {
+                "snapshot-id": sid,
+                **({"parent-snapshot-id": snapshots[-1]["snapshot-id"]}
+                   if snapshots else {}),
+                "sequence-number": seq,
+                "timestamp-ms": ts,
+                "summary": {
+                    "operation": e.get("op", "append"),
+                    "total-records": str(total_rows),
+                    "catalog-version": str(e["version"]),
+                },
+                "manifest-list": list_path,
+                "schema-id": 0,
+            }
+        )
+        snapshot_log.append({"snapshot-id": sid, "timestamp-ms": ts})
+
+    metadata = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": dest,
+        "last-sequence-number": len(snapshots),
+        "last-updated-ms": now_ms + len(snapshots),
+        "last-column-id": last_col_id,
+        "current-schema-id": 0,
+        "schemas": [schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_json}],
+        "last-partition-id": 999 + len(spec_json),
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {
+            "schema.name-mapping.default": json.dumps(name_mapping),
+            "exported-from": f"data_lakehouse_spark:{name} (full history)",
+        },
+        "current-snapshot-id": snapshots[-1]["snapshot-id"],
+        "refs": {
+            "main": {
+                "snapshot-id": snapshots[-1]["snapshot-id"],
+                "type": "branch",
+            }
+        },
+        "snapshots": snapshots,
+        "snapshot-log": snapshot_log,
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
+        json.dump(metadata, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("1")
+    return {
+        "table": name,
+        "location": dest,
+        "snapshots": [
+            {
+                "catalog_version": v["version"],
+                "snapshot_id": base_id + v["version"],
+            }
+            for v in versions
+        ],
     }
 
 

@@ -135,3 +135,50 @@ def test_cli_maintain_refs(spark, tmp_path, capsys):
     assert rc == 0
     assert json.loads(capsys.readouterr().out.strip())["cloned_to"] == "t_dev"
     assert sorted(r["id"] for r in cat.read("t_dev").collect()) == [1, 2]
+
+
+def test_cli_export_import_roundtrip(spark, tmp_path, capsys):
+    """export → (external table on disk) → import into a second
+    warehouse: the inbound+outbound migration story end to end, both
+    formats."""
+    from data_lakehouse_spark.catalog import Catalog
+
+    wh = str(tmp_path / "wh")
+    cat = Catalog(spark, wh)
+    cat.create_table(
+        "t", spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+
+    for fmt in ("iceberg", "delta"):
+        dest = str(tmp_path / f"ext_{fmt}")
+        rc = main([
+            "export", "--warehouse", wh, "--table", "t",
+            "--dest", dest, "--format", fmt,
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["rows"] == 2 and not out["materialized"]
+
+        wh2 = str(tmp_path / f"wh2_{fmt}")
+        rc = main([
+            "import", "--warehouse", wh2, "--table", "t_in",
+            "--source", dest, "--format", fmt,
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["rows"] == 2
+        got = Catalog(spark, wh2).read("t_in")
+        assert sorted((r["id"], r["v"]) for r in got.collect()) == [
+            (1, "a"), (2, "b"),
+        ]
+
+    # history export via CLI
+    cat.append("t", spark.createDataFrame([(3, "c")], "id long, v string"))
+    hist = str(tmp_path / "ext_hist")
+    rc = main([
+        "export", "--warehouse", wh, "--table", "t",
+        "--dest", hist, "--format", "iceberg", "--history",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["snapshots"]) == 2

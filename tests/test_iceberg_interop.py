@@ -319,3 +319,59 @@ def test_read_iceberg_applies_position_deletes(spark, tmp_path):
         f.write("3")
     with pytest.raises(ValueError, match="equality delete"):
         read_iceberg(spark, dest).collect()
+
+
+def test_export_history_time_travel(spark, tmp_path):
+    """Full-history export: every published catalog version becomes an
+    Iceberg snapshot; external VERSION AS OF (snapshot_id) reproduces
+    catalog time travel, and the current snapshot is the head."""
+    from data_lakehouse_spark.interop.iceberg import export_iceberg_history
+
+    cat = _cat(spark, tmp_path)
+    cat.create_table("t", spark.createDataFrame([(1,)], "id long"))  # v0
+    cat.append("t", spark.createDataFrame([(2,)], "id long"))  # v1
+    cat.overwrite("t", spark.createDataFrame([(9,)], "id long"))  # v2
+    cat.append("t", spark.createDataFrame([(10,)], "id long"))  # v3
+    dest = str(tmp_path / "icehist")
+    res = export_iceberg_history(cat, "t", dest)
+    snaps = {s["catalog_version"]: s["snapshot_id"] for s in res["snapshots"]}
+    assert sorted(snaps) == [0, 1, 2, 3]
+
+    for v, want in [(0, [(1,)]), (1, [(1,), (2,)]), (2, [(9,)]),
+                    (3, [(9,), (10,)])]:
+        got = read_iceberg(spark, dest, snapshot_id=snaps[v])
+        assert _rows(got.select("id")) == want, v
+    # default read = head
+    assert _rows(read_iceberg(spark, dest).select("id")) == [(9,), (10,)]
+
+    with open(os.path.join(dest, "metadata", "v1.metadata.json")) as f:
+        meta = json.load(f)
+    # monotone history: sequence numbers and snapshot-log timestamps
+    seqs = [s["sequence-number"] for s in meta["snapshots"]]
+    assert seqs == sorted(seqs) == list(range(1, 5))
+    ts = [e["timestamp-ms"] for e in meta["snapshot-log"]]
+    assert ts == sorted(ts) and len(set(ts)) == len(ts)
+    # parent chain
+    parents = [s.get("parent-snapshot-id") for s in meta["snapshots"]]
+    assert parents[0] is None
+    assert parents[1:] == [s["snapshot-id"] for s in meta["snapshots"][:-1]]
+
+
+def test_export_history_refuses_mor_and_spec_change(spark, tmp_path):
+    from data_lakehouse_spark.interop.iceberg import export_iceberg_history
+
+    cat = _cat(spark, tmp_path)
+    cat.create_table("t", spark.createDataFrame([(1,), (2,)], "id long"))
+    cat.delete_where("t", "id = 1", mode="mor")
+    with pytest.raises(ValueError, match="MOR delete"):
+        export_iceberg_history(cat, "t", str(tmp_path / "h1"))
+
+    cat.create_table(
+        "p",
+        spark.createDataFrame([(1, "a")], "id long, k string"),
+        partition_by=["k"],
+    )
+    cat.set_partition_spec("p", None)
+    cat.append("p", spark.createDataFrame([(2, "b")], "id long, k string"))
+    with pytest.raises(ValueError, match="partition spec changed"):
+        export_iceberg_history(cat, "p", str(tmp_path / "h2"))
