@@ -245,7 +245,13 @@ def _avro_json(schema, v):
         if v is None:
             return None
         branch = next(b for b in schema if b != "null")
-        label = branch if isinstance(branch, str) else branch["name"]
+        # Avro-JSON union labels: primitive name, named-type name, or
+        # the complex kind ("array"/"map") for anonymous complex types
+        label = (
+            branch
+            if isinstance(branch, str)
+            else branch.get("name") or branch["type"]
+        )
         return {label: _avro_json(branch, v)}
     if isinstance(schema, str):
         return v
@@ -987,12 +993,15 @@ def read_iceberg(
     manifests, and scan the live data files.
 
     Pure-Python metadata walk (no Iceberg runtime jar needed) + Spark's
-    parquet scan for the data. Supports data manifests AND v2
-    POSITIONAL delete manifests: delete files (``file_path``, ``pos``)
-    anti-join the scan on Spark's ``_metadata.file_path`` /
-    ``_metadata.row_index`` — the broadcast merge-on-read plan, same
-    shape as the engine's own MOR reads. Equality deletes are refused
-    rather than silently returning undeleted rows."""
+    parquet scan for the data. Supports the full v2 merge-on-read
+    surface: POSITIONAL delete files (``file_path``, ``pos``) anti-join
+    the scan on Spark's ``_metadata.file_path``/``row_index``, and
+    EQUALITY delete files (the Flink-CDC write shape) anti-join
+    null-safe on their ``equality_ids`` columns, honoring the spec's
+    ordering rule — a delete applies only to data files with strictly
+    lower sequence numbers, so rows written after it survive. Both are
+    broadcast plans, the same shape as the engine's own MOR reads.
+    Equality deletes without recorded ids refuse rather than guess."""
     location = os.path.abspath(location)
     meta_dir = os.path.join(location, "metadata")
     hint = os.path.join(meta_dir, "version-hint.text")
@@ -1019,8 +1028,10 @@ def read_iceberg(
     if snap is None:
         raise ValueError(f"{location}: snapshot {snap_id} not found")
     _, manifests = _read_avro_file(_strip_uri(snap["manifest-list"]))
-    data_paths: list[str] = []
+    data_paths: list[tuple[str, dict]] = []
+    data_seq: dict[str, int] = {}
     delete_paths: list[str] = []
+    eq_deletes: list[tuple[str, list[int], int]] = []  # (path, ids, seq)
     for m in manifests:
         _, mentries = _read_avro_file(_strip_uri(m["manifest_path"]))
         for e in mentries:
@@ -1033,43 +1044,92 @@ def read_iceberg(
                     f"{location}: unsupported file format "
                     f"{df_rec['file_format']!r}"
                 )
+            seq = e.get("sequence_number")
+            if seq is None:  # inherited from the manifest (spec rule)
+                seq = m.get("sequence_number") or 0
             if content == 0:
-                data_paths.append(
-                    (
-                        _strip_uri(df_rec["file_path"]),
-                        df_rec.get("partition") or {},
-                    )
-                )
+                p = _strip_uri(df_rec["file_path"])
+                data_paths.append((p, df_rec.get("partition") or {}))
+                data_seq[p] = seq
             elif content == 1:  # position deletes
                 delete_paths.append(_strip_uri(df_rec["file_path"]))
-            else:  # equality deletes: need column matching semantics
-                raise ValueError(
-                    f"{location}: equality delete files are not supported"
+            else:  # equality deletes
+                ids = df_rec.get("equality_ids")
+                if not ids:
+                    raise ValueError(
+                        f"{location}: equality delete file without "
+                        "equality_ids is not supported"
+                    )
+                eq_deletes.append(
+                    (_strip_uri(df_rec["file_path"]), list(ids), seq)
                 )
     if not data_paths:
         raise ValueError(f"{location}: snapshot {snap_id} has no data files")
     df = _scan_with_partitions(spark, location, meta, data_paths)
-    if not delete_paths:
+    if not delete_paths and not eq_deletes:
         return df
     out_cols = df.columns
     strip = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
-    positions = spark.read.parquet(*delete_paths).select(
-        strip(F.col("file_path")).alias("_del_fp"),
-        F.col("pos").cast("bigint").alias("_del_pos"),
-    )
-    return (
-        df.withColumn(
-            "_fp", strip(F.col("_metadata.file_path"))
+    df = df.withColumn("_fp", strip(F.col("_metadata.file_path")))
+    if delete_paths:
+        positions = spark.read.parquet(*delete_paths).select(
+            strip(F.col("file_path")).alias("_del_fp"),
+            F.col("pos").cast("bigint").alias("_del_pos"),
         )
-        .withColumn("_pos", F.col("_metadata.row_index"))
-        .join(
-            F.broadcast(positions),
-            (F.col("_fp") == F.col("_del_fp"))
-            & (F.col("_pos") == F.col("_del_pos")),
-            "left_anti",
+        df = (
+            df.withColumn("_pos", F.col("_metadata.row_index"))
+            .join(
+                F.broadcast(positions),
+                (F.col("_fp") == F.col("_del_fp"))
+                & (F.col("_pos") == F.col("_del_pos")),
+                "left_anti",
+            )
+            .drop("_pos")
         )
-        .select(*out_cols)
-    )
+    if eq_deletes:
+        # equality deletes apply to rows whose data file's sequence
+        # number is STRICTLY LESS than the delete's (the spec's
+        # ordering rule — a row written after the delete survives).
+        # Per-file sequence numbers ride in via a broadcast path->seq
+        # map; each delete file anti-joins null-safe on its equality
+        # columns.
+        id_to_name = {
+            f["id"]: f["name"]
+            for f in next(
+                s
+                for s in meta["schemas"]
+                if s["schema-id"] == meta.get("current-schema-id", 0)
+            )["fields"]
+        }
+        seq_rows = [(p, s) for p, s in data_seq.items()]
+        seq_df = spark.createDataFrame(
+            seq_rows, "_seq_fp string, _data_seq bigint"
+        )
+        df = df.join(
+            F.broadcast(seq_df), df["_fp"] == seq_df["_seq_fp"], "left"
+        ).drop("_seq_fp")
+        for path, ids, dseq in eq_deletes:
+            try:
+                cols = [id_to_name[i] for i in ids]
+            except KeyError as e:
+                raise ValueError(
+                    f"{location}: equality_ids {ids} reference unknown "
+                    f"field {e}"
+                ) from None
+            dels = (
+                spark.read.parquet(path)
+                .select(*[F.col(c).alias(f"_eq_{c}") for c in cols])
+                .distinct()
+            )
+            cond = F.lit(True)
+            for c in cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"_eq_{c}"))
+            df = df.join(
+                F.broadcast(dels),
+                cond & (F.col("_data_seq") < F.lit(dseq)),
+                "left_anti",
+            )
+    return df.select(*out_cols)
 
 
 #: Iceberg primitive -> Spark SQL type for partition-value casts

@@ -286,7 +286,7 @@ def test_read_iceberg_applies_position_deletes(spark, tmp_path):
     assert got == sorted(set(range(10)) - set(first_two))
     assert res["rows"] == 10  # original export untouched
 
-    # equality deletes (content=2) refuse instead of wrong rows
+    # equality deletes WITHOUT equality_ids refuse instead of wrong rows
     eq_manifest = os.path.join(meta_dir, "eq-m0.avro")
     ice._write_avro(
         spark, eq_manifest, ice._MANIFEST_ENTRY_SCHEMA,
@@ -319,6 +319,126 @@ def test_read_iceberg_applies_position_deletes(spark, tmp_path):
         f.write("3")
     with pytest.raises(ValueError, match="equality delete"):
         read_iceberg(spark, dest).collect()
+
+
+def _entry_schema_with_equality_ids() -> dict:
+    """Manifest entry schema as other engines (Flink) write it: the
+    optional equality_ids list on data_file (spec field 135)."""
+    import json as _json
+
+    from data_lakehouse_spark.interop import iceberg as ice
+
+    schema = _json.loads(_json.dumps(ice._MANIFEST_ENTRY_SCHEMA))
+    df_schema = next(
+        f for f in schema["fields"] if f["name"] == "data_file"
+    )["type"]
+    df_schema["fields"].append(
+        {
+            "name": "equality_ids",
+            "type": [
+                "null",
+                {"type": "array", "items": "int", "element-id": 136},
+            ],
+            "default": None,
+            "field-id": 135,
+        }
+    )
+    return schema
+
+
+def test_read_iceberg_applies_equality_deletes(spark, tmp_path):
+    """v2 equality deletes (the Flink-CDC write shape): rows matching
+    the delete file's key columns vanish from data files with LOWER
+    sequence numbers; rows written AFTER the delete (higher seq)
+    survive — the spec's ordering rule."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_lakehouse_spark.interop import iceberg as ice
+
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t",
+        spark.createDataFrame([(i,) for i in range(10)], "id long")
+        .coalesce(1),
+    )
+    dest = str(tmp_path / "iceeq")
+    export_iceberg(cat, "t", dest)
+    meta_dir = os.path.join(dest, "metadata")
+    with open(os.path.join(meta_dir, "v1.metadata.json")) as f:
+        meta = json.load(f)
+    snap = meta["snapshots"][0]
+    _, manifests = _read_avro_file(snap["manifest-list"])
+    base = dict(manifests[0])
+    id_field = next(
+        f["id"] for f in meta["schemas"][0]["fields"] if f["name"] == "id"
+    )
+
+    # a LATER data file (seq 3): its rows must survive the seq-2 delete
+    late_file = os.path.join(meta_dir, "late.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([1, 102], pa.int64())}), late_file
+    )
+    eq_schema = _entry_schema_with_equality_ids()
+    late_manifest = os.path.join(meta_dir, "late-m0.avro")
+    ice._write_avro(
+        spark, late_manifest, eq_schema,
+        [{
+            "status": 1, "snapshot_id": 7, "sequence_number": 3,
+            "file_sequence_number": 3,
+            "data_file": {
+                "content": 0, "file_path": late_file,
+                "file_format": "PARQUET", "partition": None,
+                "record_count": 2,
+                "file_size_in_bytes": os.path.getsize(late_file),
+            },
+        }],
+        {"format-version": "2", "content": "data"},
+    )
+    # equality delete at seq 2 on id in {1, 2}
+    eq_file = os.path.join(meta_dir, "eq-del.parquet")
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int64())}), eq_file)
+    eq_manifest = os.path.join(meta_dir, "eq-m1.avro")
+    ice._write_avro(
+        spark, eq_manifest, eq_schema,
+        [{
+            "status": 1, "snapshot_id": 7, "sequence_number": 2,
+            "file_sequence_number": 2,
+            "data_file": {
+                "content": 2, "file_path": eq_file,
+                "file_format": "PARQUET", "partition": None,
+                "record_count": 2,
+                "file_size_in_bytes": os.path.getsize(eq_file),
+                "equality_ids": [id_field],
+            },
+        }],
+        {"format-version": "2", "content": "deletes"},
+    )
+    new_list = os.path.join(meta_dir, "snap-7-eq.avro")
+    ice._write_avro(
+        spark, new_list, ice._MANIFEST_LIST_SCHEMA,
+        [
+            base,
+            {**base, "manifest_path": late_manifest, "sequence_number": 3},
+            {**base, "manifest_path": eq_manifest, "content": 1,
+             "sequence_number": 2},
+        ],
+        {"format-version": "2"},
+    )
+    meta2 = dict(meta)
+    meta2["current-snapshot-id"] = 7
+    meta2["snapshots"] = meta["snapshots"] + [
+        {**snap, "snapshot-id": 7, "sequence-number": 3,
+         "manifest-list": new_list}
+    ]
+    with open(os.path.join(meta_dir, "v2.metadata.json"), "w") as f:
+        json.dump(meta2, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("2")
+
+    got = sorted(r["id"] for r in read_iceberg(spark, dest).collect())
+    # seq-1 rows 1,2 die; late (seq 3) rows 1 and 102 SURVIVE
+    assert got == [0, 1, 3, 4, 5, 6, 7, 8, 9, 102]
 
 
 def test_export_history_time_travel(spark, tmp_path):
