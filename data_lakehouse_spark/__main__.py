@@ -183,9 +183,12 @@ def cmd_maintain(args: argparse.Namespace) -> int:
     cat = Catalog(spark, args.warehouse)
     op = args.op
     if op == "compact":
-        out = cat.compact(args.table)
+        out = cat.compact(args.table, where=args.where)
     elif op == "expire":
-        out = cat.expire_snapshots(args.table, keep_last=args.keep_last)
+        out = cat.expire_snapshots(
+            args.table, keep_last=args.keep_last,
+            older_than=args.older_than,
+        )
     elif op == "rollback":
         if args.version is None:
             raise SystemExit("rollback requires --version")
@@ -312,6 +315,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--version", type=int, default=None)
     p.add_argument("--keep-last", type=int, default=1)
     p.add_argument("--older-than-hours", type=float, default=24.0)
+    p.add_argument("--older-than", default=None,
+                   help="expire: retain versions committed at/after this "
+                        "UTC instant (YYYY-mm-dd HH:MM:SS)")
+    p.add_argument("--where", default=None,
+                   help="compact: scope the rewrite to dirs with matching "
+                        "rows (OPTIMIZE ... WHERE)")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--ref", default=None,
                    help="tag/branch name for tag|branch|fast-forward")

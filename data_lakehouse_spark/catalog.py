@@ -1074,54 +1074,143 @@ class Catalog:
         *,
         target_file_bytes: int = 128 * 1024 * 1024,
         zorder_by: list[str] | None = None,
+        where=None,
     ) -> dict:
-        """OPTIMIZE: rewrite the current snapshot into ~target-sized
-        files (Iceberg rewrite_data_files / Delta OPTIMIZE analog).
+        """OPTIMIZE: rewrite into ~target-sized files (Iceberg
+        rewrite_data_files / Delta OPTIMIZE analog).
 
         Incremental appends accumulate small files — each append commit
         is its own directory — and at 100 TB scan cost becomes dominated
         by per-file open/footer overhead rather than bytes. Compaction
-        reads the live file set and writes one new snapshot with
+        reads the live file set and writes a new snapshot with
         ``ceil(bytes / target)`` files per partition tree, preserving
         the partition layout (a plain commit: time travel to the
         pre-compaction version still works, and readers never see a
         partial state because the manifest flips atomically).
+
+        ``where`` (SQL string or Column) SCOPES the rewrite — Delta's
+        ``OPTIMIZE ... WHERE`` — to the snapshot dirs that contain
+        matching rows: only those dirs rewrite (every row in them, the
+        compaction invariant), untouched dirs carry forward, and a
+        concurrent commit fails the scoped compaction instead of being
+        dropped. At scale this is the ONLY compaction mode that
+        matters: the daily job compacts yesterday's partition, never
+        the table.
         """
-        entries = self._load_manifest(self._handle(name))
+        h = self._handle(name)
+        entries = self._load_manifest(h)
         if not entries:
             raise ValueError(f"table {name} does not exist")
         head = self._main_head(entries, name)
-        current = self.read(name)
-        files_before = len(current.inputFiles())
-        bytes_total = sum(
-            os.path.getsize(os.path.join(dp, f))
-            for d in head["data_dirs"]
-            for dp, _, fs in os.walk(os.path.join(self._handle(name).path, d))
-            for f in fs
-            if f.endswith(".parquet")
-        )
-        n_files = max(1, -(-bytes_total // target_file_bytes))
         pb = head.get("partition_by")
-        if zorder_by:
-            # OPTIMIZE ZORDER BY: range-partition on the Morton code so
-            # each output file covers a small rectangle in zorder_by
-            # space — min/max file skipping then works for predicates
-            # on ANY clustered column, not just a leading sort key.
-            from data_lakehouse_spark.functions.zorder import zorder_df
 
-            zdf, zcol = zorder_df(current, zorder_by)
-            compacted = zdf.repartitionByRange(n_files, F.col(zcol)).drop(zcol)
-        elif pb:
-            compacted = current.repartition(n_files, *pb)
-        else:
-            compacted = current.coalesce(n_files)
-        h = self._commit(self._handle(name), compacted, op="compact", replace=True)
-        files_after = len(self.read(name).inputFiles())
+        def _dir_bytes(dirs: list[str]) -> int:
+            return sum(
+                os.path.getsize(os.path.join(dp, f))
+                for d in dirs
+                for dp, _, fs in os.walk(
+                    os.path.normpath(os.path.join(h.path, d))
+                )
+                for f in fs
+                if f.endswith(".parquet")
+            )
+
+        def _shape(df: DataFrame, n_files: int) -> DataFrame:
+            if zorder_by:
+                # OPTIMIZE ZORDER BY: range-partition on the Morton
+                # code so each output file covers a small rectangle in
+                # zorder_by space — min/max file skipping then works
+                # for predicates on ANY clustered column, not just a
+                # leading sort key.
+                from data_lakehouse_spark.functions.zorder import zorder_df
+
+                zdf, zcol = zorder_df(df, zorder_by)
+                return zdf.repartitionByRange(n_files, F.col(zcol)).drop(zcol)
+            if pb:
+                return df.repartition(n_files, *pb)
+            return df.coalesce(n_files)
+
+        if where is None:
+            current = self.read(name)
+            files_before = len(current.inputFiles())
+            bytes_total = _dir_bytes(head["data_dirs"])
+            n_files = max(1, -(-bytes_total // target_file_bytes))
+            self._commit(
+                h, _shape(current, n_files), op="compact", replace=True
+            )
+            files_after = len(self.read(name).inputFiles())
+            return {
+                "table": name,
+                "files_before": files_before,
+                "files_after": files_after,
+                "bytes": bytes_total,
+                "rewritten_dirs": list(head["data_dirs"]),
+                "kept_dirs": [],
+            }
+
+        import functools
+
+        cond = F.expr(where) if isinstance(where, str) else where
+        is_hit = F.coalesce(cond, F.lit(False))
+        live = head["data_dirs"]
+        cur = (
+            self.read(name, with_lineage=True)
+            .withColumnRenamed("_file", "_cow_file")
+            .drop("_pos")
+        )
+        hit_files = [
+            r["_cow_file"]
+            for r in cur.filter(is_hit).select("_cow_file").distinct().collect()
+        ]
+        touched = [
+            d
+            for d in live
+            if any(
+                re.sub(r"^file:/+", "/", fp).startswith(self._dir_abs(h, d))
+                for fp in hit_files
+            )
+        ]
+        if not touched:
+            return {
+                "table": name, "files_before": 0, "files_after": 0,
+                "bytes": 0, "rewritten_dirs": [], "kept_dirs": list(live),
+            }
+        kept = [d for d in live if d not in touched]
+        in_touched = functools.reduce(
+            lambda a, b: a | b,
+            [
+                F.regexp_replace(F.col("_cow_file"), "^file:/+", "/")
+                .startswith(self._dir_abs(h, d))
+                for d in touched
+            ],
+        )
+        files_before = len(hit_files)
+        bytes_touched = _dir_bytes(touched)
+        n_files = max(1, -(-bytes_touched // target_file_bytes))
+        rewritten = _shape(
+            cur.filter(in_touched).drop("_cow_file"), n_files
+        )
+        self._commit(
+            h, rewritten, op="compact", replace=True, base_dirs=kept,
+            expected_version=len(entries),
+        )
         return {
-            "table": h.name,
+            "table": name,
             "files_before": files_before,
-            "files_after": files_after,
-            "bytes": bytes_total,
+            "files_after": len(
+                self.read(name).inputFiles()
+            ) - sum(
+                1
+                for d in kept
+                for dp, _, fs in os.walk(
+                    os.path.normpath(os.path.join(h.path, d))
+                )
+                for f in fs
+                if f.endswith(".parquet")
+            ),
+            "bytes": bytes_touched,
+            "rewritten_dirs": touched,
+            "kept_dirs": kept,
         }
 
     def _dir_abs(self, h: TableHandle, d: str) -> str:
@@ -1678,18 +1767,27 @@ class Catalog:
             "dry_run": dry_run,
         }
 
-    def expire_snapshots(self, name: str, *, keep_last: int = 1) -> dict:
+    def expire_snapshots(
+        self,
+        name: str,
+        *,
+        keep_last: int = 1,
+        older_than: str | None = None,
+    ) -> dict:
         """VACUUM / expire_snapshots: reclaim storage held only by old
         versions (Iceberg ``expire_snapshots`` / Delta ``VACUUM`` analog).
 
         Every commit keeps prior data dirs alive for time travel; at
         100 TB that history IS the storage bill, so expiry is the
-        maintenance op that bounds it. The last ``keep_last`` versions
-        stay fully readable; older versions are marked expired (time
-        travel to them raises a clear error instead of reading partial
-        data) and any data dir no retained version references is
-        deleted. The manifest flips atomically, so concurrent readers
-        of retained versions are unaffected.
+        maintenance op that bounds it. The last ``keep_last`` MAIN-
+        lineage versions stay fully readable; ``older_than`` (UTC
+        ``YYYY-mm-dd HH:MM:SS``, Iceberg's timestamp retention) ALSO
+        retains every version committed at or after that instant —
+        retention is the union, so a time window can keep more than
+        ``keep_last`` but never expire the head. Expired versions raise
+        a clear error on time travel; any data dir no retained version
+        references is deleted. The manifest flips atomically, so
+        concurrent readers of retained versions are unaffected.
         """
         import shutil
 
@@ -1718,6 +1816,12 @@ class Catalog:
         retained_versions = {
             e["version"] for e in main_entries[-keep_last:]
         } | protected
+        if older_than is not None:
+            retained_versions |= {
+                e["version"]
+                for e in main_entries
+                if e["committed_at"] >= older_than
+            }
         retained = [entries[v] for v in sorted(retained_versions)]
         keep_dirs = {d for e in retained for d in e["data_dirs"]}
         keep_dirs |= {

@@ -288,3 +288,60 @@ def test_concurrent_appends_all_land(spark, tmp_path):
     assert _ids(cat.read("t")) == list(range(7))
     versions = [e["version"] for e in cat._load_manifest(cat._handle("t"))]
     assert versions == sorted(set(versions))  # dense, no duplicates
+
+
+def test_expire_snapshots_older_than_window(spark, tmp_path):
+    """Time-based retention: versions committed at/after older_than
+    stay readable even beyond keep_last; older unprotected ones expire."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table("t", spark.createDataFrame([(1,)], "id long"))  # v0
+    cat.append("t", spark.createDataFrame([(2,)], "id long"))  # v1
+    cat.append("t", spark.createDataFrame([(3,)], "id long"))  # v2
+    # cutoff BEFORE every commit: everything retained despite keep_last=1
+    res = cat.expire_snapshots("t", keep_last=1, older_than="2000-01-01 00:00:00")
+    assert res["versions_expired"] == 0
+    assert _ids(cat.read("t", version=0)) == [1]
+    # cutoff AFTER every commit: falls back to keep_last retention
+    cat.expire_snapshots("t", keep_last=1, older_than="2100-01-01 00:00:00")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="expired"):
+        cat.read("t", version=0)
+    assert _ids(cat.read("t")) == [1, 2, 3]
+
+
+def test_compact_where_scopes_to_touched_partitions(spark, tmp_path):
+    """OPTIMIZE ... WHERE: only snapshot dirs holding matching rows
+    rewrite; other dirs' files carry forward byte-identical, and all
+    rows of touched dirs (matching or not) survive."""
+    import os as _os
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t",
+        spark.createDataFrame([(i, "d1") for i in range(50)],
+                              "id long, day string"),
+    )  # v0: only d1
+    cat.append(
+        "t",
+        spark.createDataFrame(
+            [(i, "d2") for i in range(50, 90)] + [(99, "d1")],
+            "id long, day string",
+        ),
+    )  # v1: d2 rows + ONE d1 straggler
+    before_files = set(cat.read("t").inputFiles())
+
+    res = cat.compact("t", where="day = 'd2'")
+    # v0 has no d2 rows -> kept; v1 touched
+    assert res["kept_dirs"] == ["v00000"] and res["rewritten_dirs"] == ["v00001"]
+    after_files = set(cat.read("t").inputFiles())
+    v0_files = {f for f in before_files if "/v00000/" in f}
+    assert v0_files <= after_files  # untouched dir: same physical files
+    # every row survives, including v1's non-matching d1 straggler
+    got = cat.read("t")
+    assert got.count() == 91
+    assert got.filter(F.col("id") == 99).count() == 1
+    # no-match predicate: clean no-op
+    res = cat.compact("t", where="day = 'nope'")
+    assert res["rewritten_dirs"] == []
