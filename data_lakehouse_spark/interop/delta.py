@@ -130,7 +130,13 @@ def export_delta(
                     if "=" in comp:
                         k, v = comp.split("=", 1)
                         if k in part_cols:
-                            pvals[k] = urllib.parse.unquote(v)
+                            # protocol: a null partition value is JSON
+                            # null, not Hive's sentinel directory name
+                            pvals[k] = (
+                                None
+                                if v == "__HIVE_DEFAULT_PARTITION__"
+                                else urllib.parse.unquote(v)
+                            )
                 n_rows = pq.read_metadata(full).num_rows
                 total_rows += n_rows
                 adds.append(
@@ -332,7 +338,10 @@ def read_delta(
         )
         groups.setdefault(key, []).append(_abs(p))
     out: DataFrame | None = None
-    for key, paths in sorted(groups.items()):
+    # None-safe sort key: partition tuples may mix null and strings
+    for key, paths in sorted(
+        groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])
+    ):
         df = spark.read.schema(file_schema).parquet(*paths)
         for c, v in zip(part_cols, key):
             df = df.withColumn(

@@ -1010,8 +1010,17 @@ def read_iceberg(
             v = f.read().strip()
         meta_file = os.path.join(meta_dir, f"v{v}.metadata.json")
     else:
+        # numeric-aware: HadoopTables "v<N>.metadata.json" must compare
+        # by N (lexicographic puts v10 before v2); catalog-style
+        # "00007-<uuid>.metadata.json" names are zero-padded so the
+        # same key works for both
+        def _ver(f: str) -> tuple:
+            m = re.match(r"^v(\d+)\.metadata\.json$", f)
+            return (int(m.group(1)), "") if m else (-1, f)
+
         cands = sorted(
-            f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")
+            (f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")),
+            key=_ver,
         )
         if not cands:
             raise ValueError(f"{location}: no Iceberg metadata files")

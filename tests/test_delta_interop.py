@@ -144,3 +144,33 @@ def test_read_delta_refuses_wrong_rows_features(spark, tmp_path):
                                "sizeInBytes": 1, "cardinality": 1}}}) + "\n")
     with pytest.raises(ValueError, match="deletion vector"):
         read_delta(spark, dest)
+
+
+def test_null_partition_value_roundtrip(spark, tmp_path):
+    """A NULL partition value exports as JSON null in partitionValues
+    (the protocol's encoding), not Hive's __HIVE_DEFAULT_PARTITION__
+    sentinel string, and the reader restores it as NULL — including
+    for STRING partition columns, where a cast would not rescue the
+    sentinel."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t",
+        spark.createDataFrame(
+            [(1, "us"), (2, None), (3, "eu")], "id long, region string"
+        ),
+        partition_by=["region"],
+    )
+    dest = str(tmp_path / "dl")
+    export_delta(cat, "t", dest)
+    with open(os.path.join(dest, "_delta_log", f"{0:020d}.json")) as f:
+        adds = [
+            json.loads(line)["add"]
+            for line in f
+            if line.strip() and "\"add\"" in line
+        ]
+    vals = {a["partitionValues"].get("region") for a in adds}
+    assert None in vals and "__HIVE_DEFAULT_PARTITION__" not in vals
+    got = read_delta(spark, dest)
+    assert _rows(got.select("id", "region")) == _rows(
+        cat.read("t").select("id", "region")
+    )
