@@ -79,6 +79,8 @@ def cmd_export(args: argparse.Namespace) -> int:
         out = interop.export_iceberg(
             cat, args.table, args.dest, materialize=args.materialize
         )
+    elif args.history:
+        out = interop.export_delta_history(cat, args.table, args.dest)
     else:
         out = interop.export_delta(
             cat, args.table, args.dest, materialize=args.materialize
@@ -260,7 +262,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--format", choices=["iceberg", "delta"],
                    default="iceberg")
     p.add_argument("--history", action="store_true",
-                   help="iceberg only: export every published snapshot")
+                   help="export every published snapshot (time travel "
+                   "in the external format)")
     p.add_argument("--materialize", action="store_true", default=None)
     p.set_defaults(fn=cmd_export)
 

@@ -4,6 +4,7 @@ such tables written by other engines."""
 
 from data_lakehouse_spark.interop.delta import (  # noqa: F401
     export_delta,
+    export_delta_history,
     read_delta,
 )
 from data_lakehouse_spark.interop.iceberg import (  # noqa: F401
@@ -14,6 +15,7 @@ from data_lakehouse_spark.interop.iceberg import (  # noqa: F401
 
 __all__ = [
     "export_delta",
+    "export_delta_history",
     "export_iceberg",
     "export_iceberg_history",
     "read_delta",

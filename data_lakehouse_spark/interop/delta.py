@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-__all__ = ["export_delta", "read_delta"]
+__all__ = ["export_delta", "export_delta_history", "read_delta"]
 
 
 def _schema_string(catalog_schema: dict) -> str:
@@ -184,6 +184,277 @@ def export_delta(
         "data_files": len(adds),
         "rows": total_rows,
         "materialized": bool(materialize),
+        "partition_columns": part_cols,
+    }
+
+
+# ---------------------------------------------------------------------------
+# history export
+# ---------------------------------------------------------------------------
+
+
+def _snapshot_files(h, entry, part_cols, footer_cache) -> list[dict]:
+    """One Delta ``add`` payload per parquet file of a catalog snapshot
+    (zero-copy: absolute in-place paths). ``footer_cache`` memoizes
+    footer reads by path — dirs shared across versions are immutable,
+    so a file's rowcount is read once for the whole history."""
+    import pyarrow.parquet as pq
+
+    adds = []
+    for d in entry["data_dirs"]:
+        root = os.path.normpath(os.path.join(h.path, d))
+        for dp, _, fs in os.walk(root):
+            for fname in sorted(fs):
+                if not fname.endswith(".parquet"):
+                    continue
+                full = os.path.join(dp, fname)
+                pvals: dict[str, str | None] = {}
+                for comp in os.path.relpath(dp, root).split(os.sep):
+                    if "=" in comp:
+                        k, v = comp.split("=", 1)
+                        if k in part_cols:
+                            pvals[k] = (
+                                None
+                                if v == "__HIVE_DEFAULT_PARTITION__"
+                                else urllib.parse.unquote(v)
+                            )
+                if full not in footer_cache:
+                    footer_cache[full] = (
+                        pq.read_metadata(full).num_rows,
+                        os.path.getsize(full),
+                    )
+                n_rows, size = footer_cache[full]
+                adds.append(
+                    {
+                        "path": full,
+                        "partitionValues": pvals,
+                        "size": size,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                        "stats": json.dumps({"numRecords": n_rows}),
+                    }
+                )
+    return adds
+
+
+_CKPT_DDL = (
+    "protocol struct<minReaderVersion:int,minWriterVersion:int>, "
+    "metaData struct<id:string,format:struct<provider:string,"
+    "options:map<string,string>>,schemaString:string,"
+    "partitionColumns:array<string>,configuration:map<string,string>,"
+    "createdTime:long>, "
+    "add struct<path:string,partitionValues:map<string,string>,"
+    "size:long,modificationTime:long,dataChange:boolean,stats:string>"
+)
+
+
+def _write_checkpoint(
+    spark: SparkSession,
+    log_dir: str,
+    version: int,
+    protocol: dict,
+    meta: dict,
+    live: dict[str, dict],
+) -> None:
+    """Classic single-file checkpoint at ``version``: the full replayed
+    state (protocol + metaData + one ``add`` per live file) as ONE
+    parquet, plus ``_last_checkpoint``. Terminal state only — expired
+    ``remove`` tombstones are not retained, matching a
+    post-retention-window checkpoint. Readers then replay just the
+    JSON commits after ``version`` (the protocol's point: log replay
+    cost stays O(tail), not O(history))."""
+    rows = [
+        (
+            (protocol["minReaderVersion"], protocol["minWriterVersion"]),
+            None,
+            None,
+        )
+    ]
+    rows.append(
+        (
+            None,
+            (
+                meta["id"],
+                (meta["format"]["provider"], meta["format"]["options"]),
+                meta["schemaString"],
+                meta["partitionColumns"],
+                meta["configuration"],
+                meta["createdTime"],
+            ),
+            None,
+        )
+    )
+    for add in live.values():
+        rows.append(
+            (
+                None,
+                None,
+                (
+                    add["path"],
+                    add["partitionValues"],
+                    add["size"],
+                    add["modificationTime"],
+                    add["dataChange"],
+                    add["stats"],
+                ),
+            )
+        )
+    import shutil
+
+    target = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    tmp = os.path.join(log_dir, f"._ckpt_{version}")
+    (
+        spark.createDataFrame(rows, _CKPT_DDL)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    part = next(
+        f for f in os.listdir(tmp)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    os.replace(os.path.join(tmp, part), target)
+    shutil.rmtree(tmp, ignore_errors=True)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        json.dump({"version": version, "size": len(rows)}, f)
+
+
+def export_delta_history(
+    catalog,
+    name: str,
+    dest: str,
+    *,
+    checkpoint_interval: int | None = 10,
+) -> dict:
+    """Export EVERY published main-lineage snapshot of a catalog table
+    as one Delta table whose commit history mirrors the catalog's —
+    external time travel (``read_delta(..., version=k)`` / any Delta
+    reader's ``VERSION AS OF``) over the catalog's versions.
+
+    Zero-copy only: catalog version k becomes Delta commit k' (dense
+    renumbering over published versions) whose ``add``/``remove``
+    actions are the file-set diff against the previous snapshot —
+    exactly how a native Delta writer logs an append or rewrite.
+    Schema commits surface as metaData-only Delta commits, so pinned
+    reads see the schema as of that version. A classic checkpoint
+    parquet (+ ``_last_checkpoint``) is written every
+    ``checkpoint_interval`` commits and at the head, so replay cost for
+    latest-reads is O(commits since checkpoint), not O(history) — the
+    protocol's scale mechanism (reference stores genuine open-format
+    tables: spark/jobs/bronze_ingestion.py:94-121).
+
+    Refused shapes (same contract as
+    :func:`~data_lakehouse_spark.interop.iceberg.export_iceberg_history`):
+    MOR delete files anywhere in history or a partition-spec change
+    (export the current snapshot with :func:`export_delta`,
+    ``materialize=True``, instead). Non-identity (hidden-transform)
+    partitioning is refused for the same reason as the current-snapshot
+    path. Expired catalog versions are skipped (files reclaimed)."""
+    h = catalog._handle(name)
+    entries = catalog._load_manifest(h)
+    if not entries:
+        raise ValueError(f"table {name} does not exist")
+    versions = [
+        e
+        for e in entries
+        if "branch" not in e and not e.get("staged") and not e.get("expired")
+    ]
+    if not versions:
+        raise ValueError(f"table {name} has no published snapshots")
+    if any(e.get("delete_dirs") for e in versions):
+        raise ValueError(
+            f"{name}: history export is zero-copy only and a version "
+            "carries MOR delete files; export the current snapshot "
+            "with materialize=True instead"
+        )
+    specs = {tuple(e.get("partition_by") or []) for e in versions}
+    if len(specs) > 1:
+        raise ValueError(
+            f"{name}: partition spec changed across versions {specs}; "
+            "history export supports a constant spec"
+        )
+    part_cols = list(versions[-1].get("partition_by") or [])
+    schema_fields = {
+        f["name"] for f in versions[-1]["schema"]["fields"]
+    }
+    if not all(c in schema_fields for c in part_cols):
+        raise ValueError(
+            f"{name}: partitioning uses hidden transforms; history "
+            "export refused (values are not restorable from the path)"
+        )
+
+    dest = os.path.abspath(dest)
+    log_dir = os.path.join(dest, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+
+    now_ms = int(time.time() * 1000)
+    protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+    table_id = str(uuid.uuid4())
+    footer_cache: dict[str, tuple[int, int]] = {}
+    live: dict[str, dict] = {}
+    meta: dict | None = None
+    last_ckpt = -1
+    for k, entry in enumerate(versions):
+        cur = {
+            a["path"]: a
+            for a in _snapshot_files(h, entry, part_cols, footer_cache)
+        }
+        actions: list[dict] = []
+        if k == 0:
+            actions.append({"protocol": protocol})
+        new_meta = {
+            "id": table_id,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _schema_string(entry["schema"]),
+            "partitionColumns": part_cols,
+            "configuration": {},
+            "createdTime": now_ms,
+        }
+        if meta is None or new_meta["schemaString"] != meta["schemaString"]:
+            meta = new_meta
+            actions.append({"metaData": meta})
+        for p in live:
+            if p not in cur:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": p,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        for p, a in cur.items():
+            if p not in live:
+                actions.append({"add": a})
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "WRITE",
+                    "engineInfo": f"data_lakehouse_spark history export "
+                    f"of {name}@v{entry['version']}",
+                }
+            }
+        )
+        with open(os.path.join(log_dir, f"{k:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+        live = cur
+        is_last = k == len(versions) - 1
+        if checkpoint_interval and (
+            is_last or (k - last_ckpt) >= checkpoint_interval
+        ):
+            _write_checkpoint(
+                catalog.spark, log_dir, k, protocol, meta, live
+            )
+            last_ckpt = k
+    return {
+        "table": name,
+        "location": dest,
+        "commits": len(versions),
+        "data_files": len(live),
+        "checkpoint": last_ckpt if checkpoint_interval else None,
         "partition_columns": part_cols,
     }
 

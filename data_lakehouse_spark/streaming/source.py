@@ -1,0 +1,330 @@
+"""Streaming SOURCE over the lakehouse catalog — the Delta CDF /
+``spark.readStream.format("delta")`` analog for this engine's tables
+(reference streams its bronze tables out of genuine open-format
+storage; this closes the same loop for the catalog:
+``stream → catalog sink → catalog SOURCE → derived table``).
+
+Built on the PySpark 4 Python Data Source API
+(``pyspark.sql.datasource``): offsets are catalog snapshot VERSIONS
+(the manifest is the write-ahead log, so the offset log and the table
+log can never disagree about what "new data" means), each microbatch
+is the file-set diff between two published snapshots, and every new
+parquet FILE becomes one ``InputPartition`` — reads scale out across
+executors and replay is deterministic because manifest entries are
+immutable once committed (Spark re-runs ``partitions(start, end)`` on
+recovery and must see the same files: guaranteed by the append-only
+manifest, which is what makes the source exactly-once under the
+engine's checkpointed offset log).
+
+Scope is the streaming-shaped subset, with the same contract Delta's
+source has:
+
+- **appends** stream as ``_change_type='insert'`` rows;
+- a **COW rewrite** in the span (update/delete/compact rewrote dirs)
+  fails the query unless ``ignoreChanges=true`` — then the NEW dirs'
+  rows are emitted (carried rows re-emitted, exactly Delta's
+  documented ``ignoreChanges`` semantics);
+- a **MOR delete** in the span fails unless ``ignoreDeletes=true`` —
+  then it is skipped (already-streamed rows are not retracted).
+
+The reader is Arrow end-to-end: each partition reads its file with
+``pyarrow`` and yields ``RecordBatch``es cast to the query schema
+(schema drift projects old files onto the query-start schema with
+null backfill; hive partition values are restored from the directory
+layout per the declared column type).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import urllib.parse
+from typing import Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+__all__ = [
+    "LakehouseStreamDataSource",
+    "register_lakehouse_source",
+    "stream_table",
+]
+
+_META_COLS = [
+    ("_change_type", "string"),
+    ("_commit_version", "long"),
+]
+
+
+# -- session-free manifest walk (runs on the driver-side reader; the
+# -- same JSON the catalog writes atomically via os.replace) ----------
+
+
+def _load_manifest(warehouse: str, table: str) -> list[dict]:
+    path = os.path.join(warehouse, table, "_manifest.json")
+    if not os.path.exists(path):
+        raise ValueError(f"table {table} does not exist under {warehouse}")
+    with open(path) as f:
+        return json.load(f)
+
+
+def _published_main(entries: list[dict]) -> list[dict]:
+    return [
+        e
+        for e in entries
+        if "branch" not in e and not e.get("staged")
+    ]
+
+
+def _list_parquet(table_path: str, dirs: list[str]) -> list[str]:
+    out = []
+    for d in sorted(dirs):
+        root = os.path.normpath(os.path.join(table_path, d))
+        for dp, _, fs in os.walk(root):
+            for f in sorted(fs):
+                if f.endswith(".parquet"):
+                    out.append(os.path.join(dp, f))
+    return out
+
+
+def _hive_values(file_path: str, table_path: str, part_cols: list[str]) -> dict:
+    vals: dict[str, str | None] = {}
+    for comp in os.path.relpath(
+        os.path.dirname(file_path), table_path
+    ).split(os.sep):
+        if "=" in comp:
+            k, v = comp.split("=", 1)
+            if k in part_cols:
+                vals[k] = (
+                    None
+                    if v == "__HIVE_DEFAULT_PARTITION__"
+                    else urllib.parse.unquote(v)
+                )
+    return vals
+
+
+class _FilePartition(InputPartition):
+    def __init__(
+        self, file: str, commit_version: int, part_values: dict
+    ) -> None:
+        self.file = file
+        self.commit_version = commit_version
+        self.part_values = part_values
+
+
+class LakehouseStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.warehouse = options.get("path") or options.get("warehouse")
+        if not self.warehouse:
+            raise ValueError(
+                "lakehouse source requires .option('path', <warehouse>) "
+                "(or 'warehouse')"
+            )
+        self.table = options.get("table")
+        if not self.table:
+            raise ValueError(
+                "lakehouse source requires .option('table', <name>)"
+            )
+        self.schema = schema
+        self.starting = str(options.get("startingversion", "0"))
+        self.ignore_deletes = (
+            str(options.get("ignoredeletes", "false")).lower() == "true"
+        )
+        self.ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        # admission control (maxFilesPerTrigger analog at version
+        # granularity): bound how many snapshots one microbatch folds
+        mv = options.get("maxversionspertrigger")
+        self.max_versions = int(mv) if mv is not None else None
+        self.table_path = os.path.join(self.warehouse, self.table)
+
+    # -- offsets ------------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"version": self._initial_version()}
+
+    def _initial_version(self) -> int:
+        if self.starting == "latest":
+            entries = _published_main(
+                _load_manifest(self.warehouse, self.table)
+            )
+            return entries[-1]["version"] if entries else -1
+        return int(self.starting) - 1
+
+    def latestOffset(self) -> dict:
+        entries = _published_main(_load_manifest(self.warehouse, self.table))
+        head = entries[-1]["version"] if entries else -1
+        if self.max_versions is not None:
+            # admission control: Spark hands the returned offset
+            # straight to partitions() as `end`, so capping here IS
+            # the batch cap. The cursor self-heals: seeded from
+            # startingVersion on first use (the planning and execution
+            # readers may be separate processes, so initialOffset's
+            # instance isn't guaranteed to be this one) and re-synced
+            # from the REAL offsets in partitions()/commit() — after a
+            # checkpoint restart it converges within one empty batch.
+            last = getattr(self, "_last_end", None)
+            if last is None:
+                last = self._initial_version()
+            head = min(head, last + self.max_versions)
+            self._last_end = head
+        return {"version": head}
+
+    # -- planning -----------------------------------------------------
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> Sequence[InputPartition]:
+        sv, ev = int(start["version"]), int(end["version"])
+        last = getattr(self, "_last_end", None)
+        self._last_end = max(sv, ev) if last is None else max(last, sv, ev)
+        if ev <= sv:
+            return []
+        entries = _published_main(_load_manifest(self.warehouse, self.table))
+        parts: list[InputPartition] = []
+        prev = None
+        for e in entries:
+            if e["version"] <= sv:
+                prev = e
+                continue
+            if e["version"] > ev:
+                break
+            prev_dirs = set(prev["data_dirs"]) if prev else set()
+            prev_dd = set((prev or {}).get("delete_dirs") or [])
+            new_dirs = [d for d in e["data_dirs"] if d not in prev_dirs]
+            removed = prev_dirs - set(e["data_dirs"])
+            new_dd = set(e.get("delete_dirs") or []) - prev_dd
+            if removed and not self.ignore_changes:
+                raise ValueError(
+                    f"lakehouse stream of {self.table}: version "
+                    f"{e['version']} rewrote data (update/delete/"
+                    "compact). Streaming a rewritten table re-emits "
+                    "carried rows; opt in with "
+                    ".option('ignoreChanges','true') or stream the "
+                    "change feed batch-wise (catalog.table_changes)."
+                )
+            if new_dd and not self.ignore_deletes:
+                raise ValueError(
+                    f"lakehouse stream of {self.table}: version "
+                    f"{e['version']} committed MOR deletes. Deletes "
+                    "cannot be retracted from a stream; opt in with "
+                    ".option('ignoreDeletes','true') to skip them."
+                )
+            part_cols = list(e.get("partition_by") or [])
+            for f in _list_parquet(self.table_path, new_dirs):
+                parts.append(
+                    _FilePartition(
+                        f,
+                        e["version"],
+                        _hive_values(f, self.table_path, part_cols),
+                    )
+                )
+            prev = e
+        return parts
+
+    # -- execution (runs on executors; Arrow end-to-end) --------------
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        tbl = pq.read_table(partition.file)
+        n = tbl.num_rows
+        names = set(tbl.schema.names)
+        arrays = []
+        fields = []
+        for f in self.schema.fields:
+            at = to_arrow_type(f.dataType)
+            if f.name == "_change_type":
+                arr = pa.array(["insert"] * n, type=at)
+            elif f.name == "_commit_version":
+                arr = pa.array([partition.commit_version] * n, type=at)
+            elif f.name in names:
+                arr = tbl.column(f.name).cast(at).combine_chunks()
+            elif f.name in partition.part_values:
+                arr = pa.array(
+                    [_parse_part(partition.part_values[f.name], f.dataType)]
+                    * n,
+                    type=at,
+                )
+            else:  # schema drift: old file predates the column
+                arr = pa.nulls(n, type=at)
+            arrays.append(arr)
+            fields.append(pa.field(f.name, at, nullable=True))
+        out = pa.table(arrays, schema=pa.schema(fields))
+        for batch in out.to_batches(max_chunksize=1 << 16):
+            yield batch
+
+
+def _parse_part(v: str | None, dtype) -> object:
+    if v is None:
+        return None
+    t = dtype.simpleString()
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return int(v)
+    if t in ("float", "double"):
+        return float(v)
+    if t == "boolean":
+        return v.lower() == "true"
+    if t == "date":
+        return datetime.date.fromisoformat(v)
+    return v
+
+
+class LakehouseStreamDataSource(DataSource):
+    """``spark.readStream.format("lakehouse")`` — register with
+    :func:`register_lakehouse_source`. Options: ``path`` (warehouse
+    root), ``table``, ``startingVersion`` (int | ``latest``, default
+    0 = full table then tail), ``ignoreDeletes``, ``ignoreChanges``,
+    ``maxVersionsPerTrigger``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lakehouse"
+
+    def schema(self) -> StructType:
+        warehouse = self.options.get("path") or self.options.get("warehouse")
+        table = self.options.get("table")
+        if not warehouse or not table:
+            raise ValueError(
+                "lakehouse source requires options 'path' and 'table'"
+            )
+        entries = _published_main(_load_manifest(warehouse, table))
+        if not entries:
+            raise ValueError(f"table {table} has no published snapshots")
+        base = StructType.fromJson(entries[-1]["schema"])
+        out = StructType(list(base.fields))
+        for cname, ctype in _META_COLS:
+            out = out.add(cname, ctype, True)
+        return out
+
+    def streamReader(self, schema: StructType) -> LakehouseStreamReader:
+        return LakehouseStreamReader(schema, dict(self.options))
+
+
+def register_lakehouse_source(spark: SparkSession) -> None:
+    spark.dataSource.register(LakehouseStreamDataSource)
+
+
+def stream_table(
+    spark: SparkSession, warehouse: str, table: str, **options: str
+) -> DataFrame:
+    """``readStream`` over a catalog table (appends stream as
+    ``_change_type='insert'`` with their ``_commit_version``)."""
+    register_lakehouse_source(spark)
+    reader = (
+        spark.readStream.format("lakehouse")
+        .option("path", warehouse)
+        .option("table", table)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load()

@@ -174,3 +174,127 @@ def test_null_partition_value_roundtrip(spark, tmp_path):
     assert _rows(got.select("id", "region")) == _rows(
         cat.read("t").select("id", "region")
     )
+
+
+# ---------------------------------------------------------------------------
+# full-history export
+# ---------------------------------------------------------------------------
+
+from data_lakehouse_spark.interop.delta import export_delta_history
+
+
+def _mk_history(cat, spark):
+    """v0 create, v1 append, v2 COW delete (forces remove actions)."""
+    cat.create_table(
+        "t",
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, name string"
+        ),
+    )
+    cat.append(
+        "t", spark.createDataFrame([(3, "c"), (4, "d")], "id long, name string")
+    )
+    cat.delete_where("t", F.col("id") == 2, mode="cow")
+
+
+def test_history_export_version_pinned_reads(spark, tmp_path):
+    """Every catalog snapshot is readable as a Delta VERSION AS OF:
+    commit k's replay equals the catalog's time travel to version k —
+    including across a COW rewrite, which must log remove actions for
+    the rewritten files."""
+    cat = _cat(spark, tmp_path)
+    _mk_history(cat, spark)
+    dest = str(tmp_path / "dlh")
+    res = export_delta_history(cat, "t", dest, checkpoint_interval=None)
+    assert res["commits"] == 3 and res["checkpoint"] is None
+    for k in range(3):
+        got = read_delta(spark, dest, version=k)
+        want = cat.read("t", version=k)
+        assert _rows(got.select("id", "name")) == _rows(
+            want.select("id", "name")
+        ), f"version {k} mismatch"
+    # the COW commit logged removes for the rewritten file(s)
+    with open(os.path.join(dest, "_delta_log", f"{2:020d}.json")) as f:
+        kinds = [next(iter(json.loads(l))) for l in f if l.strip()]
+    assert "remove" in kinds and "add" in kinds
+
+
+def test_history_checkpoint_equivalent_to_json_replay(spark, tmp_path):
+    """The head checkpoint parquet replays to the SAME state as the
+    JSON log: reading with the checkpoint present equals reading after
+    deleting it (checkpoint is an accelerator, never a semantic
+    change), and _last_checkpoint points at the head commit."""
+    cat = _cat(spark, tmp_path)
+    _mk_history(cat, spark)
+    dest = str(tmp_path / "dlh")
+    res = export_delta_history(cat, "t", dest, checkpoint_interval=1)
+    log_dir = os.path.join(dest, "_delta_log")
+    with open(os.path.join(log_dir, "_last_checkpoint")) as f:
+        assert json.load(f)["version"] == res["commits"] - 1
+    via_ckpt = _rows(read_delta(spark, dest).select("id", "name"))
+    os.remove(os.path.join(log_dir, "_last_checkpoint"))
+    via_json = _rows(read_delta(spark, dest).select("id", "name"))
+    assert via_ckpt == via_json == _rows(cat.read("t").select("id", "name"))
+
+
+def test_history_schema_evolution_pins_old_schema(spark, tmp_path):
+    """A catalog add_column surfaces as a metaData-only Delta commit:
+    pinned reads at the old version see the old column set, the head
+    sees the new column (null-backfilled for old files)."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t", spark.createDataFrame([(1, "a")], "id long, name string")
+    )
+    cat.add_column("t", "score", "double")
+    cat.append(
+        "t",
+        spark.createDataFrame(
+            [(2, "b", 0.5)], "id long, name string, score double"
+        ),
+    )
+    dest = str(tmp_path / "dlh")
+    export_delta_history(cat, "t", dest)
+    assert read_delta(spark, dest, version=0).columns == ["id", "name"]
+    got = read_delta(spark, dest)
+    assert got.columns == ["id", "name", "score"]
+    assert _rows(got) == _rows(cat.read("t"))
+
+
+def test_history_partitioned_zero_copy(spark, tmp_path):
+    """Identity-partitioned history stays zero-copy: partitionValues
+    carry the per-file values at every commit and no parquet is
+    rewritten under dest."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t",
+        spark.createDataFrame(
+            [(1, "us"), (2, "eu")], "id long, region string"
+        ),
+        partition_by=["region"],
+    )
+    cat.append(
+        "t", spark.createDataFrame([(3, "us")], "id long, region string")
+    )
+    dest = str(tmp_path / "dlh")
+    export_delta_history(cat, "t", dest)
+    data_parquet = [
+        f
+        for dp, _, fs in os.walk(dest)
+        for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in dp
+    ]
+    assert data_parquet == []  # zero-copy: only log + checkpoint files
+    for k in range(2):
+        assert _rows(
+            read_delta(spark, dest, version=k).select("id", "region")
+        ) == _rows(cat.read("t", version=k).select("id", "region"))
+
+
+def test_history_refuses_mor_deletes(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t", spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    )
+    cat.delete_where("t", F.col("id") == 1, mode="mor")
+    with pytest.raises(ValueError, match="MOR delete"):
+        export_delta_history(cat, "t", str(tmp_path / "dlh"))

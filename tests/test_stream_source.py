@@ -1,0 +1,248 @@
+"""Streaming SOURCE over the catalog (streaming/source.py): offsets
+are manifest versions, microbatches are snapshot file-diffs, each new
+file is one executor-side Arrow partition. Exactly-once across
+restarts rides Spark's checkpointed offset log + the immutable
+manifest (the Delta-CDF-source analog)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lakehouse_spark.catalog import Catalog
+from data_lakehouse_spark.streaming.source import stream_table
+
+
+def _cat(spark, tmp_path) -> Catalog:
+    return Catalog(spark, str(tmp_path / "w"))
+
+
+def _drain(spark, df, out, ck):
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def _sunk(spark, out):
+    if not os.path.exists(out) or not any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(out)
+        for f in fs
+    ):
+        return []
+    return sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("id", "_change_type", "_commit_version")
+        .collect()
+    )
+
+
+def test_full_history_then_tail_exactly_once(spark, tmp_path):
+    """Initial run streams the whole table (startingVersion=0 default);
+    a restart from the same checkpoint streams ONLY versions committed
+    since — the offset log and manifest agree on 'new'."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t", spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+    cat.append("t", spark.createDataFrame([(3, "c")], "id long, v string"))
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain(spark, stream_table(spark, cat.root, "t"), out, ck)
+    assert _sunk(spark, out) == [
+        (1, "insert", 0),
+        (2, "insert", 0),
+        (3, "insert", 1),
+    ]
+    cat.append("t", spark.createDataFrame([(4, "d")], "id long, v string"))
+    _drain(spark, stream_table(spark, cat.root, "t"), out, ck)
+    assert _sunk(spark, out) == [
+        (1, "insert", 0),
+        (2, "insert", 0),
+        (3, "insert", 1),
+        (4, "insert", 2),
+    ]
+
+
+def test_starting_version_latest_tails_only(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t", spark.createDataFrame([(1, "a")], "id long, v string")
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain(
+        spark,
+        stream_table(spark, cat.root, "t", startingVersion="latest"),
+        out,
+        ck,
+    )
+    assert _sunk(spark, out) == []
+    cat.append("t", spark.createDataFrame([(2, "b")], "id long, v string"))
+    _drain(
+        spark,
+        stream_table(spark, cat.root, "t", startingVersion="latest"),
+        out,
+        ck,
+    )
+    assert _sunk(spark, out) == [(2, "insert", 1)]
+
+
+def test_cow_rewrite_fails_unless_opted_in(spark, tmp_path):
+    """Delta-source contract: a rewrite in the span fails the query;
+    ignoreChanges re-emits the rewritten dirs' rows instead."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t",
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        ),
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain(spark, stream_table(spark, cat.root, "t"), out, ck)
+    cat.delete_where("t", F.col("id") == 2, mode="cow")
+    q = (
+        stream_table(spark, cat.root, "t")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="rewrote data"):
+        q.awaitTermination(180)
+    # opted in: a fresh replay from version 0 emits v0's original
+    # files (1,2,3), then the rewrite's new dirs re-emit carried rows
+    # (1,3) — exactly Delta's startingVersion=0 + ignoreChanges shape;
+    # consumers are told to expect duplicates, not retractions
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    _drain(
+        spark,
+        stream_table(spark, cat.root, "t", ignoreChanges="true"),
+        out2,
+        ck2,
+    )
+    cat.append("t", spark.createDataFrame([(9, "z")], "id long, v string"))
+    _drain(
+        spark,
+        stream_table(spark, cat.root, "t", ignoreChanges="true"),
+        out2,
+        ck2,
+    )
+    got = _sunk(spark, out2)
+    assert (9, "insert", 2) in got
+    assert {g[0] for g in got} == {1, 2, 3, 9}
+    # the rewrite commit re-emitted exactly the carried rows
+    assert {g[0] for g in got if g[2] == 1} == {1, 3}
+
+
+def test_mor_delete_fails_unless_ignored(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t", spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain(spark, stream_table(spark, cat.root, "t"), out, ck)
+    cat.delete_where("t", F.col("id") == 1, mode="mor")
+    cat.append("t", spark.createDataFrame([(3, "c")], "id long, v string"))
+    q = (
+        stream_table(spark, cat.root, "t")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="MOR deletes"):
+        q.awaitTermination(180)
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    _drain(
+        spark,
+        stream_table(spark, cat.root, "t", ignoreDeletes="true"),
+        out2,
+        ck2,
+    )
+    # delete skipped (row 1 already streamed stays), append streamed
+    assert (3, "insert", 2) in _sunk(spark, out2)
+
+
+def test_partition_values_and_schema_drift(spark, tmp_path):
+    """Hive partition values are restored at the declared type, and a
+    file written BEFORE add_column streams with null backfill under
+    the query-start schema."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t",
+        spark.createDataFrame(
+            [(1, "us"), (2, "eu")], "id long, region string"
+        ),
+        partition_by=["region"],
+    )
+    cat.add_column("t", "score", "double")
+    cat.append(
+        "t",
+        spark.createDataFrame(
+            [(3, "us", 0.5)], "id long, region string, score double"
+        ),
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain(spark, stream_table(spark, cat.root, "t"), out, ck)
+    rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("id", "region", "score", "_commit_version")
+        .collect()
+    )
+    assert rows == [
+        (1, "us", None, 0),
+        (2, "eu", None, 0),
+        (3, "us", 0.5, 2),
+    ]
+
+
+def test_max_versions_per_trigger_caps_batches(spark, tmp_path):
+    """Admission control: each microbatch folds at most N snapshots —
+    the per-sink-commit version spread proves the cap held."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t", spark.createDataFrame([(0, "x")], "id long, v string")
+    )
+    for i in range(1, 4):
+        cat.append(
+            "t", spark.createDataFrame([(i, "x")], "id long, v string")
+        )
+    seen_batches: list[set] = []
+
+    def sink(bdf, bid):
+        seen_batches.append(
+            {r["_commit_version"] for r in bdf.collect()}
+        )
+
+    q = (
+        stream_table(spark, cat.root, "t", maxVersionsPerTrigger="1")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if sum(len(b) for b in seen_batches if b) >= 4:
+            break
+        time.sleep(1)
+    q.stop()
+    got = [b for b in seen_batches if b]
+    assert all(len(b) == 1 for b in got)
+    assert set().union(*got) == {0, 1, 2, 3}
