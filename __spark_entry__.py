@@ -2708,6 +2708,98 @@ def q_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delta_history_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta FULL-HISTORY export: three catalog versions (create half,
+    append rest, COW-delete suppkey%7==0) become three Delta commits +
+    a head checkpoint; the replayed HEAD must equal the oracle's
+    recompute of the final state, and the pinned VERSION AS OF 1 read
+    is folded into the result as an exceptAll residue (any time-travel
+    discrepancy surfaces as extra rows → hash mismatch)."""
+    import shutil
+    import tempfile
+
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.interop import (
+        export_delta_history,
+        read_delta,
+    )
+
+    _ensure_conf(spark)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dls_delta_hist",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(spark, os.path.join(root, "cat"))
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    cat.create_table("sup_dl", sup.filter(F.col("s_suppkey") % 2 == 0))
+    cat.append("sup_dl", sup.filter(F.col("s_suppkey") % 2 == 1))
+    cat.delete_where("sup_dl", F.col("s_suppkey") % 7 == 0, mode="cow")
+    dl = os.path.join(root, "dl")
+    export_delta_history(cat, "sup_dl", dl, checkpoint_interval=2)
+    head = read_delta(spark, dl).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    # time-travel audit rides along: version 1 replay minus the full
+    # pre-delete table is empty iff the pinned read is exact
+    v1_residue = (
+        read_delta(spark, dl, version=1)
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .exceptAll(sup)
+    )
+    return head.unionAll(v1_residue).orderBy("s_suppkey")
+
+
+def q_stream_source_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SOURCE gate: nation lands in the catalog in two
+    commits (keys < 13, then the rest); the Python-DataSource stream
+    replays both microbatch spans into a memory sink. The streamed
+    rows AND their _commit_version provenance are oracle-checked —
+    the version split is deterministic, so SQL can recompute it."""
+    import shutil
+    import tempfile
+
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.streaming.source import stream_table
+
+    _ensure_conf(spark)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dls_stream_src",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(spark, os.path.join(root, "cat"))
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    cat.create_table("nat_s", nat.filter(F.col("n_nationkey") < 13))
+    cat.append("nat_s", nat.filter(F.col("n_nationkey") >= 13))
+    sink = os.path.join(root, "sink")
+    q = (
+        stream_table(spark, cat.root, "nat_s")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(root, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return (
+        spark.read.parquet(sink)
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: daily sales summary over sf0.001 events."""
     return q_daily_sales(spark, "/root/testdata/sf0.001")
@@ -2830,6 +2922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_point_lookup": q_events_point_lookup,
         "iceberg_roundtrip": q_iceberg_roundtrip,
         "delta_roundtrip": q_delta_roundtrip,
+        "delta_history_roundtrip": q_delta_history_roundtrip,
+        "stream_source_nation": q_stream_source_nation,
         "cdc_mart_incremental": q_cdc_mart_incremental,
         # --- rows-only (hash/LSH/HLL/pandas-UDF based; no SQL oracle) ---
         "gold_user_rfm_segments_scalable": q_user_rfm_segments_scalable,
@@ -3540,6 +3634,25 @@ ORDER BY r_regionkey
 
     sql["delta_roundtrip"] = """
 SELECT n_nationkey, n_name, n_regionkey
+FROM nation
+ORDER BY n_nationkey
+"""
+
+    # head state after the COW delete; the v1 time-travel residue the
+    # Spark side appends is empty when the pinned replay is exact
+    sql["delta_history_roundtrip"] = """
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier
+WHERE s_suppkey % 7 <> 0
+ORDER BY s_suppkey
+"""
+
+    # the streamed rows plus their commit provenance: keys < 13 landed
+    # in the create (version 0), the rest in the append (version 1)
+    sql["stream_source_nation"] = """
+SELECT n_nationkey, n_name,
+       'insert' AS change_type,
+       CASE WHEN n_nationkey < 13 THEN 0 ELSE 1 END AS commit_version
 FROM nation
 ORDER BY n_nationkey
 """

@@ -847,11 +847,21 @@ class Catalog:
             # inherit the previous field metadata wholesale (field_id,
             # comment, initial default) — a write must never strip
             # schema-level contracts like the default; the writer's own
-            # metadata keys overlay
+            # metadata keys overlay EXCEPT field_id: ids are THIS
+            # table's identity and come only from its own lineage
+            # (matched by name) or fresh assignment. A DataFrame whose
+            # schema rode in from another table (catalog.read of a
+            # different table, the streaming source) carries foreign
+            # ids — trusting them mints duplicates and id-based file
+            # resolution then reads the WRONG columns.
+            md_writer = dict(f.get("metadata") or {})
+            md_writer.pop("field_id", None)
             md = {
                 **(dict(pf.get("metadata") or {}) if pf else {}),
-                **dict(f.get("metadata") or {}),
+                **md_writer,
             }
+            if pf is None:
+                md.pop("field_id", None)  # no same-name ancestor: fresh
             if "field_id" not in md:
                 nid += 1
                 md["field_id"] = nid

@@ -301,7 +301,13 @@ class LakehouseStreamDataSource(DataSource):
         if not entries:
             raise ValueError(f"table {table} has no published snapshots")
         base = StructType.fromJson(entries[-1]["schema"])
-        out = StructType(list(base.fields))
+        # strip catalog-internal field metadata (field_id etc.): the
+        # stream's consumer-facing schema must not leak the source
+        # table's identity — sinking the stream into ANOTHER catalog
+        # table would otherwise carry foreign field ids into it
+        out = StructType()
+        for f in base.fields:
+            out = out.add(f.name, f.dataType, f.nullable)
         for cname, ctype in _META_COLS:
             out = out.add(cname, ctype, True)
         return out

@@ -904,3 +904,44 @@ def test_timestamp_as_of_read(spark, tmp_path):
     assert cat.read("ts", as_of="2030-01-01 00:00:00").count() == 3
     with pytest.raises(ValueError, match="no snapshot"):
         cat.read("ts", as_of="2020-01-01 00:00:00")
+
+
+def test_foreign_field_ids_never_trusted(spark, tmp_path):
+    """A DataFrame whose schema rode in from ANOTHER table (catalog
+    read of table A, or the streaming source) carries A's field_id
+    metadata. create_table/append must mint THIS table's ids fresh —
+    trusting foreign ids minted duplicates and the id-based file
+    resolution then silently read the wrong columns (regression:
+    stream → withColumn → catalog sink scrambled id/event_type)."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table(
+        "a",
+        spark.createDataFrame(
+            [(1, "x", 2.0)], "id long, name string, value double"
+        ),
+    )
+    # read of `a` carries field_ids 1..3; new derived columns carry none
+    derived = (
+        cat.read("a")
+        .withColumn("extra", (F.col("value") * 100).cast("long"))
+        .withColumn("tag", F.lit("t"))
+    )
+    cat.create_table("b", derived)
+    import json as _json
+    import os as _os
+
+    man = _json.load(
+        open(_os.path.join(str(tmp_path / "w"), "b", "_manifest.json"))
+    )
+    ids = [
+        f["metadata"]["field_id"] for f in man[-1]["schema"]["fields"]
+    ]
+    assert len(ids) == len(set(ids)), f"duplicate field ids: {ids}"
+    got = sorted(tuple(r) for r in cat.read("b").collect())
+    assert got == [(1, "x", 2.0, 200, "t")]
+    # append with foreign-id schema keeps resolving correctly too
+    cat.append("b", derived)
+    assert cat.read("b").count() == 2
+    assert sorted(tuple(r) for r in cat.read("b").collect())[0] == (
+        1, "x", 2.0, 200, "t",
+    )

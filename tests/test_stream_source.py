@@ -246,3 +246,55 @@ def test_max_versions_per_trigger_caps_batches(spark, tmp_path):
     got = [b for b in seen_batches if b]
     assert all(len(b) == 1 for b in got)
     assert set().union(*got) == {0, 1, 2, 3}
+
+
+def test_catalog_to_catalog_incremental_pipeline(spark, tmp_path):
+    """The closed loop: bronze catalog table → lakehouse stream source
+    → transformation → catalog sink into a silver table. Re-running
+    after new bronze appends moves ONLY the new rows (incremental by
+    offset log), and silver's content equals a batch recompute."""
+    from data_lakehouse_spark.streaming.pipeline import stream_to_catalog
+
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "bronze",
+        spark.createDataFrame(
+            [(1, "view", 2.0), (2, "purchase", 10.0)],
+            "id long, event_type string, value double",
+        ),
+    )
+    ck = str(tmp_path / "ck")
+
+    def run_hop():
+        enriched = (
+            stream_table(spark, cat.root, "bronze")
+            .withColumn("value_cents", (F.col("value") * 100).cast("long"))
+            .drop("_change_type")
+        )
+        q = stream_to_catalog(
+            enriched, cat, "silver", checkpoint=ck
+        )
+        q.awaitTermination(180)
+
+    run_hop()
+    v_after_first = len(cat.snapshots("silver").collect())
+    cat.append(
+        "bronze",
+        spark.createDataFrame(
+            [(3, "view", 5.0)], "id long, event_type string, value double"
+        ),
+    )
+    run_hop()
+    got = sorted(
+        tuple(r)
+        for r in cat.read("silver")
+        .select("id", "event_type", "value_cents", "_commit_version")
+        .collect()
+    )
+    assert got == [
+        (1, "view", 200, 0),
+        (2, "purchase", 1000, 0),
+        (3, "view", 500, 1),
+    ]
+    # second hop appended (incremental), not rewrote
+    assert len(cat.snapshots("silver").collect()) > v_after_first
