@@ -31,6 +31,18 @@ BENCH_EXCLUDED = {
         "dedup_embedding_cosine + minhash_lsh_candidates cover similarity "
         "at bench scale"
     ),
+    "delta_history_roundtrip": (
+        "multi-commit export SCENARIO (catalog build + append + COW "
+        "delete + history export + two log replays) — timing measures "
+        "tmp-dir catalog writes, not a read query; the oracle gate "
+        "verifies it end-to-end"
+    ),
+    "stream_source_nation": (
+        "streaming SCENARIO: a full StreamingQuery lifecycle (source "
+        "registration, microbatch planning, checkpoint+sink commit) "
+        "whose fixed ~10s overhead is startup cost, not query cost; "
+        "the oracle gate verifies rows+provenance end-to-end"
+    ),
     "cdc_mart_incremental": (
         "multi-commit DML maintenance SCENARIO (catalog build + append + "
         "MOR delete + incremental refresh), not a read query — timing it "

@@ -217,6 +217,28 @@ class LakehouseStreamReader(DataSourceStreamReader):
                     "cannot be retracted from a stream; opt in with "
                     ".option('ignoreDeletes','true') to skip them."
                 )
+            # expire_snapshots may have reclaimed a span version's dirs
+            # before the stream read them (an expired version's dirs
+            # survive only while a RETAINED snapshot still carries
+            # them). Silently skipping would LOSE rows, so fail loudly
+            # — retention must outlive consumer lag, the same contract
+            # Delta VACUUM / Kafka retention have with slow consumers.
+            gone = [
+                d
+                for d in new_dirs
+                if not os.path.isdir(
+                    os.path.normpath(os.path.join(self.table_path, d))
+                )
+            ]
+            if gone:
+                raise ValueError(
+                    f"lakehouse stream of {self.table}: version "
+                    f"{e['version']} in the unread span was expired and "
+                    f"its dirs {gone} reclaimed; those rows are "
+                    "unrecoverable from the stream. Keep "
+                    "expire_snapshots retention longer than consumer "
+                    "lag, or restart from a fresh offset."
+                )
             part_cols = list(e.get("partition_by") or [])
             for f in _list_parquet(self.table_path, new_dirs):
                 parts.append(

@@ -298,3 +298,39 @@ def test_catalog_to_catalog_incremental_pipeline(spark, tmp_path):
     ]
     # second hop appended (incremental), not rewrote
     assert len(cat.snapshots("silver").collect()) > v_after_first
+
+
+def test_expired_unread_span_fails_loudly(spark, tmp_path):
+    """If expire_snapshots reclaims a version the stream has not read
+    yet, the query fails with a retention error instead of silently
+    losing rows; expired-but-carried versions (dirs still referenced
+    by retained snapshots) keep streaming fine."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t", spark.createDataFrame([(1, "a")], "id long, v string")
+    )
+    cat.append("t", spark.createDataFrame([(2, "b")], "id long, v string"))
+    # carried case first: expiring v0 keeps its dirs (head references
+    # them), so a fresh full replay still works
+    cat.expire_snapshots("t", keep_last=1)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain(spark, stream_table(spark, cat.root, "t"), out, ck)
+    assert {g[0] for g in _sunk(spark, out)} == {1, 2}
+    # reclaimed case: a full-table replace orphans the old dirs, then
+    # expiry deletes them — an unread replay crossing them must fail
+    cat.overwrite(
+        "t", spark.createDataFrame([(9, "z")], "id long, v string")
+    )
+    cat.expire_snapshots("t", keep_last=1)
+    q = (
+        stream_table(spark, cat.root, "t")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out2"))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="reclaimed"):
+        q.awaitTermination(180)
