@@ -61,6 +61,11 @@ _META_COLS = [
     ("_commit_version", "long"),
 ]
 
+#: "all files of the version consumed" sentinel for the offset's
+#: "file" field — a plain int so offsets stay JSON-primitive, far
+#: above any real per-version file count
+_ALL_FILES = 1 << 60
+
 
 # -- session-free manifest walk (runs on the driver-side reader; the
 # -- same JSON the catalog writes atomically via os.replace) ----------
@@ -139,10 +144,18 @@ class LakehouseStreamReader(DataSourceStreamReader):
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
-        # admission control (maxFilesPerTrigger analog at version
-        # granularity): bound how many snapshots one microbatch folds
+        # admission control: bound how many snapshots (and/or how many
+        # FILES — one append version can carry thousands of files at
+        # scale, and a version-granular cap would still fold it as one
+        # giant microbatch) a single trigger ingests. Offsets are
+        # {"version": v, "file": k} = "consumed the first k files of
+        # version v's new-file list"; a missing "file" key means v is
+        # fully consumed (the version-granular form, still accepted
+        # from old checkpoints).
         mv = options.get("maxversionspertrigger")
         self.max_versions = int(mv) if mv is not None else None
+        mf = options.get("maxfilespertrigger")
+        self.max_files = int(mf) if mf is not None else None
         self.table_path = os.path.join(self.warehouse, self.table)
 
     # -- offsets ------------------------------------------------------
@@ -158,53 +171,100 @@ class LakehouseStreamReader(DataSourceStreamReader):
             return entries[-1]["version"] if entries else -1
         return int(self.starting) - 1
 
+    @staticmethod
+    def _tup(offset: dict) -> tuple:
+        """Offset dict -> orderable (version, files_consumed); a
+        missing "file" key means the version is fully consumed."""
+        return (
+            int(offset["version"]),
+            offset.get("file", _ALL_FILES),
+        )
+
+    def _version_units(self, entries: list[dict], after_v: int):
+        """Yield (entry, new_dirs) per published version, prev-diffed —
+        listing work for versions at or before ``after_v`` is skipped
+        (their files are already consumed), dir-diff bookkeeping isn't."""
+        prev = None
+        for e in entries:
+            prev_dirs = set(prev["data_dirs"]) if prev else set()
+            if e["version"] >= after_v:
+                yield e, [
+                    d for d in e["data_dirs"] if d not in prev_dirs
+                ], prev
+            prev = e
+
     def latestOffset(self) -> dict:
         entries = _published_main(_load_manifest(self.warehouse, self.table))
         head = entries[-1]["version"] if entries else -1
-        if self.max_versions is not None:
-            # admission control: Spark hands the returned offset
-            # straight to partitions() as `end`, so capping here IS
-            # the batch cap. The cursor self-heals: seeded from
-            # startingVersion on first use (the planning and execution
-            # readers may be separate processes, so initialOffset's
-            # instance isn't guaranteed to be this one) and re-synced
-            # from the REAL offsets in partitions()/commit() — after a
-            # checkpoint restart it converges within one empty batch.
-            last = getattr(self, "_last_end", None)
-            if last is None:
-                last = self._initial_version()
-            head = min(head, last + self.max_versions)
-            self._last_end = head
-        return {"version": head}
+        if self.max_versions is None and self.max_files is None:
+            return {"version": head}
+        # admission control: Spark hands the returned offset straight
+        # to partitions() as `end`, so capping here IS the batch cap.
+        # The cursor self-heals: seeded from startingVersion on first
+        # use (the planning and execution readers may be separate
+        # processes, so initialOffset's instance isn't guaranteed to
+        # be this one) and re-synced from the REAL offsets in
+        # partitions() — after a checkpoint restart it converges
+        # within one empty batch.
+        cur = getattr(self, "_cursor", None)
+        if cur is None:
+            cur = (self._initial_version(), _ALL_FILES)
+        cv, ck = cur
+        out_v, out_k = cv, ck
+        files_left = (
+            self.max_files if self.max_files is not None else _ALL_FILES
+        )
+        versions_left = (
+            self.max_versions if self.max_versions is not None else _ALL_FILES
+        )
+        for e, new_dirs, _prev in self._version_units(entries, cv):
+            v = e["version"]
+            if files_left <= 0 or versions_left <= 0:
+                break
+            files = _list_parquet(self.table_path, new_dirs)
+            done = min(ck, len(files)) if v == cv else 0
+            avail = len(files) - done
+            if v == cv and avail <= 0:
+                out_v, out_k = v, len(files)
+                continue
+            take = min(avail, files_left)
+            out_v, out_k = v, done + take
+            files_left -= take
+            if take < avail:
+                break  # budget exhausted mid-version
+            versions_left -= 1
+        self._cursor = (out_v, out_k)
+        return {"version": out_v, "file": out_k}
 
     # -- planning -----------------------------------------------------
 
     def partitions(
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
-        sv, ev = int(start["version"]), int(end["version"])
-        last = getattr(self, "_last_end", None)
-        self._last_end = max(sv, ev) if last is None else max(last, sv, ev)
-        if ev <= sv:
+        (sv, sk), (ev, ek) = self._tup(start), self._tup(end)
+        cur = getattr(self, "_cursor", None)
+        self._cursor = max(
+            [(sv, sk), (ev, ek)] + ([cur] if cur is not None else [])
+        )
+        if (ev, ek) <= (sv, sk):
             return []
         entries = _published_main(_load_manifest(self.warehouse, self.table))
         parts: list[InputPartition] = []
-        prev = None
-        for e in entries:
-            if e["version"] <= sv:
-                prev = e
-                continue
-            if e["version"] > ev:
+        for e, new_dirs, prev in self._version_units(entries, sv):
+            v = e["version"]
+            if v > ev:
                 break
+            lo = sk if v == sv else 0
+            if v == sv and sk == _ALL_FILES:
+                continue  # start version already fully consumed
             prev_dirs = set(prev["data_dirs"]) if prev else set()
             prev_dd = set((prev or {}).get("delete_dirs") or [])
-            new_dirs = [d for d in e["data_dirs"] if d not in prev_dirs]
             removed = prev_dirs - set(e["data_dirs"])
             new_dd = set(e.get("delete_dirs") or []) - prev_dd
             if removed and not self.ignore_changes:
                 raise ValueError(
                     f"lakehouse stream of {self.table}: version "
-                    f"{e['version']} rewrote data (update/delete/"
+                    f"{v} rewrote data (update/delete/"
                     "compact). Streaming a rewritten table re-emits "
                     "carried rows; opt in with "
                     ".option('ignoreChanges','true') or stream the "
@@ -213,7 +273,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
             if new_dd and not self.ignore_deletes:
                 raise ValueError(
                     f"lakehouse stream of {self.table}: version "
-                    f"{e['version']} committed MOR deletes. Deletes "
+                    f"{v} committed MOR deletes. Deletes "
                     "cannot be retracted from a stream; opt in with "
                     ".option('ignoreDeletes','true') to skip them."
                 )
@@ -233,22 +293,23 @@ class LakehouseStreamReader(DataSourceStreamReader):
             if gone:
                 raise ValueError(
                     f"lakehouse stream of {self.table}: version "
-                    f"{e['version']} in the unread span was expired and "
+                    f"{v} in the unread span was expired and "
                     f"its dirs {gone} reclaimed; those rows are "
                     "unrecoverable from the stream. Keep "
                     "expire_snapshots retention longer than consumer "
                     "lag, or restart from a fresh offset."
                 )
             part_cols = list(e.get("partition_by") or [])
-            for f in _list_parquet(self.table_path, new_dirs):
+            files = _list_parquet(self.table_path, new_dirs)
+            hi = min(ek, len(files)) if v == ev else len(files)
+            for f in files[lo:hi]:
                 parts.append(
                     _FilePartition(
                         f,
-                        e["version"],
+                        v,
                         _hive_values(f, self.table_path, part_cols),
                     )
                 )
-            prev = e
         return parts
 
     # -- execution (runs on executors; Arrow end-to-end) --------------
@@ -306,7 +367,10 @@ class LakehouseStreamDataSource(DataSource):
     :func:`register_lakehouse_source`. Options: ``path`` (warehouse
     root), ``table``, ``startingVersion`` (int | ``latest``, default
     0 = full table then tail), ``ignoreDeletes``, ``ignoreChanges``,
-    ``maxVersionsPerTrigger``."""
+    ``maxVersionsPerTrigger``, ``maxFilesPerTrigger`` (file-granular
+    admission control: offsets address (version, file-index), so even
+    a single multi-thousand-file append version streams in bounded
+    microbatches)."""
 
     @classmethod
     def name(cls) -> str:

@@ -334,3 +334,45 @@ def test_expired_unread_span_fails_loudly(spark, tmp_path):
 
     with pytest.raises(StreamingQueryException, match="reclaimed"):
         q.awaitTermination(180)
+
+
+def test_max_files_per_trigger_splits_within_a_version(spark, tmp_path):
+    """File-granular admission control: a SINGLE append version whose
+    dir holds several files streams as multiple bounded microbatches
+    (offsets address (version, file-index)), and the union is exactly
+    the table — the 100 TB shape, where one day's append is thousands
+    of files and a version-granular cap would still ingest it as one
+    giant batch."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t",
+        spark.createDataFrame(
+            [(i, "x") for i in range(8)], "id long, v string"
+        ).repartition(4),
+    )
+    batches: list[list] = []
+
+    def sink(bdf, bid):
+        rows = [tuple(r) for r in bdf.select("id").collect()]
+        if rows:
+            batches.append(rows)
+
+    q = (
+        stream_table(spark, cat.root, "t", maxFilesPerTrigger="1")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if sum(len(b) for b in batches) >= 8:
+            break
+        time.sleep(1)
+    q.stop()
+    got = sorted(r[0] for b in batches for r in b)
+    assert got == list(range(8))
+    # more than one microbatch for the single version, none empty-ish
+    assert len(batches) >= 2
