@@ -24,8 +24,10 @@ source has:
   fails the query unless ``ignoreChanges=true`` — then the NEW dirs'
   rows are emitted (carried rows re-emitted, exactly Delta's
   documented ``ignoreChanges`` semantics);
-- a **MOR delete** in the span fails unless ``ignoreDeletes=true`` —
-  then it is skipped (already-streamed rows are not retracted).
+- a **MOR delete** in the span fails unless ``ignoreDeletes=true``
+  (skip it) or ``readChangeFeed=true`` (CDF mode: the deleted row
+  images stream as ``_change_type='delete'`` with the delete commit's
+  version — Delta's ``readChangeFeed`` readStream analog).
 
 The reader is Arrow end-to-end: each partition reads its file with
 ``pyarrow`` and yields ``RecordBatch``es cast to the query schema
@@ -39,6 +41,7 @@ from __future__ import annotations
 import datetime
 import json
 import os
+import re
 import urllib.parse
 from typing import Iterator, Sequence
 
@@ -123,6 +126,18 @@ class _FilePartition(InputPartition):
         self.part_values = part_values
 
 
+class _DeletesPartition(InputPartition):
+    """One MOR position-delete file whose referenced row images are
+    emitted as ``_change_type='delete'`` (readChangeFeed mode)."""
+
+    def __init__(
+        self, pos_file: str, commit_version: int, part_cols: list[str]
+    ) -> None:
+        self.pos_file = pos_file
+        self.commit_version = commit_version
+        self.part_cols = part_cols
+
+
 class LakehouseStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict) -> None:
         self.warehouse = options.get("path") or options.get("warehouse")
@@ -143,6 +158,14 @@ class LakehouseStreamReader(DataSourceStreamReader):
         )
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        # CDF mode: MOR deletes stream as _change_type='delete' row
+        # images instead of failing the query (appends are 'insert'
+        # either way) — the Delta readChangeFeed analog. COW rewrites
+        # still refuse: reconstructing their diff needs a distributed
+        # exceptAll (catalog.table_changes is the batch path for that).
+        self.read_changefeed = (
+            str(options.get("readchangefeed", "false")).lower() == "true"
         )
         # admission control: bound how many snapshots (and/or how many
         # FILES — one append version can carry thousands of files at
@@ -270,12 +293,28 @@ class LakehouseStreamReader(DataSourceStreamReader):
                     ".option('ignoreChanges','true') or stream the "
                     "change feed batch-wise (catalog.table_changes)."
                 )
-            if new_dd and not self.ignore_deletes:
+            if new_dd and self.read_changefeed:
+                # CDF: the version's position-delete files become
+                # delete-image partitions, emitted exactly once — in
+                # the FIRST batch that covers the version (v > sv; a
+                # file-granular continuation batch re-enters with
+                # v == sv and must not re-emit them)
+                if v > sv:
+                    part_cols = list(e.get("partition_by") or [])
+                    for pf in _list_parquet(
+                        self.table_path, sorted(new_dd)
+                    ):
+                        parts.append(
+                            _DeletesPartition(pf, v, part_cols)
+                        )
+            elif new_dd and not self.ignore_deletes:
                 raise ValueError(
                     f"lakehouse stream of {self.table}: version "
                     f"{v} committed MOR deletes. Deletes "
                     "cannot be retracted from a stream; opt in with "
-                    ".option('ignoreDeletes','true') to skip them."
+                    ".option('ignoreDeletes','true') to skip them "
+                    "(or .option('readChangeFeed','true') to stream "
+                    "them as delete row images)."
                 )
             # expire_snapshots may have reclaimed a span version's dirs
             # before the stream read them (an expired version's dirs
@@ -283,9 +322,12 @@ class LakehouseStreamReader(DataSourceStreamReader):
             # them). Silently skipping would LOSE rows, so fail loudly
             # — retention must outlive consumer lag, the same contract
             # Delta VACUUM / Kafka retention have with slow consumers.
+            need_dirs = list(new_dirs) + (
+                sorted(new_dd) if self.read_changefeed and v > sv else []
+            )
             gone = [
                 d
-                for d in new_dirs
+                for d in need_dirs
                 if not os.path.isdir(
                     os.path.normpath(os.path.join(self.table_path, d))
                 )
@@ -314,12 +356,15 @@ class LakehouseStreamReader(DataSourceStreamReader):
 
     # -- execution (runs on executors; Arrow end-to-end) --------------
 
-    def read(self, partition: _FilePartition) -> Iterator:
+    def _project(
+        self, tbl, part_values: dict, commit_version: int, change_type: str
+    ):
+        """Project a raw pyarrow table of data-file rows onto the query
+        schema: partition values restored at declared types, schema
+        drift null-backfilled, CDF metadata columns appended."""
         import pyarrow as pa
-        import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_type
 
-        tbl = pq.read_table(partition.file)
         n = tbl.num_rows
         names = set(tbl.schema.names)
         arrays = []
@@ -327,24 +372,63 @@ class LakehouseStreamReader(DataSourceStreamReader):
         for f in self.schema.fields:
             at = to_arrow_type(f.dataType)
             if f.name == "_change_type":
-                arr = pa.array(["insert"] * n, type=at)
+                arr = pa.array([change_type] * n, type=at)
             elif f.name == "_commit_version":
-                arr = pa.array([partition.commit_version] * n, type=at)
+                arr = pa.array([commit_version] * n, type=at)
             elif f.name in names:
                 arr = tbl.column(f.name).cast(at).combine_chunks()
-            elif f.name in partition.part_values:
+            elif f.name in part_values:
                 arr = pa.array(
-                    [_parse_part(partition.part_values[f.name], f.dataType)]
-                    * n,
+                    [_parse_part(part_values[f.name], f.dataType)] * n,
                     type=at,
                 )
             else:  # schema drift: old file predates the column
                 arr = pa.nulls(n, type=at)
             arrays.append(arr)
             fields.append(pa.field(f.name, at, nullable=True))
-        out = pa.table(arrays, schema=pa.schema(fields))
+        return pa.table(arrays, schema=pa.schema(fields))
+
+    def read(self, partition: InputPartition) -> Iterator:
+        import pyarrow.parquet as pq
+
+        if isinstance(partition, _DeletesPartition):
+            yield from self._read_deletes(partition)
+            return
+        out = self._project(
+            pq.read_table(partition.file),
+            partition.part_values,
+            partition.commit_version,
+            "insert",
+        )
         for batch in out.to_batches(max_chunksize=1 << 16):
             yield batch
+
+    def _read_deletes(self, partition: "_DeletesPartition") -> Iterator:
+        """CDF delete images: one position-delete file names
+        (data file, row index) pairs; read each referenced data file
+        once and take the deleted rows. Parallelism is per delete
+        file — deletes are small relative to the data they address,
+        and the data-file reads use pyarrow's take (no full decode of
+        untouched row groups beyond the parquet reader's granularity)."""
+        import pyarrow.parquet as pq
+
+        pos = pq.read_table(partition.pos_file)
+        by_file: dict[str, list[int]] = {}
+        for fp, p in zip(
+            pos.column("_file").to_pylist(), pos.column("_pos").to_pylist()
+        ):
+            fp = re.sub(r"^file:/+", "/", str(fp))
+            by_file.setdefault(fp, []).append(int(p))
+        for fp in sorted(by_file):
+            tbl = pq.read_table(fp).take(sorted(by_file[fp]))
+            out = self._project(
+                tbl,
+                _hive_values(fp, self.table_path, partition.part_cols),
+                partition.commit_version,
+                "delete",
+            )
+            for batch in out.to_batches(max_chunksize=1 << 16):
+                yield batch
 
 
 def _parse_part(v: str | None, dtype) -> object:
@@ -367,6 +451,7 @@ class LakehouseStreamDataSource(DataSource):
     :func:`register_lakehouse_source`. Options: ``path`` (warehouse
     root), ``table``, ``startingVersion`` (int | ``latest``, default
     0 = full table then tail), ``ignoreDeletes``, ``ignoreChanges``,
+    ``readChangeFeed`` (stream MOR deletes as delete row images),
     ``maxVersionsPerTrigger``, ``maxFilesPerTrigger`` (file-granular
     admission control: offsets address (version, file-index), so even
     a single multi-thousand-file append version streams in bounded

@@ -376,3 +376,58 @@ def test_max_files_per_trigger_splits_within_a_version(spark, tmp_path):
     assert got == list(range(8))
     # more than one microbatch for the single version, none empty-ish
     assert len(batches) >= 2
+
+
+def test_read_changefeed_streams_mor_delete_images(spark, tmp_path):
+    """readChangeFeed mode: a MOR delete streams the deleted rows as
+    _change_type='delete' images (exactly once, with the delete
+    commit's version), matching the batch change feed — the Delta CDF
+    readStream analog. Inserts keep flowing as 'insert'."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t",
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        ),
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain(
+        spark,
+        stream_table(spark, cat.root, "t", readChangeFeed="true"),
+        out,
+        ck,
+    )
+    cat.delete_where("t", F.col("id") == 2, mode="mor")
+    cat.append("t", spark.createDataFrame([(4, "d")], "id long, v string"))
+    _drain(
+        spark,
+        stream_table(spark, cat.root, "t", readChangeFeed="true"),
+        out,
+        ck,
+    )
+    got = _sunk(spark, out)
+    assert got == [
+        (1, "insert", 0),
+        (2, "delete", 1),
+        (2, "insert", 0),
+        (3, "insert", 0),
+        (4, "insert", 2),
+    ]
+    # the streamed delete image carries the full row
+    img = [
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .filter(F.col("_change_type") == "delete")
+        .select("id", "v")
+        .collect()
+    ]
+    assert img == [(2, "b")]
+    # parity with the batch change feed over the same span
+    feed = {
+        (r["id"], r["_change_type"])
+        for r in cat.table_changes("t", 0).collect()
+    }
+    streamed_span = {
+        (g[0], g[1]) for g in got if g[2] >= 1
+    }
+    assert streamed_span == feed
