@@ -2800,6 +2800,53 @@ def q_stream_source_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_cdf_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF STREAMING gate (readChangeFeed): nation lands in the
+    catalog, a MOR delete removes nationkey%5==0; the stream replays
+    the insert images (version 0) AND the delete row images (version
+    1) — both oracle-recomputable, so the full change feed including
+    retractions is hash-checked against DuckDB."""
+    import shutil
+    import tempfile
+
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.streaming.source import stream_table
+
+    _ensure_conf(spark)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dls_stream_cdf",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(spark, os.path.join(root, "cat"))
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    cat.create_table("nat_c", nat)
+    cat.delete_where("nat_c", F.col("n_nationkey") % 5 == 0, mode="mor")
+    sink = os.path.join(root, "sink")
+    q = (
+        stream_table(spark, cat.root, "nat_c", readChangeFeed="true")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(root, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return (
+        spark.read.parquet(sink)
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+        )
+        .orderBy("n_nationkey", "change_type")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: daily sales summary over sf0.001 events."""
     return q_daily_sales(spark, "/root/testdata/sf0.001")
@@ -2924,6 +2971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_roundtrip": q_delta_roundtrip,
         "delta_history_roundtrip": q_delta_history_roundtrip,
         "stream_source_nation": q_stream_source_nation,
+        "stream_cdf_nation": q_stream_cdf_nation,
         "cdc_mart_incremental": q_cdc_mart_incremental,
         # --- rows-only (hash/LSH/HLL/pandas-UDF based; no SQL oracle) ---
         "gold_user_rfm_segments_scalable": q_user_rfm_segments_scalable,
@@ -3655,6 +3703,22 @@ SELECT n_nationkey, n_name,
        CASE WHEN n_nationkey < 13 THEN 0 ELSE 1 END AS commit_version
 FROM nation
 ORDER BY n_nationkey
+"""
+
+    # the CDF stream replays v0's insert images plus v1's MOR-delete
+    # row images (nationkey % 5 == 0)
+    sql["stream_cdf_nation"] = """
+SELECT n_nationkey, n_name, change_type, commit_version
+FROM (
+    SELECT n_nationkey, n_name,
+           'insert' AS change_type, 0 AS commit_version
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name,
+           'delete' AS change_type, 1 AS commit_version
+    FROM nation WHERE n_nationkey % 5 = 0
+)
+ORDER BY n_nationkey, change_type
 """
 
     # the incrementally-maintained mart must equal a full recompute of

@@ -37,6 +37,11 @@ BENCH_EXCLUDED = {
         "tmp-dir catalog writes, not a read query; the oracle gate "
         "verifies it end-to-end"
     ),
+    "stream_cdf_nation": (
+        "streaming SCENARIO (CDF twin of stream_source_nation): fixed "
+        "StreamingQuery lifecycle overhead, not read cost; oracle gate "
+        "verifies insert+delete images end-to-end"
+    ),
     "stream_source_nation": (
         "streaming SCENARIO: a full StreamingQuery lifecycle (source "
         "registration, microbatch planning, checkpoint+sink commit) "
