@@ -359,34 +359,9 @@ class LakehouseStreamReader(DataSourceStreamReader):
     def _project(
         self, tbl, part_values: dict, commit_version: int, change_type: str
     ):
-        """Project a raw pyarrow table of data-file rows onto the query
-        schema: partition values restored at declared types, schema
-        drift null-backfilled, CDF metadata columns appended."""
-        import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_type
-
-        n = tbl.num_rows
-        names = set(tbl.schema.names)
-        arrays = []
-        fields = []
-        for f in self.schema.fields:
-            at = to_arrow_type(f.dataType)
-            if f.name == "_change_type":
-                arr = pa.array([change_type] * n, type=at)
-            elif f.name == "_commit_version":
-                arr = pa.array([commit_version] * n, type=at)
-            elif f.name in names:
-                arr = tbl.column(f.name).cast(at).combine_chunks()
-            elif f.name in part_values:
-                arr = pa.array(
-                    [_parse_part(part_values[f.name], f.dataType)] * n,
-                    type=at,
-                )
-            else:  # schema drift: old file predates the column
-                arr = pa.nulls(n, type=at)
-            arrays.append(arr)
-            fields.append(pa.field(f.name, at, nullable=True))
-        return pa.table(arrays, schema=pa.schema(fields))
+        return _project_to(
+            self.schema, tbl, part_values, commit_version, change_type
+        )
 
     def read(self, partition: InputPartition) -> Iterator:
         import pyarrow.parquet as pq
@@ -429,6 +404,49 @@ class LakehouseStreamReader(DataSourceStreamReader):
             )
             for batch in out.to_batches(max_chunksize=1 << 16):
                 yield batch
+
+
+def _project_to(
+    schema: StructType,
+    tbl,
+    part_values: dict,
+    commit_version: int,
+    change_type: str,
+):
+    """Project a raw pyarrow table of data-file rows onto the query
+    schema: partition values restored at declared types, schema drift
+    null-backfilled, CDF metadata columns appended."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    n = tbl.num_rows
+    names = set(tbl.schema.names)
+    arrays = []
+    fields = []
+    for f in schema.fields:
+        at = to_arrow_type(f.dataType)
+        if f.name == "_change_type":
+            # Delta change-data (cdc action) files CARRY the change
+            # type per row; synthesized partitions get the constant
+            arr = (
+                tbl.column(f.name).cast(at).combine_chunks()
+                if f.name in names
+                else pa.array([change_type] * n, type=at)
+            )
+        elif f.name == "_commit_version":
+            arr = pa.array([commit_version] * n, type=at)
+        elif f.name in names:
+            arr = tbl.column(f.name).cast(at).combine_chunks()
+        elif f.name in part_values:
+            arr = pa.array(
+                [_parse_part(part_values[f.name], f.dataType)] * n,
+                type=at,
+            )
+        else:  # schema drift: old file predates the column
+            arr = pa.nulls(n, type=at)
+        arrays.append(arr)
+        fields.append(pa.field(f.name, at, nullable=True))
+    return pa.table(arrays, schema=pa.schema(fields))
 
 
 def _parse_part(v: str | None, dtype) -> object:
@@ -485,6 +503,247 @@ class LakehouseStreamDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> LakehouseStreamReader:
         return LakehouseStreamReader(schema, dict(self.options))
+
+
+# ---------------------------------------------------------------------------
+# external Delta tables as a streaming source (the inbound migration
+# path: keep existing Delta streaming pipelines running against this
+# engine's exports, or any Delta table on disk)
+# ---------------------------------------------------------------------------
+
+
+def _delta_log_versions(log_dir: str) -> list[int]:
+    out = []
+    for f in os.listdir(log_dir):
+        m = re.match(r"^(\d{20})\.json$", f)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _delta_commit_actions(log_dir: str, v: int) -> list[dict]:
+    with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def _delta_schema_struct(location: str) -> StructType:
+    """Latest metaData.schemaString from the JSON log (every export
+    and native writer logs one in commit 0; later schema changes
+    override)."""
+    log_dir = os.path.join(location, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise ValueError(f"{location}: no _delta_log directory")
+    meta = None
+    for v in _delta_log_versions(log_dir):
+        for a in _delta_commit_actions(log_dir, v):
+            if "metaData" in a and a["metaData"].get("schemaString"):
+                meta = a["metaData"]
+    if meta is None:
+        raise ValueError(f"{location}: no metaData action in log")
+    if (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) not in ("none", ""):
+        raise ValueError(f"{location}: column mapping not supported")
+    return StructType.fromJson(json.loads(meta["schemaString"]))
+
+
+class DeltaStreamReader(DataSourceStreamReader):
+    """Streams a Delta table directory by tailing its JSON log:
+    offsets are Delta commit versions (+ file index, same
+    file-granular admission control as the lakehouse source), each
+    ``add`` with ``dataChange`` becomes one Arrow partition, and
+    partition columns are restored from ``add.partitionValues`` per
+    the protocol. ``readChangeFeed`` streams a CDF-enabled table's
+    ``cdc`` change-data files (their in-file ``_change_type`` rides
+    through). Removes fail the query unless ``ignoreChanges``;
+    deletion vectors refuse."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.location = os.path.abspath(
+            options.get("path") or options.get("location") or ""
+        )
+        if not self.location:
+            raise ValueError(
+                "delta_stream source requires .option('path', <table dir>)"
+            )
+        self.log_dir = os.path.join(self.location, "_delta_log")
+        self.schema = schema
+        self.starting = str(options.get("startingversion", "0"))
+        self.ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        self.read_changefeed = (
+            str(options.get("readchangefeed", "false")).lower() == "true"
+        )
+        mf = options.get("maxfilespertrigger")
+        self.max_files = int(mf) if mf is not None else None
+
+    def _initial_version(self) -> int:
+        versions = _delta_log_versions(self.log_dir)
+        if self.starting == "latest":
+            return versions[-1] if versions else -1
+        return int(self.starting) - 1
+
+    def initialOffset(self) -> dict:
+        return {"version": self._initial_version()}
+
+    def _abs(self, p: str) -> str:
+        p = urllib.parse.unquote(p)
+        p = re.sub(r"^file:/+", "/", p)
+        return p if os.path.isabs(p) else os.path.join(self.location, p)
+
+    def _version_adds(self, v: int) -> list[dict]:
+        """The streamable file actions of one commit, guard-checked.
+        In CDF mode a commit carrying ``cdc`` actions streams THOSE
+        (the protocol: change-data files supersede add/remove for
+        feed readers); otherwise its dataChange adds stream."""
+        adds, cdcs, removes = [], [], []
+        for a in _delta_commit_actions(self.log_dir, v):
+            if "add" in a and a["add"].get("dataChange", True):
+                if a["add"].get("deletionVector"):
+                    raise ValueError(
+                        f"delta stream of {self.location}: version {v} "
+                        "carries deletion vectors; not supported"
+                    )
+                adds.append(a["add"])
+            elif "remove" in a and a["remove"].get("dataChange", True):
+                removes.append(a["remove"])
+            elif "cdc" in a:
+                cdcs.append(a["cdc"])
+        if cdcs and self.read_changefeed:
+            return cdcs
+        if removes and not self.ignore_changes:
+            raise ValueError(
+                f"delta stream of {self.location}: version {v} removed "
+                "files (update/delete/merge). Opt in with "
+                ".option('ignoreChanges','true') to stream the new "
+                "files, or .option('readChangeFeed','true') on a "
+                "CDF-enabled table."
+            )
+        return adds
+
+    def latestOffset(self) -> dict:
+        versions = _delta_log_versions(self.log_dir)
+        head = versions[-1] if versions else -1
+        if self.max_files is None:
+            return {"version": head}
+        cur = getattr(self, "_cursor", None)
+        if cur is None:
+            cur = (self._initial_version(), _ALL_FILES)
+        cv, ck = cur
+        out_v, out_k = cv, ck
+        files_left = self.max_files
+        for v in versions:
+            if v < cv:
+                continue
+            if files_left <= 0:
+                break
+            files = self._version_adds(v)
+            done = min(ck, len(files)) if v == cv else 0
+            avail = len(files) - done
+            if v == cv and avail <= 0:
+                out_v, out_k = v, len(files)
+                continue
+            take = min(avail, files_left)
+            out_v, out_k = v, done + take
+            files_left -= take
+            if take < avail:
+                break
+        self._cursor = (out_v, out_k)
+        return {"version": out_v, "file": out_k}
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> Sequence[InputPartition]:
+        sv, sk = LakehouseStreamReader._tup(start)
+        ev, ek = LakehouseStreamReader._tup(end)
+        cur = getattr(self, "_cursor", None)
+        self._cursor = max(
+            [(sv, sk), (ev, ek)] + ([cur] if cur is not None else [])
+        )
+        if (ev, ek) <= (sv, sk):
+            return []
+        versions = _delta_log_versions(self.log_dir)
+        missing = [
+            v for v in range(max(sv + 1, 0), ev + 1) if v not in versions
+        ]
+        if missing:
+            raise ValueError(
+                f"delta stream of {self.location}: commits {missing} in "
+                "the unread span were log-cleaned; those rows are "
+                "unrecoverable from the stream. Keep log retention "
+                "longer than consumer lag, or restart from a fresh "
+                "offset."
+            )
+        parts: list[InputPartition] = []
+        for v in versions:
+            if v < sv or (v == sv and sk == _ALL_FILES):
+                continue
+            if v > ev:
+                break
+            files = self._version_adds(v)
+            lo = sk if v == sv else 0
+            hi = min(ek, len(files)) if v == ev else len(files)
+            for a in files[lo:hi]:
+                parts.append(
+                    _FilePartition(
+                        self._abs(a["path"]),
+                        v,
+                        dict(a.get("partitionValues") or {}),
+                    )
+                )
+        return parts
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        import pyarrow.parquet as pq
+
+        out = _project_to(
+            self.schema,
+            pq.read_table(partition.file),
+            partition.part_values,
+            partition.commit_version,
+            "insert",
+        )
+        for batch in out.to_batches(max_chunksize=1 << 16):
+            yield batch
+
+
+class DeltaStreamDataSource(DataSource):
+    """``spark.readStream.format("delta_stream")`` over a Delta table
+    directory. Options: ``path``, ``startingVersion`` (int | latest),
+    ``ignoreChanges``, ``readChangeFeed``, ``maxFilesPerTrigger``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_stream"
+
+    def schema(self) -> StructType:
+        location = self.options.get("path") or self.options.get("location")
+        if not location:
+            raise ValueError("delta_stream source requires option 'path'")
+        base = _delta_schema_struct(os.path.abspath(location))
+        out = StructType()
+        for f in base.fields:
+            out = out.add(f.name, f.dataType, f.nullable)
+        for cname, ctype in _META_COLS:
+            out = out.add(cname, ctype, True)
+        return out
+
+    def streamReader(self, schema: StructType) -> DeltaStreamReader:
+        return DeltaStreamReader(schema, dict(self.options))
+
+
+def stream_delta(
+    spark: SparkSession, location: str, **options: str
+) -> DataFrame:
+    """``readStream`` over an external Delta table directory."""
+    spark.dataSource.register(DeltaStreamDataSource)
+    reader = spark.readStream.format("delta_stream").option(
+        "path", location
+    )
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load()
 
 
 def register_lakehouse_source(spark: SparkSession) -> None:

@@ -431,3 +431,112 @@ def test_read_changefeed_streams_mor_delete_images(spark, tmp_path):
         (g[0], g[1]) for g in got if g[2] >= 1
     }
     assert streamed_span == feed
+
+
+# ---------------------------------------------------------------------------
+# external Delta tables as a streaming source
+# ---------------------------------------------------------------------------
+
+from data_lakehouse_spark.interop.delta import export_delta_history
+from data_lakehouse_spark.streaming.source import stream_delta
+
+
+def test_stream_external_delta_appends(spark, tmp_path):
+    """An exported (or any) Delta log streams: each commit's adds are
+    one microbatch span, partition columns restored from
+    add.partitionValues, commit provenance = Delta version."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t",
+        spark.createDataFrame(
+            [(1, "us"), (2, "eu")], "id long, region string"
+        ),
+        partition_by=["region"],
+    )
+    cat.append("t", spark.createDataFrame([(3, "us")], "id long, region string"))
+    dl = str(tmp_path / "dl")
+    export_delta_history(cat, "t", dl)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain(spark, stream_delta(spark, dl), out, ck)
+    rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("id", "region", "_change_type", "_commit_version")
+        .collect()
+    )
+    assert rows == [
+        (1, "us", "insert", 0),
+        (2, "eu", "insert", 0),
+        (3, "us", "insert", 1),
+    ]
+
+
+def test_stream_external_delta_rewrite_contract(spark, tmp_path):
+    """A Delta commit with remove actions (COW delete) fails the
+    stream unless ignoreChanges — the same contract as the native
+    Delta source."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t",
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        ),
+    )
+    cat.delete_where("t", F.col("id") == 2, mode="cow")
+    dl = str(tmp_path / "dl")
+    export_delta_history(cat, "t", dl)
+    q = (
+        stream_delta(spark, dl)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="removed files"):
+        q.awaitTermination(180)
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    _drain(spark, stream_delta(spark, dl, ignoreChanges="true"), out2, ck2)
+    got = sorted(
+        r["id"]
+        for r in spark.read.parquet(out2).select("id").collect()
+    )
+    # v0 originals + rewrite's carried rows re-emitted
+    assert got == [1, 1, 2, 3, 3]
+
+
+def test_stream_external_delta_max_files(spark, tmp_path):
+    """File-granular admission control against an external Delta log."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t",
+        spark.createDataFrame(
+            [(i, "x") for i in range(6)], "id long, v string"
+        ).repartition(3),
+    )
+    dl = str(tmp_path / "dl")
+    export_delta_history(cat, "t", dl)
+    batches = []
+
+    def sink(bdf, bid):
+        rows = [r["id"] for r in bdf.collect()]
+        if rows:
+            batches.append(rows)
+
+    q = (
+        stream_delta(spark, dl, maxFilesPerTrigger="1")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline and sum(len(b) for b in batches) < 6:
+        time.sleep(1)
+    q.stop()
+    assert sorted(i for b in batches for i in b) == list(range(6))
+    assert len(batches) >= 2
