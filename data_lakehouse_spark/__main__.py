@@ -53,15 +53,20 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
 
 
 def cmd_sql(args: argparse.Namespace) -> int:
+    """Full statement surface via the dialect router: SELECT (with
+    time travel), INSERT/UPDATE/DELETE/MERGE, CREATE TABLE AS /
+    VIEW / ALTER / DROP, OPTIMIZE / VACUUM / CALL — every statement a
+    dbt-over-Thrift user would send the reference."""
     from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.sql import execute_sql_script, result_to_json
 
     spark = _spark("sql")
-    Catalog(spark, args.warehouse).register_views()
-    df = spark.sql(args.execute)
-    if args.explain:
-        df.explain("formatted")
-    for line in df.limit(args.limit).toJSON().collect():
-        print(line)
+    cat = Catalog(spark, args.warehouse)
+    for result in execute_sql_script(cat, args.execute):
+        if args.explain and hasattr(result, "explain"):
+            result.explain("formatted")
+        for line in result_to_json(result, limit=args.limit):
+            print(line)
     return 0
 
 

@@ -140,6 +140,52 @@ class Catalog:
             if os.path.exists(os.path.join(self.root, n, "_manifest.json"))
         )
 
+    def drop_table(self, name: str, *, force: bool = False) -> dict:
+        """DROP TABLE: delete the manifest (the table disappears
+        atomically at the ``os.replace``-free unlink) and purge the
+        table directory.
+
+        Shallow clones (:meth:`clone_table`) reference data dirs under
+        the SOURCE table's path, so dropping a cloned-from table would
+        destroy the clone's shared snapshots — the same hazard the
+        clone docstring states for ``expire_snapshots``. The drop scans
+        the other manifests for references into this table's path and
+        refuses unless ``force=True``."""
+        import shutil
+
+        h = self._handle(name)
+        if not self.table_exists(name):
+            raise ValueError(f"table {name} does not exist")
+        prefix = os.path.abspath(h.path) + os.sep
+        dependents = []
+        for other in self.tables():
+            if other == name:
+                continue
+            oh = self._handle(other)
+            for e in self._load_manifest(oh):
+                dirs = list(e.get("data_dirs", [])) + list(
+                    e.get("delete_dirs", [])
+                )
+                # dirs are relative to the referencing table's path
+                # (clones reference ../<source>/vNNNNN)
+                if any(
+                    os.path.abspath(os.path.join(oh.path, d)).startswith(prefix)
+                    for d in dirs
+                ):
+                    dependents.append(other)
+                    break
+        if dependents and not force:
+            raise ValueError(
+                f"table {name} is referenced by shallow clone(s) "
+                f"{dependents}: dropping it would destroy their shared "
+                "snapshots (pass force=True to drop anyway)"
+            )
+        os.remove(h.manifest_path)
+        shutil.rmtree(h.path, ignore_errors=True)
+        with contextlib.suppress(Exception):
+            self.spark.catalog.dropTempView(name)
+        return {"op": "drop_table", "name": name, "dependents": dependents}
+
     def create_table(
         self,
         name: str,
@@ -790,7 +836,14 @@ class Catalog:
                         st = col.statistics
                         if st is None or not st.has_min_max:
                             continue
-                        mn, mx = st.min, st.max
+                        try:
+                            mn, mx = st.min, st.max
+                        except Exception:
+                            # pyarrow can't decode stats for every
+                            # physical type (e.g. some decimals):
+                            # missing stats only DISABLE pruning for
+                            # this column, never break the commit
+                            continue
                         if isinstance(mn, bytes):
                             continue  # undecoded binary stats: skip
                         if not isinstance(

@@ -49,8 +49,20 @@ class SqlEndpoint:
     """Serve ``catalog`` over HTTP/JSON on ``host:port`` (port 0 picks
     a free port — read it back from ``.port`` after ``start()``)."""
 
-    def __init__(self, catalog, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        catalog,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        *,
+        read_only: bool = False,
+    ):
         self.catalog = catalog
+        #: True → reject DML/DDL/maintenance before execution (a
+        #: dashboard-facing endpoint); default read-write, because the
+        #: reference's Thrift endpoint is what dbt MATERIALIZES through
+        #: (dbt/profiles.yml:5-9) — writes are the point.
+        self.read_only = read_only
         self._lock = threading.Lock()  # view (re-)registration only
         endpoint = self
 
@@ -105,16 +117,33 @@ class SqlEndpoint:
         return self._server.server_address[1]
 
     def execute(self, sql: str, limit: int = 1000) -> dict:
-        """Run one SQL statement against current catalog views and
-        return a JSON-able result set (rows stringified via Spark's own
-        casts so types round-trip deterministically)."""
+        """Route one SQL statement through the dialect router
+        (:mod:`data_lakehouse_spark.sql`): queries return a JSON-able
+        result set; DML/DDL/maintenance dispatch to the catalog's
+        transactional verbs and return their commit stats — the full
+        dbt-over-Thrift statement surface, not just SELECT."""
+        from data_lakehouse_spark.sql import LakehouseSql, SqlError, is_query
+
+        if self.read_only and not is_query(sql):
+            raise SqlError("endpoint is read-only: only queries accepted")
         with self._lock:
             # re-register so every query sees the latest snapshots;
             # locked because two threads re-registering the same view
             # name concurrently is a needless race (queries themselves
             # run unlocked and in parallel)
             self.catalog.register_views()
-        df = self.catalog.spark.sql(sql)
+        result = LakehouseSql(self.catalog).execute(sql)
+        if isinstance(result, dict):  # DML/DDL commit stats
+            return {
+                "columns": ["key", "value"],
+                "rows": [
+                    [k, _plain(v)] for k, v in result.items()
+                ],
+                "n": len(result),
+                "truncated": False,
+                "stats": {k: _plain(v) for k, v in result.items()},
+            }
+        df = result
         rows = df.limit(limit + 1).collect()
         truncated = len(rows) > limit
         rows = rows[:limit]

@@ -1,0 +1,851 @@
+"""SQL front-end over the versioned catalog — the dbt/Thrift entry path.
+
+The reference's primary user interface is SQL text: dbt compiles models
+and sends ``CREATE TABLE AS`` / ``INSERT`` / ``MERGE`` statements to a
+Spark Thrift Server (dbt/profiles.yml:5-9, SURVEY.md §3.2), and the
+schema-evolution demo issues ``ALTER TABLE ... ADD COLUMN``
+(spark/jobs/schema_add_column.py:24-28). A user migrating from the
+reference therefore arrives holding SQL strings, not Python calls.
+
+:func:`execute_sql` accepts that SQL and routes it:
+
+- **Queries** (``SELECT`` / ``WITH`` / ``DESCRIBE`` / ``SHOW``) run
+  through Spark SQL against the catalog's registered views, after
+  rewriting Iceberg/Delta time-travel clauses
+  (``t VERSION AS OF 3``, ``t TIMESTAMP AS OF '...'``) into snapshot-
+  pinned temp views. ``VERSION AS OF '<string>'`` resolves tags, then
+  branches — the Iceberg ref rule.
+- **DML** (``INSERT`` / ``UPDATE`` / ``DELETE`` / ``MERGE INTO``)
+  dispatches to the catalog's transactional verbs
+  (:meth:`~data_lakehouse_spark.catalog.Catalog.append`,
+  :meth:`~.Catalog.update_where`, :meth:`~.Catalog.delete_where`,
+  :meth:`~.Catalog.merge_into`) so every statement is a versioned
+  commit with snapshot isolation — never a blind file write.
+- **DDL** (``CREATE TABLE AS`` / ``CREATE VIEW`` / ``ALTER TABLE`` /
+  ``DROP``) maps to the catalog's schema-evolution surface.
+- **Maintenance** uses both dialect spellings: ``OPTIMIZE t`` →
+  :meth:`~.Catalog.compact`, ``VACUUM t`` →
+  :meth:`~.Catalog.remove_orphan_files`, and Iceberg-style stored
+  procedures ``CALL expire_snapshots(...)`` against a whitelist.
+
+Only statement STRUCTURE is parsed here (statement kind, table names,
+clause boundaries); every expression — projections, predicates, merge
+assignments — is handed to Spark SQL verbatim, so the full Catalyst
+expression surface is available inside each clause. Structural parsing
+operates on a string-literal-masked copy of the text (so an ``'AS OF'``
+inside a literal can't confuse it) while all slices are taken from the
+original text.
+
+Scale note: DML statements inherit the catalog verbs' directory-pruned
+copy-on-write / merge-on-read machinery — a ``DELETE`` over a 100 TB
+table rewrites only the directories holding hits (or, with the ``MOR``
+hint, writes only a positional delete file).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SqlError(ValueError):
+    """Raised for statements the dialect router cannot express, with a
+    message naming the supported alternative."""
+
+
+# ---------------------------------------------------------------------------
+# lexical helpers
+# ---------------------------------------------------------------------------
+
+
+def strip_comments(sql: str) -> str:
+    """Remove ``--`` line comments and ``/* */`` block comments, except
+    inside string literals. Hint comments (``/*+ ... */``) are KEPT."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+        elif c == "-" and sql[i : i + 2] == "--":
+            j = sql.find("\n", i)
+            i = n if j < 0 else j
+        elif c == "/" and sql[i : i + 2] == "/*" and sql[i : i + 3] != "/*+":
+            j = sql.find("*/", i + 2)
+            if j < 0:
+                raise SqlError("unterminated block comment")
+            i = j + 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def mask_strings(sql: str) -> str:
+    """Return a same-length copy with the CONTENTS of every
+    single-quoted literal replaced by spaces (quotes preserved), so
+    structural regexes can run on the mask while slices are taken from
+    the original. ``''`` escapes are handled."""
+    chars = list(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        if chars[i] == "'":
+            j = i + 1
+            while j < n:
+                if chars[j] == "'":
+                    if j + 1 < n and chars[j + 1] == "'":
+                        chars[j] = " "
+                        chars[j + 1] = " "
+                        j += 2
+                        continue
+                    break
+                chars[j] = " "
+                j += 1
+            if j >= n:
+                raise SqlError("unterminated string literal")
+            i = j + 1
+        else:
+            i += 1
+    return "".join(chars)
+
+
+def split_statements(text: str) -> list[str]:
+    """Split a script on top-level semicolons (string-literal aware)."""
+    text = strip_comments(text)
+    mask = mask_strings(text)
+    stmts, start = [], 0
+    for i, c in enumerate(mask):
+        if c == ";":
+            s = text[start:i].strip()
+            if s:
+                stmts.append(s)
+            start = i + 1
+    tail = text[start:].strip()
+    if tail:
+        stmts.append(tail)
+    return stmts
+
+
+def _split_top_level(text: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren depth 0 (string-literal aware)."""
+    mask = mask_strings(text)
+    parts, depth, start = [], 0, 0
+    for i, c in enumerate(mask):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == sep and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+_IDENT = r"[A-Za-z_][A-Za-z_0-9]*"
+
+
+def _qualify(expr: str, alias_map: dict[str, str]) -> str:
+    """Rewrite ``alias.col`` per alias_map (alias → prefix for col);
+    an empty prefix drops the qualifier. Used by MERGE to map source
+    refs to the catalog's ``_s_<col>`` convention."""
+    mask = mask_strings(expr)
+    out, last = [], 0
+    for m in re.finditer(rf"\b({_IDENT})\s*\.\s*({_IDENT})\b", mask):
+        alias, col = m.group(1), m.group(2)
+        if alias not in alias_map:
+            continue
+        out.append(expr[last : m.start()])
+        out.append(alias_map[alias] + col)
+        last = m.end()
+    out.append(expr[last:])
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# the router
+# ---------------------------------------------------------------------------
+
+
+class LakehouseSql:
+    """Statement router bound to one :class:`~.catalog.Catalog`.
+
+    ``execute`` returns a :class:`DataFrame` for queries and a plain
+    ``dict`` (the catalog verb's commit stats) for DML/DDL/maintenance
+    — the two shapes a SQL endpoint needs to serialize.
+    """
+
+    def __init__(self, catalog) -> None:
+        self.catalog = catalog
+        self.spark: SparkSession = catalog.spark
+
+    # -- public entry points ------------------------------------------------
+
+    def execute(self, sql: str) -> DataFrame | dict:
+        stmts = split_statements(sql)
+        if not stmts:
+            raise SqlError("empty SQL text")
+        if len(stmts) > 1:
+            raise SqlError(
+                f"{len(stmts)} statements in one execute() call — "
+                "use execute_script() for multi-statement scripts"
+            )
+        return self._dispatch(stmts[0])
+
+    def execute_script(self, sql: str) -> list[DataFrame | dict]:
+        """Run each ``;``-separated statement in order; queries in the
+        middle of a script are evaluated eagerly (collected row counts
+        only) so later statements see their side effects."""
+        return [self._dispatch(s) for s in split_statements(sql)]
+
+    # -- dispatch -----------------------------------------------------------
+
+    def _dispatch(self, stmt: str) -> DataFrame | dict:
+        head = re.match(rf"\s*({_IDENT})", stmt)
+        if not head:
+            raise SqlError(f"unparseable statement: {stmt[:80]!r}")
+        kw = head.group(1).upper()
+        handler: Callable[[str], DataFrame | dict] | None = {
+            "SELECT": self._query,
+            "WITH": self._query,
+            "TABLE": self._query,
+            "VALUES": self._query,
+            "DESCRIBE": self._describe,
+            "DESC": self._describe,
+            "SHOW": self._show,
+            "CREATE": self._create,
+            "INSERT": self._insert,
+            "UPDATE": self._update,
+            "DELETE": self._delete,
+            "MERGE": self._merge,
+            "ALTER": self._alter,
+            "DROP": self._drop,
+            "OPTIMIZE": self._optimize,
+            "VACUUM": self._vacuum,
+            "CALL": self._call,
+            "EXPLAIN": self._explain,
+        }.get(kw)
+        if handler is None:
+            raise SqlError(f"unsupported statement kind {kw}")
+        return handler(stmt)
+
+    # -- queries ------------------------------------------------------------
+
+    def _query(self, stmt: str) -> DataFrame:
+        self.catalog.register_views()
+        return self.spark.sql(self._rewrite_time_travel(stmt))
+
+    def _explain(self, stmt: str) -> DataFrame:
+        return self._query(stmt)
+
+    def _rewrite_time_travel(self, stmt: str) -> str:
+        """Rewrite ``<table> [FOR] VERSION|TIMESTAMP AS OF <v>`` into a
+        snapshot-pinned temp view. A string VERSION argument resolves as
+        tag first, then branch (the Iceberg ref rule)."""
+        pat = re.compile(
+            rf"\b({_IDENT})\s+(?:FOR\s+)?(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+            rf"(\d+|'[^']*')",
+            re.IGNORECASE,
+        )
+        out, last = [], 0
+        mask = mask_strings(stmt)
+        for m in pat.finditer(mask):
+            name, kind = m.group(1), m.group(2).upper()
+            arg = stmt[m.start(3) : m.end(3)]  # slice ORIGINAL text
+            if not self.catalog.table_exists(name):
+                raise SqlError(f"time travel on unknown table {name!r}")
+            if kind == "VERSION":
+                if arg.startswith("'"):
+                    ref = arg[1:-1]
+                    try:
+                        df = self.catalog.read(name, tag=ref)
+                        view = f"{name}__tag_{_safe(ref)}"
+                    except ValueError:
+                        df = self.catalog.read(name, branch=ref)
+                        view = f"{name}__branch_{_safe(ref)}"
+                else:
+                    df = self.catalog.read(name, version=int(arg))
+                    view = f"{name}__v{arg}"
+            else:
+                if not arg.startswith("'"):
+                    raise SqlError("TIMESTAMP AS OF takes a quoted timestamp")
+                ts = arg[1:-1]
+                df = self.catalog.read(name, as_of=ts)
+                view = f"{name}__asof_{_safe(ts)}"
+            df.createOrReplaceTempView(view)
+            out.append(stmt[last : m.start()])
+            out.append(view)
+            last = m.end()
+        out.append(stmt[last:])
+        return "".join(out)
+
+    # -- metadata queries ---------------------------------------------------
+
+    def _describe(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?({_IDENT})\s*$", stmt, re.I
+        )
+        if not m:
+            raise SqlError("expected: DESCRIBE [TABLE] <name>")
+        rows = self.catalog.describe(m.group(1))
+        return self.spark.createDataFrame(
+            [
+                (r.get("col_name"), r.get("data_type"), r.get("comment"))
+                for r in rows
+            ],
+            "col_name string, data_type string, comment string",
+        )
+
+    def _show(self, stmt: str) -> DataFrame:
+        if re.match(r"\s*SHOW\s+TABLES\s*$", stmt, re.I):
+            rows = [(t, "table") for t in self.catalog.tables()] + [
+                (v, "view") for v in self.catalog.views()
+            ]
+            return self.spark.createDataFrame(
+                rows or [("", "")], "name string, kind string"
+            ).filter("name <> ''")
+        m = re.match(rf"\s*SHOW\s+TBLPROPERTIES\s+({_IDENT})\s*$", stmt, re.I)
+        if m:
+            props = self.catalog.table_properties(m.group(1))
+            return self.spark.createDataFrame(
+                [(k, str(v)) for k, v in sorted(props.items())]
+                or [("", "")],
+                "key string, value string",
+            ).filter("key <> ''")
+        raise SqlError("expected: SHOW TABLES | SHOW TBLPROPERTIES <name>")
+
+    # -- DDL ----------------------------------------------------------------
+
+    def _create(self, stmt: str) -> dict:
+        m = re.match(
+            rf"\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+            rf"({_IDENT})\s*(.*?)\bAS\b(.*)$",
+            mask_strings(stmt),
+            re.I | re.S,
+        )
+        if m:
+            return self._create_table(stmt, m)
+        m = re.match(
+            rf"\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+({_IDENT})\s+AS\b(.*)$",
+            mask_strings(stmt),
+            re.I | re.S,
+        )
+        if m:
+            name = m.group(2)
+            body = stmt[m.start(3) : m.end(3)].strip()
+            # validate the definition parses/resolves before persisting
+            self.catalog.register_views()
+            self.spark.sql(self._rewrite_time_travel(body))
+            self.catalog.create_view(name, body, replace=bool(m.group(1)))
+            return {"op": "create_view", "name": name}
+        raise SqlError(
+            "expected: CREATE [OR REPLACE] TABLE [IF NOT EXISTS] <name> "
+            "[PARTITIONED BY (...)] [TBLPROPERTIES (...)] AS <select> | "
+            "CREATE [OR REPLACE] VIEW <name> AS <select>"
+        )
+
+    def _create_table(self, stmt: str, m: re.Match) -> dict:
+        or_replace, if_not_exists = bool(m.group(1)), bool(m.group(2))
+        name = m.group(3)
+        middle = stmt[m.start(4) : m.end(4)]
+        select = stmt[m.start(5) : m.end(5)].strip()
+        partition_by: list[str] | None = None
+        properties: dict[str, str] = {}
+        pm = re.search(r"PARTITIONED\s+BY\s*\(([^)]*)\)", middle, re.I)
+        if pm:
+            partition_by = [c.strip() for c in pm.group(1).split(",") if c.strip()]
+        tm = re.search(r"TBLPROPERTIES\s*\((.*?)\)", middle, re.I | re.S)
+        if tm:
+            for kv in _split_top_level(tm.group(1)):
+                km = re.match(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*$", kv)
+                if not km:
+                    raise SqlError(f"bad TBLPROPERTIES entry: {kv!r}")
+                properties[km.group(1)] = km.group(2)
+        leftover = re.sub(
+            r"PARTITIONED\s+BY\s*\([^)]*\)|TBLPROPERTIES\s*\(.*?\)",
+            "",
+            middle,
+            flags=re.I | re.S,
+        ).strip()
+        if leftover:
+            raise SqlError(
+                f"unsupported CREATE TABLE clause: {leftover[:60]!r} "
+                "(column lists not supported — use CTAS)"
+            )
+        if or_replace and if_not_exists:
+            raise SqlError("OR REPLACE and IF NOT EXISTS are exclusive")
+        mode = "replace" if or_replace else ("ignore" if if_not_exists else "error")
+        if mode == "ignore" and self.catalog.table_exists(name):
+            return {"op": "create_table", "name": name, "skipped": True}
+        df = self._query(select)
+        self.catalog.create_table(
+            name, df, partition_by=partition_by,
+            properties=properties or None, mode=mode,
+        )
+        return {
+            "op": "create_table", "name": name,
+            "rows": self.catalog.row_count(name),
+        }
+
+    def _alter(self, stmt: str) -> dict:
+        s = stmt.strip()
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMNS?\s*\(?\s*"
+            rf"({_IDENT})\s+([A-Za-z_0-9()<>, ]+?)"
+            rf"(?:\s+COMMENT\s+'([^']*)')?\s*\)?\s*$",
+            s, re.I,
+        )
+        if m:
+            # DDL type names arrive upper-cased (STRING); the schema
+            # parser wants Spark's lowercase simpleString spellings
+            self.catalog.add_column(
+                m.group(1), m.group(2), m.group(3).strip().lower(), m.group(4)
+            )
+            return {"op": "add_column", "name": m.group(1), "column": m.group(2)}
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+({_IDENT})"
+            rf"\s+TO\s+({_IDENT})\s*$",
+            s, re.I,
+        )
+        if m:
+            self.catalog.rename_column(m.group(1), m.group(2), m.group(3))
+            return {"op": "rename_column", "name": m.group(1)}
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMN\s+({_IDENT})\s*$",
+            s, re.I,
+        )
+        if m:
+            self.catalog.drop_column(m.group(1), m.group(2))
+            return {"op": "drop_column", "name": m.group(1)}
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})"
+            rf"\s+TYPE\s+([A-Za-z_0-9()<>, ]+)\s*$",
+            s, re.I,
+        )
+        if m:
+            # catalog schemas use Spark's JSON type names; accept the
+            # SQL-DDL synonyms a migrating user will type
+            ddl_to_json = {
+                "tinyint": "byte", "smallint": "short", "int": "integer",
+                "bigint": "long", "real": "float",
+                "double precision": "double",
+            }
+            t = m.group(3).strip().lower()
+            self.catalog.alter_column_type(
+                m.group(1), m.group(2), ddl_to_json.get(t, t)
+            )
+            return {"op": "alter_column_type", "name": m.group(1)}
+        raise SqlError(
+            "expected: ALTER TABLE t ADD COLUMN c type [COMMENT '...'] | "
+            "RENAME COLUMN a TO b | DROP COLUMN c | ALTER COLUMN c TYPE t"
+        )
+
+    def _drop(self, stmt: str) -> dict:
+        m = re.match(
+            rf"\s*DROP\s+(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?({_IDENT})\s*$",
+            stmt, re.I,
+        )
+        if not m:
+            raise SqlError("expected: DROP TABLE|VIEW [IF EXISTS] <name>")
+        kind, if_exists, name = m.group(1).upper(), bool(m.group(2)), m.group(3)
+        if kind == "VIEW":
+            if if_exists and name not in self.catalog.views():
+                return {"op": "drop_view", "name": name, "skipped": True}
+            self.catalog.drop_view(name)
+            return {"op": "drop_view", "name": name}
+        if if_exists and not self.catalog.table_exists(name):
+            return {"op": "drop_table", "name": name, "skipped": True}
+        self.catalog.drop_table(name)
+        return {"op": "drop_table", "name": name}
+
+    # -- DML ----------------------------------------------------------------
+
+    def _insert(self, stmt: str) -> dict:
+        m = re.match(
+            rf"\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})\s+"
+            rf"(SELECT|WITH|TABLE|VALUES)\b(.*)$",
+            mask_strings(stmt),
+            re.I | re.S,
+        )
+        if not m:
+            raise SqlError(
+                "expected: INSERT INTO|OVERWRITE <name> <select|VALUES ...>"
+            )
+        verb, name = m.group(1).upper(), m.group(2)
+        body = stmt[m.start(3) :].strip()
+        if m.group(3).upper() == "VALUES":
+            # positional: rename VALUES' colN to the table's schema
+            df = self._query(f"SELECT * FROM ({body})")
+            tcols = self.catalog.read(name).columns
+            if len(df.columns) != len(tcols):
+                raise SqlError(
+                    f"INSERT VALUES arity {len(df.columns)} != "
+                    f"table arity {len(tcols)}"
+                )
+            df = df.toDF(*tcols)
+        else:
+            df = self._query(body)
+        if verb == "OVERWRITE":
+            self.catalog.overwrite(name, df)
+            return {"op": "insert_overwrite", "name": name,
+                    "rows": self.catalog.row_count(name)}
+        before = self.catalog.row_count(name)
+        self.catalog.append(name, df)
+        return {"op": "insert_into", "name": name,
+                "rows_inserted": self.catalog.row_count(name) - before}
+
+    def _update(self, stmt: str) -> dict:
+        mask = mask_strings(stmt)
+        m = re.match(
+            rf"\s*UPDATE\s+({_IDENT})\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
+            mask, re.I | re.S,
+        )
+        if not m:
+            raise SqlError("expected: UPDATE <name> SET a = expr, ... [WHERE cond]")
+        name = m.group(1)
+        set_text = stmt[m.start(2) : m.end(2)]
+        cond = stmt[m.start(3) : m.end(3)].strip() if m.group(3) else "true"
+        assignments: dict[str, str] = {}
+        for part in _split_top_level(set_text):
+            am = re.match(rf"\s*({_IDENT})\s*=\s*(.+)$", part, re.S)
+            if not am:
+                raise SqlError(f"bad SET assignment: {part!r}")
+            assignments[am.group(1)] = am.group(2).strip()
+        stats = self.catalog.update_where(name, cond, assignments)
+        return {"op": "update", "name": name, **stats}
+
+    def _delete(self, stmt: str) -> dict:
+        mask = mask_strings(stmt)
+        m = re.match(
+            rf"\s*DELETE\s+(/\*\+\s*MOR\s*\*/\s+)?FROM\s+({_IDENT})"
+            rf"(?:\s+WHERE\s+(.*))?$",
+            mask, re.I | re.S,
+        )
+        if not m:
+            raise SqlError("expected: DELETE [/*+ MOR */] FROM <name> [WHERE cond]")
+        name = m.group(2)
+        cond = stmt[m.start(3) : m.end(3)].strip() if m.group(3) else "true"
+        mode = "mor" if m.group(1) else "cow"
+        stats = self.catalog.delete_where(name, cond, mode=mode)
+        return {"op": "delete", "name": name, "mode": mode, **stats}
+
+    def _merge(self, stmt: str) -> dict:
+        mask = mask_strings(stmt)
+        hm = re.match(
+            rf"\s*MERGE\s+INTO\s+({_IDENT})(?:\s+(?:AS\s+)?({_IDENT}))?\s+"
+            rf"USING\s+",
+            mask, re.I,
+        )
+        if not hm:
+            raise SqlError(
+                "expected: MERGE INTO t [alias] USING (<select>)|src [alias] "
+                "ON <equi-cond> WHEN ..."
+            )
+        target = hm.group(1)
+        talias = hm.group(2) or target
+        pos = hm.end()
+        # USING source: balanced-paren subquery (any nesting) or a name
+        if mask[pos] == "(":
+            depth, j = 0, pos
+            while j < len(mask):
+                if mask[j] == "(":
+                    depth += 1
+                elif mask[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0:
+                raise SqlError("unbalanced parens in MERGE USING subquery")
+            using = stmt[pos : j + 1]
+            pos = j + 1
+        else:
+            um = re.match(_IDENT, mask[pos:])
+            if not um:
+                raise SqlError("MERGE USING needs a subquery or table name")
+            using = stmt[pos : pos + um.end()]
+            pos += um.end()
+        m = re.match(
+            rf"(?:\s+(?:AS\s+)?({_IDENT}))?\s+ON\s+(.*?)\s+(WHEN\s+.*)$",
+            mask[pos:], re.I | re.S,
+        )
+        if not m:
+            raise SqlError("expected: ... [AS alias] ON <cond> WHEN ...")
+        salias = m.group(1) or (using if not using.startswith("(") else "src")
+        on_text = stmt[pos + m.start(2) : pos + m.end(2)]
+        when_text = stmt[pos + m.start(3) :]
+        when_mask = mask[pos + m.start(3) :]
+
+        if using.startswith("("):
+            source = self._query(using[1:-1])
+        else:
+            self.catalog.register_views()
+            source = self.spark.table(using)
+
+        # ON: conjunction of alias-qualified equality predicates on the
+        # SAME column name — the catalog merge key contract.
+        keys: list[str] = []
+        for pred in re.split(r"\bAND\b", on_text, flags=re.I):
+            pm = re.match(
+                rf"\s*({_IDENT})\s*\.\s*({_IDENT})\s*=\s*"
+                rf"({_IDENT})\s*\.\s*({_IDENT})\s*$",
+                pred,
+            )
+            if not pm:
+                raise SqlError(
+                    f"MERGE ON must be AND-ed alias.col = alias.col "
+                    f"equalities, got {pred.strip()!r}"
+                )
+            pairs = {pm.group(1): pm.group(2), pm.group(3): pm.group(4)}
+            if set(pairs) != {talias, salias}:
+                raise SqlError(
+                    f"MERGE ON predicate {pred.strip()!r} must reference "
+                    f"both {talias!r} and {salias!r}"
+                )
+            if pairs[talias] != pairs[salias]:
+                raise SqlError(
+                    "MERGE ON columns must have the same name on both "
+                    f"sides (got {pairs[talias]!r} = {pairs[salias]!r})"
+                )
+            keys.append(pairs[talias])
+
+        # WHEN clauses
+        qual = {salias: "_s_", talias: ""}
+        when_matched: str | dict[str, str] = "update_all"
+        when_matched_delete = None
+        insert_not_matched = False
+        seen_update = seen_delete = False
+        clause_pat = re.compile(
+            r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+"
+            r"(UPDATE\s+SET\s+\*|UPDATE\s+SET\s+.*?|DELETE|INSERT\s+\*)"
+            r"\s*(?=WHEN\s+(?:NOT\s+)?MATCHED|$)",
+            re.I | re.S,
+        )
+        consumed = 0
+        for cm in clause_pat.finditer(when_mask):
+            consumed = cm.end()
+            is_not = bool(cm.group(1))
+            cond = (
+                when_text[cm.start(2) : cm.end(2)].strip()
+                if cm.group(2) else None
+            )
+            action = when_text[cm.start(3) : cm.end(3)].strip()
+            action_kw = action.split()[0].upper()
+            if is_not:
+                if action_kw != "INSERT":
+                    raise SqlError("WHEN NOT MATCHED supports only INSERT *")
+                if cond:
+                    raise SqlError("WHEN NOT MATCHED AND <cond> not supported")
+                insert_not_matched = True
+            elif action_kw == "DELETE":
+                if seen_delete:
+                    raise SqlError("duplicate WHEN MATCHED ... DELETE")
+                if seen_update:
+                    # SQL MERGE clause order: first matching clause wins,
+                    # and the (unconditional) UPDATE already caught every
+                    # matched row — a later DELETE can never fire
+                    raise SqlError(
+                        "WHEN MATCHED ... DELETE after an unconditional "
+                        "UPDATE is unreachable — put the DELETE clause first"
+                    )
+                seen_delete = True
+                when_matched_delete = _qualify(cond, qual) if cond else "true"
+            elif action_kw == "UPDATE":
+                if cond:
+                    raise SqlError(
+                        "WHEN MATCHED AND <cond> THEN UPDATE not supported "
+                        "(conditional update); use WHEN MATCHED ... DELETE "
+                        "for conditional removal"
+                    )
+                if seen_update:
+                    raise SqlError("duplicate WHEN MATCHED ... UPDATE")
+                seen_update = True
+                set_text = re.sub(
+                    r"^UPDATE\s+SET\s+", "", action, flags=re.I | re.S
+                ).strip()
+                if set_text == "*":
+                    when_matched = "update_all"
+                else:
+                    assignments: dict[str, str] = {}
+                    for part in _split_top_level(set_text):
+                        am = re.match(
+                            rf"\s*(?:{talias}\s*\.\s*)?({_IDENT})\s*=\s*(.+)$",
+                            part, re.S,
+                        )
+                        if not am:
+                            raise SqlError(f"bad MERGE SET assignment: {part!r}")
+                        assignments[am.group(1)] = _qualify(
+                            am.group(2).strip(), qual
+                        )
+                    when_matched = assignments
+            else:
+                raise SqlError(f"unsupported MERGE action {action!r}")
+        if when_text[consumed:].strip():
+            raise SqlError(
+                f"unparsed MERGE tail: {when_text[consumed:].strip()[:60]!r}"
+            )
+        if not (seen_update or seen_delete or insert_not_matched):
+            raise SqlError("MERGE needs at least one WHEN clause")
+        if not seen_update and seen_delete and when_matched_delete == "true":
+            # delete-only merge: matched rows all delete, nothing updates
+            when_matched = {}
+        stats = self.catalog.merge_into(
+            target, source, keys,
+            when_matched=when_matched,
+            when_matched_delete=when_matched_delete,
+            insert_not_matched=insert_not_matched,
+        )
+        return {"op": "merge", "name": target, **stats}
+
+    # -- maintenance --------------------------------------------------------
+
+    def _optimize(self, stmt: str) -> dict:
+        m = re.match(
+            rf"\s*OPTIMIZE\s+({_IDENT})(?:\s+WHERE\s+(.*?))?"
+            rf"(?:\s+ZORDER\s+BY\s+\(?([A-Za-z_0-9, ]+?)\)?)?\s*$",
+            stmt, re.I | re.S,
+        )
+        if not m:
+            raise SqlError(
+                "expected: OPTIMIZE <name> [WHERE cond] [ZORDER BY (cols)]"
+            )
+        zorder = (
+            [c.strip() for c in m.group(3).split(",")] if m.group(3) else None
+        )
+        stats = self.catalog.compact(
+            m.group(1), where=m.group(2), zorder_by=zorder
+        )
+        return {"op": "optimize", "name": m.group(1), **stats}
+
+    def _vacuum(self, stmt: str) -> dict:
+        m = re.match(
+            rf"\s*VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?"
+            rf"(?:\s+(DRY\s+RUN))?\s*$",
+            stmt, re.I,
+        )
+        if not m:
+            raise SqlError("expected: VACUUM <name> [RETAIN n HOURS] [DRY RUN]")
+        kwargs: dict = {"dry_run": bool(m.group(3))}
+        if m.group(2):
+            kwargs["older_than_hours"] = float(m.group(2))
+        stats = self.catalog.remove_orphan_files(m.group(1), **kwargs)
+        return {"op": "vacuum", "name": m.group(1), **stats}
+
+    #: Iceberg-style stored procedures → catalog verbs. Values are
+    #: (method, positional parameter names in order).
+    _PROCEDURES: dict[str, tuple[str, tuple[str, ...]]] = {
+        "expire_snapshots": ("expire_snapshots", ("name",)),
+        "rollback": ("rollback", ("name", "version")),
+        "publish": ("publish", ("name",)),
+        "create_tag": ("create_tag", ("name", "tag")),
+        "drop_tag": ("drop_tag", ("name", "tag")),
+        "create_branch": ("create_branch", ("name", "branch")),
+        "drop_branch": ("drop_branch", ("name", "branch")),
+        "fast_forward": ("fast_forward", ("name", "branch")),
+        "clone_table": ("clone_table", ("source", "target")),
+        "rewrite_position_deletes": ("rewrite_position_deletes", ("name",)),
+        "remove_orphan_files": ("remove_orphan_files", ("name",)),
+    }
+
+    def _call(self, stmt: str) -> dict:
+        m = re.match(
+            rf"\s*CALL\s+(?:system\s*\.\s*)?({_IDENT})\s*\((.*)\)\s*$",
+            stmt, re.I | re.S,
+        )
+        if not m:
+            raise SqlError("expected: CALL [system.]<procedure>(args)")
+        proc = m.group(1).lower()
+        if proc not in self._PROCEDURES:
+            raise SqlError(
+                f"unknown procedure {proc!r}; supported: "
+                + ", ".join(sorted(self._PROCEDURES))
+            )
+        method, positional = self._PROCEDURES[proc]
+        args: list[object] = []
+        kwargs: dict[str, object] = {}
+        arg_text = m.group(2).strip()
+        for part in _split_top_level(arg_text) if arg_text else []:
+            nm = re.match(rf"\s*({_IDENT})\s*=>\s*(.+)$", part, re.S)
+            if nm:
+                kwargs[nm.group(1)] = _literal(nm.group(2).strip())
+            else:
+                args.append(_literal(part))
+        # map leading positionals onto their declared names
+        if len(args) > len(positional):
+            extra, args = args[len(positional):], args[: len(positional)]
+            raise SqlError(
+                f"{proc} takes {len(positional)} positional args "
+                f"({', '.join(positional)}); extra: {extra!r} — "
+                "pass options as name => value"
+            )
+        for pname, val in zip(positional, args):
+            kwargs[pname] = val
+        result = getattr(self.catalog, method)(**kwargs)
+        out = {"op": proc}
+        if isinstance(result, dict):
+            out.update(result)
+        return out
+
+
+#: statement kinds that only read — the read_only-endpoint gate
+QUERY_KINDS = frozenset(
+    {"SELECT", "WITH", "TABLE", "VALUES", "DESCRIBE", "DESC", "SHOW", "EXPLAIN"}
+)
+
+
+def is_query(sql: str) -> bool:
+    """True when the FIRST statement only reads (no commit)."""
+    stmts = split_statements(sql)
+    if not stmts:
+        return True
+    m = re.match(rf"\s*({_IDENT})", stmts[0])
+    return bool(m) and m.group(1).upper() in QUERY_KINDS
+
+
+def _safe(s: str) -> str:
+    return re.sub(r"[^A-Za-z0-9]", "_", s)
+
+
+def _literal(text: str) -> object:
+    if text.startswith("'") and text.endswith("'"):
+        return text[1:-1].replace("''", "'")
+    low = text.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    try:
+        return int(text)
+    except ValueError:
+        pass
+    try:
+        return float(text)
+    except ValueError:
+        raise SqlError(f"CALL arguments must be literals, got {text!r}")
+
+
+def execute_sql(catalog, sql: str) -> DataFrame | dict:
+    """One-shot convenience: route one statement (see :class:`LakehouseSql`)."""
+    return LakehouseSql(catalog).execute(sql)
+
+
+def execute_sql_script(catalog, sql: str) -> list[DataFrame | dict]:
+    """Run a ``;``-separated script in order."""
+    return LakehouseSql(catalog).execute_script(sql)
+
+
+def result_to_json(result: DataFrame | dict, *, limit: int = 1000) -> list[str]:
+    """Serialize an :func:`execute_sql` result for a CLI/endpoint."""
+    if isinstance(result, dict):
+        return [json.dumps(result, default=str)]
+    return result.limit(limit).toJSON().collect()

@@ -81,3 +81,38 @@ def test_endpoint_concurrent_clients(spark, tmp_path):
         assert "error" in err
     finally:
         ep.stop()
+
+
+def test_endpoint_dml_and_read_only(spark, tmp_path):
+    """The reference's Thrift endpoint is what dbt MATERIALIZES through
+    — the endpoint must accept the full statement surface, and a
+    read_only endpoint must refuse writes BEFORE executing them."""
+    cat = Catalog(spark, str(tmp_path / "w2"))
+    ep = SqlEndpoint(cat).start()
+    try:
+        out = _post(
+            ep.port,
+            "CREATE TABLE t AS SELECT * FROM VALUES (1, 'a'), (2, 'b') "
+            "AS v(id, tag)",
+        )
+        assert out["stats"]["op"] == "create_table"
+        _post(ep.port, "INSERT INTO t VALUES (3, 'c')")
+        upd = _post(ep.port, "UPDATE t SET tag = upper(tag) WHERE id = 1")
+        assert upd["stats"]["op"] == "update"
+        got = _post(ep.port, "SELECT tag FROM t ORDER BY id")
+        assert got["rows"] == [["A"], ["b"], ["c"]]
+        # time travel through the endpoint
+        v0 = _post(ep.port, "SELECT COUNT(*) AS n FROM t VERSION AS OF 0")
+        assert v0["rows"] == [[2]]
+    finally:
+        ep.stop()
+
+    ro = SqlEndpoint(cat, read_only=True).start()
+    try:
+        ok = _post(ro.port, "SELECT COUNT(*) AS n FROM t")
+        assert ok["rows"] == [[3]]
+        denied = _post(ro.port, "DELETE FROM t")
+        assert "read-only" in denied["error"]
+        assert cat.row_count("t") == 3  # nothing executed
+    finally:
+        ro.stop()
