@@ -2678,6 +2678,140 @@ def q_cdc_mart_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_dml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL dialect front-end (sql.py) oracle-verified END TO END: the
+    dbt-over-Thrift statement surface — CTAS, UPDATE, MOR DELETE, and
+    MERGE INTO as SQL STRINGS — applied to a catalog table, with the
+    final state hash-matched against DuckDB's closed-form rendering of
+    the same edit sequence (update as CASE, delete as filter, merge as
+    outer-join + anti-union). Parity target: the reference drives all
+    transforms through SQL text on a Thrift endpoint
+    (dbt/profiles.yml:5-9, SURVEY.md §3.2). Money flows as integer
+    cents so edit order cannot drift from the oracle's single pass."""
+    import shutil
+    import tempfile
+
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.sql import execute_sql_script
+
+    _ensure_conf(spark)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dls_sql_dml",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(spark, root)
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "orders_src"
+    )
+    execute_sql_script(
+        cat,
+        """
+        CREATE TABLE ord AS
+        SELECT o_orderkey AS k, o_custkey AS c,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderstatus AS st
+        FROM orders_src;
+
+        UPDATE ord SET cents = cents + 100 WHERE st = 'F';
+
+        DELETE /*+ MOR */ FROM ord WHERE k % 7 = 0;
+
+        MERGE INTO ord t
+        USING (SELECT o_orderkey AS k, o_custkey AS c,
+                      CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 2 AS cents,
+                      o_orderstatus AS st
+               FROM orders_src WHERE o_orderkey % 3 = 0) s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET cents = t.cents + s.cents
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+    )
+    return cat.read("ord").select("k", "c", "cents", "st").orderBy("k")
+
+
+def q_dbt_models_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-style model runner (models.py) oracle-verified END TO END:
+    a silver incremental model (watermark block, append strategy) and
+    a gold table model (ref() dependency) materialized over TWO bronze
+    batches — the second run folds only the new span via the rendered
+    is_incremental() predicate — and the final gold mart must
+    hash-match DuckDB's one-shot GROUP BY over the full source. This
+    is the reference's actual workflow (8 dbt models over Thrift,
+    dbt/models/silver/silver_ecommerce_events.sql:1-18) driven through
+    the engine."""
+    import shutil
+    import tempfile
+
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.models import ModelRunner
+
+    _ensure_conf(spark)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dls_models",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(spark, root)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    runner = ModelRunner(cat, sources={("bronze", "raw_events"): "raw_events"})
+    runner.add_model(
+        "silver_events_m",
+        """
+{{ config(materialized='incremental', incremental_strategy='append') }}
+SELECT event_id, event_type, user_id,
+       CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+       ingest_batch
+FROM {{ source('bronze', 'raw_events') }}
+WHERE event_type IS NOT NULL
+{% if is_incremental() %}
+  AND ingest_batch >
+      (SELECT COALESCE(MAX(ingest_batch), 0) FROM {{ this }})
+{% endif %}
+""",
+    )
+    runner.add_model(
+        "gold_type_summary_m",
+        """
+{{ config(materialized='table') }}
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       SUM(cents) AS revenue_cents
+FROM {{ ref('silver_events_m') }}
+GROUP BY event_type
+""",
+    )
+    cat.create_table(
+        "raw_events",
+        ev.filter(F.col("event_id") % 4 != 0).withColumn(
+            "ingest_batch", F.lit(1)
+        ),
+    )
+    runner.run()  # initial full build
+    cat.append(
+        "raw_events",
+        ev.filter(F.col("event_id") % 4 == 0).withColumn(
+            "ingest_batch", F.lit(2)
+        ),
+    )
+    runner.run()  # incremental: silver appends ONLY batch 2
+    return (
+        cat.read("gold_type_summary_m")
+        .select(
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open-format interop, Delta flavor: catalog table -> Delta log
     export (pure-JSON protocol actions, zero-copy adds) -> independent
@@ -2973,6 +3107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_source_nation": q_stream_source_nation,
         "stream_cdf_nation": q_stream_cdf_nation,
         "cdc_mart_incremental": q_cdc_mart_incremental,
+        "sql_dml_pipeline": q_sql_dml_pipeline,
+        "dbt_models_run": q_dbt_models_run,
         # --- rows-only (hash/LSH/HLL/pandas-UDF based; no SQL oracle) ---
         "gold_user_rfm_segments_scalable": q_user_rfm_segments_scalable,
         "segment_order_percentiles_approx": q_segment_order_percentiles_approx,
@@ -3678,6 +3814,51 @@ WHERE event_id = 4242
 SELECT r_regionkey, r_name
 FROM region
 ORDER BY r_regionkey
+"""
+
+    # SQL dialect DML gate: the edit sequence (UPDATE st='F' +100 cents;
+    # MOR DELETE k%7; MERGE k%3 source with update-add and insert) in
+    # closed form over the pristine orders table
+    sql["sql_dml_pipeline"] = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_custkey AS c,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderstatus AS st
+  FROM orders
+),
+updated AS (
+  SELECT k, c,
+         CASE WHEN st = 'F' THEN cents + 100 ELSE cents END AS cents,
+         st
+  FROM base
+),
+kept AS (SELECT * FROM updated WHERE k % 7 <> 0),
+src AS (
+  SELECT k, c, cents * 2 AS cents, st FROM base WHERE k % 3 = 0
+)
+SELECT kept.k, kept.c,
+       kept.cents + COALESCE(src.cents, 0) AS cents,
+       kept.st
+FROM kept LEFT JOIN src ON kept.k = src.k
+UNION ALL
+SELECT src.k, src.c, src.cents, src.st
+FROM src
+WHERE src.k NOT IN (SELECT k FROM kept)
+ORDER BY k
+"""
+
+    # model-runner gate: incremental two-batch build must equal the
+    # one-shot GROUP BY over the full source
+    sql["dbt_models_run"] = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM events
+WHERE event_type IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
 """
 
     sql["delta_roundtrip"] = """

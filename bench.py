@@ -48,6 +48,17 @@ BENCH_EXCLUDED = {
         "whose fixed ~10s overhead is startup cost, not query cost; "
         "the oracle gate verifies rows+provenance end-to-end"
     ),
+    "sql_dml_pipeline": (
+        "multi-commit DML SCENARIO (CTAS + UPDATE + MOR DELETE + MERGE "
+        "through the SQL front-end) — timing measures tmp-dir catalog "
+        "writes, not a read query; the oracle gate verifies the final "
+        "state end-to-end"
+    ),
+    "dbt_models_run": (
+        "model-runner SCENARIO (two-batch incremental materialization "
+        "into a tmp catalog) — write-path heavy by design; the oracle "
+        "gate verifies incremental-equals-recompute end-to-end"
+    ),
     "cdc_mart_incremental": (
         "multi-commit DML maintenance SCENARIO (catalog build + append + "
         "MOR delete + incremental refresh), not a read query — timing it "

@@ -1,0 +1,343 @@
+"""dbt-style SQL model runner over the versioned catalog.
+
+The reference's entire transform layer is 8 dbt models — SQL files with
+``{{ config(...) }}`` headers, ``{{ ref() }}`` / ``{{ source() }}``
+references, and ``{% if is_incremental() %}`` watermark blocks —
+compiled by dbt and executed on a Spark Thrift Server
+(``dbt/models/silver/silver_ecommerce_events.sql:1-18``,
+``dbt/dbt_project.yml:24-43``, SURVEY.md §3.2). A migrating user holds
+those .sql files; this module runs them directly against the engine:
+
+- the SAME template surface the reference models use: ``config`` keys
+  ``materialized`` (``table`` | ``view`` | ``incremental``),
+  ``partition_by``, ``incremental_strategy`` (``append`` | ``merge``),
+  ``unique_key``; ``ref('m')``; ``source('schema', 'table')``;
+  ``this``; ``is_incremental()`` conditional blocks. Unknown template
+  constructs raise with the construct named — no silent misrender.
+- ``ref()`` builds the dependency DAG; models run in topological order
+  (dbt's scheduling contract), cycles raise.
+- materializations land as CATALOG commits: ``table`` → versioned
+  replace, ``view`` → logical view, ``incremental`` → append or
+  MERGE-on-unique-key, so every dbt run is snapshot-isolated and
+  time-travelable — stronger than the reference's
+  ``insert overwrite``.
+- schema tests (``unique`` / ``not_null`` / ``accepted_values`` /
+  ``relationships`` — the reference's ``schema.yml`` surface,
+  ``dbt/models/gold/schema.yml``) delegate to
+  :mod:`~data_lakehouse_spark.operators.quality` and return violation
+  counts per test.
+
+Scale note: an incremental model's ``is_incremental()`` predicate is a
+high-watermark filter pushed into the parquet scan (the engine's
+incremental plans, ``plans/incremental.py``); a full dbt run over
+100 TB only reads each source's new span.
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+class ModelError(ValueError):
+    """A model failed to parse, render, or materialize."""
+
+
+_REF = re.compile(r"\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}")
+_SOURCE = re.compile(r"\{\{\s*source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)\s*\}\}")
+_THIS = re.compile(r"\{\{\s*this\s*\}\}")
+_CONFIG = re.compile(r"\{\{\s*config\s*\((.*?)\)\s*\}\}", re.S)
+_INCR_BLOCK = re.compile(
+    r"\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)\{%\s*endif\s*%\}", re.S
+)
+
+
+@dataclass
+class ModelConfig:
+    materialized: str = "view"
+    partition_by: list[str] | None = None
+    incremental_strategy: str = "append"
+    unique_key: list[str] | None = None
+    tblproperties: dict[str, str] | None = None
+
+    KNOWN = (
+        "materialized", "partition_by", "incremental_strategy",
+        "unique_key", "tblproperties", "file_format", "schema", "alias",
+    )
+
+
+@dataclass
+class Model:
+    name: str
+    raw_sql: str
+    config: ModelConfig = field(default_factory=ModelConfig)
+    deps: list[str] = field(default_factory=list)
+    sources: list[tuple[str, str]] = field(default_factory=list)
+
+
+def parse_model(name: str, raw_sql: str) -> Model:
+    """Extract config + dependency references; validate the template
+    surface (anything outside it raises, naming the construct)."""
+    cfg = ModelConfig()
+    cm = _CONFIG.search(raw_sql)
+    if cm:
+        try:
+            call = ast.parse(f"f({cm.group(1)})", mode="eval").body
+            kwargs = {
+                k.arg: ast.literal_eval(k.value) for k in call.keywords
+            }
+        except (SyntaxError, ValueError) as e:
+            raise ModelError(f"model {name}: unparseable config(): {e}")
+        for k, v in kwargs.items():
+            if k not in ModelConfig.KNOWN:
+                raise ModelError(f"model {name}: unknown config key {k!r}")
+        mat = kwargs.get("materialized", "view")
+        if mat not in ("table", "view", "incremental"):
+            raise ModelError(
+                f"model {name}: unsupported materialized={mat!r}"
+            )
+        pb = kwargs.get("partition_by")
+        uk = kwargs.get("unique_key")
+        cfg = ModelConfig(
+            materialized=mat,
+            partition_by=[pb] if isinstance(pb, str) else pb,
+            incremental_strategy=kwargs.get("incremental_strategy", "append"),
+            unique_key=[uk] if isinstance(uk, str) else uk,
+            tblproperties=kwargs.get("tblproperties"),
+        )
+        if cfg.incremental_strategy not in ("append", "merge"):
+            raise ModelError(
+                f"model {name}: unsupported incremental_strategy="
+                f"{cfg.incremental_strategy!r} (append|merge)"
+            )
+        if cfg.incremental_strategy == "merge" and not cfg.unique_key:
+            raise ModelError(
+                f"model {name}: merge strategy requires unique_key"
+            )
+    deps = _REF.findall(raw_sql)
+    sources = _SOURCE.findall(raw_sql)
+    # reject template constructs we would otherwise silently mis-render
+    residue = _CONFIG.sub("", raw_sql)
+    residue = _INCR_BLOCK.sub("", residue)
+    for pat in (_REF, _SOURCE, _THIS):
+        residue = pat.sub("x", residue)
+    leftover = re.search(r"\{\{.*?\}\}|\{%.*?%\}", residue, re.S)
+    if leftover:
+        raise ModelError(
+            f"model {name}: unsupported template construct "
+            f"{leftover.group(0)[:60]!r}"
+        )
+    return Model(name=name, raw_sql=raw_sql, config=cfg, deps=deps,
+                 sources=sources)
+
+
+class ModelRunner:
+    """Load models, resolve the DAG, materialize into the catalog.
+
+    ``sources`` maps dbt ``(source_schema, table)`` pairs to catalog
+    table names; a missing mapping falls back to the bare table name
+    (the common case where the bronze table is already a catalog
+    table of the same name).
+    """
+
+    def __init__(
+        self,
+        catalog,
+        *,
+        sources: dict[tuple[str, str], str] | None = None,
+    ) -> None:
+        self.catalog = catalog
+        self.sources = dict(sources or {})
+        self.models: dict[str, Model] = {}
+
+    # -- loading ------------------------------------------------------------
+
+    def add_model(self, name: str, raw_sql: str) -> Model:
+        m = parse_model(name, raw_sql)
+        self.models[name] = m
+        return m
+
+    def add_models_dir(self, path: str) -> list[str]:
+        """Load every ``*.sql`` under ``path`` (recursive; model name =
+        file stem, the dbt convention)."""
+        loaded = []
+        for dp, _, fs in sorted(os.walk(path)):
+            for fname in sorted(fs):
+                if not fname.endswith(".sql"):
+                    continue
+                name = fname[:-4]
+                if name in self.models:
+                    raise ModelError(f"duplicate model name {name}")
+                with open(os.path.join(dp, fname)) as f:
+                    self.add_model(name, f.read())
+                loaded.append(name)
+        return loaded
+
+    # -- rendering ----------------------------------------------------------
+
+    def _resolve_source(self, schema: str, table: str) -> str:
+        return self.sources.get((schema, table), table)
+
+    def render(self, name: str, *, is_incremental: bool) -> str:
+        """Compile one model to executable SQL (refs → catalog names,
+        incremental block kept or dropped)."""
+        m = self.models[name]
+        sql = _CONFIG.sub("", m.raw_sql)
+        sql = _INCR_BLOCK.sub(
+            (lambda mm: mm.group(1)) if is_incremental else "", sql
+        )
+        sql = _REF.sub(lambda mm: mm.group(1), sql)
+        sql = _SOURCE.sub(
+            lambda mm: self._resolve_source(mm.group(1), mm.group(2)), sql
+        )
+        sql = _THIS.sub(name, sql)
+        return sql.strip()
+
+    # -- scheduling ---------------------------------------------------------
+
+    def _topo_order(self, selected: list[str]) -> list[str]:
+        """Selected models plus their in-graph ancestors, dependency
+        order; cycles raise naming the cycle members."""
+        need: set[str] = set()
+
+        def visit(n: str) -> None:
+            if n in need or n not in self.models:
+                return
+            need.add(n)
+            for d in self.models[n].deps:
+                visit(d)
+
+        for n in selected:
+            if n not in self.models:
+                raise ModelError(f"unknown model {n}")
+            visit(n)
+
+        order: list[str] = []
+        state: dict[str, int] = {}  # 1=visiting, 2=done
+
+        def dfs(n: str) -> None:
+            if state.get(n) == 2:
+                return
+            if state.get(n) == 1:
+                raise ModelError(f"ref cycle through {n!r}")
+            state[n] = 1
+            for d in self.models[n].deps:
+                if d in need:
+                    dfs(d)
+            state[n] = 2
+            order.append(n)
+
+        for n in sorted(need):
+            dfs(n)
+        return order
+
+    # -- materialization ----------------------------------------------------
+
+    def run(
+        self,
+        select: list[str] | None = None,
+        *,
+        full_refresh: bool = False,
+    ) -> dict[str, dict]:
+        """dbt run: materialize (selected) models in DAG order.
+        Returns per-model stats {materialized, rows|op}."""
+        selected = select or sorted(self.models)
+        stats: dict[str, dict] = {}
+        for name in self._topo_order(selected):
+            stats[name] = self._run_one(name, full_refresh=full_refresh)
+        return stats
+
+    def _query(self, sql: str) -> DataFrame:
+        self.catalog.register_views()
+        return self.catalog.spark.sql(sql)
+
+    def _run_one(self, name: str, *, full_refresh: bool) -> dict:
+        m = self.models[name]
+        cfg = m.config
+        if cfg.materialized == "view":
+            sql = self.render(name, is_incremental=False)
+            self._query(sql)  # validate before persisting
+            self.catalog.create_view(name, sql, replace=True)
+            return {"materialized": "view"}
+        exists = self.catalog.table_exists(name)
+        if cfg.materialized == "table" or not exists or full_refresh:
+            df = self._query(self.render(name, is_incremental=False))
+            self.catalog.create_table(
+                name, df,
+                partition_by=cfg.partition_by,
+                properties=cfg.tblproperties,
+                mode="replace" if (exists or full_refresh) else "error",
+            )
+            return {
+                "materialized": cfg.materialized,
+                "rows": self.catalog.row_count(name),
+                "full_refresh": exists or full_refresh,
+            }
+        # incremental on an existing table
+        df = self._query(self.render(name, is_incremental=True))
+        if cfg.incremental_strategy == "merge":
+            out = self.catalog.merge_into(
+                name, df, cfg.unique_key,
+                when_matched="update_all", insert_not_matched=True,
+            )
+            return {"materialized": "incremental", "strategy": "merge",
+                    **{k: v for k, v in out.items()
+                       if isinstance(v, (int, str))}}
+        before = self.catalog.row_count(name)
+        self.catalog.append(name, df)
+        return {
+            "materialized": "incremental", "strategy": "append",
+            "rows_appended": self.catalog.row_count(name) - before,
+        }
+
+    # -- schema tests --------------------------------------------------------
+
+    def test(self, spec: dict[str, dict[str, list]]) -> dict[str, int]:
+        """dbt test: ``{model: {column: [test, ...]}}`` where a test is
+        ``"unique"`` | ``"not_null"`` |
+        ``{"accepted_values": [...]}`` |
+        ``{"relationships": {"to": model_or_table, "field": col}}``.
+        Returns ``{"model.column.test": violation_count}`` — all zeros
+        is a pass, matching the reference's schema.yml data_tests."""
+        from data_lakehouse_spark.operators import quality
+
+        def read_any(n: str) -> DataFrame:
+            if self.catalog.table_exists(n):
+                return self.catalog.read(n)
+            return self.catalog.read_view(n)
+
+        results: dict[str, int] = {}
+        for model, cols in spec.items():
+            df = read_any(model)
+            for col, tests in cols.items():
+                for t in tests:
+                    if t == "unique":
+                        results[f"{model}.{col}.unique"] = (
+                            quality.check_unique(df, col)
+                        )
+                    elif t == "not_null":
+                        results[f"{model}.{col}.not_null"] = (
+                            quality.check_not_null(df, col)
+                        )
+                    elif isinstance(t, dict) and "accepted_values" in t:
+                        results[f"{model}.{col}.accepted_values"] = (
+                            quality.check_accepted_values(
+                                df, col, t["accepted_values"]
+                            )
+                        )
+                    elif isinstance(t, dict) and "relationships" in t:
+                        rel = t["relationships"]
+                        results[f"{model}.{col}.relationships"] = (
+                            quality.check_relationships(
+                                df, col, read_any(rel["to"]), rel["field"]
+                            )
+                        )
+                    else:
+                        raise ModelError(
+                            f"unknown test {t!r} on {model}.{col}"
+                        )
+        return results

@@ -1,0 +1,198 @@
+"""dbt-style model runner (models.py): the reference's transform layer
+is 8 dbt models on a Thrift endpoint (dbt/models/**, SURVEY.md §3.2) —
+the runner executes that template surface (config/ref/source/this/
+is_incremental) directly against the versioned catalog."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_lakehouse_spark.catalog import Catalog
+from data_lakehouse_spark.models import ModelError, ModelRunner, parse_model
+
+
+SILVER = """
+{{
+    config(
+        materialized='incremental',
+        incremental_strategy='append',
+        unique_key='event_id'
+    )
+}}
+SELECT *
+FROM {{ source('bronze', 'raw_events') }}
+{% if is_incremental() %}
+WHERE ingested_at > (SELECT MAX(ingested_at) FROM {{ this }})
+{% endif %}
+"""
+
+GOLD = """
+{{ config(materialized='table', partition_by=['kind']) }}
+SELECT kind, COUNT(*) AS n, SUM(amount) AS total
+FROM {{ ref('silver_clean') }}
+GROUP BY kind
+"""
+
+VIEW = """
+{{ config(materialized='view') }}
+SELECT kind FROM {{ ref('gold_by_kind') }} WHERE n > 1
+"""
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "wh"))
+
+
+def _bronze(spark, cat, rows):
+    df = spark.createDataFrame(
+        rows, "event_id int, kind string, amount double, ingested_at int"
+    )
+    if cat.table_exists("raw_events"):
+        cat.append("raw_events", df)
+    else:
+        cat.create_table("raw_events", df)
+
+
+def test_parse_model_extracts_config_and_deps():
+    m = parse_model("silver_clean", SILVER)
+    assert m.config.materialized == "incremental"
+    assert m.config.unique_key == ["event_id"]
+    assert m.sources == [("bronze", "raw_events")]
+    g = parse_model("gold_by_kind", GOLD)
+    assert g.deps == ["silver_clean"]
+    assert g.config.partition_by == ["kind"]
+
+
+def test_parse_rejects_unknown_constructs():
+    with pytest.raises(ModelError, match="unsupported template"):
+        parse_model("m", "SELECT {{ dbt_utils.star(ref('x')) }} FROM y")
+    with pytest.raises(ModelError, match="unknown config key"):
+        parse_model("m", "{{ config(sort='x') }} SELECT 1")
+    with pytest.raises(ModelError, match="unique_key"):
+        parse_model(
+            "m",
+            "{{ config(materialized='incremental', "
+            "incremental_strategy='merge') }} SELECT 1",
+        )
+
+
+def test_dag_run_and_incremental_append(spark, cat):
+    _bronze(spark, cat, [(1, "a", 10.0, 1), (2, "b", 5.0, 1)])
+    r = ModelRunner(cat, sources={("bronze", "raw_events"): "raw_events"})
+    r.add_model("silver_clean", SILVER)
+    r.add_model("gold_by_kind", GOLD)
+    r.add_model("kinds_hot", VIEW)
+    stats = r.run()
+    # DAG order: silver before gold before view
+    assert list(stats) == ["silver_clean", "gold_by_kind", "kinds_hot"]
+    assert stats["silver_clean"]["full_refresh"] is False
+    assert cat.row_count("silver_clean") == 2
+
+    # new bronze batch; incremental run only appends the new span
+    _bronze(spark, cat, [(3, "a", 1.0, 2), (4, "a", 2.0, 2)])
+    stats2 = r.run()
+    assert stats2["silver_clean"]["rows_appended"] == 2
+    assert cat.row_count("silver_clean") == 4
+    gold = {
+        row.kind: (row.n, row.total)
+        for row in cat.read("gold_by_kind").collect()
+    }
+    assert gold["a"] == (3, 13.0)
+    hot = {row.kind for row in cat.read_view("kinds_hot").collect()}
+    assert hot == {"a"}
+
+    # incremental equals a full recompute of the same inputs
+    full = ModelRunner(cat, sources={("bronze", "raw_events"): "raw_events"})
+    full.add_model("silver_clean", SILVER)
+    full.run(full_refresh=True)
+    assert cat.row_count("silver_clean") == 4
+
+
+def test_incremental_merge_strategy(spark, cat):
+    _bronze(spark, cat, [(1, "a", 10.0, 1), (2, "b", 5.0, 1)])
+    merge_model = """
+{{ config(materialized='incremental', incremental_strategy='merge',
+          unique_key='event_id') }}
+SELECT event_id, kind, amount FROM {{ source('bronze', 'raw_events') }}
+{% if is_incremental() %}
+WHERE ingested_at >= 2
+{% endif %}
+"""
+    r = ModelRunner(cat)
+    r.add_model("events_latest", merge_model)
+    r.run()
+    assert cat.row_count("events_latest") == 2
+    # second batch UPDATES event 2 and inserts event 5
+    _bronze(spark, cat, [(2, "b", 99.0, 2), (5, "c", 7.0, 2)])
+    out = r.run()
+    assert out["events_latest"]["strategy"] == "merge"
+    rows = {
+        row.event_id: row.amount for row in cat.read("events_latest").collect()
+    }
+    assert rows == {1: 10.0, 2: 99.0, 5: 7.0}
+
+
+def test_cycle_detection(cat):
+    r = ModelRunner(cat)
+    r.add_model("a", "SELECT * FROM {{ ref('b') }}")
+    r.add_model("b", "SELECT * FROM {{ ref('a') }}")
+    with pytest.raises(ModelError, match="cycle"):
+        r.run()
+
+
+def test_select_subset_pulls_ancestors(spark, cat):
+    _bronze(spark, cat, [(1, "a", 10.0, 1)])
+    r = ModelRunner(cat)
+    r.add_model("silver_clean", SILVER)
+    r.add_model("gold_by_kind", GOLD)
+    stats = r.run(["gold_by_kind"])  # silver is built first, implicitly
+    assert list(stats) == ["silver_clean", "gold_by_kind"]
+
+
+def test_models_dir_loading(tmp_path, spark, cat):
+    d = tmp_path / "models"
+    (d / "gold").mkdir(parents=True)
+    (d / "silver_clean.sql").write_text(SILVER)
+    (d / "gold" / "gold_by_kind.sql").write_text(GOLD)
+    _bronze(spark, cat, [(1, "a", 2.0, 1)])
+    r = ModelRunner(cat)
+    assert sorted(r.add_models_dir(str(d))) == [
+        "gold_by_kind", "silver_clean"
+    ]
+    r.run()
+    assert cat.read("gold_by_kind").collect()[0].n == 1
+
+
+def test_schema_tests(spark, cat):
+    _bronze(spark, cat, [(1, "a", 10.0, 1), (1, None, -5.0, 1)])
+    r = ModelRunner(cat)
+    results = r.test(
+        {
+            "raw_events": {
+                "event_id": ["unique", "not_null"],
+                "kind": [
+                    "not_null",
+                    {"accepted_values": ["a", "b"]},
+                ],
+            }
+        }
+    )
+    assert results["raw_events.event_id.unique"] == 1
+    assert results["raw_events.event_id.not_null"] == 0
+    assert results["raw_events.kind.not_null"] == 1
+    assert results["raw_events.kind.accepted_values"] == 0  # NULL ignored
+
+
+def test_relationships_test(spark, cat):
+    cat.create_table(
+        "dim", spark.createDataFrame([(1,), (2,)], "id int")
+    )
+    cat.create_table(
+        "fact", spark.createDataFrame([(1,), (9,), (None,)], "dim_id int")
+    )
+    r = ModelRunner(cat)
+    results = r.test(
+        {"fact": {"dim_id": [{"relationships": {"to": "dim", "field": "id"}}]}}
+    )
+    assert results["fact.dim_id.relationships"] == 1  # 9 dangles, NULL ok
