@@ -70,6 +70,21 @@ def cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_models(args: argparse.Namespace) -> int:
+    """The ``dbt run`` analog: load a models directory and materialize
+    in dependency order (SURVEY.md §3.2 — the reference's transform
+    layer is 8 dbt models on a Thrift endpoint)."""
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.models import ModelRunner
+
+    spark = _spark("models")
+    runner = ModelRunner(Catalog(spark, args.warehouse))
+    runner.add_models_dir(args.models_dir)
+    stats = runner.run(args.select, full_refresh=args.full_refresh)
+    print(json.dumps(stats, default=str))
+    return 0
+
+
 def cmd_export(args: argparse.Namespace) -> int:
     """Export a catalog table as an open-format table (Iceberg v2 or
     Delta Lake) readable by external engines."""
@@ -289,6 +304,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8099)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser(
+        "models",
+        help="dbt-style model run: materialize a directory of .sql "
+        "models (config/ref/source/is_incremental) into the catalog",
+    )
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--dir", required=True, dest="models_dir")
+    p.add_argument("--select", nargs="*", default=None,
+                   help="models to build (ancestors are pulled in)")
+    p.add_argument("--full-refresh", action="store_true")
+    p.set_defaults(fn=cmd_models)
 
     p = sub.add_parser("query", help="run a __spark_entry__ query by name")
     p.add_argument("--name", required=True)

@@ -182,3 +182,32 @@ def test_cli_export_import_roundtrip(spark, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(out["snapshots"]) == 2
+
+
+def test_cli_models_and_sql_dml(spark, tmp_path, capsys):
+    """models verb (the dbt-run analog) + DML through the sql verb."""
+    wh = str(tmp_path / "whm")
+    md = tmp_path / "models"
+    md.mkdir()
+    (md / "base_nums.sql").write_text(
+        "{{ config(materialized='table') }}\n"
+        "SELECT * FROM VALUES (1, 'a'), (2, 'b'), (3, 'a') AS v(n, k)"
+    )
+    (md / "k_counts.sql").write_text(
+        "{{ config(materialized='table') }}\n"
+        "SELECT k, COUNT(*) AS c FROM {{ ref('base_nums') }} GROUP BY k"
+    )
+    rc = main(["models", "--warehouse", wh, "--dir", str(md)])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert list(stats) == ["base_nums", "k_counts"]
+
+    rc = main([
+        "sql", "--warehouse", wh,
+        "-e", "DELETE FROM base_nums WHERE n = 3; "
+              "SELECT COUNT(*) AS c FROM base_nums",
+    ])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(lines[-1]) == {"c": 2}
+    assert json.loads(lines[-2])["op"] == "delete"
