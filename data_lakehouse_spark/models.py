@@ -64,9 +64,13 @@ class ModelConfig:
     unique_key: list[str] | None = None
     tblproperties: dict[str, str] | None = None
 
+    updated_at: str | None = None
+    check_cols: list[str] | None = None
+
     KNOWN = (
         "materialized", "partition_by", "incremental_strategy",
         "unique_key", "tblproperties", "file_format", "schema", "alias",
+        "updated_at", "check_cols", "strategy",
     )
 
 
@@ -96,18 +100,21 @@ def parse_model(name: str, raw_sql: str) -> Model:
             if k not in ModelConfig.KNOWN:
                 raise ModelError(f"model {name}: unknown config key {k!r}")
         mat = kwargs.get("materialized", "view")
-        if mat not in ("table", "view", "incremental"):
+        if mat not in ("table", "view", "incremental", "snapshot"):
             raise ModelError(
                 f"model {name}: unsupported materialized={mat!r}"
             )
         pb = kwargs.get("partition_by")
         uk = kwargs.get("unique_key")
+        cc = kwargs.get("check_cols")
         cfg = ModelConfig(
             materialized=mat,
             partition_by=[pb] if isinstance(pb, str) else pb,
             incremental_strategy=kwargs.get("incremental_strategy", "append"),
             unique_key=[uk] if isinstance(uk, str) else uk,
             tblproperties=kwargs.get("tblproperties"),
+            updated_at=kwargs.get("updated_at"),
+            check_cols=[cc] if isinstance(cc, str) else cc,
         )
         if cfg.incremental_strategy not in ("append", "merge"):
             raise ModelError(
@@ -117,6 +124,10 @@ def parse_model(name: str, raw_sql: str) -> Model:
         if cfg.incremental_strategy == "merge" and not cfg.unique_key:
             raise ModelError(
                 f"model {name}: merge strategy requires unique_key"
+            )
+        if mat == "snapshot" and not (cfg.unique_key and cfg.updated_at):
+            raise ModelError(
+                f"model {name}: snapshot requires unique_key and updated_at"
             )
     deps = _REF.findall(raw_sql)
     sources = _SOURCE.findall(raw_sql)
@@ -263,6 +274,8 @@ class ModelRunner:
             self._query(sql)  # validate before persisting
             self.catalog.create_view(name, sql, replace=True)
             return {"materialized": "view"}
+        if cfg.materialized == "snapshot":
+            return self._run_snapshot(name, cfg)
         exists = self.catalog.table_exists(name)
         if cfg.materialized == "table" or not exists or full_refresh:
             df = self._query(self.render(name, is_incremental=False))
@@ -292,6 +305,67 @@ class ModelRunner:
         return {
             "materialized": "incremental", "strategy": "append",
             "rows_appended": self.catalog.row_count(name) - before,
+        }
+
+    def _run_snapshot(self, name: str, cfg: ModelConfig) -> dict:
+        """dbt snapshot (Kimball SCD2): the rendered query is the
+        CURRENT state of the entity; each run closes changed keys'
+        validity intervals and opens new current rows
+        (:func:`~data_lakehouse_spark.plans.incremental.scd2_merge`).
+        Re-running an unchanged source is a no-op (idempotent)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from data_lakehouse_spark.plans.incremental import scd2_merge
+
+        updates = self._query(self.render(name, is_incremental=False))
+        keys = cfg.unique_key
+        ts_col = cfg.updated_at
+        missing = {*keys, ts_col} - set(updates.columns)
+        if missing:
+            raise ModelError(
+                f"snapshot {name}: query lacks columns {sorted(missing)}"
+            )
+        tracked = cfg.check_cols or [
+            c for c in updates.columns if c not in (*keys, ts_col)
+        ]
+        if not tracked:
+            raise ModelError(
+                f"snapshot {name}: no tracked columns besides keys"
+            )
+        if self.catalog.table_exists(name):
+            dim = self.catalog.read(name)
+        else:
+            ts_type = updates.schema[ts_col].dataType
+            # the dimension persists keys + tracked + validity columns
+            # (scd2_merge's contract); untracked attributes are not
+            # stored — list them in check_cols to version them
+            dim_schema = T.StructType(
+                [updates.schema[c] for c in (*keys, *tracked)]
+                + [
+                    T.StructField("valid_from", ts_type),
+                    T.StructField("valid_to", ts_type),
+                    T.StructField("is_current", T.BooleanType()),
+                ]
+            )
+            dim = self.catalog.spark.createDataFrame([], dim_schema)
+        new_dim = scd2_merge(
+            dim, updates, keys=keys, tracked=tracked, ts_col=ts_col
+        )
+        if self.catalog.table_exists(name):
+            self.catalog.overwrite(name, new_dim)
+        else:
+            self.catalog.create_table(
+                name, new_dim, partition_by=cfg.partition_by,
+                properties=cfg.tblproperties,
+            )
+        n_current = (
+            self.catalog.read(name).filter(F.col("is_current")).count()
+        )
+        return {
+            "materialized": "snapshot",
+            "rows": self.catalog.row_count(name),
+            "current_rows": n_current,
         }
 
     # -- schema tests --------------------------------------------------------

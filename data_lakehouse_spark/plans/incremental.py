@@ -183,7 +183,9 @@ def scd2_merge(
         *keys,
         *tracked,
         F.col(ts_col).alias(valid_from),
-        F.lit(None).cast("timestamp").alias(valid_to),
+        # open-ended validity typed like the event time itself (the
+        # dimension may be versioned by timestamp, date, or epoch int)
+        F.lit(None).cast(updates.schema[ts_col].dataType).alias(valid_to),
         F.lit(True).alias(current_flag),
     )
     return (

@@ -474,29 +474,72 @@ class LakehouseSql:
 
     def _insert(self, stmt: str) -> dict:
         m = re.match(
-            rf"\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})\s+"
+            rf"\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})\s*"
+            rf"(?:\(([^)]*)\)\s*)?"
             rf"(SELECT|WITH|TABLE|VALUES)\b(.*)$",
             mask_strings(stmt),
             re.I | re.S,
         )
         if not m:
             raise SqlError(
-                "expected: INSERT INTO|OVERWRITE <name> <select|VALUES ...>"
+                "expected: INSERT INTO|OVERWRITE <name> [(cols)] "
+                "<select|VALUES ...>"
             )
         verb, name = m.group(1).upper(), m.group(2)
-        body = stmt[m.start(3) :].strip()
-        if m.group(3).upper() == "VALUES":
-            # positional: rename VALUES' colN to the table's schema
+        col_list = (
+            [c.strip() for c in m.group(3).split(",") if c.strip()]
+            if m.group(3) else None
+        )
+        body = stmt[m.start(4) :].strip()
+        tschema = self.catalog.read(name).schema
+        tcols = [f.name for f in tschema]
+        if m.group(4).upper() == "VALUES":
             df = self._query(f"SELECT * FROM ({body})")
-            tcols = self.catalog.read(name).columns
-            if len(df.columns) != len(tcols):
+            want = col_list or tcols
+            if len(df.columns) != len(want):
                 raise SqlError(
                     f"INSERT VALUES arity {len(df.columns)} != "
-                    f"table arity {len(tcols)}"
+                    f"target arity {len(want)}"
                 )
-            df = df.toDF(*tcols)
+            df = df.toDF(*want)  # positional within the named list
         else:
             df = self._query(body)
+            want = col_list or tcols
+            if len(df.columns) != len(want):
+                raise SqlError(
+                    f"INSERT target arity {len(want)} != "
+                    f"select arity {len(df.columns)}"
+                )
+            df = df.toDF(*want)  # SQL INSERT maps positionally
+        from pyspark.sql import functions as _F
+
+        if col_list:
+            unknown = set(col_list) - set(tcols)
+            if unknown:
+                raise SqlError(
+                    f"INSERT columns {sorted(unknown)} not in {name}"
+                )
+            # unlisted columns fill with typed NULLs (SQL semantics)
+            df = df.select(
+                *[
+                    df[c] if c in col_list
+                    else _F.lit(None).alias(c)
+                    for c in tcols
+                ]
+            )
+        # ANSI store assignment: incoming values cast to the target
+        # column types (a DECIMAL literal inserted into a DOUBLE column
+        # must not ride in as decimal and mutate the table schema)
+        if len(df.columns) != len(tcols):
+            raise SqlError(
+                f"INSERT arity {len(df.columns)} != table arity {len(tcols)}"
+            )
+        df = df.select(
+            *[
+                df[c].cast(tschema[c].dataType).alias(c)
+                for c in tcols
+            ]
+        )
         if verb == "OVERWRITE":
             self.catalog.overwrite(name, df)
             return {"op": "insert_overwrite", "name": name,

@@ -196,3 +196,54 @@ def test_relationships_test(spark, cat):
         {"fact": {"dim_id": [{"relationships": {"to": "dim", "field": "id"}}]}}
     )
     assert results["fact.dim_id.relationships"] == 1  # 9 dangles, NULL ok
+
+
+def test_snapshot_materialization_scd2(spark, cat):
+    """materialized='snapshot' — the dbt snapshot / Kimball SCD2 tier:
+    changed keys close their validity interval, unchanged re-runs are
+    no-ops."""
+    src = spark.createDataFrame(
+        [(1, "alice", "basic", 100), (2, "bob", "pro", 100)],
+        "cust_id int, name string, plan string, at int",
+    )
+    if cat.table_exists("customers_src"):
+        cat.overwrite("customers_src", src)
+    else:
+        cat.create_table("customers_src", src)
+    snap = """
+{{ config(materialized='snapshot', unique_key='cust_id',
+          updated_at='at', check_cols=['plan']) }}
+SELECT cust_id, name, plan, at FROM {{ source('crm', 'customers_src') }}
+"""
+    r = ModelRunner(cat)
+    r.add_model("customers_snap", snap)
+    out1 = r.run()["customers_snap"]
+    assert out1 == {"materialized": "snapshot", "rows": 2, "current_rows": 2}
+
+    # idempotent: unchanged source re-run adds nothing
+    out2 = r.run()["customers_snap"]
+    assert out2["rows"] == 2 and out2["current_rows"] == 2
+
+    # bob upgrades plan at t=200 -> old row closes, new current opens
+    cat.overwrite(
+        "customers_src",
+        spark.createDataFrame(
+            [(1, "alice", "basic", 200), (2, "bob", "enterprise", 200)],
+            "cust_id int, name string, plan string, at int",
+        ),
+    )
+    out3 = r.run()["customers_snap"]
+    assert out3["rows"] == 3 and out3["current_rows"] == 2
+    rows = cat.read("customers_snap").collect()
+    bob = sorted(
+        [(row.plan, row.is_current, row.valid_to) for row in rows
+         if row.cust_id == 2]
+    )
+    assert bob == [("enterprise", True, None), ("pro", False, 200)]
+
+
+def test_snapshot_config_validation():
+    with pytest.raises(ModelError, match="unique_key and updated_at"):
+        parse_model(
+            "s", "{{ config(materialized='snapshot', unique_key='k') }} SELECT 1"
+        )

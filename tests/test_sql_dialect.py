@@ -385,3 +385,22 @@ def test_merge_qualified_assignment_rewrite(cat, spark):
     )
     row = {r.id: r for r in cat.read("accounts").collect()}[1]
     assert row.balance == 93.0 and row.name == "alice_x"
+
+
+def test_insert_column_list(cat, spark):
+    _seed(cat, spark)
+    stats = execute_sql(cat, "INSERT INTO accounts (id, name) VALUES (8, 'hana')")
+    assert stats["rows_inserted"] == 1
+    row = {r.id: r for r in cat.read("accounts").collect()}[8]
+    assert row.name == "hana" and row.balance is None
+    execute_sql(
+        cat,
+        "INSERT INTO accounts (balance, id) "
+        "SELECT 5.0 AS b, 9 AS i",
+    )
+    row = {r.id: r for r in cat.read("accounts").collect()}[9]
+    assert row.balance == 5.0 and row.name is None
+    with pytest.raises(SqlError, match="not in accounts"):
+        execute_sql(cat, "INSERT INTO accounts (nope) VALUES (1)")
+    with pytest.raises(SqlError, match="arity"):
+        execute_sql(cat, "INSERT INTO accounts (id, name) VALUES (1)")
