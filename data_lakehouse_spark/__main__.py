@@ -79,9 +79,14 @@ def cmd_models(args: argparse.Namespace) -> int:
 
     spark = _spark("models")
     runner = ModelRunner(Catalog(spark, args.warehouse))
+    out: dict = {}
+    if args.seed_dir:
+        out["seeds"] = runner.seed(
+            args.seed_dir, full_refresh=args.full_refresh
+        )
     runner.add_models_dir(args.models_dir)
-    stats = runner.run(args.select, full_refresh=args.full_refresh)
-    print(json.dumps(stats, default=str))
+    out["models"] = runner.run(args.select, full_refresh=args.full_refresh)
+    print(json.dumps(out, default=str))
     return 0
 
 
@@ -314,6 +319,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dir", required=True, dest="models_dir")
     p.add_argument("--select", nargs="*", default=None,
                    help="models to build (ancestors are pulled in)")
+    p.add_argument("--seed-dir", default=None,
+                   help="load *.csv seeds before running models")
     p.add_argument("--full-refresh", action="store_true")
     p.set_defaults(fn=cmd_models)
 

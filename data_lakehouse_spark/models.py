@@ -188,6 +188,38 @@ class ModelRunner:
                 loaded.append(name)
         return loaded
 
+    def seed(self, path: str, *, full_refresh: bool = False) -> dict[str, dict]:
+        """dbt seed: load every ``*.csv`` under ``path`` as a catalog
+        table named by file stem (header row, inferred types — seeds
+        are small lookup data by contract, so the inference pass is
+        cheap). Existing seed tables are replaced only with
+        ``full_refresh=True`` (dbt's ``--full-refresh`` flag)."""
+        from data_lakehouse_spark.sources.readers import read_csv
+
+        stats: dict[str, dict] = {}
+        for dp, _, fs in sorted(os.walk(path)):
+            for fname in sorted(fs):
+                if not fname.endswith(".csv"):
+                    continue
+                name = fname[:-4]
+                exists = self.catalog.table_exists(name)
+                if exists and not full_refresh:
+                    stats[name] = {"seeded": False, "skipped": "exists"}
+                    continue
+                df = read_csv(
+                    self.catalog.spark, os.path.join(dp, fname)
+                )
+                self.catalog.create_table(
+                    name, df, mode="replace" if exists else "error"
+                )
+                stats[name] = {
+                    "seeded": True,
+                    "rows": self.catalog.row_count(name),
+                }
+        if not stats:
+            raise ModelError(f"no .csv seeds under {path}")
+        return stats
+
     # -- rendering ----------------------------------------------------------
 
     def _resolve_source(self, schema: str, table: str) -> str:

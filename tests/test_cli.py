@@ -199,8 +199,8 @@ def test_cli_models_and_sql_dml(spark, tmp_path, capsys):
     )
     rc = main(["models", "--warehouse", wh, "--dir", str(md)])
     assert rc == 0
-    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert list(stats) == ["base_nums", "k_counts"]
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert list(out["models"]) == ["base_nums", "k_counts"]
 
     rc = main([
         "sql", "--warehouse", wh,

@@ -247,3 +247,29 @@ def test_snapshot_config_validation():
         parse_model(
             "s", "{{ config(materialized='snapshot', unique_key='k') }} SELECT 1"
         )
+
+
+def test_seed_csv_loading(tmp_path, spark, cat):
+    """dbt seed parity: CSVs become catalog tables, replace only on
+    full_refresh, and models can ref them (via source fallback)."""
+    d = tmp_path / "seeds"
+    d.mkdir()
+    (d / "country_codes.csv").write_text("code,name\nus,United States\nde,Germany\n")
+    r = ModelRunner(cat)
+    out = r.seed(str(d))
+    assert out["country_codes"] == {"seeded": True, "rows": 2}
+    # second seed run without full_refresh is a no-op
+    (d / "country_codes.csv").write_text("code,name\nfr,France\n")
+    assert r.seed(str(d))["country_codes"]["skipped"] == "exists"
+    assert cat.row_count("country_codes") == 2
+    assert r.seed(str(d), full_refresh=True)["country_codes"]["rows"] == 1
+    # a model can join against the seed
+    r.add_model(
+        "country_upper",
+        "{{ config(materialized='table') }} "
+        "SELECT upper(code) AS code FROM {{ source('seeds', 'country_codes') }}",
+    )
+    r.run(["country_upper"])
+    assert [row.code for row in cat.read("country_upper").collect()] == ["FR"]
+    with pytest.raises(ModelError, match="no .csv seeds"):
+        r.seed(str(tmp_path / "empty_nothing"))
