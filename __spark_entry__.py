@@ -1464,23 +1464,16 @@ def q_training_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ensure_conf(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    anchors = emb.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("_a_id"), F.col("embedding").alias("_a_emb")
-    )
-    from data_lakehouse_spark.functions.vectors import cosine_similarity
-
-    sim = cosine_similarity(F.col("embedding"), F.col("_a_emb"))
-    scored = (
-        emb.join(F.broadcast(anchors), F.col("vec_id") != F.col("_a_id"))
-        .select(
-            F.col("_a_id").cast("bigint").alias("anchor_id"),
-            F.col("vec_id").cast("bigint").alias("neg_id"),
-            sim.alias("_sim"),
-        )
-        .filter(F.col("_sim").isNotNull() & (F.col("_sim") < 0.95))
+    anchors = emb.filter(F.col("vec_id") < 16)
+    # GEMM anchor scorer with per-batch top-5 pre-reduction: the
+    # ranking window sorts batches×5×16 rows instead of n×16
+    # (similarity.cosine_vs_anchors; same float64 dot arithmetic as the
+    # oracle-verified cosine_pairs broadcast kernel)
+    scored = similarity.cosine_vs_anchors(
+        emb, anchors, k=5, ceiling=0.95
     )
     w = Window.partitionBy("anchor_id").orderBy(
-        F.desc("_sim"), F.asc("neg_id")
+        F.desc("cosine_sim"), F.asc("neg_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -1489,7 +1482,7 @@ def q_training_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anchor_id",
             "neg_id",
             "rank",
-            round_half_up(F.col("_sim"), 6).alias("cosine_sim"),
+            round_half_up(F.col("cosine_sim"), 6).alias("cosine_sim"),
         )
         .orderBy("anchor_id", "rank")
     )

@@ -192,6 +192,103 @@ def _pairs_broadcast(
     )
 
 
+def cosine_vs_anchors(
+    df: DataFrame,
+    anchors: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int | None = None,
+    ceiling: float | None = None,
+    exclude_self: bool = True,
+    max_anchor_rows: int = 10_000,
+) -> DataFrame:
+    """Score every row of ``df`` against a SMALL fixed anchor set (hard-
+    negative mining, probe queries): one float64 GEMM per Arrow batch
+    against the broadcast anchor matrix — the same kernel/arithmetic as
+    :func:`cosine_pairs`'s broadcast path, so results are oracle-
+    identical to the JVM higher-order cosine, ~10× cheaper than the
+    per-pair expression for multi-anchor scoring.
+
+    ``k`` keeps only the per-batch top-k PER ANCHOR by
+    (sim desc, id asc) — a safe pre-reduction (the global top-k under a
+    total order is contained in the union of batch-local top-k), so the
+    downstream per-anchor ranking window sorts batches×k×anchors rows,
+    not n×anchors. ``ceiling`` drops near-duplicates (sim >= ceiling)
+    before the top-k. Returns (anchor_id, neg_id, cosine_sim).
+
+    Scale: anchors must be genuinely small (fail-fast over
+    ``max_anchor_rows``); the scan side streams — nothing else is
+    driver- or executor-resident."""
+    import numpy as np
+    import pandas as pd
+
+    n_anchors = anchors.count()
+    if n_anchors > max_anchor_rows:
+        raise ValueError(
+            f"cosine_vs_anchors: {n_anchors} anchors exceeds "
+            f"max_anchor_rows={max_anchor_rows} — this kernel broadcasts "
+            "the anchor matrix; use cosine_pairs_blocked for big×big"
+        )
+    side = anchors.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("v")
+    ).collect()
+    a_ids = np.array([r["id"] for r in side], dtype=np.int64)
+    a_mat = np.array([list(r["v"]) for r in side], dtype=np.float64)
+    a_norm = np.linalg.norm(a_mat, axis=1)
+    a_norm[a_norm == 0] = np.nan
+    bc = df.sparkSession.sparkContext.broadcast((a_ids, a_mat, a_norm))
+    ceil_v = None if ceiling is None else float(ceiling)
+    topk = None if k is None else int(k)
+
+    def gen(batches):
+        ids_a, mat_a, norm_a = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            r_ids = pdf["id"].to_numpy(dtype=np.int64)
+            r_mat = np.array([list(v) for v in pdf["v"]], dtype=np.float64)
+            r_norm = np.linalg.norm(r_mat, axis=1)
+            r_norm[r_norm == 0] = np.nan
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = (r_mat @ mat_a.T) / (
+                    r_norm[:, None] * norm_a[None, :]
+                )  # rows × anchors
+            mask = ~np.isnan(sims)
+            if ceil_v is not None:
+                mask &= sims < ceil_v
+            if exclude_self:
+                mask &= r_ids[:, None] != ids_a[None, :]
+            out_a, out_r, out_s = [], [], []
+            for j in range(len(ids_a)):
+                rows = np.nonzero(mask[:, j])[0]
+                if rows.size == 0:
+                    continue
+                if topk is not None and rows.size > topk:
+                    # total order (sim desc, id asc) — identical to the
+                    # final ranking, so batch-local winners suffice
+                    order = np.lexsort((r_ids[rows], -sims[rows, j]))
+                    rows = rows[order[:topk]]
+                out_a.append(np.full(rows.size, ids_a[j], dtype=np.int64))
+                out_r.append(r_ids[rows])
+                out_s.append(sims[rows, j])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "anchor_id": np.concatenate(out_a),
+                        "neg_id": np.concatenate(out_r),
+                        "cosine_sim": np.concatenate(out_s),
+                    }
+                )
+
+    src = df.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("v")
+    )
+    return src.mapInPandas(
+        gen, "anchor_id bigint, neg_id bigint, cosine_sim double"
+    )
+
+
 def cosine_pairs_blocked(
     df: DataFrame,
     *,

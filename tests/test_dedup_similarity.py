@@ -458,3 +458,68 @@ def test_ann_recall_floors_panel(spark, sf_dir, tmp_path):
             cat, "kivf", qv, k=10, nprobe=4
         )
     ) >= 0.70
+
+
+def test_cosine_vs_anchors_matches_jvm_expression(spark):
+    """The GEMM anchor scorer must agree with the JVM higher-order
+    cosine at 6 decimals (the engine's cross-kernel contract), honor
+    the ceiling + self-exclusion, and its per-batch top-k pre-reduction
+    must contain the true global top-k."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_spark.functions.vectors import cosine_similarity
+    from data_lakehouse_spark.operators.similarity import cosine_vs_anchors
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    anchors = emb.filter(F.col("vec_id") < 4)
+
+    got = {
+        (r.anchor_id, r.neg_id): round(r.cosine_sim, 6)
+        for r in cosine_vs_anchors(
+            emb, anchors, ceiling=0.95
+        ).collect()
+    }
+    a = anchors.select(
+        F.col("vec_id").alias("_a"), F.col("embedding").alias("_av")
+    )
+    sim = cosine_similarity(F.col("embedding"), F.col("_av"))
+    want = {
+        (r._a, r.vec_id): round(r.s, 6)
+        for r in emb.join(F.broadcast(a), F.col("vec_id") != F.col("_a"))
+        .select("_a", "vec_id", sim.alias("s"))
+        .filter(F.col("s").isNotNull() & (F.col("s") < 0.95))
+        .collect()
+    }
+    assert got == want
+
+    # top-k pre-reduction: global top-3 per anchor is preserved
+    reduced = cosine_vs_anchors(emb, anchors, k=3, ceiling=0.95)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neg_id")
+    )
+    top_reduced = {
+        (r.anchor_id, r.neg_id, r.rank)
+        for r in reduced.withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 3").collect()
+    }
+    full = cosine_vs_anchors(emb, anchors, ceiling=0.95)
+    top_full = {
+        (r.anchor_id, r.neg_id, r.rank)
+        for r in full.withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 3").collect()
+    }
+    assert top_reduced == top_full
+
+    # anchor-cap fail-fast
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_anchor_rows"):
+        cosine_vs_anchors(emb, emb, max_anchor_rows=10)
