@@ -983,6 +983,33 @@ def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL learned-vocabulary token counting: train a BPE merge table
+    distributedly on a bounded document subset (word-frequency table is
+    the only corpus-wide state; each merge round reduces over it —
+    operators/bpe.py), then tokenize every document against the
+    broadcast merges in one Arrow scan. Iterative trainer → rows-only
+    gate (no SQL oracle for a loop); the trainer and encoder are pinned
+    bit-for-bit against a pure-Python reference in tests/test_bpe.py."""
+    from data_lakehouse_spark.operators import bpe
+
+    _ensure_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe.train_bpe(
+        docs.filter(F.col("doc_id") < 200), num_merges=12
+    )
+    return (
+        bpe.bpe_encode(docs, merges)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_words",
+            F.round(F.col("tokens_per_word"), 6).alias("tokens_per_word"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints (k-gram md5 window minima,
     Schleimer et al. 2003) — position-robust near-dup fingerprint set."""
@@ -3109,6 +3136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "near_dup_pipeline": q_near_dup_pipeline,
         "near_dup_incremental": q_near_dup_incremental,
+        "corpus_bpe_token_stats": q_corpus_bpe_token_stats,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_kmeans_ivf_topk": q_ann_kmeans_ivf_topk,

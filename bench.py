@@ -48,6 +48,13 @@ BENCH_EXCLUDED = {
         "whose fixed ~10s overhead is startup cost, not query cost; "
         "the oracle gate verifies rows+provenance end-to-end"
     ),
+    "corpus_bpe_token_stats": (
+        "iterative TRAINING scenario (12 distributed merge rounds over "
+        "the word table before the one-scan encode) — timing measures "
+        "the trainer loop's fixed per-round job overhead at toy scale, "
+        "not query cost; tests/test_bpe.py pins trainer+encoder "
+        "bit-for-bit against a pure-Python reference"
+    ),
     "sql_dml_pipeline": (
         "multi-commit DML SCENARIO (CTAS + UPDATE + MOR DELETE + MERGE "
         "through the SQL front-end) — timing measures tmp-dir catalog "
