@@ -68,10 +68,6 @@ NESTED_LOOP_OK = {
         "pairwise sketch join over |segments| rows (one fixed-size "
         "sketch per segment) — |segments|^2 sketch ops, never row data"
     ),
-    "training_hard_negatives": (
-        "16 fixed anchors broadcast against one scan (non-equi "
-        "self-exclusion) — n x 16 dot products, bounded broadcast side"
-    ),
 }
 
 
