@@ -205,9 +205,11 @@ class LakehouseSql:
         return self._dispatch(stmts[0])
 
     def execute_script(self, sql: str) -> list[DataFrame | dict]:
-        """Run each ``;``-separated statement in order; queries in the
-        middle of a script are evaluated eagerly (collected row counts
-        only) so later statements see their side effects."""
+        """Run each ``;``-separated statement in order. DML/DDL execute
+        at their position; a SELECT's returned DataFrame is analyzed at
+        its position too — the snapshot file listing is pinned into the
+        resolved plan, so evaluating it after a later DML still returns
+        the statement-order-correct result."""
         return [self._dispatch(s) for s in split_statements(sql)]
 
     # -- dispatch -----------------------------------------------------------
@@ -363,22 +365,33 @@ class LakehouseSql:
         select = stmt[m.start(5) : m.end(5)].strip()
         partition_by: list[str] | None = None
         properties: dict[str, str] = {}
-        pm = re.search(r"PARTITIONED\s+BY\s*\(([^)]*)\)", middle, re.I)
+        # clause spans found on the MASK (so a quoted ')' inside a
+        # property value can't end a clause early), slices from the
+        # original text
+        middle_mask = mask_strings(middle)
+        pm = re.search(
+            r"PARTITIONED\s+BY\s*\(([^)]*)\)", middle_mask, re.I
+        )
         if pm:
-            partition_by = [c.strip() for c in pm.group(1).split(",") if c.strip()]
-        tm = re.search(r"TBLPROPERTIES\s*\((.*?)\)", middle, re.I | re.S)
+            cols = middle[pm.start(1) : pm.end(1)]
+            partition_by = [c.strip() for c in cols.split(",") if c.strip()]
+        tm = re.search(
+            r"TBLPROPERTIES\s*\((.*?)\)", middle_mask, re.I | re.S
+        )
         if tm:
-            for kv in _split_top_level(tm.group(1)):
+            for kv in _split_top_level(middle[tm.start(1) : tm.end(1)]):
                 km = re.match(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*$", kv)
                 if not km:
                     raise SqlError(f"bad TBLPROPERTIES entry: {kv!r}")
                 properties[km.group(1)] = km.group(2)
-        leftover = re.sub(
-            r"PARTITIONED\s+BY\s*\([^)]*\)|TBLPROPERTIES\s*\(.*?\)",
-            "",
-            middle,
-            flags=re.I | re.S,
-        ).strip()
+        leftover = middle_mask
+        for m_ in (pm, tm):
+            if m_ is not None:
+                leftover = (
+                    leftover[: m_.start()] + " " * (m_.end() - m_.start())
+                    + leftover[m_.end() :]
+                )
+        leftover = leftover.strip()
         if leftover:
             raise SqlError(
                 f"unsupported CREATE TABLE clause: {leftover[:60]!r} "

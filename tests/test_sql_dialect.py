@@ -404,3 +404,26 @@ def test_insert_column_list(cat, spark):
         execute_sql(cat, "INSERT INTO accounts (nope) VALUES (1)")
     with pytest.raises(SqlError, match="arity"):
         execute_sql(cat, "INSERT INTO accounts (id, name) VALUES (1)")
+
+
+def test_script_select_pins_statement_order_snapshot(cat, spark):
+    """A mid-script SELECT evaluated AFTER a later DML must still
+    return the statement-order-correct result — the snapshot file
+    listing is pinned into the resolved plan at its position."""
+    results = execute_sql_script(
+        cat,
+        "CREATE TABLE t2 AS SELECT 1 AS x; "
+        "SELECT COUNT(*) AS n FROM t2; "
+        "INSERT INTO t2 VALUES (2)",
+    )
+    assert cat.row_count("t2") == 2
+    assert results[1].collect()[0].n == 1  # pre-insert snapshot
+
+
+def test_ctas_tblproperties_with_quoted_paren(cat, spark):
+    execute_sql(
+        cat,
+        "CREATE TABLE pq TBLPROPERTIES ('note'='a) tricky (value') AS "
+        "SELECT 1 AS x",
+    )
+    assert cat.table_properties("pq").get("note") == "a) tricky (value"

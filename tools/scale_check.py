@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("small")
     ap.add_argument("big")
     ap.add_argument("--max-ratio", type=float, default=15.0)
+    ap.add_argument("--data-ratio", type=float, default=None,
+                    help="explicit rows ratio (scaled fixtures whose "
+                    "dir name carries no sfN.N)")
     ap.add_argument("--md", default=None)
     args = ap.parse_args()
 
@@ -52,12 +55,24 @@ def main() -> None:
         rows.append((ratio, q, sq[q], bq[q]))
     rows.sort(reverse=True)
 
-    data_ratio = big.get("sf", 0) / max(small.get("sf", 1), 1e-9)
+    if args.data_ratio is not None:
+        data_ratio = args.data_ratio
+        step = f"{data_ratio:.0f}× fixture"
+    else:
+        # a scaled /tmp fixture dir has no sfN.N in its name → sf=-1;
+        # require the explicit flag rather than printing a bogus ratio
+        if small.get("sf", -1) <= 0 or big.get("sf", -1) <= 0:
+            sys.exit(
+                "sf not derivable from bench json (scaled fixture?): "
+                "pass --data-ratio"
+            )
+        data_ratio = big["sf"] / small["sf"]
+        step = f"sf{small['sf']} → sf{big['sf']}"
     bad = [r for r in rows if r[0] > args.max_ratio]
     lines = [
         "# Scaling check",
         "",
-        f"Data ratio: sf{small.get('sf')} → sf{big.get('sf')} "
+        f"Data ratio: {step} "
         f"(**{data_ratio:.0f}×** rows). Time-ratio ceiling: "
         f"{args.max_ratio}× (linear + noise; a quadratic would show "
         f"~{data_ratio**2:.0f}×).",
