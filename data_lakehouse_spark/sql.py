@@ -238,6 +238,8 @@ class LakehouseSql:
             "VACUUM": self._vacuum,
             "CALL": self._call,
             "EXPLAIN": self._explain,
+            "RESTORE": self._restore,
+            "TRUNCATE": self._truncate,
         }.get(kw)
         if handler is None:
             raise SqlError(f"unsupported statement kind {kw}")
@@ -784,6 +786,57 @@ class LakehouseSql:
             m.group(1), where=m.group(2), zorder_by=zorder
         )
         return {"op": "optimize", "name": m.group(1), **stats}
+
+    def _restore(self, stmt: str) -> dict:
+        """Delta's ``RESTORE TABLE t TO VERSION AS OF n`` (timestamp
+        form resolves like a read's ``as_of``) → catalog rollback — a
+        new commit re-pointing at the old snapshot, history intact."""
+        m = re.match(
+            rf"\s*RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+"
+            rf"(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\d+|'[^']*')\s*$",
+            mask_strings(stmt), re.I,
+        )
+        if not m:
+            raise SqlError(
+                "expected: RESTORE TABLE <name> TO VERSION|TIMESTAMP "
+                "AS OF <v>"
+            )
+        name, kind = m.group(1), m.group(2).upper()
+        arg = stmt[m.start(3) : m.end(3)]
+        if kind == "VERSION":
+            if arg.startswith("'"):
+                raise SqlError("RESTORE ... VERSION AS OF takes a number")
+            version = int(arg)
+        else:
+            if not arg.startswith("'"):
+                raise SqlError("RESTORE ... TIMESTAMP AS OF takes a quoted "
+                               "timestamp")
+            # resolve the as-of snapshot, then roll back to its version
+            df_version = None
+            entries = self.catalog.snapshots(name).collect()
+            ts = arg[1:-1]
+            for e in sorted(entries, key=lambda r: r["version"]):
+                if (
+                    not e["expired"]
+                    and e["branch"] is None
+                    and e["committed_at"] <= ts
+                ):
+                    df_version = e["version"]
+            if df_version is None:
+                raise SqlError(f"no snapshot of {name} at or before {ts}")
+            version = df_version
+        self.catalog.rollback(name, version)
+        return {"op": "restore", "name": name, "version": version}
+
+    def _truncate(self, stmt: str) -> dict:
+        m = re.match(
+            rf"\s*TRUNCATE\s+TABLE\s+({_IDENT})\s*$", stmt, re.I
+        )
+        if not m:
+            raise SqlError("expected: TRUNCATE TABLE <name>")
+        name = m.group(1)
+        stats = self.catalog.delete_where(name, "true")
+        return {"op": "truncate", "name": name, **stats}
 
     def _vacuum(self, stmt: str) -> dict:
         m = re.match(

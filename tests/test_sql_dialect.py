@@ -427,3 +427,28 @@ def test_ctas_tblproperties_with_quoted_paren(cat, spark):
         "SELECT 1 AS x",
     )
     assert cat.table_properties("pq").get("note") == "a) tricky (value"
+
+
+def test_restore_and_truncate(cat, spark):
+    _seed(cat, spark)
+    execute_sql(cat, "INSERT INTO accounts VALUES (4, 'dave', 20.0)")
+    out = execute_sql(cat, "RESTORE TABLE accounts TO VERSION AS OF 0")
+    assert out == {"op": "restore", "name": "accounts", "version": 0}
+    assert cat.row_count("accounts") == 3
+    # timestamp form: far-future instant resolves to the latest
+    # main-lineage snapshot (the restore commit itself)
+    out = execute_sql(
+        cat,
+        "RESTORE TABLE accounts TO TIMESTAMP AS OF '9999-01-01 00:00:00'",
+    )
+    assert cat.row_count("accounts") == 3
+    tr = execute_sql(cat, "TRUNCATE TABLE accounts")
+    assert tr["op"] == "truncate"
+    assert cat.row_count("accounts") == 0
+    # truncation is a versioned commit: time travel still works
+    assert (
+        execute_sql(
+            cat, "SELECT COUNT(*) AS n FROM accounts VERSION AS OF 0"
+        ).collect()[0].n == 3
+    )
+    assert not is_query("RESTORE TABLE t TO VERSION AS OF 1")
