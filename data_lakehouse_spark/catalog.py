@@ -2447,17 +2447,42 @@ class Catalog:
         views = self.views()
         if name not in views:
             raise ValueError(f"view {name} does not exist")
-        self.register_views()
+        self.register_views(names={name})
         return self.spark.sql(views[name])
 
-    def register_views(self) -> None:
-        """Expose every table AND defined SQL view for spark.sql()
-        (views registered in definition order, so later views may build
-        on earlier ones)."""
-        for name in self.tables():
+    def register_views(self, names: set[str] | None = None) -> None:
+        """Expose tables AND defined SQL views for spark.sql() (views
+        registered in definition order, so later views may build on
+        earlier ones).
+
+        ``names`` scopes registration to the given identifiers plus the
+        closure of view dependencies — the SQL front-end passes the
+        statement's identifier set so serving one query costs O(its
+        tables), not O(catalog size) manifest reads (a 1000-table
+        catalog must not pay 1000 snapshot resolutions per statement).
+        ``None`` registers everything (the legacy full-surface call)."""
+        views = self.views()
+        if names is None:
+            needed_tables = set(self.tables())
+            needed_views = set(views)
+        else:
+            # dependency closure: later views reference earlier ones,
+            # so a reverse walk collects everything a requested view
+            # pulls in (an over-approximation by identifier scan —
+            # registering an extra table is harmless, missing one is
+            # not)
+            needed = set(names)
+            for vname in reversed(list(views)):
+                if vname in needed:
+                    needed |= set(re.findall(r"[A-Za-z_][A-Za-z_0-9]*",
+                                             views[vname]))
+            needed_tables = needed & set(self.tables())
+            needed_views = needed & set(views)
+        for name in sorted(needed_tables):
             self.read(name).createOrReplaceTempView(name)
-        for name, sql_text in self.views().items():
-            self.spark.sql(sql_text).createOrReplaceTempView(name)
+        for name, sql_text in views.items():
+            if name in needed_views:
+                self.spark.sql(sql_text).createOrReplaceTempView(name)
 
 
 def with_audit_columns(df: DataFrame, source_file: str) -> DataFrame:

@@ -248,8 +248,17 @@ class LakehouseSql:
     # -- queries ------------------------------------------------------------
 
     def _query(self, stmt: str) -> DataFrame:
-        self.catalog.register_views()
+        # scoped registration: only the statement's identifiers (plus
+        # view-dependency closure) resolve snapshots — O(referenced
+        # tables), not O(catalog size), per statement
+        self.catalog.register_views(names=self._idents(stmt))
         return self.spark.sql(self._rewrite_time_travel(stmt))
+
+    @staticmethod
+    def _idents(stmt: str) -> set[str]:
+        """Over-approximate identifier set of a statement (keywords
+        included — harmless, they intersect no table name)."""
+        return set(re.findall(_IDENT, mask_strings(stmt)))
 
     def _explain(self, stmt: str) -> DataFrame:
         return self._query(stmt)
@@ -350,7 +359,7 @@ class LakehouseSql:
             name = m.group(2)
             body = stmt[m.start(3) : m.end(3)].strip()
             # validate the definition parses/resolves before persisting
-            self.catalog.register_views()
+            self.catalog.register_views(names=self._idents(body))
             self.spark.sql(self._rewrite_time_travel(body))
             self.catalog.create_view(name, body, replace=bool(m.group(1)))
             return {"op": "create_view", "name": name}
@@ -649,7 +658,7 @@ class LakehouseSql:
         if using.startswith("("):
             source = self._query(using[1:-1])
         else:
-            self.catalog.register_views()
+            self.catalog.register_views(names={using})
             source = self.spark.table(using)
 
         # ON: conjunction of alias-qualified equality predicates on the

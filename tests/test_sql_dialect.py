@@ -452,3 +452,31 @@ def test_restore_and_truncate(cat, spark):
         ).collect()[0].n == 3
     )
     assert not is_query("RESTORE TABLE t TO VERSION AS OF 1")
+
+
+def test_scoped_registration_resolves_only_referenced_tables(
+    cat, spark, monkeypatch
+):
+    """Serving one statement must cost O(its tables), not O(catalog
+    size): unreferenced tables' snapshots are never resolved."""
+    _seed(cat, spark)
+    execute_sql(cat, "CREATE TABLE other AS SELECT 1 AS x")
+    execute_sql(
+        cat,
+        "CREATE VIEW rich2 AS SELECT name FROM accounts WHERE balance > 60.0",
+    )
+    resolved: list[str] = []
+    real_read = Catalog.read
+
+    def spying_read(self, name, **kw):
+        resolved.append(name)
+        return real_read(self, name, **kw)
+
+    monkeypatch.setattr(Catalog, "read", spying_read)
+    execute_sql(cat, "SELECT COUNT(*) AS n FROM accounts")
+    assert "other" not in resolved and "accounts" in resolved
+    # view closure pulls in the view's base table, still not 'other'
+    resolved.clear()
+    df = execute_sql(cat, "SELECT * FROM rich2")
+    assert df.count() == 2
+    assert "accounts" in resolved and "other" not in resolved
