@@ -240,6 +240,7 @@ class LakehouseSql:
             "EXPLAIN": self._explain,
             "RESTORE": self._restore,
             "TRUNCATE": self._truncate,
+            "COPY": self._copy_into,
         }.get(kw)
         if handler is None:
             raise SqlError(f"unsupported statement kind {kw}")
@@ -321,6 +322,81 @@ class LakehouseSql:
             "col_name string, data_type string, comment string",
         )
 
+    def _copy_into(self, stmt: str) -> dict:
+        """``COPY INTO t FROM '<dir-or-glob>' FILEFORMAT = CSV|PARQUET|
+        JSON [PATTERN = '<glob>']`` — idempotent incremental file
+        ingestion (the bronze CSV landing path as one SQL verb, the
+        Delta ``COPY INTO`` shape). Exactly-once: the loaded-file list
+        rides in the SAME commit as the rows it covers
+        (``append(properties_update=...)``), so a crashed load either
+        committed both or neither, and re-running skips loaded files.
+
+        Scale note: the loaded set is a table property — right for the
+        periodic-batch landing this verb serves; a firehose of millions
+        of files belongs on the streaming source instead."""
+        import glob as globmod
+        import os
+
+        mask = mask_strings(stmt)
+        m = re.match(
+            rf"\s*COPY\s+INTO\s+({_IDENT})\s+FROM\s+('[^']*')\s+"
+            rf"FILEFORMAT\s*=\s*(CSV|PARQUET|JSON)"
+            rf"(?:\s+PATTERN\s*=\s*('[^']*'))?\s*$",
+            mask, re.I,
+        )
+        if not m:
+            raise SqlError(
+                "expected: COPY INTO t FROM '<path>' FILEFORMAT = "
+                "CSV|PARQUET|JSON [PATTERN = '<glob>']"
+            )
+        name = m.group(1)
+        src = stmt[m.start(2) + 1 : m.end(2) - 1]
+        fmt = m.group(3).lower()
+        pattern = (
+            stmt[m.start(4) + 1 : m.end(4) - 1] if m.group(4) else None
+        )
+        root = os.path.join(src, pattern) if pattern else src
+        if os.path.isdir(root):
+            root = os.path.join(root, "*")
+        candidates = sorted(
+            os.path.abspath(p)
+            for p in globmod.glob(root)
+            if os.path.isfile(p)
+        )
+        props = self.catalog.table_properties(name)
+        loaded = set(json.loads(props.get("copy.loaded_files", "[]")))
+        new_files = [p for p in candidates if p not in loaded]
+        if not new_files:
+            return {"op": "copy_into", "name": name, "files_loaded": 0,
+                    "files_skipped": len(candidates), "rows_inserted": 0}
+        tschema = self.catalog.read(name).schema
+        reader = self.spark.read
+        if fmt == "csv":
+            df = reader.schema(tschema).option("header", "true").csv(new_files)
+        elif fmt == "json":
+            df = reader.schema(tschema).json(new_files)
+        else:
+            df = reader.parquet(*new_files).select(
+                *[c for c in tschema.names]
+            )
+        before = self.catalog.row_count(name)
+        self.catalog.append(
+            name,
+            df,
+            properties_update={
+                "copy.loaded_files": json.dumps(
+                    sorted(loaded | set(new_files))
+                )
+            },
+        )
+        return {
+            "op": "copy_into",
+            "name": name,
+            "files_loaded": len(new_files),
+            "files_skipped": len(candidates) - len(new_files),
+            "rows_inserted": self.catalog.row_count(name) - before,
+        }
+
     def _show(self, stmt: str) -> DataFrame:
         if re.match(r"\s*SHOW\s+TABLES\s*$", stmt, re.I):
             rows = [(t, "table") for t in self.catalog.tables()] + [
@@ -329,6 +405,35 @@ class LakehouseSql:
             return self.spark.createDataFrame(
                 rows or [("", "")], "name string, kind string"
             ).filter("name <> ''")
+        m = re.match(
+            rf"\s*SHOW\s+CREATE\s+TABLE\s+({_IDENT})\s*$", stmt, re.I
+        )
+        if m:
+            name = m.group(1)
+            cols = ",\n  ".join(
+                f"{r['col_name']} {r['data_type'].upper()}"
+                + (f" COMMENT '{r['comment']}'" if r["comment"] else "")
+                for r in self.catalog.describe(name)
+            )
+            ddl = f"CREATE TABLE {name} (\n  {cols}\n)"
+            entries = self.catalog._load_manifest(self.catalog._handle(name))
+            head = self.catalog._main_head(entries, name)
+            pb = head.get("partition_by")
+            if pb:
+                ddl += f"\nPARTITIONED BY ({', '.join(pb)})"
+            props = {
+                k: v
+                for k, v in (head.get("properties") or {}).items()
+                if not k.startswith("copy.")
+            }
+            if props:
+                kv = ", ".join(
+                    f"'{k}'='{v}'" for k, v in sorted(props.items())
+                )
+                ddl += f"\nTBLPROPERTIES ({kv})"
+            return self.spark.createDataFrame(
+                [(ddl,)], "createtab_stmt string"
+            )
         m = re.match(rf"\s*SHOW\s+TBLPROPERTIES\s+({_IDENT})\s*$", stmt, re.I)
         if m:
             props = self.catalog.table_properties(m.group(1))

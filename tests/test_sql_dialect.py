@@ -480,3 +480,44 @@ def test_scoped_registration_resolves_only_referenced_tables(
     df = execute_sql(cat, "SELECT * FROM rich2")
     assert df.count() == 2
     assert "accounts" in resolved and "other" not in resolved
+
+
+def test_copy_into_idempotent_ingestion(cat, spark, tmp_path):
+    """COPY INTO: exactly-once file loads — the loaded-file list rides
+    in the same commit as its rows, so re-runs skip and new files
+    append."""
+    _seed(cat, spark)
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "b1.csv").write_text("id,name,balance\n10,jo,1.5\n11,al,2.5\n")
+    stmt = (
+        f"COPY INTO accounts FROM '{land}' FILEFORMAT = CSV "
+        "PATTERN = '*.csv'"
+    )
+    out = execute_sql(cat, stmt)
+    assert out["files_loaded"] == 1 and out["rows_inserted"] == 2
+    # idempotent re-run
+    again = execute_sql(cat, stmt)
+    assert again["files_loaded"] == 0 and again["files_skipped"] == 1
+    assert cat.row_count("accounts") == 5
+    # a new landing file loads incrementally
+    (land / "b2.csv").write_text("id,name,balance\n12,ty,3.5\n")
+    third = execute_sql(cat, stmt)
+    assert third["files_loaded"] == 1 and third["files_skipped"] == 1
+    assert cat.row_count("accounts") == 6
+    rows = {r.id: r.name for r in cat.read("accounts").collect()}
+    assert rows[12] == "ty"
+
+
+def test_show_create_table(cat, spark):
+    execute_sql(
+        cat,
+        "CREATE TABLE sc PARTITIONED BY (seg) "
+        "TBLPROPERTIES ('owner'='ops') AS "
+        "SELECT * FROM VALUES ('a', 1) AS v(seg, n)",
+    )
+    ddl = execute_sql(cat, "SHOW CREATE TABLE sc").collect()[0].createtab_stmt
+    assert "CREATE TABLE sc" in ddl
+    assert "seg STRING" in ddl and "n INT" in ddl
+    assert "PARTITIONED BY (seg)" in ddl
+    assert "'owner'='ops'" in ddl
