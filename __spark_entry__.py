@@ -41,7 +41,7 @@ from data_lakehouse_spark.operators import (
 )
 from data_lakehouse_spark.operators.silver import silver_events
 from data_lakehouse_spark.sources.readers import load_tables
-from data_lakehouse_spark import multimodal
+from data_lakehouse_spark import multimodal, serving
 
 # Fixed "today" for CURRENT_DATE-dependent marts (data ends 2024-01-30).
 AS_OF_DATE = "2024-02-01"
@@ -1963,6 +1963,109 @@ def q_serving_rfm_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BI chart gate specs (data_lakehouse_spark/serving.py): the reference
+#: dashboard's tiles (dags/06_superset_dashboard.py:181-280) with the
+#: engine's cross-engine typing discipline — SUM(BIGINT) casts back to
+#: BIGINT (DuckDB widens to HUGEINT) and SUM(DOUBLE) pins DOUBLE, so the
+#: COMPILED chart statement (one string) runs bit-identically on Spark
+#: and the oracle. Shared by the Spark query and oracle_sql() so the two
+#: sides can never drift.
+_SERVING_GATE_CHARTS: dict[str, tuple[str, serving.Chart]] = {
+    # dags/06:183-200 "Daily Revenue & Orders" (line)
+    "serving_chart_daily_revenue": (
+        "daily_sales",
+        serving.Chart(
+            name="Daily Revenue & Orders",
+            dataset_key="daily_sales",
+            viz_type="line",
+            dimensions=("sale_date",),
+            metrics=(
+                serving.Metric("Revenue", "CAST(SUM(total_revenue) AS DOUBLE)"),
+                serving.Metric("Orders", "CAST(SUM(total_orders) AS BIGINT)"),
+            ),
+            row_limit=1000,
+        ),
+    ),
+    # dags/06:236-247 "RFM Segments (Customer Count)" (pie)
+    "serving_chart_rfm_pie": (
+        "rfm",
+        serving.Chart(
+            name="RFM Segments (Customer Count)",
+            dataset_key="rfm",
+            viz_type="pie",
+            dimensions=("rfm_segment",),
+            metrics=(
+                serving.Metric("Customers", "CAST(COUNT(user_id) AS BIGINT)"),
+            ),
+            row_limit=50,
+        ),
+    ),
+    # dags/06:248-257 "Hourly Traffic Heatmap" (pivot_table, long form)
+    "serving_chart_hourly_pivot": (
+        "hourly",
+        serving.Chart(
+            name="Hourly Traffic Heatmap",
+            dataset_key="hourly",
+            viz_type="pivot_table",
+            dimensions=("event_hour",),
+            pivot_columns=("day_of_week",),
+            metrics=(
+                serving.Metric("Events", "CAST(SUM(total_events) AS BIGINT)"),
+            ),
+            row_limit=500,
+        ),
+    ),
+}
+
+#: mart view name -> the query that materializes it (defined above)
+_MART_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "gold_daily_sales_summary": q_daily_sales,
+    "gold_user_rfm_segments": q_user_rfm_segments,
+    "gold_hourly_traffic": q_hourly_traffic,
+}
+
+#: chart gate -> (mart view name, mart builder query, mart oracle key)
+_SERVING_GATE_MARTS: dict[str, tuple[str, str]] = {
+    "serving_chart_daily_revenue": (
+        "gold_daily_sales_summary",
+        "gold_daily_sales_summary",
+    ),
+    "serving_chart_rfm_pie": (
+        "gold_user_rfm_segments",
+        "gold_user_rfm_segments",
+    ),
+    "serving_chart_hourly_pivot": (
+        "gold_hourly_traffic",
+        "gold_hourly_traffic",
+    ),
+}
+
+
+def _serving_chart_stmt(key: str) -> str:
+    """The ONE compiled statement both engines run for a chart gate."""
+    ds_key, chart = _SERVING_GATE_CHARTS[key]
+    return serving.compile_chart(
+        chart, serving.reference_assets().dataset(ds_key)
+    )
+
+
+def _q_serving_chart(key: str):
+    view, mart_query = _SERVING_GATE_MARTS[key]
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _MART_BUILDERS[mart_query](spark, sf_dir).createOrReplaceTempView(view)
+        return spark.sql(_serving_chart_stmt(key))
+
+    run.__name__ = f"q_{key}"
+    run.__doc__ = (
+        "BI chart tile compiled to SQL by serving.compile_chart and run "
+        "over the materialized mart view — the Superset tile's exact "
+        "query, oracle-verified (reference: dags/06_superset_dashboard"
+        f".py; chart {_SERVING_GATE_CHARTS[key][1].name!r})."
+    )
+    return run
+
+
 def q_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto (80/20) revenue concentration: cumulative revenue share
     per customer plus the cume_dist / percent_rank / dense_rank window
@@ -3079,6 +3182,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dup_ngram_coverage": q_corpus_dup_ngram_coverage,
         "serving_business_metrics": q_serving_business_metrics,
         "serving_rfm_distribution": q_serving_rfm_distribution,
+        "serving_chart_daily_revenue": _q_serving_chart(
+            "serving_chart_daily_revenue"
+        ),
+        "serving_chart_rfm_pie": _q_serving_chart("serving_chart_rfm_pie"),
+        "serving_chart_hourly_pivot": _q_serving_chart(
+            "serving_chart_hourly_pivot"
+        ),
         "corpus_quality_by_source_lang": q_corpus_quality_by_source_lang,
         "doc_text_stats": q_doc_text_stats,
         "training_corpus_select": q_training_corpus_select,
@@ -4973,6 +5083,15 @@ SELECT rfm_segment,
 FROM ({sql["gold_user_rfm_segments"]}) r
 GROUP BY rfm_segment
 """
+
+    # BI chart gates: the oracle runs THE SAME compiled statement the
+    # Spark side runs (shared _SERVING_GATE_CHARTS spec), with the mart
+    # view bound to its existing oracle SQL as a CTE — the chart layer
+    # adds zero hand-written SQL of its own.
+    for _key, (_view, _mart) in _SERVING_GATE_MARTS.items():
+        sql[_key] = (
+            f"WITH {_view} AS ({sql[_mart]})\n" + _serving_chart_stmt(_key)
+        )
 
     sql["corpus_quality_by_source_lang"] = f"""
 SELECT d.source, d.lang,

@@ -189,6 +189,66 @@ def cmd_tables(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_dashboards(args: argparse.Namespace) -> int:
+    """Validate the declarative BI bundle and export the Superset
+    import bundle (serving.py — the dags/06_superset_dashboard.py
+    analog). With ``--warehouse`` the marts come from the catalog; with
+    ``--sf-dir`` they are computed from the events fixture."""
+    from data_lakehouse_spark import serving
+
+    spark = _spark("dashboards")
+    assets = serving.reference_assets()
+    views = {}
+    mart_names = [
+        "gold_daily_sales_summary",
+        "gold_conversion_funnel_daily",
+        "gold_product_performance",
+        "gold_user_rfm_segments",
+        "gold_hourly_traffic",
+        "gold_category_performance",
+    ]
+    if args.warehouse:
+        from data_lakehouse_spark.catalog import Catalog
+
+        cat = Catalog(spark, args.warehouse)
+        views = {n: cat.read(n) for n in mart_names if cat.table_exists(n)}
+    elif args.sf_dir:
+        from data_lakehouse_spark.operators import gold
+        from data_lakehouse_spark.operators.silver import silver_events
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        silver = silver_events(
+            spark.read.parquet(f"{args.sf_dir}/events.parquet")
+        )
+        views = {
+            "gold_daily_sales_summary": gold.daily_sales_summary(
+                silver, cart_type="click"
+            ),
+            "gold_conversion_funnel_daily": gold.conversion_funnel_daily(
+                silver, cart_type="click"
+            ),
+            "gold_product_performance": gold.product_performance(
+                silver, cart_type="click", as_of_date="2024-02-01",
+                product_col="prop_k",
+            ),
+            "gold_user_rfm_segments": gold.user_rfm_segments(
+                silver, as_of_date="2024-02-01"
+            ),
+            "gold_hourly_traffic": gold.hourly_traffic(
+                silver, cart_type="click"
+            ),
+            "gold_category_performance": gold.category_performance(silver),
+        }
+    report = serving.validate_assets(
+        spark, assets, views=views, run=bool(views)
+    )
+    out: dict = {"errors": report["errors"], "charts": report["charts"]}
+    if args.out:
+        out["written"] = serving.export_superset_bundle(assets, args.out)
+    print(json.dumps(out, default=str))
+    return 1 if report["errors"] else 0
+
+
 def cmd_changes(args: argparse.Namespace) -> int:
     """Change data feed between snapshots (catalog.table_changes)."""
     from data_lakehouse_spark.catalog import Catalog
@@ -334,6 +394,16 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("tables", help="list catalog tables")
     p.add_argument("--warehouse", required=True)
     p.set_defaults(fn=cmd_tables)
+
+    p = sub.add_parser(
+        "dashboards",
+        help="validate + export the declarative BI asset bundle",
+    )
+    p.add_argument("--warehouse", default=None)
+    p.add_argument("--sf-dir", default=None)
+    p.add_argument("--out", default=None,
+                   help="directory for the Superset import bundle")
+    p.set_defaults(fn=cmd_dashboards)
 
     p = sub.add_parser(
         "changes", help="row-level change feed between table versions"

@@ -43,6 +43,18 @@ def test_cli_pipeline_sql_tables(spark, sf_dir, tmp_path, capsys):
     assert {"bronze_events", "silver_events"} <= names
 
 
+def test_cli_dashboards(spark, sf_dir, tmp_path, capsys):
+    out_dir = tmp_path / "superset_bundle"
+    rc = main([
+        "dashboards", "--sf-dir", sf_dir, "--out", str(out_dir),
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["errors"] == []
+    assert len(report["charts"]) == 7
+    assert (out_dir / "bundle.zip").exists()
+
+
 def test_cli_query_runner(spark, sf_dir, capsys):
     rc = main([
         "query", "--name", "tpch_q6_forecast_revenue",

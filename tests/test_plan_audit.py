@@ -47,6 +47,7 @@ SINGLE_PARTITION_OK = {
     "orders_daily_gapfill": "bounded: 2-row calendar endpoints agg",
     "orders_rolling_7d": "bounded: RANGE frame over the per-day agg (≤ |days| rows)",
     "gold_user_rfm_segments": "exact NTILE parity path (reference semantics; scalable twin exists)",
+    "serving_chart_rfm_pie": "inherits gold_user_rfm_segments' exact NTILE parity mart; the chart adds only a |segments|-row agg",
     "gold_user_rfm_segments_scalable": "bounded: 1-row percentile-boundary fold; scoring is approx, no global sort",
     # distributed prefix sums: the only total order is the per-chunk
     # offset table (n_chunks rows), never the data
