@@ -37,6 +37,7 @@ from data_lakehouse_spark.operators import (
     relational,
     search,
     similarity,
+    timeseries,
     tpch,
 )
 from data_lakehouse_spark.operators.silver import silver_events
@@ -2126,6 +2127,62 @@ def q_orders_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly price series per event type with LOCF and
+    linear interpolation (operators/timeseries.py — the Timescale
+    ``time_bucket_gapfill`` + ``locf()`` + ``interpolate()`` trio the
+    zero-fill `orders_daily_gapfill` gate lacks). The fact scan
+    collapses to ≤ hours×types rows before any window; the spine comes
+    from a single-row endpoint agg; interpolation ratios use exact
+    integer-microsecond time axes. avg_price accumulates in
+    DECIMAL(18,2)/COUNT so the doubles entering LOCF/interpolation are
+    order-independent and the blend is bit-stable cross-engine."""
+    silver = _events_silver(spark, sf_dir)
+    measures = (
+        silver.groupBy(
+            F.date_trunc("hour", "event_timestamp").alias("hour_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("price").cast("decimal(18,2)")).alias("_ps"),
+            F.count("price").alias("_pc"),
+        )
+        .withColumn(
+            "avg_price",
+            F.when(
+                F.col("_pc") > 0, F.col("_ps").cast("double") / F.col("_pc")
+            ),
+        )
+        .drop("_ps", "_pc")
+    )
+    spine = timeseries.time_spine(
+        measures,
+        "hour_ts",
+        step="interval 1 hour",
+        series=silver.select("event_type").distinct(),
+    )
+    grid = timeseries.resample_to_spine(
+        measures, spine, ["hour_ts", "event_type"]
+    )
+    filled = timeseries.interpolate_linear(
+        timeseries.locf(
+            grid, "hour_ts", ["avg_price"], series_cols=["event_type"]
+        ),
+        "hour_ts",
+        ["avg_price"],
+        series_cols=["event_type"],
+    )
+    return filled.select(
+        "event_type",
+        F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        round_half_up("avg_price", 6).alias("avg_price"),
+        round_half_up("avg_price_locf", 6).alias("avg_price_locf"),
+        round_half_up("avg_price_interp", 6).alias("avg_price_interp"),
+    )
+
+
 def q_orders_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day revenue via a RANGE window frame (days-since-epoch
     range −6..0) over the daily pre-aggregate. The full-size scan
@@ -3175,6 +3232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- capability already represented in the prefix ---
         "events_sliding_traffic": q_events_sliding_traffic,
         "orders_rolling_7d": q_orders_rolling_7d,
+        "events_hourly_interpolate": q_events_hourly_interpolate,
         "purchase_last_touch": q_purchase_last_touch,
         "customer_pareto": q_customer_pareto,
         "events_daily_anomaly": q_events_daily_anomaly,
@@ -4981,6 +5039,65 @@ SELECT strftime(spine.d, '%Y-%m-%d') AS sale_date,
        COALESCE(daily.revenue, 0.0) AS revenue
 FROM spine LEFT JOIN daily ON spine.d = daily.d
 """
+
+    sql["events_hourly_interpolate"] = (
+        _SILVER_CTE
+        + """
+, m AS (
+    SELECT date_trunc('hour', event_timestamp) AS hour_ts,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CASE WHEN COUNT(price) > 0
+                THEN CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(price) END AS avg_price
+    FROM silver GROUP BY 1, 2
+),
+ends AS (SELECT MIN(hour_ts) AS lo, MAX(hour_ts) AS hi FROM m),
+spine AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+    FROM ends
+),
+types AS (SELECT DISTINCT event_type FROM silver),
+grid AS (SELECT s.hour_ts, t.event_type FROM spine s CROSS JOIN types t),
+j AS (
+    SELECT g.hour_ts, g.event_type, m.n_events, m.avg_price
+    FROM grid g LEFT JOIN m ON g.hour_ts = m.hour_ts
+                           AND g.event_type = m.event_type
+),
+w AS (
+    SELECT *,
+        last_value(avg_price IGNORE NULLS) OVER (
+            PARTITION BY event_type ORDER BY hour_ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_v,
+        last_value(CASE WHEN avg_price IS NOT NULL
+                        THEN CAST(epoch_us(hour_ts) AS DOUBLE) END
+                   IGNORE NULLS) OVER (
+            PARTITION BY event_type ORDER BY hour_ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_t,
+        first_value(avg_price IGNORE NULLS) OVER (
+            PARTITION BY event_type ORDER BY hour_ts
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_v,
+        first_value(CASE WHEN avg_price IS NOT NULL
+                         THEN CAST(epoch_us(hour_ts) AS DOUBLE) END
+                    IGNORE NULLS) OVER (
+            PARTITION BY event_type ORDER BY hour_ts
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_t
+    FROM j
+)
+SELECT event_type,
+       strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+       floor(avg_price * 1000000 + 0.5) / 1000000 AS avg_price,
+       floor(p_v * 1000000 + 0.5) / 1000000 AS avg_price_locf,
+       floor(CASE WHEN avg_price IS NOT NULL THEN avg_price
+                  WHEN p_v IS NOT NULL AND n_v IS NOT NULL AND n_t <> p_t
+                  THEN p_v + (n_v - p_v)
+                       * (CAST(epoch_us(hour_ts) AS DOUBLE) - p_t)
+                       / (n_t - p_t)
+             END * 1000000 + 0.5) / 1000000 AS avg_price_interp
+FROM w
+"""
+    )
 
     sql["orders_rolling_7d"] = """
 WITH daily AS (

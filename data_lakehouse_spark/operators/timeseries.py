@@ -1,0 +1,160 @@
+"""Time-series completeness operators: spines, LOCF, linear interpolation.
+
+The reference's analytics are calendar-dense (every day/hour in its gold
+marts has events), so it never needs gap handling; real time-series
+serving does — missing buckets must exist (spine), carry the last
+observation (LOCF) or an interpolated value (the TimescaleDB
+``time_bucket_gapfill`` + ``locf()`` + ``interpolate()`` trio, and the
+`orders_daily_gapfill` zero-fill gate's missing sibling).
+
+Scale design:
+
+* :func:`time_spine` derives the bucket range from ONE single-row
+  min/max aggregate and explodes ``sequence()`` JVM-side — no driver
+  round-trip, spine size = buckets × series keys regardless of input
+  rows.
+* :func:`locf` / :func:`interpolate_linear` are pure window expressions
+  PARTITIONED by the series keys: one hash shuffle on the series key,
+  state never leaves the partition, whole-stage codegen throughout.
+  A key-less series degrades to a single-partition window — callers on
+  unbounded data must pass ``series_cols`` (the plan-audit rule).
+* Interpolation arithmetic is plain double math over identical inputs
+  on both engines; feed it order-independent measures (decimal-summed
+  averages) for bit-stable cross-engine results.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "time_spine",
+    "resample_to_spine",
+    "locf",
+    "interpolate_linear",
+]
+
+
+def time_spine(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    step: str = "interval 1 hour",
+    series: DataFrame | None = None,
+) -> DataFrame:
+    """Dense bucket spine spanning [min, max] of ``ts_col`` in ``step``
+    increments, optionally crossed with a (small) distinct-series frame.
+
+    The endpoints come from a single-row global aggregate (bounded
+    exchange) and ``sequence()`` expands entirely JVM-side. ``series``
+    (e.g. ``df.select('event_type').distinct()``) is broadcast against
+    the spine — both sides are tiny next to the fact table.
+    """
+    ends = df.agg(
+        F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi")
+    )
+    spine = ends.select(
+        F.explode(
+            F.expr(f"sequence(_lo, _hi, {step})")
+        ).alias(ts_col)
+    )
+    if series is not None:
+        spine = spine.crossJoin(F.broadcast(series))
+    return spine
+
+
+def resample_to_spine(
+    measures: DataFrame,
+    spine: DataFrame,
+    on: Sequence[str],
+) -> DataFrame:
+    """Left-join bucketed measures onto the dense spine; missing buckets
+    surface as NULL measures (the gap rows LOCF/interpolation fill)."""
+    return spine.join(measures, list(on), "left")
+
+
+def _series_window(ts_col: str, series_cols: Sequence[str]) -> Window:
+    if series_cols:
+        return Window.partitionBy(*series_cols).orderBy(ts_col)
+    return Window.orderBy(ts_col)
+
+
+def locf(
+    df: DataFrame,
+    ts_col: str,
+    value_cols: Sequence[str],
+    *,
+    series_cols: Sequence[str] = (),
+    suffix: str = "_locf",
+) -> DataFrame:
+    """Last observation carried forward per series: gaps take the most
+    recent non-NULL value; leading gaps stay NULL (Timescale ``locf``
+    semantics). One window per value column, all sharing the same
+    series partition — a single shuffle."""
+    w = _series_window(ts_col, series_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = df
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}{suffix}", F.last(F.col(c), ignorenulls=True).over(w)
+        )
+    return out
+
+
+def _to_num(ts: Column, dtype: str) -> Column:
+    """Numeric time axis for interpolation ratios: exact integer
+    microseconds for timestamps, epoch days for dates, pass-through for
+    numerics — no float epoch drift."""
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(ts)
+    if dtype == "date":
+        return F.datediff(ts, F.lit("1970-01-01"))
+    return ts
+
+
+def interpolate_linear(
+    df: DataFrame,
+    ts_col: str,
+    value_cols: Sequence[str],
+    *,
+    series_cols: Sequence[str] = (),
+    suffix: str = "_interp",
+) -> DataFrame:
+    """Linear interpolation across gaps per series (Timescale
+    ``interpolate`` semantics): a NULL bucket between two observations
+    takes the time-weighted blend; leading/trailing gaps (no bracketing
+    observation) stay NULL; observed buckets pass through unchanged.
+
+    Four window expressions per value column (prev/next value and the
+    time they occurred at), all over ONE series partition ordering, so
+    Catalyst collapses them into a single Window node after one shuffle.
+    """
+    dtype = dict(df.dtypes)[ts_col]
+    base = _series_window(ts_col, series_cols)
+    back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    t = _to_num(F.col(ts_col), dtype).cast("double")
+    out = df
+    for c in value_cols:
+        v = F.col(c)
+        t_obs = F.when(v.isNotNull(), t)
+        prev_v = F.last(v, ignorenulls=True).over(back)
+        prev_t = F.last(t_obs, ignorenulls=True).over(back)
+        next_v = F.first(v, ignorenulls=True).over(fwd)
+        next_t = F.first(t_obs, ignorenulls=True).over(fwd)
+        blended = prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(v.isNotNull(), v.cast("double"))
+            .when(
+                prev_v.isNotNull() & next_v.isNotNull() & (next_t != prev_t),
+                blended,
+            )
+            .otherwise(F.lit(None).cast("double")),
+        )
+    return out

@@ -45,6 +45,7 @@ SINGLE_PARTITION_OK = {
     "customer_pareto": "bounded: cumulative-share total order over the per-customer agg (documented global-sort exception)",
     "doc_hybrid_rrf_search": "bounded: rank windows over two top-50 lists",
     "orders_daily_gapfill": "bounded: 2-row calendar endpoints agg",
+    "events_hourly_interpolate": "bounded: 1-row spine-endpoint agg; series windows partition by event_type",
     "orders_rolling_7d": "bounded: RANGE frame over the per-day agg (≤ |days| rows)",
     "gold_user_rfm_segments": "exact NTILE parity path (reference semantics; scalable twin exists)",
     "serving_chart_rfm_pie": "inherits gold_user_rfm_segments' exact NTILE parity mart; the chart adds only a |segments|-row agg",
@@ -59,6 +60,7 @@ SINGLE_PARTITION_OK = {
 NESTED_LOOP_OK = {
     "region_nation_cross": "intentional CROSS JOIN demo: 5 x 25 dims",
     "orders_price_band_range_join": "range join vs literal band rows (broadcast side is the band table)",
+    "events_hourly_interpolate": "spine x distinct-types cross join: hours x |event types| rows, both bounded",
     "doc_bm25_search": "1-row corpus-stats broadcast (scalar cross join)",
     "doc_lm_unigram_score": "1-row total + 1-row OOV-floor broadcast",
     "doc_hybrid_rrf_search": "inherits the BM25 1-row stats broadcast",
