@@ -293,6 +293,11 @@ def cmd_maintain(args: argparse.Namespace) -> int:
         )
     elif op == "row-count":
         out = {"table": args.table, "rows": cat.row_count(args.table)}
+    elif op == "analyze":
+        st = cat.analyze_table(args.table)
+        out = {"table": args.table, "version": st["version"],
+               "row_count": st["row_count"],
+               "n_columns": len(st["columns"])}
     elif op == "tag":
         if not args.ref:
             raise SystemExit("tag requires --ref")
@@ -419,8 +424,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "op",
         choices=["compact", "expire", "rollback", "publish",
-                 "rewrite-deletes", "remove-orphans", "row-count", "tag",
-                 "branch", "fast-forward", "clone"],
+                 "rewrite-deletes", "remove-orphans", "row-count", "analyze",
+                 "tag", "branch", "fast-forward", "clone"],
     )
     p.add_argument("--warehouse", required=True)
     p.add_argument("--table", required=True)

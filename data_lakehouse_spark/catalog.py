@@ -2404,6 +2404,126 @@ class Catalog:
                 total -= pos.filter(cond).count()
         return total
 
+    # -- column statistics (ANALYZE TABLE) ---------------------------------
+    def _stats_path(self, h: TableHandle, version: int) -> str:
+        return os.path.join(h.path, f"_stats_v{version}.json")
+
+    def analyze_table(
+        self, name: str, columns: list[str] | None = None
+    ) -> dict:
+        """``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` — the
+        Iceberg/Trino/Spark-CBO stats surface for catalog tables.
+
+        ONE scan computes, per requested column: non-null count, approx
+        NDV (HyperLogLog++, mergeable and scan-local — exact distinct
+        would shuffle every value), min/max (rendered to strings), and
+        average serialized length for strings/binary. All expressions
+        ride a single global aggregate, so the cost is one pass with a
+        1-row result regardless of column count. Stats land in a
+        per-snapshot sidecar (``_stats_v<N>.json``) next to the
+        manifest — version-pinned like Iceberg's StatisticsFile, so
+        time travel never serves stats from a different snapshot.
+        """
+        h = self._handle(name)
+        entries = self._load_manifest(h)
+        if not entries:
+            raise ValueError(f"table {name} does not exist")
+        head = self._main_head(entries, name)
+        df = self.read(name)
+        schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        cols = list(columns) if columns else list(schema)
+        unknown = [c for c in cols if c not in schema]
+        if unknown:
+            raise ValueError(f"analyze_table: unknown columns {unknown}")
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for i, c in enumerate(cols):
+            col = F.col(c)
+            aggs += [
+                F.count(col).alias(f"__nn_{i}"),
+                F.approx_count_distinct(col).alias(f"__ndv_{i}"),
+                F.min(col).cast("string").alias(f"__min_{i}"),
+                F.max(col).cast("string").alias(f"__max_{i}"),
+            ]
+            if schema[c] in ("string", "binary"):
+                aggs.append(
+                    F.avg(F.length(col)).alias(f"__len_{i}")
+                )
+        row = df.agg(*aggs).collect()[0]
+        stats = {
+            "version": head["version"],
+            "row_count": row["__rows"],
+            "columns": {},
+        }
+        for i, c in enumerate(cols):
+            entry = {
+                "type": schema[c],
+                "null_count": row["__rows"] - row[f"__nn_{i}"],
+                "ndv": row[f"__ndv_{i}"],
+                "min": row[f"__min_{i}"],
+                "max": row[f"__max_{i}"],
+            }
+            if f"__len_{i}" in row.asDict():
+                avg_len = row[f"__len_{i}"]
+                entry["avg_len"] = (
+                    None if avg_len is None else round(float(avg_len), 2)
+                )
+            stats["columns"][c] = entry
+        tmp = self._stats_path(h, head["version"]) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(stats, f, indent=1)
+        os.replace(tmp, self._stats_path(h, head["version"]))
+        return stats
+
+    def column_stats(
+        self, name: str, *, version: int | None = None
+    ) -> dict | None:
+        """Stats recorded for a snapshot (default: the main head), or
+        ``None`` if that exact snapshot was never analyzed — stale
+        stats are never silently served for a different version."""
+        h = self._handle(name)
+        entries = self._load_manifest(h)
+        if not entries:
+            raise ValueError(f"table {name} does not exist")
+        v = (
+            version
+            if version is not None
+            else self._main_head(entries, name)["version"]
+        )
+        path = self._stats_path(h, v)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def show_stats(self, name: str) -> DataFrame:
+        """``SHOW STATS FOR <table>`` rendering (Trino shape): one row
+        per analyzed column plus the table row-count summary row."""
+        stats = self.column_stats(name)
+        if stats is None:
+            raise ValueError(
+                f"no statistics for {name} at its current version — "
+                "run analyze_table first"
+            )
+        rows = [
+            (
+                c,
+                s["type"],
+                int(stats["row_count"]),
+                int(s["null_count"]),
+                int(s["ndv"]),
+                s["min"],
+                s["max"],
+                s.get("avg_len"),
+            )
+            for c, s in sorted(stats["columns"].items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "column string, type string, row_count bigint, "
+            "null_count bigint, ndv bigint, min string, max string, "
+            "avg_len double",
+        )
+
     # -- SQL views ---------------------------------------------------------
     def _views_path(self) -> str:
         return os.path.join(self.root, "_views.json")

@@ -241,6 +241,7 @@ class LakehouseSql:
             "RESTORE": self._restore,
             "TRUNCATE": self._truncate,
             "COPY": self._copy_into,
+            "ANALYZE": self._analyze,
         }.get(kw)
         if handler is None:
             raise SqlError(f"unsupported statement kind {kw}")
@@ -397,6 +398,36 @@ class LakehouseSql:
             "rows_inserted": self.catalog.row_count(name) - before,
         }
 
+    def _analyze(self, stmt: str) -> dict:
+        """``ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b |
+        FOR ALL COLUMNS]`` — Spark's stats DDL routed onto
+        catalog.analyze_table (per-snapshot stats sidecar)."""
+        m = re.match(
+            rf"\s*ANALYZE\s+TABLE\s+({_IDENT})\s+COMPUTE\s+STATISTICS"
+            rf"(?:\s+FOR\s+(ALL\s+COLUMNS|COLUMNS\s+(.+?)))?\s*$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise SqlError(
+                "expected: ANALYZE TABLE <name> COMPUTE STATISTICS "
+                "[FOR COLUMNS a, b | FOR ALL COLUMNS]"
+            )
+        name, _, col_list = m.group(1), m.group(2), m.group(3)
+        columns = (
+            [c.strip() for c in _split_top_level(col_list)]
+            if col_list
+            else None
+        )
+        stats = self.catalog.analyze_table(name, columns)
+        return {
+            "op": "analyze",
+            "table": name,
+            "version": stats["version"],
+            "row_count": stats["row_count"],
+            "n_columns": len(stats["columns"]),
+        }
+
     def _show(self, stmt: str) -> DataFrame:
         if re.match(r"\s*SHOW\s+TABLES\s*$", stmt, re.I):
             rows = [(t, "table") for t in self.catalog.tables()] + [
@@ -442,7 +473,15 @@ class LakehouseSql:
                 or [("", "")],
                 "key string, value string",
             ).filter("key <> ''")
-        raise SqlError("expected: SHOW TABLES | SHOW TBLPROPERTIES <name>")
+        m = re.match(
+            rf"\s*SHOW\s+STATS\s+(?:FOR\s+)?({_IDENT})\s*$", stmt, re.I
+        )
+        if m:
+            return self.catalog.show_stats(m.group(1))
+        raise SqlError(
+            "expected: SHOW TABLES | SHOW TBLPROPERTIES <name> | "
+            "SHOW STATS FOR <name>"
+        )
 
     # -- DDL ----------------------------------------------------------------
 
