@@ -2604,6 +2604,110 @@ class Catalog:
             if name in needed_views:
                 self.spark.sql(sql_text).createOrReplaceTempView(name)
 
+    # -- materialized views ------------------------------------------------
+    # Incrementally-maintained aggregate tables: the definition persists
+    # in _matviews.json, the data is an ordinary catalog table kept
+    # current by plans/cdc.py::CdcAggregate — REFRESH folds only the
+    # source's change feed since the last refresh (IVM), never a full
+    # recompute. The reference recomputes every gold mart per dbt run;
+    # this is the at-scale replacement the SQL surface can now declare.
+
+    def _matviews_path(self) -> str:
+        return os.path.join(self.root, "_matviews.json")
+
+    def materialized_views(self) -> dict[str, dict]:
+        if not os.path.exists(self._matviews_path()):
+            return {}
+        with open(self._matviews_path()) as f:
+            return json.load(f)
+
+    def _save_matviews(self, mvs: dict[str, dict]) -> None:
+        tmp = self._matviews_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(mvs, f, indent=1)
+        os.replace(tmp, self._matviews_path())
+
+    def _matview_maintainer(self, name: str):
+        from data_lakehouse_spark.plans.cdc import CdcAggregate
+
+        mv = self.materialized_views().get(name)
+        if mv is None:
+            raise ValueError(f"materialized view {name} does not exist")
+        return CdcAggregate(
+            self,
+            source=mv["source"],
+            target=name,
+            group_cols=mv["group_cols"],
+            measures={k: tuple(v) for k, v in mv["measures"].items()},
+        )
+
+    def create_materialized_view(
+        self,
+        name: str,
+        *,
+        source: str,
+        group_cols: list[str],
+        measures: dict[str, tuple[str, str | None]],
+        sql_text: str | None = None,
+        replace: bool = False,
+        refresh: bool = True,
+    ) -> dict:
+        """Declare + (by default) build an incrementally-maintained
+        aggregate over a catalog table. ``measures`` follows the
+        CdcAggregate contract (sum/count/count_distinct/min/max);
+        holistic aggregates refuse there with the guidance to use the
+        sketch tier."""
+        if not self.table_exists(source):
+            raise ValueError(f"materialized view source {source} not found")
+        mvs = self.materialized_views()
+        if name in mvs and not replace:
+            raise ValueError(f"materialized view {name} already exists")
+        if self.table_exists(name) and name not in mvs:
+            raise ValueError(f"{name} already exists as a plain table")
+        if name in mvs and replace:
+            self.drop_materialized_view(name)
+            mvs = self.materialized_views()
+        mvs[name] = {
+            "source": source,
+            "group_cols": list(group_cols),
+            "measures": {k: list(v) for k, v in measures.items()},
+            "sql": sql_text,
+        }
+        # validate the measure kinds before persisting
+        from data_lakehouse_spark.plans.cdc import CdcAggregate
+
+        CdcAggregate(self, source, name, list(group_cols),
+                     {k: tuple(v) for k, v in measures.items()})
+        self._save_matviews(mvs)
+        out = {"op": "create_materialized_view", "name": name}
+        if refresh:
+            out["refresh"] = self.refresh_materialized_view(name)
+        return out
+
+    def refresh_materialized_view(self, name: str) -> dict:
+        """IVM refresh: first call full-builds, later calls fold only
+        the unseen change-feed span (exactly-once across crashes — the
+        processed source version commits WITH the mart)."""
+        return self._matview_maintainer(name).refresh()
+
+    def drop_materialized_view(self, name: str) -> dict:
+        """Remove the definition, the mart table and its support
+        (``__dv_*``) tables."""
+        mv = self.materialized_views().get(name)
+        if mv is None:
+            raise ValueError(f"materialized view {name} does not exist")
+        maintainer = self._matview_maintainer(name)
+        for out_col, (kind, _) in maintainer._supported.items():
+            dv = maintainer._dv_table(out_col)
+            if self.table_exists(dv):
+                self.drop_table(dv, force=True)
+        if self.table_exists(name):
+            self.drop_table(name, force=True)
+        mvs = self.materialized_views()
+        del mvs[name]
+        self._save_matviews(mvs)
+        return {"op": "drop_materialized_view", "name": name}
+
 
 def with_audit_columns(df: DataFrame, source_file: str) -> DataFrame:
     """P1: the reference's ingestion metadata columns

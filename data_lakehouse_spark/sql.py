@@ -242,6 +242,7 @@ class LakehouseSql:
             "TRUNCATE": self._truncate,
             "COPY": self._copy_into,
             "ANALYZE": self._analyze,
+            "REFRESH": self._refresh_mv,
         }.get(kw)
         if handler is None:
             raise SqlError(f"unsupported statement kind {kw}")
@@ -430,9 +431,11 @@ class LakehouseSql:
 
     def _show(self, stmt: str) -> DataFrame:
         if re.match(r"\s*SHOW\s+TABLES\s*$", stmt, re.I):
-            rows = [(t, "table") for t in self.catalog.tables()] + [
-                (v, "view") for v in self.catalog.views()
-            ]
+            mvs = set(self.catalog.materialized_views())
+            rows = [
+                (t, "materialized_view" if t in mvs else "table")
+                for t in self.catalog.tables()
+            ] + [(v, "view") for v in self.catalog.views()]
             return self.spark.createDataFrame(
                 rows or [("", "")], "name string, kind string"
             ).filter("name <> ''")
@@ -495,6 +498,24 @@ class LakehouseSql:
         if m:
             return self._create_table(stmt, m)
         m = re.match(
+            rf"\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+"
+            rf"({_IDENT})\s+AS\b(.*)$",
+            mask_strings(stmt),
+            re.I | re.S,
+        )
+        if m:
+            name = m.group(2)
+            body = stmt[m.start(3) : m.end(3)].strip()
+            source, group_cols, measures = self._parse_matview_select(body)
+            return self.catalog.create_materialized_view(
+                name,
+                source=source,
+                group_cols=group_cols,
+                measures=measures,
+                sql_text=body,
+                replace=bool(m.group(1)),
+            )
+        m = re.match(
             rf"\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+({_IDENT})\s+AS\b(.*)$",
             mask_strings(stmt),
             re.I | re.S,
@@ -510,8 +531,93 @@ class LakehouseSql:
         raise SqlError(
             "expected: CREATE [OR REPLACE] TABLE [IF NOT EXISTS] <name> "
             "[PARTITIONED BY (...)] [TBLPROPERTIES (...)] AS <select> | "
-            "CREATE [OR REPLACE] VIEW <name> AS <select>"
+            "CREATE [OR REPLACE] [MATERIALIZED] VIEW <name> AS <select>"
         )
+
+    def _parse_matview_select(
+        self, body: str
+    ) -> tuple[str, list[str], dict[str, tuple[str, str | None]]]:
+        """Parse an incrementally-maintainable aggregate SELECT into the
+        CdcAggregate contract: plain group columns + SUM / COUNT(*) /
+        COUNT(DISTINCT col) / MIN / MAX aggregates over ONE catalog
+        table. Anything outside that shape refuses loudly — a
+        materialized view that silently fell back to full recompute
+        would betray the REFRESH cost contract."""
+        mask = mask_strings(body)
+        m = re.match(
+            rf"\s*SELECT\s+(.*?)\s+FROM\s+({_IDENT})\s+GROUP\s+BY\s+(.+?)\s*$",
+            mask,
+            re.I | re.S,
+        )
+        if not m:
+            raise SqlError(
+                "materialized view shape: SELECT <group cols + aggregates>"
+                " FROM <one catalog table> GROUP BY <group cols> (no "
+                "WHERE/HAVING/JOIN — stage those into a table first)"
+            )
+        select_list = body[m.start(1) : m.end(1)]
+        source = m.group(2)
+        group_by = [
+            g.strip()
+            for g in _split_top_level(body[m.start(3) : m.end(3)])
+        ]
+        group_cols: list[str] = []
+        measures: dict[str, tuple[str, str | None]] = {}
+        for item in _split_top_level(select_list):
+            item = item.strip()
+            if re.fullmatch(_IDENT, item):
+                group_cols.append(item)
+                continue
+            am = re.fullmatch(
+                rf"(SUM|COUNT|MIN|MAX)\s*\(\s*(DISTINCT\s+)?(.+?)\s*\)"
+                rf"\s+AS\s+({_IDENT})",
+                item,
+                re.I | re.S,
+            )
+            if not am:
+                raise SqlError(
+                    f"unsupported materialized-view select item {item!r}: "
+                    "use <group col> or SUM|COUNT|MIN|MAX(expr) AS alias "
+                    "(AVG = SUM/COUNT; percentiles need the sketch tier)"
+                )
+            fn, distinct, arg, alias = (
+                am.group(1).lower(),
+                bool(am.group(2)),
+                am.group(3).strip(),
+                am.group(4),
+            )
+            if fn == "count" and distinct:
+                measures[alias] = ("count_distinct", arg)
+            elif fn == "count":
+                if arg != "*":
+                    raise SqlError(
+                        "COUNT(col) is not CDC-maintainable as such — "
+                        "use COUNT(*) or SUM(CASE WHEN col IS NOT NULL "
+                        "THEN 1 ELSE 0 END)"
+                    )
+                measures[alias] = ("count", None)
+            elif distinct:
+                raise SqlError(f"DISTINCT only supported under COUNT: {item!r}")
+            else:
+                measures[alias] = (fn, arg)
+        if sorted(group_cols) != sorted(group_by):
+            raise SqlError(
+                f"GROUP BY columns {group_by} must match the plain select "
+                f"columns {group_cols}"
+            )
+        if not measures:
+            raise SqlError("materialized view needs at least one aggregate")
+        return source, group_cols, measures
+
+    def _refresh_mv(self, stmt: str) -> dict:
+        m = re.match(
+            rf"\s*REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})\s*$", stmt, re.I
+        )
+        if not m:
+            raise SqlError("expected: REFRESH MATERIALIZED VIEW <name>")
+        name = m.group(1)
+        out = self.catalog.refresh_materialized_view(name)
+        return {"op": "refresh_materialized_view", "name": name, **out}
 
     def _create_table(self, stmt: str, m: re.Match) -> dict:
         or_replace, if_not_exists = bool(m.group(1)), bool(m.group(2))
@@ -622,12 +728,25 @@ class LakehouseSql:
 
     def _drop(self, stmt: str) -> dict:
         m = re.match(
-            rf"\s*DROP\s+(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?({_IDENT})\s*$",
+            rf"\s*DROP\s+(MATERIALIZED\s+VIEW|TABLE|VIEW)\s+"
+            rf"(IF\s+EXISTS\s+)?({_IDENT})\s*$",
             stmt, re.I,
         )
         if not m:
-            raise SqlError("expected: DROP TABLE|VIEW [IF EXISTS] <name>")
-        kind, if_exists, name = m.group(1).upper(), bool(m.group(2)), m.group(3)
+            raise SqlError(
+                "expected: DROP TABLE|VIEW|MATERIALIZED VIEW "
+                "[IF EXISTS] <name>"
+            )
+        kind, if_exists, name = (
+            re.sub(r"\s+", " ", m.group(1).upper()),
+            bool(m.group(2)),
+            m.group(3),
+        )
+        if kind == "MATERIALIZED VIEW":
+            if if_exists and name not in self.catalog.materialized_views():
+                return {"op": "drop_materialized_view", "name": name,
+                        "skipped": True}
+            return self.catalog.drop_materialized_view(name)
         if kind == "VIEW":
             if if_exists and name not in self.catalog.views():
                 return {"op": "drop_view", "name": name, "skipped": True}
