@@ -2404,6 +2404,39 @@ class Catalog:
                 total -= pos.filter(cond).count()
         return total
 
+    def partitions(self, name: str, *, version: int | None = None) -> DataFrame:
+        """The Iceberg ``.partitions`` metadata-table analog: one row
+        per live partition tuple with file/row/byte counts, parsed from
+        the hive-style ``col=value`` path segments of the live files —
+        footer metadata only, no data scan. Unpartitioned tables (or
+        dirs written before a partition-spec change) report under the
+        empty partition ``{}``, so mixed-layout tables stay honest."""
+        import json as _json
+        from urllib.parse import unquote
+
+        files = self.files(name, version=version).collect()
+        agg: dict[str, list[int]] = {}
+        for r in files:
+            parts = {}
+            for seg in r["file"].split(os.sep):
+                if "=" in seg and not seg.endswith(".parquet"):
+                    k, _, v = seg.partition("=")
+                    parts[k] = unquote(v)
+            key = _json.dumps(parts, sort_keys=True)
+            cur = agg.setdefault(key, [0, 0, 0])
+            cur[0] += 1
+            cur[1] += r["rows"]
+            cur[2] += r["bytes"]
+        rows = [
+            (k, v[0], v[1], v[2]) for k, v in sorted(agg.items())
+        ]
+        schema = (
+            "partition string, n_files bigint, rows bigint, bytes bigint"
+        )
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame(rows, schema)
+
     # -- column statistics (ANALYZE TABLE) ---------------------------------
     def _stats_path(self, h: TableHandle, version: int) -> str:
         return os.path.join(h.path, f"_stats_v{version}.json")

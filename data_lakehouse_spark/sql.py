@@ -250,12 +250,41 @@ class LakehouseSql:
 
     # -- queries ------------------------------------------------------------
 
+    #: SQL-addressable metadata tables (the Iceberg ``t.snapshots``
+    #: shape): <table>.<meta> rewrites to a registered temp view.
+    _META_TABLES = ("snapshots", "files", "partitions")
+
     def _query(self, stmt: str) -> DataFrame:
         # scoped registration: only the statement's identifiers (plus
         # view-dependency closure) resolve snapshots — O(referenced
         # tables), not O(catalog size), per statement
         self.catalog.register_views(names=self._idents(stmt))
+        stmt = self._rewrite_meta_tables(stmt)
         return self.spark.sql(self._rewrite_time_travel(stmt))
+
+    def _rewrite_meta_tables(self, stmt: str) -> str:
+        """``FROM t.snapshots|files|partitions`` over a catalog table
+        becomes a registered ``t__<meta>`` temp view (Iceberg's
+        metadata-table addressing; matched on the string-masked copy so
+        literals can't trigger it)."""
+        mask = mask_strings(stmt)
+        out = stmt
+        for m in reversed(
+            list(
+                re.finditer(
+                    rf"\b({_IDENT})\.({'|'.join(self._META_TABLES)})\b",
+                    mask,
+                    re.I,
+                )
+            )
+        ):
+            tbl, meta = m.group(1), m.group(2).lower()
+            if not self.catalog.table_exists(tbl):
+                continue
+            view = f"{tbl}__{meta}"
+            getattr(self.catalog, meta)(tbl).createOrReplaceTempView(view)
+            out = out[: m.start()] + view + out[m.end():]
+        return out
 
     @staticmethod
     def _idents(stmt: str) -> set[str]:
@@ -264,6 +293,23 @@ class LakehouseSql:
         return set(re.findall(_IDENT, mask_strings(stmt)))
 
     def _explain(self, stmt: str) -> DataFrame:
+        m = re.match(r"\s*EXPLAIN\s+ANALYZE\b(.*)$", stmt, re.I | re.S)
+        if m:
+            import time as _time
+
+            df = self._query(m.group(1).strip())
+            t0 = _time.time()
+            # drive THIS QueryExecution's physical plan to completion
+            # (RDD count: full materialization, no driver row transfer
+            # — a noop write or count() would execute a fresh clone and
+            # the final adaptive plan would be lost)
+            qe = df._jdf.queryExecution()
+            qe.executedPlan().execute().count()
+            wall = round(_time.time() - t0, 3)
+            plan = qe.executedPlan().toString()
+            return self.spark.createDataFrame(
+                [(wall, plan)], "wall_sec double, plan string"
+            )
         return self._query(stmt)
 
     def _rewrite_time_travel(self, stmt: str) -> str:
