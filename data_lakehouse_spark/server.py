@@ -22,6 +22,12 @@ API
   "truncated": bool}``
 - ``GET /tables`` → ``{"tables": [...], "views": [...]}``
 - ``GET /health`` → ``{"ok": true, ...}``
+- ``GET /dashboard`` → the declarative BI bundle (serving.py): title,
+  slug, layout, chart slugs
+- ``GET /chart/<slug>`` → compile that chart spec to its SQL and run it
+  against the LATEST marts — the live twin of the reference's Superset
+  chart "warmup" (dags/06_superset_dashboard.py:514-531), except the
+  tile's exact query is served, not a cache poke
 
 Every request re-registers catalog views, so clients always see the
 LATEST published snapshots (the endpoint serves reads; writes go
@@ -56,8 +62,16 @@ class SqlEndpoint:
         port: int = 0,
         *,
         read_only: bool = False,
+        assets=None,
     ):
         self.catalog = catalog
+        #: declarative BI bundle served at /dashboard and /chart/<slug>
+        #: (defaults to the reference-parity assets)
+        if assets is None:
+            from data_lakehouse_spark import serving as _serving
+
+            assets = _serving.reference_assets()
+        self.assets = assets
         #: True → reject DML/DDL/maintenance before execution (a
         #: dashboard-facing endpoint); default read-write, because the
         #: reference's Thrift endpoint is what dbt MATERIALIZES through
@@ -89,6 +103,32 @@ class SqlEndpoint:
                             "views": sorted(endpoint.catalog.views()),
                         },
                     )
+                elif self.path == "/dashboard":
+                    dash = endpoint.assets.dashboard
+                    self._json(
+                        200,
+                        {
+                            "title": dash.title,
+                            "slug": dash.slug,
+                            "charts": {
+                                _chart_slug(c.name): {
+                                    "name": c.name,
+                                    "viz_type": c.viz_type,
+                                    "dataset": c.dataset_key,
+                                    "position": dash.layout.get(c.name),
+                                }
+                                for c in endpoint.assets.charts
+                            },
+                        },
+                    )
+                elif self.path.startswith("/chart/"):
+                    slug = self.path[len("/chart/"):]
+                    try:
+                        self._json(200, endpoint.run_chart(slug))
+                    except KeyError:
+                        self._json(404, {"error": f"no chart {slug!r}"})
+                    except Exception as e:
+                        self._json(400, {"error": str(e).split("\n")[0]})
                 else:
                     self._json(404, {"error": f"no route {self.path}"})
 
@@ -154,6 +194,23 @@ class SqlEndpoint:
             "truncated": truncated,
         }
 
+    def run_chart(self, slug: str) -> dict:
+        """Compile the chart spec to its ONE deterministic SQL statement
+        (serving.compile_chart) and execute it against the latest
+        registered marts. Raises ``KeyError`` for an unknown slug."""
+        from data_lakehouse_spark import serving as _serving
+
+        for chart in self.assets.charts:
+            if _chart_slug(chart.name) == slug:
+                stmt = _serving.compile_chart(
+                    chart, self.assets.dataset(chart.dataset_key)
+                )
+                out = self.execute(stmt, limit=max(chart.row_limit, 1))
+                out["chart"] = chart.name
+                out["sql"] = stmt
+                return out
+        raise KeyError(slug)
+
     def start(self) -> "SqlEndpoint":
         self._thread = threading.Thread(
             target=self._server.serve_forever, daemon=True
@@ -170,6 +227,12 @@ class SqlEndpoint:
     def serve_forever(self) -> None:
         """Foreground variant for the CLI ``serve`` subcommand."""
         self._server.serve_forever()
+
+
+def _chart_slug(name: str) -> str:
+    import re
+
+    return re.sub(r"[^0-9a-zA-Z]+", "-", name).strip("-").lower()
 
 
 def _plain(v):

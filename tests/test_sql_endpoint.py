@@ -116,3 +116,59 @@ def test_endpoint_dml_and_read_only(spark, tmp_path):
         assert cat.row_count("t") == 3  # nothing executed
     finally:
         ro.stop()
+
+
+def _get(port: int, path: str) -> dict:
+    import urllib.error
+
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}{path}", timeout=120
+        ) as r:
+            return json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return json.loads(e.read())
+
+
+def test_endpoint_serves_dashboard_charts(spark, tmp_path):
+    """/dashboard lists the declarative BI bundle; /chart/<slug> runs
+    the compiled tile query against the LATEST mart snapshot (the live
+    twin of the reference's Superset warmup, dags/06:514-531)."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table(
+        "gold_daily_sales_summary",
+        spark.createDataFrame(
+            [("2024-01-01", 100.0, 2, 50.0, 4.0, 60.0, 5),
+             ("2024-01-02", 30.0, 1, 30.0, 2.0, 75.0, 4)],
+            "sale_date string, total_revenue double, total_orders bigint, "
+            "avg_order_value double, conversion_rate double, "
+            "cart_abandonment_rate double, total_carts bigint",
+        ),
+    )
+    ep = SqlEndpoint(cat).start()
+    try:
+        dash = _get(ep.port, "/dashboard")
+        assert dash["slug"] == "ecommerce-lakehouse-analytics"
+        assert len(dash["charts"]) == 7
+        assert "daily-revenue-orders" in dash["charts"]
+        assert dash["charts"]["daily-revenue-orders"]["position"] is not None
+
+        out = _get(ep.port, "/chart/daily-revenue-orders")
+        assert out["chart"] == "Daily Revenue & Orders"
+        assert out["columns"] == ["sale_date", "revenue", "orders"]
+        assert out["rows"] == [["2024-01-01", 100.0, 2],
+                               ["2024-01-02", 30.0, 1]]
+
+        # fresh-snapshot visibility: append, chart reflects it
+        cat.append("gold_daily_sales_summary", spark.createDataFrame(
+            [("2024-01-03", 7.0, 1, 7.0, 1.0, 0.0, 1)],
+            "sale_date string, total_revenue double, total_orders bigint, "
+            "avg_order_value double, conversion_rate double, "
+            "cart_abandonment_rate double, total_carts bigint",
+        ))
+        out = _get(ep.port, "/chart/daily-revenue-orders")
+        assert len(out["rows"]) == 3
+
+        assert "error" in _get(ep.port, "/chart/nope")
+    finally:
+        ep.stop()
