@@ -208,6 +208,24 @@ def q_hourly_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _date_str(df, "event_date")
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over silver events: users
+    cohorted by first activity date, distinct-counted per 7-day period
+    since, with retention vs the period-0 cohort size."""
+    df = gold.cohort_retention(_events_silver(spark, sf_dir))
+    return _date_str(df, "cohort_date")
+
+
+def q_cohort_retention_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same triangle, but only purchases count as retained activity
+    (cohorting still uses all events) — the ``activity_filter`` path."""
+    df = gold.cohort_retention(
+        _events_silver(spark, sf_dir),
+        activity_filter=F.col("event_type") == "purchase",
+    )
+    return _date_str(df, "cohort_date")
+
+
 def q_category_performance_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """category_performance (W2 top-1-per-group + J1 3-key left join)
     instantiated over lineitem⋈part: month × part-type categories,
@@ -3230,6 +3248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_pivot": q_event_type_pivot,
         "segment_order_percentiles": q_segment_order_percentiles,
         # --- capability already represented in the prefix ---
+        "cohort_retention": q_cohort_retention,
+        "cohort_retention_purchase": q_cohort_retention_purchase,
         "events_sliding_traffic": q_events_sliding_traffic,
         "orders_rolling_7d": q_orders_rolling_7d,
         "events_hourly_interpolate": q_events_hourly_interpolate,
@@ -3571,6 +3591,44 @@ SELECT
 FROM silver
 GROUP BY event_date, event_hour, day_of_week_num
 """
+    )
+
+    _COHORT_CTE = """
+, cohorts AS (
+    SELECT user_id, MIN(event_date) AS cohort_date
+    FROM silver GROUP BY user_id
+),
+sizes AS (
+    SELECT cohort_date, CAST(COUNT(*) AS BIGINT) AS cohort_size
+    FROM cohorts GROUP BY cohort_date
+),
+activity AS (
+    SELECT DISTINCT
+        c.cohort_date,
+        CAST(FLOOR(date_diff('day', c.cohort_date, s.event_date) / 7.0)
+             AS BIGINT) AS period,
+        s.user_id
+    FROM {src} s JOIN cohorts c ON s.user_id = c.user_id
+),
+matrix AS (
+    SELECT cohort_date, period,
+           CAST(COUNT(user_id) AS BIGINT) AS active_users
+    FROM activity GROUP BY cohort_date, period
+)
+SELECT
+    strftime(m.cohort_date, '%Y-%m-%d') AS cohort_date,
+    m.period, m.active_users, z.cohort_size,
+    floor((m.active_users * 100.0 / nullif(z.cohort_size, 0)) * 100 + 0.5)
+        / 100 AS retention_pct
+FROM matrix m JOIN sizes z ON m.cohort_date = z.cohort_date
+"""
+    sql["cohort_retention"] = (
+        _SILVER_CTE + _COHORT_CTE.format(src="silver")
+    )
+    sql["cohort_retention_purchase"] = (
+        _SILVER_CTE
+        + ",\npurchases AS (SELECT * FROM silver WHERE event_type = 'purchase')"
+        + _COHORT_CTE.format(src="purchases")
     )
 
     sql["gold_category_performance"] = """

@@ -44,6 +44,7 @@ __all__ = [
     "user_journey_funnel",
     "conversion_funnel_daily",
     "hourly_traffic",
+    "cohort_retention",
 ]
 
 _DEC = "decimal(18,2)"
@@ -586,3 +587,66 @@ def hourly_traffic(silver: DataFrame, *, cart_type: str = "cart") -> DataFrame:
         .drop("day_of_week_num")
     )
     return df.orderBy("event_date", "event_hour")
+
+
+def cohort_retention(
+    silver: DataFrame,
+    *,
+    period_days: int = 7,
+    activity_filter: Column | None = None,
+) -> DataFrame:
+    """Cohort retention matrix: users cohorted by their FIRST activity
+    date, then counted distinctly in each ``period_days`` bucket after
+    it (the classic week-over-week retention triangle BI tools derive
+    from raw events; the reference's dbt marts stop at funnel stages —
+    this is the longitudinal twin).
+
+    Periods bucket by exact day arithmetic from the user's own cohort
+    date (``floor(datediff/period)``), NOT calendar-week truncation, so
+    the semantics are engine-portable (ISO-week rules differ across
+    engines) and cohorts are not split by year boundaries.
+
+    Scale: per-user MIN is one map-side-combinable shuffle on
+    ``user_id``; the activity join re-shuffles events on the same key
+    (co-partitioned exchange, no broadcast needed — both sides are
+    user-keyed); the final distinct-count aggregates on
+    ``(cohort_date, period)``. ``cohort_size`` re-aggregates the
+    per-user cohort table (one row per user — already shuffled) and
+    joins the matrix by ``cohort_date`` (one row per cohort — tiny,
+    broadcast), never re-scanning events.
+
+    ``activity_filter`` optionally restricts which events count as
+    "active" in each period (e.g. only purchases) while cohorting and
+    ``cohort_size`` still use ALL activity — which is why sizes come
+    from the cohort table, not the period-0 matrix cell (under a
+    filter, period 0 may have no qualifying activity at all).
+    """
+    cohorts = silver.groupBy("user_id").agg(
+        F.min("event_date").alias("cohort_date")
+    )
+    act = silver if activity_filter is None else silver.filter(activity_filter)
+    activity = (
+        act.select("user_id", "event_date")
+        .join(cohorts, "user_id")
+        .select(
+            "cohort_date",
+            F.floor(
+                F.datediff(F.col("event_date"), F.col("cohort_date"))
+                / F.lit(period_days)
+            )
+            .cast("bigint")
+            .alias("period"),
+            "user_id",
+        )
+    )
+    matrix = activity.groupBy("cohort_date", "period").agg(
+        F.countDistinct("user_id").cast("bigint").alias("active_users")
+    )
+    sizes = cohorts.groupBy("cohort_date").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    df = matrix.join(F.broadcast(sizes), "cohort_date").withColumn(
+        "retention_pct",
+        _ratio(F.col("active_users"), F.col("cohort_size"), 100.0),
+    )
+    return df.orderBy("cohort_date", "period")

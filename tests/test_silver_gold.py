@@ -197,3 +197,51 @@ def test_check_relationships_referential(spark):
     assert quality.check_relationships(child, "fk", parent, "id") == 1
     ok = spark.createDataFrame([(1,), (None,)], "fk long")
     assert quality.check_relationships(ok, "fk", parent, "id") == 0
+
+
+def test_cohort_retention_matrix(spark):
+    """Users cohort by FIRST activity date; periods bucket by exact
+    7-day arithmetic from each user's own cohort date; cohort_size
+    counts the whole cohort even under an activity_filter."""
+    rows = [
+        # cohort 2024-01-01: users 1,2 — user 1 active weeks 0,1,2;
+        # user 2 only week 0
+        _ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+        _ev(2, "2024-01-08 10:00:00", 1, "purchase", 5.0),
+        _ev(3, "2024-01-15 10:00:00", 1, "view", 1.0),
+        _ev(4, "2024-01-01 11:00:00", 2, "view", 1.0),
+        # cohort 2024-01-03: user 3 — day 6 is still period 0
+        _ev(5, "2024-01-03 09:00:00", 3, "view", 1.0),
+        _ev(6, "2024-01-09 09:00:00", 3, "cart", None),
+    ]
+    silver = silver_events(spark.createDataFrame(rows, EVENT_SCHEMA))
+    out = {
+        (str(r["cohort_date"]), r["period"]): r
+        for r in gold.cohort_retention(silver).collect()
+    }
+    assert set(out) == {
+        ("2024-01-01", 0), ("2024-01-01", 1), ("2024-01-01", 2),
+        ("2024-01-03", 0),
+    }
+    assert out[("2024-01-01", 0)]["active_users"] == 2
+    assert out[("2024-01-01", 0)]["cohort_size"] == 2
+    assert out[("2024-01-01", 0)]["retention_pct"] == 100.0
+    assert out[("2024-01-01", 1)]["active_users"] == 1
+    assert out[("2024-01-01", 1)]["retention_pct"] == 50.0
+    # user 3's day-6 event folds into period 0, day-8 into period 1?
+    # No: 2024-01-09 is 6 days after 2024-01-03 → still period 0.
+    assert out[("2024-01-03", 0)]["active_users"] == 1
+
+    # purchase-only retention: cohorting/cohort_size unchanged, but only
+    # purchase events count as active — user 1 week 1 survives, week 0
+    # has NO purchases at all (cohort_size must not come from the
+    # filtered matrix).
+    filt = gold.cohort_retention(
+        silver, activity_filter=F.col("event_type") == "purchase"
+    ).collect()
+    assert {(str(r["cohort_date"]), r["period"]) for r in filt} == {
+        ("2024-01-01", 1)
+    }
+    r = filt[0]
+    assert r["active_users"] == 1 and r["cohort_size"] == 2
+    assert r["retention_pct"] == 50.0
