@@ -449,12 +449,29 @@ class Catalog:
             self._save_manifest(h, entries)
         return h
 
-    def overwrite(self, name: str, df: DataFrame) -> TableHandle:
-        """S8: replace contents, keep history (old versions readable)."""
+    def overwrite(
+        self, name: str, df: DataFrame, *, staged: bool = False
+    ) -> TableHandle:
+        """S8: replace contents, keep history (old versions readable).
+        ``staged=True`` stages the replace as a WAP snapshot (see
+        :meth:`append`)."""
         h = self._handle(name)
         if not self.table_exists(name):
             raise ValueError(f"table {name} does not exist")
-        return self._commit(h, df, op="overwrite", replace=True)
+        return self._commit(h, df, op="overwrite", replace=True, staged=staged)
+
+    def transaction(self):
+        """Atomic multi-table write session (see
+        :mod:`data_lakehouse_spark.transactions`)::
+
+            with cat.transaction() as txn:
+                txn.append("silver_events", batch)
+                txn.overwrite("gold_daily", mart)
+            # both visible now, neither before — or neither on error
+        """
+        from data_lakehouse_spark.transactions import Transaction
+
+        return Transaction(self)
 
     def _commit(
         self,
