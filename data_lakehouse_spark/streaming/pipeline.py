@@ -27,6 +27,8 @@ __all__ = [
     "stream_running_counts_tws",
     "stream_to_catalog",
     "make_catalog_sink",
+    "stream_to_catalog_fanout",
+    "make_catalog_fanout_sink",
     "stream_merge_to_catalog",
     "make_catalog_merge_sink",
     "LAST_BATCH_PROP",
@@ -246,6 +248,85 @@ def stream_to_catalog(
     """
     sink = make_catalog_sink(
         catalog, table, partition_by=partition_by, exactly_once=exactly_once
+    )
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def make_catalog_fanout_sink(
+    catalog,
+    routes: dict[str, "object"],
+    *,
+    exactly_once: bool = True,
+):
+    """foreachBatch sink that fans ONE micro-batch out to SEVERAL
+    catalog tables ATOMICALLY (e.g. silver events + per-type marts +
+    a dead-letter table): every route's output is staged as a WAP
+    snapshot, then the multi-table transaction's intent log publishes
+    them all-or-nothing — a downstream reader never sees the batch in
+    one table but not another, even across a crash mid-publish
+    (recover_transactions rolls the decided batch forward on the next
+    transaction).
+
+    ``routes`` maps table name → ``transform(batch_df) -> DataFrame``.
+    A route returning an empty frame writes nothing for that table this
+    batch. Missing tables are created EMPTY first (schema from the
+    transform output), so the data itself always lands through the
+    transaction.
+
+    Exactly-once: each staged append records ``batch_id`` in that
+    table's properties in the same commit; on replay, tables at-or-past
+    the batch are skipped individually (after a crash the transaction
+    machinery guarantees they agree, but pre-existing per-table markers
+    may legitimately differ).
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)  # one source scan
+        try:
+            with catalog.transaction() as txn:
+                for table, transform in routes.items():
+                    out = transform(batch_df)
+                    if out.isEmpty():
+                        continue
+                    if not catalog.table_exists(table):
+                        catalog.create_table(table, out.limit(0))
+                    if exactly_once:
+                        last = catalog.table_properties(table).get(
+                            LAST_BATCH_PROP
+                        )
+                        if last is not None and batch_id <= int(last):
+                            continue
+                    txn.append(
+                        table,
+                        out,
+                        properties_update={LAST_BATCH_PROP: str(batch_id)},
+                    )
+        finally:
+            batch_df.unpersist()
+
+    return sink
+
+
+def stream_to_catalog_fanout(
+    stream: DataFrame,
+    catalog,
+    routes: dict[str, "object"],
+    *,
+    checkpoint: str,
+    exactly_once: bool = True,
+) -> "object":
+    """Start a stream whose every micro-batch publishes to all of
+    ``routes``'s tables atomically (see
+    :func:`make_catalog_fanout_sink`)."""
+    sink = make_catalog_fanout_sink(
+        catalog, routes, exactly_once=exactly_once
     )
     return (
         stream.writeStream.foreachBatch(sink)

@@ -558,3 +558,72 @@ def test_streaming_corpus_quality_intake(spark, tmp_path):
     got = {r["doc_id"]: r.asDict() for r in landed.collect()}
     assert set(got) == set(batch) == {1, 3}
     assert got == batch  # streaming plan == batch plan, bit-for-bit
+
+
+def test_catalog_fanout_sink_atomic_and_exactly_once(spark, tmp_path):
+    """One micro-batch fans out to two tables through a multi-table
+    transaction: both visible after the sink returns, replays skip
+    per-table, and a crash between intent and publish rolls forward on
+    the next transaction."""
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.streaming import make_catalog_fanout_sink
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    routes = {
+        "views": lambda df: df.filter(F.col("kind") == "view").select("id"),
+        "buys": lambda df: df.filter(F.col("kind") == "buy").select("id"),
+    }
+    sink = make_catalog_fanout_sink(cat, routes)
+    b0 = spark.createDataFrame(
+        [(1, "view"), (2, "buy"), (3, "view")], "id long, kind string"
+    )
+    sink(b0, 0)
+    assert sorted(r.id for r in cat.read("views").collect()) == [1, 3]
+    assert sorted(r.id for r in cat.read("buys").collect()) == [2]
+
+    sink(b0, 0)  # replay: both tables skip
+    assert cat.read("views").count() == 2
+    assert cat.read("buys").count() == 1
+
+    # a route with no rows this batch writes nothing but others proceed
+    b1 = spark.createDataFrame([(4, "view")], "id long, kind string")
+    sink(b1, 1)
+    assert sorted(r.id for r in cat.read("views").collect()) == [1, 3, 4]
+    assert cat.read("buys").count() == 1
+    assert cat.table_properties("views")["stream.last_batch_id"] == "1"
+    assert cat.table_properties("buys")["stream.last_batch_id"] == "0"
+
+
+def test_catalog_fanout_crash_mid_publish_recovers(spark, tmp_path):
+    """Stage both outputs + write the intent, crash before any flip:
+    the next fanout batch's transaction rolls the stuck one forward
+    first, so no reader ever sees table A's batch without table B's."""
+    import json as _json
+    import os as _os
+
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.streaming import make_catalog_fanout_sink
+    from data_lakehouse_spark.streaming.pipeline import LAST_BATCH_PROP
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_table("x", spark.createDataFrame([(0,)], "id long"))
+    cat.create_table("y", spark.createDataFrame([(0,)], "id long"))
+    txn = cat.transaction()
+    txn.append("x", spark.createDataFrame([(1,)], "id long"),
+               properties_update={LAST_BATCH_PROP: "5"})
+    txn.append("y", spark.createDataFrame([(1,)], "id long"),
+               properties_update={LAST_BATCH_PROP: "5"})
+    tdir = _os.path.join(cat.root, "_txn")
+    _os.makedirs(tdir, exist_ok=True)
+    with open(_os.path.join(tdir, f"{txn.txn_id}.json"), "w") as f:
+        _json.dump({"txn_id": txn.txn_id,
+                    "tables": {n: v for n, (v, _) in txn._staged.items()}}, f)
+    assert cat.read("x").count() == 1  # staged batch invisible
+
+    sink = make_catalog_fanout_sink(
+        cat, {"x": lambda df: df, "y": lambda df: df}
+    )
+    sink(spark.createDataFrame([(2,)], "id long"), 6)
+    assert sorted(r.id for r in cat.read("x").collect()) == [0, 1, 2]
+    assert sorted(r.id for r in cat.read("y").collect()) == [0, 1, 2]
