@@ -226,6 +226,14 @@ def q_cohort_retention_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _date_str(df, "cohort_date")
 
 
+def q_active_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU engagement mart: trailing distinct actives via the
+    collapsed-activity × broadcast-date-spine range join (no
+    COUNT(DISTINCT) windows, no raw-event self-join)."""
+    df = gold.active_user_stickiness(_events_silver(spark, sf_dir))
+    return _date_str(df, "activity_date")
+
+
 def q_category_performance_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """category_performance (W2 top-1-per-group + J1 3-key left join)
     instantiated over lineitem⋈part: month × part-type categories,
@@ -3250,6 +3258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- capability already represented in the prefix ---
         "cohort_retention": q_cohort_retention,
         "cohort_retention_purchase": q_cohort_retention_purchase,
+        "active_user_stickiness": q_active_user_stickiness,
         "events_sliding_traffic": q_events_sliding_traffic,
         "orders_rolling_7d": q_orders_rolling_7d,
         "events_hourly_interpolate": q_events_hourly_interpolate,
@@ -3629,6 +3638,33 @@ FROM matrix m JOIN sizes z ON m.cohort_date = z.cohort_date
         _SILVER_CTE
         + ",\npurchases AS (SELECT * FROM silver WHERE event_type = 'purchase')"
         + _COHORT_CTE.format(src="purchases")
+    )
+
+    sql["active_user_stickiness"] = (
+        _SILVER_CTE
+        + """
+, activity AS (
+    SELECT DISTINCT user_id, event_date FROM silver
+),
+dates AS (
+    SELECT DISTINCT event_date AS activity_date FROM activity
+)
+SELECT
+    strftime(d.activity_date, '%Y-%m-%d') AS activity_date,
+    CAST(COUNT(DISTINCT CASE WHEN date_diff('day', a.event_date,
+        d.activity_date) = 0 THEN a.user_id END) AS BIGINT) AS dau,
+    CAST(COUNT(DISTINCT CASE WHEN date_diff('day', a.event_date,
+        d.activity_date) < 7 THEN a.user_id END) AS BIGINT) AS wau,
+    CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS mau,
+    floor((COUNT(DISTINCT CASE WHEN date_diff('day', a.event_date,
+               d.activity_date) = 0 THEN a.user_id END) * 100.0
+           / nullif(COUNT(DISTINCT a.user_id), 0)) * 100 + 0.5) / 100
+        AS stickiness_pct
+FROM activity a JOIN dates d
+  ON date_diff('day', a.event_date, d.activity_date) >= 0
+ AND date_diff('day', a.event_date, d.activity_date) < 28
+GROUP BY d.activity_date
+"""
     )
 
     sql["gold_category_performance"] = """

@@ -45,6 +45,7 @@ __all__ = [
     "conversion_funnel_daily",
     "hourly_traffic",
     "cohort_retention",
+    "active_user_stickiness",
 ]
 
 _DEC = "decimal(18,2)"
@@ -650,3 +651,33 @@ def cohort_retention(
         _ratio(F.col("active_users"), F.col("cohort_size"), 100.0),
     )
     return df.orderBy("cohort_date", "period")
+
+
+def active_user_stickiness(
+    silver: DataFrame, *, wau_days: int = 7, mau_days: int = 28
+) -> DataFrame:
+    """DAU / WAU / MAU + stickiness (DAU/MAU) per activity date — the
+    engagement mart every product-analytics stack derives from events.
+
+    Trailing distinct-count-over-range is not window-expressible
+    (COUNT(DISTINCT) over a RANGE frame), so the plan is: collapse
+    events to distinct (user, date) pairs FIRST (one shuffle — at scale
+    this is orders of magnitude smaller than raw events), then
+    range-join that activity table against the broadcast date spine
+    (≤ ``mau_days``× amplification of the already-collapsed pairs) and
+    take the three conditional distinct counts in ONE aggregate
+    (Catalyst Expand handles the multi-distinct). No self-join of raw
+    events, no per-date re-scan.
+    """
+    activity = silver.select("user_id", "event_date").distinct()
+    dates = activity.select(F.col("event_date").alias("activity_date")).distinct()
+    age = F.datediff(F.col("activity_date"), F.col("event_date"))
+    j = activity.join(
+        F.broadcast(dates), (age >= 0) & (age < F.lit(mau_days))
+    )
+    df = j.groupBy("activity_date").agg(
+        _cntd(age == 0, "user_id").alias("dau"),
+        _cntd(age < wau_days, "user_id").alias("wau"),
+        F.countDistinct("user_id").cast("bigint").alias("mau"),
+    ).withColumn("stickiness_pct", _ratio(F.col("dau"), F.col("mau"), 100.0))
+    return df.orderBy("activity_date")

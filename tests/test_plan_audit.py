@@ -60,6 +60,11 @@ SINGLE_PARTITION_OK = {
 NESTED_LOOP_OK = {
     "region_nation_cross": "intentional CROSS JOIN demo: 5 x 25 dims",
     "orders_price_band_range_join": "range join vs literal band rows (broadcast side is the band table)",
+    "active_user_stickiness": (
+        "trailing-window range join: broadcast side is the distinct "
+        "date spine (|days| rows), stream side is the collapsed "
+        "(user, day) activity table — amplification bounded at 28x"
+    ),
     "events_hourly_interpolate": "spine x distinct-types cross join: hours x |event types| rows, both bounded",
     "doc_bm25_search": "1-row corpus-stats broadcast (scalar cross join)",
     "doc_lm_unigram_score": "1-row total + 1-row OOV-floor broadcast",

@@ -245,3 +245,33 @@ def test_cohort_retention_matrix(spark):
     r = filt[0]
     assert r["active_users"] == 1 and r["cohort_size"] == 2
     assert r["retention_pct"] == 50.0
+
+
+def test_active_user_stickiness(spark):
+    """DAU/WAU/MAU over crafted activity: trailing windows count each
+    user once, stickiness = dau/mau."""
+    rows = [
+        _ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+        _ev(2, "2024-01-01 11:00:00", 2, "view", 1.0),
+        _ev(3, "2024-01-05 10:00:00", 1, "view", 1.0),
+        # same user twice on one day → still one active
+        _ev(4, "2024-01-05 11:00:00", 1, "cart", None),
+        # 40 days later: outside user 2's 28-day window
+        _ev(5, "2024-02-10 10:00:00", 1, "view", 1.0),
+    ]
+    silver = silver_events(spark.createDataFrame(rows, EVENT_SCHEMA))
+    out = {
+        str(r["activity_date"]): r
+        for r in gold.active_user_stickiness(silver).collect()
+    }
+    assert out["2024-01-01"]["dau"] == 2
+    assert out["2024-01-01"]["wau"] == 2
+    assert out["2024-01-01"]["mau"] == 2
+    assert out["2024-01-01"]["stickiness_pct"] == 100.0
+    # Jan 5: only user 1 active today; both within trailing 7/28 days
+    assert out["2024-01-05"]["dau"] == 1
+    assert out["2024-01-05"]["wau"] == 2
+    assert out["2024-01-05"]["mau"] == 2
+    assert out["2024-01-05"]["stickiness_pct"] == 50.0
+    # Feb 10: Jan activity is >28 days old → mau collapses to 1
+    assert out["2024-02-10"]["mau"] == 1
