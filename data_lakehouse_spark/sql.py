@@ -27,6 +27,14 @@ reference therefore arrives holding SQL strings, not Python calls.
   :meth:`~.Catalog.compact`, ``VACUUM t`` →
   :meth:`~.Catalog.remove_orphan_files`, and Iceberg-style stored
   procedures ``CALL expire_snapshots(...)`` against a whitelist.
+- **Transactions**: ``BEGIN [TRANSACTION]`` opens a multi-table
+  transaction on this session; ``INSERT INTO/OVERWRITE`` statements
+  stage WAP snapshots (reads in the same session see them —
+  read-your-own-writes; other sessions don't), and ``COMMIT`` /
+  ``ROLLBACK`` publishes or discards them all-or-nothing
+  (:mod:`~data_lakehouse_spark.transactions`). In-place DML
+  (UPDATE/DELETE/MERGE) and DDL refuse inside a transaction — the
+  same staging limits as Iceberg WAP.
 
 Only statement STRUCTURE is parsed here (statement kind, table names,
 clause boundaries); every expression — projections, predicates, merge
@@ -190,6 +198,8 @@ class LakehouseSql:
     def __init__(self, catalog) -> None:
         self.catalog = catalog
         self.spark: SparkSession = catalog.spark
+        #: open multi-table transaction (BEGIN … COMMIT/ROLLBACK)
+        self._txn = None
 
     # -- public entry points ------------------------------------------------
 
@@ -243,10 +253,55 @@ class LakehouseSql:
             "COPY": self._copy_into,
             "ANALYZE": self._analyze,
             "REFRESH": self._refresh_mv,
+            "BEGIN": self._begin,
+            "START": self._begin,
+            "COMMIT": self._commit_txn,
+            "ROLLBACK": self._rollback_txn,
         }.get(kw)
         if handler is None:
             raise SqlError(f"unsupported statement kind {kw}")
+        if self._txn is not None and kw in self._NON_TXN_KW:
+            raise SqlError(
+                f"{kw} is not transactional — only INSERT INTO/OVERWRITE "
+                "and reads may run inside BEGIN … COMMIT (in-place "
+                "rewrites can't be staged; COMMIT or ROLLBACK first)"
+            )
         return handler(stmt)
+
+    #: statement kinds refused while a transaction is open: everything
+    #: that commits in place or mutates metadata outside WAP staging
+    _NON_TXN_KW = frozenset(
+        {"UPDATE", "DELETE", "MERGE", "CREATE", "DROP", "ALTER",
+         "OPTIMIZE", "VACUUM", "CALL", "RESTORE", "TRUNCATE", "COPY",
+         "ANALYZE", "REFRESH"}
+    )
+
+    # -- transactions -------------------------------------------------------
+
+    def _begin(self, stmt: str) -> dict:
+        if not re.match(
+            r"\s*(BEGIN|START)(\s+TRANSACTION)?\s*$", stmt, re.I
+        ):
+            raise SqlError("expected: BEGIN [TRANSACTION]")
+        if self._txn is not None:
+            raise SqlError("a transaction is already open (no nesting)")
+        self._txn = self.catalog.transaction().__enter__()  # runs recovery
+        return {"op": "begin", "txn_id": self._txn.txn_id}
+
+    def _commit_txn(self, stmt: str) -> dict:
+        if self._txn is None:
+            raise SqlError("COMMIT without an open transaction")
+        txn, self._txn = self._txn, None
+        tables = txn.commit()
+        return {"op": "commit", "txn_id": txn.txn_id,
+                "tables": sorted(tables)}
+
+    def _rollback_txn(self, stmt: str) -> dict:
+        if self._txn is None:
+            raise SqlError("ROLLBACK without an open transaction")
+        txn, self._txn = self._txn, None
+        txn.abort()
+        return {"op": "rollback", "txn_id": txn.txn_id}
 
     # -- queries ------------------------------------------------------------
 
@@ -259,6 +314,13 @@ class LakehouseSql:
         # view-dependency closure) resolve snapshots — O(referenced
         # tables), not O(catalog size), per statement
         self.catalog.register_views(names=self._idents(stmt))
+        if self._txn is not None:
+            # read-your-own-writes: tables this transaction has staged
+            # resolve to their staged snapshots for THIS session
+            for name, (v, _) in self._txn._staged.items():
+                self.catalog.read(name, version=v).createOrReplaceTempView(
+                    name
+                )
         stmt = self._rewrite_meta_tables(stmt)
         return self.spark.sql(self._rewrite_time_travel(stmt))
 
@@ -873,6 +935,24 @@ class LakehouseSql:
                 for c in tcols
             ]
         )
+        if self._txn is not None:
+            # staged write: visible to this session's reads (RYOW view
+            # overrides in _query), published only at COMMIT
+            before = self.catalog.row_count(name)
+            if verb == "OVERWRITE":
+                self._txn.overwrite(name, df)
+            else:
+                self._txn.append(name, df)
+            staged_v = self._txn._staged[name][0]
+            staged_rows = self.catalog.row_count(name, version=staged_v)
+            return {
+                "op": ("insert_overwrite" if verb == "OVERWRITE"
+                       else "insert_into"),
+                "name": name, "staged_version": staged_v,
+                "txn_id": self._txn.txn_id,
+                **({"rows": staged_rows} if verb == "OVERWRITE"
+                   else {"rows_inserted": staged_rows - before}),
+            }
         if verb == "OVERWRITE":
             self.catalog.overwrite(name, df)
             return {"op": "insert_overwrite", "name": name,

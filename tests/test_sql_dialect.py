@@ -521,3 +521,77 @@ def test_show_create_table(cat, spark):
     assert "seg STRING" in ddl and "n INT" in ddl
     assert "PARTITIONED BY (seg)" in ddl
     assert "'owner'='ops'" in ddl
+
+
+# -- BEGIN ... COMMIT / ROLLBACK ---------------------------------------------
+
+
+def test_txn_sql_commit_publishes_atomically(cat, spark):
+    """BEGIN; two INSERTs; COMMIT — both invisible to a second session
+    until COMMIT, visible to THIS session's reads meanwhile (RYOW)."""
+    from data_lakehouse_spark.sql import LakehouseSql
+
+    _seed(cat, spark)
+    execute_sql(cat, "CREATE TABLE audit AS SELECT 0 AS id WHERE FALSE")
+    sess = LakehouseSql(cat)
+    other = LakehouseSql(cat)
+
+    assert sess.execute("BEGIN")["op"] == "begin"
+    r = sess.execute("INSERT INTO accounts VALUES (9, 'zoe', 1.0)")
+    assert r["rows_inserted"] == 1 and "txn_id" in r
+    sess.execute("INSERT INTO audit VALUES (1)")
+    # RYOW: the open session sees its staged rows
+    assert sess.execute(
+        "SELECT COUNT(*) AS n FROM accounts"
+    ).collect()[0].n == 4
+    # another session does not
+    assert other.execute(
+        "SELECT COUNT(*) AS n FROM accounts"
+    ).collect()[0].n == 3
+    out = sess.execute("COMMIT")
+    assert sorted(out["tables"]) == ["accounts", "audit"]
+    assert other.execute(
+        "SELECT COUNT(*) AS n FROM accounts"
+    ).collect()[0].n == 4
+    assert cat.row_count("audit") == 1
+
+
+def test_txn_sql_rollback_and_guards(cat, spark):
+    from data_lakehouse_spark.sql import LakehouseSql, SqlError
+
+    _seed(cat, spark)
+    sess = LakehouseSql(cat)
+    sess.execute("BEGIN TRANSACTION")
+    sess.execute("INSERT INTO accounts VALUES (9, 'zoe', 1.0)")
+    # in-place DML refuses inside a transaction
+    with pytest.raises(SqlError, match="not transactional"):
+        sess.execute("DELETE FROM accounts WHERE id = 1")
+    with pytest.raises(SqlError, match="no nesting"):
+        sess.execute("BEGIN")
+    sess.execute("ROLLBACK")
+    assert cat.row_count("accounts") == 3
+    # the table is writable again after the abort
+    execute_sql(cat, "INSERT INTO accounts VALUES (5, 'ed', 2.0)")
+    assert cat.row_count("accounts") == 4
+    with pytest.raises(SqlError, match="COMMIT without"):
+        sess.execute("COMMIT")
+
+
+def test_txn_sql_script_form(cat, spark):
+    """The whole transaction as one script: statement-ordered."""
+    from data_lakehouse_spark.sql import execute_sql_script
+
+    _seed(cat, spark)
+    out = execute_sql_script(
+        cat,
+        "BEGIN; "
+        "INSERT INTO accounts VALUES (7, 'gil', 3.0); "
+        "INSERT OVERWRITE accounts SELECT id, name, balance * 2 AS balance"
+        " FROM accounts; "
+        "COMMIT",
+    )
+    assert out[0]["op"] == "begin" and out[-1]["op"] == "commit"
+    rows = {r.name: r.balance for r in
+            execute_sql(cat, "SELECT name, balance FROM accounts").collect()}
+    # overwrite read the staged insert (RYOW), doubled everything
+    assert rows["gil"] == 6.0 and rows["alice"] == 200.0 and len(rows) == 4
