@@ -26,10 +26,15 @@ recovery completes — the same read-committed-per-table guarantee every
 file-listing lakehouse gives; the atomicity contract here is
 crash-durability of all-or-nothing, not cross-table read isolation.
 
-Single-coordinator assumption: while a transaction is staging, other
-writers must not stack their OWN staged snapshots on the same tables
-(normal unstaged writes are already refused by the WAP guard). This is
-the same assumption Iceberg's ``wap.id`` workflow makes.
+Concurrent writers: normal unstaged writes on a touched table are
+refused by the WAP guard until the transaction resolves, and a second
+transaction (or external WAP writer) staging on the same table is
+refused by :meth:`Transaction._check_stageable` — staged snapshots
+stack, so interleaved staging would let one writer publish or bury the
+other's data. (The check-then-stage pair is not atomic; on a shared
+filesystem with truly simultaneous stagers this narrows, not closes,
+the window — the same ``wap.id`` single-coordinator assumption Iceberg
+makes.)
 
 Scale note: everything here is manifest metadata — O(tables) small
 JSON writes regardless of data volume. The data files were already
@@ -116,6 +121,27 @@ class Transaction:
         self._done = False
 
     # -- staged writes -----------------------------------------------------
+    def _check_stageable(self, name: str) -> None:
+        """Refuse to stage on top of ANOTHER writer's staged snapshot:
+        staged appends stack on the staged head, so committing here
+        would silently publish (or abort would silently bury) the other
+        writer's data — the one anomaly the WAP guard on unstaged
+        commits doesn't catch."""
+        h = self.catalog._handle(name)
+        entries = self.catalog._load_manifest(h)
+        head = (
+            self.catalog._branch_head(entries, None) if entries else None
+        )
+        if head is not None and head.get("staged"):
+            mine = self._staged.get(name)
+            if mine is None or head["version"] != mine[0]:
+                raise ValueError(
+                    f"{name} has a staged snapshot (v{head['version']}) "
+                    f"from another writer — transaction {self.txn_id} "
+                    "refuses to stack on it (publish or roll it back "
+                    "first)"
+                )
+
     def _record(self, name: str) -> None:
         h = self.catalog._handle(name)
         entries = self.catalog._load_manifest(h)
@@ -134,11 +160,13 @@ class Transaction:
 
     def append(self, name: str, df: DataFrame, **kw) -> None:
         """Stage an append; visible to others only after commit."""
+        self._check_stageable(name)
         self.catalog.append(name, df, staged=True, **kw)
         self._record(name)
 
     def overwrite(self, name: str, df: DataFrame) -> None:
         """Stage a full replace; visible only after commit."""
+        self._check_stageable(name)
         self.catalog.overwrite(name, df, staged=True)
         self._record(name)
 

@@ -148,3 +148,18 @@ def test_txn_abort_preserves_audit_history(spark, tmp_path):
     assert sorted(
         r.id for r in cat.read("a", version=staged_v).collect()
     ) == [1, 2]
+
+
+def test_txn_refuses_foreign_staged_snapshot(spark, tmp_path):
+    """A transaction must not stack on another writer's staged data:
+    committing would publish it, aborting would bury it."""
+    cat = _cat(spark, tmp_path)
+    cat.append("a", spark.createDataFrame([(8,)], "id long"), staged=True)
+    txn = cat.transaction()
+    with pytest.raises(ValueError, match="another writer"):
+        txn.append("a", spark.createDataFrame([(2,)], "id long"))
+    # untouched table still works in the same transaction
+    txn.append("b", spark.createDataFrame([(20,)], "id long"))
+    txn.commit()
+    assert _ids(cat, "b") == [10, 20]
+    assert _ids(cat, "a") == [1]  # foreign staged data stays unpublished
