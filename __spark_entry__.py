@@ -32,6 +32,7 @@ from data_lakehouse_spark.functions.scalars import round_half_up
 from data_lakehouse_spark.operators import (
     corpus,
     dedup,
+    experiments,
     gold,
     graph,
     relational,
@@ -232,6 +233,37 @@ def q_active_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(DISTINCT) windows, no raw-event self-join)."""
     df = gold.active_user_stickiness(_events_silver(spark, sf_dir))
     return _date_str(df, "activity_date")
+
+
+def q_experiment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B conversion lift: deterministic user_id%3 variant assignment,
+    purchase as success, pooled two-proportion z-score vs control."""
+    silver = _events_silver(spark, sf_dir)
+    assignments = silver.select("user_id").distinct().select(
+        "user_id",
+        F.when(F.col("user_id") % 3 == 0, F.lit("control"))
+        .when(F.col("user_id") % 3 == 1, F.lit("treat_a"))
+        .otherwise(F.lit("treat_b"))
+        .alias("variant"),
+    )
+    return experiments.experiment_lift(
+        silver, assignments, success=F.col("event_type") == "purchase"
+    )
+
+
+def q_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session event-type transition matrix (+ exit state, row-
+    normalized shares) — single window pass per user ordering."""
+    return experiments.session_transitions(_events_silver(spark, sf_dir))
+
+
+def q_funnel_step_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel velocity: median/p90 seconds from first view to first
+    cart-stage and first purchase, over per-user first-step timestamps
+    (single-row bounded global aggregate)."""
+    return experiments.funnel_step_timing(
+        _events_silver(spark, sf_dir), steps=("view", CART_TYPE, "purchase")
+    )
 
 
 def q_category_performance_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1847,6 +1879,30 @@ def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_active_user_stickiness_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of active_user_stickiness: per-day HLL sketches merged
+    over trailing 1/7/28-day windows — |days|² fixed-size sketch merges
+    instead of a 28× amplification of the (user, day) table. Sketch
+    estimates are engine-specific → rows-only gate; the ±rel-error vs
+    the exact mart is pinned in tests/test_sketches.py."""
+    from data_lakehouse_spark.operators import sketches
+
+    silver = _events_silver(spark, sf_dir)
+    daily = sketches.hll_sketch_table(silver, ["event_date"], "user_id")
+    out = sketches.hll_trailing_window(
+        daily, "event_date", {"dau": 1, "wau": 7, "mau": 28}
+    )
+    out = out.withColumn(
+        "stickiness_pct",
+        round_half_up(
+            F.col("dau") * 100.0
+            / F.when(F.col("mau") != 0, F.col("mau")),
+            2,
+        ),
+    ).withColumnRenamed("event_date", "activity_date")
+    return _date_str(out, "activity_date")
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed media decode through real mapInPandas plumbing."""
     _ensure_conf(spark)
@@ -3259,6 +3315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "cohort_retention_purchase": q_cohort_retention_purchase,
         "active_user_stickiness": q_active_user_stickiness,
+        "experiment_lift": q_experiment_lift,
+        "session_transitions": q_session_transitions,
+        "funnel_step_timing": q_funnel_step_timing,
         "events_sliding_traffic": q_events_sliding_traffic,
         "orders_rolling_7d": q_orders_rolling_7d,
         "events_hourly_interpolate": q_events_hourly_interpolate,
@@ -3339,6 +3398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_kmeans_ivf_topk": q_ann_kmeans_ivf_topk,
         "approx_distinct_users": q_approx_distinct_users,
         "hll_sketch_rollup": q_hll_sketch_rollup,
+        "active_user_stickiness_hll": q_active_user_stickiness_hll,
         "kll_quantile_rollup": q_kll_quantile_rollup,
         "theta_audience_overlap": q_theta_audience_overlap,
         "multimodal_decode": q_multimodal_decode,
@@ -3664,6 +3724,112 @@ FROM activity a JOIN dates d
   ON date_diff('day', a.event_date, d.activity_date) >= 0
  AND date_diff('day', a.event_date, d.activity_date) < 28
 GROUP BY d.activity_date
+"""
+    )
+
+    sql["experiment_lift"] = (
+        _SILVER_CTE
+        + """
+, assignments AS (
+    SELECT DISTINCT user_id,
+           CASE WHEN user_id % 3 = 0 THEN 'control'
+                WHEN user_id % 3 = 1 THEN 'treat_a'
+                ELSE 'treat_b' END AS variant
+    FROM silver
+),
+converted AS (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+    FROM silver GROUP BY user_id
+),
+pv AS (
+    SELECT a.variant,
+           CAST(COUNT(*) AS BIGINT) AS users,
+           CAST(SUM(coalesce(c.conv, 0)) AS BIGINT) AS converters
+    FROM assignments a LEFT JOIN converted c ON a.user_id = c.user_id
+    GROUP BY a.variant
+),
+ctrl AS (
+    SELECT users AS cu, converters AS cc FROM pv WHERE variant = 'control'
+)
+SELECT variant, users, converters,
+    floor(((converters / users) * 100.0) * 100 + 0.5) / 100 AS cvr_pct,
+    floor((((converters / users) - (cc / cu)) * 100.0) * 100 + 0.5) / 100
+        AS lift_abs_pct,
+    floor((((converters / users) - (cc / cu)) * 100.0
+           / nullif(cc / cu, 0)) * 100 + 0.5) / 100 AS lift_rel_pct,
+    floor((((converters / users) - (cc / cu))
+           / nullif(sqrt(((converters + cc) / (users + cu))
+                         * (1.0 - ((converters + cc) / (users + cu)))
+                         * (1.0 / users + 1.0 / cu)), 0)) * 10000 + 0.5)
+        / 10000 AS z_score
+FROM pv CROSS JOIN ctrl
+ORDER BY variant
+"""
+    )
+
+    sql["session_transitions"] = (
+        _SILVER_CTE
+        + """
+, seq AS (
+    SELECT
+        user_id, event_type, event_timestamp, event_unique_id,
+        CASE WHEN lag(epoch_us(event_timestamp)) OVER w IS NULL
+                  OR epoch_us(event_timestamp)
+                     - lag(epoch_us(event_timestamp)) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS new_sess,
+        lead(event_type) OVER w AS next_type
+    FROM silver
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY event_timestamp, event_unique_id)
+),
+marked AS (
+    SELECT event_type AS from_type,
+           CASE WHEN next_type IS NULL
+                     OR lead(new_sess) OVER (PARTITION BY user_id
+                        ORDER BY event_timestamp, event_unique_id) = 1
+                THEN 'exit' ELSE next_type END AS to_type
+    FROM seq
+),
+counts AS (
+    SELECT from_type, to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM marked GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+    floor((n_transitions * 100.0
+           / SUM(n_transitions) OVER (PARTITION BY from_type)) * 100 + 0.5)
+        / 100 AS share_pct
+FROM counts
+ORDER BY from_type, to_type
+"""
+    )
+
+    sql["funnel_step_timing"] = (
+        _SILVER_CTE
+        + """
+, firsts AS (
+    SELECT user_id,
+        MIN(CASE WHEN event_type = 'view' THEN epoch_us(event_timestamp) END) AS t0,
+        MIN(CASE WHEN event_type = 'click' THEN epoch_us(event_timestamp) END) AS t1,
+        MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(event_timestamp) END) AS t2
+    FROM silver GROUP BY user_id
+),
+d AS (
+    SELECT
+        CASE WHEN t1 >= t0 THEN (t1 - t0) / 1000000.0 END AS d01,
+        CASE WHEN t2 >= t0 THEN (t2 - t0) / 1000000.0 END AS d02
+    FROM firsts WHERE t0 IS NOT NULL
+)
+SELECT
+    CAST(COUNT(*) AS BIGINT) AS users_view,
+    CAST(COUNT(d01) AS BIGINT) AS users_view_to_click,
+    CAST(COUNT(d02) AS BIGINT) AS users_view_to_purchase,
+    floor(quantile_cont(d01, 0.5) * 100 + 0.5) / 100 AS median_sec_view_to_click,
+    floor(quantile_cont(d01, 0.9) * 100 + 0.5) / 100 AS p90_sec_view_to_click,
+    floor(quantile_cont(d02, 0.5) * 100 + 0.5) / 100 AS median_sec_view_to_purchase,
+    floor(quantile_cont(d02, 0.9) * 100 + 0.5) / 100 AS p90_sec_view_to_purchase
+FROM d
 """
     )
 

@@ -5,4 +5,5 @@
 - ``dedup``      — exact, MinHash-LSH, SimHash, n-gram-Jaccard dedup
 - ``similarity`` — cosine top-k search, LSH-bucketed ANN
 - ``quality``    — dbt-style data-test assertions (unique/not_null/...)
+- ``experiments``— A/B conversion lift, session transition flows, funnel timing
 """

@@ -1,0 +1,213 @@
+"""Experimentation analytics: A/B conversion lift and behavioral flow.
+
+The reference's marts stop at descriptive funnels; an analytics engine
+serving a product team also needs the comparative layer — which variant
+converts better, and how users move between steps. Both operators here
+are pure DataFrame compositions (no UDFs) engineered for the DuckDB
+oracle's bit-exactness rules (counts exact, ratios divide identical
+doubles, half-up rounding at fixed scale).
+
+Scale: both collapse raw events to per-user (or per-step) aggregates
+FIRST, so every join and window downstream runs over the collapsed
+cardinality, never raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_lakehouse_spark.functions.scalars import round_half_up
+
+__all__ = ["experiment_lift", "session_transitions", "funnel_step_timing"]
+
+
+def experiment_lift(
+    events: DataFrame,
+    assignments: DataFrame,
+    *,
+    success: Column,
+    user_col: str = "user_id",
+    variant_col: str = "variant",
+    control: str = "control",
+) -> DataFrame:
+    """Two-proportion conversion lift per variant vs a control.
+
+    ``assignments`` maps ``user_col`` → ``variant_col`` (one row per
+    user — a real experiment system's exposure table; tests derive it
+    deterministically from the user id). A user converts if ANY of
+    their events satisfies ``success``.
+
+    Output per variant: ``users``, ``converters``, ``cvr`` (conversion
+    rate), ``lift_abs`` / ``lift_rel_pct`` vs control, and ``z_score``
+    from the pooled two-proportion test — the number an experimentation
+    dashboard thresholds (|z| ≳ 1.96 ⇒ p < .05). The p-value itself
+    needs Φ(z), which SQL engines don't share bit-exactly; z is the
+    portable statistic.
+
+    Plan shape: events collapse to per-user converted flags (one
+    map-side-combinable shuffle), join the assignment table on the user
+    key (co-partitioned shuffle join — both sides user-keyed, neither
+    broadcast: at scale assignments has one row per exposed user), then
+    a per-variant aggregate (|variants| rows) with the 1-row control
+    stats broadcast back across it.
+    """
+    converted = events.groupBy(F.col(user_col).alias("_u")).agg(
+        F.max(F.when(success, F.lit(1)).otherwise(F.lit(0))).alias("_conv")
+    )
+    assigned = assignments.select(
+        F.col(user_col).alias("_u"), F.col(variant_col).alias("variant")
+    ).join(converted, "_u", "left").na.fill({"_conv": 0})
+    per_variant = assigned.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("users"),
+        F.sum("_conv").cast("bigint").alias("converters"),
+    )
+    ctrl = per_variant.filter(F.col("variant") == control).select(
+        F.col("users").alias("_cu"), F.col("converters").alias("_cc")
+    )
+    j = per_variant.crossJoin(F.broadcast(ctrl))
+    p1 = F.col("converters") / F.col("users")
+    p0 = F.col("_cc") / F.col("_cu")
+    pool = (F.col("converters") + F.col("_cc")) / (
+        F.col("users") + F.col("_cu")
+    )
+    se = F.sqrt(
+        pool * (F.lit(1.0) - pool)
+        * (F.lit(1.0) / F.col("users") + F.lit(1.0) / F.col("_cu"))
+    )
+    out = j.select(
+        "variant",
+        "users",
+        "converters",
+        round_half_up(p1 * 100.0, 2).alias("cvr_pct"),
+        round_half_up((p1 - p0) * 100.0, 2).alias("lift_abs_pct"),
+        round_half_up(
+            (p1 - p0) * 100.0 / F.when(p0 != 0, p0), 2
+        ).alias("lift_rel_pct"),
+        round_half_up(
+            (p1 - p0) / F.when(se != 0, se), 4
+        ).alias("z_score"),
+    )
+    return out.orderBy("variant")
+
+
+def session_transitions(
+    silver: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "event_timestamp",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_unique_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Markov-style transition matrix of consecutive event types within
+    a session: how users actually flow (view→cart, cart→purchase,
+    view→exit …). ``exit`` is the absorbing state after a session's
+    last event, so each session's out-degree equals its event count.
+
+    One window pass computes BOTH the session boundary (gap > N
+    seconds) and the next event type over the same (user, time)
+    ordering — Catalyst fuses them into a single Window node, so raw
+    events shuffle once on the user key. The transition count then
+    aggregates |from×to| rows.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    # exact integer microseconds: engine-portable (no fractional-epoch
+    # truncation ambiguity at the gap boundary)
+    us = F.unix_micros(F.col(ts_col))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > F.lit(gap_seconds) * F.lit(1_000_000)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    df = (
+        silver.select(user_col, ts_col, type_col, tiebreak_col)
+        .withColumn("_new", new_sess)
+        .withColumn("_sess", F.sum("_new").over(w))
+        .withColumn("_next", F.lead(type_col).over(w))
+        .withColumn("_next_new", F.lead("_new").over(w))
+    )
+    to_type = F.when(
+        F.col("_next").isNull() | (F.col("_next_new") == 1), F.lit("exit")
+    ).otherwise(F.col("_next"))
+    out = (
+        df.select(
+            F.col(type_col).alias("from_type"), to_type.alias("to_type")
+        )
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("bigint").alias("n_transitions"))
+    )
+    w_share = Window.partitionBy("from_type")
+    out = out.withColumn(
+        "share_pct",
+        round_half_up(
+            F.col("n_transitions")
+            * 100.0
+            / F.sum("n_transitions").over(w_share),
+            2,
+        ),
+    )
+    return out.orderBy("from_type", "to_type")
+
+
+def funnel_step_timing(
+    silver: DataFrame,
+    *,
+    steps: tuple[str, str, str] = ("view", "cart", "purchase"),
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "event_timestamp",
+) -> DataFrame:
+    """How long users take to move through the funnel: per user, the
+    FIRST occurrence of each step; then the distribution (median / p90,
+    seconds) of first-step → mid-step and first-step → last-step gaps
+    over users who completed them in order.
+
+    One groupBy collapses events to a per-user 3-timestamp row (exact
+    integer microseconds — conditional MIN is map-side combinable);
+    the timing distribution is a single global aggregate over that
+    collapsed table (1 output row — the bounded SinglePartition shape).
+    Exact ``percentile`` keeps the oracle bit-exact; swap in
+    ``approx_percentile`` for sketch-sized state at extreme user
+    counts.
+    """
+    s0, s1, s2 = steps
+    us = F.unix_micros(F.col(ts_col))
+
+    def first_of(step: str) -> Column:
+        return F.min(F.when(F.col(type_col) == step, us))
+
+    firsts = silver.groupBy(user_col).agg(
+        first_of(s0).alias("_t0"),
+        first_of(s1).alias("_t1"),
+        first_of(s2).alias("_t2"),
+    )
+    sec01 = F.when(
+        F.col("_t1") >= F.col("_t0"),
+        (F.col("_t1") - F.col("_t0")) / F.lit(1000000.0),
+    )
+    sec02 = F.when(
+        F.col("_t2") >= F.col("_t0"),
+        (F.col("_t2") - F.col("_t0")) / F.lit(1000000.0),
+    )
+    with_d = firsts.filter(F.col("_t0").isNotNull()).select(
+        sec01.alias("_d01"), sec02.alias("_d02")
+    )
+    return with_d.agg(
+        F.count(F.lit(1)).cast("bigint").alias(f"users_{s0}"),
+        F.count("_d01").cast("bigint").alias(f"users_{s0}_to_{s1}"),
+        F.count("_d02").cast("bigint").alias(f"users_{s0}_to_{s2}"),
+        round_half_up(F.percentile("_d01", F.lit(0.5)), 2).alias(
+            f"median_sec_{s0}_to_{s1}"
+        ),
+        round_half_up(F.percentile("_d01", F.lit(0.9)), 2).alias(
+            f"p90_sec_{s0}_to_{s1}"
+        ),
+        round_half_up(F.percentile("_d02", F.lit(0.5)), 2).alias(
+            f"median_sec_{s0}_to_{s2}"
+        ),
+        round_half_up(F.percentile("_d02", F.lit(0.9)), 2).alias(
+            f"p90_sec_{s0}_to_{s2}"
+        ),
+    )

@@ -38,6 +38,7 @@ SINGLE_PARTITION_OK = {
     "doc_bm25_search": "bounded: 1-row corpus-stats agg (N/avgdl/df)",
     "doc_lm_unigram_score": "bounded: 1-row token-total agg",
     "serving_business_metrics": "bounded: single-row grand totals",
+    "funnel_step_timing": "bounded: 1-row timing-distribution agg over per-user firsts",
     "union_all_counts": "bounded: one count row per branch",
     # windows/sorts over post-aggregation or top-k outputs
     "event_type_share": "bounded: share window over |event types| rows",
@@ -71,6 +72,11 @@ NESTED_LOOP_OK = {
     "doc_hybrid_rrf_search": "inherits the BM25 1-row stats broadcast",
     "gold_user_rfm_segments_scalable": "1-row percentile-boundary broadcast",
     "tpch_q22_sales_opportunity": "1-row AVG broadcast",
+    "experiment_lift": "1-row control-stats broadcast across |variants| rows",
+    "active_user_stickiness_hll": (
+        "trailing-window range join over the per-day SKETCH table — "
+        "|days| fixed-size rows on both sides, user count irrelevant"
+    ),
     "tpch_q11_important_parts": "1-row fraction-of-total broadcast",
     "theta_audience_overlap": (
         "pairwise sketch join over |segments| rows (one fixed-size "
