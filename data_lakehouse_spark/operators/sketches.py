@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "hll_sketch_table",
     "hll_rollup",
+    "hll_trailing_window",
     "kll_sketch_table",
     "kll_quantile_rollup",
     "theta_sketch_table",
@@ -74,6 +75,48 @@ def hll_rollup(
         .cast("bigint")
         .alias(estimate_col),
         F.sum("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
+def hll_trailing_window(
+    sketches: DataFrame,
+    date_col: str,
+    windows: dict[str, int],
+    *,
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """Trailing distinct counts over a per-day sketch table — the scale
+    twin of :func:`~data_lakehouse_spark.operators.gold.
+    active_user_stickiness`. The exact operator range-joins the
+    collapsed (user, day) activity (``mau_days``× amplification of a
+    user-cardinality table); this one range-joins the SKETCH table
+    against itself — |days|² sketch merges, independent of user count.
+    Per ``windows`` entry ``{out_col: trailing_days}``, estimates the
+    distinct count over ``[d - days + 1, d]`` for every day ``d``.
+
+    Merge-don't-rescan is the whole point: a year of history is 365
+    fixed-size rows, so every trailing window for every day costs KB.
+    """
+    spine = sketches.select(F.col(date_col).alias("_d")).distinct()
+    age = F.datediff(F.col("_d"), F.col(date_col))
+    max_days = max(windows.values())
+    j = sketches.join(
+        F.broadcast(spine), (age >= 0) & (age < F.lit(max_days))
+    )
+    aggs = [
+        F.hll_sketch_estimate(
+            F.hll_union_agg(
+                F.when(age < F.lit(days), F.col(sketch_col))
+            )
+        )
+        .cast("bigint")
+        .alias(out_col)
+        for out_col, days in windows.items()
+    ]
+    return (
+        j.groupBy(F.col("_d").alias(date_col))
+        .agg(*aggs)
+        .orderBy(date_col)
     )
 
 

@@ -63,3 +63,29 @@ def test_theta_overlap_exact_at_small_cardinality(spark):
     assert sv["overlap"] == 0 and sv["union_size"] == 110
     # one row per unordered pair
     assert len(out) == 3
+
+
+def test_hll_trailing_window_tracks_exact_stickiness(spark, sf_dir):
+    """The sketch-merge trailing window approximates the exact
+    DAU/WAU/MAU mart within HLL's rel-error envelope (lg_k=12 → ~1.6%
+    standard error; pin 5%)."""
+    from data_lakehouse_spark.operators import gold, sketches
+    from data_lakehouse_spark.operators.silver import silver_events
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    silver = silver_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    exact = {
+        str(r["activity_date"]): r
+        for r in gold.active_user_stickiness(silver).collect()
+    }
+    daily = sketches.hll_sketch_table(silver, ["event_date"], "user_id")
+    approx = sketches.hll_trailing_window(
+        daily, "event_date", {"dau": 1, "wau": 7, "mau": 28}
+    ).collect()
+    assert len(approx) == len(exact)
+    for r in approx:
+        e = exact[str(r["event_date"])]
+        for col in ("dau", "wau", "mau"):
+            assert abs(r[col] - e[col]) <= max(2, 0.05 * e[col]), (
+                r["event_date"], col, r[col], e[col]
+            )
