@@ -271,7 +271,13 @@ def cmd_maintain(args: argparse.Namespace) -> int:
     spark = _spark("maintain")
     cat = Catalog(spark, args.warehouse)
     op = args.op
-    if op == "compact":
+    if op != "recover-transactions" and not args.table:
+        raise SystemExit(f"{op} requires --table")
+    if op == "recover-transactions":
+        from data_lakehouse_spark.transactions import recover_transactions
+
+        out = {"recovered_txn_ids": recover_transactions(cat)}
+    elif op == "compact":
         out = cat.compact(args.table, where=args.where)
     elif op == "expire":
         out = cat.expire_snapshots(
@@ -430,10 +436,13 @@ def main(argv: list[str] | None = None) -> int:
         "op",
         choices=["compact", "expire", "rollback", "publish",
                  "rewrite-deletes", "remove-orphans", "row-count", "analyze",
-                 "tag", "branch", "fast-forward", "clone"],
+                 "tag", "branch", "fast-forward", "clone",
+                 "recover-transactions"],
     )
     p.add_argument("--warehouse", required=True)
-    p.add_argument("--table", required=True)
+    p.add_argument("--table", default=None,
+                   help="target table (not needed for the warehouse-level "
+                        "recover-transactions)")
     p.add_argument("--version", type=int, default=None)
     p.add_argument("--keep-last", type=int, default=1)
     p.add_argument("--older-than-hours", type=float, default=24.0)

@@ -223,3 +223,30 @@ def test_cli_models_and_sql_dml(spark, tmp_path, capsys):
     lines = capsys.readouterr().out.strip().splitlines()
     assert json.loads(lines[-1]) == {"c": 2}
     assert json.loads(lines[-2])["op"] == "delete"
+
+
+def test_cli_maintain_recover_transactions(spark, tmp_path, capsys):
+    """Warehouse-level crash recovery from the CLI: a decided-but-
+    unflipped transaction publishes on `maintain recover-transactions`."""
+    import json as _json
+    import os as _os
+
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.__main__ import main
+
+    wh = str(tmp_path / "wh")
+    cat = Catalog(spark, wh)
+    cat.create_table("t", spark.createDataFrame([(1,)], "id long"))
+    txn = cat.transaction()
+    txn.append("t", spark.createDataFrame([(2,)], "id long"))
+    tdir = _os.path.join(wh, "_txn")
+    _os.makedirs(tdir, exist_ok=True)
+    with open(_os.path.join(tdir, f"{txn.txn_id}.json"), "w") as f:
+        _json.dump({"txn_id": txn.txn_id,
+                    "tables": {n: v for n, (v, _) in txn._staged.items()}}, f)
+
+    rc = main(["maintain", "recover-transactions", "--warehouse", wh])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["recovered_txn_ids"] == [txn.txn_id]
+    assert sorted(r.id for r in cat.read("t").collect()) == [1, 2]
