@@ -72,12 +72,16 @@ def get_spark(
         # local mode runs every executor thread inside the DRIVER JVM,
         # whose heap defaults to 1g — 32 concurrent tasks' shuffle/scan
         # buffers blow that at any real data size (observed: hard OOM at
-        # a 10× fixture). Size the single JVM like the worker it is;
-        # only effective before the JVM launches, so set it here, not in
-        # extra_conf of a later getOrCreate.
+        # a 10× fixture with 1g; at 24g the same fixture survives but a
+        # long query sequence turns GC-bound — the 135-query bench
+        # measured 463s at 24g vs 274s at 48g, with individual queries
+        # degrading up to 15× in the thrash segments). Size the single
+        # JVM like the worker it is; only effective before the JVM
+        # launches, so set it here, not in extra_conf of a later
+        # getOrCreate.
         conf.setdefault(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
         )
     if extra_conf:
         conf.update(extra_conf)
