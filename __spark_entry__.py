@@ -266,6 +266,16 @@ def q_funnel_step_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch revenue attribution over a 7-day lookback:
+    purchase revenue split equally across preceding view/click touches
+    (decimal-quantized shares so the sum is order-independent)."""
+    df = experiments.linear_attribution(
+        _events_silver(spark, sf_dir), touch_types=("view", CART_TYPE)
+    )
+    return _date_str(df, "touch_date")
+
+
 def q_category_performance_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """category_performance (W2 top-1-per-group + J1 3-key left join)
     instantiated over lineitem⋈part: month × part-type categories,
@@ -3318,6 +3328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "experiment_lift": q_experiment_lift,
         "session_transitions": q_session_transitions,
         "funnel_step_timing": q_funnel_step_timing,
+        "linear_attribution": q_linear_attribution,
         "events_sliding_traffic": q_events_sliding_traffic,
         "orders_rolling_7d": q_orders_rolling_7d,
         "events_hourly_interpolate": q_events_hourly_interpolate,
@@ -3830,6 +3841,51 @@ SELECT
     floor(quantile_cont(d02, 0.5) * 100 + 0.5) / 100 AS median_sec_view_to_purchase,
     floor(quantile_cont(d02, 0.9) * 100 + 0.5) / 100 AS p90_sec_view_to_purchase
 FROM d
+"""
+    )
+
+    sql["linear_attribution"] = (
+        _SILVER_CTE
+        + """
+, purchases AS (
+    SELECT user_id AS pu, epoch_us(event_timestamp) AS pts,
+           event_unique_id AS pid, price,
+           CAST(event_timestamp AS DATE) AS pdate
+    FROM silver WHERE event_type = 'purchase' AND price IS NOT NULL
+),
+touches AS (
+    SELECT user_id AS tu, epoch_us(event_timestamp) AS tts,
+           event_type AS touch_type,
+           CAST(event_timestamp AS DATE) AS touch_date
+    FROM silver WHERE event_type IN ('view', 'click')
+),
+joined AS (
+    SELECT p.*, t.touch_type, t.touch_date,
+           COUNT(t.touch_type) OVER (PARTITION BY p.pid) AS n
+    FROM purchases p LEFT JOIN touches t
+      ON p.pu = t.tu
+     AND t.tts <= p.pts
+     AND t.tts >= p.pts - 604800000000
+),
+attributed AS (
+    SELECT
+        CASE WHEN touch_type IS NULL THEN 'direct' ELSE touch_type END
+            AS touch_type,
+        coalesce(touch_date, pdate) AS touch_date,
+        CASE WHEN n = 0 THEN CAST(price AS DECIMAL(18,6))
+             ELSE CAST(floor((price / n) * 1000000.0 + 0.5) / 1000000.0
+                       AS DECIMAL(18,6)) END AS rev
+    FROM joined
+)
+SELECT
+    strftime(touch_date, '%Y-%m-%d') AS touch_date,
+    touch_type,
+    CAST(COUNT(*) AS BIGINT) AS n_touches,
+    floor(CAST(SUM(rev) AS DOUBLE) * 100 + 0.5) / 100
+        AS attributed_revenue
+FROM attributed
+GROUP BY touch_date, touch_type
+ORDER BY touch_date, touch_type
 """
     )
 

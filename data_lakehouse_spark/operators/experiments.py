@@ -20,7 +20,12 @@ from pyspark.sql.window import Window
 
 from data_lakehouse_spark.functions.scalars import round_half_up
 
-__all__ = ["experiment_lift", "session_transitions", "funnel_step_timing"]
+__all__ = [
+    "experiment_lift",
+    "session_transitions",
+    "funnel_step_timing",
+    "linear_attribution",
+]
 
 
 def experiment_lift(
@@ -211,3 +216,85 @@ def funnel_step_timing(
             f"p90_sec_{s0}_to_{s2}"
         ),
     )
+
+
+def linear_attribution(
+    silver: DataFrame,
+    *,
+    touch_types: tuple[str, ...] = ("view", "cart"),
+    purchase_type: str = "purchase",
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "event_timestamp",
+    type_col: str = "event_type",
+    id_col: str = "event_unique_id",
+    price_col: str = "price",
+) -> DataFrame:
+    """Linear multi-touch revenue attribution: each purchase's revenue
+    splits EQUALLY across the user's qualifying touches in the
+    preceding ``window_days``; purchases with no touch in window land
+    in a ``direct`` bucket. Output: attributed revenue + touch counts
+    per (touch_date, touch_type) — the marketing-mix view the
+    last-touch mart can't give.
+
+    Determinism (oracle-exact) trick: a SUM of per-touch quotients is
+    order-DEPENDENT in floating point, so each quotient (price /
+    n_touches, both sides bit-identical doubles) is half-up-rounded to
+    6 dp and cast to DECIMAL(18,6) BEFORE the aggregate — decimal sums
+    are order-independent, so Spark and any ANSI engine agree exactly;
+    the result rounds to cents at the end.
+
+    Plan shape: purchases and touches are both user-keyed slices of one
+    silver scan; the range join shuffles on the user key only
+    (co-partitioned, no broadcast — both sides scale with events), the
+    per-purchase fan-out is bounded by touches-per-user-week, and the
+    touch count comes from a window over the purchase key rather than a
+    second join.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    purchases = silver.filter(
+        (F.col(type_col) == purchase_type) & F.col(price_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        us.alias("_pts"),
+        F.col(id_col).alias("_pid"),
+        F.col(price_col).alias("_price"),
+        F.to_date(F.col(ts_col)).alias("_pdate"),
+    )
+    touches = silver.filter(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col).alias("_u"),
+        us.alias("_tts"),
+        F.col(type_col).alias("touch_type"),
+        F.to_date(F.col(ts_col)).alias("touch_date"),
+    )
+    span = F.lit(int(window_days) * 86_400_000_000)
+    j = purchases.join(
+        touches,
+        (purchases["_u"] == touches["_u"])
+        & (touches["_tts"] <= purchases["_pts"])
+        & (touches["_tts"] >= purchases["_pts"] - span),
+        "left",
+    ).drop(touches["_u"])
+    w = Window.partitionBy("_pid")
+    j = j.withColumn("_n", F.count("touch_type").over(w))
+    share = F.col("_price") / F.col("_n")
+    share6 = (
+        F.floor(share * F.lit(1_000_000.0) + F.lit(0.5))
+        / F.lit(1_000_000.0)
+    ).cast("decimal(18,6)")
+    attributed = j.select(
+        F.when(F.col("touch_type").isNull(), F.lit("direct"))
+        .otherwise(F.col("touch_type"))
+        .alias("touch_type"),
+        F.coalesce(F.col("touch_date"), F.col("_pdate")).alias("touch_date"),
+        F.when(F.col("_n") == 0, F.col("_price").cast("decimal(18,6)"))
+        .otherwise(share6)
+        .alias("_rev"),
+    )
+    out = attributed.groupBy("touch_date", "touch_type").agg(
+        F.count("*").cast("bigint").alias("n_touches"),
+        round_half_up(F.sum("_rev").cast("double"), 2).alias(
+            "attributed_revenue"
+        ),
+    )
+    return out.orderBy("touch_date", "touch_type")

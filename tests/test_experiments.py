@@ -147,3 +147,56 @@ def test_funnel_step_timing(spark):
     assert r["users_view_to_purchase"] == 1
     assert r["median_sec_view_to_cart"] == 20.0  # interp of {10, 30}
     assert r["median_sec_view_to_purchase"] == 60.0
+
+
+def test_linear_attribution_splits_revenue(spark):
+    import datetime as dt
+
+    def ev(u, s, typ, price, uid):
+        return (u, dt.datetime.fromisoformat(s), typ, price, uid)
+
+    rows = [
+        # purchase 100.0 with two touches in window → 50/50
+        ev(1, "2024-01-01 10:00:00", "view", None, "t1"),
+        ev(1, "2024-01-02 10:00:00", "cart", None, "t2"),
+        ev(1, "2024-01-03 10:00:00", "purchase", 100.0, "p1"),
+        # touch OUTSIDE the 7-day window → direct
+        ev(2, "2024-01-01 10:00:00", "view", None, "t3"),
+        ev(2, "2024-01-20 10:00:00", "purchase", 30.0, "p2"),
+    ]
+    silver = spark.createDataFrame(
+        rows,
+        "user_id long, event_timestamp timestamp, event_type string, "
+        "price double, event_unique_id string",
+    )
+    out = {
+        (str(r["touch_date"]), r["touch_type"]): r
+        for r in experiments.linear_attribution(silver).collect()
+    }
+    assert out[("2024-01-01", "view")]["attributed_revenue"] == 50.0
+    assert out[("2024-01-02", "cart")]["attributed_revenue"] == 50.0
+    assert out[("2024-01-20", "direct")]["attributed_revenue"] == 30.0
+    # conservation: attributed totals equal purchase revenue
+    assert sum(r["attributed_revenue"] for r in out.values()) == 130.0
+
+
+def test_linear_attribution_uneven_split_is_exact(spark):
+    """10.0 across 3 touches: quantized shares (3.333333) sum to
+    9.999999 → 10.0 at cents — no float-order drift."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0, 0), "view", None, "t1"),
+        (1, dt.datetime(2024, 1, 1, 11, 0, 0), "view", None, "t2"),
+        (1, dt.datetime(2024, 1, 1, 12, 0, 0), "view", None, "t3"),
+        (1, dt.datetime(2024, 1, 2, 10, 0, 0), "purchase", 10.0, "p1"),
+    ]
+    silver = spark.createDataFrame(
+        rows,
+        "user_id long, event_timestamp timestamp, event_type string, "
+        "price double, event_unique_id string",
+    )
+    rows_out = experiments.linear_attribution(silver).collect()
+    assert len(rows_out) == 1
+    assert rows_out[0]["n_touches"] == 3
+    assert rows_out[0]["attributed_revenue"] == 10.0
