@@ -14,7 +14,8 @@ reference therefore arrives holding SQL strings, not Python calls.
   rewriting Iceberg/Delta time-travel clauses
   (``t VERSION AS OF 3``, ``t TIMESTAMP AS OF '...'``) into snapshot-
   pinned temp views. ``VERSION AS OF '<string>'`` resolves tags, then
-  branches — the Iceberg ref rule.
+  branches — the Iceberg ref rule. ``table_changes('t', from[, to])``
+  (Delta's CDF table function) rewrites to the catalog's change feed.
 - **DML** (``INSERT`` / ``UPDATE`` / ``DELETE`` / ``MERGE INTO``)
   dispatches to the catalog's transactional verbs
   (:meth:`~data_lakehouse_spark.catalog.Catalog.append`,
@@ -322,7 +323,34 @@ class LakehouseSql:
                     name
                 )
         stmt = self._rewrite_meta_tables(stmt)
+        stmt = self._rewrite_table_changes(stmt)
         return self.spark.sql(self._rewrite_time_travel(stmt))
+
+    def _rewrite_table_changes(self, stmt: str) -> str:
+        """Delta's CDF table function: ``table_changes('t', from[, to])``
+        becomes a registered temp view of
+        :meth:`~.Catalog.table_changes` (row images + ``_change_type`` /
+        ``_commit_version``). ``to`` defaults to the current version.
+        Matched on the string-masked copy, but the quoted table name is
+        read from the ORIGINAL text slice."""
+        mask = mask_strings(stmt)
+        out = stmt
+        pat = re.compile(
+            r"\btable_changes\s*\(\s*('[^']*')\s*,\s*(\d+)\s*"
+            r"(?:,\s*(\d+)\s*)?\)",
+            re.I,
+        )
+        for m in reversed(list(pat.finditer(mask))):
+            name = stmt[m.start(1) + 1 : m.end(1) - 1]
+            if not self.catalog.table_exists(name):
+                raise SqlError(f"table_changes: no table {name!r}")
+            frm = int(m.group(2))
+            to = int(m.group(3)) if m.group(3) else None
+            df = self.catalog.table_changes(name, frm, to)
+            view = f"{name}__changes_{frm}_{to if to is not None else 'cur'}"
+            df.createOrReplaceTempView(view)
+            out = out[: m.start()] + view + out[m.end():]
+        return out
 
     def _rewrite_meta_tables(self, stmt: str) -> str:
         """``FROM t.snapshots|files|partitions`` over a catalog table

@@ -595,3 +595,30 @@ def test_txn_sql_script_form(cat, spark):
             execute_sql(cat, "SELECT name, balance FROM accounts").collect()}
     # overwrite read the staged insert (RYOW), doubled everything
     assert rows["gil"] == 6.0 and rows["alice"] == 200.0 and len(rows) == 4
+
+
+def test_table_changes_function_in_select(cat, spark):
+    """Delta-style CDF table function: SELECT ... FROM
+    table_changes('t', from [, to]) with _change_type images."""
+    _seed(cat, spark)
+    execute_sql(cat, "DELETE FROM accounts WHERE id = 2")
+    df = execute_sql(
+        cat,
+        "SELECT id, name, _change_type FROM table_changes('accounts', 0) "
+        "ORDER BY id",
+    )
+    rows = [(r.id, r._change_type) for r in df.collect()]
+    assert (2, "delete") in rows
+    # bounded form: nothing changed between v0 and v0
+    df0 = execute_sql(
+        cat, "SELECT COUNT(*) AS n FROM table_changes('accounts', 0, 0)"
+    )
+    assert df0.collect()[0].n == 0
+    from data_lakehouse_spark.sql import SqlError
+    with pytest.raises(SqlError, match="no table"):
+        execute_sql(cat, "SELECT * FROM table_changes('nope', 0)")
+    # a literal mentioning table_changes(...) must NOT trigger rewrite
+    df2 = execute_sql(
+        cat, "SELECT 'table_changes(''x'', 1)' AS s"
+    )
+    assert df2.collect()[0].s == "table_changes('x', 1)"
