@@ -17,9 +17,16 @@ endpoint).
 
 API
 ---
-- ``POST /sql`` body ``{"sql": "...", "limit": 1000}`` →
-  ``{"columns": [...], "rows": [[...], ...], "n": int,
-  "truncated": bool}``
+- ``POST /sql`` body ``{"sql": "...", "limit": 1000,
+  "session": "optional-name"}`` → ``{"columns": [...],
+  "rows": [[...], ...], "n": int, "truncated": bool}``. Naming a
+  ``session`` keeps a stateful router across requests — that is what
+  carries ``BEGIN … COMMIT/ROLLBACK`` over the wire (the Thrift
+  session analog): the transaction and its read-your-own-writes live
+  on the named session, other clients read published snapshots until
+  COMMIT. While any transaction is open, newly submitted statements
+  serialize on the endpoint (RYOW temp views are global on the shared
+  SparkSession); with none open, statements run fully parallel.
 - ``GET /tables`` → ``{"tables": [...], "views": [...]}``
 - ``GET /health`` → ``{"ok": true, ...}``
 - ``GET /dashboard`` → the declarative BI bundle (serving.py): title,
@@ -78,6 +85,18 @@ class SqlEndpoint:
         #: (dbt/profiles.yml:5-9) — writes are the point.
         self.read_only = read_only
         self._lock = threading.Lock()  # view (re-)registration only
+        #: named stateful SQL sessions (BEGIN…COMMIT over the wire —
+        #: the Thrift-session analog). Keyed by the client-chosen
+        #: ``"session"`` field of POST /sql.
+        self._sessions: dict[str, object] = {}
+        #: session ids with an OPEN transaction. While non-empty, every
+        #: statement executes under the big lock: a transaction's
+        #: read-your-own-writes temp views are session-global on the
+        #: shared SparkSession, so serialization is what keeps other
+        #: clients' reads on published snapshots. With no open
+        #: transaction (the common case) statements run fully parallel,
+        #: exactly as before.
+        self._txn_open: set[str] = set()
         endpoint = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -141,11 +160,14 @@ class SqlEndpoint:
                     req = json.loads(self.rfile.read(n) or b"{}")
                     sql = req["sql"]
                     limit = min(int(req.get("limit", 1000)), MAX_ROWS)
+                    session = req.get("session")
                 except (KeyError, ValueError, json.JSONDecodeError) as e:
                     self._json(400, {"error": f"bad request: {e}"})
                     return
                 try:
-                    self._json(200, endpoint.execute(sql, limit))
+                    self._json(
+                        200, endpoint.execute(sql, limit, session=session)
+                    )
                 except Exception as e:  # surface analysis errors to client
                     self._json(400, {"error": str(e).split("\n")[0]})
 
@@ -156,23 +178,63 @@ class SqlEndpoint:
     def port(self) -> int:
         return self._server.server_address[1]
 
-    def execute(self, sql: str, limit: int = 1000) -> dict:
+    def execute(
+        self, sql: str, limit: int = 1000, *, session: str | None = None
+    ) -> dict:
         """Route one SQL statement through the dialect router
         (:mod:`data_lakehouse_spark.sql`): queries return a JSON-able
         result set; DML/DDL/maintenance dispatch to the catalog's
         transactional verbs and return their commit stats — the full
-        dbt-over-Thrift statement surface, not just SELECT."""
+        dbt-over-Thrift statement surface, not just SELECT.
+
+        ``session`` names a stateful router kept across requests, which
+        is what makes ``BEGIN … COMMIT/ROLLBACK`` work over the wire:
+        the transaction (and its read-your-own-writes) lives on the
+        named session; other sessions keep reading published snapshots
+        until COMMIT."""
         from data_lakehouse_spark.sql import LakehouseSql, SqlError, is_query
 
         if self.read_only and not is_query(sql):
             raise SqlError("endpoint is read-only: only queries accepted")
+        if session is not None:
+            with self._lock:
+                if session not in self._sessions:
+                    if len(self._sessions) >= 128:
+                        raise SqlError(
+                            "too many named sessions (128); reuse or "
+                            "close transactions"
+                        )
+                    self._sessions[session] = LakehouseSql(self.catalog)
+                router = self._sessions[session]
+        else:
+            router = LakehouseSql(self.catalog)
+        serialize = bool(self._txn_open)
+        if serialize:
+            self._lock.acquire()
+        try:
+            if not serialize:
+                with self._lock:
+                    # re-register so every query sees the latest
+                    # snapshots; locked because two threads
+                    # re-registering the same view name concurrently is
+                    # a needless race (queries themselves run unlocked
+                    # and in parallel)
+                    self.catalog.register_views()
+            else:
+                self.catalog.register_views()
+            result = router.execute(sql)
+        finally:
+            if serialize:
+                self._lock.release()
         with self._lock:
-            # re-register so every query sees the latest snapshots;
-            # locked because two threads re-registering the same view
-            # name concurrently is a needless race (queries themselves
-            # run unlocked and in parallel)
-            self.catalog.register_views()
-        result = LakehouseSql(self.catalog).execute(sql)
+            if session is not None:
+                if router._txn is not None:
+                    self._txn_open.add(session)
+                elif session in self._txn_open:
+                    # transaction just resolved: re-register published
+                    # snapshots so its RYOW temp views stop shadowing
+                    self._txn_open.discard(session)
+                    self.catalog.register_views()
         if isinstance(result, dict):  # DML/DDL commit stats
             return {
                 "columns": ["key", "value"],

@@ -172,3 +172,55 @@ def test_endpoint_serves_dashboard_charts(spark, tmp_path):
         assert "error" in _get(ep.port, "/chart/nope")
     finally:
         ep.stop()
+
+
+def _post_s(port: int, sql: str, session: str | None = None) -> dict:
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/sql",
+        data=json.dumps({"sql": sql, "session": session}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return json.loads(e.read())
+
+
+def test_endpoint_transaction_sessions(spark, tmp_path):
+    """BEGIN…COMMIT over the wire on a named session: the transaction's
+    staged writes are invisible to other clients until COMMIT, while
+    the owning session reads its own writes."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table("t", spark.createDataFrame([(1,)], "id long"))
+    ep = SqlEndpoint(cat).start()
+    try:
+        out = _post_s(ep.port, "BEGIN", "alice")
+        assert out["stats"]["op"] == "begin"
+        out = _post_s(ep.port, "INSERT INTO t VALUES (2)", "alice")
+        assert out["stats"]["rows_inserted"] == 1
+
+        # alice sees her staged row; bob (and anonymous) do not
+        a = _post_s(ep.port, "SELECT COUNT(*) AS n FROM t", "alice")
+        assert a["rows"][0][0] == 2
+        b = _post_s(ep.port, "SELECT COUNT(*) AS n FROM t", "bob")
+        assert b["rows"][0][0] == 1
+        anon = _post_s(ep.port, "SELECT COUNT(*) AS n FROM t")
+        assert anon["rows"][0][0] == 1
+
+        out = _post_s(ep.port, "COMMIT", "alice")
+        assert out["stats"]["op"] == "commit"
+        b = _post_s(ep.port, "SELECT COUNT(*) AS n FROM t", "bob")
+        assert b["rows"][0][0] == 2
+
+        # a rollback session leaves the table untouched
+        _post_s(ep.port, "BEGIN", "carol")
+        _post_s(ep.port, "INSERT INTO t VALUES (9)", "carol")
+        _post_s(ep.port, "ROLLBACK", "carol")
+        assert _post_s(ep.port, "SELECT COUNT(*) AS n FROM t")["rows"][0][0] == 2
+
+        # transaction state is PER SESSION: bob has none to commit
+        assert "error" in _post_s(ep.port, "COMMIT", "bob")
+    finally:
+        ep.stop()
