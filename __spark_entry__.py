@@ -276,6 +276,30 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _date_str(df, "touch_date")
 
 
+def q_revenue_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day SES forecast of daily revenue per event type: JVM
+    higher-order fold over each series' ordered daily array — the
+    sequential recurrence runs per-series in parallel, bit-matched by
+    DuckDB's list_reduce left fold."""
+    silver = _events_silver(spark, sf_dir)
+    daily = silver.groupBy("event_type", "event_date").agg(
+        F.sum(
+            F.coalesce(F.col("price").cast("decimal(18,2)"), F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("daily_revenue")
+    )
+    df = timeseries.ses_forecast(
+        daily,
+        series_cols=["event_type"],
+        date_col="event_date",
+        value_col="daily_revenue",
+        alpha=0.3,
+        horizon=7,
+    )
+    return _date_str(df, "forecast_date")
+
+
 def q_category_performance_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """category_performance (W2 top-1-per-group + J1 3-key left join)
     instantiated over lineitem⋈part: month × part-type categories,
@@ -3329,6 +3353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_transitions": q_session_transitions,
         "funnel_step_timing": q_funnel_step_timing,
         "linear_attribution": q_linear_attribution,
+        "revenue_ses_forecast": q_revenue_ses_forecast,
         "events_sliding_traffic": q_events_sliding_traffic,
         "orders_rolling_7d": q_orders_rolling_7d,
         "events_hourly_interpolate": q_events_hourly_interpolate,
@@ -3886,6 +3911,36 @@ SELECT
 FROM attributed
 GROUP BY touch_date, touch_type
 ORDER BY touch_date, touch_type
+"""
+    )
+
+    sql["revenue_ses_forecast"] = (
+        _SILVER_CTE
+        + """
+, daily AS (
+    SELECT event_type, event_date,
+           CAST(SUM(CAST(coalesce(price, 0) AS DECIMAL(18,2))) AS DOUBLE)
+               AS daily_revenue
+    FROM silver GROUP BY event_type, event_date
+),
+per_series AS (
+    SELECT event_type,
+           MAX(event_date) AS last_date,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           list_reduce(
+               list(daily_revenue ORDER BY event_date),
+               (acc, x) -> CAST(0.3 AS DOUBLE) * x
+                           + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                             * acc
+           ) AS level
+    FROM daily GROUP BY event_type
+)
+SELECT event_type, n_obs,
+    strftime(last_date + CAST(s.step AS INTEGER), '%Y-%m-%d')
+        AS forecast_date,
+    floor(level * 100 + 0.5) / 100 AS forecast
+FROM per_series CROSS JOIN (SELECT unnest(range(1, 8)) AS step) s
+ORDER BY event_type, forecast_date
 """
     )
 

@@ -31,11 +31,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from data_lakehouse_spark.functions import scalars
+
 __all__ = [
     "time_spine",
     "resample_to_spine",
     "locf",
     "interpolate_linear",
+    "ses_forecast",
 ]
 
 
@@ -158,3 +161,62 @@ def interpolate_linear(
             .otherwise(F.lit(None).cast("double")),
         )
     return out
+
+
+def ses_forecast(
+    daily: DataFrame,
+    *,
+    series_cols: Sequence[str],
+    date_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    horizon: int = 7,
+) -> DataFrame:
+    """Simple-exponential-smoothing forecast per series: fold the
+    ordered daily values into the SES level (``level = α·x + (1−α)·
+    level``, seeded with the first observation) and project it flat
+    over the next ``horizon`` days — the classic dashboard baseline
+    (Holt/Winters add trend/seasonality terms; SES is their level
+    component).
+
+    The recurrence is inherently sequential, but per SERIES — so it
+    runs as a JVM higher-order ``aggregate`` fold over each group's
+    collected daily array (one row per series-day, already aggregated —
+    thousands of elements at most), never a driver loop and never a
+    Python UDF. Series process in parallel; the fold order is pinned by
+    ``array_sort`` on (date, value) structs, so any ANSI engine with a
+    left fold (DuckDB ``list_reduce``) reproduces the level
+    bit-for-bit.
+    """
+    vals = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(date_col), F.col(value_col)))
+        ),
+        lambda s: s.getField(value_col),
+    )
+    a = F.lit(float(alpha))
+    level = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1).cast("double"),
+        lambda acc, x: a * x + (F.lit(1.0) - a) * acc,
+    )
+    per_series = daily.groupBy(*series_cols).agg(
+        F.max(date_col).alias("_last_date"),
+        F.count("*").cast("bigint").alias("n_obs"),
+        level.alias("_level"),
+    )
+    out = per_series.select(
+        *series_cols,
+        "n_obs",
+        F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("_step"),
+        F.col("_last_date"),
+        F.col("_level"),
+    ).select(
+        *series_cols,
+        "n_obs",
+        F.date_add(F.col("_last_date"), F.col("_step")).alias(
+            "forecast_date"
+        ),
+        scalars.round_half_up(F.col("_level"), 2).alias("forecast"),
+    )
+    return out.orderBy(*series_cols, "forecast_date")

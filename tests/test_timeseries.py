@@ -107,3 +107,35 @@ def test_windows_fuse_into_one_node(grid):
     out = ts.interpolate_linear(grid, "d", ["v"], series_cols=["k"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("+- Window ") == 1
+
+
+def test_ses_forecast_matches_python_fold(spark):
+    """The JVM aggregate fold reproduces the SES recurrence exactly
+    (seeded with the first observation), projects flat over the
+    horizon, and a single-point series forecasts itself."""
+    rows = [
+        ("a", dt.date(2024, 1, 1), 10.0),
+        ("a", dt.date(2024, 1, 2), 20.0),
+        ("a", dt.date(2024, 1, 3), 30.0),
+        ("b", dt.date(2024, 1, 2), 5.0),
+    ]
+    daily = spark.createDataFrame(
+        rows, "series string, d date, v double"
+    )
+    out = ts.ses_forecast(
+        daily, series_cols=["series"], date_col="d", value_col="v",
+        alpha=0.3, horizon=2,
+    ).collect()
+    level = 10.0
+    for x in (20.0, 30.0):
+        level = 0.3 * x + (1.0 - 0.3) * level
+    import math
+    exp = math.floor(level * 100 + 0.5) / 100
+    a_rows = [r for r in out if r["series"] == "a"]
+    assert [str(r["forecast_date"]) for r in a_rows] == [
+        "2024-01-04", "2024-01-05"
+    ]
+    assert all(r["forecast"] == exp and r["n_obs"] == 3 for r in a_rows)
+    b_rows = [r for r in out if r["series"] == "b"]
+    assert [r["forecast"] for r in b_rows] == [5.0, 5.0]
+    assert str(b_rows[0]["forecast_date"]) == "2024-01-03"
