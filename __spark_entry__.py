@@ -235,6 +235,13 @@ def q_active_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _date_str(df, "activity_date")
 
 
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily acquisition-vs-retention split: actives whose first-ever
+    activity is today vs returning, over collapsed (user, day) pairs."""
+    df = gold.new_vs_returning_daily(_events_silver(spark, sf_dir))
+    return _date_str(df, "activity_date")
+
+
 def q_experiment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B conversion lift: deterministic user_id%3 variant assignment,
     purchase as success, pooled two-proportion z-score vs control."""
@@ -3349,6 +3356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "cohort_retention_purchase": q_cohort_retention_purchase,
         "active_user_stickiness": q_active_user_stickiness,
+        "new_vs_returning": q_new_vs_returning,
         "experiment_lift": q_experiment_lift,
         "session_transitions": q_session_transitions,
         "funnel_step_timing": q_funnel_step_timing,
@@ -3760,6 +3768,34 @@ FROM activity a JOIN dates d
   ON date_diff('day', a.event_date, d.activity_date) >= 0
  AND date_diff('day', a.event_date, d.activity_date) < 28
 GROUP BY d.activity_date
+"""
+    )
+
+    sql["new_vs_returning"] = (
+        _SILVER_CTE
+        + """
+, cohorts AS (
+    SELECT user_id, MIN(event_date) AS first_date
+    FROM silver GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT s.user_id, s.event_date, c.first_date
+    FROM silver s JOIN cohorts c ON s.user_id = c.user_id
+)
+SELECT
+    strftime(event_date, '%Y-%m-%d') AS activity_date,
+    CAST(COUNT(DISTINCT CASE WHEN event_date = first_date
+                             THEN user_id END) AS BIGINT) AS new_users,
+    CAST(COUNT(DISTINCT CASE WHEN event_date <> first_date
+                             THEN user_id END) AS BIGINT)
+        AS returning_users,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users,
+    floor((COUNT(DISTINCT CASE WHEN event_date <> first_date
+                               THEN user_id END) * 100.0
+           / nullif(COUNT(DISTINCT user_id), 0)) * 100 + 0.5) / 100
+        AS returning_share_pct
+FROM activity
+GROUP BY event_date
 """
     )
 

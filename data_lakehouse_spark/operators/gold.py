@@ -45,6 +45,7 @@ __all__ = [
     "conversion_funnel_daily",
     "hourly_traffic",
     "cohort_retention",
+    "new_vs_returning_daily",
     "active_user_stickiness",
 ]
 
@@ -651,6 +652,31 @@ def cohort_retention(
         _ratio(F.col("active_users"), F.col("cohort_size"), 100.0),
     )
     return df.orderBy("cohort_date", "period")
+
+
+def new_vs_returning_daily(silver: DataFrame) -> DataFrame:
+    """Per-day split of active users into NEW (first-ever activity that
+    day) vs RETURNING — the acquisition-vs-retention headline. One
+    per-user MIN shuffle plus one per-day aggregate over the collapsed
+    (user, day) table; no window over raw events."""
+    cohorts = silver.groupBy("user_id").agg(
+        F.min("event_date").alias("_first")
+    )
+    activity = (
+        silver.select("user_id", "event_date")
+        .distinct()
+        .join(cohorts, "user_id")
+    )
+    is_new = F.col("event_date") == F.col("_first")
+    df = activity.groupBy(F.col("event_date").alias("activity_date")).agg(
+        _cntd(is_new, "user_id").alias("new_users"),
+        _cntd(~is_new, "user_id").alias("returning_users"),
+        F.countDistinct("user_id").cast("bigint").alias("active_users"),
+    ).withColumn(
+        "returning_share_pct",
+        _ratio(F.col("returning_users"), F.col("active_users"), 100.0),
+    )
+    return df.orderBy("activity_date")
 
 
 def active_user_stickiness(

@@ -275,3 +275,22 @@ def test_active_user_stickiness(spark):
     assert out["2024-01-05"]["stickiness_pct"] == 50.0
     # Feb 10: Jan activity is >28 days old → mau collapses to 1
     assert out["2024-02-10"]["mau"] == 1
+
+
+def test_new_vs_returning_daily(spark):
+    rows = [
+        _ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+        _ev(2, "2024-01-01 11:00:00", 2, "view", 1.0),
+        _ev(3, "2024-01-02 10:00:00", 1, "view", 1.0),   # returning
+        _ev(4, "2024-01-02 11:00:00", 3, "view", 1.0),   # new
+    ]
+    silver = silver_events(spark.createDataFrame(rows, EVENT_SCHEMA))
+    out = {
+        str(r["activity_date"]): r
+        for r in gold.new_vs_returning_daily(silver).collect()
+    }
+    assert out["2024-01-01"]["new_users"] == 2
+    assert out["2024-01-01"]["returning_users"] == 0
+    assert out["2024-01-02"]["new_users"] == 1
+    assert out["2024-01-02"]["returning_users"] == 1
+    assert out["2024-01-02"]["returning_share_pct"] == 50.0
