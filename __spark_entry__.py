@@ -307,6 +307,30 @@ def q_revenue_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _date_str(df, "forecast_date")
 
 
+def q_revenue_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast of daily revenue per event type:
+    (level, trend) struct fold, projected level + h·trend — bit-matched
+    by DuckDB's struct-valued list_reduce."""
+    silver = _events_silver(spark, sf_dir)
+    daily = silver.groupBy("event_type", "event_date").agg(
+        F.sum(
+            F.coalesce(F.col("price").cast("decimal(18,2)"), F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("daily_revenue")
+    )
+    df = timeseries.holt_forecast(
+        daily,
+        series_cols=["event_type"],
+        date_col="event_date",
+        value_col="daily_revenue",
+        alpha=0.3,
+        beta=0.1,
+        horizon=7,
+    )
+    return _date_str(df, "forecast_date")
+
+
 def q_category_performance_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """category_performance (W2 top-1-per-group + J1 3-key left join)
     instantiated over lineitem⋈part: month × part-type categories,
@@ -3362,6 +3386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_step_timing": q_funnel_step_timing,
         "linear_attribution": q_linear_attribution,
         "revenue_ses_forecast": q_revenue_ses_forecast,
+        "revenue_holt_forecast": q_revenue_holt_forecast,
         "events_sliding_traffic": q_events_sliding_traffic,
         "orders_rolling_7d": q_orders_rolling_7d,
         "events_hourly_interpolate": q_events_hourly_interpolate,
@@ -3976,6 +4001,62 @@ SELECT event_type, n_obs,
         AS forecast_date,
     floor(level * 100 + 0.5) / 100 AS forecast
 FROM per_series CROSS JOIN (SELECT unnest(range(1, 8)) AS step) s
+ORDER BY event_type, forecast_date
+"""
+    )
+
+    sql["revenue_holt_forecast"] = (
+        _SILVER_CTE
+        + """
+, daily AS (
+    SELECT event_type, event_date,
+           CAST(SUM(CAST(coalesce(price, 0) AS DECIMAL(18,2))) AS DOUBLE)
+               AS daily_revenue
+    FROM silver GROUP BY event_type, event_date
+),
+series AS (
+    SELECT event_type,
+           MAX(event_date) AS last_date,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           list(daily_revenue ORDER BY event_date) AS vals
+    FROM daily GROUP BY event_type
+),
+fitted AS (
+    -- accumulator is a DOUBLE[2] pair [level, trend]: DuckDB 1.0's
+    -- list_reduce mis-evaluates STRUCT-valued accumulators (later
+    -- fields can observe partially-updated state), while list-valued
+    -- accumulators fold correctly — pinned by the hash match itself
+    SELECT event_type, last_date, n_obs,
+        list_reduce(
+            list_prepend(
+                CASE WHEN len(vals) >= 2
+                     THEN [CAST(vals[2] AS DOUBLE),
+                           CAST(vals[2] - vals[1] AS DOUBLE)]
+                     ELSE [CAST(vals[1] AS DOUBLE),
+                           CAST(0.0 AS DOUBLE)] END,
+                list_transform(vals[3:],
+                               x -> [CAST(x AS DOUBLE),
+                                     CAST(0.0 AS DOUBLE)])),
+            (acc, x) -> [
+                CAST(0.3 AS DOUBLE) * x[1]
+                + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                  * (acc[1] + acc[2]),
+                CAST(0.1 AS DOUBLE)
+                * (CAST(0.3 AS DOUBLE) * x[1]
+                   + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                     * (acc[1] + acc[2])
+                   - acc[1])
+                + (CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE))
+                  * acc[2]]
+        ) AS fit
+    FROM series
+)
+SELECT event_type, n_obs,
+    strftime(last_date + CAST(s.step AS INTEGER), '%Y-%m-%d')
+        AS forecast_date,
+    floor((fit[1] + CAST(s.step AS DOUBLE) * fit[2]) * 100 + 0.5) / 100
+        AS forecast
+FROM fitted CROSS JOIN (SELECT unnest(range(1, 8)) AS step) s
 ORDER BY event_type, forecast_date
 """
     )

@@ -39,6 +39,7 @@ __all__ = [
     "locf",
     "interpolate_linear",
     "ses_forecast",
+    "holt_forecast",
 ]
 
 
@@ -218,5 +219,86 @@ def ses_forecast(
             "forecast_date"
         ),
         scalars.round_half_up(F.col("_level"), 2).alias("forecast"),
+    )
+    return out.orderBy(*series_cols, "forecast_date")
+
+
+def holt_forecast(
+    daily: DataFrame,
+    *,
+    series_cols: Sequence[str],
+    date_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt's linear-trend forecast per series: the SES level plus a
+    smoothed trend term, projected ``level + h·trend`` over the next
+    ``horizon`` days (the two-component half of Holt-Winters; see
+    :func:`ses_forecast` for the plan-shape story — same JVM
+    higher-order fold, here with a (level, trend) STRUCT accumulator).
+
+    Init follows the textbook convention: ``l₂ = x₂``,
+    ``b₂ = x₂ − x₁``, folding from the third observation; a single-
+    point series degrades to a flat forecast. Every arithmetic step is
+    written in the same order on the oracle side (DuckDB
+    ``list_reduce`` over a prepended-init struct list), so the
+    recurrence is reproduced bit-for-bit by any ANSI engine with
+    struct-valued left folds.
+    """
+    vals = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(date_col), F.col(value_col)))
+        ),
+        lambda s: s.getField(value_col).cast("double"),
+    )
+    a = F.lit(float(alpha))
+    bt = F.lit(float(beta))
+    init = F.when(
+        F.size(vals) >= 2,
+        F.struct(
+            F.element_at(vals, 2).alias("l"),
+            (F.element_at(vals, 2) - F.element_at(vals, 1)).alias("b"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.element_at(vals, 1).alias("l"), F.lit(0.0).alias("b")
+        )
+    )
+    tail = F.slice(vals, 3, F.greatest(F.size(vals) - 2, F.lit(0)))
+
+    def merge(acc, x):
+        lnew = a * x + (F.lit(1.0) - a) * (
+            acc.getField("l") + acc.getField("b")
+        )
+        bnew = bt * (lnew - acc.getField("l")) + (
+            F.lit(1.0) - bt
+        ) * acc.getField("b")
+        return F.struct(lnew.alias("l"), bnew.alias("b"))
+
+    fitted = F.aggregate(tail, init, merge)
+    per_series = daily.groupBy(*series_cols).agg(
+        F.max(date_col).alias("_last_date"),
+        F.count("*").cast("bigint").alias("n_obs"),
+        fitted.alias("_fit"),
+    )
+    out = per_series.select(
+        *series_cols,
+        "n_obs",
+        F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("_step"),
+        "_last_date",
+        "_fit",
+    ).select(
+        *series_cols,
+        "n_obs",
+        F.date_add(F.col("_last_date"), F.col("_step")).alias(
+            "forecast_date"
+        ),
+        scalars.round_half_up(
+            F.col("_fit").getField("l")
+            + F.col("_step").cast("double") * F.col("_fit").getField("b"),
+            2,
+        ).alias("forecast"),
     )
     return out.orderBy(*series_cols, "forecast_date")

@@ -139,3 +139,35 @@ def test_ses_forecast_matches_python_fold(spark):
     b_rows = [r for r in out if r["series"] == "b"]
     assert [r["forecast"] for r in b_rows] == [5.0, 5.0]
     assert str(b_rows[0]["forecast_date"]) == "2024-01-03"
+
+
+def test_holt_forecast_matches_python_recurrence(spark):
+    """(level, trend) struct fold reproduces the textbook Holt
+    recurrence (l2=x2, b2=x2-x1, fold from x3) and projects
+    level + h*trend."""
+    rows = [
+        ("a", dt.date(2024, 1, 1), 10.0),
+        ("a", dt.date(2024, 1, 2), 20.0),
+        ("a", dt.date(2024, 1, 3), 30.0),
+        ("a", dt.date(2024, 1, 4), 40.0),
+        ("b", dt.date(2024, 1, 2), 5.0),  # single point: flat forecast
+    ]
+    daily = spark.createDataFrame(rows, "series string, d date, v double")
+    out = ts.holt_forecast(
+        daily, series_cols=["series"], date_col="d", value_col="v",
+        alpha=0.3, beta=0.1, horizon=3,
+    ).collect()
+    l, b = 20.0, 10.0
+    for x in (30.0, 40.0):
+        ln = 0.3 * x + (1.0 - 0.3) * (l + b)
+        b = 0.1 * (ln - l) + (1.0 - 0.1) * b
+        l = ln
+    import math
+
+    a_rows = [r for r in out if r["series"] == "a"]
+    for h, r in enumerate(a_rows, start=1):
+        exp = math.floor((l + h * b) * 100 + 0.5) / 100
+        assert r["forecast"] == exp, (h, r["forecast"], exp)
+    assert str(a_rows[0]["forecast_date"]) == "2024-01-05"
+    b_rows = [r for r in out if r["series"] == "b"]
+    assert [r["forecast"] for r in b_rows] == [5.0, 5.0, 5.0]
