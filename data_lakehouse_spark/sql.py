@@ -566,6 +566,39 @@ class LakehouseSql:
         }
 
     def _show(self, stmt: str) -> DataFrame:
+        if re.match(r"\s*SHOW\s+TRANSACTIONS\s*$", stmt, re.I):
+            # this session's open transaction + any decided-but-
+            # unflipped intents in the warehouse (crash leftovers that
+            # recover_transactions / the next BEGIN will roll forward)
+            import os as _os
+
+            rows = []
+            if self._txn is not None:
+                for t, (v, _) in sorted(self._txn._staged.items()):
+                    rows.append(
+                        (self._txn.txn_id, "open", t, v)
+                    )
+                if not self._txn._staged:
+                    rows.append((self._txn.txn_id, "open", None, None))
+            tdir = _os.path.join(self.catalog.root, "_txn")
+            if _os.path.isdir(tdir):
+                for fn in sorted(_os.listdir(tdir)):
+                    if not fn.endswith(".json"):
+                        continue
+                    try:
+                        with open(_os.path.join(tdir, fn)) as f:
+                            intent = json.load(f)
+                    except (OSError, json.JSONDecodeError):
+                        continue
+                    for t, v in sorted(intent.get("tables", {}).items()):
+                        rows.append(
+                            (intent["txn_id"], "decided", t, int(v))
+                        )
+            return self.spark.createDataFrame(
+                rows or [("", "", None, None)],
+                "txn_id string, state string, table string, "
+                "staged_version int",
+            ).filter("txn_id <> ''")
         if re.match(r"\s*SHOW\s+TABLES\s*$", stmt, re.I):
             mvs = set(self.catalog.materialized_views())
             rows = [

@@ -622,3 +622,38 @@ def test_table_changes_function_in_select(cat, spark):
         cat, "SELECT 'table_changes(''x'', 1)' AS s"
     )
     assert df2.collect()[0].s == "table_changes('x', 1)"
+
+
+def test_show_transactions(cat, spark):
+    from data_lakehouse_spark.sql import LakehouseSql
+
+    _seed(cat, spark)
+    sess = LakehouseSql(cat)
+    assert sess.execute("SHOW TRANSACTIONS").count() == 0
+    sess.execute("BEGIN")
+    sess.execute("INSERT INTO accounts VALUES (9, 'zoe', 1.0)")
+    rows = sess.execute("SHOW TRANSACTIONS").collect()
+    assert len(rows) == 1
+    assert rows[0]["state"] == "open" and rows[0]["table"] == "accounts"
+    sess.execute("ROLLBACK")
+    assert sess.execute("SHOW TRANSACTIONS").count() == 0
+
+    # decided-but-unflipped intent shows as 'decided'
+    import json as _json
+    import os as _os
+
+    txn = cat.transaction()
+    txn.append("accounts", spark.createDataFrame(
+        [(8, "hal", 2.0)], "id long, name string, balance double"))
+    tdir = _os.path.join(cat.root, "_txn")
+    _os.makedirs(tdir, exist_ok=True)
+    with open(_os.path.join(tdir, f"{txn.txn_id}.json"), "w") as f:
+        _json.dump({"txn_id": txn.txn_id,
+                    "tables": {n: v for n, (v, _) in txn._staged.items()}}, f)
+    rows = sess.execute("SHOW TRANSACTIONS").collect()
+    assert [r["state"] for r in rows] == ["decided"]
+    # next BEGIN recovers it
+    sess.execute("BEGIN")
+    sess.execute("COMMIT")
+    assert sess.execute("SHOW TRANSACTIONS").count() == 0
+    assert cat.row_count("accounts") == 4  # 3 seed + recovered hal (zoe was rolled back)
