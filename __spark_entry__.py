@@ -235,6 +235,33 @@ def q_active_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _date_str(df, "activity_date")
 
 
+def q_purchase_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-user purchase counts (0 included): collapse
+    to per-user aggregates, then aggregate the aggregate — the
+    two-level shape histogram marts use."""
+    silver = _events_silver(spark, sf_dir)
+    per_user = silver.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "purchase", F.lit(1)))
+        .cast("bigint")
+        .alias("n_purchases")
+    )
+    dist = per_user.groupBy("n_purchases").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    # share over the POST-aggregation distribution (|distinct counts|
+    # rows — the bounded unpartitioned-window shape, not a raw scan)
+    df = dist.withColumn(
+        "share_pct",
+        round_half_up(
+            F.col("n_users")
+            * 100.0
+            / F.sum("n_users").over(Window.partitionBy()),
+            2,
+        ),
+    )
+    return df.orderBy("n_purchases")
+
+
 def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily acquisition-vs-retention split: actives whose first-ever
     activity is today vs returning, over collapsed (user, day) pairs."""
@@ -3381,6 +3408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention_purchase": q_cohort_retention_purchase,
         "active_user_stickiness": q_active_user_stickiness,
         "new_vs_returning": q_new_vs_returning,
+        "purchase_frequency": q_purchase_frequency,
         "experiment_lift": q_experiment_lift,
         "session_transitions": q_session_transitions,
         "funnel_step_timing": q_funnel_step_timing,
@@ -3793,6 +3821,27 @@ FROM activity a JOIN dates d
   ON date_diff('day', a.event_date, d.activity_date) >= 0
  AND date_diff('day', a.event_date, d.activity_date) < 28
 GROUP BY d.activity_date
+"""
+    )
+
+    sql["purchase_frequency"] = (
+        _SILVER_CTE
+        + """
+, per_user AS (
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                AS BIGINT) AS n_purchases
+    FROM silver GROUP BY user_id
+),
+dist AS (
+    SELECT n_purchases, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY n_purchases
+)
+SELECT n_purchases, n_users,
+    floor((n_users * 100.0 / SUM(n_users) OVER ()) * 100 + 0.5) / 100
+        AS share_pct
+FROM dist
+ORDER BY n_purchases
 """
     )
 

@@ -39,6 +39,7 @@ SINGLE_PARTITION_OK = {
     "doc_lm_unigram_score": "bounded: 1-row token-total agg",
     "serving_business_metrics": "bounded: single-row grand totals",
     "funnel_step_timing": "bounded: 1-row timing-distribution agg over per-user firsts",
+    "purchase_frequency": "bounded: share window over |distinct purchase counts| rows (post-agg)",
     "union_all_counts": "bounded: one count row per branch",
     # windows/sorts over post-aggregation or top-k outputs
     "event_type_share": "bounded: share window over |event types| rows",
