@@ -42,7 +42,7 @@ from data_lakehouse_spark.operators import (
     tpch,
 )
 from data_lakehouse_spark.operators.silver import silver_events
-from data_lakehouse_spark.sources.readers import load_tables
+from data_lakehouse_spark.sources.readers import load_tables, read_parquet_table
 from data_lakehouse_spark import multimodal, serving
 
 # Fixed "today" for CURRENT_DATE-dependent marts (data ends 2024-01-30).
@@ -53,6 +53,15 @@ CART_TYPE = "click"  # the events fixture's stand-in for the 'cart' stage
 # --------------------------------------------------------------------------
 # helpers
 # --------------------------------------------------------------------------
+
+def _rel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Fixture-table relation via the memoized-plan layer
+    (``readers.cached_parquet``): the resolved file index / schema /
+    footer statistics are built once per (session, path) and shared by
+    every query in a bench pass instead of re-listing the directory per
+    call. Plans only — every action still scans parquet."""
+    return read_parquet_table(spark, sf_dir, name)
+
 
 def _ensure_conf(spark: SparkSession) -> None:
     """Pin session confs the comparisons depend on (the driver owns the
@@ -66,7 +75,7 @@ def _ensure_conf(spark: SparkSession) -> None:
 
 def _events_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_conf(spark)
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _rel(spark, sf_dir, "events")
     return silver_events(events)
 
 
@@ -711,7 +720,7 @@ def q_watermark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     global max (unit-checked in tests/test_relational.py).
     """
     silver = _events_silver(spark, sf_dir)
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = _rel(spark, sf_dir, "events")
     raw_ts = (
         F.timestamp_micros(F.expr("ts div 1000"))
         if raw.schema["ts"].dataType.typeName() in ("long", "bigint")
@@ -992,7 +1001,7 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_conf(spark)
     from pyspark.sql.types import LongType, StructField, StructType
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _rel(spark, sf_dir, "events")
     parsed = ev.withColumn(
         "_props",
         F.from_json(F.col("props"), StructType([StructField("k", LongType())])),
@@ -1110,7 +1119,7 @@ def q_segment_order_percentiles_approx(
 
 def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     return docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         text_fns.token_count("text").alias("n_tokens"),
@@ -1126,7 +1135,7 @@ def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-style pre-tokenizer token counts — the LLM
     token-cost estimate pair (code/punctuation-heavy text diverges)."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     return docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         text_fns.token_count("text").alias("n_ws_tokens"),
@@ -1145,7 +1154,7 @@ def q_corpus_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_lakehouse_spark.operators import bpe
 
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     merges = bpe.train_bpe(
         docs.filter(F.col("doc_id") < 200), num_merges=12
     )
@@ -1165,7 +1174,7 @@ def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints (k-gram md5 window minima,
     Schleimer et al. 2003) — position-robust near-dup fingerprint set."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     return dedup.winnow_fingerprint_df(docs, k=5, window=4)
 
 
@@ -1182,7 +1191,7 @@ def q_training_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     `documents` is 100 TB.
     """
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     stats = docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         text_fns.doc_fingerprint("text").alias("fingerprint"),
@@ -1213,7 +1222,7 @@ def q_doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats, measured 3.3× over the expression path at sf0.1; bit-exact
     with it (engine-agreement test) and with the DuckDB oracle."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     return corpus.quality_signals(docs, engine="arrow")
 
 
@@ -1226,7 +1235,7 @@ def q_corpus_quality_by_source_lang(
     the signal table back to the doc dims; aggregates are exact
     integers + the shared rounding."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     sig = corpus.quality_signals(docs, engine="arrow")
     dims = docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "source", "lang"
@@ -1252,7 +1261,7 @@ def q_doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (email/phone/IPv4): per-class hit counts + redacted
     text, one JVM-regex scan (operators/corpus.py ``redact_pii``)."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     return corpus.redact_pii(docs)
 
 
@@ -1260,7 +1269,7 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: 64-token windows, 8-token overlap —
     one scan, no shuffle, posexplode fan-out (corpus.chunk_documents)."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     return corpus.chunk_documents(docs, chunk_tokens=64, overlap=8)
 
 
@@ -1273,7 +1282,7 @@ def q_training_chunks_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     text scan (a semi-probe, no shuffle of the corpus), then redaction
     + chunking run in the same stage as the scan."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     # Checkpoint barrier between signal computation and the gate
     # filter: predicate pushdown would otherwise INLINE the whole
     # gopher_pass expression tree into one projection, re-evaluating
@@ -1295,7 +1304,7 @@ def q_corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer-training prefix). explode → one hash-agg shuffle →
     TakeOrdered top-k; no global sort."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     toks = F.split(text_fns.normalized_text(F.col("text")), " ")
     return (
         docs.select(F.explode(toks).alias("term"))
@@ -1319,7 +1328,7 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed; document-frequency table broadcasts (vocab ≪ corpus).
     """
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     n_docs = docs.count()
     toks = F.split(text_fns.normalized_text(F.col("text")), " ")
     terms = (
@@ -1355,7 +1364,7 @@ def q_doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N/avgdl/df, broadcast back), one embarrassingly-parallel scoring
     scan; no explode, no posting-list shuffle (operators/search.py)."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     return search.bm25_topk(docs, BM25_TERMS, k=50)
 
 
@@ -1369,8 +1378,8 @@ def q_doc_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores with id tiebreaks, so the result is bit-stable across
     engines (operators/search.py::rrf_fuse)."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = _rel(spark, sf_dir, "documents")
+    emb = _rel(spark, sf_dir, "embeddings")
     lex = search.bm25_topk(docs, BM25_TERMS, k=50)
     qv = _query_vec(spark, sf_dir)
     sem = similarity.cosine_topk(emb, qv, k=50).withColumn(
@@ -1393,7 +1402,7 @@ def q_doc_intra_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     original segment count, surviving unique count, and the reassembled
     first-occurrence text."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     deduped = corpus.dedup_intra_doc_segments(docs, sep=" ")
     n_orig = docs.select(
         "doc_id", F.size(F.split(F.col("text"), " ", -1)).cast("bigint").alias("n_segments")
@@ -1410,7 +1419,7 @@ def q_doc_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal; broadcast model + one scoring scan). Decimal-accumulated
     logprobs — bit-stable across engines and partitionings."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     return corpus.unigram_logprob_scores(docs).orderBy("doc_id")
 
 
@@ -1427,7 +1436,7 @@ def q_corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget is met (corpus.token_budget_mix — chunked prefix sum, no
     global sort). The row-fraction twin is corpus_stratified_sample."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     return corpus.token_budget_mix(
         docs, MIX_BUDGETS, default_budget=MIX_DEFAULT_BUDGET, seed=7
     ).orderBy("source", "doc_id")
@@ -1437,7 +1446,7 @@ def q_events_props_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic JSON key/value explode (dynamic keys → rows) — built-in
     path: ``from_json`` string map + ``explode``, all JVM-side."""
     _ensure_conf(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _rel(spark, sf_dir, "events")
     return udtfs.explode_json_kv_builtin(ev)
 
 
@@ -1447,7 +1456,7 @@ def q_events_props_kv_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-in twin by tests/test_udtf.py and by SHARING its DuckDB
     oracle, so the hash gate covers the UDTF protocol end-to-end."""
     _ensure_conf(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _rel(spark, sf_dir, "events")
     return udtfs.explode_json_kv(ev)
 
 
@@ -1458,7 +1467,7 @@ def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns; binary-encoded, so repeated path reads skip re-parsing).
     The struct/path extraction twin is ``events_json_props``."""
     _ensure_conf(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _rel(spark, sf_dir, "events")
     v = F.try_parse_json(F.col("props"))
     return ev.select(
         F.col("event_id").cast("bigint").alias("event_id"),
@@ -1469,7 +1478,7 @@ def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     return docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("lang").alias("lang_label"),
@@ -1479,7 +1488,7 @@ def q_doc_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     return dedup.exact_dedup(docs)
 
 
@@ -1488,7 +1497,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scalable exact tier between MinHash-LSH candidates and human
     review)."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_similar_pairs(docs, threshold=0.5)
 
 
@@ -1500,7 +1509,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, no shuffle); the oracle SQL mirrors the same bit logic.
     """
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     return dedup.simhash_hex_df_arrow(docs)
 
 
@@ -1508,7 +1517,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: canonical (min-id) assignment over
     ≥0.4-cosine neighbor pairs."""
     _ensure_conf(spark)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rel(spark, sf_dir, "embeddings")
     return similarity.embedding_dedup_canonical(emb, threshold=0.4)
 
 
@@ -1520,7 +1529,7 @@ def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation + pointer jumping (operators/graph.py). Oracle: DuckDB
     recursive CTE over the same pair set."""
     _ensure_conf(spark)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rel(spark, sf_dir, "embeddings")
     pairs = similarity.cosine_pairs_blocked(emb, threshold=0.4)
     return graph.connected_components(pairs, vertices=emb, vertex_col="vec_id")
 
@@ -1541,7 +1550,7 @@ def q_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture is 1.0.
     """
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     cands = dedup.minhash_lsh_candidates(docs)
     verified = dedup.ngram_jaccard_pairs(docs, cands, threshold=0.5)
     comps = graph.connected_components(
@@ -1598,7 +1607,7 @@ def q_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_incremental_dedup.py. Rows-only correctness (MinHash
     family not SQL-expressible)."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     idx = _neardup_index(spark, sf_dir)
     return idx.probe_batch(
         docs.filter(F.col("doc_id") % 5 == 0), docs, threshold=0.5
@@ -1609,7 +1618,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: payload bytes + content address (decode
     itself is a stubbed mapInPandas — see multimodal/columns.py)."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     with_payload = multimodal.attach_binary_payload(docs)
     return multimodal.extract_binary_meta(with_payload).select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "n_bytes", "content_md5"
@@ -1617,14 +1626,14 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rel(spark, sf_dir, "embeddings")
     return [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-k against vec_id 0's embedding."""
     _ensure_conf(spark)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rel(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
     df = similarity.cosine_topk(emb, qv, k=50)
     return df.withColumn("cosine_sim", round_half_up(F.col("cosine_sim"), 6))
@@ -1641,7 +1650,7 @@ def q_training_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     _ensure_conf(spark)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rel(spark, sf_dir, "embeddings")
     anchors = emb.filter(F.col("vec_id") < 16)
     # GEMM anchor scorer with per-batch top-5 pre-reduction: the
     # ranking window sorts batches×5×16 rows instead of n×16
@@ -1671,7 +1680,7 @@ def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     block-pair GEMM (no driver collect; same per-pair arithmetic as the
     broadcast variant, so oracle-identical)."""
     _ensure_conf(spark)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rel(spark, sf_dir, "embeddings")
     df = similarity.cosine_pairs_blocked(emb, threshold=0.35)
     return df.withColumn("cosine_sim", round_half_up(F.col("cosine_sim"), 6))
 
@@ -1685,7 +1694,7 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-up to 6 before the norm fold so the cross-engine float story
     stays in the rounded domain."""
     _ensure_conf(spark)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rel(spark, sf_dir, "embeddings")
     comp = (
         emb.select(
             F.col("label").cast("bigint").alias("label"),
@@ -1750,7 +1759,7 @@ def q_corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-threshold filter — no shuffle, no RNG, identical row set on any
     engine/partitioning/retry (unlike df.sample)."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     return corpus.hash_sample(docs, "doc_id", 0.2, seed=7).select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "source", "lang"
     )
@@ -1762,7 +1771,7 @@ def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-weighting step of a training-data pipeline, still one map-side
     filter with zero shuffles."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     kept = corpus.stratified_hash_sample(
         docs,
         "doc_id",
@@ -1783,7 +1792,7 @@ def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles stream past a broadcast of the (small) eval shingle set —
     never an all-pairs join. Production runs this with 13-grams."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % 10 == 0)
     train = docs.filter(F.col("doc_id") % 10 != 0)
     return corpus.contamination_hits(train, ev, shingle_n=4)
@@ -1798,7 +1807,7 @@ def q_decontaminate_docs_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check (bit-array membership isn't SQL-expressible), with
     the superset-of-exact property pinned in tests/test_corpus.py."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % 10 == 0)
     train = docs.filter(F.col("doc_id") % 10 != 0)
     return corpus.contamination_hits_bloom(train, ev, shingle_n=4, fpp=1e-4)
@@ -1810,7 +1819,7 @@ def q_corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-chunk window cumsum + tiny broadcast chunk offsets — no
     single-partition global-order window over the corpus)."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     return corpus.pack_shards(docs, budget=10_000, chunk_span=100)
 
 
@@ -1822,7 +1831,7 @@ def q_corpus_pack_shards_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame
     layout). Chunks for the distributed prefix sum become the order
     key's leading hex digits, so the same no-global-sort shape holds."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     return corpus.pack_shards(docs, budget=10_000, shuffle_seed=7)
 
 
@@ -1832,14 +1841,14 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (xxhash64-based — not
     SQL-oracle-expressible; driver records rows-only check)."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(docs, bands=16, num_hashes=64)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets + re-rank."""
     _ensure_conf(spark)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rel(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
     return similarity.ann_lsh_topk(emb, qv, k=20, num_planes=8, probe_hamming=2)
 
@@ -1998,7 +2007,7 @@ def q_active_user_stickiness_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed media decode through real mapInPandas plumbing."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     return multimodal.decode_image_stub(multimodal.attach_binary_payload(docs))
 
 
@@ -2011,7 +2020,7 @@ def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted by the decoder filter, so a codec regression empties the
     result and fails the rows gate."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     w = 16
     # pixel bytes: text repeated/truncated to exactly w*w*3 bytes
     body = F.substring(
@@ -2033,7 +2042,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the binary-to-similarity pipeline end to end (rows-only check —
     the embedding kernel is a deterministic fake)."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     emb = multimodal.feature_extract_stub(
         multimodal.attach_binary_payload(docs), dim=16
     )
@@ -2050,7 +2059,7 @@ def q_multimodal_frame_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-side — schema, fan-out, Arrow batching, similarity hookup —
     is the real pipeline."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     frames = multimodal.frame_embed_stub(
         multimodal.attach_binary_payload(docs), frame_bytes=64, dim=16
     ).withColumn(
@@ -2078,7 +2087,7 @@ def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_conf(spark)
     # doc_id filter (not LIMIT): pushes to the scan and keeps the plan
     # fully parallel — a limit would funnel through one partition
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+    docs = _rel(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 200
     )
     wins = multimodal.audio_window_stub(
@@ -2458,7 +2467,7 @@ def q_corpus_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     once (sign-once rule: it feeds both the count side and the join
     side)."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     ex = dedup._shingle_explode(
         docs, "text", "doc_id", 5, distinct=True, hashed=True
     ).localCheckpoint(eager=False)
@@ -2500,7 +2509,7 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python; the error fold accumulates in array order so the oracle
     hash is bit-stable."""
     _ensure_conf(spark)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rel(spark, sf_dir, "embeddings")
     mn = F.array_min("embedding").cast("double")
     mx = F.array_max("embedding").cast("double")
     b = emb.select(
@@ -2589,7 +2598,7 @@ def q_events_sliding_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliding aggregation in streaming/pipeline.py. One generate + one
     shuffle on window start."""
     _ensure_conf(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _rel(spark, sf_dir, "events")
     if ev.schema["ts"].dataType.typeName() in ("long", "bigint"):
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return (
@@ -2869,7 +2878,7 @@ def q_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_lakehouse_spark.operators import sketches
 
     _ensure_conf(spark)
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = _rel(spark, sf_dir, "events")
     # same nanos-vintage type dispatch as silver_events
     ts = (
         F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
@@ -2902,7 +2911,7 @@ def q_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_lakehouse_spark.operators import sketches
 
     _ensure_conf(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _rel(spark, sf_dir, "events").select(
         "event_type", "user_id"
     )
     return sketches.theta_audience_overlap(ev, "event_type", "user_id")
@@ -2917,7 +2926,7 @@ def q_corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     without ever shuffling the full vocabulary — the step naive
     vocab induction pays O(corpus) shuffle for at web scale."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(
             F.split(text_fns.normalized_text(F.col("text")), " ")
@@ -2933,7 +2942,7 @@ def q_doc_scrub_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles keyed on window hash and doc id only (no suffix array,
     no pairwise step)."""
     _ensure_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rel(spark, sf_dir, "documents")
     return corpus.scrub_duplicate_spans(docs, span_tokens=8)
 
 
@@ -2944,7 +2953,7 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (minhash_lsh_candidates). Rows-only: k-means is not
     SQL-expressible; semantics pinned in tests/test_dedup_similarity.py."""
     _ensure_conf(spark)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rel(spark, sf_dir, "embeddings")
     return similarity.semdedup(emb, k=8, threshold=0.9, seed=7, max_iter=10)
 
 
@@ -2970,7 +2979,7 @@ def q_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     cat = Catalog(spark, os.path.join(root, "cat"))
     cat.create_table(
-        "region_ice", spark.read.parquet(f"{sf_dir}/region.parquet")
+        "region_ice", _rel(spark, sf_dir, "region")
     )
     export_iceberg(cat, "region_ice", os.path.join(root, "ice"))
     return (
@@ -3004,7 +3013,7 @@ def q_cdc_mart_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     cat = Catalog(spark, root)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _rel(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value"
     )
     cat.create_table("ev", ev.filter(F.col("event_id") % 5 != 0))
@@ -3056,7 +3065,7 @@ def q_sql_dml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     cat = Catalog(spark, root)
-    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+    _rel(spark, sf_dir, "orders").createOrReplaceTempView(
         "orders_src"
     )
     execute_sql_script(
@@ -3109,7 +3118,7 @@ def q_dbt_models_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     cat = Catalog(spark, root)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _rel(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value"
     )
     runner = ModelRunner(cat, sources={("bronze", "raw_events"): "raw_events"})
@@ -3186,7 +3195,7 @@ def q_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     cat = Catalog(spark, os.path.join(root, "cat"))
     cat.create_table(
-        "nation_dl", spark.read.parquet(f"{sf_dir}/nation.parquet")
+        "nation_dl", _rel(spark, sf_dir, "nation")
     )
     export_delta(cat, "nation_dl", os.path.join(root, "dl"))
     return (
@@ -3220,7 +3229,7 @@ def q_delta_history_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     cat = Catalog(spark, os.path.join(root, "cat"))
-    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+    sup = _rel(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey"
     )
     cat.create_table("sup_dl", sup.filter(F.col("s_suppkey") % 2 == 0))
@@ -3261,7 +3270,7 @@ def q_stream_source_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     cat = Catalog(spark, os.path.join(root, "cat"))
-    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+    nat = _rel(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"
     )
     cat.create_table("nat_s", nat.filter(F.col("n_nationkey") < 13))
@@ -3308,7 +3317,7 @@ def q_stream_cdf_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     cat = Catalog(spark, os.path.join(root, "cat"))
-    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+    nat = _rel(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"
     )
     cat.create_table("nat_c", nat)

@@ -91,9 +91,36 @@ def read_json(
     return reader.json(path)
 
 
+#: Cached-relation layer: memoized *logical plans* (DataFrame objects)
+#: keyed by (Spark application id, path). ``spark.read.parquet`` re-lists
+#: the directory and re-reads parquet footers on every call (~80 ms per
+#: table locally, and a full object-store LIST at 100 TB); the fixture
+#: tables are immutable, so the resolved relation — file index, schema,
+#: statistics — can be built once per session and shared. Only the PLAN
+#: is cached, never data: every action still scans parquet. This is the
+#: same economics as a metastore-backed catalog table (resolve once,
+#: query many) expressed for path-addressed fixtures. Keyed by
+#: applicationId so a stopped/restarted session never sees a stale
+#: relation bound to a dead JVM context.
+_RELATION_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def cached_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Resolve ``path`` as parquet once per (session, path); return the
+    shared immutable DataFrame plan. Use ONLY for read-only inputs
+    (fixture tables) — a path whose files mutate must use
+    ``spark.read.parquet`` directly so the file index refreshes."""
+    key = (spark.sparkContext.applicationId, path)
+    df = _RELATION_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _RELATION_CACHE[key] = df
+    return df
+
+
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S2: scan one fixture table (``{sf_dir}/{name}.parquet``)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return cached_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 def read_orc(
