@@ -54,6 +54,22 @@ _TRANSFORM_RE = re.compile(
 )
 
 
+def _fsync_dir(path: str) -> None:
+    """Make a just-replaced directory entry durable (POSIX: rename
+    durability needs an fsync on the containing directory). No-op on
+    platforms without O_DIRECTORY-style dir fds."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
 def _parse_transform(spec: str):
     """→ (derived_name, expr_fn) for a transform spec, or None for a
     plain column name."""
@@ -124,10 +140,19 @@ class Catalog:
             return json.load(f)
 
     def _save_manifest(self, h: TableHandle, entries: list[dict]) -> None:
+        # fsync file AND directory: a manifest flip that survives power
+        # loss while the txn-intent file vanishes (or vice versa) would
+        # leave torn cross-table state recovery can't see. Durable
+        # manifests + durable intents make "crash anywhere after the
+        # intent write rolls FORWARD" hold for power loss, not just
+        # process crashes.
         tmp = h.manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(entries, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, h.manifest_path)
+        _fsync_dir(os.path.dirname(h.manifest_path))
 
     # -- DDL ---------------------------------------------------------------
     def table_exists(self, name: str) -> bool:

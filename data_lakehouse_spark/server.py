@@ -49,13 +49,74 @@ egress belongs in a sink (``sources/writers.py``).
 from __future__ import annotations
 
 import json
+import re as _re
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 __all__ = ["SqlEndpoint"]
 
 #: hard ceiling on rows returned per request, whatever the client asks
 MAX_ROWS = 100_000
+
+#: statements that open/resolve a wire transaction (need a named session)
+_TXN_VERB = _re.compile(
+    r"^\s*(BEGIN|START\s+TRANSACTION|COMMIT|ROLLBACK)\b", _re.I
+)
+
+
+class _RwLock:
+    """Reader–writer lock: shared statements (no transaction in play)
+    run concurrently; a transaction's statements take exclusive access
+    so its read-your-own-writes temp-view registration on the shared
+    SparkSession can never interleave with another client's read.
+    Writer-preference: once a writer waits, new readers queue behind it
+    (a long dashboard scan can't starve COMMIT)."""
+
+    def __init__(self) -> None:
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writer = False
+        self._writers_waiting = 0
+
+    def acquire_read(self) -> None:
+        with self._cond:
+            while self._writer or self._writers_waiting:
+                self._cond.wait()
+            self._readers += 1
+
+    def release_read(self) -> None:
+        with self._cond:
+            self._readers -= 1
+            if self._readers == 0:
+                self._cond.notify_all()
+
+    def acquire_write(self) -> None:
+        with self._cond:
+            self._writers_waiting += 1
+            try:
+                while self._writer or self._readers:
+                    self._cond.wait()
+            finally:
+                self._writers_waiting -= 1
+            self._writer = True
+
+    def release_write(self) -> None:
+        with self._cond:
+            self._writer = False
+            self._cond.notify_all()
+
+
+class _Session:
+    """One named wire session: its stateful SQL router plus the
+    bookkeeping expiry needs."""
+
+    __slots__ = ("router", "last_used", "txn_opened_at")
+
+    def __init__(self, router) -> None:
+        self.router = router
+        self.last_used = time.monotonic()
+        self.txn_opened_at: float | None = None
 
 
 class SqlEndpoint:
@@ -84,19 +145,27 @@ class SqlEndpoint:
         #: reference's Thrift endpoint is what dbt MATERIALIZES through
         #: (dbt/profiles.yml:5-9) — writes are the point.
         self.read_only = read_only
-        self._lock = threading.Lock()  # view (re-)registration only
+        self._lock = threading.Lock()  # session table + view registration
         #: named stateful SQL sessions (BEGIN…COMMIT over the wire —
         #: the Thrift-session analog). Keyed by the client-chosen
-        #: ``"session"`` field of POST /sql.
-        self._sessions: dict[str, object] = {}
-        #: session ids with an OPEN transaction. While non-empty, every
-        #: statement executes under the big lock: a transaction's
-        #: read-your-own-writes temp views are session-global on the
-        #: shared SparkSession, so serialization is what keeps other
-        #: clients' reads on published snapshots. With no open
-        #: transaction (the common case) statements run fully parallel,
-        #: exactly as before.
-        self._txn_open: set[str] = set()
+        #: ``"session"`` field of POST /sql. Guarded by ``_lock``.
+        self._sessions: dict[str, _Session] = {}
+        #: statement gate: statements with no transaction in play take
+        #: shared (reader) access and run fully parallel; BEGIN and every
+        #: statement of a session with an open transaction take
+        #: exclusive (writer) access — a transaction's read-your-own-
+        #: writes temp views are session-global on the shared
+        #: SparkSession, so exclusivity is what keeps other clients'
+        #: reads on published snapshots. The decision is made and the
+        #: open-transaction bookkeeping updated while HOLDING the chosen
+        #: side, so no statement can slip past a stale check.
+        self._gate = _RwLock()
+        #: seconds a named session may sit idle before eviction (an
+        #: evicted session's open transaction is rolled back)
+        self.session_timeout = 900.0
+        #: seconds a transaction may stay open before auto-rollback
+        self.txn_timeout = 300.0
+        self.max_sessions = 128
         endpoint = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -191,50 +260,69 @@ class SqlEndpoint:
         is what makes ``BEGIN … COMMIT/ROLLBACK`` work over the wire:
         the transaction (and its read-your-own-writes) lives on the
         named session; other sessions keep reading published snapshots
-        until COMMIT."""
+        until COMMIT. Transaction verbs REQUIRE a named session — an
+        anonymous router is discarded when the request ends, so a
+        sessionless BEGIN would "succeed" while every later statement
+        auto-commits (silent loss of transactional semantics)."""
         from data_lakehouse_spark.sql import LakehouseSql, SqlError, is_query
 
         if self.read_only and not is_query(sql):
             raise SqlError("endpoint is read-only: only queries accepted")
-        if session is not None:
-            with self._lock:
-                if session not in self._sessions:
-                    if len(self._sessions) >= 128:
-                        raise SqlError(
-                            "too many named sessions (128); reuse or "
-                            "close transactions"
-                        )
-                    self._sessions[session] = LakehouseSql(self.catalog)
-                router = self._sessions[session]
+        is_txn_verb = bool(_TXN_VERB.match(sql))
+        if is_txn_verb and session is None:
+            raise SqlError(
+                "transactions require a named session: pass "
+                '"session" in the request body so BEGIN/COMMIT/'
+                "ROLLBACK share one router across requests"
+            )
+        self._reap()
+        with self._lock:
+            sess: _Session | None = None
+            if session is not None:
+                sess = self._sessions.get(session)
+                if sess is None:
+                    if len(self._sessions) >= self.max_sessions:
+                        self._evict_lru_locked()
+                    sess = _Session(LakehouseSql(self.catalog))
+                    self._sessions[session] = sess
+                sess.last_used = time.monotonic()
+            router = sess.router if sess else LakehouseSql(self.catalog)
+            # exclusive iff a transaction is (or may be, for BEGIN) in
+            # play on this statement's session; decided here, enforced
+            # by holding the chosen gate side through execution
+            exclusive = is_txn_verb or (
+                sess is not None and sess.txn_opened_at is not None
+            )
+        if exclusive:
+            self._gate.acquire_write()
         else:
-            router = LakehouseSql(self.catalog)
-        serialize = bool(self._txn_open)
-        if serialize:
-            self._lock.acquire()
+            self._gate.acquire_read()
         try:
-            if not serialize:
-                with self._lock:
-                    # re-register so every query sees the latest
-                    # snapshots; locked because two threads
-                    # re-registering the same view name concurrently is
-                    # a needless race (queries themselves run unlocked
-                    # and in parallel)
-                    self.catalog.register_views()
-            else:
+            with self._lock:
+                # re-register so every query sees the latest snapshots;
+                # locked because two threads re-registering the same
+                # view name concurrently is a needless race (queries
+                # themselves run in parallel under shared access)
                 self.catalog.register_views()
             result = router.execute(sql)
+            if sess is not None:
+                with self._lock:
+                    if router._txn is not None:
+                        if sess.txn_opened_at is None:
+                            sess.txn_opened_at = time.monotonic()
+                    elif sess.txn_opened_at is not None:
+                        # transaction just resolved: re-register
+                        # published snapshots so its RYOW temp views
+                        # stop shadowing — still under exclusive
+                        # access, so no reader can observe the
+                        # in-between state
+                        sess.txn_opened_at = None
+                        self.catalog.register_views()
         finally:
-            if serialize:
-                self._lock.release()
-        with self._lock:
-            if session is not None:
-                if router._txn is not None:
-                    self._txn_open.add(session)
-                elif session in self._txn_open:
-                    # transaction just resolved: re-register published
-                    # snapshots so its RYOW temp views stop shadowing
-                    self._txn_open.discard(session)
-                    self.catalog.register_views()
+            if exclusive:
+                self._gate.release_write()
+            else:
+                self._gate.release_read()
         if isinstance(result, dict):  # DML/DDL commit stats
             return {
                 "columns": ["key", "value"],
@@ -255,6 +343,66 @@ class SqlEndpoint:
             "n": len(rows),
             "truncated": truncated,
         }
+
+    def _evict_lru_locked(self) -> None:
+        """At the session cap, evict the least-recently-used session
+        with no open transaction (caller holds ``_lock``). Sessions
+        holding transactions are never evicted here — their staged
+        snapshots would be orphaned mid-flight; they age out via the
+        transaction timeout in :meth:`_reap` instead."""
+        from data_lakehouse_spark.sql import SqlError
+
+        lru = min(
+            (
+                (s.last_used, k)
+                for k, s in self._sessions.items()
+                if s.txn_opened_at is None
+            ),
+            default=None,
+        )
+        if lru is None:
+            raise SqlError(
+                f"too many named sessions ({self.max_sessions}), all "
+                "with open transactions; COMMIT or ROLLBACK one"
+            )
+        del self._sessions[lru[1]]
+
+    def _reap(self) -> None:
+        """Expire idle sessions and auto-rollback transactions open past
+        ``txn_timeout`` — without this, one abandoned client with an
+        open transaction would serialize the endpoint and block every
+        unstaged writer on its tables forever."""
+        now = time.monotonic()
+        with self._lock:
+            for k in [
+                k
+                for k, s in self._sessions.items()
+                if s.txn_opened_at is None
+                and now - s.last_used > self.session_timeout
+            ]:
+                del self._sessions[k]
+            expired = [
+                s
+                for s in self._sessions.values()
+                if s.txn_opened_at is not None
+                and now - s.txn_opened_at > self.txn_timeout
+            ]
+        if not expired:
+            return
+        self._gate.acquire_write()
+        try:
+            with self._lock:
+                for s in expired:
+                    if s.txn_opened_at is None:
+                        continue  # raced: client resolved it first
+                    try:
+                        s.router.execute("ROLLBACK")
+                    except Exception:
+                        pass
+                    s.txn_opened_at = None
+                self.catalog.register_views()
+        finally:
+            self._gate.release_write()
 
     def run_chart(self, slug: str) -> dict:
         """Compile the chart spec to its ONE deterministic SQL statement

@@ -998,8 +998,17 @@ class LakehouseSql:
         )
         if self._txn is not None:
             # staged write: visible to this session's reads (RYOW view
-            # overrides in _query), published only at COMMIT
-            before = self.catalog.row_count(name)
+            # overrides in _query), published only at COMMIT. Staged
+            # appends stack, so a second INSERT into the same table in
+            # one txn must baseline against the PREVIOUS staged version,
+            # not the published head — else it reports the cumulative
+            # staged rows of all prior inserts.
+            prev = self._txn._staged.get(name)
+            before = (
+                self.catalog.row_count(name, version=prev[0])
+                if prev is not None
+                else self.catalog.row_count(name)
+            )
             if verb == "OVERWRITE":
                 self._txn.overwrite(name, df)
             else:

@@ -194,6 +194,14 @@ class Transaction:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, intent_path)  # <- the transaction commits HERE
+        # fsync the _txn directory: without it the rename's directory
+        # entry isn't power-loss durable, so a flipped manifest could
+        # survive a crash while the decided intent vanished — torn
+        # cross-table state recovery can't see. (Manifest flips are
+        # made durable symmetrically in Catalog._save_manifest.)
+        from data_lakehouse_spark.catalog import _fsync_dir
+
+        _fsync_dir(_txn_dir(self.catalog))
         for name in sorted(self._staged):
             _roll_forward(
                 self.catalog, name, self._staged[name][0], self.txn_id

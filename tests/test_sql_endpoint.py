@@ -224,3 +224,102 @@ def test_endpoint_transaction_sessions(spark, tmp_path):
         assert "error" in _post_s(ep.port, "COMMIT", "bob")
     finally:
         ep.stop()
+
+
+def test_endpoint_sessionless_txn_rejected(spark, tmp_path):
+    """BEGIN/COMMIT/ROLLBACK without a named session are refused up
+    front: an anonymous router dies with the request, so a sessionless
+    BEGIN would silently auto-commit every later statement."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table("t", spark.createDataFrame([(1,)], "id long"))
+    ep = SqlEndpoint(cat).start()
+    try:
+        for stmt in ("BEGIN", "START TRANSACTION", "COMMIT", "ROLLBACK"):
+            out = _post_s(ep.port, stmt)
+            assert "error" in out and "session" in out["error"], stmt
+        # and the table was never touched by any of that
+        assert (
+            _post_s(ep.port, "SELECT COUNT(*) AS n FROM t")["rows"][0][0]
+            == 1
+        )
+    finally:
+        ep.stop()
+
+
+def test_endpoint_txn_rows_inserted_per_statement(spark, tmp_path):
+    """Two INSERTs into the same table within one transaction each
+    report THEIR OWN row count (staged appends stack; the second must
+    baseline against the first staged version, not the published
+    head)."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table("t", spark.createDataFrame([(1,)], "id long"))
+    ep = SqlEndpoint(cat).start()
+    try:
+        _post_s(ep.port, "BEGIN", "a")
+        r1 = _post_s(ep.port, "INSERT INTO t VALUES (2), (3)", "a")
+        r2 = _post_s(ep.port, "INSERT INTO t VALUES (4)", "a")
+        assert r1["stats"]["rows_inserted"] == 2
+        assert r2["stats"]["rows_inserted"] == 1
+        _post_s(ep.port, "COMMIT", "a")
+        assert (
+            _post_s(ep.port, "SELECT COUNT(*) AS n FROM t")["rows"][0][0]
+            == 4
+        )
+    finally:
+        ep.stop()
+
+
+def test_endpoint_txn_timeout_autorollback(spark, tmp_path):
+    """A transaction left open past txn_timeout is rolled back by the
+    reaper, so an abandoned client can't serialize the endpoint or
+    block unstaged writers forever; idle sessions past session_timeout
+    are evicted."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table("t", spark.createDataFrame([(1,)], "id long"))
+    ep = SqlEndpoint(cat).start()
+    try:
+        _post_s(ep.port, "BEGIN", "ghost")
+        _post_s(ep.port, "INSERT INTO t VALUES (9)", "ghost")
+        ep.txn_timeout = 0.0  # ghost now expires on the next request
+        # any later request triggers the reap: ghost's txn rolls back
+        out = _post_s(ep.port, "SELECT COUNT(*) AS n FROM t", "other")
+        assert out["rows"][0][0] == 1
+        # ghost's session survives (only its txn died): COMMIT now errors
+        assert "error" in _post_s(ep.port, "COMMIT", "ghost")
+        # an unstaged engine-side writer is no longer blocked
+        cat.append("t", spark.createDataFrame([(2,)], "id long"))
+        assert (
+            _post_s(ep.port, "SELECT COUNT(*) AS n FROM t")["rows"][0][0]
+            == 2
+        )
+        # idle-session eviction: age everything out, then the session
+        # table is empty and a new request still works
+        ep.session_timeout = 0.0
+        _post_s(ep.port, "SELECT 1 AS one", "fresh")
+        assert set(ep._sessions) <= {"fresh"}
+    finally:
+        ep.stop()
+
+
+def test_endpoint_session_cap_lru_eviction(spark, tmp_path):
+    """At max_sessions the least-recently-used transaction-free session
+    is evicted to make room; sessions holding transactions are never
+    evicted (their staged snapshots would be orphaned)."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table("t", spark.createDataFrame([(1,)], "id long"))
+    ep = SqlEndpoint(cat).start()
+    ep.max_sessions = 2
+    try:
+        _post_s(ep.port, "SELECT 1 AS one", "old")
+        _post_s(ep.port, "SELECT 1 AS one", "new")
+        _post_s(ep.port, "SELECT 1 AS one", "newest")  # evicts "old"
+        assert "old" not in ep._sessions and "newest" in ep._sessions
+        # with every slot holding an open txn, a new session is refused
+        _post_s(ep.port, "BEGIN", "new")
+        _post_s(ep.port, "BEGIN", "newest")
+        out = _post_s(ep.port, "SELECT 1 AS one", "overflow")
+        assert "error" in out and "open transactions" in out["error"]
+        _post_s(ep.port, "ROLLBACK", "new")
+        _post_s(ep.port, "ROLLBACK", "newest")
+    finally:
+        ep.stop()
