@@ -1,0 +1,543 @@
+"""In-process DAG orchestration: fan-out/fan-in, retries, timeouts.
+
+The engine-side twin of the reference's Airflow task graphs — e.g.
+``start >> [dbt_run_core, dbt_run_funnel, dbt_run_traffic] >>
+dbt_test_gold >> dbt_docs >> end`` (reference
+``dags/04_gold_aggregation.py:110``) with ``retries: 1`` /
+``retry_delay`` default args (``dags/04_gold_aggregation.py:10-12``)
+and per-task ``execution_timeout`` SLOs
+(``dags/03_silver_dbt_transformation.py:77``,
+``dags/04_gold_aggregation.py:35,47,59``).
+
+Architecture: Airflow schedules OS processes around a cluster; here the
+long-lived driver owns one SparkSession, so the DAG runner schedules
+Python callables on a thread pool instead. That is the Spark-idiomatic
+shape — ``spark.sql`` is thread-safe on a shared session, each task's
+jobs run under its own job group, and the fan-out genuinely overlaps on
+the cluster (FAIR scheduler interleaves the stages) rather than queuing
+behind one another.
+
+Semantics implemented (Airflow-equivalent, tested in
+``tests/test_orchestrate.py``):
+
+- ``a >> [b, c] >> d`` dependency wiring (also ``<<``), cycle check.
+- Fan-out: all ready tasks run concurrently (bounded by
+  ``max_workers``); fan-in: a task starts only when every upstream
+  reached a terminal state that its trigger rule accepts.
+- ``retries`` / ``retry_delay``: a failed attempt re-queues with a
+  not-before timestamp; attempt counts reported per task.
+- ``execution_timeout``: enforced PER ATTEMPT. The runner cancels the
+  task's Spark job group (``interruptOnCancel``), which aborts any
+  running Spark action and fails the attempt promptly; a pure-Python
+  stall is detected at the same deadline and the attempt is failed and
+  abandoned (threads can't be killed — the zombie's eventual result is
+  discarded), matching Airflow's "the task instance fails at the
+  deadline" contract.
+- Trigger rules ``all_success`` (default) and ``all_done`` (cleanup
+  tasks run regardless); upstream failure marks ``all_success``
+  downstreams ``upstream_failed`` transitively, like Airflow.
+
+Scale note: the runner moves NO data — tasks are catalog/DataFrame
+materializations; concurrency here is control-plane only, so the same
+DAG object drives a 1000-executor cluster unchanged (parallel tasks
+become parallel Spark job groups sharing the cluster via FAIR pools).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from concurrent.futures import FIRST_COMPLETED, Future, ThreadPoolExecutor, wait
+
+__all__ = [
+    "Task",
+    "Dag",
+    "DagRunError",
+    "gold_aggregation_dag",
+    "medallion_dag",
+]
+
+#: terminal task states
+SUCCESS = "success"
+FAILED = "failed"
+UPSTREAM_FAILED = "upstream_failed"
+#: non-terminal
+PENDING = "pending"
+RUNNING = "running"
+
+
+class DagRunError(RuntimeError):
+    """Raised by ``Dag.run(raise_on_failure=True)`` when any task fails."""
+
+
+class Task:
+    """One node: a Python callable plus its scheduling contract.
+
+    ``fn`` takes no arguments and returns a JSON-able payload (recorded
+    in the run report). ``fn=None`` is an Airflow ``EmptyOperator`` —
+    a pure synchronization point that always succeeds instantly.
+    """
+
+    def __init__(
+        self,
+        task_id: str,
+        fn: Callable[[], object] | None = None,
+        *,
+        retries: int = 0,
+        retry_delay: float = 0.0,
+        execution_timeout: float | None = None,
+        trigger_rule: str = "all_success",
+    ) -> None:
+        if trigger_rule not in ("all_success", "all_done"):
+            raise ValueError(f"unknown trigger_rule {trigger_rule!r}")
+        self.task_id = task_id
+        self.fn = fn
+        self.retries = int(retries)
+        self.retry_delay = float(retry_delay)
+        self.execution_timeout = execution_timeout
+        self.trigger_rule = trigger_rule
+        self.upstream: set[str] = set()
+        self.downstream: set[str] = set()
+        self._dag: Dag | None = None
+
+    # -- Airflow-style wiring: a >> [b, c] >> d ----------------------------
+    def __rshift__(self, other):
+        for t in other if isinstance(other, (list, tuple)) else [other]:
+            _link(self, t)
+        return other
+
+    def __lshift__(self, other):
+        for t in other if isinstance(other, (list, tuple)) else [other]:
+            _link(t, self)
+        return other
+
+    def __rrshift__(self, others):  # [a, b] >> c
+        for t in others:
+            _link(t, self)
+        return self
+
+    def __rlshift__(self, others):  # [a, b] << c
+        for t in others:
+            _link(self, t)
+        return self
+
+    def __repr__(self) -> str:
+        return f"Task({self.task_id!r})"
+
+
+def _link(up: Task, down: Task) -> None:
+    up.downstream.add(down.task_id)
+    down.upstream.add(up.task_id)
+    # tasks registered on a Dag pull linked tasks into the same Dag so
+    # `with Dag(...) as d: a >> b` and manual wiring both work
+    dag = up._dag or down._dag
+    if dag is not None:
+        dag.add(up)
+        dag.add(down)
+
+
+class Dag:
+    """A named task graph with an Airflow-shaped threaded runner."""
+
+    def __init__(self, dag_id: str, *, max_workers: int = 8) -> None:
+        self.dag_id = dag_id
+        self.max_workers = max_workers
+        self.tasks: dict[str, Task] = {}
+
+    def add(self, task: Task) -> Task:
+        have = self.tasks.get(task.task_id)
+        if have is not None and have is not task:
+            raise ValueError(f"duplicate task_id {task.task_id!r}")
+        self.tasks[task.task_id] = task
+        task._dag = self
+        return task
+
+    def task(self, task_id: str, fn=None, **kw) -> Task:
+        """Create-and-register shorthand."""
+        return self.add(Task(task_id, fn, **kw))
+
+    # -- validation ---------------------------------------------------------
+    def _toposort(self) -> list[str]:
+        indeg = {
+            k: len(t.upstream & self.tasks.keys())
+            for k, t in self.tasks.items()
+        }
+        order, ready = [], sorted(k for k, d in indeg.items() if d == 0)
+        while ready:
+            k = ready.pop()
+            order.append(k)
+            for d in sorted(self.tasks[k].downstream & self.tasks.keys()):
+                indeg[d] -= 1
+                if indeg[d] == 0:
+                    ready.append(d)
+        if len(order) != len(self.tasks):
+            cyc = sorted(set(self.tasks) - set(order))
+            raise ValueError(f"dependency cycle among {cyc}")
+        return order
+
+    # -- runner ---------------------------------------------------------------
+    def run(
+        self,
+        spark=None,
+        *,
+        raise_on_failure: bool = False,
+        poll: float = 0.05,
+    ) -> dict:
+        """Execute the graph; returns the run report::
+
+            {"dag_id": ..., "state": "success"|"failed",
+             "tasks": {id: {"state", "attempts", "duration",
+                            "error", "result"}}}
+
+        ``spark`` enables job-group timeout cancellation (pass the
+        session whose jobs the tasks submit).
+        """
+        self._toposort()  # cycle check up front
+        states = {k: PENDING for k in self.tasks}
+        report: dict[str, dict] = {
+            k: {
+                "state": PENDING,
+                "attempts": 0,
+                "duration": 0.0,
+                "error": None,
+                "result": None,
+            }
+            for k in self.tasks
+        }
+        #: queued attempts not yet submitted: task_id -> not_before ts
+        queued: dict[str, float] = {}
+        #: in-flight: future -> (task_id, started, deadline|None)
+        inflight: dict[Future, tuple[str, float, float | None]] = {}
+        #: attempts whose deadline passed with no Spark job to cancel —
+        #: abandoned zombies; their eventual results are discarded
+        abandoned: set[Future] = set()
+
+        def ready(t: Task) -> bool:
+            ups = t.upstream & self.tasks.keys()
+            if t.trigger_rule == "all_done":
+                return all(
+                    states[u] in (SUCCESS, FAILED, UPSTREAM_FAILED)
+                    for u in ups
+                )
+            return all(states[u] == SUCCESS for u in ups)
+
+        def propagate_upstream_failed() -> None:
+            changed = True
+            while changed:
+                changed = False
+                for k, t in self.tasks.items():
+                    if states[k] != PENDING or t.trigger_rule == "all_done":
+                        continue
+                    ups = t.upstream & self.tasks.keys()
+                    if any(
+                        states[u] in (FAILED, UPSTREAM_FAILED) for u in ups
+                    ):
+                        states[k] = UPSTREAM_FAILED
+                        report[k]["state"] = UPSTREAM_FAILED
+                        changed = True
+
+        def attempt(task: Task):
+            group = f"dag:{self.dag_id}:{task.task_id}"
+            if spark is not None:
+                # thread-local: every Spark job this attempt submits is
+                # cancellable as a unit at the execution_timeout
+                spark.sparkContext.setJobGroup(
+                    group, f"{self.dag_id}.{task.task_id}", True
+                )
+            try:
+                return task.fn() if task.fn is not None else None
+            finally:
+                if spark is not None:
+                    spark.sparkContext.setJobGroup("", "", False)
+
+        pool = ThreadPoolExecutor(
+            max_workers=self.max_workers,
+            thread_name_prefix=f"dag-{self.dag_id}",
+        )
+        try:
+            while True:
+                now = time.monotonic()
+                # pull every PENDING task whose upstreams reached an
+                # acceptable terminal state into the queue (roots on the
+                # first pass; retry re-queues carry their own backoff
+                # timestamp and are already present)
+                busy = {k for (k, _, _) in inflight.values()}
+                for k, t in self.tasks.items():
+                    if (
+                        states[k] == PENDING
+                        and k not in queued
+                        and k not in busy
+                        and ready(t)
+                    ):
+                        queued[k] = 0.0
+                if not queued and not inflight:
+                    break
+                # submit every queued attempt that is ready and past its
+                # retry backoff
+                for k in sorted(queued):
+                    t = self.tasks[k]
+                    if states[k] in (UPSTREAM_FAILED,):
+                        queued.pop(k)
+                        continue
+                    if queued[k] <= now and ready(t):
+                        queued.pop(k)
+                        states[k] = RUNNING
+                        report[k]["state"] = RUNNING
+                        report[k]["attempts"] += 1
+                        fut = pool.submit(attempt, t)
+                        deadline = (
+                            now + t.execution_timeout
+                            if t.execution_timeout is not None
+                            else None
+                        )
+                        inflight[fut] = (k, now, deadline)
+                if not inflight:
+                    time.sleep(poll)
+                    propagate_upstream_failed()
+                    # drop queued tasks that just became upstream_failed
+                    for k in [
+                        k for k in queued if states[k] == UPSTREAM_FAILED
+                    ]:
+                        queued.pop(k)
+                    continue
+                done, _ = wait(
+                    inflight, timeout=poll, return_when=FIRST_COMPLETED
+                )
+                now = time.monotonic()
+                # enforce per-attempt deadlines
+                for fut, (k, started, deadline) in list(inflight.items()):
+                    if fut in done or deadline is None or now < deadline:
+                        continue
+                    t = self.tasks[k]
+                    if spark is not None:
+                        spark.sparkContext.cancelJobGroup(
+                            f"dag:{self.dag_id}:{t.task_id}"
+                        )
+                    # give the cancellation a beat to surface; if the
+                    # attempt is pure-Python it won't die — abandon it
+                    if not fut.done():
+                        _, _ = wait([fut], timeout=1.0)
+                    if fut.done():
+                        done = set(done) | {fut}
+                    else:
+                        abandoned.add(fut)
+                        inflight.pop(fut)
+                        self._settle(
+                            t,
+                            states,
+                            report,
+                            queued,
+                            error=(
+                                "execution_timeout: attempt exceeded "
+                                f"{t.execution_timeout}s"
+                            ),
+                            started=started,
+                        )
+                for fut in done:
+                    if fut not in inflight:
+                        continue
+                    k, started, _ = inflight.pop(fut)
+                    t = self.tasks[k]
+                    err = fut.exception()
+                    if err is None:
+                        states[k] = SUCCESS
+                        report[k].update(
+                            state=SUCCESS,
+                            duration=round(
+                                report[k]["duration"]
+                                + (time.monotonic() - started),
+                                4,
+                            ),
+                            result=fut.result(),
+                            error=None,
+                        )
+                    else:
+                        self._settle(
+                            t,
+                            states,
+                            report,
+                            queued,
+                            error=f"{type(err).__name__}: {err}",
+                            started=started,
+                        )
+                propagate_upstream_failed()
+                for k in [k for k in queued if states[k] == UPSTREAM_FAILED]:
+                    queued.pop(k)
+        finally:
+            # don't join abandoned (timed-out pure-Python) attempts —
+            # their threads finish in the background and their results
+            # are discarded; live attempts have all completed by here
+            pool.shutdown(wait=False)
+        failed = [
+            k
+            for k, s in states.items()
+            if s in (FAILED, UPSTREAM_FAILED, PENDING, RUNNING)
+        ]
+        out = {
+            "dag_id": self.dag_id,
+            "state": FAILED if failed else SUCCESS,
+            "tasks": report,
+        }
+        if failed and raise_on_failure:
+            raise DagRunError(
+                f"dag {self.dag_id}: tasks not successful: {sorted(failed)}"
+            )
+        return out
+
+    def _settle(
+        self, t: Task, states, report, queued, *, error: str, started: float
+    ) -> None:
+        """Record a failed attempt; re-queue with backoff or fail."""
+        k = t.task_id
+        report[k]["duration"] = round(
+            report[k]["duration"] + (time.monotonic() - started), 4
+        )
+        report[k]["error"] = error
+        if report[k]["attempts"] <= t.retries:
+            states[k] = PENDING
+            report[k]["state"] = PENDING
+            queued[k] = time.monotonic() + t.retry_delay
+        else:
+            states[k] = FAILED
+            report[k]["state"] = FAILED
+
+
+# ---------------------------------------------------------------------------
+# reference-parity DAG factories
+# ---------------------------------------------------------------------------
+
+#: the reference's gold model groups (dbt --select gold.core /
+#: gold.funnel / gold.traffic) mapped to this engine's mart names
+GOLD_GROUPS: dict[str, list[str]] = {
+    "core": [
+        "gold_daily_sales_summary",
+        "gold_product_performance",
+        "gold_category_performance",
+        "gold_user_rfm_segments",
+    ],
+    "funnel": ["gold_user_journey_funnel", "gold_conversion_funnel_daily"],
+    "traffic": ["gold_hourly_traffic"],
+}
+
+
+def gold_aggregation_dag(pipeline, *, timeouts: bool = True) -> Dag:
+    """The reference's DAG 04 (``dags/04_gold_aggregation.py:110``)::
+
+        start >> [core, funnel, traffic] >> test >> docs >> end
+
+    with its default ``retries=1`` and per-group ``execution_timeout``
+    SLOs (20/15/10 min — ``dags/04_gold_aggregation.py:35,47,59``).
+    The three groups genuinely build in parallel on the shared session.
+    """
+    dag = Dag("gold_aggregation", max_workers=4)
+    slo = {"core": 1200.0, "funnel": 900.0, "traffic": 600.0}
+    start = dag.task("start_gold_aggregation")
+    groups = [
+        dag.task(
+            f"build_gold_{g}",
+            (lambda names=names: pipeline.build_gold(only=names)),
+            retries=1,
+            retry_delay=0.0,
+            execution_timeout=slo[g] if timeouts else None,
+        )
+        for g, names in GOLD_GROUPS.items()
+    ]
+    test = dag.task("test_gold", lambda: _test_gold(pipeline), retries=1)
+    docs = dag.task("docs_generate", lambda: generate_docs(pipeline.catalog))
+    end = dag.task("end_gold_aggregation")
+    start >> groups >> test >> docs >> end
+    return dag
+
+
+def medallion_dag(pipeline, raw, source_file: str) -> Dag:
+    """End-to-end bronze → silver → gold as one graph (reference DAGs
+    02→03→04 chained), with the silver 30-min SLO
+    (``dags/03_silver_dbt_transformation.py:77``)."""
+    dag = Dag("medallion", max_workers=4)
+    bronze = dag.task(
+        "bronze_ingest",
+        lambda: pipeline.ingest_bronze(raw, source_file),
+        retries=1,
+    )
+    fresh = dag.task(
+        "bronze_freshness", lambda: pipeline.check_bronze_freshness()
+    )
+    silver = dag.task(
+        "silver_build",
+        lambda: pipeline.build_silver(),
+        retries=1,
+        execution_timeout=1800.0,
+    )
+    silver_test = dag.task("silver_test", lambda: pipeline.check_silver())
+    bronze >> fresh >> silver >> silver_test
+    gold = gold_aggregation_dag(pipeline)
+    # graft the gold graph in: silver tests gate the gold fan-out
+    for t in gold.tasks.values():
+        dag.add(t)
+    silver_test >> gold.tasks["start_gold_aggregation"]
+    return dag
+
+
+def _test_gold(pipeline) -> dict:
+    """Post-build gold data tests (the dbt ``test --select gold``
+    analog): row presence + grain uniqueness per mart."""
+    from data_lakehouse_spark.operators import quality
+
+    out: dict[str, int] = {}
+    grain = {
+        "gold_daily_sales_summary": ["sale_date"],
+        "gold_product_performance": ["product_id"],
+        "gold_category_performance": [
+            "analysis_date",
+            "category_level_1",
+            "category_level_2",
+        ],
+        "gold_user_rfm_segments": ["user_id"],
+        "gold_user_journey_funnel": ["user_id"],
+        "gold_conversion_funnel_daily": [
+            "analysis_date",
+            "category_level_1",
+            "category_level_2",
+            "time_of_day",
+            "is_weekend",
+        ],
+        "gold_hourly_traffic": ["event_date", "event_hour"],
+    }
+    for name, keys in grain.items():
+        if not pipeline.catalog.table_exists(name):
+            continue
+        df = pipeline.catalog.read(name)
+        grain_col = keys[0] if len(keys) == 1 else "_grain"
+        if len(keys) > 1:
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(
+                "_grain", F.concat_ws("", *[F.col(k) for k in keys])
+            )
+        checks = [
+            ("not_null", lambda d: quality.check_not_null(d, keys[0])),
+            ("unique_grain", lambda d: quality.check_unique(d, grain_col)),
+        ]
+        out.update(
+            {
+                f"{name}.{k}": v
+                for k, v in quality.run_checks(df, checks).items()
+            }
+        )
+    return out
+
+
+def generate_docs(catalog) -> dict:
+    """The ``dbt docs generate`` analog: one JSON-able manifest of every
+    table — schema, partitioning, current version, row count — straight
+    from the catalog (no separate metadata store to drift)."""
+    docs: dict[str, dict] = {}
+    for name in catalog.tables():
+        df = catalog.read(name)
+        entries = catalog._load_manifest(catalog._handle(name))
+        docs[name] = {
+            "columns": {f.name: f.dataType.simpleString() for f in df.schema},
+            "version": catalog._main_head(entries, name)["version"],
+            "rows": df.count(),
+        }
+    return docs

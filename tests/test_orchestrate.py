@@ -1,0 +1,230 @@
+"""DAG orchestration runner (orchestrate.py): Airflow-shaped fan-out/
+fan-in, retries, per-attempt execution timeouts (Spark job-group
+cancellation), upstream-failure propagation — the engine-side twin of
+the reference's dags/04_gold_aggregation.py graph."""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+import pytest
+
+from data_lakehouse_spark.catalog import Catalog
+from data_lakehouse_spark.orchestrate import (
+    Dag,
+    DagRunError,
+    Task,
+    gold_aggregation_dag,
+    medallion_dag,
+)
+from data_lakehouse_spark.pipeline import MedallionPipeline
+
+EVENTS = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _batch(ids, day, typ="purchase"):
+    return [
+        (
+            i,
+            dt.datetime(2024, 1, day, 10 + (i % 5)),
+            i % 3 + 1,
+            typ,
+            10.0 * i,
+            '{"k": 1}',
+        )
+        for i in ids
+    ]
+
+
+def test_dag_fanout_runs_concurrently_and_fans_in():
+    """start >> [a, b, c] >> join: the three middle tasks overlap in
+    wall-clock (true fan-out), and join sees all of their results."""
+    spans: dict[str, tuple[float, float]] = {}
+
+    def work(name: str):
+        t0 = time.monotonic()
+        time.sleep(0.3)
+        spans[name] = (t0, time.monotonic())
+        return name
+
+    dag = Dag("fan", max_workers=4)
+    start = dag.task("start")
+    mids = [dag.task(n, lambda n=n: work(n)) for n in ("a", "b", "c")]
+    join = dag.task("join", lambda: sorted(spans))
+    start >> mids >> join
+    t0 = time.monotonic()
+    out = dag.run()
+    assert out["state"] == "success"
+    assert out["tasks"]["join"]["result"] == ["a", "b", "c"]
+    # overlapped: serial would be >= 0.9s of work inside a tighter wall
+    assert time.monotonic() - t0 < 0.85
+    starts = [spans[n][0] for n in ("a", "b", "c")]
+    ends = [spans[n][1] for n in ("a", "b", "c")]
+    assert max(starts) < min(ends)  # every pair overlaps
+    # join started only after every middle task ended (fan-in barrier)
+    assert out["tasks"]["join"]["state"] == "success"
+
+
+def test_dag_retries_then_succeeds():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 2:
+            raise RuntimeError("transient")
+        return "ok"
+
+    dag = Dag("retry")
+    dag.task("flaky", flaky, retries=1, retry_delay=0.05)
+    out = dag.run()
+    assert out["state"] == "success"
+    t = out["tasks"]["flaky"]
+    assert t["attempts"] == 2 and t["result"] == "ok" and t["state"] == "success"
+
+
+def test_dag_upstream_failure_skips_downstream_but_not_cleanup():
+    ran: list[str] = []
+
+    dag = Dag("fail")
+    boom = dag.task("boom", lambda: 1 / 0, retries=1, retry_delay=0.0)
+    down = dag.task("down", lambda: ran.append("down"))
+    further = dag.task("further", lambda: ran.append("further"))
+    cleanup = dag.task(
+        "cleanup", lambda: ran.append("cleanup"), trigger_rule="all_done"
+    )
+    boom >> down >> further
+    boom >> cleanup
+    out = dag.run()
+    assert out["state"] == "failed"
+    assert out["tasks"]["boom"]["state"] == "failed"
+    assert out["tasks"]["boom"]["attempts"] == 2  # retried, then failed
+    assert "ZeroDivisionError" in out["tasks"]["boom"]["error"]
+    assert out["tasks"]["down"]["state"] == "upstream_failed"
+    assert out["tasks"]["further"]["state"] == "upstream_failed"
+    assert out["tasks"]["cleanup"]["state"] == "success"
+    assert ran == ["cleanup"]
+    with pytest.raises(DagRunError):
+        dag.run(raise_on_failure=True)
+
+
+def test_dag_execution_timeout_pure_python_abandon():
+    """A pure-Python stall is failed at the deadline (the zombie thread
+    is abandoned); the run does not wait the task out."""
+    dag = Dag("slow")
+    dag.task("stall", lambda: time.sleep(8), execution_timeout=0.3)
+    after = dag.task("after", lambda: "never")
+    dag.tasks["stall"] >> after
+    t0 = time.monotonic()
+    out = dag.run()
+    assert time.monotonic() - t0 < 5
+    assert out["tasks"]["stall"]["state"] == "failed"
+    assert "execution_timeout" in out["tasks"]["stall"]["error"]
+    assert out["tasks"]["after"]["state"] == "upstream_failed"
+
+
+def test_dag_execution_timeout_cancels_spark_job(spark):
+    """A Spark action past its deadline is killed via job-group
+    cancellation — the attempt fails promptly instead of running the
+    full job."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    @F.udf(LongType())
+    def napper(x):
+        time.sleep(30)
+        return x
+
+    def big_job():
+        return (
+            spark.range(64)
+            .repartition(64)
+            .select(napper("id").alias("v"))
+            .agg(F.sum("v"))
+            .collect()
+        )
+
+    dag = Dag("cancel")
+    dag.task("spark_stall", big_job, execution_timeout=3.0)
+    t0 = time.monotonic()
+    out = dag.run(spark)
+    assert time.monotonic() - t0 < 25  # far less than the 30s job
+    assert out["state"] == "failed"
+    assert out["tasks"]["spark_stall"]["state"] == "failed"
+
+
+def test_dag_cycle_detection():
+    dag = Dag("cyc")
+    a, b = dag.task("a"), dag.task("b")
+    a >> b
+    b >> a
+    with pytest.raises(ValueError, match="cycle"):
+        dag.run()
+
+
+def test_dag_duplicate_task_id_rejected():
+    dag = Dag("dup")
+    dag.task("x")
+    with pytest.raises(ValueError, match="duplicate"):
+        dag.add(Task("x"))
+
+
+def test_gold_aggregation_dag_reference_shape(spark, tmp_path):
+    """The reference's DAG 04 graph (dags/04_gold_aggregation.py:110)
+    end-to-end: parallel group builds -> gold tests -> docs; every mart
+    lands, the grain tests pass, and the docs manifest covers them."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    pipe = MedallionPipeline(
+        spark, cat, cart_type="cart", as_of_date="2024-02-01"
+    )
+    raw = spark.createDataFrame(_batch(range(1, 9), 1), EVENTS)
+    pipe.ingest_bronze(raw, "b1.parquet")
+    pipe.build_silver()
+
+    dag = gold_aggregation_dag(pipe)
+    # reference wiring: start fans out to the three groups, which fan
+    # into the test task
+    assert dag.tasks["start_gold_aggregation"].downstream == {
+        "build_gold_core",
+        "build_gold_funnel",
+        "build_gold_traffic",
+    }
+    assert dag.tasks["test_gold"].upstream == {
+        "build_gold_core",
+        "build_gold_funnel",
+        "build_gold_traffic",
+    }
+    assert dag.tasks["docs_generate"].upstream == {"test_gold"}
+
+    out = dag.run(spark, raise_on_failure=True)
+    assert out["state"] == "success"
+    for g in ("core", "funnel", "traffic"):
+        assert out["tasks"][f"build_gold_{g}"]["state"] == "success"
+    assert cat.read("gold_daily_sales_summary").count() > 0
+    assert cat.read("gold_hourly_traffic").count() > 0
+    # dbt-test analog: zero violations on every mart grain
+    assert all(v == 0 for v in out["tasks"]["test_gold"]["result"].values())
+    docs = out["tasks"]["docs_generate"]["result"]
+    assert "gold_daily_sales_summary" in docs
+    assert docs["gold_daily_sales_summary"]["rows"] > 0
+    assert "sale_date" in docs["gold_daily_sales_summary"]["columns"]
+
+
+def test_medallion_dag_end_to_end(spark, tmp_path):
+    """Bronze -> freshness -> silver -> silver tests gate the gold
+    fan-out; one graph, all green."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    pipe = MedallionPipeline(
+        spark, cat, cart_type="cart", as_of_date="2024-02-01"
+    )
+    raw = spark.createDataFrame(_batch(range(1, 9), 1), EVENTS)
+    dag = medallion_dag(pipe, raw, "b1.parquet")
+    out = dag.run(spark, raise_on_failure=True)
+    assert out["state"] == "success"
+    assert cat.read("silver_events").count() == 8
+    assert cat.read("gold_daily_sales_summary").count() > 0
+    # silver tests gate gold: wiring is silver_test >> start_gold
+    assert "start_gold_aggregation" in dag.tasks["silver_test"].downstream
