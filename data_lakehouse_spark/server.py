@@ -339,6 +339,7 @@ class SqlEndpoint:
         rows = rows[:limit]
         return {
             "columns": df.columns,
+            "types": [f.dataType.simpleString() for f in df.schema.fields],
             "rows": [[_plain(v) for v in r] for r in rows],
             "n": len(rows),
             "truncated": truncated,
@@ -450,8 +451,10 @@ def _plain(v):
     import datetime
     import decimal
 
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, datetime.datetime):
         return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
     if isinstance(v, decimal.Decimal):
         return str(v)
     if isinstance(v, bytes):

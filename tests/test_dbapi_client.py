@@ -1,0 +1,155 @@
+"""DBAPI 2.0 client (client.py) against a live SqlEndpoint: cursor
+protocol, qmark binding, implicit transactions mapping to the endpoint's
+named-session BEGIN…COMMIT, rollback-on-close."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from data_lakehouse_spark import client as dbapi
+from data_lakehouse_spark.catalog import Catalog
+from data_lakehouse_spark.server import SqlEndpoint
+
+
+@pytest.fixture()
+def endpoint(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table(
+        "sales",
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 7.5)], "id long, seg string, amt double"
+        ),
+    )
+    ep = SqlEndpoint(cat).start()
+    yield ep
+    ep.stop()
+
+
+def test_cursor_protocol_and_description(endpoint):
+    conn = dbapi.connect(port=endpoint.port)
+    cur = conn.cursor()
+    cur.execute(
+        "SELECT seg, SUM(amt) AS total FROM sales GROUP BY seg ORDER BY seg"
+    )
+    assert [d[0] for d in cur.description] == ["seg", "total"]
+    assert [d[1] for d in cur.description] == ["string", "double"]
+    assert cur.rowcount == 2
+    assert cur.fetchone() == ("a", 10.0)
+    assert cur.fetchmany(5) == [("b", 7.5)]
+    assert cur.fetchone() is None
+    cur.execute("SELECT id FROM sales ORDER BY id")
+    assert list(cur) == [(1,), (2,)]
+    assert cur.fetchall() == []  # iterator consumed the set
+    conn.close()
+    with pytest.raises(dbapi.InterfaceError):
+        conn.cursor()
+
+
+def test_qmark_binding(endpoint):
+    conn = dbapi.connect(port=endpoint.port)
+    cur = conn.cursor()
+    cur.execute(
+        "SELECT id FROM sales WHERE seg = ? AND amt > ? ORDER BY id",
+        ("a", 1.5),
+    )
+    assert cur.fetchall() == [(1,)]
+    # a ? INSIDE a string literal is not a placeholder
+    cur.execute("SELECT '?' AS q, id FROM sales WHERE id = ?", (2,))
+    assert cur.fetchall() == [("?", 2)]
+    # strings with quotes bind safely
+    cur.execute("SELECT ? AS s", ("it's ok",))
+    assert cur.fetchone() == ("it's ok",)
+    # dates/bools/None
+    cur.execute("SELECT ? AS d, ? AS b, ? AS n", (dt.date(2024, 1, 2), True, None))
+    row = cur.fetchone()
+    assert str(row[0]) == "2024-01-02" and row[1] is True and row[2] is None
+    with pytest.raises(dbapi.ProgrammingError, match="not enough"):
+        cur.execute("SELECT ? AS a, ? AS b", (1,))
+    with pytest.raises(dbapi.ProgrammingError, match="unused"):
+        cur.execute("SELECT ? AS a", (1, 2))
+    with pytest.raises(dbapi.InterfaceError, match="cannot bind"):
+        cur.execute("SELECT ? AS a", ({"no": 1},))
+
+
+def test_implicit_transaction_commit_and_rollback(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table("t", spark.createDataFrame([(1,)], "id long"))
+    ep = SqlEndpoint(cat).start()
+    try:
+        conn = dbapi.connect(port=ep.port, autocommit=False)
+        cur = conn.cursor()
+        cur.execute("INSERT INTO t VALUES (2)")
+        assert cur.rowcount == 1
+        # uncommitted: this connection reads its own write...
+        cur.execute("SELECT COUNT(*) AS n FROM t")
+        assert cur.fetchone() == (2,)
+        # ...another connection does not
+        other = dbapi.connect(port=ep.port)
+        oc = other.cursor()
+        oc.execute("SELECT COUNT(*) AS n FROM t")
+        assert oc.fetchone() == (1,)
+        conn.commit()
+        oc.execute("SELECT COUNT(*) AS n FROM t")
+        assert oc.fetchone() == (2,)
+
+        # rollback path: DBAPI close() rolls back the open transaction
+        conn2 = dbapi.connect(port=ep.port, autocommit=False)
+        c2 = conn2.cursor()
+        c2.execute("INSERT INTO t VALUES (99)")
+        conn2.close()
+        oc.execute("SELECT COUNT(*) AS n FROM t")
+        assert oc.fetchone() == (2,)
+        other.close()
+    finally:
+        ep.stop()
+
+
+def test_context_managers_commit_on_clean_exit(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table("t", spark.createDataFrame([(1,)], "id long"))
+    ep = SqlEndpoint(cat).start()
+    try:
+        with dbapi.connect(port=ep.port, autocommit=False) as conn:
+            with conn.cursor() as cur:
+                cur.execute("INSERT INTO t VALUES (5)")
+        check = dbapi.connect(port=ep.port)
+        cc = check.cursor()
+        cc.execute("SELECT COUNT(*) AS n FROM t")
+        assert cc.fetchone() == (2,)
+
+        # exception inside the with-block rolls back
+        with pytest.raises(RuntimeError):
+            with dbapi.connect(port=ep.port, autocommit=False) as conn:
+                conn.cursor().execute("INSERT INTO t VALUES (6)")
+                raise RuntimeError("boom")
+        cc.execute("SELECT COUNT(*) AS n FROM t")
+        assert cc.fetchone() == (2,)
+        check.close()
+    finally:
+        ep.stop()
+
+
+def test_executemany_accumulates_rowcount(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table("t", spark.createDataFrame([(0, "z")], "id long, s string"))
+    ep = SqlEndpoint(cat).start()
+    try:
+        conn = dbapi.connect(port=ep.port)
+        cur = conn.cursor()
+        cur.executemany(
+            "INSERT INTO t VALUES (?, ?)", [(1, "a"), (2, "b"), (3, "c'c")]
+        )
+        assert cur.rowcount == 3
+        cur.execute("SELECT s FROM t WHERE id = 3")
+        assert cur.fetchone() == ("c'c",)
+        conn.close()
+    finally:
+        ep.stop()
+
+
+def test_operational_error_when_endpoint_down():
+    conn = dbapi.connect(port=1)  # nothing listens there
+    with pytest.raises(dbapi.OperationalError):
+        conn.cursor().execute("SELECT 1")
