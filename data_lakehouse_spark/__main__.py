@@ -47,6 +47,17 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
         spark, cat, cart_type=args.cart_type, as_of_date=args.as_of_date
     )
     raw = _read_input(spark, args.input)
+    if args.dag:
+        # Airflow-semantics run: bronze → freshness → silver → tests
+        # gate the parallel gold fan-out, with retries + SLO timeouts
+        # (orchestrate.medallion_dag); exit 1 if any task failed
+        from data_lakehouse_spark.orchestrate import medallion_dag
+
+        report = medallion_dag(
+            pipe, raw, args.source_file or args.input
+        ).run(spark)
+        print(json.dumps(report, default=str))
+        return 0 if report["state"] == "success" else 1
     stats = pipe.run(raw, args.source_file or args.input)
     print(json.dumps(stats, default=str))
     return 0
@@ -188,6 +199,26 @@ def cmd_tables(args: argparse.Namespace) -> int:
         props = cat.table_properties(name)
         print(json.dumps({"table": name, "snapshots": snaps,
                           "properties": props}))
+    return 0
+
+
+def cmd_serving_ddl(args: argparse.Namespace) -> int:
+    """Print the generated ClickHouse MergeTree DDL script for every
+    materialized gold mart (serving_ddl.py — the clickhouse/
+    create_tables.sql analog, derived from LIVE schemas)."""
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.serving_ddl import gold_serving_ddl
+
+    spark = _spark("serving-ddl")
+    cat = Catalog(spark, args.warehouse)
+    ddl = gold_serving_ddl(cat, database=args.database)
+    if not ddl:
+        print("-- no gold marts materialized in this warehouse")
+        return 1
+    if args.database:
+        print(f"CREATE DATABASE IF NOT EXISTS {args.database};\n")
+    for stmt in ddl.values():
+        print(stmt + "\n")
     return 0
 
 
@@ -342,6 +373,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--source-file", default=None)
     p.add_argument("--cart-type", default="cart")
     p.add_argument("--as-of-date", default=None)
+    p.add_argument(
+        "--dag",
+        action="store_true",
+        help="run as a task graph (parallel gold fan-out, retries, "
+        "SLO timeouts) and print the per-task run report",
+    )
     p.set_defaults(fn=cmd_pipeline)
 
     p = sub.add_parser("sql", help="SQL over the lakehouse (views registered)")
@@ -410,6 +447,15 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("tables", help="list catalog tables")
     p.add_argument("--warehouse", required=True)
     p.set_defaults(fn=cmd_tables)
+
+    p = sub.add_parser(
+        "serving-ddl",
+        help="print generated ClickHouse MergeTree DDL for the gold "
+        "marts (derived from live schemas)",
+    )
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--database", default="lakehouse")
+    p.set_defaults(fn=cmd_serving_ddl)
 
     p = sub.add_parser(
         "dashboards",

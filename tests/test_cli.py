@@ -250,3 +250,36 @@ def test_cli_maintain_recover_transactions(spark, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["recovered_txn_ids"] == [txn.txn_id]
     assert sorted(r.id for r in cat.read("t").collect()) == [1, 2]
+
+
+def test_cli_pipeline_dag_and_serving_ddl(spark, sf_dir, tmp_path, capsys):
+    """--dag runs the medallion graph (parallel gold fan-out, per-task
+    report); serving-ddl prints the generated MergeTree script."""
+    wh = str(tmp_path / "wh")
+    rc = main([
+        "pipeline",
+        "--input", f"{sf_dir}/events.parquet",
+        "--warehouse", wh,
+        "--cart-type", "click",
+        "--as-of-date", "2024-02-01",
+        "--dag",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["state"] == "success"
+    assert report["tasks"]["build_gold_core"]["state"] == "success"
+    assert report["tasks"]["test_gold"]["state"] == "success"
+    # dbt-test analog inside the DAG found zero violations
+    assert all(v == 0 for v in report["tasks"]["test_gold"]["result"].values())
+
+    rc = main(["serving-ddl", "--warehouse", wh])
+    assert rc == 0
+    script = capsys.readouterr().out
+    assert "CREATE DATABASE IF NOT EXISTS lakehouse;" in script
+    assert "CREATE TABLE IF NOT EXISTS lakehouse.daily_sales_summary" in script
+    assert "PARTITION BY toYYYYMM(sale_date)" in script
+    assert "SETTINGS index_granularity = 8192" in script
+
+    # empty warehouse → exit 1 with the marker comment
+    rc = main(["serving-ddl", "--warehouse", str(tmp_path / "empty")])
+    assert rc == 1

@@ -153,3 +153,65 @@ def test_operational_error_when_endpoint_down():
     conn = dbapi.connect(port=1)  # nothing listens there
     with pytest.raises(dbapi.OperationalError):
         conn.cursor().execute("SELECT 1")
+
+
+# ---------------------------------------------------------------------------
+# property pins: literal rendering agrees with Spark's parser and the
+# router's lexer for arbitrary strings
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_lakehouse_spark.client import _bind, _literal
+from data_lakehouse_spark.sql import mask_strings
+
+_TEXT = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters="\x00"
+    ),
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_TEXT)
+def test_string_literal_roundtrips_through_spark(spark, s):
+    """Any NUL-free string binds to a literal Spark parses back to the
+    exact original value."""
+    out = spark.sql(f"SELECT {_literal(s)} AS v").collect()[0][0]
+    assert out == s
+
+
+@settings(max_examples=100, deadline=None)
+@given(_TEXT)
+def test_bound_statement_lexes_cleanly(s):
+    """The router's string-literal masker accepts every bound statement
+    (no 'unterminated string literal'), and masking hides the bound
+    content so structural regexes can't be confused by it."""
+    stmt = _bind("SELECT ? AS v FROM t WHERE s = ?", (s, s))
+    masked = mask_strings(stmt)  # must not raise
+    assert len(masked) == len(stmt)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        _TEXT,
+    )
+)
+def test_placeholder_never_matches_inside_bound_literal(v):
+    """A bound value containing '?' must not create new placeholders
+    for a second bind position."""
+    stmt = _bind("SELECT ?, '?' AS lit", (v,))
+    # exactly the one literal '?' remains, inside quotes
+    masked = mask_strings(stmt)
+    assert "?" not in masked
