@@ -1423,6 +1423,18 @@ def q_doc_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.unigram_logprob_scores(docs).orderBy("doc_id")
 
 
+def q_corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): select 40 docs
+    with probability ∝ p_target/p_corpus under two deterministic
+    unigram LMs (target = the src0 seed domain), via Gumbel-top-k with
+    md5-derived noise — rerunning the corpus build selects the same
+    documents on any engine (corpus.dsir_importance_sample)."""
+    _ensure_conf(spark)
+    docs = _rel(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    return corpus.dsir_importance_sample(docs, target, 40, seed=0)
+
+
 #: Token-budget mixing targets for the fixture's 20 sources: one fully
 #: kept source, two explicitly truncated, everything else at the
 #: default — exercises full-keep, tight, and default budget paths.
@@ -3382,6 +3394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hybrid_rrf_search": q_doc_hybrid_rrf_search,
         "doc_intra_dedup": q_doc_intra_dedup,
         "doc_lm_unigram_score": q_doc_lm_unigram_score,
+        "corpus_dsir_sample": q_corpus_dsir_sample,
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -6091,6 +6104,64 @@ ORDER BY f.doc_id
 
     # Unigram LM score: per-token log10 prob rounds half-up to 6dp then
     # accumulates as DECIMAL(18,6) — order-independent document sums.
+    sql["corpus_dsir_sample"] = """
+WITH toks AS (
+    SELECT doc_id,
+        unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+    FROM documents
+), toks_ne AS (
+    SELECT doc_id, tok FROM toks WHERE tok <> ''
+), t_toks AS (
+    SELECT t.doc_id, t.tok FROM toks_ne t
+    JOIN documents d USING (doc_id) WHERE d.source = 'src0'
+), t_vocab AS (
+    SELECT tok, COUNT(*) AS cnt FROM t_toks GROUP BY tok
+), t_tot AS (SELECT COUNT(*) AS total FROM t_toks),
+t_probs AS (
+    SELECT tok,
+        CAST(floor(log10(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                   * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS t_logp
+    FROM t_vocab, t_tot
+), t_oov AS (
+    SELECT CAST(floor(log10(0.5 / CAST(total AS DOUBLE))
+                      * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS t_oov
+    FROM t_tot
+), b_vocab AS (
+    SELECT tok, COUNT(*) AS cnt FROM toks_ne GROUP BY tok
+), b_tot AS (SELECT COUNT(*) AS total FROM toks_ne),
+b_probs AS (
+    SELECT tok,
+        CAST(floor(log10(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                   * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS b_logp
+    FROM b_vocab, b_tot
+), scored AS (
+    SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        floor(CAST(SUM(COALESCE(t_logp, t_oov)) AS DOUBLE) / COUNT(*)
+              * 1000000 + 0.5) / 1000000 AS logp_target,
+        floor(CAST(SUM(b_logp) AS DOUBLE) / COUNT(*)
+              * 1000000 + 0.5) / 1000000 AS logp_corpus
+    FROM toks_ne
+    LEFT JOIN t_probs USING (tok)
+    JOIN b_probs USING (tok)
+    CROSS JOIN t_oov
+    GROUP BY doc_id
+), keyed AS (
+    SELECT doc_id, n_tokens, logp_target, logp_corpus,
+        logp_target - logp_corpus AS log_ratio,
+        floor(((logp_target - logp_corpus) * ln(10)
+               - ln(-ln((CAST(('0x' || substr(
+                     md5('0:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                     AS UBIGINT) + 0.5) / power(16, 13))))
+              * 1000000 + 0.5) / 1000000 AS sample_key
+    FROM scored
+)
+SELECT doc_id, n_tokens, logp_target, logp_corpus, log_ratio, sample_key
+FROM keyed
+ORDER BY sample_key DESC, doc_id ASC
+LIMIT 40
+"""
+
     sql["doc_lm_unigram_score"] = """
 WITH toks AS (
     SELECT doc_id,

@@ -33,6 +33,7 @@ engine for LLM-pipeline workloads (driver brief) alongside
 
 from __future__ import annotations
 
+import math
 from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame, Window
@@ -1100,4 +1101,155 @@ def scrub_duplicate_spans(
         F.size("_toks").cast("bigint").alias("n_tokens"),
         (F.size("_toks") - F.size(kept)).cast("bigint").alias("n_removed"),
         F.concat_ws(" ", kept).alias("scrubbed_text"),
+    )
+
+
+def _unigram_lm(
+    toks: DataFrame, vocab_size: int | None, round_dp: int
+) -> tuple[DataFrame, DataFrame]:
+    """Fit an add-half-floored unigram LM from a (doc_id, tok) frame:
+    returns (probs(tok, logp), oov(oov_logp)) with per-token log10
+    probabilities floor-rounded half-up to ``round_dp`` (the
+    determinism scheme of :func:`unigram_logprob_scores`). Both frames
+    are tiny (vocab-sized / 1 row) and meant to be broadcast."""
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    if vocab_size is not None:
+        vocab = vocab.orderBy(F.desc("cnt"), F.asc("tok")).limit(vocab_size)
+    total = toks.agg(F.count("*").alias("total"))
+    scale = F.lit(float(10 ** round_dp))
+    logp = F.floor(
+        F.log10(F.col("cnt").cast("double") / F.col("total").cast("double"))
+        * scale
+        + F.lit(0.5)
+    ) / scale
+    probs = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", logp.cast(f"decimal(18,{round_dp})").alias("logp")
+    )
+    oov = F.floor(
+        F.log10(F.lit(0.5) / F.col("total").cast("double")) * scale
+        + F.lit(0.5)
+    ) / scale
+    oov_probs = total.select(
+        oov.cast(f"decimal(18,{round_dp})").alias("oov_logp")
+    )
+    return probs, oov_probs
+
+
+def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+", -1)
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+
+
+def dsir_importance_sample(
+    docs: DataFrame,
+    target: DataFrame,
+    n: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int | None = None,
+    seed: int = 0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): select ``n`` documents from the raw corpus
+    with probability proportional to the importance ratio
+    ``p_target(doc) / p_corpus(doc)`` under two hashed-feature LMs (here
+    the engine's deterministic unigram LMs — the operator shape the
+    paper's hashed-ngram variant needs is identical: two broadcast
+    models, one corpus scan).
+
+    Per document: ``log_ratio`` = (mean log10 prob under the TARGET
+    LM) − (mean log10 prob under the CORPUS LM) — length-normalized so
+    long documents aren't favored. Sampling ∝ exp(weight) without
+    replacement uses the Gumbel-top-k trick with DETERMINISTIC noise:
+    ``u`` comes from the first 13 hex digits of ``md5(seed:doc_id)``
+    (52 bits — exactly representable, bit-identical on any SQL engine),
+    ``g = −ln(−ln(u))``, and the top ``n`` docs by the 6-dp-quantized
+    key ``ln(10)·log_ratio + g`` are kept. Reproducible across engines,
+    retries, partitionings, and cluster sizes — reruns of a corpus
+    build select the same documents.
+
+    Scale shape: ONE token scan of the corpus joined against two
+    broadcast LM tables (vocab-capped via ``vocab_size`` for web-scale
+    vocabularies); the target fit scans only the (small) seed set; the
+    final top-k is Spark's TakeOrdered (no global sort materialized).
+
+    Returns (doc_id, n_tokens, logp_target, logp_corpus, log_ratio,
+    sample_key) for the selected docs, highest key first.
+    """
+    toks = _doc_tokens(docs, text_col, id_col)
+    t_probs, t_oov = _unigram_lm(
+        _doc_tokens(target, text_col, id_col), vocab_size, round_dp
+    )
+    b_probs, b_oov = _unigram_lm(toks, vocab_size, round_dp)
+    scale = F.lit(float(10 ** round_dp))
+    scored = (
+        toks.join(
+            F.broadcast(t_probs.withColumnRenamed("logp", "t_logp")),
+            "tok",
+            "left",
+        )
+        .join(
+            F.broadcast(b_probs.withColumnRenamed("logp", "b_logp")),
+            "tok",
+            "left",
+        )
+        .crossJoin(F.broadcast(t_oov.withColumnRenamed("oov_logp", "t_oov")))
+        .crossJoin(F.broadcast(b_oov.withColumnRenamed("oov_logp", "b_oov")))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("t_logp"), F.col("t_oov")).alias("t"),
+            F.coalesce(F.col("b_logp"), F.col("b_oov")).alias("b"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum("t").cast("double") / F.count("*") * scale
+                    + F.lit(0.5)
+                )
+                / scale
+            ).alias("logp_target"),
+            (
+                F.floor(
+                    F.sum("b").cast("double") / F.count("*") * scale
+                    + F.lit(0.5)
+                )
+                / scale
+            ).alias("logp_corpus"),
+        )
+        .withColumn(
+            "log_ratio", F.col("logp_target") - F.col("logp_corpus")
+        )
+    )
+    # deterministic Gumbel noise: u in (0, 1) from a 52-bit md5 prefix
+    # (never exactly 0/1: the +0.5 offset keeps ln defined)
+    u = (
+        F.conv(
+            F.substring(
+                _sample_hash(F.col("doc_id"), seed), 1, 13
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16 ** 13))
+    gumbel = -F.log(-F.log(u))
+    key = (
+        F.floor(
+            (F.col("log_ratio") * F.lit(math.log(10.0)) + gumbel) * scale
+            + F.lit(0.5)
+        )
+        / scale
+    )
+    return (
+        scored.withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(int(n))
     )

@@ -520,3 +520,62 @@ def test_scrub_duplicate_spans_within_doc_repetition(spark):
     out = corpus.scrub_duplicate_spans(df, span_tokens=8).collect()[0]
     assert out["n_removed"] >= 16
     assert "tail" in out["scrubbed_text"]
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+def _dsir_corpus(spark):
+    """Two domains: 'sci' docs share a distinctive vocabulary; 'web'
+    docs share another. The target seed is the sci domain."""
+    rows = []
+    for i in range(30):
+        rows.append((i, "quark lepton boson hadron quark meson", "sci"))
+    for i in range(30, 90):
+        rows.append((i, "click buy deal sale click offer promo", "web"))
+    return spark.createDataFrame(rows, "doc_id long, text string, src string")
+
+
+def test_dsir_selects_target_like_docs(spark):
+    docs = _dsir_corpus(spark)
+    target = docs.filter(F.col("src") == "sci")
+    out = corpus.dsir_importance_sample(docs, target, 20, seed=0)
+    rows = out.collect()
+    assert len(rows) == 20
+    # importance sampling must overwhelmingly pick the sci domain: its
+    # docs score ~0 under the target LM while web docs are pure OOV
+    picked = {r["doc_id"] for r in rows}
+    sci_picked = sum(1 for d in picked if d < 30)
+    assert sci_picked >= 18
+    # log_ratio of sci docs is strictly higher than any web doc's
+    by_dom = {True: [], False: []}
+    for r in rows:
+        by_dom[r["doc_id"] < 30].append(r["log_ratio"])
+    if by_dom[False]:
+        assert min(by_dom[True]) > max(by_dom[False])
+    # output is ordered by the sampling key
+    keys = [r["sample_key"] for r in rows]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_dsir_deterministic_across_partitionings(spark):
+    docs = _dsir_corpus(spark)
+    target = docs.filter(F.col("src") == "sci")
+    a = corpus.dsir_importance_sample(docs, target, 15, seed=3).collect()
+    b = corpus.dsir_importance_sample(
+        docs.repartition(13), target.coalesce(1), 15, seed=3
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_dsir_reseed_redeal(spark):
+    """Different seeds re-deal the Gumbel noise: selection changes (the
+    weights don't), proving the noise actually participates."""
+    docs = _dsir_corpus(spark)
+    target = docs.filter(F.col("src") == "sci")
+    s0 = {r["doc_id"] for r in
+          corpus.dsir_importance_sample(docs, target, 10, seed=0).collect()}
+    s1 = {r["doc_id"] for r in
+          corpus.dsir_importance_sample(docs, target, 10, seed=99).collect()}
+    assert s0 != s1
