@@ -1435,6 +1435,16 @@ def q_corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.dsir_importance_sample(docs, target, 40, seed=0)
 
 
+def q_corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality split (Wenzek 2020): LM-score the
+    corpus, cut terciles via ONE percentile_disc aggregate broadcast as
+    a map-side CASE — no global NTILE window
+    (corpus.ccnet_quality_buckets)."""
+    _ensure_conf(spark)
+    docs = _rel(spark, sf_dir, "documents")
+    return corpus.ccnet_quality_buckets(docs).orderBy("doc_id")
+
+
 #: Token-budget mixing targets for the fixture's 20 sources: one fully
 #: kept source, two explicitly truncated, everything else at the
 #: default — exercises full-keep, tight, and default budget paths.
@@ -3395,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_intra_dedup": q_doc_intra_dedup,
         "doc_lm_unigram_score": q_doc_lm_unigram_score,
         "corpus_dsir_sample": q_corpus_dsir_sample,
+        "corpus_ccnet_buckets": q_corpus_ccnet_buckets,
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -6160,6 +6171,41 @@ SELECT doc_id, n_tokens, logp_target, logp_corpus, log_ratio, sample_key
 FROM keyed
 ORDER BY sample_key DESC, doc_id ASC
 LIMIT 40
+"""
+
+    sql["corpus_ccnet_buckets"] = """
+WITH toks AS (
+    SELECT doc_id,
+        unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+    FROM documents
+), toks_ne AS (
+    SELECT doc_id, tok FROM toks WHERE tok <> ''
+), vocab AS (
+    SELECT tok, COUNT(*) AS cnt FROM toks_ne GROUP BY tok
+), tot AS (SELECT COUNT(*) AS total FROM toks_ne),
+probs AS (
+    SELECT tok,
+        CAST(floor(log10(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                   * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS logp
+    FROM vocab, tot
+), scored AS (
+    SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        floor(CAST(SUM(logp) AS DOUBLE) / COUNT(*) * 1000000 + 0.5)
+            / 1000000 AS avg_logprob
+    FROM toks_ne JOIN probs USING (tok)
+    GROUP BY doc_id
+), cuts AS (
+    SELECT quantile_disc(avg_logprob, 0.3333333333333333) AS c1,
+           quantile_disc(avg_logprob, 0.6666666666666666) AS c2
+    FROM scored
+)
+SELECT doc_id, n_tokens, avg_logprob,
+    CASE WHEN avg_logprob > c2 THEN 'head'
+         WHEN avg_logprob > c1 THEN 'middle'
+         ELSE 'tail' END AS bucket
+FROM scored, cuts
+ORDER BY doc_id
 """
 
     sql["doc_lm_unigram_score"] = """

@@ -60,6 +60,8 @@ __all__ = [
     "token_budget_mix",
     "heavy_hitters",
     "scrub_duplicate_spans",
+    "dsir_importance_sample",
+    "ccnet_quality_buckets",
 ]
 
 #: Deliberately simple, oracle-portable PII patterns (same regex class
@@ -1252,4 +1254,49 @@ def dsir_importance_sample(
         scored.withColumn("sample_key", key)
         .orderBy(F.desc("sample_key"), F.asc("doc_id"))
         .limit(int(n))
+    )
+
+
+def ccnet_quality_buckets(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """CCNet head/middle/tail quality split (Wenzek et al. 2020,
+    arXiv:1911.00359): score every document with the LM
+    (:func:`unigram_logprob_scores` — CCNet uses KenLM perplexity; the
+    bucketing operator is identical), cut the corpus into terciles, and
+    label head (best third), middle, tail. Real pipelines keep head+
+    middle for pretraining and mine tail for filters.
+
+    Scale shape: cutoffs are ONE ``percentile_disc`` aggregate row
+    broadcast back as a map-side CASE — no global window, no NTILE
+    single-partition sort (the anti-pattern this replaces). Discrete
+    percentiles pick actual score values, so the cuts are bit-stable on
+    any SQL engine; ties land deterministically via >= / > boundaries.
+    """
+    scores = unigram_logprob_scores(
+        docs, text_col=text_col, id_col=id_col, vocab_size=vocab_size,
+        round_dp=round_dp,
+    )
+    cuts = scores.selectExpr(
+        "percentile_disc(0.3333333333333333) WITHIN GROUP "
+        "(ORDER BY avg_logprob) AS c1",
+        "percentile_disc(0.6666666666666666) WITHIN GROUP "
+        "(ORDER BY avg_logprob) AS c2",
+    )
+    return (
+        scores.crossJoin(F.broadcast(cuts))
+        .select(
+            id_col,
+            "n_tokens",
+            "avg_logprob",
+            F.when(F.col("avg_logprob") > F.col("c2"), F.lit("head"))
+            .when(F.col("avg_logprob") > F.col("c1"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
     )

@@ -579,3 +579,27 @@ def test_dsir_reseed_redeal(spark):
     s1 = {r["doc_id"] for r in
           corpus.dsir_importance_sample(docs, target, 10, seed=99).collect()}
     assert s0 != s1
+
+
+def test_ccnet_buckets_tercile_split(spark):
+    """Buckets are ~equal thirds; head scores >= middle >= tail; no
+    global window in the plan (cutoffs come from one aggregate)."""
+    rows = [(i, " ".join(["common"] * 8 + [f"rare{i}"] * (i % 7)), "s")
+            for i in range(90)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = corpus.ccnet_quality_buckets(docs)
+    got = out.collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["bucket"], []).append(r["avg_logprob"])
+    assert set(by) == {"head", "middle", "tail"}
+    # discrete-percentile thirds: each bucket within ±20% of N/3
+    for b in by.values():
+        assert 0.8 * 30 - 6 <= len(b) <= 1.2 * 30 + 6
+    assert min(by["head"]) >= max(by["middle"]) >= max(by["tail"]) or (
+        min(by["head"]) > max(by["middle"]) and min(by["middle"]) > max(by["tail"])
+    )
+    # scale shape: no Window in the physical plan (the NTILE anti-
+    # pattern this operator replaces)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
