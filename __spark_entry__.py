@@ -1445,6 +1445,24 @@ def q_corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.ccnet_quality_buckets(docs).orderBy("doc_id")
 
 
+def q_corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source rebalancing (XLM-R τ-sampling,
+    τ=3): per-stratum keep fractions from ONE count aggregate, map-side
+    md5 numeric-uniform filter — zero data shuffles
+    (corpus.temperature_sample). Half the corpus, mix flattened toward
+    equal source shares."""
+    _ensure_conf(spark)
+    docs = _rel(spark, sf_dir, "documents")
+    n_half = docs.count() // 2
+    return (
+        corpus.temperature_sample(
+            docs, temperature=3.0, target_rows=n_half, seed=11
+        )
+        .select("doc_id", "source", "keep_fraction")
+        .orderBy("doc_id")
+    )
+
+
 #: Token-budget mixing targets for the fixture's 20 sources: one fully
 #: kept source, two explicitly truncated, everything else at the
 #: default — exercises full-keep, tight, and default budget paths.
@@ -3406,6 +3424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_unigram_score": q_doc_lm_unigram_score,
         "corpus_dsir_sample": q_corpus_dsir_sample,
         "corpus_ccnet_buckets": q_corpus_ccnet_buckets,
+        "corpus_temperature_sample": q_corpus_temperature_sample,
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -6171,6 +6190,29 @@ SELECT doc_id, n_tokens, logp_target, logp_corpus, log_ratio, sample_key
 FROM keyed
 ORDER BY sample_key DESC, doc_id ASC
 LIMIT 40
+"""
+
+    sql["corpus_temperature_sample"] = """
+WITH counts AS (
+    SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+), tot AS (
+    SELECT SUM(n_s) AS n_total,
+           SUM(pow(CAST(n_s AS DOUBLE), 1.0/3.0)) AS z
+    FROM counts
+), fracs AS (
+    SELECT source,
+        least(1.0,
+              floor((floor(CAST(n_total AS DOUBLE) / 2)
+                     * pow(CAST(n_s AS DOUBLE), 1.0/3.0) / z
+                     / CAST(n_s AS DOUBLE)) * 1000000 + 0.5)
+              / 1000000) AS keep_fraction
+    FROM counts, tot
+)
+SELECT d.doc_id, d.source, f.keep_fraction
+FROM documents d JOIN fracs f USING (source)
+WHERE (CAST(('0x' || substr(md5('11:' || CAST(d.doc_id AS VARCHAR)), 1, 13))
+            AS UBIGINT)) / power(16, 13) < f.keep_fraction
+ORDER BY d.doc_id
 """
 
     sql["corpus_ccnet_buckets"] = """

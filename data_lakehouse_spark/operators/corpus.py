@@ -62,6 +62,7 @@ __all__ = [
     "scrub_duplicate_spans",
     "dsir_importance_sample",
     "ccnet_quality_buckets",
+    "temperature_sample",
 ]
 
 #: Deliberately simple, oracle-portable PII patterns (same regex class
@@ -1299,4 +1300,77 @@ def ccnet_quality_buckets(
             .otherwise(F.lit("tail"))
             .alias("bucket"),
         )
+    )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    *,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    temperature: float = 2.0,
+    target_rows: int | None = None,
+    seed: int = 0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Temperature-scaled stratum rebalancing (the multilingual
+    τ-sampling of XLM-R, Conneau et al. 2020, arXiv:1911.02116 §3):
+    resample so stratum proportions follow ``p_s^(1/τ)`` (renormalized)
+    instead of the raw corpus proportions — τ>1 upweights small
+    sources/languages, τ=1 is a plain uniform sample, τ→∞ approaches
+    equal shares.
+
+    Per-stratum keep-fractions derive from ONE tiny groupBy(stratum)
+    count aggregate: ``keep_s = target · q_s / n_s`` (capped at 1 — no
+    replication; callers wanting oversampling repeat epochs instead),
+    where ``q_s ∝ n_s^(1/τ)``. The filter itself is the engine's
+    deterministic md5 keep-rule with a NUMERIC uniform: the first 13
+    hex digits of ``md5(seed:id)`` are 52 bits — exact in a double on
+    any engine — and a row is kept iff ``u < keep_s`` with ``keep_s``
+    floor-rounded half-up to ``round_dp``. Map-side filter against a
+    broadcast fraction table: zero data shuffles, reproducible across
+    engines/retries/partitionings, and the kept set is a subset lattice
+    in ``target_rows`` (growing the target never churns prior picks).
+
+    ``target_rows=None`` keeps the total corpus size (resampling only
+    shifts the mix). Returns the kept rows + ``keep_fraction``.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    counts = docs.groupBy(stratum_col).agg(F.count("*").alias("n_s"))
+    tot = counts.agg(
+        F.sum("n_s").alias("n_total"),
+        F.sum(F.pow(F.col("n_s").cast("double"), 1.0 / temperature)).alias(
+            "z"
+        ),
+    )
+    scale = F.lit(float(10 ** round_dp))
+    target = (
+        F.lit(int(target_rows))
+        if target_rows is not None
+        else F.col("n_total").cast("double")
+    )
+    frac = F.least(
+        F.lit(1.0),
+        F.floor(
+            (
+                target
+                * F.pow(F.col("n_s").cast("double"), 1.0 / temperature)
+                / F.col("z")
+                / F.col("n_s").cast("double")
+            )
+            * scale
+            + F.lit(0.5)
+        )
+        / scale,
+    )
+    fracs = counts.crossJoin(F.broadcast(tot)).select(
+        stratum_col, frac.alias("keep_fraction")
+    )
+    u = F.conv(
+        F.substring(_sample_hash(F.col(id_col), seed), 1, 13), 16, 10
+    ).cast("double") / F.lit(float(16 ** 13))
+    return (
+        docs.join(F.broadcast(fracs), stratum_col)
+        .filter(u < F.col("keep_fraction"))
     )

@@ -603,3 +603,62 @@ def test_ccnet_buckets_tercile_split(spark):
     # pattern this operator replaces)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_temperature_sample_flattens_skew(spark):
+    """τ-sampling (XLM-R): a 10:1 skewed two-source corpus resampled at
+    τ=5 comes out much flatter; τ=1 preserves proportions; fractions
+    cap at 1 (no replication); deterministic across partitionings."""
+    rows = [(i, "big") for i in range(500)] + [
+        (500 + i, "small") for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = corpus.temperature_sample(
+        docs, id_col="doc_id", temperature=5.0, target_rows=200, seed=1
+    )
+    got = out.groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in got}
+    # raw mix is 10:1; τ=5 targets n_s^(1/5) ∝ 3.47 : 2.19 (~1.6:1)
+    assert by["big"] < 4 * by["small"]
+    assert by["small"] >= 30  # small source strongly upweighted
+    # fraction capped at 1.0: nothing replicated, keep ≤ stratum size
+    assert by["small"] <= 50
+    fr = {
+        r["source"]: r["keep_fraction"]
+        for r in out.select("source", "keep_fraction").distinct().collect()
+    }
+    assert fr["small"] <= 1.0 and fr["big"] < fr["small"]
+
+    # τ=1 ≈ plain proportional sample
+    flat = corpus.temperature_sample(
+        docs, id_col="doc_id", temperature=1.0, target_rows=200, seed=1
+    )
+    byf = {
+        r["source"]: r["count"]
+        for r in flat.groupBy("source").count().collect()
+    }
+    assert byf["big"] > 5 * byf["small"]
+
+    # deterministic across partitionings
+    a = sorted(
+        r["doc_id"]
+        for r in corpus.temperature_sample(
+            docs, id_col="doc_id", temperature=5.0, target_rows=200, seed=1
+        ).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in corpus.temperature_sample(
+            docs.repartition(17), id_col="doc_id", temperature=5.0,
+            target_rows=200, seed=1,
+        ).collect()
+    )
+    assert a == b
+
+
+def test_temperature_sample_rejects_bad_tau(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="temperature"):
+        corpus.temperature_sample(docs, temperature=0.0)
