@@ -542,3 +542,28 @@ def test_tpch_q20_nested_in_chain_is_semi_joins(spark, sf_dir):
         l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l
     )
     assert "GreaterThanOrEqual(l_shipdate" in li_scan
+
+
+def test_dsir_plans_broadcast_lms_and_take_ordered(spark, sf_dir):
+    """DSIR: both LM tables join broadcast (never SortMergeJoin against
+    the corpus token stream) and the final top-k is TakeOrdered — no
+    global sort materialized."""
+    plan = _plan(entry.q_corpus_dsir_sample(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_temperature_sample_is_map_side_filter(spark, sf_dir):
+    """Temperature sampling shuffles only the tiny per-source count
+    aggregate; the document stream itself is filtered map-side after a
+    broadcast join — no SortMergeJoin, no document-keyed Exchange."""
+    plan = _plan(entry.q_corpus_temperature_sample(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # every Exchange in the plan belongs to the stratum-count aggregate
+    # (hashpartitioning on source / single-row aggregates), never on
+    # doc_id
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "doc_id" not in line
