@@ -1463,6 +1463,43 @@ def q_corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pretraining-mix pipeline, fully hash-verified end to
+    end: (1) benchmark decontamination (drop any training doc sharing a
+    4-gram with the held-out eval split), (2) CCNet quality split on
+    the CLEAN corpus keeping head+middle, (3) temperature-scaled source
+    rebalancing (τ=2) down to half the survivors. The composition a
+    real corpus build executes — every stage is the engine's verified
+    operator, and unlike the near-dup composition (hash-family outputs,
+    rows-only) this one's full lineage hash-matches the oracle."""
+    _ensure_conf(spark)
+    docs = _rel(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    clean = train.join(
+        corpus.contamination_hits(train, ev, shingle_n=4),
+        "doc_id",
+        "left_anti",
+    )
+    buckets = corpus.ccnet_quality_buckets(clean)
+    kept = clean.join(
+        buckets.filter(F.col("bucket") != "tail").select(
+            "doc_id", "avg_logprob", "bucket"
+        ),
+        "doc_id",
+    )
+    return (
+        corpus.temperature_sample(
+            kept, temperature=2.0, target_fraction=0.5, seed=5
+        )
+        .select(
+            "doc_id", "source", "lang", "bucket", "avg_logprob",
+            "keep_fraction",
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: Token-budget mixing targets for the fixture's 20 sources: one fully
 #: kept source, two explicitly truncated, everything else at the
 #: default — exercises full-keep, tight, and default budget paths.
@@ -3425,6 +3462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dsir_sample": q_corpus_dsir_sample,
         "corpus_ccnet_buckets": q_corpus_ccnet_buckets,
         "corpus_temperature_sample": q_corpus_temperature_sample,
+        "corpus_pretrain_mix": q_corpus_pretrain_mix,
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -6190,6 +6228,89 @@ SELECT doc_id, n_tokens, logp_target, logp_corpus, log_ratio, sample_key
 FROM keyed
 ORDER BY sample_key DESC, doc_id ASC
 LIMIT 40
+"""
+
+    sql["corpus_pretrain_mix"] = f"""
+WITH d AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, text, source, lang,
+           string_split({_NORM}, ' ') AS ntoks
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(0, greatest(len(ntoks) - 4, 0) + 1),
+               i -> array_to_string(ntoks[i + 1:i + 4], ' '))) AS sh
+    FROM d
+),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+ev AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % 10 = 0),
+contaminated AS (
+    SELECT DISTINCT ex.doc_id FROM ex JOIN ev USING (shingle)
+    WHERE ex.doc_id % 10 <> 0
+),
+clean AS (
+    SELECT doc_id, text, source, lang FROM d
+    WHERE doc_id % 10 <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+ctoks AS (
+    SELECT doc_id,
+        unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+    FROM clean
+),
+ctoks_ne AS (SELECT doc_id, tok FROM ctoks WHERE tok <> ''),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM ctoks_ne GROUP BY tok),
+tot AS (SELECT COUNT(*) AS total FROM ctoks_ne),
+probs AS (
+    SELECT tok,
+        CAST(floor(log10(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                   * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS logp
+    FROM vocab, tot
+),
+scored AS (
+    SELECT doc_id,
+        floor(CAST(SUM(logp) AS DOUBLE) / COUNT(*) * 1000000 + 0.5)
+            / 1000000 AS avg_logprob
+    FROM ctoks_ne JOIN probs USING (tok)
+    GROUP BY doc_id
+),
+cuts AS (
+    SELECT quantile_disc(avg_logprob, 0.3333333333333333) AS c1,
+           quantile_disc(avg_logprob, 0.6666666666666666) AS c2
+    FROM scored
+),
+kept AS (
+    SELECT c.doc_id, c.source, c.lang, s.avg_logprob,
+        CASE WHEN s.avg_logprob > cu.c2 THEN 'head'
+             WHEN s.avg_logprob > cu.c1 THEN 'middle'
+             ELSE 'tail' END AS bucket
+    FROM clean c JOIN scored s USING (doc_id), cuts cu
+    WHERE CASE WHEN s.avg_logprob > cu.c2 THEN 'head'
+               WHEN s.avg_logprob > cu.c1 THEN 'middle'
+               ELSE 'tail' END <> 'tail'
+),
+counts AS (SELECT source, COUNT(*) AS n_s FROM kept GROUP BY source),
+ktot AS (
+    SELECT SUM(n_s) AS n_total,
+           SUM(pow(CAST(n_s AS DOUBLE), 0.5)) AS z
+    FROM counts
+),
+fracs AS (
+    SELECT source,
+        least(1.0,
+              floor((floor(CAST(n_total AS DOUBLE) / 2)
+                     * pow(CAST(n_s AS DOUBLE), 0.5) / z
+                     / CAST(n_s AS DOUBLE)) * 1000000 + 0.5)
+              / 1000000) AS keep_fraction
+    FROM counts, ktot
+)
+SELECT k.doc_id, k.source, k.lang, k.bucket, k.avg_logprob,
+       f.keep_fraction
+FROM kept k JOIN fracs f USING (source)
+WHERE (CAST(('0x' || substr(md5('5:' || CAST(k.doc_id AS VARCHAR)), 1, 13))
+            AS UBIGINT)) / power(16, 13) < f.keep_fraction
+ORDER BY k.doc_id
 """
 
     sql["corpus_temperature_sample"] = """

@@ -1310,6 +1310,7 @@ def temperature_sample(
     id_col: str = "doc_id",
     temperature: float = 2.0,
     target_rows: int | None = None,
+    target_fraction: float | None = None,
     seed: int = 0,
     round_dp: int = 6,
 ) -> DataFrame:
@@ -1333,10 +1334,15 @@ def temperature_sample(
     in ``target_rows`` (growing the target never churns prior picks).
 
     ``target_rows=None`` keeps the total corpus size (resampling only
-    shifts the mix). Returns the kept rows + ``keep_fraction``.
+    shifts the mix); ``target_fraction`` sizes the target as
+    ``floor(fraction · corpus)`` INSIDE the counts aggregate — no extra
+    driver-side count action when the input is an expensive lineage.
+    Returns the kept rows + ``keep_fraction``.
     """
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
+    if target_rows is not None and target_fraction is not None:
+        raise ValueError("pass target_rows or target_fraction, not both")
     counts = docs.groupBy(stratum_col).agg(F.count("*").alias("n_s"))
     tot = counts.agg(
         F.sum("n_s").alias("n_total"),
@@ -1345,11 +1351,14 @@ def temperature_sample(
         ),
     )
     scale = F.lit(float(10 ** round_dp))
-    target = (
-        F.lit(int(target_rows))
-        if target_rows is not None
-        else F.col("n_total").cast("double")
-    )
+    if target_rows is not None:
+        target = F.lit(int(target_rows))
+    elif target_fraction is not None:
+        target = F.floor(
+            F.col("n_total").cast("double") * F.lit(float(target_fraction))
+        ).cast("double")
+    else:
+        target = F.col("n_total").cast("double")
     frac = F.least(
         F.lit(1.0),
         F.floor(

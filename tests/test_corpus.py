@@ -662,3 +662,31 @@ def test_temperature_sample_rejects_bad_tau(spark):
 
     with _pytest.raises(ValueError, match="temperature"):
         corpus.temperature_sample(docs, temperature=0.0)
+
+
+def test_temperature_sample_target_fraction_no_extra_action(spark):
+    """target_fraction sizes the target inside the counts aggregate —
+    same selection as the equivalent precomputed target_rows."""
+    rows = [(i, "big") for i in range(400)] + [
+        (400 + i, "small") for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(
+        r["doc_id"]
+        for r in corpus.temperature_sample(
+            docs, temperature=2.0, target_fraction=0.5, seed=2
+        ).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in corpus.temperature_sample(
+            docs, temperature=2.0, target_rows=220, seed=2
+        ).collect()
+    )
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not both"):
+        corpus.temperature_sample(
+            docs, target_rows=10, target_fraction=0.5
+        )
