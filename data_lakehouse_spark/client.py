@@ -126,9 +126,19 @@ class Connection:
             with urllib.request.urlopen(req, timeout=self._timeout) as r:
                 out = json.loads(r.read())
         except urllib.error.HTTPError as e:
+            # 4xx with an "error" body is the endpoint's SQL-analysis
+            # contract (ProgrammingError below); anything else — 5xx
+            # from a proxy, or an error body in an unexpected shape —
+            # is transport-level, never a silent empty result set
             try:
                 out = json.loads(e.read())
             except Exception:
+                out = None
+            if (
+                e.code >= 500
+                or not isinstance(out, dict)
+                or "error" not in out
+            ):
                 raise OperationalError(f"HTTP {e.code}") from e
         except urllib.error.URLError as e:
             raise OperationalError(str(e)) from e
@@ -214,9 +224,14 @@ class Cursor:
         self._pos = 0
         stats = out.get("stats")
         if stats is not None:  # DML/DDL: rowcount from commit stats
-            self.rowcount = int(
-                stats.get("rows_inserted", stats.get("rows", -1)) or -1
-            )
+            n = None
+            for k in ("rows_inserted", "affected_rows", "rows"):
+                if stats.get(k) is not None:
+                    n = stats[k]
+                    break
+            # 0 is a legitimate count (e.g. UPDATE matching nothing);
+            # only a missing stat means "unknown" (-1 per DBAPI)
+            self.rowcount = int(n) if n is not None else -1
         else:
             self.rowcount = len(self._rows)
         self.truncated = bool(out.get("truncated"))
@@ -343,6 +358,19 @@ def _bind(sql: str, parameters) -> str:
                     continue
                 in_str = None
             i += 1
+            continue
+        if ch == "-" and sql.startswith("--", i):
+            # line comment: copy verbatim, no placeholder scanning
+            j = sql.find("\n", i)
+            j = len(sql) if j < 0 else j
+            out.append(sql[i:j])
+            i = j
+            continue
+        if ch == "/" and sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            j = len(sql) if j < 0 else j + 2
+            out.append(sql[i:j])
+            i = j
             continue
         if ch in ("'", '"'):
             in_str = ch

@@ -826,27 +826,10 @@ def unigram_logprob_scores(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+", -1)
         ).alias("tok"),
     ).filter(F.col("tok") != "")
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    if vocab_size is not None:
-        vocab = (
-            vocab.orderBy(F.desc("cnt"), F.asc("tok")).limit(vocab_size)
-        )
-    total = toks.agg(F.count("*").alias("total"))
+    # ONE definition of the determinism-critical fit (rounding scheme,
+    # vocab cap, add-half OOV floor) shared with the DSIR path
+    probs, oov_probs = _unigram_lm(toks, vocab_size, round_dp)
     scale = F.lit(float(10 ** round_dp))
-    logp = F.floor(
-        F.log10(F.col("cnt").cast("double") / F.col("total").cast("double"))
-        * scale
-        + F.lit(0.5)
-    ) / scale
-    probs = vocab.crossJoin(F.broadcast(total)).select(
-        "tok", logp.cast(f"decimal(18,{round_dp})").alias("logp")
-    )
-    oov = F.floor(
-        F.log10(F.lit(0.5) / F.col("total").cast("double")) * scale + F.lit(0.5)
-    ) / scale
-    oov_probs = total.select(
-        oov.cast(f"decimal(18,{round_dp})").alias("oov_logp")
-    )
     scored = (
         toks.join(F.broadcast(probs), "tok", "left")
         .crossJoin(F.broadcast(oov_probs))
@@ -1139,8 +1122,10 @@ def _unigram_lm(
 
 
 def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    # id kept as-is (string/uuid ids must not silently collapse to one
+    # NULL group), aliased so downstream code has one name to group on
     return docs.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col(id_col).alias("doc_id"),
         F.explode(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+", -1)
         ).alias("tok"),

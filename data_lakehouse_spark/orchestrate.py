@@ -320,18 +320,25 @@ class Dag:
                     if fut.done():
                         done = set(done) | {fut}
                     else:
+                        # the attempt can't be killed (pure-Python
+                        # stall, or a Spark action slow to unwind):
+                        # fail the task TERMINALLY — a retry would run
+                        # concurrently with the zombie and interleave
+                        # writes to shared state. Killed attempts
+                        # (fut.done above) retry normally.
                         abandoned.add(fut)
                         inflight.pop(fut)
-                        self._settle(
-                            t,
-                            states,
-                            report,
-                            queued,
-                            error=(
-                                "execution_timeout: attempt exceeded "
-                                f"{t.execution_timeout}s"
-                            ),
-                            started=started,
+                        states[t.task_id] = FAILED
+                        report[t.task_id]["state"] = FAILED
+                        report[t.task_id]["duration"] = round(
+                            report[t.task_id]["duration"]
+                            + (time.monotonic() - started),
+                            4,
+                        )
+                        report[t.task_id]["error"] = (
+                            "execution_timeout: attempt exceeded "
+                            f"{t.execution_timeout}s and could not be "
+                            "cancelled; abandoned without retry"
                         )
                 for fut in done:
                     if fut not in inflight:

@@ -293,10 +293,26 @@ class SqlEndpoint:
             exclusive = is_txn_verb or (
                 sess is not None and sess.txn_opened_at is not None
             )
-        if exclusive:
-            self._gate.acquire_write()
-        else:
-            self._gate.acquire_read()
+        while True:
+            if exclusive:
+                self._gate.acquire_write()
+            else:
+                self._gate.acquire_read()
+            # revalidate under the gate: a concurrent request on the
+            # SAME session (pipelined client / shared session name) may
+            # have opened a transaction between the decision and the
+            # acquire — running its statement under shared access would
+            # let other readers see its staged views. Upgrade by
+            # release-and-retry (never in-place: lock-order safe).
+            with self._lock:
+                need_exclusive = is_txn_verb or (
+                    sess is not None and sess.txn_opened_at is not None
+                )
+            if need_exclusive and not exclusive:
+                self._gate.release_read()
+                exclusive = True
+                continue
+            break
         try:
             with self._lock:
                 # re-register so every query sees the latest snapshots;
@@ -390,18 +406,22 @@ class SqlEndpoint:
             ]
         if not expired:
             return
+        # exclusive gate is what correctness needs (no reader may
+        # observe the rollback's view churn); _lock is taken only for
+        # the per-session bookkeeping flip so concurrent requests'
+        # session-table access isn't blocked behind catalog I/O
         self._gate.acquire_write()
         try:
-            with self._lock:
-                for s in expired:
+            for s in expired:
+                with self._lock:
                     if s.txn_opened_at is None:
                         continue  # raced: client resolved it first
-                    try:
-                        s.router.execute("ROLLBACK")
-                    except Exception:
-                        pass
                     s.txn_opened_at = None
-                self.catalog.register_views()
+                try:
+                    s.router.execute("ROLLBACK")
+                except Exception:
+                    pass
+            self.catalog.register_views()
         finally:
             self._gate.release_write()
 

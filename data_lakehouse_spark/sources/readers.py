@@ -110,9 +110,15 @@ def cached_parquet(spark: SparkSession, path: str) -> DataFrame:
     shared immutable DataFrame plan. Use ONLY for read-only inputs
     (fixture tables) — a path whose files mutate must use
     ``spark.read.parquet`` directly so the file index refreshes."""
-    key = (spark.sparkContext.applicationId, path)
+    app = spark.sparkContext.applicationId
+    key = (app, path)
     df = _RELATION_CACHE.get(key)
     if df is None:
+        # evict entries from other (stopped/previous) sessions so the
+        # cache never leaks plan objects bound to dead JVM contexts —
+        # one live application's worth of relations is the bound
+        for k in [k for k in _RELATION_CACHE if k[0] != app]:
+            del _RELATION_CACHE[k]
         df = spark.read.parquet(path)
         _RELATION_CACHE[key] = df
     return df

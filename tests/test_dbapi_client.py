@@ -215,3 +215,50 @@ def test_placeholder_never_matches_inside_bound_literal(v):
     # exactly the one literal '?' remains, inside quotes
     masked = mask_strings(stmt)
     assert "?" not in masked
+
+
+def test_rowcount_update_delete_and_zero_rows(spark, tmp_path):
+    """rowcount reads affected_rows for UPDATE/DELETE and reports a
+    legitimate 0 as 0 (not -1 'unknown')."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table(
+        "t", spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    )
+    ep = SqlEndpoint(cat).start()
+    try:
+        conn = dbapi.connect(port=ep.port)
+        cur = conn.cursor()
+        cur.execute("UPDATE t SET s = 'x' WHERE id = 1")
+        assert cur.rowcount == 1
+        cur.execute("UPDATE t SET s = 'y' WHERE id = 999")
+        assert cur.rowcount == 0
+        cur.execute("DELETE FROM t WHERE id = 1")
+        assert cur.rowcount == 1
+        conn.close()
+    finally:
+        ep.stop()
+
+
+def test_bind_ignores_placeholders_in_comments(endpoint):
+    conn = dbapi.connect(port=endpoint.port)
+    cur = conn.cursor()
+    cur.execute("SELECT ? AS v -- trailing param?\n", (7,))
+    assert cur.fetchone() == (7,)
+    cur.execute("SELECT /* block? */ ? AS v", (8,))
+    assert cur.fetchone() == (8,)
+    conn.close()
+
+
+def test_dsir_string_doc_ids(spark):
+    """String/uuid document ids must not collapse into one NULL group
+    (regression: _doc_tokens used to cast ids to bigint)."""
+    from data_lakehouse_spark.operators import corpus as _corpus
+
+    rows = [(f"doc-{i}", "alpha beta gamma " * 3, "s") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, src string")
+    out = _corpus.dsir_importance_sample(
+        docs, docs.limit(5), 6, seed=0
+    ).collect()
+    assert len(out) == 6
+    assert len({r["doc_id"] for r in out}) == 6
+    assert all(r["doc_id"].startswith("doc-") for r in out)

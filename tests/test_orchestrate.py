@@ -113,16 +113,21 @@ def test_dag_upstream_failure_skips_downstream_but_not_cleanup():
 
 def test_dag_execution_timeout_pure_python_abandon():
     """A pure-Python stall is failed at the deadline (the zombie thread
-    is abandoned); the run does not wait the task out."""
+    is abandoned); the run does not wait the task out — and despite
+    retries=1 the task is NOT retried, because a retry would run
+    concurrently with the still-alive zombie."""
     dag = Dag("slow")
-    dag.task("stall", lambda: time.sleep(8), execution_timeout=0.3)
+    dag.task(
+        "stall", lambda: time.sleep(8), execution_timeout=0.3, retries=1
+    )
     after = dag.task("after", lambda: "never")
     dag.tasks["stall"] >> after
     t0 = time.monotonic()
     out = dag.run()
     assert time.monotonic() - t0 < 5
     assert out["tasks"]["stall"]["state"] == "failed"
-    assert "execution_timeout" in out["tasks"]["stall"]["error"]
+    assert out["tasks"]["stall"]["attempts"] == 1  # terminal, no retry
+    assert "abandoned without retry" in out["tasks"]["stall"]["error"]
     assert out["tasks"]["after"]["state"] == "upstream_failed"
 
 
