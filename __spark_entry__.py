@@ -1481,6 +1481,12 @@ def q_corpus_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "left_anti",
     )
+    # stage boundary: the decontaminated set feeds the LM fit (vocab +
+    # total + scoring scan) and the final join — localCheckpoint
+    # materializes it once instead of re-running the shingle
+    # explode/anti-join per aggregate, exactly as a real corpus build
+    # lands each stage before the next (results unchanged; plans only)
+    clean = clean.localCheckpoint(eager=False)
     buckets = corpus.ccnet_quality_buckets(clean)
     kept = clean.join(
         buckets.filter(F.col("bucket") != "tail").select(
