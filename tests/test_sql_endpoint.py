@@ -323,3 +323,64 @@ def test_endpoint_session_cap_lru_eviction(spark, tmp_path):
         _post_s(ep.port, "ROLLBACK", "newest")
     finally:
         ep.stop()
+
+
+def test_endpoint_isolation_under_concurrency(spark, tmp_path):
+    """Stress the reader-writer gate: while one session runs
+    BEGIN -> N INSERTs -> COMMIT cycles, concurrent readers on other
+    sessions must only ever observe committed counts (the pre- or
+    post-commit value of a cycle), never a mid-transaction staged
+    count."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table("t", spark.createDataFrame([(0,)], "id long"))
+    ep = SqlEndpoint(cat).start()
+    try:
+        committed = {1}  # row counts that exist at commit points
+        errors: list[str] = []
+        observed: list[int] = []
+
+        def writer():
+            n = 1
+            for cycle in range(4):
+                _post_s(ep.port, "BEGIN", "w")
+                # two staged inserts per cycle: mid-txn counts n+1, n+2
+                # must never be visible to the readers
+                _post_s(
+                    ep.port, f"INSERT INTO t VALUES ({10*cycle+1})", "w"
+                )
+                _post_s(
+                    ep.port, f"INSERT INTO t VALUES ({10*cycle+2})", "w"
+                )
+                n += 2
+                committed.add(n)
+                _post_s(ep.port, "COMMIT", "w")
+
+        def reader(name: str):
+            for _ in range(12):
+                out = _post_s(
+                    ep.port, "SELECT COUNT(*) AS n FROM t", name
+                )
+                if "error" in out:
+                    errors.append(out["error"])
+                    return
+                observed.append(out["rows"][0][0])
+
+        ts = [threading.Thread(target=writer)] + [
+            threading.Thread(target=reader, args=(f"r{i}",))
+            for i in range(3)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(300)
+        assert not errors, errors
+        # every observation is a committed count: odd (1, 3, 5, 7, 9),
+        # never the even mid-transaction staged values
+        bad = [n for n in observed if n not in committed]
+        assert bad == [], f"readers saw staged counts: {bad}"
+        assert (
+            _post_s(ep.port, "SELECT COUNT(*) AS n FROM t")["rows"][0][0]
+            == 9
+        )
+    finally:
+        ep.stop()
