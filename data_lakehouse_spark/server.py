@@ -191,6 +191,34 @@ class SqlEndpoint:
                             "views": sorted(endpoint.catalog.views()),
                         },
                     )
+                elif self.path == "/sessions":
+                    # ops introspection (the Thrift server's session UI
+                    # analog): who's connected, idle for how long,
+                    # which sessions hold open transactions
+                    now = time.monotonic()
+                    with endpoint._lock:
+                        sessions = {
+                            name: {
+                                "idle_sec": round(now - s.last_used, 1),
+                                "txn_open": s.txn_opened_at is not None,
+                                "txn_age_sec": (
+                                    round(now - s.txn_opened_at, 1)
+                                    if s.txn_opened_at is not None
+                                    else None
+                                ),
+                            }
+                            for name, s in endpoint._sessions.items()
+                        }
+                    self._json(
+                        200,
+                        {
+                            "sessions": sessions,
+                            "n": len(sessions),
+                            "max_sessions": endpoint.max_sessions,
+                            "session_timeout": endpoint.session_timeout,
+                            "txn_timeout": endpoint.txn_timeout,
+                        },
+                    )
                 elif self.path == "/dashboard":
                     dash = endpoint.assets.dashboard
                     self._json(

@@ -384,3 +384,24 @@ def test_endpoint_isolation_under_concurrency(spark, tmp_path):
         )
     finally:
         ep.stop()
+
+
+def test_endpoint_sessions_introspection(spark, tmp_path):
+    """GET /sessions lists named sessions with idle age and open-txn
+    state (the Thrift session-UI analog)."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table("t", spark.createDataFrame([(1,)], "id long"))
+    ep = SqlEndpoint(cat).start()
+    try:
+        _post_s(ep.port, "SELECT 1 AS one", "viewer")
+        _post_s(ep.port, "BEGIN", "writer")
+        out = _get(ep.port, "/sessions")
+        assert out["n"] == 2 and out["max_sessions"] == 128
+        assert out["sessions"]["viewer"]["txn_open"] is False
+        assert out["sessions"]["writer"]["txn_open"] is True
+        assert out["sessions"]["writer"]["txn_age_sec"] >= 0
+        _post_s(ep.port, "ROLLBACK", "writer")
+        out = _get(ep.port, "/sessions")
+        assert out["sessions"]["writer"]["txn_open"] is False
+    finally:
+        ep.stop()
