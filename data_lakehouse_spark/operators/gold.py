@@ -295,9 +295,13 @@ def category_performance(silver: DataFrame, *, scan_once: bool = False) -> DataF
             F.col("brand_revenue").alias("top_brand_revenue"),
         )
     )
-    return category_daily.join(top_brand, on=keys, how="left").orderBy(
-        "analysis_date", F.desc("total_revenue")
-    )
+    # top_brand is one row per (date, c1, c2) group — bounded by the
+    # category×day grid, not the fact volume — so broadcast it instead
+    # of letting the LEFT join sort-merge (which would shuffle+sort the
+    # category_daily side a second time after its aggregation exchange)
+    return category_daily.join(
+        F.broadcast(top_brand), on=keys, how="left"
+    ).orderBy("analysis_date", F.desc("total_revenue"))
 
 
 def user_rfm_segments(
