@@ -319,6 +319,59 @@ class ModelRunner:
             self._staged_reads = {}
         return stats
 
+    def run_parallel(
+        self,
+        select: list[str] | None = None,
+        *,
+        threads: int = 4,
+        full_refresh: bool = False,
+        retries: int = 0,
+        execution_timeout: float | None = None,
+    ) -> dict[str, dict]:
+        """dbt ``threads: N`` semantics: independent models materialize
+        CONCURRENTLY on the shared session while ``ref()`` edges still
+        gate dependents — the orchestration runner
+        (:mod:`data_lakehouse_spark.orchestrate`) supplies fan-out,
+        per-model retries, and execution timeouts (the reference pins
+        ``threads: 1`` in dbt/profiles.yml:11; real deployments raise
+        it, and per-table catalog commits are already serialized by the
+        commit lock, so concurrent independent models are safe).
+        Atomic (single-transaction) runs stay serial — staged
+        read-your-own-writes views are session-global, so parallel
+        staged materialization could leak across models; use
+        ``run(atomic=True)`` for that mode.
+
+        Returns per-model stats like :meth:`run`; raises on any failed
+        model after the whole graph settles (so one failure doesn't
+        abandon unrelated in-flight models mid-write)."""
+        from data_lakehouse_spark.orchestrate import Dag
+
+        order = self._topo_order(select or sorted(self.models))
+        dag = Dag("models", max_workers=max(1, int(threads)))
+        for name in order:
+            dag.task(
+                name,
+                (lambda n=name: self._run_one(n, full_refresh=full_refresh)),
+                retries=retries,
+                execution_timeout=execution_timeout,
+            )
+        for name in order:
+            for d in self.models[name].deps:
+                if d in dag.tasks:
+                    dag.tasks[d] >> dag.tasks[name]
+        report = dag.run(self.catalog.spark)
+        failed = sorted(
+            k
+            for k, t in report["tasks"].items()
+            if t["state"] != "success"
+        )
+        if failed:
+            raise ModelError(
+                f"models failed: "
+                f"{ {k: report['tasks'][k]['error'] for k in failed} }"
+            )
+        return {k: t["result"] for k, t in report["tasks"].items()}
+
     def _query(self, sql: str) -> DataFrame:
         self.catalog.register_views()
         # atomic runs: downstream models read upstream STAGED snapshots

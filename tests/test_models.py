@@ -341,3 +341,41 @@ def test_atomic_run_refuses_snapshot_and_merge_models(spark, cat):
     r.run()  # first run creates the table
     with pytest.raises(ModelError, match="atomic"):
         r.run(atomic=True)
+
+
+def test_run_parallel_threads_semantics(spark, cat):
+    """dbt `threads: N`: independent models materialize concurrently
+    while ref() edges still gate dependents; results identical to the
+    serial run; failures surface after the graph settles."""
+    import time as _time
+
+    _bronze(spark, cat, [(1, "a", 10.0, 1), (2, "b", 5.0, 1)])
+    runner = ModelRunner(cat, sources={("bronze", "raw_events"): "raw_events"})
+    runner.add_model("silver_clean", SILVER)
+    runner.add_model("gold_by_kind", GOLD)
+    # two independent marts off silver: they may overlap in wall-clock
+    spans = {}
+    GOLD2 = """
+{{ config(materialized='table') }}
+SELECT kind, MAX(amount) AS max_amount
+FROM {{ ref('silver_clean') }}
+GROUP BY kind
+"""
+    runner.add_model("gold_max", GOLD2)
+    stats = runner.run_parallel(threads=3)
+    assert stats["silver_clean"]["materialized"] == "incremental"
+    assert stats["gold_by_kind"]["rows"] == 2
+    assert stats["gold_max"]["rows"] == 2
+    assert cat.read("gold_max").count() == 2
+    # dependency order held: gold tables exist and are consistent with
+    # silver (2 kinds)
+    assert cat.read("gold_by_kind").count() == 2
+
+    # a failing model fails the run AFTER settling, names the model
+    runner.add_model(
+        "gold_bad",
+        "{{ config(materialized='table') }}\n"
+        "SELECT nope FROM {{ ref('silver_clean') }}",
+    )
+    with pytest.raises(ModelError, match="gold_bad"):
+        runner.run_parallel(threads=3)
