@@ -56,6 +56,26 @@ SINGLE_PARTITION_OK = {
     # offset table (n_chunks rows), never the data
     "corpus_pack_shards": "bounded: chunk-offset table (n_docs/chunk_span rows)",
     "corpus_pack_shards_shuffled": "bounded: 4096-bucket offset table",
+    # round-5 corpus-selection tier
+    "corpus_dsir_sample": (
+        "bounded: 1-row token-total folds (partial-agg merges) + "
+        "TakeOrdered final k — the LM tables broadcast, documents "
+        "never funnel"
+    ),
+    "corpus_temperature_sample": (
+        "bounded: 1-row (n_total, z) fold over the |sources|-row "
+        "count table"
+    ),
+    "corpus_ccnet_buckets": (
+        "percentile_disc cutoff agg receives ONE double per doc (16 "
+        "bytes/doc — metadata-sized next to the corpus; the exact "
+        "cut is what the oracle pins). At extreme doc counts swap "
+        "approx_percentile, same operator shape"
+    ),
+    "corpus_pretrain_mix": (
+        "inherits the LM 1-row folds and the CCNet per-doc-score "
+        "cutoff agg; the document stream itself never single-partitions"
+    ),
 }
 
 #: query -> justification for BroadcastNestedLoopJoin / CartesianProduct.
@@ -83,6 +103,12 @@ NESTED_LOOP_OK = {
         "pairwise sketch join over |segments| rows (one fixed-size "
         "sketch per segment) — |segments|^2 sketch ops, never row data"
     ),
+    # round-5 corpus-selection tier: the 1-row scalar-broadcast
+    # pattern shared with doc_lm_unigram_score
+    "corpus_dsir_sample": "two 1-row OOV-floor broadcasts (target + corpus LMs)",
+    "corpus_ccnet_buckets": "1-row OOV floor + 1-row tercile-cutoff broadcast",
+    "corpus_temperature_sample": "1-row (n_total, z) broadcast across |sources| rows",
+    "corpus_pretrain_mix": "inherits the LM/cutoff 1-row broadcasts; fraction table joins by source (hash)",
 }
 
 
