@@ -96,9 +96,16 @@ def cmd_models(args: argparse.Namespace) -> int:
             args.seed_dir, full_refresh=args.full_refresh
         )
     runner.add_models_dir(args.models_dir)
-    out["models"] = runner.run(
-        args.select, full_refresh=args.full_refresh, atomic=args.atomic
-    )
+    if args.threads > 1 and not args.atomic:
+        out["models"] = runner.run_parallel(
+            args.select,
+            threads=args.threads,
+            full_refresh=args.full_refresh,
+        )
+    else:
+        out["models"] = runner.run(
+            args.select, full_refresh=args.full_refresh, atomic=args.atomic
+        )
     print(json.dumps(out, default=str))
     return 0
 
@@ -435,6 +442,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--atomic", action="store_true",
                    help="publish every selected model in ONE multi-"
                    "table transaction (all-or-nothing layer refresh)")
+    p.add_argument("--threads", type=int, default=1,
+                   help="dbt threads: independent models materialize "
+                   "concurrently (ignored with --atomic, which must "
+                   "stage serially)")
     p.set_defaults(fn=cmd_models)
 
     p = sub.add_parser("query", help="run a __spark_entry__ query by name")
