@@ -171,3 +171,41 @@ def test_reference_schema_tests_pass(spark, tmp_path):
         }
     )
     assert results == {k: 0 for k in results}
+
+
+def test_reference_models_run_parallel_threads(spark, tmp_path):
+    """The reference's own 8 dbt models run through run_parallel
+    (dbt `threads` semantics): the 7 independent gold marts fan out
+    concurrently behind silver, and every output matches the serial
+    run's row counts."""
+    # serial baseline
+    cat_s = Catalog(spark, str(tmp_path / "serial"))
+    rs = ModelRunner(
+        cat_s, sources={("bronze", "ecommerce_events"): "ecommerce_events"}
+    )
+    rs.add_models_dir(REF_MODELS)
+    cat_s.create_table(
+        "ecommerce_events",
+        spark.createDataFrame(_bronze_rows(1), BRONZE_SCHEMA),
+    )
+    rs.run()
+
+    cat_p = Catalog(spark, str(tmp_path / "parallel"))
+    rp = ModelRunner(
+        cat_p, sources={("bronze", "ecommerce_events"): "ecommerce_events"}
+    )
+    rp.add_models_dir(REF_MODELS)
+    cat_p.create_table(
+        "ecommerce_events",
+        spark.createDataFrame(_bronze_rows(1), BRONZE_SCHEMA),
+    )
+    stats = rp.run_parallel(threads=4)
+    assert stats["silver_ecommerce_events"]["materialized"] == "incremental"
+    for g in (
+        "silver_ecommerce_events",
+        "gold_daily_sales_summary", "gold_product_performance",
+        "gold_user_rfm_segments", "gold_user_journey_funnel",
+        "gold_conversion_funnel_daily", "gold_hourly_traffic",
+        "gold_category_performance",
+    ):
+        assert cat_p.row_count(g) == cat_s.row_count(g), g
