@@ -1171,9 +1171,14 @@ def dsir_importance_sample(
     sample_key) for the selected docs, highest key first.
     """
     toks = _doc_tokens(docs, text_col, id_col)
-    t_probs, t_oov = _unigram_lm(
-        _doc_tokens(target, text_col, id_col), vocab_size, round_dp
-    )
+    # the target fit only needs tokens — a seed corpus loaded as a bare
+    # text column (no ids) is a natural DSIR target and must work
+    target_toks = target.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+", -1)
+        ).alias("tok")
+    ).filter(F.col("tok") != "")
+    t_probs, t_oov = _unigram_lm(target_toks, vocab_size, round_dp)
     b_probs, b_oov = _unigram_lm(toks, vocab_size, round_dp)
     scale = F.lit(float(10 ** round_dp))
     scored = (
@@ -1328,6 +1333,9 @@ def temperature_sample(
         raise ValueError(f"temperature must be > 0, got {temperature}")
     if target_rows is not None and target_fraction is not None:
         raise ValueError("pass target_rows or target_fraction, not both")
+    # NULL strata form a real stratum: joins on the raw column would
+    # drop every NULL-stratum row while its count still inflated z
+    # (deflating everyone else's fractions) — join null-safely instead
     counts = docs.groupBy(stratum_col).agg(F.count("*").alias("n_s"))
     tot = counts.agg(
         F.sum("n_s").alias("n_total"),
@@ -1365,6 +1373,10 @@ def temperature_sample(
         F.substring(_sample_hash(F.col(id_col), seed), 1, 13), 16, 10
     ).cast("double") / F.lit(float(16 ** 13))
     return (
-        docs.join(F.broadcast(fracs), stratum_col)
+        docs.join(
+            F.broadcast(fracs.withColumnRenamed(stratum_col, "_stratum")),
+            F.col(stratum_col).eqNullSafe(F.col("_stratum")),
+        )
+        .drop("_stratum")
         .filter(u < F.col("keep_fraction"))
     )

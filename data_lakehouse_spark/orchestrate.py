@@ -206,8 +206,10 @@ class Dag:
         }
         #: queued attempts not yet submitted: task_id -> not_before ts
         queued: dict[str, float] = {}
-        #: in-flight: future -> (task_id, started, deadline|None)
-        inflight: dict[Future, tuple[str, float, float | None]] = {}
+        #: in-flight: future -> (task_id, submit_time, start-holder);
+        #: the holder's "started" is set by the worker when the attempt
+        #: actually begins (deadlines measure execution, not queueing)
+        inflight: dict[Future, tuple[str, float, dict]] = {}
         #: attempts whose deadline passed with no Spark job to cancel —
         #: abandoned zombies; their eventual results are discarded
         abandoned: set[Future] = set()
@@ -236,7 +238,11 @@ class Dag:
                         report[k]["state"] = UPSTREAM_FAILED
                         changed = True
 
-        def attempt(task: Task):
+        def attempt(task: Task, holder: dict):
+            # execution_timeout is measured from ACTUAL start (Airflow
+            # semantics), not from submit — a task queued behind a full
+            # worker pool must not burn its budget while waiting
+            holder["started"] = time.monotonic()
             group = f"dag:{self.dag_id}:{task.task_id}"
             if spark is not None:
                 # thread-local: every Spark job this attempt submits is
@@ -284,13 +290,9 @@ class Dag:
                         states[k] = RUNNING
                         report[k]["state"] = RUNNING
                         report[k]["attempts"] += 1
-                        fut = pool.submit(attempt, t)
-                        deadline = (
-                            now + t.execution_timeout
-                            if t.execution_timeout is not None
-                            else None
-                        )
-                        inflight[fut] = (k, now, deadline)
+                        holder: dict = {"started": None}
+                        fut = pool.submit(attempt, t, holder)
+                        inflight[fut] = (k, now, holder)
                 if not inflight:
                     time.sleep(poll)
                     propagate_upstream_failed()
@@ -304,11 +306,20 @@ class Dag:
                     inflight, timeout=poll, return_when=FIRST_COMPLETED
                 )
                 now = time.monotonic()
-                # enforce per-attempt deadlines
-                for fut, (k, started, deadline) in list(inflight.items()):
-                    if fut in done or deadline is None or now < deadline:
-                        continue
+                # enforce per-attempt deadlines (measured from the
+                # attempt's ACTUAL start — a still-queued future has
+                # holder["started"] None and is never timed out)
+                for fut, (k, submitted, holder) in list(inflight.items()):
                     t = self.tasks[k]
+                    begun = holder["started"]
+                    if (
+                        fut in done
+                        or t.execution_timeout is None
+                        or begun is None
+                        or now < begun + t.execution_timeout
+                    ):
+                        continue
+                    started = begun
                     if spark is not None:
                         spark.sparkContext.cancelJobGroup(
                             f"dag:{self.dag_id}:{t.task_id}"
@@ -343,7 +354,8 @@ class Dag:
                 for fut in done:
                     if fut not in inflight:
                         continue
-                    k, started, _ = inflight.pop(fut)
+                    k, submitted, holder = inflight.pop(fut)
+                    started = holder["started"] or submitted
                     t = self.tasks[k]
                     err = fut.exception()
                     if err is None:
@@ -514,16 +526,17 @@ def _test_gold(pipeline) -> dict:
         if not pipeline.catalog.table_exists(name):
             continue
         df = pipeline.catalog.read(name)
-        grain_col = keys[0] if len(keys) == 1 else "_grain"
-        if len(keys) > 1:
-            from pyspark.sql import functions as F
+        from pyspark.sql import functions as F
 
-            df = df.withColumn(
-                "_grain", F.concat_ws("", *[F.col(k) for k in keys])
-            )
+        def unique_grain(d, keys=keys):
+            # group on the ACTUAL key columns — string concatenation
+            # can alias distinct grains ('a','bc' vs 'ab','c') and
+            # concat_ws silently skips NULL components
+            return d.groupBy(*keys).count().filter(F.col("count") > 1).count()
+
         checks = [
             ("not_null", lambda d: quality.check_not_null(d, keys[0])),
-            ("unique_grain", lambda d: quality.check_unique(d, grain_col)),
+            ("unique_grain", unique_grain),
         ]
         out.update(
             {

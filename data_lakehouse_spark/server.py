@@ -59,9 +59,12 @@ __all__ = ["SqlEndpoint"]
 #: hard ceiling on rows returned per request, whatever the client asks
 MAX_ROWS = 100_000
 
-#: statements that open/resolve a wire transaction (need a named session)
+#: statements that open/resolve a wire transaction (need a named
+#: session). Matched against COMMENT-STRIPPED text and aligned with the
+#: router's own verb grammar (sql.py:284 accepts bare START) — a
+#: comment-prefixed BEGIN must not slip past the guard.
 _TXN_VERB = _re.compile(
-    r"^\s*(BEGIN|START\s+TRANSACTION|COMMIT|ROLLBACK)\b", _re.I
+    r"^\s*(BEGIN|START(\s+TRANSACTION)?|COMMIT|ROLLBACK)\b", _re.I
 )
 
 
@@ -292,11 +295,16 @@ class SqlEndpoint:
         anonymous router is discarded when the request ends, so a
         sessionless BEGIN would "succeed" while every later statement
         auto-commits (silent loss of transactional semantics)."""
-        from data_lakehouse_spark.sql import LakehouseSql, SqlError, is_query
+        from data_lakehouse_spark.sql import (
+            LakehouseSql,
+            SqlError,
+            is_query,
+            strip_comments,
+        )
 
         if self.read_only and not is_query(sql):
             raise SqlError("endpoint is read-only: only queries accepted")
-        is_txn_verb = bool(_TXN_VERB.match(sql))
+        is_txn_verb = bool(_TXN_VERB.match(strip_comments(sql)))
         if is_txn_verb and session is None:
             raise SqlError(
                 "transactions require a named session: pass "
@@ -348,20 +356,26 @@ class SqlEndpoint:
                 # view name concurrently is a needless race (queries
                 # themselves run in parallel under shared access)
                 self.catalog.register_views()
-            result = router.execute(sql)
-            if sess is not None:
-                with self._lock:
-                    if router._txn is not None:
-                        if sess.txn_opened_at is None:
-                            sess.txn_opened_at = time.monotonic()
-                    elif sess.txn_opened_at is not None:
-                        # transaction just resolved: re-register
-                        # published snapshots so its RYOW temp views
-                        # stop shadowing — still under exclusive
-                        # access, so no reader can observe the
-                        # in-between state
-                        sess.txn_opened_at = None
-                        self.catalog.register_views()
+            try:
+                result = router.execute(sql)
+            finally:
+                # bookkeeping runs even when the statement raises: a
+                # FAILED commit has already cleared router._txn, and
+                # leaving txn_opened_at set would serialize the
+                # endpoint on a phantom transaction until the reaper
+                if sess is not None:
+                    with self._lock:
+                        if router._txn is not None:
+                            if sess.txn_opened_at is None:
+                                sess.txn_opened_at = time.monotonic()
+                        elif sess.txn_opened_at is not None:
+                            # transaction just resolved: re-register
+                            # published snapshots so its RYOW temp
+                            # views stop shadowing — still under
+                            # exclusive access, so no reader can
+                            # observe the in-between state
+                            sess.txn_opened_at = None
+                            self.catalog.register_views()
         finally:
             if exclusive:
                 self._gate.release_write()
@@ -427,7 +441,7 @@ class SqlEndpoint:
             ]:
                 del self._sessions[k]
             expired = [
-                s
+                (s, s.txn_opened_at)
                 for s in self._sessions.values()
                 if s.txn_opened_at is not None
                 and now - s.txn_opened_at > self.txn_timeout
@@ -440,10 +454,15 @@ class SqlEndpoint:
         # session-table access isn't blocked behind catalog I/O
         self._gate.acquire_write()
         try:
-            for s in expired:
+            for s, opened_at in expired:
                 with self._lock:
-                    if s.txn_opened_at is None:
-                        continue  # raced: client resolved it first
+                    # roll back only the SAME transaction instance we
+                    # snapshotted as expired: if the client resolved it
+                    # and opened a new one while we waited for the
+                    # gate, txn_opened_at differs — never kill the
+                    # fresh transaction (TOCTOU)
+                    if s.txn_opened_at != opened_at:
+                        continue
                     s.txn_opened_at = None
                 try:
                     s.router.execute("ROLLBACK")

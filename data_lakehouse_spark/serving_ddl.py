@@ -239,8 +239,11 @@ def sync_gold_marts(
             continue
         df = catalog.read(mart)
         n = df.count()
-        if n == 0:
-            continue
+        if n == 0 and mode != "overwrite":
+            continue  # append of nothing is a no-op; skip the write
+        # an EMPTY mart still syncs under overwrite: truncate must
+        # propagate emptiness, or dashboards keep serving stale rows
+        # the lakehouse no longer has
         opts = {
             "createTableOptions": create_table_options(df.schema, spec),
             "numPartitions": str(num_partitions),

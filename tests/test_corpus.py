@@ -690,3 +690,35 @@ def test_temperature_sample_target_fraction_no_extra_action(spark):
         corpus.temperature_sample(
             docs, target_rows=10, target_fraction=0.5
         )
+
+
+def test_temperature_sample_null_stratum_participates(spark):
+    """NULL strata are a real stratum: they must be sampleable (the
+    equi-join would silently drop them while their count inflated z)."""
+    rows = [(i, "a") for i in range(200)] + [(200 + i, None) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = corpus.temperature_sample(
+        docs, temperature=1.0, target_fraction=0.5, seed=3
+    )
+    by = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert None in by and by[None] > 50  # ~100 expected of 200
+    assert "a" in by and by["a"] > 50
+
+
+def test_dsir_target_without_id_column(spark):
+    """A seed corpus with only a text column is a valid DSIR target —
+    the target LM fit never needs ids."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(20)]
+        + [(100 + i, "zeta eta theta iota") for i in range(20)],
+        "doc_id long, text string",
+    )
+    # a 10-doc target corpus: the add-half OOV floor scales with the
+    # target token total, so zeta-docs score ~20x less likely
+    target = spark.createDataFrame(
+        [("alpha beta gamma delta",)] * 10, "text string"
+    )
+    out = corpus.dsir_importance_sample(docs, target, 10, seed=0).collect()
+    assert len(out) == 10
+    # alpha/beta/gamma docs dominate the selection
+    assert sum(1 for r in out if r["doc_id"] < 100) >= 8

@@ -154,3 +154,32 @@ def test_sync_gold_marts_jdbc_roundtrip(spark, tmp_path):
     )
     assert stats2 == stats
     assert back.count() == stats["daily_sales_summary"]
+
+
+def test_sync_propagates_empty_mart(spark, tmp_path):
+    """Overwrite sync of a mart that became EMPTY truncates the serving
+    table instead of leaving stale rows."""
+    from data_lakehouse_spark.sources.writers import jdbc_sink
+
+    cat = Catalog(spark, str(tmp_path / "w"))
+    url = f"jdbc:derby:{tmp_path}/srv;create=true"
+    full = spark.createDataFrame(
+        [("2024-01-01", 5)], "sale_date string, total_orders int"
+    )
+    cat.create_table("gold_daily_sales_summary", full)
+    sync_gold_marts(
+        cat, url, driver=DERBY_DRIVER, options={"createTableOptions": ""}
+    )
+    # mart rebuilt empty upstream
+    cat.overwrite("gold_daily_sales_summary", full.limit(0))
+    sync_gold_marts(
+        cat, url, driver=DERBY_DRIVER, options={"createTableOptions": ""}
+    )
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "daily_sales_summary")
+        .option("driver", DERBY_DRIVER)
+        .load()
+    )
+    assert back.count() == 0  # emptiness propagated

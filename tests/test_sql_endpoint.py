@@ -405,3 +405,22 @@ def test_endpoint_sessions_introspection(spark, tmp_path):
         assert out["sessions"]["writer"]["txn_open"] is False
     finally:
         ep.stop()
+
+
+def test_endpoint_comment_prefixed_txn_verbs_guarded(spark, tmp_path):
+    """A comment-prefixed BEGIN (or bare START) must hit the
+    named-session guard — the router strips comments, so the guard
+    must too."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table("t", spark.createDataFrame([(1,)], "id long"))
+    ep = SqlEndpoint(cat).start()
+    try:
+        for stmt in ("-- open\nBEGIN", "/* x */ START", "START"):
+            out = _post_s(ep.port, stmt)
+            assert "error" in out and "session" in out["error"], stmt
+        # and WITH a session, comment-prefixed BEGIN works normally
+        out = _post_s(ep.port, "-- open\nBEGIN", "s1")
+        assert out["stats"]["op"] == "begin"
+        _post_s(ep.port, "ROLLBACK", "s1")
+    finally:
+        ep.stop()
