@@ -2324,6 +2324,12 @@ class Catalog:
             raise ValueError(f"table {name} does not exist")
         return dict(self._main_head(entries, name).get("properties") or {})
 
+    def current_version(self, name: str) -> int:
+        """The table's current main-lineage snapshot version (the
+        public accessor — callers must not walk the manifest)."""
+        entries = self._load_manifest(self._handle(name))
+        return self._main_head(entries, name)["version"]
+
     def describe(self, name: str) -> list[dict]:
         """DESCRIBE: (col_name, data_type, comment) rows (S3 analog)."""
         entries = self._load_manifest(self._handle(name))

@@ -45,9 +45,10 @@ become parallel Spark job groups sharing the cluster via FAIR pools).
 
 from __future__ import annotations
 
+import threading
 import time
 from collections.abc import Callable
-from concurrent.futures import FIRST_COMPLETED, Future, ThreadPoolExecutor, wait
+from concurrent.futures import FIRST_COMPLETED, Future, wait
 
 __all__ = [
     "Task",
@@ -256,10 +257,30 @@ class Dag:
                 if spark is not None:
                     spark.sparkContext.setJobGroup("", "", False)
 
-        pool = ThreadPoolExecutor(
-            max_workers=self.max_workers,
-            thread_name_prefix=f"dag-{self.dag_id}",
-        )
+        def spawn(task: Task, holder: dict) -> Future:
+            # DAEMON thread per attempt instead of ThreadPoolExecutor:
+            # concurrent.futures joins every worker at interpreter exit
+            # (threading._register_atexit), so an abandoned zombie
+            # would hang process shutdown forever. Daemon threads die
+            # with the process; the scheduler bounds live concurrency
+            # itself (len(inflight) < max_workers), so no hidden queue
+            # exists and deadlines always measure real execution.
+            fut: Future = Future()
+            fut.set_running_or_notify_cancel()
+
+            def run() -> None:
+                try:
+                    fut.set_result(attempt(task, holder))
+                except BaseException as e:  # surfaced via fut.exception()
+                    fut.set_exception(e)
+
+            threading.Thread(
+                target=run,
+                name=f"dag-{self.dag_id}-{task.task_id}",
+                daemon=True,
+            ).start()
+            return fut
+
         try:
             while True:
                 now = time.monotonic()
@@ -278,9 +299,13 @@ class Dag:
                         queued[k] = 0.0
                 if not queued and not inflight:
                     break
-                # submit every queued attempt that is ready and past its
-                # retry backoff
+                # submit every queued attempt that is ready, past its
+                # retry backoff, and within the concurrency bound
+                # (abandoned zombies do NOT hold a slot — oversubscribing
+                # beats deadlocking the graph behind runaways)
                 for k in sorted(queued):
+                    if len(inflight) >= self.max_workers:
+                        break
                     t = self.tasks[k]
                     if states[k] in (UPSTREAM_FAILED,):
                         queued.pop(k)
@@ -291,7 +316,7 @@ class Dag:
                         report[k]["state"] = RUNNING
                         report[k]["attempts"] += 1
                         holder: dict = {"started": None}
-                        fut = pool.submit(attempt, t, holder)
+                        fut = spawn(t, holder)
                         inflight[fut] = (k, now, holder)
                 if not inflight:
                     time.sleep(poll)
@@ -308,7 +333,12 @@ class Dag:
                 now = time.monotonic()
                 # enforce per-attempt deadlines (measured from the
                 # attempt's ACTUAL start — a still-queued future has
-                # holder["started"] None and is never timed out)
+                # holder["started"] None and is never timed out).
+                # Collect every expired attempt first, cancel all their
+                # job groups, then ONE collective grace wait — serial
+                # 1s waits would stall the scheduler N seconds when N
+                # tasks expire in the same poll window.
+                expired: list[tuple[Future, str, float]] = []
                 for fut, (k, submitted, holder) in list(inflight.items()):
                     t = self.tasks[k]
                     begun = holder["started"]
@@ -319,37 +349,59 @@ class Dag:
                         or now < begun + t.execution_timeout
                     ):
                         continue
-                    started = begun
+                    expired.append((fut, k, begun))
                     if spark is not None:
                         spark.sparkContext.cancelJobGroup(
                             f"dag:{self.dag_id}:{t.task_id}"
                         )
-                    # give the cancellation a beat to surface; if the
-                    # attempt is pure-Python it won't die — abandon it
-                    if not fut.done():
-                        _, _ = wait([fut], timeout=1.0)
-                    if fut.done():
-                        done = set(done) | {fut}
-                    else:
-                        # the attempt can't be killed (pure-Python
-                        # stall, or a Spark action slow to unwind):
-                        # fail the task TERMINALLY — a retry would run
-                        # concurrently with the zombie and interleave
-                        # writes to shared state. Killed attempts
-                        # (fut.done above) retry normally.
+                if expired:
+                    # give the cancellations a beat to surface
+                    pending = [f for f, _, _ in expired if not f.done()]
+                    if pending:
+                        wait(pending, timeout=1.0)
+                for fut, k, begun in expired:
+                    t = self.tasks[k]
+                    inflight.pop(fut, None)
+                    done = set(done) - {fut}
+                    killed = fut.done()
+                    if not killed:
+                        # can't be killed (pure-Python stall, or a
+                        # Spark action slow to unwind): abandon the
+                        # zombie — and never retry, a retry would run
+                        # concurrently with it and interleave writes
                         abandoned.add(fut)
-                        inflight.pop(fut)
-                        states[t.task_id] = FAILED
-                        report[t.task_id]["state"] = FAILED
-                        report[t.task_id]["duration"] = round(
-                            report[t.task_id]["duration"]
-                            + (time.monotonic() - started),
-                            4,
-                        )
-                        report[t.task_id]["error"] = (
+                    # an attempt that FINISHED past its deadline (even
+                    # inside the grace window, even with a result) still
+                    # failed its SLO — Airflow semantics: the task
+                    # instance fails at the deadline. Killed attempts
+                    # retry normally; zombies fail terminally.
+                    dur = round(
+                        report[k]["duration"] + (time.monotonic() - begun), 4
+                    )
+                    if killed and report[k]["attempts"] <= t.retries:
+                        states[k] = PENDING
+                        report[k]["state"] = PENDING
+                        report[k]["duration"] = dur
+                        report[k]["error"] = (
                             "execution_timeout: attempt exceeded "
-                            f"{t.execution_timeout}s and could not be "
-                            "cancelled; abandoned without retry"
+                            f"{t.execution_timeout}s"
+                        )
+                        queued[k] = time.monotonic() + t.retry_delay
+                    else:
+                        states[k] = FAILED
+                        report[k]["state"] = FAILED
+                        report[k]["duration"] = dur
+                        report[k]["error"] = (
+                            "execution_timeout: attempt exceeded "
+                            f"{t.execution_timeout}s"
+                            + (
+                                ""
+                                if killed
+                                else (
+                                    " and could not be cancelled; "
+                                    "abandoned without retry"
+                                )
+                            )
                         )
                 for fut in done:
                     if fut not in inflight:
@@ -383,10 +435,10 @@ class Dag:
                 for k in [k for k in queued if states[k] == UPSTREAM_FAILED]:
                     queued.pop(k)
         finally:
-            # don't join abandoned (timed-out pure-Python) attempts —
-            # their threads finish in the background and their results
-            # are discarded; live attempts have all completed by here
-            pool.shutdown(wait=False)
+            # nothing to shut down: attempts run on daemon threads, so
+            # abandoned zombies neither block this return nor block
+            # interpreter exit (their results are discarded)
+            pass
         failed = [
             k
             for k, s in states.items()
@@ -487,7 +539,16 @@ def medallion_dag(pipeline, raw, source_file: str) -> Dag:
         retries=1,
         execution_timeout=1800.0,
     )
-    silver_test = dag.task("silver_test", lambda: pipeline.check_silver())
+    def _check_silver_gating():
+        # violations must FAIL the task, or this node can't actually
+        # gate the gold fan-out (dbt-test semantics)
+        out = pipeline.check_silver()
+        bad = {k: v for k, v in out.items() if v > 0}
+        if bad:
+            raise ValueError(f"silver data tests failed: {bad}")
+        return out
+
+    silver_test = dag.task("silver_test", _check_silver_gating)
     bronze >> fresh >> silver >> silver_test
     gold = gold_aggregation_dag(pipeline)
     # graft the gold graph in: silver tests gate the gold fan-out
@@ -499,7 +560,10 @@ def medallion_dag(pipeline, raw, source_file: str) -> Dag:
 
 def _test_gold(pipeline) -> dict:
     """Post-build gold data tests (the dbt ``test --select gold``
-    analog): row presence + grain uniqueness per mart."""
+    analog): row presence + grain uniqueness per mart. Any violation
+    RAISES — the reference's dbt-test Airflow task fails on any test
+    failure, which is what lets the test node actually gate docs/
+    downstream; a task that only returns counts can never gate."""
     from data_lakehouse_spark.operators import quality
 
     out: dict[str, int] = {}
@@ -544,6 +608,9 @@ def _test_gold(pipeline) -> dict:
                 for k, v in quality.run_checks(df, checks).items()
             }
         )
+    bad = {k: v for k, v in out.items() if v > 0}
+    if bad:
+        raise ValueError(f"gold data tests failed: {bad}")
     return out
 
 
@@ -554,10 +621,9 @@ def generate_docs(catalog) -> dict:
     docs: dict[str, dict] = {}
     for name in catalog.tables():
         df = catalog.read(name)
-        entries = catalog._load_manifest(catalog._handle(name))
         docs[name] = {
             "columns": {f.name: f.dataType.simpleString() for f in df.schema},
-            "version": catalog._main_head(entries, name)["version"],
+            "version": catalog.current_version(name),
             "rows": df.count(),
         }
     return docs

@@ -112,14 +112,17 @@ class _RwLock:
 
 class _Session:
     """One named wire session: its stateful SQL router plus the
-    bookkeeping expiry needs."""
+    bookkeeping expiry needs. ``pinned`` counts in-flight requests —
+    a pinned session is never evicted or reaped (an eviction racing an
+    in-flight BEGIN would orphan a transaction no reaper can see)."""
 
-    __slots__ = ("router", "last_used", "txn_opened_at")
+    __slots__ = ("router", "last_used", "txn_opened_at", "pinned")
 
     def __init__(self, router) -> None:
         self.router = router
         self.last_used = time.monotonic()
         self.txn_opened_at: float | None = None
+        self.pinned = 0
 
 
 class SqlEndpoint:
@@ -258,10 +261,19 @@ class SqlEndpoint:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
+                    if not isinstance(req, dict):
+                        raise TypeError("body must be a JSON object")
                     sql = req["sql"]
-                    limit = min(int(req.get("limit", 1000)), MAX_ROWS)
+                    if not isinstance(sql, str):
+                        raise TypeError("'sql' must be a string")
+                    # clamp BOTH ends: negative limits would reach
+                    # df.limit() as a Spark analysis error (or silently
+                    # empty results at -1)
+                    limit = min(max(int(req.get("limit", 1000)), 0), MAX_ROWS)
                     session = req.get("session")
-                except (KeyError, ValueError, json.JSONDecodeError) as e:
+                    if session is not None and not isinstance(session, str):
+                        raise TypeError("'session' must be a string")
+                except (KeyError, TypeError, ValueError) as e:
                     self._json(400, {"error": f"bad request: {e}"})
                     return
                 try:
@@ -322,6 +334,10 @@ class SqlEndpoint:
                     sess = _Session(LakehouseSql(self.catalog))
                     self._sessions[session] = sess
                 sess.last_used = time.monotonic()
+                # pin against eviction/reaping while this request is in
+                # flight (an evicted session whose BEGIN is still
+                # waiting for the gate would orphan its transaction)
+                sess.pinned += 1
             router = sess.router if sess else LakehouseSql(self.catalog)
             # exclusive iff a transaction is (or may be, for BEGIN) in
             # play on this statement's session; decided here, enforced
@@ -350,12 +366,13 @@ class SqlEndpoint:
                 continue
             break
         try:
-            with self._lock:
-                # re-register so every query sees the latest snapshots;
-                # locked because two threads re-registering the same
-                # view name concurrently is a needless race (queries
-                # themselves run in parallel under shared access)
-                self.catalog.register_views()
+            # NOTE: no unscoped register_views here — the router
+            # registers each statement's identifier closure itself
+            # (sql.py _query/_create/_merge), so a per-statement
+            # catalog-wide re-registration was O(catalog) redundant
+            # work serialized on the lock; the one place a catalog-wide
+            # refresh is still needed is after a transaction resolves
+            # (below), where its RYOW views must stop shadowing
             try:
                 result = router.execute(sql)
             finally:
@@ -381,6 +398,9 @@ class SqlEndpoint:
                 self._gate.release_write()
             else:
                 self._gate.release_read()
+            if sess is not None:
+                with self._lock:
+                    sess.pinned -= 1
         if isinstance(result, dict):  # DML/DDL commit stats
             return {
                 "columns": ["key", "value"],
@@ -415,14 +435,15 @@ class SqlEndpoint:
             (
                 (s.last_used, k)
                 for k, s in self._sessions.items()
-                if s.txn_opened_at is None
+                if s.txn_opened_at is None and s.pinned == 0
             ),
             default=None,
         )
         if lru is None:
             raise SqlError(
                 f"too many named sessions ({self.max_sessions}), all "
-                "with open transactions; COMMIT or ROLLBACK one"
+                "with open transactions or in-flight requests; COMMIT "
+                "or ROLLBACK one"
             )
         del self._sessions[lru[1]]
 
@@ -437,6 +458,7 @@ class SqlEndpoint:
                 k
                 for k, s in self._sessions.items()
                 if s.txn_opened_at is None
+                and s.pinned == 0
                 and now - s.last_used > self.session_timeout
             ]:
                 del self._sessions[k]
@@ -444,6 +466,7 @@ class SqlEndpoint:
                 (s, s.txn_opened_at)
                 for s in self._sessions.values()
                 if s.txn_opened_at is not None
+                and s.pinned == 0  # never yank a txn mid-statement
                 and now - s.txn_opened_at > self.txn_timeout
             ]
         if not expired:
@@ -517,7 +540,13 @@ def _plain(v):
     """JSON-safe rendering of a Spark row value."""
     import datetime
     import decimal
+    import math
 
+    if isinstance(v, float) and not math.isfinite(v):
+        # bare NaN/Infinity tokens are not legal JSON (RFC 8259) and
+        # break strict parsers; NaN renders as null, infinities keep
+        # their signal as strings
+        return None if math.isnan(v) else ("Infinity" if v > 0 else "-Infinity")
     if isinstance(v, datetime.datetime):
         return v.isoformat(sep=" ")
     if isinstance(v, datetime.date):

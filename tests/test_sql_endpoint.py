@@ -424,3 +424,48 @@ def test_endpoint_comment_prefixed_txn_verbs_guarded(spark, tmp_path):
         _post_s(ep.port, "ROLLBACK", "s1")
     finally:
         ep.stop()
+
+
+def test_endpoint_request_validation_and_nonfinite_floats(spark, tmp_path):
+    """Malformed bodies get a 400 JSON error (never a dropped
+    connection); negative limits clamp to 0; NaN/Infinity render as
+    valid JSON (null / signed strings)."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table("t", spark.createDataFrame([(1,)], "id long"))
+    ep = SqlEndpoint(cat).start()
+    try:
+        import urllib.error
+
+        def raw_post(body: bytes) -> dict:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{ep.port}/sql",
+                data=body,
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    return json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return json.loads(e.read())
+
+        # non-object JSON bodies: 400, not a crashed handler
+        assert "error" in raw_post(b'"SELECT 1"')
+        assert "error" in raw_post(b"[1, 2]")
+        assert "error" in raw_post(b'{"sql": 42}')
+        assert "error" in raw_post(b'{"sql": "SELECT 1", "session": {}}')
+
+        # negative limit clamps to zero rows, no Spark analysis error
+        out = raw_post(b'{"sql": "SELECT id FROM t", "limit": -3}')
+        assert out.get("rows") == [] and "error" not in out
+
+        # non-finite floats serialize as legal JSON
+        out = _post(
+            ep.port,
+            "SELECT CAST('NaN' AS DOUBLE) AS n, "
+            "CAST('Infinity' AS DOUBLE) AS p, "
+            "CAST('-Infinity' AS DOUBLE) AS m",
+        )
+        assert out["rows"] == [[None, "Infinity", "-Infinity"]]
+    finally:
+        ep.stop()
