@@ -36,9 +36,11 @@ API
   chart "warmup" (dags/06_superset_dashboard.py:514-531), except the
   tile's exact query is served, not a cache poke
 
-Every request re-registers catalog views, so clients always see the
-LATEST published snapshots (the endpoint serves reads; writes go
-through the engine APIs and become visible at their commit).
+Every statement sees the LATEST published snapshots: the SQL router
+registers each statement's identifier closure at execution (scoped —
+never O(catalog) work per request), and a resolving transaction
+triggers one catalog-wide refresh so its read-your-own-writes views
+stop shadowing.
 
 Scale note: result sets are driver-materialized (``limit`` caps them,
 default 1000, hard server cap) — this is a SERVING endpoint for
