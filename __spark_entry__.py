@@ -1423,6 +1423,17 @@ def q_doc_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.unigram_logprob_scores(docs).orderBy("doc_id")
 
 
+def q_doc_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score per document — the order-2 step toward
+    CCNet's 5-gram KenLM: mean log10 p(w_i | w_{i-1}) under an MLE
+    bigram model fit from the corpus itself, add-half floor for unseen
+    pairs (corpus.bigram_logprob_scores; two broadcast model tables,
+    one scoring scan)."""
+    _ensure_conf(spark)
+    docs = _rel(spark, sf_dir, "documents")
+    return corpus.bigram_logprob_scores(docs).orderBy("doc_id")
+
+
 def q_corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): select 40 docs
     with probability ∝ p_target/p_corpus under two deterministic
@@ -3465,6 +3476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hybrid_rrf_search": q_doc_hybrid_rrf_search,
         "doc_intra_dedup": q_doc_intra_dedup,
         "doc_lm_unigram_score": q_doc_lm_unigram_score,
+        "doc_lm_bigram_score": q_doc_lm_bigram_score,
         "corpus_dsir_sample": q_corpus_dsir_sample,
         "corpus_ccnet_buckets": q_corpus_ccnet_buckets,
         "corpus_temperature_sample": q_corpus_temperature_sample,
@@ -6234,6 +6246,49 @@ SELECT doc_id, n_tokens, logp_target, logp_corpus, log_ratio, sample_key
 FROM keyed
 ORDER BY sample_key DESC, doc_id ASC
 LIMIT 40
+"""
+
+    sql["doc_lm_bigram_score"] = """
+WITH d AS (
+    SELECT doc_id,
+        list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    x -> x <> '') AS toks
+    FROM documents
+), bi AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(toks) >= 2
+             THEN list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1])
+             ELSE []::VARCHAR[] END) AS bigram
+    FROM d
+), pair_cnt AS (
+    SELECT bigram, COUNT(*) AS cnt FROM bi GROUP BY bigram
+), ctx_cnt AS (
+    SELECT split_part(bigram, ' ', 1) AS ctx, COUNT(*) AS ctx_cnt
+    FROM bi GROUP BY 1
+), tot AS (SELECT COUNT(*) AS total FROM bi),
+probs AS (
+    SELECT bigram,
+        CAST(floor(log10(CAST(cnt AS DOUBLE) / CAST(ctx_cnt AS DOUBLE))
+                   * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS logp
+    FROM pair_cnt
+    JOIN ctx_cnt ON split_part(pair_cnt.bigram, ' ', 1) = ctx_cnt.ctx
+), flo AS (
+    SELECT CAST(floor(log10(0.5 / CAST(total AS DOUBLE))
+                      * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))
+        AS floor_logp
+    FROM tot
+)
+SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+    CAST(SUM(COALESCE(logp, floor_logp)) AS DOUBLE) AS sum_logprob,
+    floor(CAST(SUM(COALESCE(logp, floor_logp)) AS DOUBLE) / COUNT(*)
+          * 1000000 + 0.5) / 1000000 AS avg_logprob
+FROM bi
+LEFT JOIN probs USING (bigram)
+CROSS JOIN flo
+GROUP BY doc_id
+ORDER BY doc_id
 """
 
     sql["corpus_pretrain_mix"] = f"""

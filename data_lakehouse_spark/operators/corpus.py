@@ -63,6 +63,7 @@ __all__ = [
     "dsir_importance_sample",
     "ccnet_quality_buckets",
     "temperature_sample",
+    "bigram_logprob_scores",
 ]
 
 #: Deliberately simple, oracle-portable PII patterns (same regex class
@@ -1379,4 +1380,109 @@ def temperature_sample(
         )
         .drop("_stratum")
         .filter(u < F.col("keep_fraction"))
+    )
+
+
+def bigram_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Bigram-LM quality score: mean log10 conditional probability
+    ``p(w_i | w_{i-1})`` per document, the order-2 step from
+    :func:`unigram_logprob_scores` toward the 5-gram KenLM CCNet uses —
+    context-aware scoring separates fluent text from bag-of-words spam
+    that a unigram model scores identically.
+
+    Model: MLE ``cnt(w_{i-1} w_i) / ctx(w_{i-1})`` where the context
+    count is the number of bigrams starting with ``w_{i-1}`` (the exact
+    conditional denominator); unseen bigrams floor at the add-half rate
+    ``0.5 / total_bigrams``. Both model tables derive from ONE bigram
+    explode of the corpus (groupBy pair / groupBy first token),
+    broadcast back over a second scoring scan — the same two-pass
+    broadcast shape as every LM op here. Documents with < 2 tokens
+    score NULL (no bigram positions). Per-position logprobs floor-round
+    half-up to ``round_dp`` and accumulate as DECIMAL — order-
+    independent, bit-identical across engines (oracle-verified).
+
+    ``vocab_size`` caps the broadcast bigram table to the most frequent
+    pairs for web-scale corpora; dropped pairs score at the floor.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.split(
+            F.trim(F.lower(F.col(text_col))), r"\s+", -1
+        ).alias("_t"),
+    ).select(
+        id_col,
+        F.filter(F.col("_t"), lambda t: t != "").alias("_t"),
+    )
+    bi = toks.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("_t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("_t", i),
+                        F.element_at("_t", i + 1),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("bigram"),
+    )
+    pair_cnt = bi.groupBy("bigram").agg(F.count("*").alias("cnt"))
+    if vocab_size is not None:
+        pair_cnt = pair_cnt.orderBy(
+            F.desc("cnt"), F.asc("bigram")
+        ).limit(vocab_size)
+    ctx_cnt = bi.select(
+        F.split(F.col("bigram"), " ", 2).getItem(0).alias("ctx")
+    ).groupBy("ctx").agg(F.count("*").alias("ctx_cnt"))
+    total = bi.agg(F.count("*").alias("total"))
+    scale = F.lit(float(10 ** round_dp))
+    logp = F.floor(
+        F.log10(F.col("cnt").cast("double") / F.col("ctx_cnt").cast("double"))
+        * scale
+        + F.lit(0.5)
+    ) / scale
+    probs = (
+        pair_cnt.withColumn(
+            "ctx", F.split(F.col("bigram"), " ", 2).getItem(0)
+        )
+        .join(ctx_cnt, "ctx")
+        .select(
+            "bigram", logp.cast(f"decimal(18,{round_dp})").alias("logp")
+        )
+    )
+    floor_lp = F.floor(
+        F.log10(F.lit(0.5) / F.col("total").cast("double")) * scale
+        + F.lit(0.5)
+    ) / scale
+    floor_probs = total.select(
+        floor_lp.cast(f"decimal(18,{round_dp})").alias("floor_logp")
+    )
+    return (
+        bi.join(F.broadcast(probs), "bigram", "left")
+        .crossJoin(F.broadcast(floor_probs))
+        .select(
+            id_col,
+            F.coalesce(F.col("logp"), F.col("floor_logp")).alias("lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("lp").cast("double").alias("sum_logprob"),
+            (
+                F.floor(
+                    F.sum("lp").cast("double") / F.count("*") * scale
+                    + F.lit(0.5)
+                )
+                / scale
+            ).alias("avg_logprob"),
+        )
     )

@@ -722,3 +722,28 @@ def test_dsir_target_without_id_column(spark):
     assert len(out) == 10
     # alpha/beta/gamma docs dominate the selection
     assert sum(1 for r in out if r["doc_id"] < 100) >= 8
+
+
+def test_bigram_lm_is_context_aware(spark):
+    """The motivating property over the unigram scorer: documents with
+    consistent word ORDER score higher than shuffled bag-of-words text
+    with identical unigram counts."""
+    fluent = "the cat sat on the mat"
+    shuffled = "mat the on sat cat the"  # same unigrams, broken bigrams
+    docs = spark.createDataFrame(
+        [(i, fluent) for i in range(10)] + [(100, shuffled)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in corpus.bigram_logprob_scores(docs).collect()}
+    assert out[0]["n_bigrams"] == 5
+    # every fluent doc outscores the shuffled one
+    assert out[0]["avg_logprob"] > out[100]["avg_logprob"]
+    # unigram model CANNOT tell them apart (same token counts)
+    uni = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in corpus.unigram_logprob_scores(docs).collect()
+    }
+    assert uni[0] == uni[100]
+    # short docs (< 2 tokens) have no bigram positions
+    short = spark.createDataFrame([(1, "one"), (2, "")], "doc_id long, text string")
+    assert corpus.bigram_logprob_scores(short).count() == 0

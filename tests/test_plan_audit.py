@@ -76,6 +76,10 @@ SINGLE_PARTITION_OK = {
         "inherits the LM 1-row folds and the CCNet per-doc-score "
         "cutoff agg; the document stream itself never single-partitions"
     ),
+    "doc_lm_bigram_score": (
+        "bounded: 1-row bigram-total fold (partial-agg merge); both "
+        "model tables broadcast, bigram stream never funnels"
+    ),
 }
 
 #: query -> justification for BroadcastNestedLoopJoin / CartesianProduct.
@@ -109,6 +113,7 @@ NESTED_LOOP_OK = {
     "corpus_ccnet_buckets": "1-row OOV floor + 1-row tercile-cutoff broadcast",
     "corpus_temperature_sample": "1-row (n_total, z) broadcast across |sources| rows",
     "corpus_pretrain_mix": "inherits the LM/cutoff 1-row broadcasts; fraction table joins by source (hash)",
+    "doc_lm_bigram_score": "1-row unseen-pair floor broadcast (the LM scalar cross-join pattern)",
 }
 
 
