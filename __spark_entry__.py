@@ -1434,6 +1434,16 @@ def q_doc_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.bigram_logprob_scores(docs).orderBy("doc_id")
 
 
+def q_corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus distribution —
+    the domain-divergence diagnostic read before choosing mixing
+    weights (corpus.source_kl_divergence; one explode, re-aggregated
+    global table, hash join by token)."""
+    _ensure_conf(spark)
+    docs = _rel(spark, sf_dir, "documents")
+    return corpus.source_kl_divergence(docs).orderBy("source")
+
+
 def q_corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): select 40 docs
     with probability ∝ p_target/p_corpus under two deterministic
@@ -3477,6 +3487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_intra_dedup": q_doc_intra_dedup,
         "doc_lm_unigram_score": q_doc_lm_unigram_score,
         "doc_lm_bigram_score": q_doc_lm_bigram_score,
+        "corpus_source_kl": q_corpus_source_kl,
         "corpus_dsir_sample": q_corpus_dsir_sample,
         "corpus_ccnet_buckets": q_corpus_ccnet_buckets,
         "corpus_temperature_sample": q_corpus_temperature_sample,
@@ -6246,6 +6257,42 @@ SELECT doc_id, n_tokens, logp_target, logp_corpus, log_ratio, sample_key
 FROM keyed
 ORDER BY sample_key DESC, doc_id ASC
 LIMIT 40
+"""
+
+    sql["corpus_source_kl"] = """
+WITH toks AS (
+    SELECT source,
+        unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+    FROM documents
+), toks_ne AS (
+    SELECT source, tok FROM toks WHERE tok <> ''
+), sc AS (
+    SELECT source, tok, COUNT(*) AS cnt_s
+    FROM toks_ne GROUP BY source, tok
+), totals AS (
+    SELECT source, SUM(cnt_s) AS tot_s FROM sc GROUP BY source
+), gc AS (
+    SELECT tok, SUM(cnt_s) AS cnt_g FROM sc GROUP BY tok
+), gt AS (SELECT SUM(cnt_g) AS tot_g FROM gc),
+term AS (
+    SELECT sc.source, sc.cnt_s,
+        CAST(floor(
+            (CAST(sc.cnt_s AS DOUBLE) / CAST(tot_s AS DOUBLE)
+             * log10((CAST(sc.cnt_s AS DOUBLE) / CAST(tot_s AS DOUBLE))
+                     / (CAST(cnt_g AS DOUBLE) / CAST(tot_g AS DOUBLE))))
+            * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS term
+    FROM sc
+    JOIN gc USING (tok)
+    JOIN totals USING (source)
+    CROSS JOIN gt
+)
+SELECT source,
+    CAST(SUM(cnt_s) AS BIGINT) AS n_tokens,
+    CAST(COUNT(*) AS BIGINT) AS n_terms,
+    CAST(SUM(term) AS DOUBLE) AS kl_divergence
+FROM term
+GROUP BY source
+ORDER BY source
 """
 
     sql["doc_lm_bigram_score"] = """

@@ -64,6 +64,7 @@ __all__ = [
     "ccnet_quality_buckets",
     "temperature_sample",
     "bigram_logprob_scores",
+    "source_kl_divergence",
 ]
 
 #: Deliberately simple, oracle-portable PII patterns (same regex class
@@ -1485,4 +1486,78 @@ def bigram_logprob_scores(
                 / scale
             ).alias("avg_logprob"),
         )
+    )
+
+
+def source_kl_divergence(
+    docs: DataFrame,
+    *,
+    stratum_col: str = "source",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-source KL divergence (log10 base) of the source's unigram
+    distribution from the whole-corpus distribution — the domain-
+    divergence diagnostic data-mixing work reads before choosing
+    weights (a source with near-zero KL adds little diversity; a
+    high-KL source shifts the mix). ``KL(p_s ‖ p_corpus) =
+    Σ_w p_s(w) · log10(p_s(w)/p(w))``, summed over the source's own
+    vocabulary (terms with ``p_s(w)=0`` contribute 0; ``p(w)`` is never
+    0 for those terms since the corpus contains the source).
+
+    Shape: one token explode → one (source, token) count agg; the
+    global token table derives from re-aggregating those counts (never
+    a second corpus scan) and joins back BY TOKEN (hash join — the
+    token table can exceed broadcast size at web scale). Per-term
+    contributions quantize to ``round_dp`` and sum as DECIMAL —
+    order-independent, hash-verifiable.
+
+    Returns (source, n_tokens, n_terms, kl_divergence) — KL ≥ 0 up to
+    quantization.
+    """
+    toks = docs.select(
+        F.col(stratum_col).alias("source"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+", -1)
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    sc = toks.groupBy("source", "tok").agg(F.count("*").alias("cnt_s"))
+    totals = sc.groupBy("source").agg(F.sum("cnt_s").alias("tot_s"))
+    gc = sc.groupBy("tok").agg(F.sum("cnt_s").alias("cnt_g"))
+    gt = gc.agg(F.sum("cnt_g").alias("tot_g"))
+    scale = F.lit(float(10 ** round_dp))
+    term = (
+        sc.join(gc, "tok")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "source",
+            "cnt_s",
+            (
+                F.floor(
+                    (
+                        F.col("cnt_s").cast("double")
+                        / F.col("tot_s").cast("double")
+                        * F.log10(
+                            (
+                                F.col("cnt_s").cast("double")
+                                / F.col("tot_s").cast("double")
+                            )
+                            / (
+                                F.col("cnt_g").cast("double")
+                                / F.col("tot_g").cast("double")
+                            )
+                        )
+                    )
+                    * scale
+                    + F.lit(0.5)
+                )
+                / scale
+            ).cast(f"decimal(18,{round_dp})").alias("term"),
+        )
+    )
+    return term.groupBy("source").agg(
+        F.sum("cnt_s").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum("term").cast("double").alias("kl_divergence"),
     )

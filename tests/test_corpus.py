@@ -747,3 +747,25 @@ def test_bigram_lm_is_context_aware(spark):
     # short docs (< 2 tokens) have no bigram positions
     short = spark.createDataFrame([(1, "one"), (2, "")], "doc_id long, text string")
     assert corpus.bigram_logprob_scores(short).count() == 0
+
+
+def test_source_kl_divergence_semantics(spark):
+    """KL is ~0 for a source matching the corpus distribution and
+    strictly larger for a divergent one; all KLs >= 0 (up to
+    quantization)."""
+    # two identical-distribution sources + one divergent source
+    base = "alpha beta gamma delta"
+    rows = (
+        [(i, base, "a") for i in range(50)]
+        + [(100 + i, base, "b") for i in range(50)]
+        + [(200 + i, "omega omega omega psi", "weird") for i in range(20)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in corpus.source_kl_divergence(docs).collect()}
+    assert set(out) == {"a", "b", "weird"}
+    # identical sources diverge only because 'weird' shifts the corpus
+    # distribution — equal for a and b, small
+    assert out["a"]["kl_divergence"] == out["b"]["kl_divergence"]
+    assert out["weird"]["kl_divergence"] > out["a"]["kl_divergence"] > 0
+    assert all(r["kl_divergence"] >= -1e-4 for r in out.values())
+    assert out["weird"]["n_terms"] == 2  # omega, psi

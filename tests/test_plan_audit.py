@@ -80,6 +80,10 @@ SINGLE_PARTITION_OK = {
         "bounded: 1-row bigram-total fold (partial-agg merge); both "
         "model tables broadcast, bigram stream never funnels"
     ),
+    "corpus_source_kl": (
+        "bounded: 1-row grand-total fold over the re-aggregated token "
+        "table; the (source, token) stream joins by token (hash)"
+    ),
 }
 
 #: query -> justification for BroadcastNestedLoopJoin / CartesianProduct.
@@ -114,6 +118,7 @@ NESTED_LOOP_OK = {
     "corpus_temperature_sample": "1-row (n_total, z) broadcast across |sources| rows",
     "corpus_pretrain_mix": "inherits the LM/cutoff 1-row broadcasts; fraction table joins by source (hash)",
     "doc_lm_bigram_score": "1-row unseen-pair floor broadcast (the LM scalar cross-join pattern)",
+    "corpus_source_kl": "1-row grand-total broadcast (the LM scalar cross-join pattern)",
 }
 
 
