@@ -6326,15 +6326,23 @@ probs AS (
         AS floor_logp
     FROM tot
 )
-SELECT doc_id,
-    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-    CAST(SUM(COALESCE(logp, floor_logp)) AS DOUBLE) AS sum_logprob,
-    floor(CAST(SUM(COALESCE(logp, floor_logp)) AS DOUBLE) / COUNT(*)
-          * 1000000 + 0.5) / 1000000 AS avg_logprob
-FROM bi
-LEFT JOIN probs USING (bigram)
-CROSS JOIN flo
-GROUP BY doc_id
+, scored AS (
+    SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        CAST(SUM(COALESCE(logp, floor_logp)) AS DOUBLE) AS sum_logprob,
+        floor(CAST(SUM(COALESCE(logp, floor_logp)) AS DOUBLE) / COUNT(*)
+              * 1000000 + 0.5) / 1000000 AS avg_logprob
+    FROM bi
+    LEFT JOIN probs USING (bigram)
+    CROSS JOIN flo
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+    CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+    CAST(s.sum_logprob AS DOUBLE) AS sum_logprob,
+    s.avg_logprob AS avg_logprob
+FROM d
+LEFT JOIN scored s USING (doc_id)
 ORDER BY doc_id
 """
 

@@ -46,6 +46,7 @@ __all__ = [
     "DatabaseError",
     "ProgrammingError",
     "OperationalError",
+    "TruncatedResultWarning",
     "apilevel",
     "threadsafety",
     "paramstyle",
@@ -77,6 +78,14 @@ class OperationalError(DatabaseError):
     """Transport failures (endpoint unreachable, HTTP-level)."""
 
 
+class TruncatedResultWarning(UserWarning):
+    """A result set hit the per-execute row cap (``Cursor.max_rows``)
+    and was truncated server-side. Standard DBAPI consumers (pandas
+    ``read_sql``, plain fetchall loops) never check the non-standard
+    ``Cursor.truncated`` attribute, so silence here would hand them an
+    incomplete result with no signal."""
+
+
 def connect(
     host: str = "127.0.0.1",
     port: int = 8080,
@@ -84,10 +93,22 @@ def connect(
     autocommit: bool = True,
     timeout: float = 120.0,
     session: str | None = None,
+    on_truncate: str = "warn",
 ) -> "Connection":
-    """Open a connection to a running ``SqlEndpoint``."""
+    """Open a connection to a running ``SqlEndpoint``.
+
+    ``on_truncate`` controls what happens when a result set hits the
+    per-execute row cap (``Cursor.max_rows``): ``"warn"`` (default)
+    emits :class:`TruncatedResultWarning`, ``"error"`` raises
+    :class:`OperationalError`, ``"ignore"`` only sets the
+    non-standard ``Cursor.truncated`` attribute."""
     return Connection(
-        host, port, autocommit=autocommit, timeout=timeout, session=session
+        host,
+        port,
+        autocommit=autocommit,
+        timeout=timeout,
+        session=session,
+        on_truncate=on_truncate,
     )
 
 
@@ -100,9 +121,16 @@ class Connection:
         autocommit: bool = True,
         timeout: float = 120.0,
         session: str | None = None,
+        on_truncate: str = "warn",
     ) -> None:
+        if on_truncate not in ("warn", "error", "ignore"):
+            raise InterfaceError(
+                f"on_truncate must be 'warn', 'error' or 'ignore', "
+                f"got {on_truncate!r}"
+            )
         self._url = f"http://{host}:{port}/sql"
         self._timeout = timeout
+        self.on_truncate = on_truncate
         #: one server session per connection — the transaction carrier
         self._session = session or f"dbapi-{_uuid.uuid4().hex[:12]}"
         self.autocommit = autocommit
@@ -235,6 +263,19 @@ class Cursor:
         else:
             self.rowcount = len(self._rows)
         self.truncated = bool(out.get("truncated"))
+        if self.truncated:
+            mode = getattr(self._conn, "on_truncate", "warn")
+            msg = (
+                f"result set truncated to max_rows={self.max_rows}; "
+                "raise Cursor.max_rows, add LIMIT/pagination, or "
+                "connect(on_truncate='ignore') to silence"
+            )
+            if mode == "error":
+                raise OperationalError(msg)
+            if mode == "warn":
+                import warnings
+
+                warnings.warn(msg, TruncatedResultWarning, stacklevel=2)
         return self
 
     def executemany(self, sql: str, seq_of_parameters) -> "Cursor":

@@ -1404,7 +1404,9 @@ def bigram_logprob_scores(
     explode of the corpus (groupBy pair / groupBy first token),
     broadcast back over a second scoring scan — the same two-pass
     broadcast shape as every LM op here. Documents with < 2 tokens
-    score NULL (no bigram positions). Per-position logprobs floor-round
+    emit one row with ``n_bigrams=0`` and NULL scores (explode_outer —
+    no bigram positions, but inner joins on the score frame must not
+    silently lose them). Per-position logprobs floor-round
     half-up to ``round_dp`` and accumulate as DECIMAL — order-
     independent, bit-identical across engines (oracle-verified).
 
@@ -1422,7 +1424,7 @@ def bigram_logprob_scores(
     )
     bi = toks.select(
         id_col,
-        F.explode(
+        F.explode_outer(
             F.when(
                 F.size("_t") >= 2,
                 F.transform(
@@ -1436,15 +1438,18 @@ def bigram_logprob_scores(
             ).otherwise(F.array())
         ).alias("bigram"),
     )
-    pair_cnt = bi.groupBy("bigram").agg(F.count("*").alias("cnt"))
+    # model tables fit on real bigram positions only — the NULL rows
+    # explode_outer emits for <2-token docs are score-side placeholders
+    model_bi = bi.filter(F.col("bigram").isNotNull())
+    pair_cnt = model_bi.groupBy("bigram").agg(F.count("*").alias("cnt"))
     if vocab_size is not None:
         pair_cnt = pair_cnt.orderBy(
             F.desc("cnt"), F.asc("bigram")
         ).limit(vocab_size)
-    ctx_cnt = bi.select(
+    ctx_cnt = model_bi.select(
         F.split(F.col("bigram"), " ", 2).getItem(0).alias("ctx")
     ).groupBy("ctx").agg(F.count("*").alias("ctx_cnt"))
-    total = bi.agg(F.count("*").alias("total"))
+    total = model_bi.agg(F.count("*").alias("total"))
     scale = F.lit(float(10 ** round_dp))
     logp = F.floor(
         F.log10(F.col("cnt").cast("double") / F.col("ctx_cnt").cast("double"))
@@ -1460,8 +1465,11 @@ def bigram_logprob_scores(
             "bigram", logp.cast(f"decimal(18,{round_dp})").alias("logp")
         )
     )
+    # try_divide: an all-short corpus has total=0 bigrams; the floor is
+    # then NULL (never applied — every lp is NULL too), not a crash
     floor_lp = F.floor(
-        F.log10(F.lit(0.5) / F.col("total").cast("double")) * scale
+        F.log10(F.try_divide(F.lit(0.5), F.col("total").cast("double")))
+        * scale
         + F.lit(0.5)
     ) / scale
     floor_probs = total.select(
@@ -1472,15 +1480,23 @@ def bigram_logprob_scores(
         .crossJoin(F.broadcast(floor_probs))
         .select(
             id_col,
-            F.coalesce(F.col("logp"), F.col("floor_logp")).alias("lp"),
+            # NULL lp for the placeholder row of a <2-token doc — it
+            # must not score at the floor, and count("lp") skips it
+            F.when(
+                F.col("bigram").isNotNull(),
+                F.coalesce(F.col("logp"), F.col("floor_logp")),
+            ).alias("lp"),
         )
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.count("lp").cast("bigint").alias("n_bigrams"),
             F.sum("lp").cast("double").alias("sum_logprob"),
             (
                 F.floor(
-                    F.sum("lp").cast("double") / F.count("*") * scale
+                    F.try_divide(
+                        F.sum("lp").cast("double"), F.count("lp")
+                    )
+                    * scale
                     + F.lit(0.5)
                 )
                 / scale

@@ -118,13 +118,19 @@ class _Session:
     a pinned session is never evicted or reaped (an eviction racing an
     in-flight BEGIN would orphan a transaction no reaper can see)."""
 
-    __slots__ = ("router", "last_used", "txn_opened_at", "pinned")
+    __slots__ = ("router", "last_used", "txn_opened_at", "pinned", "aborted")
 
     def __init__(self, router) -> None:
         self.router = router
         self.last_used = time.monotonic()
         self.txn_opened_at: float | None = None
         self.pinned = 0
+        #: set by the reaper when it auto-rolls-back this session's
+        #: timed-out transaction; while set, every statement except
+        #: ROLLBACK / BEGIN fails with this message (idle-in-transaction
+        #: semantics) — otherwise the client's next statements would
+        #: silently run in autocommit and publish non-atomically
+        self.aborted: str | None = None
 
 
 class SqlEndpoint:
@@ -336,6 +342,43 @@ class SqlEndpoint:
                     sess = _Session(LakehouseSql(self.catalog))
                     self._sessions[session] = sess
                 sess.last_used = time.monotonic()
+                if sess.aborted is not None:
+                    # the reaper rolled this session's transaction
+                    # back; the client may still believe it is inside
+                    # BEGIN, so letting statements through would run
+                    # them in autocommit (non-atomic publishes). Fail
+                    # everything until an explicit ROLLBACK/BEGIN.
+                    verb = _TXN_VERB.match(strip_comments(sql))
+                    v = verb.group(1).upper() if verb else ""
+                    if v == "ROLLBACK":
+                        # transaction is already gone — acknowledge
+                        # and clear the aborted state without routing
+                        # (the router would raise "ROLLBACK without
+                        # an open transaction")
+                        sess.aborted = None
+                        stats = {
+                            "op": "rollback",
+                            "txn_id": None,
+                            "note": (
+                                "transaction was already rolled back "
+                                "by the server after timing out"
+                            ),
+                        }
+                        return {
+                            "columns": ["key", "value"],
+                            "rows": [
+                                [k, _plain(x)] for k, x in stats.items()
+                            ],
+                            "n": len(stats),
+                            "truncated": False,
+                            "stats": {
+                                k: _plain(x) for k, x in stats.items()
+                            },
+                        }
+                    if v.startswith(("BEGIN", "START")):
+                        sess.aborted = None
+                    else:
+                        raise SqlError(sess.aborted)
                 # pin against eviction/reaping while this request is in
                 # flight (an evicted session whose BEGIN is still
                 # waiting for the gate would orphan its transaction)
@@ -489,6 +532,11 @@ class SqlEndpoint:
                     if s.txn_opened_at != opened_at:
                         continue
                     s.txn_opened_at = None
+                    s.aborted = (
+                        "current transaction timed out and was rolled "
+                        "back by the server; issue ROLLBACK (or BEGIN "
+                        "a new transaction) to continue"
+                    )
                 try:
                     s.router.execute("ROLLBACK")
                 except Exception:
@@ -546,9 +594,11 @@ def _plain(v):
 
     if isinstance(v, float) and not math.isfinite(v):
         # bare NaN/Infinity tokens are not legal JSON (RFC 8259) and
-        # break strict parsers; NaN renders as null, infinities keep
-        # their signal as strings
-        return None if math.isnan(v) else ("Infinity" if v > 0 else "-Infinity")
+        # break strict parsers; all non-finite values render as null so
+        # numeric result columns stay single-typed for JSON/DBAPI
+        # consumers (a string "Infinity" inside a float column breaks
+        # pandas/numpy downstream)
+        return None
     if isinstance(v, datetime.datetime):
         return v.isoformat(sep=" ")
     if isinstance(v, datetime.date):

@@ -744,9 +744,15 @@ def test_bigram_lm_is_context_aware(spark):
         for r in corpus.unigram_logprob_scores(docs).collect()
     }
     assert uni[0] == uni[100]
-    # short docs (< 2 tokens) have no bigram positions
+    # short docs (< 2 tokens) stay visible: one row each, zero bigram
+    # positions, NULL scores — inner joins on the frame keep them
     short = spark.createDataFrame([(1, "one"), (2, "")], "doc_id long, text string")
-    assert corpus.bigram_logprob_scores(short).count() == 0
+    srows = {r["doc_id"]: r for r in corpus.bigram_logprob_scores(short).collect()}
+    assert set(srows) == {1, 2}
+    for r in srows.values():
+        assert r["n_bigrams"] == 0
+        assert r["sum_logprob"] is None
+        assert r["avg_logprob"] is None
 
 
 def test_source_kl_divergence_semantics(spark):

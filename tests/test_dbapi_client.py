@@ -262,3 +262,45 @@ def test_dsir_string_doc_ids(spark):
     assert len(out) == 6
     assert len({r["doc_id"] for r in out}) == 6
     assert all(r["doc_id"].startswith("doc-") for r in out)
+
+
+def test_truncation_warns_by_default(endpoint):
+    """Hitting the per-execute row cap must be LOUD: standard DBAPI
+    consumers (pandas read_sql) never check the non-standard
+    .truncated attribute, so the default is a TruncatedResultWarning,
+    'error' raises, and 'ignore' restores the silent contract."""
+    import warnings
+
+    conn = dbapi.connect(port=endpoint.port)
+    cur = conn.cursor()
+    cur.max_rows = 1  # force the cap with a 2-row table
+    with pytest.warns(dbapi.TruncatedResultWarning, match="truncated"):
+        cur.execute("SELECT id FROM sales ORDER BY id")
+    assert cur.truncated and cur.rowcount == 1
+
+    # under the cap: no warning
+    cur.max_rows = 100
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        cur.execute("SELECT id FROM sales ORDER BY id")
+    assert not cur.truncated and cur.rowcount == 2
+    conn.close()
+
+    econn = dbapi.connect(port=endpoint.port, on_truncate="error")
+    ecur = econn.cursor()
+    ecur.max_rows = 1
+    with pytest.raises(dbapi.OperationalError, match="truncated"):
+        ecur.execute("SELECT id FROM sales ORDER BY id")
+    econn.close()
+
+    iconn = dbapi.connect(port=endpoint.port, on_truncate="ignore")
+    icur = iconn.cursor()
+    icur.max_rows = 1
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        icur.execute("SELECT id FROM sales ORDER BY id")
+    assert icur.truncated
+    iconn.close()
+
+    with pytest.raises(dbapi.InterfaceError):
+        dbapi.connect(port=endpoint.port, on_truncate="loud")

@@ -286,6 +286,18 @@ def test_endpoint_txn_timeout_autorollback(spark, tmp_path):
         assert out["rows"][0][0] == 1
         # ghost's session survives (only its txn died): COMMIT now errors
         assert "error" in _post_s(ep.port, "COMMIT", "ghost")
+        # the session is flagged aborted: EVERY later statement fails
+        # (idle-in-transaction semantics) — a client that still thinks
+        # it is inside BEGIN must not silently run in autocommit
+        out = _post_s(ep.port, "SELECT 1 AS one", "ghost")
+        assert "error" in out and "timed out" in out["error"]
+        out = _post_s(ep.port, "INSERT INTO t VALUES (7)", "ghost")
+        assert "error" in out and "timed out" in out["error"]
+        # explicit ROLLBACK acknowledges the abort and clears it (the
+        # txn itself is long gone — the ack is synthetic, not routed)
+        out = _post_s(ep.port, "ROLLBACK", "ghost")
+        assert "error" not in out
+        assert _post_s(ep.port, "SELECT 1 AS one", "ghost")["rows"] == [[1]]
         # an unstaged engine-side writer is no longer blocked
         cat.append("t", spark.createDataFrame([(2,)], "id long"))
         assert (
@@ -428,8 +440,8 @@ def test_endpoint_comment_prefixed_txn_verbs_guarded(spark, tmp_path):
 
 def test_endpoint_request_validation_and_nonfinite_floats(spark, tmp_path):
     """Malformed bodies get a 400 JSON error (never a dropped
-    connection); negative limits clamp to 0; NaN/Infinity render as
-    valid JSON (null / signed strings)."""
+    connection); negative limits clamp to 0; NaN/Infinity all render
+    as null so numeric columns stay single-typed for consumers."""
     cat = Catalog(spark, str(tmp_path / "w"))
     cat.create_table("t", spark.createDataFrame([(1,)], "id long"))
     ep = SqlEndpoint(cat).start()
@@ -466,6 +478,6 @@ def test_endpoint_request_validation_and_nonfinite_floats(spark, tmp_path):
             "CAST('Infinity' AS DOUBLE) AS p, "
             "CAST('-Infinity' AS DOUBLE) AS m",
         )
-        assert out["rows"] == [[None, "Infinity", "-Infinity"]]
+        assert out["rows"] == [[None, None, None]]
     finally:
         ep.stop()
