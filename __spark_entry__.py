@@ -2358,25 +2358,44 @@ def q_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto (80/20) revenue concentration: cumulative revenue share
     per customer plus the cume_dist / percent_rank / dense_rank window
     surface the battery lacks. The full-size table collapses to one row
-    per customer BEFORE the global window (W4's post-agg shape); shares
-    divide identical doubles so the flags are bit-stable."""
+    per customer, then the total order runs DISTRIBUTED through
+    relational.global_order_index (range exchange + per-partition
+    running sums + a bounded driver-side offset table) — no global
+    single-partition window at any scale. The (revenue DESC, custkey)
+    order is strict (unique custkey), so rank = dense_rank = row_number
+    and cume_dist = rn/n, percent_rank = (rn-1)/(n-1): every output is
+    derived from the exact global row_number + exact decimal prefix
+    sums at bit-identical doubles to the window formulation."""
     _ensure_conf(spark)
+    from data_lakehouse_spark.operators import relational
+
     t = load_tables(spark, sf_dir, ["orders"], register_views=False)
-    per_cust = t["orders"].groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast(_D12)).alias("_r")
+    from pyspark import StorageLevel
+
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(_D12)).alias("_r"))
+        # the range-boundary sampling job and the offset-stats job both
+        # consume this agg; persisting keeps it at ONE orders scan
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    w = Window.orderBy(F.desc("_r"), F.asc("o_custkey"))
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = F.sum("_r").over(run).cast("double")
-    tot = F.sum("_r").over(Window.partitionBy()).cast("double")
-    share = cum / tot
-    return per_cust.select(
+    d, n, grand, _cached = relational.global_order_index(
+        per_cust,
+        [F.col("_r").desc(), F.col("o_custkey").asc()],
+        running_sum_col="_r",
+    )
+    share = F.col("_cum").cast("double") / F.lit(float(grand or 0))
+    rn_d = F.col("_rn").cast("double")
+    return d.select(
         F.col("o_custkey").cast("bigint").alias("custkey"),
         F.col("_r").cast("double").alias("revenue"),
         round_half_up(share, 6).alias("cum_share"),
-        round_half_up(F.cume_dist().over(w), 6).alias("cust_frac"),
-        round_half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.dense_rank().over(w).cast("bigint").alias("dense_rk"),
+        round_half_up(rn_d / F.lit(float(max(n, 1))), 6).alias("cust_frac"),
+        round_half_up(
+            (rn_d - 1.0) / F.lit(float(max(n - 1, 1))), 6
+        ).alias("pct_rank"),
+        F.col("_rn").cast("bigint").alias("dense_rk"),
         (share <= 0.8).alias("is_top80"),
     )
 

@@ -315,6 +315,13 @@ def user_rfm_segments(
     ``as_of_date`` replaces the reference's CURRENT_DATE() for
     reproducibility. NTILE directions follow the reference exactly
     (recency ASC, frequency DESC, monetary DESC) with user_id tiebreaks.
+
+    The default path computes EXACT NTILE semantics distributed (no
+    global single-partition window — see the exact branch below), so it
+    is both the reference-parity path and the 100 TB path.
+    ``scalable_ntile=True`` keeps the cheaper approx-quantile bucket
+    twin (one percentile fold, no extra passes) for when exact tile
+    boundaries don't matter.
     """
     purchase = _is("purchase")
     base = (
@@ -338,18 +345,24 @@ def user_rfm_segments(
             "avg_order_value", _ratio(F.col("monetary_value"), F.col("frequency"))
         )
     )
+    # one silver scan either way: the per-user base feeds multiple
+    # passes (boundary fold / range-sample + offset-stats jobs), so it
+    # is persisted and materialized once by whichever pass runs first
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
     if scalable_ntile:
         # Distributed 5-bucket scoring: bucket on approx quantile
         # boundaries instead of a total-sort NTILE. All three metrics'
         # boundaries come from ONE lazy percentile_approx aggregate
         # broadcast back onto the rows — the classic two-distributed-pass
-        # quantile design (stats pass + score pass; the stats branch
-        # re-derives the per-user base, so the plan has 2 scans), with no
-        # driver action and no single-partition sort. (Rejected:
-        # per-metric df.approxQuantile — each call is a driver ACTION
-        # re-executing the whole upstream pipeline; measured 4 passes
-        # total, ~2.5× slower end-to-end.)
+        # quantile design (stats pass + score pass), with no driver
+        # action and no single-partition sort. (Rejected: per-metric
+        # df.approxQuantile — each call is a driver ACTION re-executing
+        # the whole upstream pipeline; measured 4 passes total, ~2.5×
+        # slower end-to-end.) The persisted base means the boundary
+        # fold and the scoring pass share ONE silver scan.
         probs = F.array(*[F.lit(p) for p in (0.2, 0.4, 0.6, 0.8)])
         acc = F.lit(10_000)
         bounds = base.agg(
@@ -368,24 +381,50 @@ def user_rfm_segments(
             )
         base = base.drop("_qr", "_qf", "_qm")
     else:
-        # Reference-exact: global NTILE windows (single-partition sort —
-        # fine for per-user aggregates, which are ~1e6x smaller than raw).
-        base = (
-            base.withColumn(
-                "rfm_recency_score",
-                F.ntile(5).over(Window.orderBy(F.asc("recency_days"), F.asc("user_id"))),
+        # Reference-exact NTILE semantics, DISTRIBUTED: each metric's
+        # total order runs through relational.global_order_index (range
+        # exchange + per-partition local ranks + a bounded driver-side
+        # partition-offset table) and the bucket comes from the exact
+        # SQL NTILE formula on the global row_number — bit-identical to
+        # Window.orderBy(...).ntile(5) (property-pinned in
+        # tests/test_relational.py) with no single-partition stage at
+        # any input size.
+        #
+        # The three orderings are INDEPENDENT given the persisted base,
+        # so each scores a narrow (user_id, metric) projection and the
+        # bounded offset-stat jobs run concurrently on driver threads
+        # (wall-clock ≈ the slowest, not the sum); the score frames
+        # then hash-join back on user_id. The narrow frames stay
+        # persisted: the offsets are only valid for their materialized
+        # range partitioning (see global_order_index), and they are
+        # per-user-metric pairs — metadata-sized next to the corpus.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from data_lakehouse_spark.operators import relational
+
+        def _score(metric: str, asc: bool, out: str) -> DataFrame:
+            key = F.col(metric).asc() if asc else F.col(metric).desc()
+            d, n_rows, _, _cached = relational.global_order_index(
+                base.select("user_id", metric),
+                [key, F.col("user_id").asc()],
+                rn_col="_rnt",
             )
-            .withColumn(
-                "rfm_frequency_score",
-                F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("user_id"))),
-            )
-            .withColumn(
-                "rfm_monetary_score",
-                F.ntile(5).over(
-                    Window.orderBy(F.desc("monetary_value"), F.asc("user_id"))
+            return d.select(
+                "user_id",
+                relational.ntile_from_row_number(F.col("_rnt"), n_rows, 5).alias(
+                    out
                 ),
             )
+
+        metrics = (
+            ("recency_days", True, "rfm_recency_score"),
+            ("frequency", False, "rfm_frequency_score"),
+            ("monetary_value", False, "rfm_monetary_score"),
         )
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            scored = list(pool.map(lambda a: _score(*a), metrics))
+        for sdf in scored:
+            base = base.join(sdf, "user_id")
     base = (
         base.withColumn("rfm_recency_score", F.col("rfm_recency_score").cast("bigint"))
         .withColumn("rfm_frequency_score", F.col("rfm_frequency_score").cast("bigint"))

@@ -31,6 +31,8 @@ __all__ = [
     "asof_join",
     "range_join",
     "salted_join",
+    "global_order_index",
+    "ntile_from_row_number",
 ]
 
 
@@ -369,4 +371,162 @@ def top_1_per_group(
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+def global_order_index(
+    df: DataFrame,
+    order: Sequence[Column],
+    *,
+    running_sum_col: str | None = None,
+    rn_col: str = "_rn",
+    cum_col: str = "_cum",
+    max_partitions: int = 100_000,
+):
+    """EXACT global row_number (and optional exact inclusive running
+    sum) over a total order — with no single-partition stage at any
+    input size.
+
+    The classic ``Window.orderBy(...)`` global window funnels every row
+    through ONE task; this helper is the distributed replacement when
+    exact total-order semantics (NTILE parity, cumulative shares) must
+    survive 100 TB:
+
+    1. range-exchange on ``order`` (``repartitionByRange`` — parallel,
+       skew-split because tie-breaking columns participate in the
+       boundaries) + ``sortWithinPartitions`` (local sort, no shuffle);
+    2. ``monotonically_increasing_id`` freezes (partition, local rank)
+       into one long — pid in the upper bits, the post-sort row index
+       in the lower 33;
+    3. ONE bounded driver collect of per-partition (count[, sum]) —
+       ≤ ``spark.sql.shuffle.partitions`` rows, fail-fast capped at
+       ``max_partitions`` — turned into dense offset-array literals
+       (O(1) ``element_at`` lookup per row);
+    4. global row_number = row_offset[pid] + local_index + 1; the
+       optional running sum adds a per-partition window
+       (``partitionBy(_pid)`` — hash exchange, 1/P of the data per
+       task, never a global funnel) plus the sum offset.
+
+    This is the ``corpus.pack_shards`` offset design with the offset
+    table lifted to the driver, so not even a P-row single-partition
+    window remains in the plan.
+
+    **Recompute safety / persistence contract**: range boundaries are
+    SAMPLED per exchange execution, so the offsets are only valid for
+    the one materialized partitioning. The exchanged frame is therefore
+    ``persist(MEMORY_AND_DISK)``-ed and materialized by the stats
+    collect; later reads (and partition-loss recomputes, which replay
+    the SAME RDD graph with its fixed partitioner) observe that exact
+    partitioning. Do not ``unpersist``/``clearCache`` between building
+    and consuming the result. The persisted handle is returned so
+    callers chaining several orderings can release intermediates once
+    the next stage has materialized.
+
+    Returns ``(out_df, n_total, grand_sum, cached)``: ``out_df`` has
+    the input columns plus ``rn_col`` (bigint, 1-based) and — when
+    ``running_sum_col`` is set — ``cum_col`` (inclusive prefix sum in
+    the metric's Spark sum type); ``n_total`` is the exact row count,
+    ``grand_sum`` the exact column total (python value, None when no
+    sum column), ``cached`` the persisted intermediate frame.
+    """
+    from pyspark import StorageLevel
+
+    order = list(order)
+    d = (
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pid = F.shiftrightunsigned(F.col("_mid"), 33)
+    aggs = [F.count("*").alias("_n")]
+    sum_type = None
+    if running_sum_col is not None:
+        aggs.append(F.sum(running_sum_col).alias("_s"))
+        sum_type = (
+            df.select(F.sum(running_sum_col).alias("_s"))
+            .schema[0]
+            .dataType.simpleString()
+        )
+    stats = d.groupBy(pid.alias("_pid")).agg(*aggs).collect()
+    if len(stats) > max_partitions:
+        raise ValueError(
+            f"global_order_index: {len(stats)} partitions exceeds the "
+            f"driver-side offset-table cap ({max_partitions}); lower "
+            "spark.sql.shuffle.partitions or raise max_partitions"
+        )
+    by_pid = {r["_pid"]: r for r in stats}
+    nparts = (max(by_pid) + 1) if by_pid else 1
+    row_off: list[int] = []
+    sum_off: list = []
+    run_n = 0
+    run_s = None
+    if running_sum_col is not None:
+        import decimal
+
+        run_s = decimal.Decimal(0) if sum_type.startswith("decimal") else 0
+    for p in range(nparts):
+        row_off.append(run_n)
+        if running_sum_col is not None:
+            sum_off.append(run_s)
+        r = by_pid.get(p)
+        if r is not None:
+            run_n += r["_n"]
+            if running_sum_col is not None and r["_s"] is not None:
+                run_s += r["_s"]
+    n_total, grand_sum = run_n, run_s
+
+    local_idx = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    idx = (pid + 1).cast("int")
+    row_off_arr = F.array(*[F.lit(x) for x in row_off])
+    out = d.withColumn(
+        rn_col,
+        (F.element_at(row_off_arr, idx) + local_idx + F.lit(1)).cast(
+            "bigint"
+        ),
+    )
+    if running_sum_col is not None:
+        out = out.withColumn("_pid", pid)
+        w = (
+            Window.partitionBy("_pid")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        sum_off_arr = F.array(
+            *[F.lit(x).cast(sum_type) for x in sum_off]
+        )
+        out = out.withColumn(
+            cum_col,
+            (
+                F.element_at(sum_off_arr, idx)
+                + F.sum(running_sum_col).over(w)
+            ).cast(sum_type),
+        ).drop("_pid")
+    return out.drop("_mid"), n_total, grand_sum, d
+
+
+def ntile_from_row_number(rn: Column, n: int, k: int) -> Column:
+    """Exact ``NTILE(k)`` bucket from a global 1-based row_number over
+    the same total order, with ``n`` total rows known driver-side —
+    SQL-standard semantics: the first ``n mod k`` buckets hold
+    ``n div k + 1`` rows, the rest ``n div k``. Pairs with
+    :func:`global_order_index` to replace a global-window NTILE with a
+    distributed plan at identical results.
+
+    Division runs on DECIMAL(38,0) so the floor is exact for any
+    bigint row_number (no double mantissa loss).
+    """
+    q, r = divmod(n, k)
+    if q == 0:
+        # fewer rows than buckets: row i is bucket i
+        return rn.cast("bigint")
+    big = r * (q + 1)
+
+    def _ceil_div(num: Column, den: int) -> Column:
+        return F.floor(
+            (num + F.lit(den - 1)).cast("decimal(38,0)") / F.lit(den)
+        ).cast("bigint")
+
+    return F.when(rn <= F.lit(big), _ceil_div(rn, q + 1)).otherwise(
+        F.lit(r) + _ceil_div(rn - F.lit(big), q)
     )

@@ -43,14 +43,10 @@ SINGLE_PARTITION_OK = {
     "union_all_counts": "bounded: one count row per branch",
     # windows/sorts over post-aggregation or top-k outputs
     "event_type_share": "bounded: share window over |event types| rows",
-    "serving_rfm_distribution": "bounded: |segments| rows after agg",
-    "customer_pareto": "bounded: cumulative-share total order over the per-customer agg (documented global-sort exception)",
     "doc_hybrid_rrf_search": "bounded: rank windows over two top-50 lists",
     "orders_daily_gapfill": "bounded: 2-row calendar endpoints agg",
     "events_hourly_interpolate": "bounded: 1-row spine-endpoint agg; series windows partition by event_type",
     "orders_rolling_7d": "bounded: RANGE frame over the per-day agg (≤ |days| rows)",
-    "gold_user_rfm_segments": "exact NTILE parity path (reference semantics; scalable twin exists)",
-    "serving_chart_rfm_pie": "inherits gold_user_rfm_segments' exact NTILE parity mart; the chart adds only a |segments|-row agg",
     "gold_user_rfm_segments_scalable": "bounded: 1-row percentile-boundary fold; scoring is approx, no global sort",
     # distributed prefix sums: the only total order is the per-chunk
     # offset table (n_chunks rows), never the data

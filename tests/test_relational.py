@@ -283,3 +283,74 @@ def test_asof_forward_and_tolerance(spark):
     # k=2's only following view is >24h away: masked, row kept
     assert tol[(2, T(2024, 1, 1, 9))]["asof_tag"] is None
     assert tol[(1, T(2024, 1, 1, 10))]["asof_tag"] == "at"
+
+
+def test_global_order_index_matches_global_window(spark):
+    """The distributed total-order helper (range exchange + local ranks
+    + bounded offset table) must be BIT-IDENTICAL to the global-window
+    formulation it replaces: row_number, inclusive running sum, and
+    exact NTILE(k) for several k — including ties on the metric (broken
+    by id), skewed values, and n < k."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    random.seed(11)
+    # heavy ties: metric drawn from 8 values over 4001 rows (the RFM
+    # frequency-skew shape a range partitioner must split across tasks)
+    rows = [
+        (i, random.choice([1, 1, 1, 1, 2, 3, 5, 50]), float(i % 97) / 7)
+        for i in range(4001)
+    ]
+    df = spark.createDataFrame(rows, "id long, m long, v double").repartition(7)
+    order = [F.col("m").desc(), F.col("id").asc()]
+    out, n, grand, _cached = relational.global_order_index(
+        df, order, running_sum_col="v"
+    )
+    assert n == 4001
+    assert abs(grand - sum(r[2] for r in rows)) < 1e-6
+
+    w = Window.orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref = df.select(
+        "id",
+        F.row_number().over(w).alias("rn"),
+        F.sum("v").over(run).alias("cum"),
+        *[F.ntile(k).over(w).alias(f"t{k}") for k in (3, 5, 10)],
+    )
+    got = out.select(
+        "id",
+        F.col("_rn").alias("rn"),
+        F.col("_cum").alias("cum"),
+        *[
+            relational.ntile_from_row_number(F.col("_rn"), n, k).alias(f"t{k}")
+            for k in (3, 5, 10)
+        ],
+    )
+    joined = got.alias("g").join(ref.alias("r"), "id")
+    assert joined.filter("g.rn <> r.rn").count() == 0
+    assert joined.filter("abs(g.cum - r.cum) > 1e-9").count() == 0
+    for k in (3, 5, 10):
+        assert joined.filter(f"g.t{k} <> r.t{k}").count() == 0
+
+    # the point of the helper: no single-partition stage in its plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+    # n < k edge: NTILE gives row i bucket i
+    small = spark.createDataFrame([(1,), (2,)], "id long")
+    o2, n2, _, _ = relational.global_order_index(small, [F.col("id").asc()])
+    got2 = {
+        r["id"]: r["t"]
+        for r in o2.select(
+            "id", relational.ntile_from_row_number(F.col("_rn"), n2, 5).alias("t")
+        ).collect()
+    }
+    assert got2 == {1: 1, 2: 2}
+
+    # empty input: no rows, no crash
+    empty = spark.createDataFrame([], "id long, v double")
+    o3, n3, g3, _ = relational.global_order_index(
+        empty, [F.col("id").asc()], running_sum_col="v"
+    )
+    assert n3 == 0 and o3.count() == 0
