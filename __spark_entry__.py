@@ -1434,6 +1434,22 @@ def q_doc_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.bigram_logprob_scores(docs).orderBy("doc_id")
 
 
+def q_doc_lm_kn5_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-5 interpolated Kneser-Ney LM score per document — the
+    KenLM-grade gate CCNet actually runs: BOS-padded 5-gram windows,
+    raw counts at the top level, continuation counts below, fixed
+    discount 0.75, uniform base (corpus.kn5_logprob_scores; one model
+    aggregation collected + dict-folded driver-side, one Arrow
+    mapInPandas scoring stage against the broadcast model — the same
+    shape as probing a pretrained KenLM). KenLM-style count pruning
+    (min count 2) drops singleton 5-grams before the lower-order
+    derivation — the production configuration, and what keeps the
+    broadcast model vocabulary-sized instead of corpus-sized."""
+    _ensure_conf(spark)
+    docs = _rel(spark, sf_dir, "documents")
+    return corpus.kn5_logprob_scores(docs, prune_min_count=2).orderBy("doc_id")
+
+
 def q_corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus distribution —
     the domain-divergence diagnostic read before choosing mixing
@@ -3506,6 +3522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_intra_dedup": q_doc_intra_dedup,
         "doc_lm_unigram_score": q_doc_lm_unigram_score,
         "doc_lm_bigram_score": q_doc_lm_bigram_score,
+        "doc_lm_kn5_score": q_doc_lm_kn5_score,
         "corpus_source_kl": q_corpus_source_kl,
         "corpus_dsir_sample": q_corpus_dsir_sample,
         "corpus_ccnet_buckets": q_corpus_ccnet_buckets,
@@ -6358,6 +6375,128 @@ probs AS (
 )
 SELECT d.doc_id,
     CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+    CAST(s.sum_logprob AS DOUBLE) AS sum_logprob,
+    s.avg_logprob AS avg_logprob
+FROM d
+LEFT JOIN scored s USING (doc_id)
+ORDER BY doc_id
+"""
+
+    sql["doc_lm_kn5_score"] = """
+WITH d AS (
+    SELECT doc_id,
+        list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    x -> x <> '') AS toks
+    FROM documents
+), pp AS (
+    SELECT doc_id,
+        list_concat([chr(1), chr(1), chr(1), chr(1)], toks) AS pa,
+        len(toks) AS n
+    FROM d
+), pos AS (
+    SELECT doc_id, unnest(
+        CASE WHEN n > 0
+             THEN list_transform(range(1, n + 1),
+                                 i -> array_to_string(pa[i:i+4], ' '))
+             ELSE []::VARCHAR[] END) AS g5
+    FROM pp
+), cnt5 AS (
+    SELECT g5, COUNT(*) AS c5 FROM pos GROUP BY g5 HAVING COUNT(*) >= 2
+), a4 AS (
+    SELECT array_to_string((string_split(g5, ' '))[2:5], ' ') AS g4,
+           COUNT(*) AS cc4
+    FROM cnt5 GROUP BY 1
+), a3 AS (
+    SELECT array_to_string((string_split(g4, ' '))[2:4], ' ') AS g3,
+           COUNT(*) AS cc3
+    FROM a4 GROUP BY 1
+), a2 AS (
+    SELECT array_to_string((string_split(g3, ' '))[2:3], ' ') AS g2,
+           COUNT(*) AS cc2
+    FROM a3 GROUP BY 1
+), a1 AS (
+    SELECT array_to_string((string_split(g2, ' '))[2:2], ' ') AS g1,
+           COUNT(*) AS cc1
+    FROM a2 GROUP BY 1
+), ctx5 AS (
+    SELECT array_to_string((string_split(g5, ' '))[1:4], ' ') AS h4,
+           SUM(c5) AS tot5, COUNT(*) AS n1p5
+    FROM cnt5 GROUP BY 1
+), cx4 AS (
+    SELECT array_to_string((string_split(g4, ' '))[1:3], ' ') AS h3,
+           SUM(cc4) AS ct4, COUNT(*) AS np4
+    FROM a4 GROUP BY 1
+), cx3 AS (
+    SELECT array_to_string((string_split(g3, ' '))[1:2], ' ') AS h2,
+           SUM(cc3) AS ct3, COUNT(*) AS np3
+    FROM a3 GROUP BY 1
+), cx2 AS (
+    SELECT array_to_string((string_split(g2, ' '))[1:1], ' ') AS h1,
+           SUM(cc2) AS ct2, COUNT(*) AS np2
+    FROM a2 GROUP BY 1
+), sc AS (SELECT SUM(cc1) AS ct1 FROM a1),
+sj AS (
+    SELECT pos.doc_id, pos.g5, cnt5.c5, ctx5.tot5, ctx5.n1p5,
+           a4.cc4, cx4.ct4, cx4.np4, a3.cc3, cx3.ct3, cx3.np3,
+           a2.cc2, cx2.ct2, cx2.np2, a1.cc1, sc.ct1
+    FROM pos
+    LEFT JOIN cnt5 USING (g5)
+    LEFT JOIN ctx5
+        ON array_to_string((string_split(pos.g5, ' '))[1:4], ' ') = ctx5.h4
+    LEFT JOIN a4
+        ON array_to_string((string_split(pos.g5, ' '))[2:5], ' ') = a4.g4
+    LEFT JOIN cx4
+        ON array_to_string((string_split(pos.g5, ' '))[2:4], ' ') = cx4.h3
+    LEFT JOIN a3
+        ON array_to_string((string_split(pos.g5, ' '))[3:5], ' ') = a3.g3
+    LEFT JOIN cx3
+        ON array_to_string((string_split(pos.g5, ' '))[3:4], ' ') = cx3.h2
+    LEFT JOIN a2
+        ON array_to_string((string_split(pos.g5, ' '))[4:5], ' ') = a2.g2
+    LEFT JOIN cx2
+        ON array_to_string((string_split(pos.g5, ' '))[4:4], ' ') = cx2.h1
+    LEFT JOIN a1
+        ON array_to_string((string_split(pos.g5, ' '))[5:5], ' ') = a1.g1
+    CROSS JOIN sc
+), p1t AS (
+    SELECT *, (greatest(coalesce(cc1, 0) - 0.75, 0) + 0.75) / ct1 AS p1
+    FROM sj
+), p2t AS (
+    SELECT *, CASE WHEN ct2 IS NULL THEN p1
+        ELSE (greatest(coalesce(cc2, 0) - 0.75, 0) + 0.75 * np2 * p1) / ct2
+        END AS p2
+    FROM p1t
+), p3t AS (
+    SELECT *, CASE WHEN ct3 IS NULL THEN p2
+        ELSE (greatest(coalesce(cc3, 0) - 0.75, 0) + 0.75 * np3 * p2) / ct3
+        END AS p3
+    FROM p2t
+), p4t AS (
+    SELECT *, CASE WHEN ct4 IS NULL THEN p3
+        ELSE (greatest(coalesce(cc4, 0) - 0.75, 0) + 0.75 * np4 * p3) / ct4
+        END AS p4
+    FROM p3t
+), p5t AS (
+    SELECT doc_id, CASE WHEN tot5 IS NULL THEN p4
+        ELSE (greatest(coalesce(c5, 0) - 0.75, 0) + 0.75 * n1p5 * p4) / tot5
+        END AS p5
+    FROM p4t
+), lp AS (
+    SELECT doc_id,
+        CAST(floor(log10(p5) * 1000000 + 0.5) / 1000000
+             AS DECIMAL(18,6)) AS lp
+    FROM p5t
+), scored AS (
+    SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_scored,
+        CAST(SUM(lp) AS DOUBLE) AS sum_logprob,
+        floor(CAST(SUM(lp) AS DOUBLE) / COUNT(*) * 1000000 + 0.5)
+            / 1000000 AS avg_logprob
+    FROM lp
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+    CAST(COALESCE(s.n_scored, 0) AS BIGINT) AS n_scored,
     CAST(s.sum_logprob AS DOUBLE) AS sum_logprob,
     s.avg_logprob AS avg_logprob
 FROM d

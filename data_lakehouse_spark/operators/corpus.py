@@ -64,6 +64,7 @@ __all__ = [
     "ccnet_quality_buckets",
     "temperature_sample",
     "bigram_logprob_scores",
+    "kn5_logprob_scores",
     "source_kl_divergence",
 ]
 
@@ -1496,6 +1497,314 @@ def bigram_logprob_scores(
                     F.try_divide(
                         F.sum("lp").cast("double"), F.count("lp")
                     )
+                    * scale
+                    + F.lit(0.5)
+                )
+                / scale
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def kn5_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    prune_min_count: int | None = None,
+    round_dp: int = 6,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Order-5 interpolated Kneser-Ney LM quality score — the
+    KenLM-grade gate CCNet-style pipelines actually use (a 5-gram KN
+    model), completing the unigram -> bigram track
+    (:func:`unigram_logprob_scores`, :func:`bigram_logprob_scores`)
+    with real context modeling and principled backoff.
+
+    Model (Chen & Goodman 1999, interpolated KN, fixed discount ``D``):
+
+    - every document is padded with four BOS sentinels (``\x01``) so
+      EVERY real token position scores through the same full-context
+      order-5 path (no per-position truncation classes);
+    - the top level uses raw 5-gram counts:
+      ``P5(w|h) = max(c5(hw)-D,0)/c5(h.) + D*N1+(h.)/c5(h.) * P4`` —
+      an UNSEEN 4-token context backs off with weight 1;
+    - lower levels use continuation counts (``N1+(.g)`` = distinct
+      left-extending tokens), the defining KN ingredient: frequent-but-
+      context-bound tokens ("francisco") stop inflating backoff mass;
+    - the base case interpolates to uniform over the continuation
+      vocabulary, which algebraically collapses to
+      ``P1(w) = (max(cc1(w)-D,0) + D)/ct1`` — OOV tokens floor at
+      ``D/ct1 > 0``.
+
+    Every table derives from ONE corpus scan: the position explode
+    yields 5-gram strings; 4/3/2/1-gram raw+continuation tables are
+    suffix re-aggregations of the 5-gram table (windows all end at real
+    token positions, so lower-order counts are exact suffix sums — no
+    second scan). With ``broadcast_model`` (default) the pruned 5-gram
+    table is collected once (bounded, fail-fast at 5M grams), the lower
+    orders are driver-side dict folds, and scoring is a single Arrow
+    ``mapInPandas`` stage probing the broadcast model — the production
+    shape (a pretrained KenLM is likewise a broadcast native model
+    probed from a vectorized UDF). At web scale set it False: every
+    table stays a lazy re-aggregation and scoring runs as nine
+    distributed hash joins on the gram keys; ``prune_min_count`` drops
+    rare 5-grams BEFORE the lower-order derivation (KenLM-style count
+    pruning; pruned mass resurfaces via backoff, never as a crash).
+    The two paths are bit-identical (pinned in tests/test_corpus.py).
+
+    Determinism: probabilities evaluate in IEEE doubles with a fixed
+    parenthesization mirrored by the oracle SQL; per-position log10
+    probabilities floor-round half-up at ``round_dp`` and accumulate as
+    DECIMAL (order-independent, bit-identical across engines).
+    Zero-token documents keep one row with ``n_scored=0`` and NULL
+    scores (explode_outer — same contract as
+    :func:`bigram_logprob_scores`).
+    """
+    BOS = "\x01"
+    D = float(discount)
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+", -1),
+            lambda t: t != "",
+        ).alias("_t"),
+    ).select(
+        id_col,
+        F.concat(
+            F.array_repeat(F.lit(BOS), 4), F.col("_t")
+        ).alias("_p"),
+        F.size("_t").alias("_n"),
+    )
+    # one 5-token window per REAL token position (padded index i+4)
+    pos = toks.select(
+        id_col,
+        F.explode_outer(
+            F.when(
+                F.col("_n") > 0,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n")),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("_p"), i, 5)
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("g5"),
+    )
+    grams = pos.filter(F.col("g5").isNotNull())
+
+    def _part(start: int, length: int) -> Column:
+        return F.concat_ws(
+            " ", F.slice(F.split(F.col("g5"), " ", -1), start, length)
+        )
+
+    def _gpart(col: str, start: int, length: int) -> Column:
+        return F.concat_ws(
+            " ", F.slice(F.split(F.col(col), " ", -1), start, length)
+        )
+
+    cnt5 = grams.groupBy("g5").agg(F.count("*").alias("c5"))
+    if prune_min_count is not None:
+        cnt5 = cnt5.filter(F.col("c5") >= int(prune_min_count))
+
+    if broadcast_model:
+        # Fast path: ONE aggregation job collects the (pruned) 5-gram
+        # table — bounded, fail-fast — the lower-order tables are
+        # trivial driver-side dict folds, and scoring runs as a single
+        # Arrow ``mapInPandas`` stage against the broadcast model (the
+        # production shape: a pretrained KenLM is likewise a broadcast
+        # native model probed from a vectorized UDF). This replaces ~10
+        # SEQUENTIAL tiny shuffle stages + nine joins with one job and
+        # one map stage; bit-equality with the hash-join path is pinned
+        # in tests/test_corpus.py.
+        rows = cnt5.collect()
+        if len(rows) > 5_000_000:
+            raise ValueError(
+                f"kn5 model has {len(rows)} surviving 5-grams - too "
+                "large to collect/broadcast; raise prune_min_count or "
+                "set broadcast_model=False for the hash-join path"
+            )
+        c5_map = {r["g5"]: r["c5"] for r in rows}
+
+        def _suffix_fold(m: dict) -> dict:
+            out: dict[str, int] = {}
+            for k in m:
+                kk = k.split(" ", 1)[1]
+                out[kk] = out.get(kk, 0) + 1
+            return out
+
+        a4_map = _suffix_fold(c5_map)
+        a3_map = _suffix_fold(a4_map)
+        a2_map = _suffix_fold(a3_map)
+        a1_map = _suffix_fold(a2_map)
+
+        def _ctx_fold(m: dict) -> dict:
+            out: dict[str, list[int]] = {}
+            for k, v in m.items():
+                e = out.setdefault(k.rsplit(" ", 1)[0], [0, 0])
+                e[0] += v
+                e[1] += 1
+            return out
+
+        ctx_maps = (
+            _ctx_fold(c5_map),
+            _ctx_fold(a4_map),
+            _ctx_fold(a3_map),
+            _ctx_fold(a2_map),
+        )
+        ct1_val = sum(a1_map.values())
+        bc = docs.sparkSession.sparkContext.broadcast(
+            (c5_map, a4_map, a3_map, a2_map, a1_map, ctx_maps, ct1_val)
+        )
+        micro = 10 ** round_dp
+
+        def _score(batches):
+            import math
+
+            import pandas as pd
+
+            c5m, a4m, a3m, a2m, a1m, (cx5, cx4, cx3, cx2), ct1 = bc.value
+            for pdf in batches:
+                lps = []
+                for g in pdf["g5"]:
+                    if g is None or ct1 == 0:
+                        lps.append(None)
+                        continue
+                    t = g.split(" ")
+                    # same arithmetic, same order as the join path:
+                    # (max(cc-D,0) + D*n1p*p_lower) / ctot per level
+                    p = (max(a1m.get(t[4], 0) - D, 0.0) + D) / ct1
+                    for gm, cxm, lo in (
+                        (a2m, cx2, 3),
+                        (a3m, cx3, 2),
+                        (a4m, cx4, 1),
+                        (c5m, cx5, 0),
+                    ):
+                        ctx = cxm.get(" ".join(t[lo:4]))
+                        if ctx is not None:
+                            p = (
+                                max(gm.get(" ".join(t[lo:]), 0) - D, 0.0)
+                                + D * ctx[1] * p
+                            ) / ctx[0]
+                    lps.append(math.floor(math.log10(p) * micro + 0.5))
+                yield pd.DataFrame(
+                    {
+                        "_id": pdf[pdf.columns[0]],
+                        "lpm": pd.array(lps, dtype="Int64"),
+                    }
+                )
+
+        id_type = pos.schema[id_col].dataType.simpleString()
+        sc_micro = F.lit(float(micro))
+        return (
+            pos.mapInPandas(_score, f"_id {id_type}, lpm long")
+            .groupBy(F.col("_id").alias(id_col))
+            .agg(
+                F.count("lpm").cast("bigint").alias("n_scored"),
+                (F.sum("lpm").cast("double") / sc_micro).alias(
+                    "sum_logprob"
+                ),
+                (
+                    F.floor(
+                        F.try_divide(
+                            F.sum("lpm").cast("double") / sc_micro,
+                            F.count("lpm"),
+                        )
+                        * sc_micro
+                        + F.lit(0.5)
+                    )
+                    / sc_micro
+                ).alias("avg_logprob"),
+            )
+        )
+
+    # Scale path (broadcast_model=False): every table stays a lazy
+    # suffix/prefix re-aggregation of the 5-gram table (no driver
+    # materialization); the joins below run as distributed hash joins
+    # on the gram keys.
+    a4 = cnt5.groupBy(_gpart("g5", 2, 4).alias("g4")).agg(
+        F.count("*").alias("cc4")
+    )
+    a3 = a4.groupBy(_gpart("g4", 2, 3).alias("g3")).agg(
+        F.count("*").alias("cc3")
+    )
+    a2 = a3.groupBy(_gpart("g3", 2, 2).alias("g2")).agg(
+        F.count("*").alias("cc2")
+    )
+    a1 = a2.groupBy(_gpart("g2", 2, 1).alias("g1")).agg(
+        F.count("*").alias("cc1")
+    )
+    # context totals + distinct-continuation counts per level
+    ctx5 = cnt5.groupBy(_gpart("g5", 1, 4).alias("h4")).agg(
+        F.sum("c5").alias("tot5"), F.count("*").alias("n1p5")
+    )
+    cx4 = a4.groupBy(_gpart("g4", 1, 3).alias("h3")).agg(
+        F.sum("cc4").alias("ct4"), F.count("*").alias("np4")
+    )
+    cx3 = a3.groupBy(_gpart("g3", 1, 2).alias("h2")).agg(
+        F.sum("cc3").alias("ct3"), F.count("*").alias("np3")
+    )
+    cx2 = a2.groupBy(_gpart("g2", 1, 1).alias("h1")).agg(
+        F.sum("cc2").alias("ct2"), F.count("*").alias("np2")
+    )
+    sc = a1.agg(F.sum("cc1").alias("ct1"))
+
+    side = lambda d: d  # noqa: E731 - hash joins; model never collected
+    j = (
+        pos.withColumn("h4", _part(1, 4))
+        .withColumn("g4", _part(2, 4))
+        .withColumn("h3", _part(2, 3))
+        .withColumn("g3", _part(3, 3))
+        .withColumn("h2", _part(3, 2))
+        .withColumn("g2", _part(4, 2))
+        .withColumn("h1", _part(4, 1))
+        .withColumn("g1", _part(5, 1))
+        .join(side(cnt5), "g5", "left")
+        .join(side(ctx5), "h4", "left")
+        .join(side(a4), "g4", "left")
+        .join(side(cx4), "h3", "left")
+        .join(side(a3), "g3", "left")
+        .join(side(cx3), "h2", "left")
+        .join(side(a2), "g2", "left")
+        .join(side(cx2), "h1", "left")
+        .join(side(a1), "g1", "left")
+        .crossJoin(side(sc))
+    )
+    dlit = F.lit(D)
+    z = F.lit(0.0)
+
+    def _lvl(cc: Column, ctot: Column, np_: Column, lower: Column) -> Column:
+        seen = (
+            F.greatest(F.coalesce(cc, F.lit(0)).cast("double") - dlit, z)
+            + dlit * np_.cast("double") * lower
+        ) / ctot.cast("double")
+        return F.when(ctot.isNull(), lower).otherwise(seen)
+
+    p1 = (
+        F.greatest(F.coalesce(F.col("cc1"), F.lit(0)).cast("double") - dlit, z)
+        + dlit
+    ) / F.col("ct1").cast("double")
+    p2 = _lvl(F.col("cc2"), F.col("ct2"), F.col("np2"), p1)
+    p3 = _lvl(F.col("cc3"), F.col("ct3"), F.col("np3"), p2)
+    p4 = _lvl(F.col("cc4"), F.col("ct4"), F.col("np4"), p3)
+    p5 = _lvl(F.col("c5"), F.col("tot5"), F.col("n1p5"), p4)
+
+    scale = F.lit(float(10 ** round_dp))
+    lp = F.when(
+        F.col("g5").isNotNull(),
+        (F.floor(F.log10(p5) * scale + F.lit(0.5)) / scale).cast(
+            f"decimal(18,{round_dp})"
+        ),
+    ).alias("lp")
+    return (
+        j.select(id_col, lp)
+        .groupBy(id_col)
+        .agg(
+            F.count("lp").cast("bigint").alias("n_scored"),
+            F.sum("lp").cast("double").alias("sum_logprob"),
+            (
+                F.floor(
+                    F.try_divide(F.sum("lp").cast("double"), F.count("lp"))
                     * scale
                     + F.lit(0.5)
                 )

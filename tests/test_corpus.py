@@ -775,3 +775,76 @@ def test_source_kl_divergence_semantics(spark):
     assert out["weird"]["kl_divergence"] > out["a"]["kl_divergence"] > 0
     assert all(r["kl_divergence"] >= -1e-4 for r in out.values())
     assert out["weird"]["n_terms"] == 2  # omega, psi
+
+
+def test_kn5_lm_context_beyond_bigrams(spark):
+    """The motivating property of the order-5 KN gate: text that
+    preserves local bigrams but breaks longer-range order (a rotation)
+    is penalized MORE sharply by KN5 than by the bigram gate — the
+    bigram model sees almost-all-seen pairs, KN5 sees broken 5-grams."""
+    fluent = "a b c d e f g h"
+    rotated = "e f g h a b c d"  # all interior bigrams survive; order broken
+    docs = spark.createDataFrame(
+        [(i, fluent) for i in range(10)] + [(100, rotated)],
+        "doc_id long, text string",
+    )
+    kn = {r["doc_id"]: r for r in corpus.kn5_logprob_scores(docs).collect()}
+    assert kn[0]["n_scored"] == 8
+    assert kn[0]["avg_logprob"] > kn[100]["avg_logprob"]
+    bi = {r["doc_id"]: r for r in corpus.bigram_logprob_scores(docs).collect()}
+    margin_kn = float(kn[0]["avg_logprob"]) - float(kn[100]["avg_logprob"])
+    margin_bi = float(bi[0]["avg_logprob"]) - float(bi[100]["avg_logprob"])
+    assert margin_kn > margin_bi, (margin_kn, margin_bi)
+
+    # shuffled bag-of-words separates too (same unigrams as fluent)
+    shuffled = "h a f c e b g d"
+    docs2 = spark.createDataFrame(
+        [(i, fluent) for i in range(10)] + [(100, shuffled)],
+        "doc_id long, text string",
+    )
+    kn2 = {r["doc_id"]: r for r in corpus.kn5_logprob_scores(docs2).collect()}
+    assert kn2[0]["avg_logprob"] > kn2[100]["avg_logprob"]
+
+    # degenerate docs: 1 token scores (BOS context), 0 tokens stays
+    # visible with NULL scores
+    short = spark.createDataFrame(
+        [(1, "one"), (2, "")], "doc_id long, text string"
+    )
+    srows = {r["doc_id"]: r for r in corpus.kn5_logprob_scores(short).collect()}
+    assert srows[1]["n_scored"] == 1 and srows[1]["avg_logprob"] is not None
+    assert srows[2]["n_scored"] == 0 and srows[2]["avg_logprob"] is None
+
+
+def test_kn5_broadcast_and_hash_join_paths_identical(spark):
+    """The Arrow broadcast-dict path (default) and the distributed
+    hash-join scale path must be BIT-identical — same counts, same
+    doubles — including under count pruning."""
+    texts = [
+        "the cat sat on the mat and then the cat slept",
+        "the dog sat on the rug and then the dog slept",
+        "the cat sat on the mat and then the cat slept",
+        "one two three four five six seven",
+        "tiny",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)] * 3, "doc_id long, text string"
+    ).dropDuplicates(["doc_id"])
+    for prune in (None, 2):
+        fast = {
+            r["doc_id"]: (r["n_scored"], r["sum_logprob"], r["avg_logprob"])
+            for r in corpus.kn5_logprob_scores(
+                docs, prune_min_count=prune
+            ).collect()
+        }
+        slow = {
+            r["doc_id"]: (
+                r["n_scored"],
+                float(r["sum_logprob"]) if r["sum_logprob"] is not None else None,
+                r["avg_logprob"],
+            )
+            for r in corpus.kn5_logprob_scores(
+                docs, prune_min_count=prune, broadcast_model=False
+            ).collect()
+        }
+        assert fast == slow, {k: (fast[k], slow[k]) for k in fast if fast[k] != slow.get(k)}
