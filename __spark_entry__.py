@@ -1966,11 +1966,16 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH buckets + re-rank."""
+    """Approximate top-k via random-hyperplane LSH at the recommended
+    setting: distance-weighted multi-probe (8 most-likely buckets per
+    table) across 5 independent tables, exact cosine re-rank — 0.84
+    recall@10 on the eval panel (ANN_EVAL.md), one scan."""
     _ensure_conf(spark)
     emb = _rel(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
-    return similarity.ann_lsh_topk(emb, qv, k=20, num_planes=8, probe_hamming=2)
+    return similarity.ann_lsh_topk(
+        emb, qv, k=20, num_planes=6, n_probe=8, num_tables=5
+    )
 
 
 def _ann_index_catalog(spark: SparkSession, sf_dir: str):
@@ -2171,17 +2176,37 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_frame_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video-shaped cross-modal retrieval end to end: payload →
-    per-frame embeddings in one mapInPandas pass (fan-out AFTER the
+    """Video-shaped cross-modal retrieval end to end, NO STUBS: each
+    doc's payload is a REAL concatenated-PPM stream (three 8x8 P6
+    frames rendered JVM-side from the doc's text bytes — the MJPEG
+    shape in an in-container-decodable format); frame boundaries come
+    from each frame's own header, pixels decode through the real
+    netpbm codec, and the per-frame embeddings are luminance grid-pool
+    descriptors (codecs.grid_pool_features) — resolution-invariant
+    REAL features, not hash folds. One mapInPandas fan-out (after the
     binary column stops shuffling) → exact cosine top-k of frames
-    similar to doc 0's first frame. Rows-only: the frame 'decoder' is
-    a deterministic STUB (no codecs in this container); everything
-    Spark-side — schema, fan-out, Arrow batching, similarity hookup —
-    is the real pipeline."""
+    similar to doc 0's first frame. Rows-only check: every row must
+    come off the 'pnm' decoder, so a codec/feature regression empties
+    the result and fails the rows gate."""
     _ensure_conf(spark)
     docs = _rel(spark, sf_dir, "documents")
-    frames = multimodal.frame_embed_stub(
-        multimodal.attach_binary_payload(docs), frame_bytes=64, dim=16
+    w = 8
+    frame_body = lambda off: F.substring(  # noqa: E731
+        F.rpad(F.substring(F.col("text"), off, 10_000), w * w * 3, "x"),
+        1,
+        w * w * 3,
+    )
+    header = F.encode(F.lit(f"P6\n{w} {w}\n255\n"), "UTF-8")
+    payload = F.concat(
+        *[
+            F.concat(header, F.encode(frame_body(1 + i * 37), "UTF-8"))
+            for i in range(3)
+        ]
+    ).cast("binary")
+    with_payload = docs.select("doc_id", payload.alias("payload"))
+    frames = (
+        multimodal.frame_embed_real(with_payload, dim=16)
+        .filter(F.col("decoder") == "pnm")
     ).withColumn(
         # stable scalar id so the similarity operators' bigint id
         # contract holds: (doc_id, frame_idx) → doc_id * 2^20 + idx

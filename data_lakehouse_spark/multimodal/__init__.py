@@ -7,6 +7,7 @@ from data_lakehouse_spark.multimodal.columns import (
     extract_binary_meta,
     feature_extract,
     feature_extract_stub,
+    frame_embed_real,
     frame_embed_stub,
     frame_sample_stub,
     resize_image_stub,
@@ -21,6 +22,7 @@ __all__ = [
     "extract_binary_meta",
     "feature_extract",
     "feature_extract_stub",
+    "frame_embed_real",
     "frame_embed_stub",
     "frame_sample_stub",
     "resize_image_stub",

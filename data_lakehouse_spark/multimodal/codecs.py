@@ -28,6 +28,7 @@ __all__ = [
     "decode_image_bytes",
     "decode_wav_bytes",
     "grid_pool_features",
+    "split_pnm_stream",
     "HAVE_PIL",
     "HAVE_SOUNDFILE",
 ]
@@ -240,6 +241,54 @@ def decode_image_bytes(data: bytes) -> dict | None:
         if out is not None:
             return out
     return None
+
+
+def split_pnm_stream(data: bytes, max_frames: int = 100_000) -> list[bytes]:
+    """Split a concatenated binary-netpbm stream (back-to-back P5/P6
+    frames — the PPM analog of an MJPEG stream) into one byte slice per
+    frame. Each frame's length is computed from its own header
+    (width·height·channels after maxval), so the split is exact with no
+    delimiter scanning. Parsing stops cleanly at the first
+    non-conforming byte — trailing garbage yields the frames before it,
+    never an exception (decode robustness contract of this module)."""
+    frames: list[bytes] = []
+    off = 0
+    while off < len(data) and len(frames) < max_frames:
+        if data[off : off + 1] != b"P" or data[off + 1 : off + 2] not in b"56":
+            break
+        channels = 3 if data[off + 1 : off + 2] == b"6" else 1
+        tokens: list[bytes] = []
+        pos = off + 2
+        ok = True
+        while len(tokens) < 3 and pos < len(data):
+            c = data[pos : pos + 1]
+            if c == b"#":
+                pos = data.find(b"\n", pos)
+                if pos < 0:
+                    ok = False
+                    break
+            elif c.isspace():
+                pos += 1
+            else:
+                end = pos
+                while end < len(data) and not data[end : end + 1].isspace():
+                    end += 1
+                tokens.append(data[pos:end])
+                pos = end
+        if not ok or len(tokens) < 3:
+            break
+        try:
+            w, h, maxval = (int(t) for t in tokens)
+        except ValueError:
+            break
+        if w <= 0 or h <= 0 or maxval > 255:
+            break
+        end = pos + 1 + w * h * channels  # single whitespace after maxval
+        if end > len(data):
+            break
+        frames.append(data[off:end])
+        off = end
+    return frames
 
 
 def grid_pool_features(

@@ -47,6 +47,7 @@ __all__ = [
     "feature_extract_stub",
     "frame_sample_stub",
     "frame_embed_stub",
+    "frame_embed_real",
     "audio_window_stub",
     "decode_image",
     "feature_extract",
@@ -271,6 +272,87 @@ def frame_embed_stub(
     return df.select(id_col, "payload").mapInPandas(
         _embed_frames, schema=schema
     )
+
+
+def frame_embed_real(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    dim: int = 16,
+) -> DataFrame:
+    """REAL video-shaped path: payload = a concatenated binary-netpbm
+    stream (back-to-back P5/P6 frames, the PPM analog of MJPEG) →
+    per-frame REAL pixel decode (codecs._decode_pnm) → luminance
+    grid-pool descriptors (codecs.grid_pool_features) — the same
+    fan-out/schema contract as :func:`frame_embed_stub` but with no
+    stub anywhere: frame boundaries come from each frame's own header
+    (codecs.split_pnm_stream), features from actual luminance. The
+    descriptors are resolution-invariant for uniformly upscaled frames
+    (pinned in tests/test_media_codecs.py), so "find this shot at any
+    encode size" works — the property hash-fold vectors can't have.
+
+    Payloads that aren't a PNM stream yield zero rows (never a stub
+    fallback — the honesty contract of the real tier). Scale shape as
+    the stub: fan-out happens AFTER the binary column stops shuffling;
+    only (id, frame_idx, dims, ``dim`` floats) rows move on.
+    """
+    from data_lakehouse_spark.multimodal import codecs
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("decoder", StringType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "frame_idx": [],
+                "width": [],
+                "height": [],
+                "decoder": [],
+                "embedding": [],
+            }
+            for _, r in pdf.iterrows():
+                raw = bytes(r["payload"])
+                for i, frame in enumerate(codecs.split_pnm_stream(raw)):
+                    dec = codecs.decode_image_bytes(frame)
+                    if dec is None or "pixels" not in dec:
+                        continue
+                    rows["doc_id"].append(r[id_col])
+                    rows["frame_idx"].append(i)
+                    rows["width"].append(dec["width"])
+                    rows["height"].append(dec["height"])
+                    rows["decoder"].append(dec["decoder"])
+                    rows["embedding"].append(
+                        codecs.grid_pool_features(
+                            dec["pixels"],
+                            dec["width"],
+                            dec["height"],
+                            dec["channels"],
+                            dim=dim,
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"],
+                    "frame_idx": pd.array(rows["frame_idx"], dtype="int32"),
+                    "width": pd.array(rows["width"], dtype="int32"),
+                    "height": pd.array(rows["height"], dtype="int32"),
+                    "decoder": rows["decoder"],
+                    # object dtype: an EMPTY batch otherwise infers
+                    # float64 and Arrow refuses ndarray→list<double>
+                    "embedding": pd.Series(rows["embedding"], dtype="object"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(_embed, schema=schema)
 
 
 def audio_window_stub(

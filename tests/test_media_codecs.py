@@ -150,3 +150,64 @@ def test_feature_extract_real_vs_stub_label(spark):
     assert all(0.0 <= v <= 1.0 for v in got[1]["embedding"])
     lum = (0.299 * 50 + 0.587 * 100 + 0.114 * 150) / 255.0
     assert abs(got[1]["embedding"][0] - lum) < 1e-9
+
+
+def _ppm_pattern(w: int, h: int, scale: int = 1) -> bytes:
+    """Block pattern: pixel (x, y) = the base 8x8 checker-ish gradient
+    nearest-neighbor upscaled by ``scale`` — the same IMAGE at a
+    different resolution."""
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            sx, sy = x // scale, y // scale
+            v = (sx * 31 + sy * 17) % 256
+            px += bytes((v, 255 - v, (v * 3) % 256))
+    return f"P6\n{w} {h}\n255\n".encode() + bytes(px)
+
+
+def test_split_pnm_stream_exact_boundaries():
+    f1 = _ppm(4, 3, (1, 2, 3))
+    f2 = _ppm(8, 8, (9, 8, 7))
+    f3 = _ppm_pattern(8, 8)
+    stream = f1 + f2 + f3
+    frames = codecs.split_pnm_stream(stream)
+    assert frames == [f1, f2, f3]
+    # trailing garbage: clean stop after the valid prefix
+    assert codecs.split_pnm_stream(stream + b"not a frame") == [f1, f2, f3]
+    # truncated final frame: dropped, earlier frames kept
+    assert codecs.split_pnm_stream(f1 + f2[:-5]) == [f1]
+    assert codecs.split_pnm_stream(b"") == []
+    assert codecs.split_pnm_stream(b"P3\n1 1\n255\n0 0 0") == []  # ASCII: not a binary stream
+
+
+def test_frame_embed_real_resolution_invariant_features(spark):
+    """The per-frame descriptors are REAL and resolution-invariant: a
+    video re-encoded at 2x resolution (nearest-neighbor upscale of
+    every frame) produces IDENTICAL grid-pool embeddings — the property
+    the hash-fold stub cannot have (its vectors change with any byte)."""
+    base_frames = [_ppm_pattern(8, 8), _ppm(8, 8, (0, 255, 0)), _ppm_pattern(8, 8)]
+    up_frames = [_ppm_pattern(16, 16, scale=2), _ppm(16, 16, (0, 255, 0)),
+                 _ppm_pattern(16, 16, scale=2)]
+    df = spark.createDataFrame(
+        [(1, b"".join(base_frames)), (2, b"".join(up_frames)), (3, b"junk")],
+        "doc_id long, payload binary",
+    )
+    out = columns.frame_embed_real(df, dim=16).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["frame_idx"]] = r
+    # doc 3 is not a PNM stream: zero rows, never a stub fallback
+    assert 3 not in by_doc
+    assert set(by_doc[1]) == {0, 1, 2} and set(by_doc[2]) == {0, 1, 2}
+    for i in range(3):
+        a, b = by_doc[1][i], by_doc[2][i]
+        assert a["decoder"] == b["decoder"] == "pnm"
+        assert (a["width"], b["width"]) == (8, 16)
+        # 2x nearest-neighbor upscale maps every pixel into the same
+        # 4x4 grid cell -> identical means up to float summation order
+        # (4 vs 16 addends per cell)
+        assert max(
+            abs(x - y) for x, y in zip(a["embedding"], b["embedding"])
+        ) < 1e-12
+    # distinct content -> distinct descriptors
+    assert by_doc[1][0]["embedding"] != by_doc[1][1]["embedding"]

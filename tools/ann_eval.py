@@ -87,6 +87,30 @@ def main() -> None:
             print(f"lsh planes={planes} probe={ph}: recall {r:.2f} "
                   f"{s:.2f}s", file=sys.stderr)
 
+    # distance-weighted multi-probe x multi-table (the recommended LSH
+    # configuration; see similarity.ann_lsh_topk)
+    for planes, n_probe, ntab in (
+        (6, 8, 1),
+        (6, 16, 1),
+        (6, 8, 3),
+        (6, 8, 5),
+        (6, 12, 5),
+    ):
+        r, s = panel(
+            lambda qv: similarity.ann_lsh_topk(
+                emb, qv, k=args.k, num_planes=planes,
+                n_probe=n_probe, num_tables=ntab,
+            )
+        )
+        rows.append(
+            ("lsh-mp", f"planes={planes} n_probe={n_probe} L={ntab}", r, s)
+        )
+        print(
+            f"lsh-mp planes={planes} n_probe={n_probe} L={ntab}: "
+            f"recall {r:.2f} {s:.2f}s",
+            file=sys.stderr,
+        )
+
     for planes in (4, 6, 8):
         for ph in (1, 2):
             r, s = panel(
