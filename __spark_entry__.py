@@ -1967,14 +1967,14 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH at the recommended
-    setting: distance-weighted multi-probe (8 most-likely buckets per
-    table) across 5 independent tables, exact cosine re-rank — 0.84
+    setting: distance-weighted multi-probe (16 most-likely buckets per
+    table) across 3 independent tables, exact cosine re-rank — 0.89
     recall@10 on the eval panel (ANN_EVAL.md), one scan."""
     _ensure_conf(spark)
     emb = _rel(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
     return similarity.ann_lsh_topk(
-        emb, qv, k=20, num_planes=6, n_probe=8, num_tables=5
+        emb, qv, k=20, num_planes=6, n_probe=16, num_tables=3
     )
 
 
@@ -3205,6 +3205,62 @@ def q_cdc_mart_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_matview_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WIDENED materialized-view IVM contract, oracle-verified END
+    TO END: a matview declaring AVG (maintained SUM/COUNT pair),
+    COUNT(col) (signed non-NULL count), SUM and COUNT(*) — scoped by a
+    WHERE predicate applied to change images — is built from 80% of
+    events, the source then advances (20% appended, a slice
+    MOR-deleted), and ONE incremental refresh folds only the change
+    feed; the mart must hash-match DuckDB's full filtered GROUP BY over
+    the final state. Money flows as integer cents (exact in doubles)
+    so fold order cannot drift; the AVG ratio is a single double
+    division of identical operands on both engines."""
+    import shutil
+    import tempfile
+
+    from data_lakehouse_spark.catalog import Catalog
+
+    _ensure_conf(spark)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dls_matview_ivm",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(spark, root)
+    ev = _rel(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    cat.create_table("ev", ev.filter(F.col("event_id") % 5 != 0))
+    cat.create_materialized_view(
+        "mart",
+        source="ev",
+        group_cols=["event_type"],
+        measures={
+            "avg_cents": ("avg", "cast(floor(value * 100) as bigint)"),
+            "n_vals": ("count_col", "value"),
+            "revenue_cents": ("sum", "cast(floor(value * 100) as bigint)"),
+            "n_events": ("count", None),
+        },
+        where="user_id % 3 != 0",
+    )
+    cat.append("ev", ev.filter(F.col("event_id") % 5 == 0))
+    cat.delete_where("ev", "event_id % 97 = 0", mode="mor")
+    cat.refresh_materialized_view("mart")  # ONE incremental fold
+    return (
+        cat.read("mart")
+        .select(
+            "event_type",
+            F.col("avg_cents").cast("double").alias("avg_cents"),
+            F.col("n_vals").cast("bigint").alias("n_vals"),
+            F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_sql_dml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL dialect front-end (sql.py) oracle-verified END TO END: the
     dbt-over-Thrift statement surface — CTAS, UPDATE, MOR DELETE, and
@@ -3553,6 +3609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_ccnet_buckets": q_corpus_ccnet_buckets,
         "corpus_temperature_sample": q_corpus_temperature_sample,
         "corpus_pretrain_mix": q_corpus_pretrain_mix,
+        "matview_ivm": q_matview_ivm,
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -4817,6 +4874,23 @@ SELECT event_type,
     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events
 WHERE event_id % 97 <> 0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+    sql["matview_ivm"] = """
+WITH scoped AS (
+    SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE event_id % 97 <> 0 AND user_id % 3 <> 0
+)
+SELECT event_type,
+    CASE WHEN COUNT(cents) > 0
+         THEN CAST(SUM(cents) AS DOUBLE) / COUNT(cents) END AS avg_cents,
+    CAST(COUNT(cents) AS BIGINT) AS n_vals,
+    CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+FROM scoped
 GROUP BY event_type
 ORDER BY event_type
 """

@@ -2720,6 +2720,7 @@ class Catalog:
             target=name,
             group_cols=mv["group_cols"],
             measures={k: tuple(v) for k, v in mv["measures"].items()},
+            where=mv.get("where"),
         )
 
     def create_materialized_view(
@@ -2730,14 +2731,17 @@ class Catalog:
         group_cols: list[str],
         measures: dict[str, tuple[str, str | None]],
         sql_text: str | None = None,
+        where: str | None = None,
         replace: bool = False,
         refresh: bool = True,
     ) -> dict:
         """Declare + (by default) build an incrementally-maintained
         aggregate over a catalog table. ``measures`` follows the
-        CdcAggregate contract (sum/count/count_distinct/min/max);
-        holistic aggregates refuse there with the guidance to use the
-        sketch tier."""
+        CdcAggregate contract (sum/count/count_col/avg/count_distinct/
+        min/max; AVG maintained as its SUM/COUNT pair); ``where`` scopes
+        the view to a source predicate (applied to change images before
+        folding); holistic aggregates refuse with the guidance to use
+        the sketch tier."""
         if not self.table_exists(source):
             raise ValueError(f"materialized view source {source} not found")
         mvs = self.materialized_views()
@@ -2753,12 +2757,14 @@ class Catalog:
             "group_cols": list(group_cols),
             "measures": {k: list(v) for k, v in measures.items()},
             "sql": sql_text,
+            "where": where,
         }
         # validate the measure kinds before persisting
         from data_lakehouse_spark.plans.cdc import CdcAggregate
 
         CdcAggregate(self, source, name, list(group_cols),
-                     {k: tuple(v) for k, v in measures.items()})
+                     {k: tuple(v) for k, v in measures.items()},
+                     where=where)
         self._save_matviews(mvs)
         out = {"op": "create_materialized_view", "name": name}
         if refresh:

@@ -522,9 +522,9 @@ def ann_lsh_topk(
     independent hash tables (seeds ``seed + 1000·t``), candidates
     OR-ed in ONE scan — a miss must happen in every table, so recall
     compounds as ``1-(1-r)^L`` while the scan count stays 1 (each row
-    just evaluates L signatures). Recommended setting
-    ``num_planes=6, n_probe=8, num_tables=5`` measures 0.84 recall@10
-    on the eval panel (ANN_EVAL.md; floor pinned in
+    evaluates at most L signatures; the OR short-circuits). Recommended
+    setting ``num_planes=6, n_probe=16, num_tables=3`` measures 0.89
+    recall@10 on the eval panel (ANN_EVAL.md; floor pinned in
     tests/test_dedup_similarity.py).
 
     INDEX-FREE variant: computes signatures at query time — one full

@@ -60,14 +60,21 @@ class CdcAggregate:
     """Incrementally-maintained aggregate table.
 
     ``measures`` maps output column → ("sum", expr), ("count", None),
-    ("count_distinct", expr), ("min", expr) or ("max", expr), where
-    expr is a SQL string evaluated against source rows. MIN/MAX are
-    NOT algebraic under deletes (removing the current extreme needs
-    the runner-up), so they share the count_distinct support-table
-    machinery: the per-(group, value) live multiset re-derives the
-    extreme absolutely for affected groups. The mart also always
-    carries ``_n_rows`` (live row count per group) to decide group
-    retirement.
+    ("count_col", expr), ("avg", expr), ("count_distinct", expr),
+    ("min", expr) or ("max", expr), where expr is a SQL string
+    evaluated against source rows. COUNT(col) folds as a signed count
+    of non-NULL values; AVG is maintained as its algebraic SUM/COUNT
+    pair in hidden ``_avg_sum_<out>`` / ``_avg_n_<out>`` columns with
+    the ratio re-derived on every commit (NULL when no live non-NULL
+    values). MIN/MAX are NOT algebraic under deletes (removing the
+    current extreme needs the runner-up), so they share the
+    count_distinct support-table machinery: the per-(group, value)
+    live multiset re-derives the extreme absolutely for affected
+    groups. ``where`` (a SQL predicate over source columns) scopes the
+    view: it filters the full build AND every change image before
+    folding, so rows outside the predicate never touch the mart. The
+    mart also always carries ``_n_rows`` (live row count per group,
+    within ``where``) to decide group retirement.
     """
 
     def __init__(
@@ -77,18 +84,24 @@ class CdcAggregate:
         target: str,
         group_cols: list[str],
         measures: dict[str, tuple[str, str | None]],
+        where: str | None = None,
     ) -> None:
         for out, (agg, _) in measures.items():
-            if agg not in ("sum", "count", "count_distinct", "min", "max"):
+            if agg not in (
+                "sum", "count", "count_col", "avg",
+                "count_distinct", "min", "max",
+            ):
                 raise ValueError(
-                    f"{out}: only sum/count/count_distinct/min/max are "
-                    "CDC-maintainable (holistic aggregates need recompute)"
+                    f"{out}: only sum/count/count_col/avg/count_distinct/"
+                    "min/max are CDC-maintainable (holistic aggregates "
+                    "need recompute)"
                 )
         self.catalog = catalog
         self.source = source
         self.target = target
         self.group_cols = list(group_cols)
         self.measures = dict(measures)
+        self.where = where
 
     # -- internals --------------------------------------------------------
     #: measure kinds that need the per-(group, value) support table
@@ -99,8 +112,33 @@ class CdcAggregate:
         return {
             o: m
             for o, m in self.measures.items()
-            if m[0] not in self._SUPPORTED_KINDS
+            if m[0] not in self._SUPPORTED_KINDS and m[0] != "avg"
         }
+
+    @property
+    def _avg(self) -> dict[str, str]:
+        """out → expr for AVG measures (maintained as SUM/COUNT pairs)."""
+        return {o: m[1] for o, m in self.measures.items() if m[0] == "avg"}
+
+    def _fold_spec(self) -> dict[str, bool]:
+        """stored column → is-double, for every algebraically-folded
+        mart column (the coalesce-and-add merge path)."""
+        spec = {o: m[0] == "sum" for o, m in self._algebraic.items()}
+        for out, (agg, _) in self._algebraic.items():
+            if agg == "sum":
+                # hidden non-NULL count: lets the folded sum go back to
+                # NULL (not 0.0) when every live value of a group is
+                # NULL — matching a full recompute's SUM semantics
+                spec[f"_sum_n_{out}"] = False
+        for out in self._avg:
+            spec[f"_avg_sum_{out}"] = True
+            spec[f"_avg_n_{out}"] = False
+        return spec
+
+    @staticmethod
+    def _avg_ratio(out: str):
+        n = F.col(f"_avg_n_{out}")
+        return F.when(n > 0, F.col(f"_avg_sum_{out}") / n)
 
     @property
     def _supported(self) -> dict[str, tuple[str, str]]:
@@ -117,12 +155,35 @@ class CdcAggregate:
     def _signed_aggs(self, sign: Column) -> list[Column]:
         aggs = []
         for out, (agg, expr) in self._algebraic.items():
-            contrib = (
-                sign.cast("double") * F.expr(expr).cast("double")
-                if agg == "sum"
-                else sign.cast("bigint")
-            )
+            if agg == "sum":
+                contrib = sign.cast("double") * F.expr(expr).cast("double")
+                aggs.append(
+                    F.sum(
+                        F.when(
+                            F.expr(expr).isNotNull(), sign.cast("bigint")
+                        ).otherwise(F.lit(0).cast("bigint"))
+                    ).alias(f"_sum_n_{out}")
+                )
+            elif agg == "count_col":
+                # signed count of NON-NULL values — COUNT(col) semantics
+                contrib = F.when(
+                    F.expr(expr).isNotNull(), sign.cast("bigint")
+                ).otherwise(F.lit(0).cast("bigint"))
+            else:
+                contrib = sign.cast("bigint")
             aggs.append(F.sum(contrib).alias(out))
+        for out, expr in self._avg.items():
+            e = F.expr(expr).cast("double")
+            aggs.append(
+                F.sum(sign.cast("double") * e).alias(f"_avg_sum_{out}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(e.isNotNull(), sign.cast("bigint")).otherwise(
+                        F.lit(0).cast("bigint")
+                    )
+                ).alias(f"_avg_n_{out}")
+            )
         aggs.append(F.sum(sign.cast("bigint")).alias("_n_rows"))
         return aggs
 
@@ -146,7 +207,10 @@ class CdcAggregate:
                 aggs.append(F.min(F.expr(expr)).alias(out))
             else:
                 aggs.append(F.max(F.expr(expr)).alias(out))
-        return rows.groupBy(*self.group_cols).agg(*aggs)
+        out_df = rows.groupBy(*self.group_cols).agg(*aggs)
+        for out in self._avg:
+            out_df = out_df.withColumn(out, self._avg_ratio(out))
+        return out_df
 
     def _dv_full(self, rows: DataFrame, expr: str) -> DataFrame:
         """(group, value, live count) — COUNT DISTINCT ignores NULLs."""
@@ -160,16 +224,18 @@ class CdcAggregate:
     def _signed_changes(self, frm: int, to: int) -> DataFrame:
         """Change feed over (frm, to] with ``_change_type`` folded into
         a ±1 ``_sign`` column."""
-        return (
-            self.catalog.table_changes(self.source, frm, to)
-            .withColumn(
-                "_sign",
-                F.when(
-                    F.col("_change_type") == "insert", F.lit(1)
-                ).otherwise(F.lit(-1)),
-            )
-            .drop("_change_type")
-        )
+        feed = self.catalog.table_changes(self.source, frm, to)
+        if self.where:
+            # view-scope predicate applied to the CHANGE IMAGES: rows
+            # outside the predicate never existed for this view, so
+            # neither their inserts nor their deletes may fold
+            feed = feed.filter(F.expr(self.where))
+        return feed.withColumn(
+            "_sign",
+            F.when(
+                F.col("_change_type") == "insert", F.lit(1)
+            ).otherwise(F.lit(-1)),
+        ).drop("_change_type")
 
     def _source_version(self) -> int:
         entries = self.catalog._load_manifest(
@@ -278,6 +344,8 @@ class CdcAggregate:
         cur = self._source_version()
         if not self.catalog.table_exists(self.target):
             rows = self.catalog.read(self.source)
+            if self.where:
+                rows = rows.filter(F.expr(self.where))
             for out, (kind, expr) in self._supported.items():
                 self.catalog.create_table(
                     self._dv_table(out),
@@ -309,10 +377,10 @@ class CdcAggregate:
         mart = self.catalog.read(self.target)
         merged_cols = [
             (
-                F.coalesce(F.col(f"m.{c}"), F.lit(0.0) if agg == "sum" else F.lit(0))
-                + F.coalesce(F.col(f"d.{c}"), F.lit(0.0) if agg == "sum" else F.lit(0))
+                F.coalesce(F.col(f"m.{c}"), F.lit(0.0) if dbl else F.lit(0))
+                + F.coalesce(F.col(f"d.{c}"), F.lit(0.0) if dbl else F.lit(0))
             ).alias(c)
-            for c, (agg, _) in self._algebraic.items()
+            for c, dbl in self._fold_spec().items()
         ]
         merged = (
             mart.alias("m")
@@ -354,6 +422,16 @@ class CdcAggregate:
                 )
                 .drop(f"_new_{out}", f"_old_{out}", f"_has_{out}")
             )
+        for out, (agg, _) in self._algebraic.items():
+            if agg == "sum":
+                # NULL when the group holds no live non-NULL values
+                merged = merged.withColumn(
+                    out,
+                    F.when(F.col(f"_sum_n_{out}") > 0, F.col(out)),
+                )
+        for out in self._avg:
+            # re-derive the ratio from the folded SUM/COUNT pair
+            merged = merged.withColumn(out, self._avg_ratio(out))
         self.catalog.create_table(
             self.target,
             merged,
@@ -416,6 +494,9 @@ class CdcQuantile:
         self.value_expr = value_expr
         self.quantiles = dict(quantiles)
         self.k = int(k)
+        #: no view-scope predicate on the quantile tier (shared
+        #: _signed_changes reads it)
+        self.where = None
 
     _signed_changes = CdcAggregate._signed_changes
     _source_version = CdcAggregate._source_version

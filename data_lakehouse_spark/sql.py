@@ -675,13 +675,16 @@ class LakehouseSql:
         if m:
             name = m.group(2)
             body = stmt[m.start(3) : m.end(3)].strip()
-            source, group_cols, measures = self._parse_matview_select(body)
+            source, group_cols, measures, where = self._parse_matview_select(
+                body
+            )
             return self.catalog.create_materialized_view(
                 name,
                 source=source,
                 group_cols=group_cols,
                 measures=measures,
                 sql_text=body,
+                where=where,
                 replace=bool(m.group(1)),
             )
         m = re.match(
@@ -705,30 +708,35 @@ class LakehouseSql:
 
     def _parse_matview_select(
         self, body: str
-    ) -> tuple[str, list[str], dict[str, tuple[str, str | None]]]:
+    ) -> tuple[str, list[str], dict[str, tuple[str, str | None]], str | None]:
         """Parse an incrementally-maintainable aggregate SELECT into the
         CdcAggregate contract: plain group columns + SUM / COUNT(*) /
-        COUNT(DISTINCT col) / MIN / MAX aggregates over ONE catalog
-        table. Anything outside that shape refuses loudly — a
-        materialized view that silently fell back to full recompute
-        would betray the REFRESH cost contract."""
+        COUNT(col) / COUNT(DISTINCT col) / MIN / MAX / AVG aggregates
+        over ONE catalog table, with an optional WHERE predicate
+        (applied to change images before folding). Anything outside
+        that shape refuses loudly — a materialized view that silently
+        fell back to full recompute would betray the REFRESH cost
+        contract."""
         mask = mask_strings(body)
         m = re.match(
-            rf"\s*SELECT\s+(.*?)\s+FROM\s+({_IDENT})\s+GROUP\s+BY\s+(.+?)\s*$",
+            rf"\s*SELECT\s+(.*?)\s+FROM\s+({_IDENT})"
+            rf"(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+(.+?)\s*$",
             mask,
             re.I | re.S,
         )
         if not m:
             raise SqlError(
                 "materialized view shape: SELECT <group cols + aggregates>"
-                " FROM <one catalog table> GROUP BY <group cols> (no "
-                "WHERE/HAVING/JOIN — stage those into a table first)"
+                " FROM <one catalog table> [WHERE <pred>] GROUP BY "
+                "<group cols> (no HAVING/JOIN — stage those into a "
+                "table first)"
             )
         select_list = body[m.start(1) : m.end(1)]
         source = m.group(2)
+        where = body[m.start(3) : m.end(3)] if m.group(3) else None
         group_by = [
             g.strip()
-            for g in _split_top_level(body[m.start(3) : m.end(3)])
+            for g in _split_top_level(body[m.start(4) : m.end(4)])
         ]
         group_cols: list[str] = []
         measures: dict[str, tuple[str, str | None]] = {}
@@ -738,7 +746,7 @@ class LakehouseSql:
                 group_cols.append(item)
                 continue
             am = re.fullmatch(
-                rf"(SUM|COUNT|MIN|MAX)\s*\(\s*(DISTINCT\s+)?(.+?)\s*\)"
+                rf"(SUM|COUNT|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?(.+?)\s*\)"
                 rf"\s+AS\s+({_IDENT})",
                 item,
                 re.I | re.S,
@@ -746,8 +754,8 @@ class LakehouseSql:
             if not am:
                 raise SqlError(
                     f"unsupported materialized-view select item {item!r}: "
-                    "use <group col> or SUM|COUNT|MIN|MAX(expr) AS alias "
-                    "(AVG = SUM/COUNT; percentiles need the sketch tier)"
+                    "use <group col> or SUM|COUNT|MIN|MAX|AVG(expr) AS "
+                    "alias (percentiles need the sketch tier)"
                 )
             fn, distinct, arg, alias = (
                 am.group(1).lower(),
@@ -758,13 +766,11 @@ class LakehouseSql:
             if fn == "count" and distinct:
                 measures[alias] = ("count_distinct", arg)
             elif fn == "count":
-                if arg != "*":
-                    raise SqlError(
-                        "COUNT(col) is not CDC-maintainable as such — "
-                        "use COUNT(*) or SUM(CASE WHEN col IS NOT NULL "
-                        "THEN 1 ELSE 0 END)"
-                    )
-                measures[alias] = ("count", None)
+                # COUNT(*) folds signed rows; COUNT(col) folds a signed
+                # count of non-NULL values
+                measures[alias] = (
+                    ("count", None) if arg == "*" else ("count_col", arg)
+                )
             elif distinct:
                 raise SqlError(f"DISTINCT only supported under COUNT: {item!r}")
             else:
@@ -776,7 +782,7 @@ class LakehouseSql:
             )
         if not measures:
             raise SqlError("materialized view needs at least one aggregate")
-        return source, group_cols, measures
+        return source, group_cols, measures, where
 
     def _refresh_mv(self, stmt: str) -> dict:
         m = re.match(

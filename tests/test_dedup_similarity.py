@@ -441,13 +441,13 @@ def test_ann_recall_floors_panel(spark, sf_dir, tmp_path):
             rec.append(len(got & e) / max(len(e), 1))
         return sum(rec) / len(rec)
 
-    # recommended LSH setting: weighted multi-probe x 5 tables
-    # (measured 0.84 on the eval panel, ANN_EVAL.md)
+    # recommended LSH setting: weighted multi-probe x 3 tables
+    # (measured 0.89 on the eval panel, ANN_EVAL.md)
     assert mean_recall(
         lambda qv: similarity.ann_lsh_topk(
-            emb, qv, k=10, num_planes=6, n_probe=8, num_tables=5
+            emb, qv, k=10, num_planes=6, n_probe=16, num_tables=3
         )
-    ) >= 0.70
+    ) >= 0.75
     # legacy uniform bit-flip probing still holds its old floor
     assert mean_recall(
         lambda qv: similarity.ann_lsh_topk(

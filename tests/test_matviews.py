@@ -115,17 +115,19 @@ def test_or_replace_redefines(cat):
         "SELECT day, SUM(amount) AS revenue FROM ev GROUP BY day",
     )
     assert out["refresh"]["mode"] == "full"
-    assert cat.read("mv_daily").columns == ["day", "revenue", "_n_rows"]
+    assert set(cat.read("mv_daily").columns) == {
+        "day", "revenue", "_sum_n_revenue", "_n_rows"
+    }
 
 
 def test_unsupported_shapes_refuse_loudly(cat):
     for bad, why in [
         ("CREATE MATERIALIZED VIEW m AS SELECT day, SUM(amount) AS r "
-         "FROM ev WHERE day = 'd1' GROUP BY day", "shape"),
-        ("CREATE MATERIALIZED VIEW m AS SELECT day, AVG(amount) AS a "
-         "FROM ev GROUP BY day", "AVG"),
-        ("CREATE MATERIALIZED VIEW m AS SELECT day, COUNT(amount) AS c "
-         "FROM ev GROUP BY day", "COUNT"),
+         "FROM ev GROUP BY day HAVING SUM(amount) > 1", "match|shape"),
+        ("CREATE MATERIALIZED VIEW m AS SELECT day, "
+         "PERCENTILE(amount, 0.5) AS p FROM ev GROUP BY day", "sketch"),
+        ("CREATE MATERIALIZED VIEW m AS SELECT day, SUM(DISTINCT amount) "
+         "AS r FROM ev GROUP BY day", "DISTINCT"),
         ("CREATE MATERIALIZED VIEW m AS SELECT day, user, SUM(amount) AS r "
          "FROM ev GROUP BY day", "match"),
         ("CREATE MATERIALIZED VIEW m AS SELECT day FROM ev GROUP BY day",
@@ -136,6 +138,78 @@ def test_unsupported_shapes_refuse_loudly(cat):
     # nothing was persisted or built by the refusals
     assert cat.materialized_views() == {}
     assert not cat.table_exists("m")
+
+
+def test_avg_count_col_where_ivm_equals_recompute(cat, spark):
+    """The widened IVM surface: AVG (maintained SUM/COUNT pair),
+    COUNT(col) (signed non-NULL count), and a WHERE scope — refresh
+    after inserts AND deletes must equal a full recompute, including
+    the avg-goes-NULL edge (every non-NULL value of a group deleted)."""
+    c = cat
+    # add NULL-able measure rows via a second source table
+    extra = spark.createDataFrame(
+        [("d3", "u9", None), ("d1", "u3", None)],
+        "day string, user string, amount double",
+    )
+    c.append("ev", extra)
+    execute_sql(
+        c,
+        "CREATE MATERIALIZED VIEW mv_scoped AS "
+        "SELECT day, AVG(amount) AS avg_amt, COUNT(amount) AS n_vals, "
+        "COUNT(*) AS n, SUM(amount) AS rev "
+        "FROM ev WHERE user <> 'u2' GROUP BY day",
+    )
+
+    def recompute():
+        rows = (
+            c.read("ev")
+            .filter("user <> 'u2'")
+            .groupBy("day")
+            .agg(
+                F.avg("amount").alias("avg_amt"),
+                F.count("amount").cast("bigint").alias("n_vals"),
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("amount").alias("rev"),
+            )
+            .collect()
+        )
+        return {
+            r["day"]: (r["avg_amt"], r["n_vals"], r["n"], r["rev"])
+            for r in rows
+        }
+
+    def mart():
+        return {
+            r["day"]: (r["avg_amt"], r["n_vals"], r["n"], r["rev"])
+            for r in c.read("mv_scoped").collect()
+        }
+
+    assert mart() == recompute()
+    # d3 exists with only a NULL amount inside the scope
+    assert mart()["d3"] == (None, 0, 1, None)
+    # u2's rows are outside the WHERE scope: d1 ignores them
+    assert mart()["d1"][2] == 2  # u1 + u3, not u2
+
+    # advance the source: inserts (incl. out-of-scope rows that must
+    # NOT fold) and deletes (incl. the last non-NULL value of d2)
+    c.append(
+        "ev",
+        spark.createDataFrame(
+            [("d1", "u1", 100.0), ("d1", "u2", 999.0), ("d3", "u9", 4.0)],
+            "day string, user string, amount double",
+        ),
+    )
+    execute_sql(c, "REFRESH MATERIALIZED VIEW mv_scoped")
+    assert mart() == recompute()
+    c.delete_where("ev", "day = 'd2'", mode="mor")
+    c.delete_where("ev", "day = 'd3' AND amount IS NOT NULL", mode="mor")
+    execute_sql(c, "REFRESH MATERIALIZED VIEW mv_scoped")
+    assert mart() == recompute()
+    # d2 fully retired; d3 back to NULL avg with its NULL row alive
+    assert "d2" not in mart()
+    assert mart()["d3"] == (None, 0, 1, None)
+    # definition round-trips with the WHERE scope
+    assert c.materialized_views()["mv_scoped"]["where"] == "user <> 'u2'"
 
 
 def test_plain_table_name_collision_refuses(cat, spark):

@@ -90,11 +90,11 @@ def main() -> None:
     # distance-weighted multi-probe x multi-table (the recommended LSH
     # configuration; see similarity.ann_lsh_topk)
     for planes, n_probe, ntab in (
-        (6, 8, 1),
         (6, 16, 1),
-        (6, 8, 3),
+        (6, 32, 1),
+        (6, 16, 2),
+        (6, 16, 3),
         (6, 8, 5),
-        (6, 12, 5),
     ):
         r, s = panel(
             lambda qv: similarity.ann_lsh_topk(
