@@ -157,6 +157,15 @@ def main() -> None:
         "at scale the indexed variants read only the probed partitions "
         "(partition-pruned; see tests/test_plans.py), so probe sec here "
         "— full-scan local mode — overstates the big-data probe cost.",
+        "",
+        "The `lsh-mp` tier is distance-weighted multi-probe (Lv et "
+        "al. 2007) × multi-table: buckets ranked by the summed margins "
+        "of their flipped planes, the `n_probe` most-likely probed per "
+        "table, candidates OR-ed across `L` independent tables in ONE "
+        "scan. Recommended LSH setting: `planes=6 n_probe=16 L=3` "
+        "(floor 0.75 pinned in tests/test_dedup_similarity.py); "
+        "kmeans-ivf remains the best recall/latency tier when an index "
+        "build is acceptable.",
     ]
     with open(args.md, "w") as f:
         f.write("\n".join(lines) + "\n")
