@@ -6587,10 +6587,11 @@ sj AS (
     FROM p5t
 ), scored AS (
     SELECT doc_id,
-        CAST(COUNT(*) AS BIGINT) AS n_scored,
+        CAST(COUNT(lp) AS BIGINT) AS n_scored,
         CAST(SUM(lp) AS DOUBLE) AS sum_logprob,
-        floor(CAST(SUM(lp) AS DOUBLE) / COUNT(*) * 1000000 + 0.5)
-            / 1000000 AS avg_logprob
+        CASE WHEN COUNT(lp) > 0
+             THEN floor(CAST(SUM(lp) AS DOUBLE) / COUNT(lp)
+                        * 1000000 + 0.5) / 1000000 END AS avg_logprob
     FROM lp
     GROUP BY doc_id
 )

@@ -610,10 +610,29 @@ class WireModelRunner(ModelRunner):
       run those in-process)
     """
 
+    #: no catalog handle over the wire — catalog-backed ModelRunner
+    #: APIs refuse with a clear error instead of an AttributeError
+    catalog = None
+
     def __init__(self, conn, *, sources=None) -> None:
         self.conn = conn
         self.sources = dict(sources or {})
         self.models: dict[str, Model] = {}
+
+    def _wire_unsupported(self, what: str):
+        raise ModelError(
+            f"{what} is not supported over the wire — use the "
+            "in-process ModelRunner (it needs direct catalog access)"
+        )
+
+    def seed(self, path, *, full_refresh: bool = False):  # noqa: D102
+        self._wire_unsupported("seed")
+
+    def test(self, spec):  # noqa: D102
+        self._wire_unsupported("test")
+
+    def run_parallel(self, *a, **kw):  # noqa: D102
+        self._wire_unsupported("run_parallel")
 
     def _existing_tables(self) -> set[str]:
         cur = self.conn.cursor()
@@ -633,6 +652,15 @@ class WireModelRunner(ModelRunner):
         self, select: list[str] | None = None, *, full_refresh: bool = False
     ) -> dict[str, dict]:
         order = self._topo_order(sorted(select or self.models))
+        # validate BEFORE executing anything: a mid-run refusal would
+        # leave the endpoint's catalog partially mutated
+        for name in order:
+            if self.models[name].config.materialized == "snapshot":
+                raise ModelError(
+                    f"{name}: snapshot models rewrite in place and are "
+                    "not wire-runnable — run them with the in-process "
+                    "ModelRunner"
+                )
         existing = self._existing_tables()
         cur = self.conn.cursor()
         stats: dict[str, dict] = {}
@@ -645,12 +673,6 @@ class WireModelRunner(ModelRunner):
                 )
                 stats[name] = {"materialized": "view"}
                 continue
-            if cfg.materialized == "snapshot":
-                raise ModelError(
-                    f"{name}: snapshot models rewrite in place and are "
-                    "not wire-runnable — run them with the in-process "
-                    "ModelRunner"
-                )
             exists = name in existing
             if cfg.materialized == "table" or not exists or full_refresh:
                 clauses = ""

@@ -322,7 +322,13 @@ def frame_embed_real(
             for _, r in pdf.iterrows():
                 raw = bytes(r["payload"])
                 for i, frame in enumerate(codecs.split_pnm_stream(raw)):
-                    dec = codecs.decode_image_bytes(frame)
+                    # the pure-Python netpbm decoder DIRECTLY (not the
+                    # best-available facade): the stream splitter
+                    # guarantees P5/P6 frames, and the PIL adapter —
+                    # preferred by decode_image_bytes when Pillow is
+                    # installed — labels rows 'pil', which would break
+                    # the decoder=='pnm' gates on PIL-equipped hosts
+                    dec = codecs._decode_pnm(frame)
                     if dec is None or "pixels" not in dec:
                         continue
                     rows["doc_id"].append(r[id_col])

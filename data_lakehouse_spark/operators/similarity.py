@@ -662,15 +662,17 @@ def ivf_bucket(vec: Column, dim: int, *, num_planes: int = 6, seed: int = 7) -> 
     return random_hyperplane_signature(vec, dim, num_planes=num_planes, seed=seed)
 
 
-def _probe_signatures(
-    query_vec: list[float], num_planes: int, seed: int, probe_hamming: int
-) -> set[int]:
-    """Driver-side query signature (identical plane arithmetic to the
-    executor-side expression) plus all signatures within
-    ``probe_hamming`` bit flips. Pure arithmetic on the query vector —
-    touches no data."""
+def _query_signature(
+    query_vec: list[float], num_planes: int, seed: int
+) -> tuple[int, list[float]]:
+    """Driver-side query signature + per-plane |dot| margins — the ONE
+    definition of the plane arithmetic both probing strategies share
+    (identical to the executor-side expression; a convention change
+    here cannot desynchronize them). Pure arithmetic on the query
+    vector — touches no data."""
     dim = len(query_vec)
     qsig = 0
+    margins: list[float] = []
     for p in range(num_planes):
         plane = _plane(dim, p, seed)
         dot = 0.0
@@ -678,6 +680,17 @@ def _probe_signatures(
             dot = dot + float(a) * b
         if dot >= 0:
             qsig |= 1 << p
+        margins.append(abs(dot))
+    return qsig, margins
+
+
+def _probe_signatures(
+    query_vec: list[float], num_planes: int, seed: int, probe_hamming: int
+) -> set[int]:
+    """Query bucket plus all signatures within ``probe_hamming`` bit
+    flips (uniform probing — see :func:`_multiprobe_signatures` for the
+    margin-weighted variant)."""
+    qsig, _ = _query_signature(query_vec, num_planes, seed)
     probe = {qsig}
     if probe_hamming >= 1:
         for p in range(num_planes):
@@ -707,17 +720,7 @@ def _multiprobe_signatures(
             f"space (2^num_planes); num_planes={num_planes} > 16 - "
             "use more tables (num_tables) instead of wider signatures"
         )
-    dim = len(query_vec)
-    qsig = 0
-    margins: list[float] = []
-    for p in range(num_planes):
-        plane = _plane(dim, p, seed)
-        dot = 0.0
-        for a, b in zip(query_vec, plane):
-            dot = dot + float(a) * b
-        if dot >= 0:
-            qsig |= 1 << p
-        margins.append(abs(dot))
+    qsig, margins = _query_signature(query_vec, num_planes, seed)
     masks = sorted(
         range(1 << num_planes),
         key=lambda m: (

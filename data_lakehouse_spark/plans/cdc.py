@@ -366,6 +366,34 @@ class CdcAggregate:
         if last == cur:
             return {"mode": "noop", "source_version": cur}
 
+        # self-healing schema migration: a mart built by an older
+        # engine version may lack hidden fold columns this version
+        # maintains (e.g. _sum_n_<out>); the algebraic merge cannot
+        # reconstruct them from deltas, so rebuild once from the source
+        needed = set(self._fold_spec()) | {"_n_rows"}
+        if not needed <= set(self.catalog.read(self.target).columns):
+            rows = self.catalog.read(self.source)
+            if self.where:
+                rows = rows.filter(F.expr(self.where))
+            for out, (kind, expr) in self._supported.items():
+                self.catalog.create_table(
+                    self._dv_table(out),
+                    self._dv_full(rows, expr),
+                    properties={_LAST_VERSION_PROP: str(cur)},
+                    mode="replace",
+                )
+            self.catalog.create_table(
+                self.target,
+                self._full_mart(rows),
+                properties={_LAST_VERSION_PROP: str(cur)},
+                mode="replace",
+            )
+            return {
+                "mode": "full",
+                "source_version": cur,
+                "reason": "schema migration (hidden fold columns added)",
+            }
+
         signed = self._signed_changes(last, cur)
         delta = self._aggregate(signed, F.col("_sign"))
 

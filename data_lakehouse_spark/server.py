@@ -356,25 +356,7 @@ class SqlEndpoint:
                         # (the router would raise "ROLLBACK without
                         # an open transaction")
                         sess.aborted = None
-                        stats = {
-                            "op": "rollback",
-                            "txn_id": None,
-                            "note": (
-                                "transaction was already rolled back "
-                                "by the server after timing out"
-                            ),
-                        }
-                        return {
-                            "columns": ["key", "value"],
-                            "rows": [
-                                [k, _plain(x)] for k, x in stats.items()
-                            ],
-                            "n": len(stats),
-                            "truncated": False,
-                            "stats": {
-                                k: _plain(x) for k, x in stats.items()
-                            },
-                        }
+                        return _rollback_ack_response()
                     if v.startswith(("BEGIN", "START")):
                         sess.aborted = None
                     else:
@@ -405,6 +387,39 @@ class SqlEndpoint:
                 need_exclusive = is_txn_verb or (
                     sess is not None and sess.txn_opened_at is not None
                 )
+                # a statement that was BLOCKED on the gate while the
+                # reaper rolled its transaction back must fail here,
+                # not run in autocommit (the pre-pin aborted check
+                # happened before the reaper flipped the flag)
+                aborted_now = sess.aborted if sess is not None else None
+            if aborted_now is not None:
+                verb = _TXN_VERB.match(strip_comments(sql))
+                v = verb.group(1).upper() if verb else ""
+                if v.startswith(("BEGIN", "START")):
+                    # a blocked BEGIN starts a FRESH transaction: the
+                    # reaped one is resolved, so clear and proceed
+                    with self._lock:
+                        sess.aborted = None
+                elif v == "ROLLBACK":
+                    # transaction already rolled back by the reaper:
+                    # acknowledge synthetically (the router would raise
+                    # "ROLLBACK without an open transaction")
+                    with self._lock:
+                        sess.aborted = None
+                        sess.pinned -= 1
+                    if exclusive:
+                        self._gate.release_write()
+                    else:
+                        self._gate.release_read()
+                    return _rollback_ack_response()
+                else:
+                    if exclusive:
+                        self._gate.release_write()
+                    else:
+                        self._gate.release_read()
+                    with self._lock:
+                        sess.pinned -= 1
+                    raise SqlError(aborted_now)
             if need_exclusive and not exclusive:
                 self._gate.release_read()
                 exclusive = True
@@ -528,8 +543,11 @@ class SqlEndpoint:
                     # snapshotted as expired: if the client resolved it
                     # and opened a new one while we waited for the
                     # gate, txn_opened_at differs — never kill the
-                    # fresh transaction (TOCTOU)
-                    if s.txn_opened_at != opened_at:
+                    # fresh transaction (TOCTOU). Likewise skip a
+                    # session that pinned while we waited: its
+                    # statement is blocked on our gate and must run in
+                    # its (still-open) transaction, not post-rollback.
+                    if s.txn_opened_at != opened_at or s.pinned != 0:
                         continue
                     s.txn_opened_at = None
                     s.aborted = (
@@ -578,6 +596,26 @@ class SqlEndpoint:
     def serve_forever(self) -> None:
         """Foreground variant for the CLI ``serve`` subcommand."""
         self._server.serve_forever()
+
+
+def _rollback_ack_response() -> dict:
+    """Synthetic ROLLBACK acknowledgement for a session whose
+    transaction the reaper already rolled back."""
+    stats = {
+        "op": "rollback",
+        "txn_id": None,
+        "note": (
+            "transaction was already rolled back by the server after "
+            "timing out"
+        ),
+    }
+    return {
+        "columns": ["key", "value"],
+        "rows": [[k, _plain(x)] for k, x in stats.items()],
+        "n": len(stats),
+        "truncated": False,
+        "stats": {k: _plain(x) for k, x in stats.items()},
+    }
 
 
 def _chart_slug(name: str) -> str:
