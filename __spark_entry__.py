@@ -2213,6 +2213,12 @@ def q_multimodal_frame_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_id",
         (F.col("doc_id") * F.lit(1 << 20) + F.col("frame_idx")).cast("bigint"),
     )
+    # the query-vector probe (.first below) and the top-k scan both
+    # consume the decoded frame table; persisting keeps it at ONE
+    # decode pass (the index-build economics of a real frame store)
+    from pyspark import StorageLevel
+
+    frames = frames.persist(StorageLevel.MEMORY_AND_DISK)
     qv = [
         float(x)
         for x in frames.filter(

@@ -31,6 +31,12 @@ BENCH_EXCLUDED = {
         "dedup_embedding_cosine + minhash_lsh_candidates cover similarity "
         "at bench scale"
     ),
+    "matview_ivm": (
+        "IVM SCENARIO (tmp catalog build + matview create + append + "
+        "MOR delete + two refreshes) — timing measures catalog write "
+        "churn, not a read query; the oracle gate verifies "
+        "refresh-equals-recompute end-to-end"
+    ),
     "delta_history_roundtrip": (
         "multi-commit export SCENARIO (catalog build + append + COW "
         "delete + history export + two log replays) — timing measures "
@@ -122,7 +128,10 @@ def main() -> None:
     # query gets a timing); extra noise-reduction passes stop once the
     # budget is spent, so a caller-side timeout can never truncate the
     # result set.
-    max_sec = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_SEC", "480"))
+    # sized so the grown suite (~150 s/pass at 148 queries) completes
+    # THREE full passes before stopping — min-of-3 keeps per-query
+    # timings on the C2-JIT plateau instead of the warmup slope
+    max_sec = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_SEC", "520"))
     bench_start = time.time()
     timings: dict[str, float] = {}
     for rep in range(max(reps, 1)):

@@ -24,6 +24,19 @@ import argparse
 import json
 import sys
 
+#: Queries EXEMPT from the ceiling because their SEMANTICS are
+#: super-linear — the measurement is working as intended and the
+#: justification names the sub-quadratic twin a user reaches for at
+#: size. Exempt rows still print (flagged), they just don't fail.
+QUADRATIC_OK = {
+    "dedup_embedding_cosine": (
+        "explicitly-EXACT all-pairs cosine tier: O(n^2) by definition "
+        "(100x pair work at a 10x step); the sub-quadratic twins are "
+        "minhash_lsh_candidates / lsh_cosine_candidates / ann_* / "
+        "semdedup_prune, all in this table and linear"
+    ),
+}
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -68,7 +81,12 @@ def main() -> None:
             )
         data_ratio = big["sf"] / small["sf"]
         step = f"sf{small['sf']} → sf{big['sf']}"
-    bad = [r for r in rows if r[0] > args.max_ratio]
+    bad = [
+        r for r in rows if r[0] > args.max_ratio and r[1] not in QUADRATIC_OK
+    ]
+    exempt = [
+        r for r in rows if r[0] > args.max_ratio and r[1] in QUADRATIC_OK
+    ]
     lines = [
         "# Scaling check",
         "",
@@ -79,14 +97,31 @@ def main() -> None:
         "",
         f"**{len(common)} queries compared — "
         + (f"{len(bad)} FAILED the ceiling.**" if bad
-           else "all under the ceiling.**"),
+           else "all under the ceiling"
+           + (f" ({len(exempt)} documented-quadratic exemption"
+              f"{'s' if len(exempt) != 1 else ''}, flagged below).**"
+              if exempt else ".**")),
         "",
         "| query | sec @ small | sec @ big | ratio |",
         "|---|---|---|---|",
     ]
     for ratio, q, s, b in rows:
-        flag = " ⚠️" if ratio > args.max_ratio else ""
+        if ratio > args.max_ratio and q in QUADRATIC_OK:
+            flag = " ⚠️ exempt (documented quadratic)"
+        elif ratio > args.max_ratio:
+            flag = " ⚠️"
+        else:
+            flag = ""
         lines.append(f"| {q}{flag} | {s:.2f} | {b:.2f} | {ratio:.1f}× |")
+    if exempt:
+        lines += [
+            "",
+            "Documented-quadratic exemptions (semantics, not a plan "
+            "defect):",
+            "",
+        ]
+        for ratio, q, _, _ in exempt:
+            lines.append(f"- **{q}** ({ratio:.1f}×): {QUADRATIC_OK[q]}")
     md = "\n".join(lines) + "\n"
     if args.md:
         with open(args.md, "w") as f:
@@ -98,6 +133,7 @@ def main() -> None:
         "total_time_ratio": round(total_ratio, 2),
         "n_compared": len(common),
         "n_failed": len(bad),
+        "n_exempt": len(exempt),
         "worst": [
             {"query": q, "ratio": round(r, 1)} for r, q, _, _ in rows[:5]
         ],
