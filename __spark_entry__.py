@@ -2163,14 +2163,23 @@ def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature-extract stub → embedding column → exact cosine top-k:
-    the binary-to-similarity pipeline end to end (rows-only check —
-    the embedding kernel is a deterministic fake)."""
+    """Image features end to end, NO STUBS: real PPM payloads rendered
+    JVM-side from each doc's text bytes, REAL pixel decode + luminance
+    grid-pool embeddings (multimodal.feature_extract, decoder-labelled)
+    → exact cosine top-k — the binary-to-similarity pipeline with a
+    real visual descriptor (rows-only check; rows must come off the
+    'pnm'/'pil' decoders, so a codec regression empties the gate)."""
     _ensure_conf(spark)
     docs = _rel(spark, sf_dir, "documents")
-    emb = multimodal.feature_extract_stub(
-        multimodal.attach_binary_payload(docs), dim=16
-    )
+    w = 16
+    body = F.substring(F.rpad(F.col("text"), w * w * 3, "x"), 1, w * w * 3)
+    payload = F.concat(
+        F.encode(F.lit(f"P6\n{w} {w}\n255\n"), "UTF-8"),
+        F.encode(body, "UTF-8"),
+    ).cast("binary")
+    emb = multimodal.feature_extract(
+        docs.select("doc_id", payload.alias("payload")), dim=16
+    ).filter(F.col("decoder").isin("pnm", "pil"))
     qv = [float(x) for x in emb.filter(F.col("doc_id") == 0).first()["embedding"]]
     return similarity.cosine_topk(emb, qv, vec_col="embedding", id_col="doc_id", k=25)
 
@@ -2231,25 +2240,63 @@ def q_multimodal_frame_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio-analysis shape: payload → overlapping windows (hop <
-    window, STFT framing) with per-window RMS/peak features, rolled up
-    per doc. Rows-only: byte-RMS stands in for real DSP (STUB kernel);
-    the overlap fan-out and rollup are the real plumbing."""
+    """Audio analysis end to end, NO STUBS: each doc's payload is a
+    REAL PCM WAV (16-bit mono 8 kHz rendered from the doc's text bytes
+    via the stdlib ``wave`` writer — deterministic synth, real
+    container), decoded back to normalized samples by the real codec
+    tier (codecs.decode_wav_bytes), then overlapping windows (hop <
+    window, STFT framing) with true second-based timing and per-window
+    RMS/peak, rolled up per doc. Rows-only check: every row must come
+    off the 'wave'/'soundfile' decoder — a codec regression empties
+    the result and fails the rows gate."""
     _ensure_conf(spark)
     # doc_id filter (not LIMIT): pushes to the scan and keeps the plan
     # fully parallel — a limit would funnel through one partition
     docs = _rel(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 200
+    ).select("doc_id", "text")
+
+    def _wav_payload(batches):
+        import io
+        import struct
+        import wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = (t or "x").encode("utf-8")[:2000] or b"x"
+                # deterministic 16-bit samples from the text bytes
+                samples = [((v - 128) * 256) for v in b]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(
+                        struct.pack(f"<{len(samples)}h", *samples)
+                    )
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    with_payload = docs.mapInPandas(
+        _wav_payload, "doc_id long, payload binary"
     )
-    wins = multimodal.audio_window_stub(
-        multimodal.attach_binary_payload(docs), window_bytes=128, hop_bytes=64
-    )
+    wins = multimodal.audio_windows(
+        with_payload, window_samples=512, hop_samples=256
+    ).filter(F.col("decoder").isin("wave", "soundfile"))
     return (
         wins.groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_windows"),
             (F.floor(F.avg("rms") * 100 + F.lit(0.5)) / 100).alias("avg_rms"),
             (F.floor(F.max("peak") * 100 + F.lit(0.5)) / 100).alias("max_peak"),
+            (F.floor(F.max("start_sec") * 1000 + F.lit(0.5)) / 1000).alias(
+                "last_window_sec"
+            ),
         )
         .orderBy("doc_id")
     )
