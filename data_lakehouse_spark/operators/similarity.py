@@ -633,17 +633,22 @@ def ann_ivf_topk(
     num_planes: int = 6,
     seed: int = 7,
     probe_hamming: int = 1,
+    n_probe: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k, INDEX-FREE variant: coarse
     ``ivf_bucket`` assignment computed at query time (full scan), probe
-    the query's bucket ± ``probe_hamming`` bit flips, exact cosine
-    re-rank inside. The materialized form —
-    :func:`build_embedding_index` + :func:`ann_ivf_topk_indexed` —
-    turns the same probe into a partition-pruned read of
-    ~(1+planes)/2^planes of the data."""
+    the query's bucket ± ``probe_hamming`` bit flips — or, with
+    ``n_probe``, the ``n_probe`` distance-weighted most-likely buckets
+    (:func:`_multiprobe_signatures`) — exact cosine re-rank inside.
+    The materialized form — :func:`build_embedding_index` +
+    :func:`ann_ivf_topk_indexed` — turns the same probe into a
+    partition-pruned read of the probed buckets only."""
     dim = len(query_vec)
     bucket = ivf_bucket(F.col(vec_col), dim, num_planes=num_planes, seed=seed)
-    probe = _probe_signatures(query_vec, num_planes, seed, probe_hamming)
+    if n_probe is not None:
+        probe = _multiprobe_signatures(query_vec, num_planes, seed, int(n_probe))
+    else:
+        probe = _probe_signatures(query_vec, num_planes, seed, probe_hamming)
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine_similarity(F.col(vec_col), q)
@@ -785,20 +790,28 @@ def ann_ivf_topk_indexed(
     *,
     k: int = 20,
     probe_hamming: int = 1,
+    n_probe: int | None = None,
 ) -> DataFrame:
     """Approximate top-k over a materialized index table: compute the
     probe bucket set driver-side (pure arithmetic, no data touched),
     read ONLY the probed ``ivf_bucket=`` partitions, exact cosine
     re-rank inside them. The filter is on the partition column, so
-    Catalyst prunes at planning time — ~(1+planes)/2^planes of the
-    files are read (asserted in tests/test_plans.py)."""
+    Catalyst prunes at planning time — only the probed buckets' files
+    are read (asserted in tests/test_plans.py). ``n_probe`` switches
+    to distance-weighted multi-probe: at the same partition-read
+    budget, the probed buckets are the ones the query's neighbors most
+    likely live in (the at-scale recall lever — probe cost is
+    partitions read, so choosing them well is free recall)."""
     props = catalog.table_properties(name)
     num_planes = int(props["index.num_planes"])
     seed = int(props["index.seed"])
     dim = int(props["index.dim"])
     if len(query_vec) != dim:
         raise ValueError(f"query dim {len(query_vec)} != index dim {dim}")
-    probe = _probe_signatures(query_vec, num_planes, seed, probe_hamming)
+    if n_probe is not None:
+        probe = _multiprobe_signatures(query_vec, num_planes, seed, int(n_probe))
+    else:
+        probe = _probe_signatures(query_vec, num_planes, seed, probe_hamming)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine_similarity(F.col("embedding"), q)
     return (

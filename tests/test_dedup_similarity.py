@@ -531,3 +531,26 @@ def test_cosine_vs_anchors_matches_jvm_expression(spark):
 
     with _pytest.raises(ValueError, match="max_anchor_rows"):
         cosine_vs_anchors(emb, emb, max_anchor_rows=10)
+
+
+def test_ann_weighted_multiprobe_ivf_variants(spark, sf_dir, tmp_path):
+    """n_probe (distance-weighted multi-probe) is available on every
+    hyperplane tier: index-free IVF and the materialized index probe —
+    same bucket arithmetic, so the indexed probe with n_probe still
+    partition-prunes and finds the query vector itself."""
+    from data_lakehouse_spark.catalog import Catalog
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+
+    rows = similarity.ann_ivf_topk(emb, qv, k=10, num_planes=4, n_probe=5).collect()
+    assert rows and rows[0]["vec_id"] == 3 and abs(rows[0]["cosine_sim"] - 1.0) < 1e-9
+
+    cat = Catalog(spark, str(tmp_path / "idx"))
+    similarity.build_embedding_index(cat, emb, "emb_idx", num_planes=4)
+    out = similarity.ann_ivf_topk_indexed(cat, "emb_idx", qv, k=10, n_probe=5)
+    rows = out.collect()
+    assert rows and rows[0]["vec_id"] == 3
+    # the probe filter lands on the partition column (pruned read)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ivf_bucket" in plan

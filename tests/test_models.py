@@ -379,3 +379,69 @@ GROUP BY kind
     )
     with pytest.raises(ModelError, match="gold_bad"):
         runner.run_parallel(threads=3)
+
+
+def test_wire_runner_merge_strategy_and_refusals(spark, tmp_path):
+    """WireModelRunner beyond the reference set: the MERGE incremental
+    strategy over the wire (upsert on unique_key), plus the wire-mode
+    refusals — snapshot models refuse BEFORE any statement executes,
+    and catalog-backed APIs refuse with a clear error."""
+    import pytest as _pytest
+
+    from data_lakehouse_spark import client as dbapi
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.models import ModelError, WireModelRunner
+    from data_lakehouse_spark.server import SqlEndpoint
+
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table(
+        "src",
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "id long, seg string, amt double"
+        ),
+    )
+    ep = SqlEndpoint(cat).start()
+    try:
+        conn = dbapi.connect(port=ep.port)
+        r = WireModelRunner(conn)
+        r.add_model(
+            "m_merge",
+            "{{ config(materialized='incremental', "
+            "incremental_strategy='merge', unique_key='id') }}\n"
+            "SELECT id, seg, amt FROM {{ source('bronze', 'src') }}",
+        )
+        out1 = r.run()
+        assert out1["m_merge"]["full_refresh"] is False  # first build = CTAS
+        assert cat.row_count("m_merge") == 2
+
+        # source changes: one update image + one new row -> MERGE upserts
+        cat.update_where("src", "id = 1", {"amt": "99.0"})
+        cat.append(
+            "src",
+            spark.createDataFrame([(3, "c", 30.0)], "id long, seg string, amt double"),
+        )
+        out2 = r.run()
+        assert out2["m_merge"]["strategy"] == "merge"
+        got = {r_["id"]: r_["amt"] for r_ in cat.read("m_merge").collect()}
+        assert got == {1: 99.0, 2: 20.0, 3: 30.0}
+
+        # snapshot refusal happens before ANY statement executes
+        r2 = WireModelRunner(conn)
+        r2.add_model("v_ok", "SELECT id FROM {{ source('bronze', 'src') }}")
+        r2.add_model(
+            "snap",
+            "{{ config(materialized='snapshot', unique_key='id', "
+            "updated_at='amt') }}\n"
+            "SELECT id, amt FROM {{ source('bronze', 'src') }}",
+        )
+        with _pytest.raises(ModelError, match="wire"):
+            r2.run()
+        assert not cat.table_exists("v_ok") and "v_ok" not in cat.views()
+
+        # catalog-backed APIs refuse loudly
+        for call in (lambda: r.seed("x"), lambda: r.test({}), lambda: r.run_parallel()):
+            with _pytest.raises(ModelError, match="wire"):
+                call()
+        conn.close()
+    finally:
+        ep.stop()
