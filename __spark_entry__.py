@@ -1450,6 +1450,18 @@ def q_doc_lm_kn5_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.kn5_logprob_scores(docs, prune_min_count=2).orderBy("doc_id")
 
 
+def q_corpus_ccnet_buckets_kn5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet terciles on the KenLM-grade scorer — the configuration
+    Wenzek 2020 actually runs (5-gram KN perplexity): kn5 scores →
+    one percentile_disc cutoff row broadcast as a map-side CASE
+    (corpus.ccnet_quality_buckets(lm='kn5'); no NTILE global sort)."""
+    _ensure_conf(spark)
+    docs = _rel(spark, sf_dir, "documents")
+    return corpus.ccnet_quality_buckets(
+        docs, lm="kn5", prune_min_count=2
+    ).orderBy("doc_id")
+
+
 def q_corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source unigram KL divergence from the corpus distribution —
     the domain-divergence diagnostic read before choosing mixing
@@ -3660,6 +3672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_source_kl": q_corpus_source_kl,
         "corpus_dsir_sample": q_corpus_dsir_sample,
         "corpus_ccnet_buckets": q_corpus_ccnet_buckets,
+        "corpus_ccnet_buckets_kn5": q_corpus_ccnet_buckets_kn5,
         "corpus_temperature_sample": q_corpus_temperature_sample,
         "corpus_pretrain_mix": q_corpus_pretrain_mix,
         "matview_ivm": q_matview_ivm,
@@ -6654,6 +6667,28 @@ SELECT d.doc_id,
     s.avg_logprob AS avg_logprob
 FROM d
 LEFT JOIN scored s USING (doc_id)
+ORDER BY doc_id
+"""
+
+    _kn5_body = sql["doc_lm_kn5_score"].rstrip().rstrip(";")
+    assert _kn5_body.endswith("ORDER BY doc_id")
+    _kn5_body = _kn5_body[: -len("ORDER BY doc_id")]
+    sql["corpus_ccnet_buckets_kn5"] = f"""
+WITH kscored AS (
+{_kn5_body}
+), cuts AS (
+    SELECT quantile_disc(avg_logprob, 0.3333333333333333) AS c1,
+           quantile_disc(avg_logprob, 0.6666666666666666) AS c2
+    FROM kscored
+)
+SELECT doc_id,
+    n_scored AS n_tokens,
+    avg_logprob,
+    CASE WHEN avg_logprob > c2 THEN 'head'
+         WHEN avg_logprob > c1 THEN 'middle'
+         ELSE 'tail' END AS bucket
+FROM kscored
+CROSS JOIN cuts
 ORDER BY doc_id
 """
 

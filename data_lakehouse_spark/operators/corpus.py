@@ -1258,13 +1258,22 @@ def ccnet_quality_buckets(
     id_col: str = "doc_id",
     vocab_size: int | None = None,
     round_dp: int = 6,
+    lm: str = "unigram",
+    prune_min_count: int | None = None,
 ) -> DataFrame:
     """CCNet head/middle/tail quality split (Wenzek et al. 2020,
-    arXiv:1911.00359): score every document with the LM
-    (:func:`unigram_logprob_scores` — CCNet uses KenLM perplexity; the
-    bucketing operator is identical), cut the corpus into terciles, and
-    label head (best third), middle, tail. Real pipelines keep head+
-    middle for pretraining and mine tail for filters.
+    arXiv:1911.00359): score every document with the LM, cut the corpus
+    into terciles, and label head (best third), middle, tail. Real
+    pipelines keep head+middle for pretraining and mine tail for
+    filters.
+
+    ``lm`` picks the scorer: ``"unigram"`` (cheap, the default) or
+    ``"kn5"`` — the order-5 interpolated Kneser-Ney model
+    (:func:`kn5_logprob_scores`), which is the configuration CCNet
+    itself runs (a 5-gram KenLM); ``prune_min_count`` passes through to
+    the KN model. Documents the KN scorer cannot score (zero tokens)
+    bucket as ``tail``. The score column is normalized to
+    ``(n_tokens, avg_logprob)`` for both scorers.
 
     Scale shape: cutoffs are ONE ``percentile_disc`` aggregate row
     broadcast back as a map-side CASE — no global window, no NTILE
@@ -1272,10 +1281,18 @@ def ccnet_quality_buckets(
     percentiles pick actual score values, so the cuts are bit-stable on
     any SQL engine; ties land deterministically via >= / > boundaries.
     """
-    scores = unigram_logprob_scores(
-        docs, text_col=text_col, id_col=id_col, vocab_size=vocab_size,
-        round_dp=round_dp,
-    )
+    if lm == "kn5":
+        scores = kn5_logprob_scores(
+            docs, text_col=text_col, id_col=id_col,
+            prune_min_count=prune_min_count, round_dp=round_dp,
+        ).withColumnRenamed("n_scored", "n_tokens")
+    elif lm == "unigram":
+        scores = unigram_logprob_scores(
+            docs, text_col=text_col, id_col=id_col, vocab_size=vocab_size,
+            round_dp=round_dp,
+        )
+    else:
+        raise ValueError(f"lm must be 'unigram' or 'kn5', got {lm!r}")
     cuts = scores.selectExpr(
         "percentile_disc(0.3333333333333333) WITHIN GROUP "
         "(ORDER BY avg_logprob) AS c1",

@@ -848,3 +848,24 @@ def test_kn5_broadcast_and_hash_join_paths_identical(spark):
             ).collect()
         }
         assert fast == slow, {k: (fast[k], slow[k]) for k in fast if fast[k] != slow.get(k)}
+
+
+def test_ccnet_buckets_kn5_lm(spark):
+    """lm='kn5' terciles on the KN model: fluent repeated docs out-rank
+    a shuffled outlier (which the unigram scorer cannot separate), and
+    zero-token docs land in tail instead of vanishing."""
+    fluent = "the cat sat on the mat and the dog slept"
+    shuffled = "mat dog the on slept and sat the cat the"
+    docs = spark.createDataFrame(
+        [(i, fluent) for i in range(12)] + [(100, shuffled), (200, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in corpus.ccnet_quality_buckets(docs, lm="kn5").collect()}
+    assert len(out) == 14
+    assert out[100]["bucket"] == "tail"
+    assert out[200]["bucket"] == "tail" and out[200]["avg_logprob"] is None
+    assert out[0]["avg_logprob"] > out[100]["avg_logprob"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unigram"):
+        corpus.ccnet_quality_buckets(docs, lm="trigram")

@@ -68,6 +68,11 @@ SINGLE_PARTITION_OK = {
         "cut is what the oracle pins). At extreme doc counts swap "
         "approx_percentile, same operator shape"
     ),
+    "corpus_ccnet_buckets_kn5": (
+        "inherits corpus_ccnet_buckets' per-doc-score percentile_disc "
+        "cutoff agg; the kn5 scorer itself is one model aggregation + "
+        "an Arrow map stage, never a funnel"
+    ),
     "corpus_pretrain_mix": (
         "inherits the LM 1-row folds and the CCNet per-doc-score "
         "cutoff agg; the document stream itself never single-partitions"
@@ -111,6 +116,7 @@ NESTED_LOOP_OK = {
     # pattern shared with doc_lm_unigram_score
     "corpus_dsir_sample": "two 1-row OOV-floor broadcasts (target + corpus LMs)",
     "corpus_ccnet_buckets": "1-row OOV floor + 1-row tercile-cutoff broadcast",
+    "corpus_ccnet_buckets_kn5": "1-row tercile-cutoff broadcast (the CCNet cut pattern)",
     "corpus_temperature_sample": "1-row (n_total, z) broadcast across |sources| rows",
     "corpus_pretrain_mix": "inherits the LM/cutoff 1-row broadcasts; fraction table joins by source (hash)",
     "doc_lm_bigram_score": "1-row unseen-pair floor broadcast (the LM scalar cross-join pattern)",
