@@ -2506,6 +2506,41 @@ def q_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global ranking of the full orders table with NO
+    single-partition stage — the generic capability behind the RFM /
+    pareto rewrites exposed as its own gate: every order gets its exact
+    global row_number and exact cumulative revenue share over
+    (o_totalprice DESC, o_orderkey), via relational.global_order_index
+    (range exchange + per-partition local ranks + a bounded driver-side
+    offset table), hash-matched against the oracle's ROW_NUMBER/SUM
+    OVER window. Top-1000 projected so the compared set is stable; the
+    RANKING runs over all rows."""
+    _ensure_conf(spark)
+    from data_lakehouse_spark.operators import relational
+
+    t = load_tables(spark, sf_dir, ["orders"], register_views=False)
+    src = t["orders"].select(
+        "o_orderkey", F.col("o_totalprice").cast(_D12).alias("_p")
+    )
+    d, n, grand, _cached = relational.global_order_index(
+        src,
+        [F.col("_p").desc(), F.col("o_orderkey").asc()],
+        running_sum_col="_p",
+    )
+    share = F.col("_cum").cast("double") / F.lit(float(grand or 0))
+    return (
+        d.filter(F.col("_rn") <= 1000)
+        .select(
+            F.col("o_orderkey").cast("bigint").alias("orderkey"),
+            F.col("_p").cast("double").alias("price"),
+            F.col("_rn").cast("bigint").alias("rn"),
+            round_half_up(share, 6).alias("cum_share"),
+        )
+        .orderBy("rn")
+    )
+
+
 def q_orders_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-spine gap fill (time-series completeness): daily order
     counts/revenue with missing days zero-filled and flagged. The spine
@@ -3723,6 +3758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_interpolate": q_events_hourly_interpolate,
         "purchase_last_touch": q_purchase_last_touch,
         "customer_pareto": q_customer_pareto,
+        "orders_global_rank": q_orders_global_rank,
         "events_daily_anomaly": q_events_daily_anomaly,
         "embedding_quantize_int8": q_embedding_quantize_int8,
         "corpus_dup_ngram_coverage": q_corpus_dup_ngram_coverage,
@@ -6077,6 +6113,30 @@ SELECT d.source, d.lang,
 FROM ({sql["doc_quality_gopher"]}) g
 JOIN documents d ON g.doc_id = CAST(d.doc_id AS BIGINT)
 GROUP BY d.source, d.lang
+"""
+
+    sql["orders_global_rank"] = """
+WITH ranked AS (
+    SELECT o_orderkey,
+        CAST(o_totalprice AS DECIMAL(12,2)) AS p,
+        ROW_NUMBER() OVER (
+            ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey
+        ) AS rn,
+        SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+            ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cum,
+        SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER () AS tot
+    FROM orders
+)
+SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+    CAST(p AS DOUBLE) AS price,
+    CAST(rn AS BIGINT) AS rn,
+    floor(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000 + 0.5)
+        / 1000000 AS cum_share
+FROM ranked
+WHERE rn <= 1000
+ORDER BY rn
 """
 
     sql["customer_pareto"] = """
