@@ -634,6 +634,26 @@ class WireModelRunner(ModelRunner):
     def run_parallel(self, *a, **kw):  # noqa: D102
         self._wire_unsupported("run_parallel")
 
+    @staticmethod
+    def _ident(name: str, what: str) -> str:
+        """Validate a name interpolated into generated SQL as a bare
+        identifier (unique_key / partition_by columns). A hostile or
+        typo'd model config must fail loudly here, not alter the
+        statement it is spliced into."""
+        import re
+
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", name or ""):
+            raise ModelError(
+                f"{what} {name!r} is not a valid SQL identifier"
+            )
+        return name
+
+    @staticmethod
+    def _quote(v) -> str:
+        """Single-quoted SQL string literal with embedded quotes
+        doubled — tblproperties keys/values are user-controlled."""
+        return "'" + str(v).replace("'", "''") + "'"
+
     def _existing_tables(self) -> set[str]:
         cur = self.conn.cursor()
         cur.execute("SHOW TABLES")
@@ -677,12 +697,14 @@ class WireModelRunner(ModelRunner):
             if cfg.materialized == "table" or not exists or full_refresh:
                 clauses = ""
                 if cfg.partition_by:
-                    clauses += (
-                        f"\nPARTITIONED BY ({', '.join(cfg.partition_by)})"
+                    cols = ", ".join(
+                        self._ident(c, f"{name}: partition_by column")
+                        for c in cfg.partition_by
                     )
+                    clauses += f"\nPARTITIONED BY ({cols})"
                 if cfg.tblproperties:
                     kv = ", ".join(
-                        f"'{k}' = '{v}'"
+                        f"{self._quote(k)} = {self._quote(v)}"
                         for k, v in sorted(cfg.tblproperties.items())
                     )
                     clauses += f"\nTBLPROPERTIES ({kv})"
@@ -696,7 +718,10 @@ class WireModelRunner(ModelRunner):
                 }
             elif cfg.incremental_strategy == "merge":
                 on = " AND ".join(
-                    f"t.{k} = s.{k}" for k in cfg.unique_key
+                    "t.{0} = s.{0}".format(
+                        self._ident(k, f"{name}: unique_key column")
+                    )
+                    for k in cfg.unique_key
                 )
                 cur.execute(
                     f"MERGE INTO {name} t USING (\n"

@@ -1260,6 +1260,7 @@ def ccnet_quality_buckets(
     round_dp: int = 6,
     lm: str = "unigram",
     prune_min_count: int | None = None,
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet head/middle/tail quality split (Wenzek et al. 2020,
     arXiv:1911.00359): score every document with the LM, cut the corpus
@@ -1280,8 +1281,17 @@ def ccnet_quality_buckets(
     single-partition sort (the anti-pattern this replaces). Discrete
     percentiles pick actual score values, so the cuts are bit-stable on
     any SQL engine; ties land deterministically via >= / > boundaries.
+
+    ``scores`` short-circuits the scorer with a PRECOMPUTED per-doc
+    score frame (``id_col``, ``n_tokens``, ``avg_logprob``) — the
+    model-sharing hook: a pipeline that already scored the corpus
+    (e.g. a persisted :func:`kn5_logprob_scores` result feeding both a
+    score gate and this bucketing) cuts terciles without rebuilding
+    the LM.
     """
-    if lm == "kn5":
+    if scores is not None:
+        pass
+    elif lm == "kn5":
         scores = kn5_logprob_scores(
             docs, text_col=text_col, id_col=id_col,
             prune_min_count=prune_min_count, round_dp=round_dp,
@@ -1523,6 +1533,15 @@ def bigram_logprob_scores(
     )
 
 
+def _kn5_use_broadcast(n_grams: int, cap: int) -> bool:
+    """Size-based KN5 path dispatch: a model whose surviving 5-gram
+    table fits the broadcast cap scores through the collected-dict
+    Arrow path (KenLM-probe shape); anything larger scores through the
+    distributed hash joins. Factored out so the threshold is testable
+    without building a >cap model."""
+    return n_grams <= cap
+
+
 def kn5_logprob_scores(
     docs: DataFrame,
     text_col: str = "text",
@@ -1530,7 +1549,8 @@ def kn5_logprob_scores(
     discount: float = 0.75,
     prune_min_count: int | None = None,
     round_dp: int = 6,
-    broadcast_model: bool = True,
+    broadcast_model: bool | str = "auto",
+    broadcast_max_grams: int = 5_000_000,
 ) -> DataFrame:
     """Order-5 interpolated Kneser-Ney LM quality score — the
     KenLM-grade gate CCNet-style pipelines actually use (a 5-gram KN
@@ -1559,14 +1579,20 @@ def kn5_logprob_scores(
     suffix re-aggregations of the 5-gram table (windows all end at real
     token positions, so lower-order counts are exact suffix sums — no
     second scan). With ``broadcast_model`` (default) the pruned 5-gram
-    table is collected once (bounded, fail-fast at 5M grams), the lower
-    orders are driver-side dict folds, and scoring is a single Arrow
-    ``mapInPandas`` stage probing the broadcast model — the production
-    shape (a pretrained KenLM is likewise a broadcast native model
-    probed from a vectorized UDF). At web scale set it False: every
-    table stays a lazy re-aggregation and scoring runs as nine
-    distributed hash joins on the gram keys; ``prune_min_count`` drops
-    rare 5-grams BEFORE the lower-order derivation (KenLM-style count
+    table is collected once (bounded, fail-fast at
+    ``broadcast_max_grams``), the lower orders are driver-side dict
+    folds, and scoring is a single Arrow ``mapInPandas`` stage probing
+    the broadcast model — the production shape (a pretrained KenLM is
+    likewise a broadcast native model probed from a vectorized UDF).
+    With ``broadcast_model=False`` every table stays a lazy
+    re-aggregation and scoring runs as nine distributed hash joins on
+    the gram keys. The DEFAULT ``"auto"`` dispatches on measured model
+    size: one count job over the persisted pruned 5-gram table picks
+    the broadcast path at ≤ ``broadcast_max_grams`` surviving grams and
+    the hash-join path above it — the scale path engages without the
+    caller knowing the knob (same auto-dispatch contract as
+    ``similarity.cosine_pairs``). ``prune_min_count`` drops rare
+    5-grams BEFORE the lower-order derivation (KenLM-style count
     pruning; pruned mass resurfaces via backoff, never as a crash).
     The two paths are bit-identical (pinned in tests/test_corpus.py).
 
@@ -1624,7 +1650,21 @@ def kn5_logprob_scores(
     if prune_min_count is not None:
         cnt5 = cnt5.filter(F.col("c5") >= int(prune_min_count))
 
-    if broadcast_model:
+    cap = int(broadcast_max_grams)
+    auto = broadcast_model == "auto"
+    if auto:
+        # Size-based dispatch: persist the pruned 5-gram table so the
+        # sizing count and whichever path follows share ONE aggregation
+        # (the broadcast path collects from cache; the join path reuses
+        # it across its nine suffix/context re-aggregations).
+        from pyspark import StorageLevel
+
+        cnt5 = cnt5.persist(StorageLevel.MEMORY_AND_DISK)
+        use_broadcast = _kn5_use_broadcast(cnt5.count(), cap)
+    else:
+        use_broadcast = bool(broadcast_model)
+
+    if use_broadcast:
         # Fast path: ONE aggregation job collects the (pruned) 5-gram
         # table — bounded, fail-fast — the lower-order tables are
         # trivial driver-side dict folds, and scoring runs as a single
@@ -1635,11 +1675,15 @@ def kn5_logprob_scores(
         # one map stage; bit-equality with the hash-join path is pinned
         # in tests/test_corpus.py.
         rows = cnt5.collect()
-        if len(rows) > 5_000_000:
+        if auto:
+            # model now lives in driver dicts; the exchange is done
+            cnt5.unpersist(blocking=False)
+        elif len(rows) > cap:
             raise ValueError(
                 f"kn5 model has {len(rows)} surviving 5-grams - too "
                 "large to collect/broadcast; raise prune_min_count or "
-                "set broadcast_model=False for the hash-join path"
+                "set broadcast_model=False for the hash-join path "
+                "(broadcast_model='auto' dispatches on size itself)"
             )
         c5_map = {r["g5"]: r["c5"] for r in rows}
 
@@ -1703,6 +1747,19 @@ def kn5_logprob_scores(
                                 max(gm.get(" ".join(t[lo:]), 0) - D, 0.0)
                                 + D * ctx[1] * p
                             ) / ctx[0]
+                    # CROSS-LIBM NOTE: this path quantizes with
+                    # CPython's math.log10 while the hash-join twin and
+                    # the DuckDB oracle use JVM/DuckDB log10. IEEE-754
+                    # does not require correctly-rounded log10, so libm
+                    # implementations may differ in the last ulp and
+                    # the floor(x*1e6+0.5) rounding could flip at an
+                    # exact .5*10^-6 boundary on some platforms. The
+                    # bit-equality test vs the join path
+                    # (tests/test_corpus_lm.py) pins THIS host's libms
+                    # agree on the fixture's probability set; if a
+                    # platform divergence ever surfaces, route both
+                    # paths' log10 through one engine (e.g. compute p
+                    # here and log10+floor JVM-side post-mapInPandas).
                     lps.append(math.floor(math.log10(p) * micro + 0.5))
                 yield pd.DataFrame(
                     {
@@ -1735,10 +1792,16 @@ def kn5_logprob_scores(
             )
         )
 
-    # Scale path (broadcast_model=False): every table stays a lazy
-    # suffix/prefix re-aggregation of the 5-gram table (no driver
-    # materialization); the joins below run as distributed hash joins
-    # on the gram keys.
+    # Scale path (broadcast_model=False, or auto above the gram cap):
+    # every table stays a lazy suffix/prefix re-aggregation of the
+    # 5-gram table (no driver materialization); the joins below run as
+    # distributed hash joins on the gram keys.
+    if auto:
+        # auto persisted cnt5 for the sizing count; keep it pinned
+        # (nine downstream re-aggregations) one generation at a time
+        from data_lakehouse_spark import cacheutil
+
+        cacheutil.rotate("corpus.kn5_cnt5", [cnt5])
     a4 = cnt5.groupBy(_gpart("g5", 2, 4).alias("g4")).agg(
         F.count("*").alias("cc4")
     )

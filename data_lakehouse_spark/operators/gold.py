@@ -351,6 +351,7 @@ def user_rfm_segments(
     from pyspark import StorageLevel
 
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    _persisted_base = base
 
     if scalable_ntile:
         # Distributed 5-bucket scoring: bucket on approx quantile
@@ -380,6 +381,9 @@ def user_rfm_segments(
                 out, _quantile_bucket(F.col(metric), F.col(q), asc=asc)
             )
         base = base.drop("_qr", "_qf", "_qm")
+        from data_lakehouse_spark import cacheutil
+
+        cacheutil.rotate("gold.rfm_scalable", [_persisted_base])
     else:
         # Reference-exact NTILE semantics, DISTRIBUTED: each metric's
         # total order runs through relational.global_order_index (range
@@ -400,15 +404,19 @@ def user_rfm_segments(
         # per-user-metric pairs — metadata-sized next to the corpus.
         from concurrent.futures import ThreadPoolExecutor
 
+        from data_lakehouse_spark import cacheutil
         from data_lakehouse_spark.operators import relational
+
+        handles: list[DataFrame] = [base]
 
         def _score(metric: str, asc: bool, out: str) -> DataFrame:
             key = F.col(metric).asc() if asc else F.col(metric).desc()
-            d, n_rows, _, _cached = relational.global_order_index(
+            d, n_rows, _, cached = relational.global_order_index(
                 base.select("user_id", metric),
                 [key, F.col("user_id").asc()],
                 rn_col="_rnt",
             )
+            handles.append(cached)
             return d.select(
                 "user_id",
                 relational.ntile_from_row_number(F.col("_rnt"), n_rows, 5).alias(
@@ -425,6 +433,12 @@ def user_rfm_segments(
             scored = list(pool.map(lambda a: _score(*a), metrics))
         for sdf in scored:
             base = base.join(sdf, "user_id")
+        # generational release: the persisted base + 3 exchange frames
+        # stay pinned (offset tables are only valid for their
+        # materialized partitioning) until the NEXT invocation rotates
+        # them out — bounds CacheManager growth to one generation under
+        # bench's repeated passes / a long-lived endpoint.
+        cacheutil.rotate("gold.rfm_exact_ntile", handles)
     base = (
         base.withColumn("rfm_recency_score", F.col("rfm_recency_score").cast("bigint"))
         .withColumn("rfm_frequency_score", F.col("rfm_frequency_score").cast("bigint"))

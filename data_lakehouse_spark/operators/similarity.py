@@ -77,6 +77,7 @@ def cosine_pairs(
     threshold: float = 0.5,
     max_broadcast_rows: int = 100_000,
     num_blocks: int = 8,
+    max_exact_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Exact similarity self-join: all (a,b) pairs with cosine ≥ t —
     the RECOMMENDED entry point. One count decides the physical
@@ -85,18 +86,48 @@ def cosine_pairs(
     small-input fast path); above it, the fully distributed block-pair
     GEMM of :func:`cosine_pairs_blocked` runs with nothing on the
     driver. Identical arithmetic either way, so the choice is invisible
-    in the results. Sub-quadratic needs go to
-    :func:`lsh_cosine_candidates` instead — exact all-pairs is
-    inherently O(n²) whatever the strategy."""
+    in the results.
+
+    **Quadratic-by-contract guard**: exact all-pairs is inherently
+    O(n²) whatever the physical strategy — the one deliberately
+    superlinear operator in the package (SCALING.md exemption). Above
+    ``max_exact_rows`` the call REFUSES with the sub-quadratic twins
+    named rather than silently launching an n² job a 100× scale-up
+    turns into 10,000× the work: banded-LSH candidates
+    (:func:`minhash candidates <data_lakehouse_spark.operators.dedup.
+    minhash_lsh_candidates>`), :func:`lsh_cosine_candidates`, the
+    ``ann_*`` top-k tiers, or :func:`semdedup_prune`. Pass
+    ``max_exact_rows=None`` (or a higher bound) for a DELIBERATE exact
+    run — the refusal exists so the quadratic can't be reached by
+    accident at scale, same pattern as the ``cosine_pairs_above``
+    facade deprecation."""
     n = df.count()
+    _guard_exact_pairs("cosine_pairs", n, max_exact_rows)
     if n <= max_broadcast_rows:
         return _pairs_broadcast(
             df, vec_col=vec_col, id_col=id_col, threshold=threshold
         )
     return cosine_pairs_blocked(
         df, vec_col=vec_col, id_col=id_col, threshold=threshold,
-        num_blocks=num_blocks,
+        num_blocks=num_blocks, max_exact_rows=None,  # guarded above
     )
+
+
+def _guard_exact_pairs(caller: str, n: int, max_exact_rows: int | None) -> None:
+    """Refuse an accidental O(n²) exact all-pairs launch above the row
+    cap, naming the sub-quadratic twins. The exact tier stays available
+    below the cap (and deliberately above it via max_exact_rows=None)."""
+    if max_exact_rows is not None and n > max_exact_rows:
+        raise ValueError(
+            f"{caller}: exact all-pairs cosine over {n} rows is O(n²) "
+            f"and exceeds max_exact_rows={max_exact_rows}. Use a "
+            "sub-quadratic tier instead: dedup.minhash_lsh_candidates "
+            "(banded LSH near-dup candidates), "
+            "similarity.lsh_cosine_candidates, the ann_* top-k tiers "
+            "(ann_lsh_topk / ann_ivf_topk / ann_kmeans_ivf_topk), or "
+            "similarity.semdedup_prune — or pass max_exact_rows=None "
+            "for a deliberate exact run."
+        )
 
 
 def cosine_pairs_above(
@@ -296,6 +327,7 @@ def cosine_pairs_blocked(
     id_col: str = "vec_id",
     threshold: float = 0.5,
     num_blocks: int = 8,
+    max_exact_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Exact similarity self-join with NO driver-side collect: a
     distributed block-pair GEMM.
@@ -311,10 +343,17 @@ def cosine_pairs_blocked(
     num_blocks ≈ n·dim·8 / target_task_bytes at scale (the total work
     stays the inherent exact O(n²) — for sub-quadratic use
     :func:`lsh_cosine_candidates`).
+
+    ``max_exact_rows`` refuses an ACCIDENTAL quadratic above the cap
+    (one count job — trivial next to the n² GEMM it prevents), naming
+    the sub-quadratic twins; ``None`` runs exact at any size, for
+    callers that already sized the input.
     """
     import numpy as np
     import pandas as pd
 
+    if max_exact_rows is not None:
+        _guard_exact_pairs("cosine_pairs_blocked", df.count(), max_exact_rows)
     B = int(num_blocks)
     t = float(threshold)
     src = df.select(

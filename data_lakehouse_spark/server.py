@@ -387,10 +387,18 @@ class SqlEndpoint:
                 need_exclusive = is_txn_verb or (
                     sess is not None and sess.txn_opened_at is not None
                 )
-                # a statement that was BLOCKED on the gate while the
-                # reaper rolled its transaction back must fail here,
-                # not run in autocommit (the pre-pin aborted check
-                # happened before the reaper flipped the flag)
+                # INVARIANT (pin-before-gate): this statement pinned
+                # its session under _lock BEFORE waiting on the gate,
+                # and the reaper skips pinned sessions at BOTH its
+                # snapshot and its under-lock re-check — so
+                # sess.aborted cannot flip while we were blocked here,
+                # and this branch is unreachable today
+                # (tests/test_sql_endpoint.py pins the reaper side).
+                # It is kept as a defensive backstop: if a future
+                # reaper edit drops the pinned skip, failing the
+                # statement here (instead of silently running it in
+                # autocommit on a rolled-back session) is the correct
+                # degradation.
                 aborted_now = sess.aborted if sess is not None else None
             if aborted_now is not None:
                 verb = _TXN_VERB.match(strip_comments(sql))

@@ -816,10 +816,15 @@ class LakehouseSql:
         )
         if tm:
             for kv in _split_top_level(middle[tm.start(1) : tm.end(1)]):
-                km = re.match(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*$", kv)
+                # '' inside a literal is the SQL-standard escaped quote
+                km = re.match(
+                    r"\s*'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'\s*$", kv
+                )
                 if not km:
                     raise SqlError(f"bad TBLPROPERTIES entry: {kv!r}")
-                properties[km.group(1)] = km.group(2)
+                properties[km.group(1).replace("''", "'")] = km.group(
+                    2
+                ).replace("''", "'")
         leftover = middle_mask
         for m_ in (pm, tm):
             if m_ is not None:

@@ -850,6 +850,64 @@ def test_kn5_broadcast_and_hash_join_paths_identical(spark):
         assert fast == slow, {k: (fast[k], slow[k]) for k in fast if fast[k] != slow.get(k)}
 
 
+def test_kn5_auto_dispatch_threshold(spark):
+    """broadcast_model='auto' (the default) dispatches on MEASURED
+    model size: at or under broadcast_max_grams the plan scores through
+    the Arrow MapInPandas broadcast-dict stage; above it the plan is
+    pure distributed hash joins (no Python stage). Both sides of the
+    threshold return bit-identical results, and the pure dispatch
+    predicate is pinned at the boundary."""
+    from data_lakehouse_spark.operators.corpus import _kn5_use_broadcast
+
+    assert _kn5_use_broadcast(10, 10) is True
+    assert _kn5_use_broadcast(11, 10) is False
+    assert _kn5_use_broadcast(0, 0) is True
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat and then the cat slept") for i in range(6)]
+        + [(100, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    under = corpus.kn5_logprob_scores(docs, broadcast_model="auto")
+    over = corpus.kn5_logprob_scores(
+        docs, broadcast_model="auto", broadcast_max_grams=1
+    )
+    plan_u = under._jdf.queryExecution().executedPlan().toString()
+    plan_o = over._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan_u  # small model -> broadcast probe
+    assert "MapInPandas" not in plan_o  # over cap -> hash-join path
+    rows_u = {r["doc_id"]: r["avg_logprob"] for r in under.collect()}
+    rows_o = {
+        r["doc_id"]: r["avg_logprob"] for r in over.collect()
+    }
+    assert rows_u == rows_o
+
+
+def test_ccnet_buckets_precomputed_scores_short_circuit(spark):
+    """The scores= hook: terciles cut over a PRECOMPUTED score frame
+    must equal the from-scratch lm='kn5' run — the model-sharing path
+    (one kn5 build feeding both the score gate and the bucketing)."""
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog slept") for i in range(9)]
+        + [(100, "mat dog the on slept and sat the cat the"), (200, "")],
+        "doc_id long, text string",
+    )
+    scratch = {
+        r["doc_id"]: (r["bucket"], r["avg_logprob"])
+        for r in corpus.ccnet_quality_buckets(docs, lm="kn5").collect()
+    }
+    pre = corpus.kn5_logprob_scores(docs).withColumnRenamed(
+        "n_scored", "n_tokens"
+    )
+    shared = {
+        r["doc_id"]: (r["bucket"], r["avg_logprob"])
+        for r in corpus.ccnet_quality_buckets(
+            docs, lm="kn5", scores=pre
+        ).collect()
+    }
+    assert scratch == shared
+
+
 def test_ccnet_buckets_kn5_lm(spark):
     """lm='kn5' terciles on the KN model: fluent repeated docs out-rank
     a shuffled outlier (which the unigram scorer cannot separate), and

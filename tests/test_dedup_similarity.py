@@ -194,6 +194,38 @@ def test_cosine_zero_norm_null(spark):
     assert df.select(vectors.cosine_similarity("a", "b").alias("c")).first()["c"] is None
 
 
+def test_exact_allpairs_row_cap_refusal(spark):
+    """The quadratic-by-contract guard: cosine_pairs and
+    cosine_pairs_blocked REFUSE above max_exact_rows with the
+    sub-quadratic twins named — the one deliberately O(n²) tier cannot
+    be reached by accident at scale (SCALING.md exemption contract).
+    Below the cap (and with max_exact_rows=None) the exact tier still
+    runs, and the guarded entry points agree."""
+    import pytest
+
+    rows = [(i, [float(i), 1.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for fn in (similarity.cosine_pairs, similarity.cosine_pairs_blocked):
+        with pytest.raises(ValueError) as ei:
+            fn(df, threshold=0.0, max_exact_rows=4).collect()
+        msg = str(ei.value)
+        assert "O(n²)" in msg and "max_exact_rows=4" in msg
+        # the refusal must NAME the sub-quadratic twins
+        for twin in (
+            "minhash_lsh_candidates",
+            "lsh_cosine_candidates",
+            "ann_",
+            "semdedup_prune",
+        ):
+            assert twin in msg, twin
+    # deliberate exact run above the cap still works (None disables)
+    n_none = similarity.cosine_pairs_blocked(
+        df, threshold=0.9, max_exact_rows=None
+    ).count()
+    n_under = similarity.cosine_pairs(df, threshold=0.9).count()
+    assert n_none == n_under > 0
+
+
 def test_ann_recall_vs_exact(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]

@@ -442,6 +442,43 @@ def test_wire_runner_merge_strategy_and_refusals(spark, tmp_path):
         for call in (lambda: r.seed("x"), lambda: r.test({}), lambda: r.run_parallel()):
             with _pytest.raises(ModelError, match="wire"):
                 call()
+
+        # SQL-injection hardening: tblproperties values with embedded
+        # quotes are escaped (statement survives), hostile unique_key /
+        # partition_by names are refused as invalid identifiers rather
+        # than spliced into the generated statement
+        r3 = WireModelRunner(conn)
+        r3.add_model(
+            "m_props",
+            "{{ config(materialized='table', "
+            "tblproperties={'note': \"it's quoted\"}) }}\n"
+            "SELECT id FROM {{ source('bronze', 'src') }}",
+        )
+        r3.run()
+        assert cat.table_exists("m_props")
+        assert cat.table_properties("m_props").get("note") == "it's quoted"
+
+        r4 = WireModelRunner(conn)
+        r4.add_model(
+            "m_badkey",
+            "{{ config(materialized='incremental', "
+            "incremental_strategy='merge', "
+            "unique_key='id = id OR 1=1 --') }}\n"
+            "SELECT id FROM {{ source('bronze', 'src') }}",
+        )
+        r4.run()  # first build is a CTAS — no key splice yet
+        with _pytest.raises(ModelError, match="identifier"):
+            r4.run()  # incremental MERGE must refuse the hostile key
+
+        r5 = WireModelRunner(conn)
+        r5.add_model(
+            "m_badpart",
+            "{{ config(materialized='table', "
+            "partition_by='seg) AS SELECT 1; --') }}\n"
+            "SELECT id, seg FROM {{ source('bronze', 'src') }}",
+        )
+        with _pytest.raises(ModelError, match="identifier"):
+            r5.run()
         conn.close()
     finally:
         ep.stop()

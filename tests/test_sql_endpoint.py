@@ -313,6 +313,37 @@ def test_endpoint_txn_timeout_autorollback(spark, tmp_path):
         ep.stop()
 
 
+def test_endpoint_reaper_skips_pinned_sessions(spark, tmp_path):
+    """Pin-before-gate invariant (server.py post-gate aborted check):
+    a statement pins its session under _lock BEFORE blocking on the
+    gate, and the reaper must skip pinned sessions at both its snapshot
+    and its under-lock re-check — otherwise a statement blocked on the
+    gate could wake up on a rolled-back session. This test makes the
+    reaper side of that invariant explicit: an expired-transaction
+    session with pinned != 0 is never reaped (aborted never flips, the
+    txn stays open); the same session unpinned is reaped on the next
+    sweep."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table("t", spark.createDataFrame([(1,)], "id long"))
+    ep = SqlEndpoint(cat).start()
+    try:
+        _post_s(ep.port, "BEGIN", "busy")
+        _post_s(ep.port, "INSERT INTO t VALUES (9)", "busy")
+        ep.txn_timeout = 0.0  # txn is now expired by age
+        sess = ep._sessions["busy"]
+        sess.pinned = 1  # simulate an in-flight request blocked on the gate
+        ep._reap()
+        assert sess.aborted is None
+        assert sess.txn_opened_at is not None
+        # unpinned, the same sweep rolls it back and flags the session
+        sess.pinned = 0
+        ep._reap()
+        assert sess.aborted is not None
+        assert sess.txn_opened_at is None
+    finally:
+        ep.stop()
+
+
 def test_endpoint_session_cap_lru_eviction(spark, tmp_path):
     """At max_sessions the least-recently-used transaction-free session
     is evicted to make room; sessions holding transactions are never

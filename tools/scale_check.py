@@ -33,7 +33,11 @@ QUADRATIC_OK = {
         "explicitly-EXACT all-pairs cosine tier: O(n^2) by definition "
         "(100x pair work at a 10x step); the sub-quadratic twins are "
         "minhash_lsh_candidates / lsh_cosine_candidates / ann_* / "
-        "semdedup_prune, all in this table and linear"
+        "semdedup_prune, all in this table and linear. GUARDED: "
+        "cosine_pairs / cosine_pairs_blocked refuse above "
+        "max_exact_rows=1,000,000 with the twins named "
+        "(tests/test_dedup_similarity.py pins the refusal), so the "
+        "quadratic cannot be reached by accident at scale"
     ),
 }
 
