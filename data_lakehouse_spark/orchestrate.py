@@ -36,6 +36,17 @@ Semantics implemented (Airflow-equivalent, tested in
 - Trigger rules ``all_success`` (default) and ``all_done`` (cleanup
   tasks run regardless); upstream failure marks ``all_success``
   downstreams ``upstream_failed`` transitively, like Airflow.
+- Logical-date scheduling (Airflow's data-interval model): a Dag may
+  declare ``schedule`` / ``start_date`` / ``catchup`` (the reference
+  sets all three on every DAG — ``dags/02_bronze_ingestion_to_iceberg
+  .py:56-61``); ``run(logical_date=...)`` parameterizes the run, tasks
+  that declare a required positional argument receive the Airflow-shaped
+  context (``logical_date``, ``ds``, ``data_interval_start/end``,
+  ``run_id``, ``run_type``); ``due_logical_dates`` computes the
+  catchup set and :func:`backfill` replays a date range through the
+  graph one logical date at a time (``max_active_runs=1`` ordering),
+  idempotently when the tasks key their writes on the interval (the
+  medallion bronze task's event-time watermark makes replays no-ops).
 
 Scale note: the runner moves NO data — tasks are catalog/DataFrame
 materializations; concurrency here is control-plane only, so the same
@@ -45,6 +56,8 @@ become parallel Spark job groups sharing the cluster via FAIR pools).
 
 from __future__ import annotations
 
+import datetime as _dt
+import inspect
 import threading
 import time
 from collections.abc import Callable
@@ -54,6 +67,9 @@ __all__ = [
     "Task",
     "Dag",
     "DagRunError",
+    "schedule_interval",
+    "due_logical_dates",
+    "backfill",
     "gold_aggregation_dag",
     "medallion_dag",
 ]
@@ -69,6 +85,81 @@ RUNNING = "running"
 
 class DagRunError(RuntimeError):
     """Raised by ``Dag.run(raise_on_failure=True)`` when any task fails."""
+
+
+def schedule_interval(schedule) -> _dt.timedelta:
+    """Normalize a ``schedule`` declaration to one data interval.
+
+    Accepts a ``timedelta``, a number of seconds, or the Airflow preset
+    strings ``"@hourly"`` / ``"@daily"`` / ``"@weekly"`` (the shapes the
+    reference's DAG headers use)."""
+    if isinstance(schedule, _dt.timedelta):
+        return schedule
+    if isinstance(schedule, (int, float)):
+        return _dt.timedelta(seconds=float(schedule))
+    presets = {
+        "@hourly": _dt.timedelta(hours=1),
+        "@daily": _dt.timedelta(days=1),
+        "@weekly": _dt.timedelta(weeks=1),
+    }
+    if schedule in presets:
+        return presets[schedule]
+    raise ValueError(
+        f"unsupported schedule {schedule!r}: use a timedelta, seconds, "
+        "or one of @hourly/@daily/@weekly"
+    )
+
+
+def _as_dt(d) -> _dt.datetime:
+    """date|datetime|ISO string → datetime (midnight for a bare date)."""
+    if isinstance(d, _dt.datetime):
+        return d
+    if isinstance(d, _dt.date):
+        return _dt.datetime(d.year, d.month, d.day)
+    if isinstance(d, str):
+        return _dt.datetime.fromisoformat(d)
+    raise TypeError(f"expected date/datetime/ISO string, got {type(d).__name__}")
+
+
+def due_logical_dates(
+    schedule,
+    start_date,
+    *,
+    now,
+    last_logical_date=None,
+    catchup: bool = True,
+) -> list[_dt.datetime]:
+    """The logical dates a scheduler owes runs for — Airflow's catchup
+    arithmetic: a run exists for every data interval
+    ``[L, L + interval)`` with ``L >= start_date`` whose interval has
+    CLOSED (``L + interval <= now``) and that is after the last run
+    (``L > last_logical_date``). With ``catchup=False`` only the most
+    recent such interval is due (Airflow skips the backlog); a
+    :func:`backfill` replays the skipped ones on demand.
+
+    Pure driver arithmetic — this never touches data; the idempotency
+    of actually re-running a date belongs to the tasks (see
+    ``medallion_dag``'s watermarked bronze ingest)."""
+    step = schedule_interval(schedule)
+    if step <= _dt.timedelta(0):
+        raise ValueError(f"schedule interval must be positive, got {step}")
+    start = _as_dt(start_date)
+    now = _as_dt(now)
+    last = _as_dt(last_logical_date) if last_logical_date is not None else None
+    due: list[_dt.datetime] = []
+    ld = start
+    # advance in one arithmetic hop when resuming far past start (the
+    # loop below then walks at most a handful of intervals)
+    if last is not None and last >= start:
+        n_done = int((last - start) / step)
+        ld = start + n_done * step
+    while ld + step <= now:
+        if last is None or ld > last:
+            due.append(ld)
+        ld += step
+    if not catchup and len(due) > 1:
+        due = due[-1:]
+    return due
 
 
 class Task:
@@ -93,6 +184,25 @@ class Task:
             raise ValueError(f"unknown trigger_rule {trigger_rule!r}")
         self.task_id = task_id
         self.fn = fn
+        # context-aware callables declare a REQUIRED positional
+        # parameter (Airflow's `def fn(context)` shape); default-only
+        # parameters (the `lambda names=names:` closure idiom) keep the
+        # zero-arg contract so existing factories are untouched
+        self.accepts_context = False
+        if fn is not None:
+            try:
+                params = inspect.signature(fn).parameters.values()
+                self.accepts_context = any(
+                    p.default is inspect.Parameter.empty
+                    and p.kind
+                    in (
+                        inspect.Parameter.POSITIONAL_ONLY,
+                        inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                    )
+                    for p in params
+                )
+            except (TypeError, ValueError):
+                pass
         self.retries = int(retries)
         self.retry_delay = float(retry_delay)
         self.execution_timeout = execution_timeout
@@ -140,10 +250,38 @@ def _link(up: Task, down: Task) -> None:
 class Dag:
     """A named task graph with an Airflow-shaped threaded runner."""
 
-    def __init__(self, dag_id: str, *, max_workers: int = 8) -> None:
+    def __init__(
+        self,
+        dag_id: str,
+        *,
+        max_workers: int = 8,
+        schedule=None,
+        start_date=None,
+        catchup: bool = False,
+    ) -> None:
         self.dag_id = dag_id
         self.max_workers = max_workers
         self.tasks: dict[str, Task] = {}
+        #: Airflow-shaped scheduling contract (the reference declares
+        #: schedule/start_date/catchup on every DAG header). The graph
+        #: runner itself stays time-agnostic; these feed due_runs() /
+        #: backfill() and default the data interval of dated runs.
+        self.schedule = schedule
+        self.start_date = start_date
+        self.catchup = bool(catchup)
+
+    def due_runs(self, *, now, last_logical_date=None) -> list:
+        """Logical dates this dag owes runs for at ``now`` (requires
+        ``schedule`` and ``start_date``) — see :func:`due_logical_dates`."""
+        if self.schedule is None or self.start_date is None:
+            return []
+        return due_logical_dates(
+            self.schedule,
+            self.start_date,
+            now=now,
+            last_logical_date=last_logical_date,
+            catchup=self.catchup,
+        )
 
     def add(self, task: Task) -> Task:
         have = self.tasks.get(task.task_id)
@@ -183,17 +321,45 @@ class Dag:
         *,
         raise_on_failure: bool = False,
         poll: float = 0.05,
+        logical_date=None,
+        run_type: str = "manual",
     ) -> dict:
         """Execute the graph; returns the run report::
 
             {"dag_id": ..., "state": "success"|"failed",
+             "logical_date": ..., "run_id": ...,
              "tasks": {id: {"state", "attempts", "duration",
                             "error", "result"}}}
 
         ``spark`` enables job-group timeout cancellation (pass the
         session whose jobs the tasks submit).
+
+        ``logical_date`` parameterizes the run (Airflow data-interval
+        model): tasks whose callable declares a required positional
+        argument receive the context dict — ``logical_date``, ``ds``
+        (YYYY-MM-DD), ``data_interval_start``/``data_interval_end``
+        (the dag's schedule interval, daily when unscheduled),
+        ``run_id``, ``run_type``, ``dag_id``. Zero-arg callables run
+        exactly as before, dated or not.
         """
         self._toposort()  # cycle check up front
+        context = None
+        run_id = None
+        if logical_date is not None:
+            ld = _as_dt(logical_date)
+            step = schedule_interval(
+                self.schedule if self.schedule is not None else "@daily"
+            )
+            run_id = f"{run_type}__{ld.isoformat()}"
+            context = {
+                "dag_id": self.dag_id,
+                "logical_date": ld,
+                "ds": ld.strftime("%Y-%m-%d"),
+                "data_interval_start": ld,
+                "data_interval_end": ld + step,
+                "run_id": run_id,
+                "run_type": run_type,
+            }
         states = {k: PENDING for k in self.tasks}
         report: dict[str, dict] = {
             k: {
@@ -252,7 +418,11 @@ class Dag:
                     group, f"{self.dag_id}.{task.task_id}", True
                 )
             try:
-                return task.fn() if task.fn is not None else None
+                if task.fn is None:
+                    return None
+                if task.accepts_context:
+                    return task.fn(context)
+                return task.fn()
             finally:
                 if spark is not None:
                     spark.sparkContext.setJobGroup("", "", False)
@@ -447,6 +617,10 @@ class Dag:
         out = {
             "dag_id": self.dag_id,
             "state": FAILED if failed else SUCCESS,
+            "logical_date": (
+                context["logical_date"].isoformat() if context else None
+            ),
+            "run_id": run_id,
             "tasks": report,
         }
         if failed and raise_on_failure:
@@ -471,6 +645,50 @@ class Dag:
         else:
             states[k] = FAILED
             report[k]["state"] = FAILED
+
+
+def backfill(
+    dag: Dag,
+    start,
+    end,
+    *,
+    spark=None,
+    raise_on_failure: bool = True,
+) -> list[dict]:
+    """Replay every logical date in ``[start, end]`` through ``dag`` —
+    the ``airflow dags backfill -s … -e …`` verb. Dates step by the
+    dag's schedule interval (daily when unscheduled) and run
+    SEQUENTIALLY in ascending order (Airflow's backfill
+    ``max_active_runs=1`` default: interval N+1 must observe interval
+    N's writes — the watermark idempotency contract depends on it).
+
+    Idempotency belongs to the tasks, exactly as in Airflow: a task
+    that keys its writes on the run's data interval and skips rows at
+    or below its high watermark (``medallion_dag``'s bronze ingest)
+    makes a REPLAYED date a no-op, so re-running a completed backfill
+    lands nothing. Returns one run report per logical date; with
+    ``raise_on_failure`` the backfill stops at the first failed date
+    (later intervals must not run ahead of a broken one).
+    """
+    step = schedule_interval(
+        dag.schedule if dag.schedule is not None else "@daily"
+    )
+    ld = _as_dt(start)
+    stop = _as_dt(end)
+    if ld > stop:
+        raise ValueError(f"backfill start {ld} is after end {stop}")
+    reports: list[dict] = []
+    while ld <= stop:
+        reports.append(
+            dag.run(
+                spark,
+                raise_on_failure=raise_on_failure,
+                logical_date=ld,
+                run_type="backfill",
+            )
+        )
+        ld += step
+    return reports
 
 
 # ---------------------------------------------------------------------------
@@ -520,16 +738,43 @@ def gold_aggregation_dag(pipeline, *, timeouts: bool = True) -> Dag:
     return dag
 
 
-def medallion_dag(pipeline, raw, source_file: str) -> Dag:
+def medallion_dag(
+    pipeline, raw, source_file: str, *, event_time_col: str | None = None
+) -> Dag:
     """End-to-end bronze → silver → gold as one graph (reference DAGs
     02→03→04 chained), with the silver 30-min SLO
-    (``dags/03_silver_dbt_transformation.py:77``)."""
-    dag = Dag("medallion", max_workers=4)
-    bronze = dag.task(
-        "bronze_ingest",
-        lambda: pipeline.ingest_bronze(raw, source_file),
-        retries=1,
+    (``dags/03_silver_dbt_transformation.py:77``) and the reference's
+    DAG-header scheduling contract (schedule/start_date/catchup —
+    ``dags/02_bronze_ingestion_to_iceberg.py:56-61``).
+
+    ``event_time_col`` turns the bronze ingest logical-date-aware: a
+    dated run (``run(logical_date=…)`` or :func:`backfill`) ingests
+    only the raw rows in its data interval that are past the bronze
+    event-time watermark (``Pipeline.ingest_bronze_interval``), so a
+    replayed date appends nothing while silver/gold rebuild from
+    whatever bronze actually advanced — idempotent end to end. Undated
+    runs (or ``event_time_col=None``) keep the full-batch ingest.
+    """
+    dag = Dag(
+        "medallion",
+        max_workers=4,
+        schedule="@daily",
+        start_date=_dt.date(2026, 1, 1),
+        catchup=False,
     )
+
+    def _ingest(context):
+        if context is None or event_time_col is None:
+            return pipeline.ingest_bronze(raw, source_file)
+        return pipeline.ingest_bronze_interval(
+            raw,
+            source_file,
+            event_time_col=event_time_col,
+            interval_start=context["data_interval_start"],
+            interval_end=context["data_interval_end"],
+        )
+
+    bronze = dag.task("bronze_ingest", _ingest, retries=1)
     fresh = dag.task(
         "bronze_freshness", lambda: pipeline.check_bronze_freshness()
     )

@@ -15,6 +15,8 @@ from data_lakehouse_spark.orchestrate import (
     Dag,
     DagRunError,
     Task,
+    backfill,
+    due_logical_dates,
     gold_aggregation_dag,
     medallion_dag,
 )
@@ -258,6 +260,123 @@ def test_gold_test_task_fails_on_violations(spark, tmp_path):
 
     with pytest.raises(ValueError, match="gold data tests failed"):
         _test_gold(pipe)
+
+
+def test_due_logical_dates_catchup_arithmetic():
+    """Airflow's catchup arithmetic, pure: a run is due for every
+    CLOSED data interval after start_date (and after the last run);
+    catchup=False keeps only the most recent backlog entry."""
+    due = due_logical_dates(
+        "@daily", dt.date(2024, 1, 1), now=dt.datetime(2024, 1, 4, 12)
+    )
+    assert due == [
+        dt.datetime(2024, 1, 1),
+        dt.datetime(2024, 1, 2),
+        dt.datetime(2024, 1, 3),
+    ]
+    # the Jan-4 interval has not closed at noon Jan 4
+    assert dt.datetime(2024, 1, 4) not in due
+    # resume after the last run
+    assert due_logical_dates(
+        "@daily",
+        dt.date(2024, 1, 1),
+        now=dt.datetime(2024, 1, 4, 12),
+        last_logical_date=dt.datetime(2024, 1, 2),
+    ) == [dt.datetime(2024, 1, 3)]
+    # catchup=False: skip the backlog, take only the latest due run
+    assert due_logical_dates(
+        "@daily",
+        dt.date(2024, 1, 1),
+        now=dt.datetime(2024, 1, 4, 12),
+        catchup=False,
+    ) == [dt.datetime(2024, 1, 3)]
+    # nothing due before the first interval closes
+    assert (
+        due_logical_dates(
+            "@daily", dt.date(2024, 1, 1), now=dt.datetime(2024, 1, 1, 23)
+        )
+        == []
+    )
+    # hourly preset + Dag.due_runs plumbing
+    d = Dag(
+        "x", schedule="@hourly", start_date=dt.datetime(2024, 1, 1), catchup=True
+    )
+    assert d.due_runs(now=dt.datetime(2024, 1, 1, 3, 30)) == [
+        dt.datetime(2024, 1, 1, 0),
+        dt.datetime(2024, 1, 1, 1),
+        dt.datetime(2024, 1, 1, 2),
+    ]
+
+
+def test_dag_run_logical_date_context():
+    """A dated run hands the Airflow-shaped context to tasks that
+    declare a required positional parameter; zero-arg and default-only
+    callables keep the legacy contract."""
+    seen = {}
+
+    dag = Dag("ctx", schedule="@daily")
+    dag.task("aware", lambda context: seen.setdefault("ctx", context))
+    dag.task("legacy", lambda: seen.setdefault("legacy", "ran"))
+    dag.task("default_only", lambda x=41: seen.setdefault("default", x + 1))
+    out = dag.run(logical_date=dt.datetime(2024, 3, 5), raise_on_failure=True)
+    ctx = seen["ctx"]
+    assert ctx["ds"] == "2024-03-05"
+    assert ctx["logical_date"] == dt.datetime(2024, 3, 5)
+    assert ctx["data_interval_start"] == dt.datetime(2024, 3, 5)
+    assert ctx["data_interval_end"] == dt.datetime(2024, 3, 6)
+    assert ctx["run_type"] == "manual" and "2024-03-05" in ctx["run_id"]
+    assert seen["legacy"] == "ran" and seen["default"] == 42
+    assert out["logical_date"] == "2024-03-05T00:00:00"
+    # undated runs keep working: context-aware tasks receive None
+    seen.clear()
+    out = dag.run(raise_on_failure=True)
+    assert seen["ctx"] is None and out["logical_date"] is None
+
+
+def test_medallion_backfill_three_dates_idempotent(spark, tmp_path):
+    """The verdict's backfill gate: replaying 3 logical dates through
+    medallion_dag lands each date's rows exactly once (bronze ingests
+    only its data interval, past the event-time watermark), and
+    RE-RUNNING the completed backfill lands nothing — bronze appends 0
+    rows per date, the bronze table version does not advance, and
+    silver/gold row counts are unchanged."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    pipe = MedallionPipeline(
+        spark, cat, cart_type="cart", as_of_date="2024-02-01"
+    )
+    raw = spark.createDataFrame(
+        _batch(range(1, 5), 1)
+        + _batch(range(5, 9), 2)
+        + _batch(range(9, 13), 3),
+        EVENTS,
+    )
+    dag = medallion_dag(pipe, raw, "b1.parquet", event_time_col="ts")
+    reports = backfill(dag, dt.date(2024, 1, 1), dt.date(2024, 1, 3), spark=spark)
+    assert [r["state"] for r in reports] == ["success"] * 3
+    assert [r["run_id"] for r in reports] == [
+        "backfill__2024-01-01T00:00:00",
+        "backfill__2024-01-02T00:00:00",
+        "backfill__2024-01-03T00:00:00",
+    ]
+    # each date landed exactly its own 4 rows
+    appended = [r["tasks"]["bronze_ingest"]["result"]["rows_appended"] for r in reports]
+    assert appended == [4, 4, 4]
+    assert cat.read("bronze_events").count() == 12
+    assert cat.read("silver_events").count() == 12
+    v_bronze = cat.current_version("bronze_events")
+    n_silver = cat.read("silver_events").count()
+    n_gold = cat.read("gold_daily_sales_summary").count()
+
+    # replaying the SAME range is a complete no-op on the data
+    replays = backfill(dag, dt.date(2024, 1, 1), dt.date(2024, 1, 3), spark=spark)
+    assert [r["state"] for r in replays] == ["success"] * 3
+    for r in replays:
+        res = r["tasks"]["bronze_ingest"]["result"]
+        assert res["rows_appended"] == 0 and res["skipped"] is True
+    assert cat.current_version("bronze_events") == v_bronze
+    assert cat.read("bronze_events").count() == 12
+    assert cat.read("silver_events").count() == n_silver == 12
+    assert cat.read("gold_daily_sales_summary").count() == n_gold
 
 
 def test_attempt_finishing_past_deadline_still_fails():
