@@ -1694,7 +1694,13 @@ def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-hop canonicalization (dedup_embedding_cosine) approximates.
     Pairs come from the distributed block GEMM; closure from min-label
     propagation + pointer jumping (operators/graph.py). Oracle: DuckDB
-    recursive CTE over the same pair set."""
+    recursive CTE over the same pair set.
+
+    Scale note: the PAIR stage is the exact all-pairs tier — O(n²) by
+    semantics (documented SCALING.md exemption, guarded by the
+    cosine_pairs max_exact_rows refusal); the closure itself is
+    linear. The sub-quadratic end-to-end twin is near_dup_pipeline
+    (banded LSH candidates → verify → the same component closure)."""
     _ensure_conf(spark)
     emb = _rel(spark, sf_dir, "embeddings")
     pairs = similarity.cosine_pairs_blocked(emb, threshold=0.4)
@@ -3071,8 +3077,10 @@ def q_tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXISTS + NOT EXISTS pair decorrelated to lineitem self semi/anti
-    joins with non-equi residuals."""
+    """EXISTS + NOT EXISTS pair decorrelated to ONE per-(order,
+    supplier) max-shipdate aggregate + order-stats window — no lineitem
+    self-joins, so no broadcast-to-SMJ regime cliff at scale (see
+    tpch.q21_waiting_suppliers)."""
     _ensure_conf(spark)
     t = load_tables(
         spark, sf_dir, ["supplier", "lineitem", "orders"], register_views=False
@@ -3328,6 +3336,61 @@ def q_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_iceberg(spark, os.path.join(root, "ice"))
         .select("r_regionkey", "r_name")
         .orderBy("r_regionkey")
+    )
+
+
+def q_iceberg_eq_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 EQUALITY-delete write path, oracle-verified end to
+    end (the Flink-CDC upsert shape): nation lands in the catalog,
+    `delete_where(mode='mor-eq')` commits the region-2 nation KEYS as
+    an equality delete (content=2 semantics), the same nations are then
+    RE-APPENDED (sequence rule: rows written after the delete survive),
+    and the table exports ZERO-COPY as genuine Iceberg v2 — a real
+    delete manifest with equality_ids + per-file sequence numbers —
+    read back by the independent pure-Python spec reader. Survivors
+    must hash-match DuckDB's direct expression of the semantics:
+    originals outside region 2 plus the replayed region-2 rows.
+    Parity target: the reference's Iceberg v2 storage contract
+    (spark/spark-defaults.conf:16-22) including the v2 row-level
+    delete surface its Flink/CDC writers produce."""
+    import shutil
+    import tempfile
+
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.interop import export_iceberg, read_iceberg
+
+    _ensure_conf(spark)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dls_iceberg_eq",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(spark, os.path.join(root, "cat"))
+    nation = _rel(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    cat.create_table(
+        "nation_ice", nation.withColumn("src", F.lit("original"))
+    )
+    cat.delete_where(
+        "nation_ice",
+        "n_regionkey = 2",
+        mode="mor-eq",
+        equality_cols=["n_nationkey"],
+    )
+    cat.append(
+        "nation_ice",
+        nation.filter(F.col("n_regionkey") == 2).withColumn(
+            "src", F.lit("replayed")
+        ),
+    )
+    out = export_iceberg(cat, "nation_ice", os.path.join(root, "ice"))
+    assert out["materialized"] is False and out["delete_files"] >= 1
+    return (
+        read_iceberg(spark, os.path.join(root, "ice"))
+        .select("n_nationkey", "n_name", "n_regionkey", "src")
+        .orderBy("n_nationkey", "src")
     )
 
 
@@ -3786,7 +3849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dsir_sample": q_corpus_dsir_sample,
         "corpus_ccnet_buckets": q_corpus_ccnet_buckets,
         "corpus_ccnet_buckets_kn5": q_corpus_ccnet_buckets_kn5,
-        "corpus_temperature_sample": q_corpus_temperature_sample,
+        "iceberg_eq_delete_roundtrip": q_iceberg_eq_delete_roundtrip,
         "corpus_pretrain_mix": q_corpus_pretrain_mix,
         "matview_ivm": q_matview_ivm,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -3837,6 +3900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_last_touch": q_purchase_last_touch,
         "customer_pareto": q_customer_pareto,
         "embedding_label_centroids": q_embedding_label_centroids,
+        "corpus_temperature_sample": q_corpus_temperature_sample,
         "events_daily_anomaly": q_events_daily_anomaly,
         "embedding_quantize_int8": q_embedding_quantize_int8,
         "corpus_dup_ngram_coverage": q_corpus_dup_ngram_coverage,
@@ -4957,6 +5021,20 @@ WHERE event_id = 4242
 SELECT r_regionkey, r_name
 FROM region
 ORDER BY r_regionkey
+"""
+
+    # equality-delete semantics in closed form: the delete kills every
+    # ORIGINAL region-2 nation by key; the post-delete re-append of the
+    # same nations survives the strictly-lower sequence rule
+    sql["iceberg_eq_delete_roundtrip"] = """
+SELECT n_nationkey, n_name, n_regionkey, src FROM (
+    SELECT n_nationkey, n_name, n_regionkey, 'original' AS src
+    FROM nation WHERE n_regionkey <> 2
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey, 'replayed' AS src
+    FROM nation WHERE n_regionkey = 2
+) t
+ORDER BY n_nationkey, src
 """
 
     # SQL dialect DML gate: the edit sequence (UPDATE st='F' +100 cents;

@@ -134,6 +134,7 @@ def main() -> None:
     max_sec = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_SEC", "520"))
     bench_start = time.time()
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for rep in range(max(reps, 1)):
         for name in bench_queries:
             if rep > 0 and time.time() - bench_start > max_sec:
@@ -149,9 +150,26 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             t = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, t), t)
+            samples.setdefault(name, []).append(t)
         else:
             continue
         break
+
+    # Per-query noise context: host steal historically moves single
+    # samples ±15%+, so a regression call needs the SPREAD next to the
+    # min — a query whose min moved less than its own spread is noise,
+    # not signal. spread_pct = (max - min) / min over this run's reps.
+    variance = {
+        name: {
+            "n_reps": len(ts),
+            "min": min(ts),
+            "max": max(ts),
+            "spread_pct": round(
+                100.0 * (max(ts) - min(ts)) / max(min(ts), 1e-9), 1
+            ),
+        }
+        for name, ts in samples.items()
+    }
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -165,11 +183,13 @@ def main() -> None:
         "n_queries": len(timings),
         "sec_per_query": round(total / max(len(timings), 1), 3),
     }
-    # Full per-query detail always lands on disk for the judge/plan work.
+    # Full per-query detail always lands on disk for the judge/plan work
+    # (bench_full.json only: the variance block would blow the one-line
+    # budget of the printed JSON).
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_full.json")
     with open(full_path, "w") as f:
-        json.dump(result, f, indent=1)
+        json.dump(dict(result, variance=variance), f, indent=1)
 
     # The driver keeps only the LAST ~2000 chars of output and parses the
     # JSON line out of that tail (BENCH_r02.json recorded parsed=null when

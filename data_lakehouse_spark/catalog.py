@@ -188,9 +188,9 @@ class Catalog:
                 continue
             oh = self._handle(other)
             for e in self._load_manifest(oh):
-                dirs = list(e.get("data_dirs", [])) + list(
-                    e.get("delete_dirs", [])
-                )
+                dirs = list(e.get("data_dirs", [])) + [
+                    self._dd_name(d) for d in e.get("delete_dirs", [])
+                ]
                 # dirs are relative to the referencing table's path
                 # (clones reference ../<source>/vNNNNN)
                 if any(
@@ -1397,7 +1397,14 @@ class Catalog:
         return {"table": name, "affected_rows": affected,
                 "rewritten_dirs": touched, "kept_dirs": kept}
 
-    def delete_where(self, name: str, condition, *, mode: str = "cow") -> dict:
+    def delete_where(
+        self,
+        name: str,
+        condition,
+        *,
+        mode: str = "cow",
+        equality_cols: list[str] | None = None,
+    ) -> dict:
         """DELETE FROM name WHERE condition (GDPR right-to-be-forgotten
         path). ``condition`` is a SQL string or Column.
 
@@ -1411,11 +1418,33 @@ class Catalog:
         position set until :meth:`rewrite_position_deletes` folds them
         in. The right tier for frequent small deletes over huge tables,
         where COW's write amplification dominates.
+
+        ``mode='mor-eq'``: merge-on-read EQUALITY deletes (the Iceberg
+        v2 Flink-CDC write shape, spec content=2) — writes only the
+        DISTINCT ``equality_cols`` key tuples of the matching rows,
+        with SEQUENCE-NUMBER semantics: the delete applies to rows in
+        data files whose sequence (commit version) is STRICTLY LOWER
+        than the delete's, so a row with a deleted key appended AFTER
+        the delete survives — the upsert-stream contract CDC pipelines
+        depend on. Note the key scope: the delete removes EVERY
+        pre-delete row sharing a matching key, not only the rows the
+        condition selected. O(keys) write; no position scan at all
+        (cheaper to commit than ``mor`` when the keys are known —
+        nothing reads the data at delete time).
         """
         if mode == "mor":
             return self._mor_delete(name, condition)
+        if mode == "mor-eq":
+            if not equality_cols:
+                raise ValueError(
+                    "mode='mor-eq' requires equality_cols (the key "
+                    "columns the delete file carries)"
+                )
+            return self._mor_eq_delete(name, condition, list(equality_cols))
         if mode != "cow":
-            raise ValueError(f"unknown delete mode {mode!r}: use cow|mor")
+            raise ValueError(
+                f"unknown delete mode {mode!r}: use cow|mor|mor-eq"
+            )
         return self._cow_rewrite(
             name, condition, "delete",
             lambda touched_df, is_hit: touched_df.filter(~is_hit),
@@ -1478,11 +1507,146 @@ class Catalog:
         return {"table": name, "affected_rows": affected, "delete_dir": ddir,
                 "rewritten_dirs": [], "kept_dirs": live}
 
+    # -- equality deletes (Iceberg v2 content=2) ----------------------------
+    #
+    # Manifest encoding: equality deletes ride in the SAME
+    # ``delete_dirs`` list as positional ones, as dicts
+    # ``{"dir": "eNNNNN", "cols": [...], "seq": N}`` next to the plain
+    # string entries — every commit path that carries delete_dirs
+    # forward (append, DDL, branch, clone, rollback) therefore carries
+    # equality deletes too, with zero changes. Consumers split the two
+    # kinds with the helpers below.
+
+    @staticmethod
+    def _dd_name(d) -> str:
+        """Directory name of a delete_dirs entry (str or eq dict)."""
+        return d if isinstance(d, str) else d["dir"]
+
+    @staticmethod
+    def _dd_split(ddirs: list) -> tuple[list[str], list[dict]]:
+        """(positional delete dirs, equality delete records)."""
+        pos = [d for d in ddirs if isinstance(d, str)]
+        eq = [d for d in ddirs if isinstance(d, dict)]
+        return pos, eq
+
+    def _dir_seq(self, entries: list[dict], d: str) -> int:
+        """Sequence number of data dir ``d``. ``vNNNNN`` basenames
+        decode directly — for local dirs that is the commit version,
+        and for cloned ``../src/vNNNNN`` dirs it is the SOURCE's
+        version, which keeps a cloned equality delete (whose ``seq``
+        is also in source-version space) correctly ordered against the
+        dirs it shipped with. Other shapes fall back to the first
+        version of this table whose snapshot contains the dir."""
+        base = os.path.basename(d)
+        if base.startswith("v"):
+            try:
+                return int(base[1:])
+            except ValueError:
+                pass
+        for e in entries:
+            if d in (e.get("data_dirs") or []):
+                return e["version"]
+        return -1  # unknown: conservatively older than any delete
+
+    def _mor_eq_delete(
+        self, name: str, condition, equality_cols: list[str]
+    ) -> dict:
+        """Merge-on-read equality DELETE: commit the distinct key
+        tuples of the matching rows as an equality-delete file. See
+        :meth:`delete_where` (mode='mor-eq') for semantics."""
+        h = self._handle(name)
+        entries = self._load_manifest(h)
+        if not entries:
+            raise ValueError(f"table {name} does not exist")
+        base_version = len(entries)
+        head = self._main_head(entries, name)
+        have = {f["name"] for f in head["schema"]["fields"]}
+        missing = [c for c in equality_cols if c not in have]
+        if missing:
+            raise ValueError(
+                f"equality_cols {missing} not in {name}'s schema"
+            )
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        is_hit = F.coalesce(cond, F.lit(False))
+        keys = (
+            self.read(name).filter(is_hit).select(*equality_cols).distinct()
+        )
+        n_keys = keys.count()
+        live = list(head["data_dirs"])
+        if n_keys == 0:
+            return {"table": name, "affected_rows": 0, "deleted_keys": 0,
+                    "delete_dir": None, "rewritten_dirs": [],
+                    "kept_dirs": live}
+        # rows the delete will suppress: every CURRENT row sharing a
+        # matching key (key scope, not condition scope)
+        match = F.lit(True)
+        probe = keys.select(
+            *[F.col(c).alias(f"_k_{c}") for c in equality_cols]
+        )
+        for c in equality_cols:
+            match = match & F.col(c).eqNullSafe(F.col(f"_k_{c}"))
+        affected = (
+            self.read(name)
+            .join(F.broadcast(probe), match, "left_semi")
+            .count()
+        )
+        with self._commit_lock(h):
+            entries = self._load_manifest(h)
+            if len(entries) != base_version:
+                raise RuntimeError(
+                    f"concurrent modification of {h.name}: equality "
+                    f"delete built against version {base_version - 1} but "
+                    f"table is now at {len(entries) - 1}; re-read and retry"
+                )
+            version = len(entries)
+            ddir = f"e{version:05d}"
+            keys.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(h.path, ddir)
+            )
+            prev = self._main_head(entries, name)
+            entries.append(
+                {
+                    "version": version,
+                    "op": "delete_mor_eq",
+                    "committed_at": time.strftime(
+                        "%Y-%m-%d %H:%M:%S", time.gmtime()
+                    ),
+                    "data_dirs": list(prev["data_dirs"]),
+                    "delete_dirs": list(prev.get("delete_dirs") or [])
+                    + [{
+                        "dir": ddir,
+                        "cols": list(equality_cols),
+                        # stable ids so reads resolve through renames
+                        # (in equality_cols order, not schema order)
+                        "field_ids": [
+                            {
+                                f["name"]: (f.get("metadata") or {}).get(
+                                    "field_id"
+                                )
+                                for f in prev["schema"]["fields"]
+                            }.get(c)
+                            for c in equality_cols
+                        ],
+                        "seq": version,
+                    }],
+                    "schema": prev["schema"],
+                    "partition_by": prev.get("partition_by"),
+                    "partition_transforms": prev.get("partition_transforms"),
+                    "properties": prev.get("properties") or {},
+                    "stats": prev.get("stats"),
+                }
+            )
+            self._save_manifest(h, entries)
+        return {"table": name, "affected_rows": affected,
+                "deleted_keys": n_keys, "delete_dir": ddir,
+                "rewritten_dirs": [], "kept_dirs": live}
+
     def rewrite_position_deletes(self, name: str) -> dict:
-        """Maintenance: fold accumulated positional deletes into the
-        data (Iceberg ``rewrite_position_delete_files`` analog) — one
+        """Maintenance: fold accumulated merge-on-read deletes — both
+        positional and equality files — into the data (Iceberg
+        ``rewrite_position_delete_files`` / compaction analog): one
         replace commit of the merged view; subsequent reads pay no
-        anti-join. Run when the delete set grows past broadcast size."""
+        anti-joins. Run when the delete set grows past broadcast size."""
         h = self._handle(name)
         entries = self._load_manifest(h)
         if not entries:
@@ -1736,6 +1900,8 @@ class Catalog:
                         "data_dirs": list(dir_meta),
                         "delete_dirs": [
                             os.path.join(rel, d)
+                            if isinstance(d, str)
+                            else {**d, "dir": os.path.join(rel, d["dir"])}
                             for d in (base.get("delete_dirs") or [])
                         ],
                         "dir_meta": dir_meta,
@@ -1837,7 +2003,11 @@ class Catalog:
                 for d in e.get("data_dirs") or []:
                     referenced.add(os.path.normpath(os.path.join(h.path, d)))
                 for d in e.get("delete_dirs") or []:
-                    referenced.add(os.path.normpath(os.path.join(h.path, d)))
+                    referenced.add(
+                        os.path.normpath(
+                            os.path.join(h.path, self._dd_name(d))
+                        )
+                    )
             cutoff = time.time() - older_than_hours * 3600.0
             orphans: list[str] = []
             bytes_total = 0
@@ -1930,7 +2100,9 @@ class Catalog:
         retained = [entries[v] for v in sorted(retained_versions)]
         keep_dirs = {d for e in retained for d in e["data_dirs"]}
         keep_dirs |= {
-            d for e in retained for d in (e.get("delete_dirs") or [])
+            self._dd_name(d)
+            for e in retained
+            for d in (e.get("delete_dirs") or [])
         }
         expired_versions = 0
         for e in entries:
@@ -2072,22 +2244,95 @@ class Catalog:
             ):
                 continue
             dirs.append(d)
-        ddirs = entry.get("delete_dirs") or []
-        lineage = with_lineage or bool(ddirs)
+        pos_dirs, eq_recs = self._dd_split(entry.get("delete_dirs") or [])
+        lineage = with_lineage or bool(pos_dirs) or bool(eq_recs)
         df = self._project_dirs(h, entries, entry, dirs, lineage=lineage)
-        if ddirs:
+        if pos_dirs:
             # merge-on-read: subtract positional deletes. The delete set
             # is broadcast — position files are small relative to data
             # (that's the point of MOR); when they aren't, run
             # rewrite_position_deletes to fold them into the data.
             df = df.join(
-                F.broadcast(self._read_positions(h, ddirs)),
+                F.broadcast(self._read_positions(h, pos_dirs)),
                 ["_file", "_pos"],
                 "left_anti",
             )
+        if eq_recs:
+            df = self._apply_eq_deletes(h, entries, entry, df, dirs, eq_recs)
         if lineage and not with_lineage:
             df = df.drop("_file", "_pos")
         return df
+
+    def _apply_eq_deletes(
+        self,
+        h: TableHandle,
+        entries: list[dict],
+        entry: dict,
+        df: DataFrame,
+        dirs: list[str],
+        eq_recs: list[dict],
+    ) -> DataFrame:
+        """Merge-on-read equality deletes (Iceberg v2 content=2
+        semantics): each delete's broadcast key set anti-joins
+        null-safe on its equality columns, restricted to rows whose
+        data dir's sequence (commit version) is STRICTLY LOWER than
+        the delete's — rows appended after the delete survive. The
+        per-row sequence comes from a bounded when-chain over the
+        snapshot's dirs (O(commits) branches, resolved at plan time —
+        handles cloned dirs whose names don't encode a local version).
+        Equality columns are recorded by stable field id at delete
+        time, so reads resolve them through renames."""
+        df = self._with_dir_seq(h, entries, df, dirs)
+        for rec in eq_recs:
+            dels, cond = self._eq_keys(h, entry, rec)
+            df = df.join(F.broadcast(dels), cond, "left_anti")
+        return df.drop("_eq_seq")
+
+    def _with_dir_seq(
+        self, h: TableHandle, entries: list[dict], df: DataFrame, dirs
+    ) -> DataFrame:
+        """Tag each row with its data dir's sequence as ``_eq_seq``
+        (bounded when-chain over the snapshot's dirs; requires
+        ``_file`` lineage)."""
+        seq_expr = None
+        for d in dirs:
+            full = os.path.normpath(os.path.join(h.path, d)) + "/"
+            hit = F.col("_file").contains(full)
+            s = F.lit(self._dir_seq(entries, d)).cast("bigint")
+            seq_expr = (
+                F.when(hit, s) if seq_expr is None else seq_expr.when(hit, s)
+            )
+        return df.withColumn(
+            "_eq_seq",
+            seq_expr.otherwise(F.lit(-1)) if seq_expr is not None
+            else F.lit(-1).cast("bigint"),
+        )
+
+    def _eq_keys(self, h: TableHandle, entry: dict, rec: dict):
+        """(broadcast-ready key frame, join condition) for one equality
+        delete record: keys aliased positionally, matched null-safe on
+        the CURRENT column names (resolved by stable field id through
+        renames), restricted to rows with ``_eq_seq`` strictly below
+        the delete's sequence."""
+        cur_by_id = {
+            (f.get("metadata") or {}).get("field_id"): f["name"]
+            for f in entry["schema"]["fields"]
+        }
+        old_cols = list(rec["cols"])
+        fids = rec.get("field_ids") or [None] * len(old_cols)
+        now_cols = [
+            cur_by_id.get(fid, c) if fid is not None else c
+            for c, fid in zip(old_cols, fids)
+        ]
+        dels = self.spark.read.parquet(
+            os.path.join(h.path, rec["dir"])
+        ).select(
+            *[F.col(c).alias(f"_eqk_{i}") for i, c in enumerate(old_cols)]
+        )
+        cond = F.col("_eq_seq") < F.lit(int(rec["seq"]))
+        for i, c in enumerate(now_cols):
+            cond = cond & F.col(c).eqNullSafe(F.col(f"_eqk_{i}"))
+        return dels, cond
 
     def _read_positions(self, h: TableHandle, ddirs: list[str]) -> DataFrame:
         """Union of positional-delete files: (_file, _pos) pairs."""
@@ -2242,20 +2487,28 @@ class Catalog:
         fdd = list(fe.get("delete_dirs") or [])
         tdd = list(te.get("delete_dirs") or [])
 
-        def _live(dirs: set, ddirs: list[str]) -> DataFrame:
+        def _live(dirs: set, ddirs: list) -> DataFrame:
             # rows of `dirs` as visible AT that version: each side's own
-            # positional deletes applied (a row appended and MOR-deleted
-            # within the span nets to no change; a row already deleted
-            # at `from` can't be deleted again)
+            # positional AND equality deletes applied (a row appended
+            # and MOR-deleted within the span nets to no change; a row
+            # already deleted at `from` can't be deleted again)
+            pos_d, eq_r = self._dd_split(ddirs)
+            lineage = bool(pos_d) or bool(eq_r)
             df = self._project_dirs(
-                h, entries, te, sorted(dirs), lineage=bool(ddirs)
+                h, entries, te, sorted(dirs), lineage=lineage
             )
-            if ddirs:
+            if pos_d:
                 df = df.join(
-                    F.broadcast(self._read_positions(h, ddirs)),
+                    F.broadcast(self._read_positions(h, pos_d)),
                     ["_file", "_pos"],
                     "left_anti",
-                ).drop("_file", "_pos")
+                )
+            if eq_r:
+                df = self._apply_eq_deletes(
+                    h, entries, te, df, sorted(dirs), eq_r
+                )
+            if lineage:
+                df = df.drop("_file", "_pos")
             return df
 
         added = _live(tdirs - fdirs, tdd)
@@ -2272,8 +2525,45 @@ class Catalog:
         # versions share: surface their row images. Scan only the dirs
         # the new position files actually reference (the dir list is
         # bounded and tiny — safe to collect).
-        new_dd = [d for d in tdd if d not in fdd]
+        new_pos_dd, new_eq_dd = self._dd_split(
+            [d for d in tdd if d not in fdd]
+        )
         common = fdirs & tdirs
+        if new_eq_dd and common:
+            # rows of the shared dirs as visible at `from`, then one
+            # semi-join per new equality delete (anti-joining the
+            # remainder so a row matched by two deletes images once)
+            dirs_c = sorted(common)
+            pos_f, eq_f = self._dd_split(fdd)
+            base = self._project_dirs(h, entries, te, dirs_c, lineage=True)
+            if pos_f:
+                base = base.join(
+                    F.broadcast(self._read_positions(h, pos_f)),
+                    ["_file", "_pos"],
+                    "left_anti",
+                )
+            if eq_f:
+                base = self._apply_eq_deletes(
+                    h, entries, te, base, dirs_c, eq_f
+                )
+            remaining = self._with_dir_seq(h, entries, base, dirs_c)
+            images = None
+            for rec in new_eq_dd:
+                dels, cond = self._eq_keys(h, te, rec)
+                img = remaining.join(F.broadcast(dels), cond, "left_semi")
+                images = (
+                    img if images is None else images.unionByName(img)
+                )
+                remaining = remaining.join(
+                    F.broadcast(dels), cond, "left_anti"
+                )
+            if images is not None:
+                out = out.unionByName(
+                    images.drop("_file", "_pos", "_eq_seq").withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                )
+        new_dd = new_pos_dd
         if new_dd and common:
             pos = self._read_positions(h, new_dd)
             refdirs = {

@@ -221,6 +221,22 @@ _MANIFEST_ENTRY_SCHEMA = {
                             "type": "long",
                             "field-id": 104,
                         },
+                        {
+                            # spec field 135: the schema field ids an
+                            # equality delete file (content=2) matches
+                            # on; null for data/position files
+                            "name": "equality_ids",
+                            "type": [
+                                "null",
+                                {
+                                    "type": "array",
+                                    "items": "int",
+                                    "element-id": 136,
+                                },
+                            ],
+                            "default": None,
+                            "field-id": 135,
+                        },
                     ],
                 },
             },
@@ -350,10 +366,17 @@ def export_iceberg(
     export writes a real identity partition spec and per-file partition
     structs parsed from the directory layout — the spec's reading rule
     ("use the partition value for identity-transformed fields missing
-    from the data file") restores the column values. Two shapes force
+    from the data file") restores the column values. EQUALITY deletes
+    (``delete_where(mode='mor-eq')``) also export zero-copy — the
+    catalog's key parquet is the spec's content=2 wire shape, so the
+    export writes a real delete manifest with ``equality_ids`` and
+    per-file sequence numbers (data files carry their commit order;
+    the spec's strictly-lower rule then replays exactly the catalog's
+    MOR semantics in any Iceberg reader). Shapes that force
     ``materialize=True`` (one Spark rewrite into ``dest/data/``,
-    auto-detected): merge-on-read delete files (the catalog's
-    positional-delete encoding is not Iceberg's) and hidden-transform
+    auto-detected): POSITIONAL merge-on-read delete files (the
+    catalog's (_file,_pos) encoding is not Iceberg's), an equality
+    delete whose key columns were since renamed, and hidden-transform
     partitioning (``days(ts)`` etc. — derived values are not identity-
     restorable).
 
@@ -374,25 +397,43 @@ def export_iceberg(
     if not entries:
         raise ValueError(f"table {name} does not exist")
     head = catalog._main_head(entries, name)
-    has_deletes = bool(head.get("delete_dirs"))
+    pos_dd = [d for d in (head.get("delete_dirs") or []) if isinstance(d, str)]
+    eq_dd = [d for d in (head.get("delete_dirs") or []) if isinstance(d, dict)]
     pb = list(head.get("partition_by") or [])
     schema, last_col_id, name_mapping = _iceberg_schema(head["schema"])
     ice_types = {f["name"]: f["type"] for f in schema["fields"]}
+    cur_names = {f["name"] for f in schema["fields"]}
     identity_ok = all(
         isinstance(ice_types.get(c), str) and ice_types[c] in _PART_AVRO
         for c in pb
     )
-    must_materialize = has_deletes or (bool(pb) and not identity_ok)
+    # EQUALITY deletes export zero-copy as spec content=2 delete files
+    # (the key parquet IS the spec's wire shape) with true sequence
+    # numbers — only POSITIONAL deletes force a rewrite (the catalog's
+    # (_file,_pos) encoding is not Iceberg's), as does a delete whose
+    # recorded key columns were renamed since (the exported file's
+    # column names must match the current schema for readers that
+    # resolve ids by name mapping).
+    eq_renamed = any(
+        c not in cur_names for d in eq_dd for c in d.get("cols", [])
+    )
+    has_pos = bool(pos_dd)
+    must_materialize = (
+        has_pos or eq_renamed or (bool(pb) and not identity_ok)
+    )
     if materialize is None:
         materialize = must_materialize
     if must_materialize and not materialize:
         raise ValueError(
             f"cannot zero-copy export {name}: "
-            + ("it carries MOR delete files; " if has_deletes else "")
+            + ("it carries positional MOR delete files; " if has_pos else "")
+            + ("an equality delete's key columns were renamed; "
+               if eq_renamed else "")
             + ("its partitioning is not identity-restorable; "
                if pb and not identity_ok else "")
             + "pass materialize=True (one rewrite into the export)"
         )
+    export_eq = eq_dd if not materialize else []
 
     dest = os.path.abspath(dest)
     meta_dir = os.path.join(dest, "metadata")
@@ -413,10 +454,18 @@ def export_iceberg(
     if materialize:
         data_dir = os.path.join(dest, "data")
         catalog.read(name).write.mode("overwrite").parquet(data_dir)
-        roots = [data_dir]
+        roots = [(data_dir, 1)]
     else:
+        # Iceberg sequence numbers are 1-based; catalog commit versions
+        # are 0-based — shift by one. Without equality deletes every
+        # file exports at seq 1 (the single-snapshot shape unchanged
+        # from before); with them the per-dir commit order is what the
+        # spec's strictly-lower rule reads, so it must ship.
         roots = [
-            os.path.normpath(os.path.join(h.path, d))
+            (
+                os.path.normpath(os.path.join(h.path, d)),
+                (catalog._dir_seq(entries, d) + 1) if export_eq else 1,
+            )
             for d in head["data_dirs"]
         ]
 
@@ -427,7 +476,7 @@ def export_iceberg(
         return int(v) if ice_types[col] in ("int", "long") else v
 
     data_files = []
-    for root in roots:
+    for root, seq in roots:
         for dp, _, fs in os.walk(root):
             pvals: dict[str, object] = {}
             if part_cols:
@@ -445,6 +494,28 @@ def export_iceberg(
                             "bytes": os.path.getsize(full),
                             "rows": pq.read_metadata(full).num_rows,
                             "partition": dict(pvals),
+                            "seq": seq,
+                        }
+                    )
+
+    # equality delete files: the catalog's key parquet IS the spec's
+    # content=2 wire shape; equality_ids come from the export schema's
+    # field ids (stable across the catalog -> Iceberg id space)
+    eq_files = []
+    for rec in export_eq:
+        ids = [field_ids[c] for c in rec["cols"]]
+        droot = os.path.normpath(os.path.join(h.path, rec["dir"]))
+        for dp, _, fs in os.walk(droot):
+            for fname in sorted(fs):
+                if fname.endswith(".parquet"):
+                    full = os.path.join(dp, fname)
+                    eq_files.append(
+                        {
+                            "path": full,
+                            "bytes": os.path.getsize(full),
+                            "rows": pq.read_metadata(full).num_rows,
+                            "ids": ids,
+                            "seq": int(rec["seq"]) + 1,
                         }
                     )
 
@@ -471,8 +542,8 @@ def export_iceberg(
         {
             "status": 1,  # ADDED
             "snapshot_id": snapshot_id,
-            "sequence_number": 1,
-            "file_sequence_number": 1,
+            "sequence_number": f["seq"],
+            "file_sequence_number": f["seq"],
             "data_file": {
                 "content": 0,
                 "file_path": f["path"],
@@ -499,7 +570,81 @@ def export_iceberg(
         },
     )
 
+    data_seqs = [f["seq"] for f in data_files] or [1]
+    last_seq = max(data_seqs + [f["seq"] for f in eq_files])
     total_rows = sum(f["rows"] for f in data_files)
+    manifest_rows = [
+        {
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": max(data_seqs),
+            "min_sequence_number": min(data_seqs),
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(data_files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": total_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    if eq_files:
+        # DELETE manifest (manifest-list content=1): one content=2
+        # entry per equality delete file, with its equality_ids and
+        # true sequence number
+        del_manifest_path = os.path.join(meta_dir, f"{commit_uuid}-m1.avro")
+        del_rows = [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": f["seq"],
+                "file_sequence_number": f["seq"],
+                "data_file": {
+                    "content": 2,
+                    "file_path": f["path"],
+                    "file_format": "PARQUET",
+                    "partition": None,
+                    "record_count": f["rows"],
+                    "file_size_in_bytes": f["bytes"],
+                    "equality_ids": f["ids"],
+                },
+            }
+            for f in eq_files
+        ]
+        _write_avro(
+            catalog.spark,
+            del_manifest_path,
+            entry_schema,
+            del_rows,
+            {
+                "schema": json.dumps(schema),
+                "schema-id": "0",
+                "partition-spec": json.dumps(spec_json),
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "deletes",
+            },
+        )
+        eq_seqs = [f["seq"] for f in eq_files]
+        manifest_rows.append(
+            {
+                "manifest_path": del_manifest_path,
+                "manifest_length": os.path.getsize(del_manifest_path),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": max(eq_seqs),
+                "min_sequence_number": min(eq_seqs),
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(eq_files),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(f["rows"] for f in eq_files),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
     list_path = os.path.join(
         meta_dir, f"snap-{snapshot_id}-1-{commit_uuid}.avro"
     )
@@ -507,23 +652,7 @@ def export_iceberg(
         catalog.spark,
         list_path,
         _MANIFEST_LIST_SCHEMA,
-        [
-            {
-                "manifest_path": manifest_path,
-                "manifest_length": os.path.getsize(manifest_path),
-                "partition_spec_id": 0,
-                "content": 0,
-                "sequence_number": 1,
-                "min_sequence_number": 1,
-                "added_snapshot_id": snapshot_id,
-                "added_files_count": len(data_files),
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": total_rows,
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-            }
-        ],
+        manifest_rows,
         {"format-version": "2", "snapshot-id": str(snapshot_id)},
     )
 
@@ -531,7 +660,7 @@ def export_iceberg(
         "format-version": 2,
         "table-uuid": str(uuid.uuid4()),
         "location": dest,
-        "last-sequence-number": 1,
+        "last-sequence-number": last_seq,
         "last-updated-ms": now_ms,
         "last-column-id": last_col_id,
         "current-schema-id": 0,
@@ -551,7 +680,7 @@ def export_iceberg(
         "snapshots": [
             {
                 "snapshot-id": snapshot_id,
-                "sequence-number": 1,
+                "sequence-number": last_seq,
                 "timestamp-ms": now_ms,
                 "summary": {
                     "operation": "append",
@@ -577,6 +706,7 @@ def export_iceberg(
         "location": dest,
         "snapshot_id": snapshot_id,
         "data_files": len(data_files),
+        "delete_files": len(eq_files),
         "rows": total_rows,
         "materialized": bool(materialize),
         "partition_columns": part_cols,

@@ -393,39 +393,68 @@ def q21_waiting_suppliers(
 ) -> DataFrame:
     """TPC-H Q21 shape: suppliers who shipped LAST on multi-supplier
     completed orders — correlated EXISTS (another supplier on the
-    order) and NOT EXISTS (another supplier shipped later), both
-    decorrelated to lineitem self semi/anti joins on the equi key
-    l_orderkey with suppkey/shipdate residuals. Three shuffles total
-    (orders filter join + semi + anti), all keyed on l_orderkey so AQE
-    can reuse the exchange; supplier broadcasts at the end."""
+    order) and NOT EXISTS (another supplier shipped later).
+
+    Decorrelation, AGGREGATE FORM (not self-joins): the naive rewrite
+    is two lineitem self semi/anti joins on l_orderkey — three
+    full-lineitem shuffles once the self-join sides outgrow broadcast,
+    which is exactly what round-6's scale check caught (12.6× at a 10×
+    step: at the small scale every side broadcast, at 10× the semi and
+    anti flipped to sort-merge — a plan-regime cliff, not key skew).
+    Both EXISTS conditions only need per-order ORDER STATISTICS, so
+    they fold into one per-(orderkey, suppkey) MAX(shipdate) aggregate
+    (map-side combine shrinks lineitem before its one shuffle) plus a
+    window over that compact frame:
+
+    - EXISTS other supplier        ⇔ distinct suppliers per order ≥ 2
+    - NOT EXISTS later shipper     ⇔ row.shipdate ≥ max shipdate of
+      the OTHER suppliers, which is m1 (the order's max per-supplier
+      shipdate) unless this supplier is its UNIQUE argmax, then m2.
+
+    Only a supplier at m1 can qualify (anyone below has a later
+    shipper), so the join-back side collapses to ~1 row per order
+    BEFORE touching lineitem again. Full-size shuffles: ONE of
+    lineitem (the join back on (l_orderkey, l_suppkey)) + the combined
+    per-(order,supplier) aggregate — no self-join regime cliff at any
+    scale; supplier broadcasts at the end."""
+    from pyspark.sql import Window
+
+    per_os = lineitem.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("_smax")
+    )
+    w = Window.partitionBy("l_orderkey")
+    per = (
+        per_os.withColumn("_m1", F.max("_smax").over(w))
+        .withColumn("_nsupp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "_n_at_m1",
+            F.sum(
+                F.when(F.col("_smax") == F.col("_m1"), 1).otherwise(0)
+            ).over(w),
+        )
+        .withColumn(
+            "_m2",
+            F.max(
+                F.when(F.col("_smax") < F.col("_m1"), F.col("_smax"))
+            ).over(w),
+        )
+    )
+    cand = per.filter(
+        (F.col("_nsupp") >= 2) & (F.col("_smax") == F.col("_m1"))
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        # max shipdate among the OTHER suppliers of the order
+        F.when(F.col("_n_at_m1") == 1, F.col("_m2"))
+        .otherwise(F.col("_m1"))
+        .alias("_mother"),
+    )
     f_orders = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
-    l1 = (
-        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
-        .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .drop("o_orderkey")
-    )
-    l2 = lineitem.select(
-        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
-    )
-    l3 = lineitem.select(
-        F.col("l_orderkey").alias("l3_orderkey"),
-        F.col("l_suppkey").alias("l3_suppkey"),
-        F.col("l_shipdate").alias("l3_shipdate"),
-    )
     waited = (
-        l1.join(
-            l2,
-            (F.col("l_orderkey") == F.col("l2_orderkey"))
-            & (F.col("l_suppkey") != F.col("l2_suppkey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l_orderkey") == F.col("l3_orderkey"))
-            & (F.col("l_suppkey") != F.col("l3_suppkey"))
-            & (F.col("l3_shipdate") > F.col("l_shipdate")),
-            "left_anti",
-        )
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(cand, ["l_orderkey", "l_suppkey"])
+        .filter(F.col("l_shipdate") >= F.col("_mother"))
+        .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"))
     )
     return (
         waited.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))

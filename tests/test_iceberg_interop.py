@@ -323,27 +323,13 @@ def test_read_iceberg_applies_position_deletes(spark, tmp_path):
 
 def _entry_schema_with_equality_ids() -> dict:
     """Manifest entry schema as other engines (Flink) write it: the
-    optional equality_ids list on data_file (spec field 135)."""
-    import json as _json
-
+    optional equality_ids list on data_file (spec field 135) — now
+    part of the module's own entry schema (the export writes equality
+    deletes itself), so this is a passthrough kept for the test's
+    narrative."""
     from data_lakehouse_spark.interop import iceberg as ice
 
-    schema = _json.loads(_json.dumps(ice._MANIFEST_ENTRY_SCHEMA))
-    df_schema = next(
-        f for f in schema["fields"] if f["name"] == "data_file"
-    )["type"]
-    df_schema["fields"].append(
-        {
-            "name": "equality_ids",
-            "type": [
-                "null",
-                {"type": "array", "items": "int", "element-id": 136},
-            ],
-            "default": None,
-            "field-id": 135,
-        }
-    )
-    return schema
+    return ice._MANIFEST_ENTRY_SCHEMA
 
 
 def test_read_iceberg_applies_equality_deletes(spark, tmp_path):
@@ -439,6 +425,126 @@ def test_read_iceberg_applies_equality_deletes(spark, tmp_path):
     got = sorted(r["id"] for r in read_iceberg(spark, dest).collect())
     # seq-1 rows 1,2 die; late (seq 3) rows 1 and 102 SURVIVE
     assert got == [0, 1, 3, 4, 5, 6, 7, 8, 9, 102]
+
+
+def test_eq_delete_write_path_catalog_semantics(spark, tmp_path):
+    """delete_where(mode='mor-eq'): key-scoped suppression with
+    sequence-number semantics engine-side — a deleted key RE-APPENDED
+    after the delete survives; time travel to the pre-delete version
+    sees everything; the CDF surfaces delete images; the fold rewrite
+    clears the delete files at identical contents."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t",
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+            "id long, seg string, amt double",
+        ),
+    )
+    cat.append(
+        "t", spark.createDataFrame([(4, "c", 40.0)], "id long, seg string, amt double")
+    )
+    out = cat.delete_where(
+        "t", "seg = 'a'", mode="mor-eq", equality_cols=["id"]
+    )
+    # key scope: rows 1 and 3 suppressed (2 keys, 2 rows)
+    assert out["deleted_keys"] == 2 and out["affected_rows"] == 2
+    assert sorted(r["id"] for r in cat.read("t").collect()) == [2, 4]
+    # sequence rule: the same key written AFTER the delete survives
+    cat.append(
+        "t", spark.createDataFrame([(1, "a2", 11.0)], "id long, seg string, amt double")
+    )
+    assert sorted((r["id"], r["seg"]) for r in cat.read("t").collect()) == [
+        (1, "a2"), (2, "b"), (4, "c"),
+    ]
+    # a SECOND delete kills the re-appended row (its seq is lower now)
+    cat.delete_where("t", "id = 1", mode="mor-eq", equality_cols=["id"])
+    assert sorted(r["id"] for r in cat.read("t").collect()) == [2, 4]
+    # time travel: pre-delete snapshot is intact
+    assert cat.read("t", version=1).count() == 4
+    # CDF across the first delete: both suppressed rows image as deletes
+    ch = cat.table_changes("t", 1, 2)
+    assert sorted(
+        (r["id"], r["_change_type"]) for r in ch.collect()
+    ) == [(1, "delete"), (3, "delete")]
+    # fold: identical contents, delete files gone
+    before = _rows(cat.read("t"))
+    folded = cat.rewrite_position_deletes("t")
+    assert folded["delete_dirs_removed"] == 2
+    assert _rows(cat.read("t")) == before
+    # validation: equality_cols is required and must exist
+    with pytest.raises(ValueError, match="equality_cols"):
+        cat.delete_where("t", "id = 2", mode="mor-eq")
+    with pytest.raises(ValueError, match="schema"):
+        cat.delete_where(
+            "t", "id = 2", mode="mor-eq", equality_cols=["nope"]
+        )
+
+
+def test_eq_delete_zero_copy_export_roundtrip(spark, tmp_path):
+    """The equality-delete WRITE path round-trips through genuine
+    Iceberg v2: zero-copy export emits a delete manifest (content=2
+    entries with equality_ids + per-file sequence numbers, manifests
+    written by the Java Avro library) and the independent pure-Python
+    spec reader reproduces the catalog's survivors — including a
+    deleted key re-appended after the delete."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t",
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+            "id long, seg string, amt double",
+        ),
+    )
+    cat.delete_where("t", "seg = 'a'", mode="mor-eq", equality_cols=["id"])
+    cat.append(
+        "t", spark.createDataFrame([(1, "a2", 11.0)], "id long, seg string, amt double")
+    )
+    dest = str(tmp_path / "ice")
+    out = export_iceberg(cat, "t", dest)
+    assert out["materialized"] is False
+    assert out["delete_files"] == 1
+    assert _rows(read_iceberg(spark, dest)) == _rows(cat.read("t"))
+    # the delete manifest is spec-shaped: content=1 in the manifest
+    # list, content=2 + equality_ids on the entry
+    with open(os.path.join(dest, "metadata", "version-hint.text")) as f:
+        v = f.read().strip()
+    with open(os.path.join(dest, "metadata", f"v{v}.metadata.json")) as f:
+        meta = json.load(f)
+    assert meta["last-sequence-number"] > 1
+    _, manifests = _read_avro_file(
+        meta["snapshots"][0]["manifest-list"]
+    )
+    by_content = {m["content"]: m for m in manifests}
+    assert set(by_content) == {0, 1}
+    _, dentries = _read_avro_file(by_content[1]["manifest_path"])
+    assert dentries[0]["data_file"]["content"] == 2
+    assert dentries[0]["data_file"]["equality_ids"] == [1]  # id's field id
+    # data files written AFTER the delete carry a higher sequence
+    dseq = dentries[0]["sequence_number"]
+    _, entries = _read_avro_file(by_content[0]["manifest_path"])
+    seqs = sorted({e["sequence_number"] for e in entries})
+    assert seqs[0] < dseq < seqs[-1]
+
+
+def test_eq_delete_renamed_key_forces_materialize(spark, tmp_path):
+    """A key column renamed after an equality delete cannot export
+    zero-copy (the delete parquet carries the old name) — the export
+    refuses and materialize=True rewrites cleanly."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t", spark.createDataFrame([(1, "a"), (2, "b")], "id long, seg string")
+    )
+    cat.delete_where("t", "id = 1", mode="mor-eq", equality_cols=["id"])
+    cat.rename_column("t", "id", "ident")
+    # the catalog read itself resolves the rename via field ids
+    assert sorted(r["ident"] for r in cat.read("t").collect()) == [2]
+    with pytest.raises(ValueError, match="renamed"):
+        export_iceberg(cat, "t", str(tmp_path / "ice0"), materialize=False)
+    dest = str(tmp_path / "ice1")
+    out = export_iceberg(cat, "t", dest, materialize=True)
+    assert out["materialized"] is True
+    assert sorted(r["ident"] for r in read_iceberg(spark, dest).collect()) == [2]
 
 
 def test_export_history_time_travel(spark, tmp_path):

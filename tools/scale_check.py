@@ -39,6 +39,17 @@ QUADRATIC_OK = {
         "(tests/test_dedup_similarity.py pins the refusal), so the "
         "quadratic cannot be reached by accident at scale"
     ),
+    "dedup_cluster_components": (
+        "same quadratic tier: its PAIR stage is the exact all-pairs "
+        "block GEMM (cosine_pairs_blocked) — the fixture's rotated "
+        "embeddings keep the pair COUNT linear but the GEMM work is "
+        "O(n^2) by semantics (round-6 measured 8.8x at a 10x step, "
+        "the n^2 partially masked by fixed overhead at 1x). The "
+        "closure itself is linear; the sub-quadratic end-to-end twin "
+        "is near_dup_pipeline (banded LSH candidates -> verify -> "
+        "the same component closure). Guarded by the same "
+        "max_exact_rows refusal"
+    ),
 }
 
 
