@@ -2226,6 +2226,33 @@ def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _decoded_cosine_topk(
+    emb: DataFrame, tag: str, probe_cond: Column, id_col: str, k: int = 25
+) -> DataFrame:
+    """Shared tail of the multimodal feature queries: persist the
+    decoded feature table (ONE decode pass feeds both the query-vector
+    probe and the top-k scan; generation-rotated via cacheutil), probe
+    the query vector, and return exact cosine top-k. A missing probe
+    row (codec regression dropped doc 0) returns an EMPTY top-k frame
+    with the stable schema, failing the rows gate cleanly instead of a
+    TypeError crashing the battery."""
+    from pyspark import StorageLevel
+
+    from data_lakehouse_spark import cacheutil
+
+    emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
+    cacheutil.rotate(tag, [emb])
+    probe = emb.filter(probe_cond).first()
+    if probe is None:
+        return similarity.cosine_topk(
+            emb.limit(0), [0.0] * 16, vec_col="embedding", id_col=id_col, k=k
+        )
+    qv = [float(x) for x in probe["embedding"]]
+    return similarity.cosine_topk(
+        emb, qv, vec_col="embedding", id_col=id_col, k=k
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image features end to end, NO STUBS: real PPM payloads rendered
     JVM-side from each doc's text bytes, REAL pixel decode + luminance
@@ -2243,27 +2270,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = multimodal.feature_extract(
         docs.select("doc_id", payload.alias("payload")), dim=16
     ).filter(F.col("decoder").isin("pnm", "pil"))
-    # the query-vector probe (.first below) and the top-k scan both
-    # consume the decoded feature table; persisting keeps it at ONE
-    # decode pass (same index-build economics as frame_search) —
-    # without it the full decode ran once per branch
-    from pyspark import StorageLevel
-
-    from data_lakehouse_spark import cacheutil
-
-    emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
-    cacheutil.rotate("entry.multimodal_features", [emb])
-    probe = emb.filter(F.col("doc_id") == 0).first()
-    if probe is None:
-        # codec regression dropped doc 0: fail the rows gate with an
-        # empty top-k frame (stable schema) instead of a TypeError
-        # that would crash the whole battery
-        return similarity.cosine_topk(
-            emb.limit(0), [0.0] * 16, vec_col="embedding",
-            id_col="doc_id", k=25,
-        )
-    qv = [float(x) for x in probe["embedding"]]
-    return similarity.cosine_topk(emb, qv, vec_col="embedding", id_col="doc_id", k=25)
+    return _decoded_cosine_topk(
+        emb, "entry.multimodal_features", F.col("doc_id") == 0, "doc_id"
+    )
 
 
 def q_multimodal_frame_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2303,29 +2312,11 @@ def q_multimodal_frame_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_id",
         (F.col("doc_id") * F.lit(1 << 20) + F.col("frame_idx")).cast("bigint"),
     )
-    # the query-vector probe (.first below) and the top-k scan both
-    # consume the decoded frame table; persisting keeps it at ONE
-    # decode pass (the index-build economics of a real frame store)
-    from pyspark import StorageLevel
-
-    from data_lakehouse_spark import cacheutil
-
-    frames = frames.persist(StorageLevel.MEMORY_AND_DISK)
-    cacheutil.rotate("entry.multimodal_frame_search", [frames])
-    probe = frames.filter(
-        (F.col("doc_id") == 0) & (F.col("frame_idx") == 0)
-    ).first()
-    if probe is None:
-        # codec regression dropped doc 0's first frame: empty top-k
-        # frame (stable schema) fails the rows gate cleanly instead of
-        # a TypeError crashing the battery
-        return similarity.cosine_topk(
-            frames.limit(0), [0.0] * 16, vec_col="embedding",
-            id_col="frame_id", k=25,
-        )
-    qv = [float(x) for x in probe["embedding"]]
-    return similarity.cosine_topk(
-        frames, qv, vec_col="embedding", id_col="frame_id", k=25
+    return _decoded_cosine_topk(
+        frames,
+        "entry.multimodal_frame_search",
+        (F.col("doc_id") == 0) & (F.col("frame_idx") == 0),
+        "frame_id",
     )
 
 

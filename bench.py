@@ -78,6 +78,13 @@ BENCH_EXCLUDED = {
         "would measure tmp-dir catalog writes; the oracle gate verifies "
         "it end-to-end and tests/test_cdc_mart.py times nothing else"
     ),
+    "iceberg_eq_delete_roundtrip": (
+        "multi-commit interop SCENARIO (catalog build + equality delete "
+        "+ re-append + Iceberg v2 export + spec-reader read) — timing "
+        "measures tmp-dir catalog/manifest writes, not a read query; "
+        "the oracle gate verifies the survivors end-to-end "
+        "(cdc_mart_incremental precedent)"
+    ),
 }
 
 

@@ -17,11 +17,17 @@ registers its persisted handles under a stable tag and the PREVIOUS
 generation for that tag is unpersisted.  By the time an operator is
 re-invoked, the prior invocation's result has been consumed (the
 driver collects between calls), so releasing its pinned frames is
-safe; at most ONE generation per tag stays cached.  Callers that keep
-an old lazy result frame across a re-invocation and re-materialize it
-afterwards would recompute through the released handles — that is the
-documented misuse, same as calling ``spark.catalog.clearCache()``
-mid-pipeline.
+safe; at most ONE generation per tag stays cached.
+
+Correctness under late re-materialization (holding an old lazy result
+frame across a re-invocation, then collecting it): every rotated
+frame is CONTENT-DETERMINISTIC (aggregates, decode tables, score
+tables) — a recompute through the released handle reproduces the same
+rows, just slower.  The one layout-sensitive frame in the engine (the
+``global_order_index`` range exchange, whose driver-side offsets pin
+a sampled partitioning) is ``localCheckpoint``-ed with its lineage
+CUT, so a stale read either serves the checkpointed blocks or fails
+loudly — it can never silently recompute under stale offsets.
 
 ``release()`` lets a long-lived endpoint drop everything explicitly
 (e.g. on session close).

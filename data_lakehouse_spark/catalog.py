@@ -1093,6 +1093,27 @@ class Catalog:
         last = self._main_head(entries, name)
         if col_name in (last.get("partition_by") or []):
             raise ValueError(f"cannot drop partition column {col_name}")
+        # a live equality delete matches rows BY this column — dropping
+        # it would leave every read with an unresolvable key reference
+        fid = next(
+            (
+                (f.get("metadata") or {}).get("field_id")
+                for f in last["schema"]["fields"]
+                if f["name"] == col_name
+            ),
+            None,
+        )
+        for rec in self._dd_split(last.get("delete_dirs") or [])[1]:
+            fids = rec.get("field_ids") or []
+            if col_name in rec.get("cols", []) or (
+                fid is not None and fid in fids
+            ):
+                raise ValueError(
+                    f"cannot drop {col_name}: a live equality delete "
+                    f"({rec['dir']}) matches on it; run "
+                    "rewrite_position_deletes first to fold the delete "
+                    "into the data"
+                )
         fields = last["schema"]["fields"]
         if not any(f["name"] == col_name for f in fields):
             raise ValueError(f"column {col_name} does not exist in {name}")
@@ -1568,12 +1589,22 @@ class Catalog:
             )
         cond = F.expr(condition) if isinstance(condition, str) else condition
         is_hit = F.coalesce(cond, F.lit(False))
+        from pyspark import StorageLevel
+
+        # key sets are broadcast-sized by the MOR contract; persist so
+        # the sizing count, the affected-rows probe, and the delete-file
+        # write share ONE table scan instead of three
         keys = (
-            self.read(name).filter(is_hit).select(*equality_cols).distinct()
+            self.read(name)
+            .filter(is_hit)
+            .select(*equality_cols)
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         n_keys = keys.count()
         live = list(head["data_dirs"])
         if n_keys == 0:
+            keys.unpersist(blocking=False)
             return {"table": name, "affected_rows": 0, "deleted_keys": 0,
                     "delete_dir": None, "rewritten_dirs": [],
                     "kept_dirs": live}
@@ -1603,6 +1634,7 @@ class Catalog:
             keys.coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(h.path, ddir)
             )
+            keys.unpersist(blocking=False)
             prev = self._main_head(entries, name)
             entries.append(
                 {
@@ -1898,10 +1930,17 @@ class Catalog:
                             "%Y-%m-%d %H:%M:%S", time.gmtime()
                         ),
                         "data_dirs": list(dir_meta),
+                        # equality deletes pin their coverage to a FIXED
+                        # dir list at clone time ("applies_to"): the
+                        # delete's seq lives in SOURCE version space
+                        # while clone-local appends number from 0, so a
+                        # cross-space strictly-lower comparison would
+                        # wrongly suppress rows appended to the clone
+                        # AFTER the delete. The applicable set — cloned
+                        # dirs with source seq below the delete's — is
+                        # closed at clone time and never grows.
                         "delete_dirs": [
-                            os.path.join(rel, d)
-                            if isinstance(d, str)
-                            else {**d, "dir": os.path.join(rel, d["dir"])}
+                            self._clone_dd(d, rel, base, entries)
                             for d in (base.get("delete_dirs") or [])
                         ],
                         "dir_meta": dir_meta,
@@ -1916,6 +1955,30 @@ class Catalog:
                 ],
             )
         return tgt
+
+    def _clone_dd(self, d, rel: str, base: dict, entries: list[dict]):
+        """Rebase one delete_dirs entry for a clone. Strings (positional
+        dirs) just get the relative prefix. Equality records ALSO pin
+        their coverage to a fixed ``applies_to`` dir list: the delete's
+        seq lives in SOURCE version space while clone-local appends
+        number from 0, so a cross-space strictly-lower comparison would
+        wrongly suppress rows appended to the clone AFTER the delete.
+        A record that already carries ``applies_to`` (clone of a clone)
+        has its list rebased, never recomputed."""
+        if isinstance(d, str):
+            return os.path.join(rel, d)
+        out = {**d, "dir": os.path.join(rel, d["dir"])}
+        if "applies_to" in d:
+            out["applies_to"] = [
+                os.path.join(rel, a) for a in d["applies_to"]
+            ]
+        else:
+            out["applies_to"] = [
+                os.path.join(rel, dd)
+                for dd in base["data_dirs"]
+                if self._dir_seq(entries, dd) < int(d["seq"])
+            ]
+        return out
 
     @staticmethod
     def _writer_entry(entries: list[dict], entry: dict, d: str) -> dict:
@@ -2284,9 +2347,28 @@ class Catalog:
         time, so reads resolve them through renames."""
         df = self._with_dir_seq(h, entries, df, dirs)
         for rec in eq_recs:
-            dels, cond = self._eq_keys(h, entry, rec)
-            df = df.join(F.broadcast(dels), cond, "left_anti")
+            dels, keys_cond = self._eq_keys(h, entry, rec)
+            df = df.join(
+                F.broadcast(dels),
+                self._eq_scope(h, rec) & keys_cond,
+                "left_anti",
+            )
         return df.drop("_eq_seq")
+
+    def _eq_scope(self, h: TableHandle, rec: dict):
+        """Row-scope condition of one equality delete: for local
+        records, the spec's strictly-lower sequence rule on the
+        ``_eq_seq`` column; for cloned records, membership in the
+        ``applies_to`` dir list fixed at clone time (the delete's seq
+        lives in the SOURCE's version space — see _clone_dd)."""
+        ap = rec.get("applies_to")
+        if ap is None:
+            return F.col("_eq_seq") < F.lit(int(rec["seq"]))
+        cond = F.lit(False)
+        for d in ap:
+            full = os.path.normpath(os.path.join(h.path, d)) + "/"
+            cond = cond | F.col("_file").contains(full)
+        return cond
 
     def _with_dir_seq(
         self, h: TableHandle, entries: list[dict], df: DataFrame, dirs
@@ -2309,11 +2391,11 @@ class Catalog:
         )
 
     def _eq_keys(self, h: TableHandle, entry: dict, rec: dict):
-        """(broadcast-ready key frame, join condition) for one equality
-        delete record: keys aliased positionally, matched null-safe on
-        the CURRENT column names (resolved by stable field id through
-        renames), restricted to rows with ``_eq_seq`` strictly below
-        the delete's sequence."""
+        """(broadcast-ready key frame, null-safe key condition) for one
+        equality delete record: keys aliased positionally, matched
+        null-safe on the CURRENT column names (resolved by stable field
+        id through renames). Row scoping (sequence rule / clone
+        coverage) is composed separately via :meth:`_eq_scope`."""
         cur_by_id = {
             (f.get("metadata") or {}).get("field_id"): f["name"]
             for f in entry["schema"]["fields"]
@@ -2329,7 +2411,7 @@ class Catalog:
         ).select(
             *[F.col(c).alias(f"_eqk_{i}") for i, c in enumerate(old_cols)]
         )
-        cond = F.col("_eq_seq") < F.lit(int(rec["seq"]))
+        cond = F.lit(True)
         for i, c in enumerate(now_cols):
             cond = cond & F.col(c).eqNullSafe(F.col(f"_eqk_{i}"))
         return dels, cond
@@ -2546,10 +2628,20 @@ class Catalog:
                 base = self._apply_eq_deletes(
                     h, entries, te, base, dirs_c, eq_f
                 )
+            if new_pos_dd:
+                # a row killed positionally within the span images in
+                # the positional block below — exclude it here so a row
+                # hit by BOTH delete kinds images exactly once
+                base = base.join(
+                    F.broadcast(self._read_positions(h, new_pos_dd)),
+                    ["_file", "_pos"],
+                    "left_anti",
+                )
             remaining = self._with_dir_seq(h, entries, base, dirs_c)
             images = None
             for rec in new_eq_dd:
-                dels, cond = self._eq_keys(h, te, rec)
+                dels, keys_cond = self._eq_keys(h, te, rec)
+                cond = self._eq_scope(h, rec) & keys_cond
                 img = remaining.join(F.broadcast(dels), cond, "left_semi")
                 images = (
                     img if images is None else images.unionByName(img)
@@ -2720,8 +2812,16 @@ class Catalog:
                         total += pq.read_metadata(
                             os.path.join(dp, fname)
                         ).num_rows
-        ddirs = entry.get("delete_dirs") or []
-        if ddirs:
+        pos_dirs, eq_recs = self._dd_split(entry.get("delete_dirs") or [])
+        if eq_recs:
+            # EQUALITY deletes suppress by key, not by position — the
+            # suppressed-row count is data-dependent (every pre-delete
+            # row sharing a key), so metadata arithmetic cannot answer
+            # it. Fall back to counting the merged view (still bounded:
+            # one scan; run rewrite_position_deletes to restore the
+            # metadata-only path).
+            return self.read(name, version=version).count()
+        if pos_dirs:
             # subtract ONLY positions whose data file is still live: a
             # COW/merge rewrite may have replaced a MOR-deleted dir
             # (the rewritten output already excludes those rows), and
@@ -2733,7 +2833,7 @@ class Catalog:
             import functools
 
             live = [self._dir_abs(h, d) for d in entry["data_dirs"]]
-            pos = self._read_positions(h, ddirs)
+            pos = self._read_positions(h, pos_dirs)
             if live:
                 norm = F.regexp_replace(F.col("_file"), "^file:/+", "/")
                 cond = functools.reduce(

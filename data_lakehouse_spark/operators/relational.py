@@ -411,16 +411,21 @@ def global_order_index(
     table lifted to the driver, so not even a P-row single-partition
     window remains in the plan.
 
-    **Recompute safety / persistence contract**: range boundaries are
-    SAMPLED per exchange execution, so the offsets are only valid for
-    the one materialized partitioning. The exchanged frame is therefore
-    ``persist(MEMORY_AND_DISK)``-ed and materialized by the stats
-    collect; later reads (and partition-loss recomputes, which replay
-    the SAME RDD graph with its fixed partitioner) observe that exact
-    partitioning. Do not ``unpersist``/``clearCache`` between building
-    and consuming the result. The persisted handle is returned so
-    callers chaining several orderings can release intermediates once
-    the next stage has materialized.
+    **Recompute safety**: range boundaries are SAMPLED per exchange
+    execution (shuffle fetch order varies across executions, so a
+    recompute can land different boundaries), and the driver-side
+    offset literals are only valid for the one materialized
+    partitioning. The exchanged frame is therefore
+    ``localCheckpoint(eager=True)``-ed — the LINEAGE IS CUT, so no
+    later action can ever silently recompute the exchange under stale
+    offsets: results come from the checkpointed blocks or the job
+    fails loudly (block loss), never wrong. This also closes the cache
+    leak persist() had: RDD-level checkpoint blocks are released by
+    the ContextCleaner when the frame is garbage collected, unlike
+    CacheManager entries which outlive every reference until an
+    explicit unpersist. The checkpointed handle is still returned for
+    callers that want deterministic release (``unpersist`` on it is a
+    safe no-op for correctness either way).
 
     Returns ``(out_df, n_total, grand_sum, cached)``: ``out_df`` has
     the input columns plus ``rn_col`` (bigint, 1-based) and — when
@@ -429,14 +434,12 @@ def global_order_index(
     ``grand_sum`` the exact column total (python value, None when no
     sum column), ``cached`` the persisted intermediate frame.
     """
-    from pyspark import StorageLevel
-
     order = list(order)
     d = (
         df.repartitionByRange(*order)
         .sortWithinPartitions(*order)
         .withColumn("_mid", F.monotonically_increasing_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     pid = F.shiftrightunsigned(F.col("_mid"), 33)
     aggs = [F.count("*").alias("_n")]

@@ -420,7 +420,11 @@ def q21_waiting_suppliers(
     from pyspark.sql import Window
 
     per_os = lineitem.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("l_shipdate").alias("_smax")
+        F.max("l_shipdate").alias("_smax"),
+        # NULL-shipdate parity with the EXISTS form: `l3_shipdate >
+        # NULL` is never a match, so the anti-join KEEPS a NULL-ship
+        # row — such rows must stay candidates here too
+        F.max(F.col("l_shipdate").isNull().cast("int")).alias("_has_null"),
     )
     w = Window.partitionBy("l_orderkey")
     per = (
@@ -440,12 +444,20 @@ def q21_waiting_suppliers(
         )
     )
     cand = per.filter(
-        (F.col("_nsupp") >= 2) & (F.col("_smax") == F.col("_m1"))
+        (F.col("_nsupp") >= 2)
+        & (
+            (F.col("_smax") == F.col("_m1"))  # supplier at the order max
+            | (F.col("_has_null") == 1)  # or holding NULL-ship rows
+        )
     ).select(
         "l_orderkey",
         "l_suppkey",
-        # max shipdate among the OTHER suppliers of the order
-        F.when(F.col("_n_at_m1") == 1, F.col("_m2"))
+        # max shipdate among the OTHER suppliers of the order (NULL
+        # _smax never equals _m1, so all-NULL suppliers fall to _m1)
+        F.when(
+            (F.col("_smax") == F.col("_m1")) & (F.col("_n_at_m1") == 1),
+            F.col("_m2"),
+        )
         .otherwise(F.col("_m1"))
         .alias("_mother"),
     )
@@ -453,7 +465,11 @@ def q21_waiting_suppliers(
     waited = (
         lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(cand, ["l_orderkey", "l_suppkey"])
-        .filter(F.col("l_shipdate") >= F.col("_mother"))
+        .filter(
+            F.col("l_shipdate").isNull()  # NULL > NULL / x > NULL never match
+            | (F.col("l_shipdate") >= F.col("_mother"))
+            | F.col("_mother").isNull()  # other suppliers all NULL-ship
+        )
         .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"))
     )
     return (

@@ -673,6 +673,12 @@ def backfill(
     step = schedule_interval(
         dag.schedule if dag.schedule is not None else "@daily"
     )
+    if step <= _dt.timedelta(0):
+        raise ValueError(
+            f"backfill: schedule interval must be positive, got {step} "
+            "(a zero/negative step would replay the same logical date "
+            "forever)"
+        )
     ld = _as_dt(start)
     stop = _as_dt(end)
     if ld > stop:

@@ -527,6 +527,44 @@ def test_eq_delete_zero_copy_export_roundtrip(spark, tmp_path):
     assert seqs[0] < dseq < seqs[-1]
 
 
+def test_eq_delete_survives_clone_and_clone_local_appends(spark, tmp_path):
+    """Cloned equality deletes pin their coverage to the dirs shipped
+    with the clone (applies_to): the delete's sequence lives in SOURCE
+    version space while clone-local appends number from 0, so a naive
+    strictly-lower comparison would wrongly suppress rows appended to
+    the CLONE after the delete. Also: row_count and drop_column on
+    mor-eq tables (review findings: row_count used to TypeError on the
+    dict entries; dropping a live eq-key column used to brick reads)."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "src", spark.createDataFrame([(1, "a"), (2, "b")], "id long, seg string")
+    )
+    cat.append("src", spark.createDataFrame([(3, "c")], "id long, seg string"))
+    cat.delete_where("src", "id <= 2", mode="mor-eq", equality_cols=["id"])
+    cat.clone_table("src", "c")
+    # the clone sees the source's survivors
+    assert sorted(r["id"] for r in cat.read("c").collect()) == [3]
+    # a deleted key appended to the CLONE (clone-local dir v00001,
+    # which would decode BELOW the source-space seq) must survive
+    cat.append("c", spark.createDataFrame([(1, "a2")], "id long, seg string"))
+    assert sorted((r["id"], r["seg"]) for r in cat.read("c").collect()) == [
+        (1, "a2"), (3, "c"),
+    ]
+    # the source is untouched
+    assert sorted(r["id"] for r in cat.read("src").collect()) == [3]
+    # row_count over mor-eq tables: merged-view fallback, correct value
+    assert cat.row_count("c") == 2
+    assert cat.row_count("src") == 1
+    # dropping a live eq-key column refuses with the fold hint...
+    with pytest.raises(ValueError, match="equality delete"):
+        cat.drop_column("src", "id")
+    # ...and works after the fold (metadata-only count path restored)
+    cat.rewrite_position_deletes("src")
+    cat.drop_column("src", "id")
+    assert cat.row_count("src") == 1
+    assert cat.read("src").columns == ["seg"]
+
+
 def test_eq_delete_renamed_key_forces_materialize(spark, tmp_path):
     """A key column renamed after an equality delete cannot export
     zero-copy (the delete parquet carries the old name) — the export

@@ -417,14 +417,94 @@ def test_tpch_q4_exists_decorrelates_to_semi_join(spark, sf_dir):
     assert "GreaterThanOrEqual(o_orderdate" in plan
 
 
-def test_tpch_q21_quantifiers_are_semi_and_anti_joins(spark, sf_dir):
-    """Q21's EXISTS + NOT EXISTS pair becomes exactly one LeftSemi and
-    one LeftAnti self-join of lineitem, both keyed on l_orderkey (the
-    non-equi suppkey/shipdate predicates ride as residuals)."""
+def test_tpch_q21_aggregate_form_no_self_joins(spark, sf_dir):
+    """Q21's EXISTS + NOT EXISTS pair decorrelates to the AGGREGATE
+    form: one per-(orderkey, suppkey) max-shipdate aggregate + an
+    order-stats window — NO lineitem self semi/anti joins (the shape
+    whose sides flip from broadcast to sort-merge across a scale step),
+    no nested loop, and the window partitions by l_orderkey (never a
+    global window)."""
     plan = _plan(entry.q_tpch_q21_waiting_suppliers(spark, sf_dir))
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
+    assert "Window" in plan and "SinglePartition" not in plan
+
+
+def test_tpch_q21_null_shipdate_parity_with_exists_form(spark):
+    """The aggregate rewrite must keep the EXISTS/NOT-EXISTS NULL
+    semantics bit-for-bit: `l3_shipdate > NULL` never matches, so the
+    anti-join KEEPS NULL-shipdate rows. Pin the aggregate form against
+    the literal self-join formulation on a fixture exercising every
+    NULL shape (mixed null/non-null supplier, all-null supplier,
+    all-null order, unique and tied maxima)."""
+    import datetime as dt
+
+    from data_lakehouse_spark.operators import tpch
+
+    d = lambda s: dt.date.fromisoformat(s)  # noqa: E731
+    rows = [
+        # (orderkey, suppkey, shipdate)
+        (1, 10, d("2024-01-05")),  # unique max holder
+        (1, 11, d("2024-01-03")),
+        (1, 11, None),             # NULL row of a non-max supplier
+        (2, 10, d("2024-02-01")),  # tied max
+        (2, 11, d("2024-02-01")),
+        (3, 10, None),             # all-NULL order, two suppliers
+        (3, 11, None),
+        (4, 12, d("2024-03-01")),  # single-supplier order (semi fails)
+        (5, 10, d("2024-04-02")),
+        (5, 11, None),             # all-NULL supplier on a dated order
+    ]
+    spark_df = spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long, l_shipdate date"
+    )
+    orders = spark.createDataFrame(
+        [(k, "F") for k in (1, 2, 3, 4, 5)],
+        "o_orderkey long, o_orderstatus string",
+    )
+    supplier = spark.createDataFrame(
+        [(10, "s10"), (11, "s11"), (12, "s12")],
+        "s_suppkey long, s_name string",
+    )
+
+    from pyspark.sql import functions as F
+
+    # literal EXISTS/NOT-EXISTS formulation (the semantics oracle)
+    f_orders = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = spark_df.join(
+        f_orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).drop("o_orderkey")
+    l2 = spark_df.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = spark_df.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    want = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3"))
+            & (F.col("d3") > F.col("l_shipdate")),
+            "left_anti",
+        )
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+    got = tpch.q21_waiting_suppliers(supplier, spark_df, orders)
+    assert sorted((r["s_name"], r["numwait"]) for r in got.collect()) == sorted(
+        (r["s_name"], r["numwait"]) for r in want.collect()
+    )
 
 
 def test_tpch_q19_disjunction_prunes_part_and_pushes_common_conjuncts(
