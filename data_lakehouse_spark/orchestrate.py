@@ -69,6 +69,7 @@ __all__ = [
     "DagRunError",
     "schedule_interval",
     "due_logical_dates",
+    "run_due",
     "backfill",
     "gold_aggregation_dag",
     "medallion_dag",
@@ -645,6 +646,39 @@ class Dag:
         else:
             states[k] = FAILED
             report[k]["state"] = FAILED
+
+
+def run_due(
+    dag: Dag,
+    *,
+    now,
+    last_logical_date=None,
+    spark=None,
+    raise_on_failure: bool = True,
+):
+    """One SCHEDULER TICK: run every logical date ``dag`` owes at
+    ``now`` (per its schedule/start_date/catchup — the loop an Airflow
+    scheduler heartbeat performs), sequentially ascending, and return
+    ``(reports, new_last_logical_date)`` for the caller to persist as
+    its scheduler state. A dag with no due runs returns ``([],
+    last_logical_date)`` — ticks are idempotent between interval
+    closes. With ``catchup=False`` the backlog collapses to the most
+    recent due interval (Airflow semantics); replay skipped history
+    explicitly with :func:`backfill`."""
+    due = dag.due_runs(now=now, last_logical_date=last_logical_date)
+    reports = [
+        dag.run(
+            spark,
+            raise_on_failure=raise_on_failure,
+            logical_date=ld,
+            run_type="scheduled",
+        )
+        for ld in due
+    ]
+    new_last = due[-1] if due else (
+        _as_dt(last_logical_date) if last_logical_date is not None else None
+    )
+    return reports, new_last
 
 
 def backfill(

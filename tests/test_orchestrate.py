@@ -19,6 +19,7 @@ from data_lakehouse_spark.orchestrate import (
     due_logical_dates,
     gold_aggregation_dag,
     medallion_dag,
+    run_due,
 )
 from data_lakehouse_spark.pipeline import MedallionPipeline
 
@@ -331,6 +332,37 @@ def test_dag_run_logical_date_context():
     seen.clear()
     out = dag.run(raise_on_failure=True)
     assert seen["ctx"] is None and out["logical_date"] is None
+
+
+def test_run_due_scheduler_tick():
+    """run_due is one scheduler heartbeat: it runs exactly the due
+    logical dates, returns the new high-water logical date as state,
+    and a second tick at the same `now` is a no-op."""
+    ran: list[str] = []
+    dag = Dag(
+        "tick",
+        schedule="@daily",
+        start_date=dt.date(2024, 1, 1),
+        catchup=True,
+    )
+    dag.task("t", lambda context: ran.append(context["ds"]))
+    reports, last = run_due(dag, now=dt.datetime(2024, 1, 3, 12))
+    assert ran == ["2024-01-01", "2024-01-02"]
+    assert last == dt.datetime(2024, 1, 2)
+    assert [r["run_id"] for r in reports] == [
+        "scheduled__2024-01-01T00:00:00",
+        "scheduled__2024-01-02T00:00:00",
+    ]
+    # same tick again: nothing due, state unchanged
+    reports2, last2 = run_due(
+        dag, now=dt.datetime(2024, 1, 3, 12), last_logical_date=last
+    )
+    assert reports2 == [] and last2 == last
+    # the next interval closes -> exactly one more run
+    reports3, last3 = run_due(
+        dag, now=dt.datetime(2024, 1, 4, 0, 5), last_logical_date=last2
+    )
+    assert ran[-1] == "2024-01-03" and last3 == dt.datetime(2024, 1, 3)
 
 
 def test_medallion_backfill_three_dates_idempotent(spark, tmp_path):
