@@ -585,6 +585,101 @@ def test_eq_delete_renamed_key_forces_materialize(spark, tmp_path):
     assert sorted(r["ident"] for r in read_iceberg(spark, dest).collect()) == [2]
 
 
+def test_eq_delete_carries_across_branches(spark, tmp_path):
+    """Branches share the table's version space (unlike clones), so an
+    equality delete committed on main is honored on a branch created
+    after it, and branch-local appends of a deleted key survive (their
+    commit versions are strictly above the delete's sequence)."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t", spark.createDataFrame([(1, "a"), (2, "b")], "id long, seg string")
+    )
+    cat.delete_where("t", "id = 1", mode="mor-eq", equality_cols=["id"])
+    cat.create_branch("t", "dev")
+    assert sorted(r["id"] for r in cat.read("t", branch="dev").collect()) == [2]
+    # re-append the deleted key ON THE BRANCH: survives the older delete
+    cat.append(
+        "t",
+        spark.createDataFrame([(1, "a2")], "id long, seg string"),
+        branch="dev",
+    )
+    assert sorted(
+        (r["id"], r["seg"]) for r in cat.read("t", branch="dev").collect()
+    ) == [(1, "a2"), (2, "b")]
+    # main is untouched by the branch append
+    assert sorted(r["id"] for r in cat.read("t").collect()) == [2]
+
+
+def test_eq_delete_random_interleavings_match_python_model(spark, tmp_path):
+    """Property pin: arbitrary interleavings of appends and equality
+    deletes must match a 40-line pure-Python reference model of the
+    spec's sequence rule (a delete at commit k suppresses rows written
+    at commits < k whose key is in the delete set; later writers of the
+    same key survive until a later delete). Deterministic seeds, three
+    scripts, keys reused across commits on purpose."""
+    import random
+
+    for seed in (7, 41, 1999):
+        rng = random.Random(seed)
+        cat = _cat(spark, tmp_path / f"s{seed}")
+        # python model: list of (commit, id, payload) live rows
+        model: list[tuple[int, int, str]] = []
+        commit = 0
+        first = [(i, f"r{seed}-0-{i}") for i in range(rng.randint(2, 5))]
+        cat.create_table(
+            "t",
+            spark.createDataFrame(first, "id long, payload string"),
+        )
+        model += [(0, i, p) for i, p in first]
+        commit = 1
+        for step in range(6):
+            if rng.random() < 0.45 and model:
+                # equality delete on a random subset of known keys
+                keys = sorted(
+                    {i for _, i, _ in model if rng.random() < 0.5}
+                )
+                if not keys:
+                    keys = [model[0][1]]
+                cat.delete_where(
+                    "t",
+                    F.col("id").isin([int(k) for k in keys]),
+                    mode="mor-eq",
+                    equality_cols=["id"],
+                )
+                model = [
+                    (c, i, p)
+                    for (c, i, p) in model
+                    if not (i in keys and c < commit)
+                ]
+            else:
+                rows = [
+                    (rng.randint(0, 6), f"r{seed}-{commit}-{j}")
+                    for j in range(rng.randint(1, 3))
+                ]
+                cat.append(
+                    "t",
+                    spark.createDataFrame(rows, "id long, payload string"),
+                )
+                model += [(commit, i, p) for i, p in rows]
+            commit += 1
+        got = sorted(
+            (r["id"], r["payload"]) for r in cat.read("t").collect()
+        )
+        want = sorted((i, p) for _, i, p in model)
+        assert got == want, (seed, got, want)
+        # the same state must round-trip through genuine Iceberg v2
+        dest = str(tmp_path / f"ice{seed}")
+        out = export_iceberg(cat, "t", dest)
+        assert out["materialized"] is False
+        assert (
+            sorted(
+                (r["id"], r["payload"])
+                for r in read_iceberg(spark, dest).collect()
+            )
+            == want
+        )
+
+
 def test_export_history_time_travel(spark, tmp_path):
     """Full-history export: every published catalog version becomes an
     Iceberg snapshot; external VERSION AS OF (snapshot_id) reproduces
