@@ -3493,6 +3493,57 @@ def q_matview_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert sink (catalog.upsert_cdc — the Flink-CDC /
+    Debezium write shape) oracle-verified end to end: ONE atomic commit
+    applies a Debezium-shaped batch derived from orders — updates
+    (k%7=0: status→'X', +100 cents), deletes (k%11=3), inserts (k%13=1
+    re-keyed past the max) — as an equality-delete key file plus a data
+    dir whose equal sequence survives the Iceberg strictly-lower rule.
+    O(batch) commit: no table scan, no join, no COW rewrite (the upsert
+    tier that stays cheap at 100 TB). Final state hash-matches DuckDB's
+    closed-form rendering; money flows as integer cents."""
+    import shutil
+    import tempfile
+
+    from data_lakehouse_spark.catalog import Catalog
+
+    _ensure_conf(spark)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dls_cdc_upsert",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(spark, root)
+    k = F.col("k")
+    src = _rel(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    cat.create_table("ord", src)
+    mx = src.agg(F.max("k")).first()[0]
+    upd = (
+        src.filter((k % 7 == 0) & (k % 11 != 3))
+        .withColumn("st", F.lit("X"))
+        .withColumn("cents", F.col("cents") + 100)
+        .withColumn("_op", F.lit("U"))
+    )
+    dele = src.filter(k % 11 == 3).withColumn("_op", F.lit("D"))
+    ins = (
+        src.filter(k % 13 == 1)
+        .withColumn("k", k + F.lit(mx))
+        .withColumn("st", F.lit("N"))
+        .withColumn("_op", F.lit("I"))
+    )
+    cat.upsert_cdc(
+        "ord", upd.unionByName(dele).unionByName(ins), ["k"], op_col="_op"
+    )
+    return cat.read("ord").select("k", "c", "cents", "st").orderBy("k")
+
+
 def q_sql_dml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL dialect front-end (sql.py) oracle-verified END TO END: the
     dbt-over-Thrift statement surface — CTAS, UPDATE, MOR DELETE, and
@@ -3845,7 +3896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matview_ivm": q_matview_ivm,
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
+        "orders_cdc_upsert": q_orders_cdc_upsert,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_cluster_components": q_dedup_cluster_components,
         "doc_quality_gopher": q_doc_quality_gopher,
@@ -3892,6 +3943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_pareto": q_customer_pareto,
         "embedding_label_centroids": q_embedding_label_centroids,
         "corpus_temperature_sample": q_corpus_temperature_sample,
+        "dedup_simhash": q_dedup_simhash,
         "events_daily_anomaly": q_events_daily_anomaly,
         "embedding_quantize_int8": q_embedding_quantize_int8,
         "corpus_dup_ngram_coverage": q_corpus_dup_ngram_coverage,
@@ -5031,6 +5083,27 @@ ORDER BY n_nationkey, src
     # SQL dialect DML gate: the edit sequence (UPDATE st='F' +100 cents;
     # MOR DELETE k%7; MERGE k%3 source with update-add and insert) in
     # closed form over the pristine orders table
+    # CDC upsert in closed form: updates as CASE, deletes as filter,
+    # inserts re-keyed past the max — the exact state one atomic
+    # eq-delete + append commit must land
+    sql["orders_cdc_upsert"] = """
+WITH src AS (
+    SELECT o_orderkey AS k, o_custkey AS c,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+           o_orderstatus AS st
+    FROM orders
+), mx AS (SELECT MAX(k) AS m FROM src)
+SELECT k, c, cents, st FROM (
+    SELECT k, c,
+           CASE WHEN k % 7 = 0 THEN cents + 100 ELSE cents END AS cents,
+           CASE WHEN k % 7 = 0 THEN 'X' ELSE st END AS st
+    FROM src WHERE k % 11 <> 3
+    UNION ALL
+    SELECT k + m AS k, c, cents, 'N' AS st FROM src, mx WHERE k % 13 = 1
+) t
+ORDER BY k
+"""
+
     sql["sql_dml_pipeline"] = """
 WITH base AS (
   SELECT o_orderkey AS k, o_custkey AS c,

@@ -78,6 +78,12 @@ BENCH_EXCLUDED = {
         "would measure tmp-dir catalog writes; the oracle gate verifies "
         "it end-to-end and tests/test_cdc_mart.py times nothing else"
     ),
+    "orders_cdc_upsert": (
+        "multi-commit CDC SCENARIO (catalog build + one atomic "
+        "eq-delete+append upsert commit) — timing measures tmp-dir "
+        "catalog writes, not a read query; the oracle gate verifies the "
+        "final state end-to-end (cdc_mart_incremental precedent)"
+    ),
     "iceberg_eq_delete_roundtrip": (
         "multi-commit interop SCENARIO (catalog build + equality delete "
         "+ re-append + Iceberg v2 export + spec-reader read) — timing "

@@ -511,13 +511,14 @@ class Catalog:
         expected_version: int | None = None,
         staged: bool = False,
         branch: str | None = None,
+        extra_eq_delete=None,
     ) -> TableHandle:
         with self._commit_lock(h):
             return self._commit_locked(
                 h, df, op=op, replace=replace, partition_by=partition_by,
                 properties=properties, base_dirs=base_dirs,
                 expected_version=expected_version, staged=staged,
-                branch=branch,
+                branch=branch, extra_eq_delete=extra_eq_delete,
             )
 
     @contextlib.contextmanager
@@ -567,6 +568,7 @@ class Catalog:
         expected_version: int | None = None,
         staged: bool = False,
         branch: str | None = None,
+        extra_eq_delete=None,
     ) -> TableHandle:
         entries = self._load_manifest(h)
         if expected_version is not None and len(entries) != expected_version:
@@ -686,6 +688,35 @@ class Catalog:
             ddirs: list[str] = []
         else:
             ddirs = list(prev.get("delete_dirs") or []) if prev else []
+        if extra_eq_delete is not None:
+            # SAME-COMMIT equality delete (the atomic CDC-upsert shape,
+            # see upsert_cdc): the key file lands next to this commit's
+            # data dir and both flip in ONE manifest save — no window
+            # where the deletes applied without the new images. The
+            # delete's seq equals this commit's version, so this
+            # commit's own data dir (seq == version) is NOT suppressed
+            # (strictly-lower rule) while every prior dir is.
+            eq_keys, eq_cols = extra_eq_delete
+            edir = f"e{version:05d}"
+            eq_keys.select(*eq_cols).distinct().coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(h.path, edir))
+            fid_by_name = (
+                {
+                    f["name"]: (f.get("metadata") or {}).get("field_id")
+                    for f in prev["schema"]["fields"]
+                }
+                if prev
+                else {}
+            )
+            ddirs = ddirs + [
+                {
+                    "dir": edir,
+                    "cols": list(eq_cols),
+                    "field_ids": [fid_by_name.get(c) for c in eq_cols],
+                    "seq": version,
+                }
+            ]
         schema_json = self._assign_field_ids(
             json.loads(df.schema.json()), entries, prev=prev
         )
@@ -1688,6 +1719,93 @@ class Catalog:
             return {"table": name, "delete_dirs_removed": 0}
         self._commit(h, self.read(name), op="rewrite_deletes", replace=True)
         return {"table": name, "delete_dirs_removed": len(ddirs)}
+
+    def upsert_cdc(
+        self,
+        name: str,
+        batch: DataFrame,
+        key_cols: list[str],
+        *,
+        op_col: str = "_op",
+        seq_col: str | None = None,
+    ) -> dict:
+        """Streaming CDC upsert sink — the Flink-CDC/Debezium write
+        shape, applied in ONE ATOMIC COMMIT: the distinct keys of the
+        batch's update/delete images land as an equality-delete file
+        (suppressing every PRE-batch row of those keys) and the
+        insert/update row images land as the commit's data dir, whose
+        sequence equals the delete's so the new images survive the
+        strictly-lower rule. Cost is O(batch): no table scan, no join,
+        no COW rewrite — the upsert tier that stays cheap when the
+        table is 100 TB and the microbatch is a few thousand rows
+        (``merge_into`` is the COW alternative that rewrites touched
+        dirs; fold accumulated delete files with
+        :meth:`rewrite_position_deletes` on a maintenance cadence).
+
+        ``op_col`` values: ``I``/``insert``/``c`` (append only),
+        ``U``/``update``/``u`` (delete old key + append image),
+        ``D``/``delete``/``d`` (delete key, no image).
+
+        ``seq_col`` enables WITHIN-BATCH key compaction (a batch
+        carrying several changes for one key keeps only the
+        highest-``seq_col`` image — e.g. the CDC log offset); without
+        it the caller guarantees at most one change per key per batch,
+        the standard ``foreachBatch`` contract.
+        """
+        h = self._handle(name)
+        if not self.table_exists(name):
+            raise ValueError(f"table {name} does not exist")
+        op = F.lower(F.col(op_col).cast("string"))
+        is_del = op.isin("d", "delete")
+        is_upd = op.isin("u", "update")
+        is_ins = op.isin("i", "insert", "c", "create")
+        bad = batch.filter(~(is_del | is_upd | is_ins)).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"upsert_cdc: {op_col} values must be I/U/D "
+                "(insert/update/delete)"
+            )
+        if seq_col is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+            batch = (
+                batch.withColumn("_cdc_rn", F.row_number().over(w))
+                .filter(F.col("_cdc_rn") == 1)
+                .drop("_cdc_rn")
+            )
+        from pyspark import StorageLevel
+
+        batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # every batch key is delete-listed — also for pure inserts:
+            # an "insert" replayed at-least-once (stream retries) would
+            # otherwise duplicate; listing the key makes the batch
+            # key-idempotent at no extra cost (the key file is the same
+            # O(batch) write either way)
+            keys = batch.select(*key_cols)
+            images = batch.filter(is_del == F.lit(False)).drop(op_col)
+            if seq_col is not None and seq_col in images.columns:
+                images = images.drop(seq_col)
+            n_images = images.count()
+            n_keys = keys.distinct().count()
+            entries = self._load_manifest(h)
+            version = len(entries)
+            self._commit(
+                h,
+                images,
+                op="upsert_cdc",
+                replace=False,
+                extra_eq_delete=(keys, list(key_cols)),
+            )
+            return {
+                "table": name,
+                "version": version,
+                "keys_deleted": n_keys,
+                "rows_appended": n_images,
+            }
+        finally:
+            batch.unpersist(blocking=False)
 
     def update_where(
         self, name: str, condition, assignments: dict[str, object]

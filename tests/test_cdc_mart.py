@@ -530,3 +530,69 @@ def test_cdc_quantile_crash_replay(spark, tmp_path):
     cq.refresh()
     m = cat.read("qmart").first()
     assert m["n_rows"] == 250  # double-fold would report 350
+
+
+def test_upsert_cdc_atomic_batch_semantics(spark, tmp_path):
+    """catalog.upsert_cdc — the Flink-CDC/Debezium sink shape: ONE
+    atomic commit (version advances exactly once) applies an I/U/D
+    batch via a same-commit equality delete + data dir; at-least-once
+    replay of the same batch is key-idempotent; seq_col compacts
+    multiple changes per key within a batch to the last image."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table(
+        "t",
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+            "id long, seg string, amt double",
+        ),
+    )
+    v0 = cat.current_version("t")
+    batch = spark.createDataFrame(
+        [(2, "b2", 22.0, "U"), (3, None, None, "D"), (4, "d", 4.0, "I")],
+        "id long, seg string, amt double, _op string",
+    )
+    out = cat.upsert_cdc("t", batch, ["id"])
+    assert out["keys_deleted"] == 3 and out["rows_appended"] == 2
+    assert cat.current_version("t") == v0 + 1  # ONE commit, atomic
+    state = sorted((r["id"], r["seg"]) for r in cat.read("t").collect())
+    assert state == [(1, "a"), (2, "b2"), (4, "d")]
+    # at-least-once replay: the insert's key is delete-listed too, so
+    # re-applying the identical batch does not duplicate anything
+    cat.upsert_cdc("t", batch, ["id"])
+    assert sorted(
+        (r["id"], r["seg"]) for r in cat.read("t").collect()
+    ) == state
+    # within-batch compaction: U then D for one key (by offset) nets
+    # to deleted; a later I for a fresh key lands
+    cat.upsert_cdc(
+        "t",
+        spark.createDataFrame(
+            [
+                (1, "a9", 9.0, "U", 10),
+                (1, None, None, "D", 11),
+                (5, "e", 5.0, "I", 12),
+            ],
+            "id long, seg string, amt double, _op string, off long",
+        ),
+        ["id"],
+        seq_col="off",
+    )
+    assert sorted((r["id"], r["seg"]) for r in cat.read("t").collect()) == [
+        (2, "b2"), (4, "d"), (5, "e"),
+    ]
+    # row_count agrees with the merged view; fold clears delete files
+    assert cat.row_count("t") == 3
+    cat.rewrite_position_deletes("t")
+    assert cat.row_count("t") == 3
+    # op validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="I/U/D"):
+        cat.upsert_cdc(
+            "t",
+            spark.createDataFrame(
+                [(9, "x", 1.0, "upsert")],
+                "id long, seg string, amt double, _op string",
+            ),
+            ["id"],
+        )
