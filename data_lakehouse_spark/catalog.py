@@ -1728,6 +1728,7 @@ class Catalog:
         *,
         op_col: str = "_op",
         seq_col: str | None = None,
+        properties_update: dict[str, str] | None = None,
     ) -> dict:
         """Streaming CDC upsert sink — the Flink-CDC/Debezium write
         shape, applied in ONE ATOMIC COMMIT: the distinct keys of the
@@ -1750,7 +1751,9 @@ class Catalog:
         carrying several changes for one key keeps only the
         highest-``seq_col`` image — e.g. the CDC log offset); without
         it the caller guarantees at most one change per key per batch,
-        the standard ``foreachBatch`` contract.
+        the standard ``foreachBatch`` contract. ``properties_update``
+        merges into the table properties in the SAME commit — the
+        transactional batch-id marker hook streaming sinks use.
         """
         h = self._handle(name)
         if not self.table_exists(name):
@@ -1791,11 +1794,15 @@ class Catalog:
             n_keys = keys.distinct().count()
             entries = self._load_manifest(h)
             version = len(entries)
+            props = None
+            if properties_update:
+                props = {**self.table_properties(name), **properties_update}
             self._commit(
                 h,
                 images,
                 op="upsert_cdc",
                 replace=False,
+                properties=props,
                 extra_eq_delete=(keys, list(key_cols)),
             )
             return {

@@ -1066,15 +1066,30 @@ class LakehouseSql:
     def _delete(self, stmt: str) -> dict:
         mask = mask_strings(stmt)
         m = re.match(
-            rf"\s*DELETE\s+(/\*\+\s*MOR\s*\*/\s+)?FROM\s+({_IDENT})"
+            rf"\s*DELETE\s+(?:/\*\+\s*(MOR_EQ\s*\(\s*{_IDENT}"
+            rf"(?:\s*,\s*{_IDENT})*\s*\)|MOR)\s*\*/\s+)?FROM\s+({_IDENT})"
             rf"(?:\s+WHERE\s+(.*))?$",
             mask, re.I | re.S,
         )
         if not m:
-            raise SqlError("expected: DELETE [/*+ MOR */] FROM <name> [WHERE cond]")
+            raise SqlError(
+                "expected: DELETE [/*+ MOR */ | /*+ MOR_EQ(key, ...) */] "
+                "FROM <name> [WHERE cond]"
+            )
         name = m.group(2)
         cond = stmt[m.start(3) : m.end(3)].strip() if m.group(3) else "true"
-        mode = "mor" if m.group(1) else "cow"
+        hint = (m.group(1) or "").upper()
+        if hint.startswith("MOR_EQ"):
+            # equality delete (Iceberg v2 content=2 write path): the
+            # hint's columns are the key the delete file carries —
+            # key-scoped (every pre-delete row sharing a matching key
+            # dies), sequence-ordered (later re-appends survive)
+            cols = re.findall(_IDENT, m.group(1))[1:]  # drop 'MOR_EQ'
+            stats = self.catalog.delete_where(
+                name, cond, mode="mor-eq", equality_cols=cols
+            )
+            return {"op": "delete", "name": name, "mode": "mor-eq", **stats}
+        mode = "mor" if hint == "MOR" else "cow"
         stats = self.catalog.delete_where(name, cond, mode=mode)
         return {"op": "delete", "name": name, "mode": mode, **stats}
 

@@ -140,6 +140,30 @@ def test_delete_mor_hint(cat, spark):
     assert {r.id for r in cat.read("accounts").collect()} == {1, 3}
 
 
+def test_delete_mor_eq_hint(cat, spark):
+    """DELETE /*+ MOR_EQ(key, ...) */ routes to the equality-delete
+    write path: key-scoped suppression with sequence semantics (a row
+    with a deleted key INSERTed after the delete survives)."""
+    _seed(cat, spark)
+    stats = execute_sql(
+        cat, "DELETE /*+ MOR_EQ(id) */ FROM accounts WHERE id = 2"
+    )
+    assert stats["mode"] == "mor-eq" and stats["deleted_keys"] == 1
+    assert {r.id for r in cat.read("accounts").collect()} == {1, 3}
+    execute_sql(
+        cat, "INSERT INTO accounts VALUES (2, 'bob2', 7.0)"
+    )
+    rows = {r.id: r.name for r in cat.read("accounts").collect()}
+    assert rows[2] == "bob2"  # post-delete writer survives
+    # multi-column key parses
+    stats = execute_sql(
+        cat,
+        "DELETE /*+ MOR_EQ(id, name) */ FROM accounts WHERE id = 1",
+    )
+    assert stats["mode"] == "mor-eq"
+    assert {r.id for r in cat.read("accounts").collect()} == {2, 3}
+
+
 def test_merge_into_full_surface(cat, spark):
     _seed(cat, spark)
     stats = execute_sql(

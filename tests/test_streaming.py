@@ -398,6 +398,99 @@ def test_catalog_merge_sink_streaming_upsert(spark, tmp_path):
     assert cat.snapshots("profiles").count() == 2  # create + one merge
 
 
+def test_catalog_cdc_sink_streaming_upsert(spark, tmp_path):
+    """Per-batch ATOMIC eq-delete + append sink (the MOR twin of the
+    merge sink): I/U/D change images apply in one commit per batch,
+    deletes actually remove keys (the merge sink can't), replays are
+    no-ops via the batch-id marker, within-batch duplicates resolve by
+    seq, and each applied batch advances the version exactly once."""
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.streaming import make_catalog_cdc_sink
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    sink = make_catalog_cdc_sink(
+        cat, "profiles", ["user_id"], seq_col="seq"
+    )
+    sch = "user_id long, tier string, seq long, _op string"
+    b0 = spark.createDataFrame(
+        [(1, "bronze", 1, "I"), (2, "bronze", 1, "I")], sch
+    )
+    # batch 1: user 1 updated twice (seq decides), user 2 DELETED,
+    # user 3 inserted
+    b1 = spark.createDataFrame(
+        [
+            (1, "silver", 2, "U"),
+            (1, "gold", 3, "U"),
+            (2, None, 2, "D"),
+            (3, "bronze", 1, "I"),
+        ],
+        sch,
+    )
+    sink(b0, 0)
+    v1 = cat.current_version("profiles")
+    sink(b1, 1)
+    assert cat.current_version("profiles") == v1 + 1  # ONE atomic commit
+    sink(b1, 1)  # replay: no-op (no extra snapshot, same rows)
+    assert cat.current_version("profiles") == v1 + 1
+    rows = {r["user_id"]: r["tier"] for r in cat.read("profiles").collect()}
+    assert rows == {1: "gold", 3: "bronze"}  # 2 is GONE (real delete)
+    assert cat.table_properties("profiles")["stream.last_batch_id"] == "1"
+    # a delete-only FIRST batch on a fresh table creates nothing
+    sink2 = make_catalog_cdc_sink(cat, "fresh", ["user_id"])
+    sink2(
+        spark.createDataFrame([(9, None, 0, "D")], sch), 0
+    )
+    assert not cat.table_exists("fresh")
+
+
+def test_stream_cdc_to_catalog_end_to_end(spark, tmp_path):
+    """Full streaming CDC: two micro-batch files of I/U/D images
+    through stream_cdc_to_catalog; the table converges to the final
+    state with deletes applied — each batch one atomic MOR commit."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.streaming import stream_cdc_to_catalog
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("tier", StringType()),
+            StructField("seq", LongType()),
+            StructField("_op", StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "bronze", 1, "I"), (2, "bronze", 1, "I")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_cdc_to_catalog(
+        stream, cat, "profiles", ["user_id"],
+        checkpoint=str(tmp_path / "ckpt"), seq_col="seq",
+    )
+    q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(2, "gold", 2, "U"), (1, None, 2, "D"), (4, "silver", 1, "I")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_cdc_to_catalog(
+        stream, cat, "profiles", ["user_id"],
+        checkpoint=str(tmp_path / "ckpt"), seq_col="seq",
+    )
+    q2.awaitTermination(120)
+    rows = {r["user_id"]: r["tier"] for r in cat.read("profiles").collect()}
+    assert rows == {2: "gold", 4: "silver"}  # user 1 deleted
+
+
 def test_stream_merge_to_catalog_end_to_end(spark, tmp_path):
     """Full streaming upsert: two micro-batch files through
     stream_merge_to_catalog; the table holds the latest row per key."""
