@@ -44,7 +44,17 @@ _generations: dict[str, list] = {}
 def rotate(tag: str, handles) -> None:
     """Register this invocation's persisted frames under ``tag``;
     unpersist (non-blocking) the previous generation for the same tag.
-    """
+
+    ``localCheckpoint``-ed frames have no CacheManager entry, so their
+    ``unpersist`` is a no-op — their blocks are freed by the
+    ContextCleaner once BOTH runtimes drop the references. Dropping the
+    registry reference here plus one ``gc.collect()`` starts that chain
+    promptly (py4j releases the JVM proxy on Python GC) instead of
+    waiting for an incidental collection; blocks still referenced by a
+    live result frame's lineage correctly stay alive (freeing them
+    would fail that frame loudly — lineage is cut)."""
+    import gc
+
     with _lock:
         old = _generations.get(tag, [])
         _generations[tag] = [h for h in handles if h is not None]
@@ -54,6 +64,9 @@ def rotate(tag: str, handles) -> None:
         except Exception:
             # a handle whose SparkContext is gone is already released
             pass
+    if old:
+        del old
+        gc.collect()
 
 
 def release(tag: str | None = None) -> None:

@@ -709,14 +709,20 @@ class Catalog:
                 if prev
                 else {}
             )
-            ddirs = ddirs + [
-                {
-                    "dir": edir,
-                    "cols": list(eq_cols),
-                    "field_ids": [fid_by_name.get(c) for c in eq_cols],
-                    "seq": version,
-                }
-            ]
+            rec = {
+                "dir": edir,
+                "cols": list(eq_cols),
+                "field_ids": [fid_by_name.get(c) for c in eq_cols],
+                "seq": version,
+            }
+            # foreign (cloned) dirs live in their source's version
+            # space: pin coverage to the PRE-commit snapshot (this
+            # commit's own data dir must stay outside the scope — the
+            # equal-seq tie the local rule breaks by strictness)
+            self._pin_eq_scope(
+                rec, list(prev["data_dirs"]) if prev else []
+            )
+            ddirs = ddirs + [rec]
         schema_json = self._assign_field_ids(
             json.loads(df.schema.json()), entries, prev=prev
         )
@@ -1632,10 +1638,21 @@ class Catalog:
             .distinct()
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        try:
+            return self._mor_eq_delete_persisted(
+                h, name, equality_cols, keys, head, base_version
+            )
+        finally:
+            # also covers the concurrent-modification raise: the
+            # persisted keys frame must never outlive the call
+            keys.unpersist(blocking=False)
+
+    def _mor_eq_delete_persisted(
+        self, h, name, equality_cols, keys, head, base_version
+    ) -> dict:
         n_keys = keys.count()
         live = list(head["data_dirs"])
         if n_keys == 0:
-            keys.unpersist(blocking=False)
             return {"table": name, "affected_rows": 0, "deleted_keys": 0,
                     "delete_dir": None, "rewritten_dirs": [],
                     "kept_dirs": live}
@@ -1665,8 +1682,24 @@ class Catalog:
             keys.coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(h.path, ddir)
             )
-            keys.unpersist(blocking=False)
             prev = self._main_head(entries, name)
+            rec = {
+                "dir": ddir,
+                "cols": list(equality_cols),
+                # stable ids so reads resolve through renames
+                # (in equality_cols order, not schema order)
+                "field_ids": [
+                    {
+                        f["name"]: (f.get("metadata") or {}).get(
+                            "field_id"
+                        )
+                        for f in prev["schema"]["fields"]
+                    }.get(c)
+                    for c in equality_cols
+                ],
+                "seq": version,
+            }
+            self._pin_eq_scope(rec, prev["data_dirs"])
             entries.append(
                 {
                     "version": version,
@@ -1676,22 +1709,7 @@ class Catalog:
                     ),
                     "data_dirs": list(prev["data_dirs"]),
                     "delete_dirs": list(prev.get("delete_dirs") or [])
-                    + [{
-                        "dir": ddir,
-                        "cols": list(equality_cols),
-                        # stable ids so reads resolve through renames
-                        # (in equality_cols order, not schema order)
-                        "field_ids": [
-                            {
-                                f["name"]: (f.get("metadata") or {}).get(
-                                    "field_id"
-                                )
-                                for f in prev["schema"]["fields"]
-                            }.get(c)
-                            for c in equality_cols
-                        ],
-                        "seq": version,
-                    }],
+                    + [rec],
                     "schema": prev["schema"],
                     "partition_by": prev.get("partition_by"),
                     "partition_transforms": prev.get("partition_transforms"),
@@ -1758,15 +1776,34 @@ class Catalog:
         h = self._handle(name)
         if not self.table_exists(name):
             raise ValueError(f"table {name} does not exist")
+        have = {
+            f["name"]
+            for f in self._main_head(self._load_manifest(h), name)[
+                "schema"
+            ]["fields"]
+        }
+        missing = [c for c in key_cols if c not in have]
+        if missing:
+            # a key absent from the table would commit an INERT delete
+            # (matches an all-NULL union-schema column) and every
+            # update would silently duplicate — refuse like
+            # _mor_eq_delete does
+            raise ValueError(
+                f"upsert_cdc: key_cols {missing} not in {name}'s schema"
+            )
         op = F.lower(F.col(op_col).cast("string"))
         is_del = op.isin("d", "delete")
         is_upd = op.isin("u", "update")
         is_ins = op.isin("i", "insert", "c", "create")
-        bad = batch.filter(~(is_del | is_upd | is_ins)).limit(1).count()
+        # coalesce: a NULL op must FAIL validation, not slip through the
+        # negated predicate as NULL and then silently act as a delete
+        bad = batch.filter(
+            ~F.coalesce(is_del | is_upd | is_ins, F.lit(False))
+        ).limit(1).count()
         if bad:
             raise ValueError(
                 f"upsert_cdc: {op_col} values must be I/U/D "
-                "(insert/update/delete)"
+                "(insert/update/delete), found NULL or unknown"
             )
         if seq_col is not None:
             from pyspark.sql import Window
@@ -1797,12 +1834,16 @@ class Catalog:
             props = None
             if properties_update:
                 props = {**self.table_properties(name), **properties_update}
+            # expected_version CAS: the reported version is the one the
+            # commit actually lands at, or the commit refuses under a
+            # concurrent writer (same contract as _mor_eq_delete)
             self._commit(
                 h,
                 images,
                 op="upsert_cdc",
                 replace=False,
                 properties=props,
+                expected_version=version,
                 extra_eq_delete=(keys, list(key_cols)),
             )
             return {
@@ -2080,6 +2121,20 @@ class Catalog:
                 ],
             )
         return tgt
+
+    @staticmethod
+    def _pin_eq_scope(rec: dict, snapshot_dirs) -> None:
+        """A NEW equality delete on a snapshot containing FOREIGN dirs
+        (clones: ``../src/vNNNNN``) cannot rely on the strictly-lower
+        sequence rule — those dirs decode in their SOURCE's version
+        space while this delete's seq is local, and a cross-space
+        comparison silently mis-scopes. Pin the coverage to the exact
+        pre-delete snapshot instead (``applies_to`` — semantically
+        identical: every current dir IS pre-delete, every later commit
+        is post-delete). All-local snapshots keep the O(1)-per-record
+        seq comparison."""
+        if any(not re.fullmatch(r"v\d{5}", d) for d in snapshot_dirs):
+            rec["applies_to"] = list(snapshot_dirs)
 
     def _clone_dd(self, d, rel: str, base: dict, entries: list[dict]):
         """Rebase one delete_dirs entry for a clone. Strings (positional

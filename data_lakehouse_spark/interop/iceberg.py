@@ -417,9 +417,15 @@ def export_iceberg(
     eq_renamed = any(
         c not in cur_names for d in eq_dd for c in d.get("cols", [])
     )
+    # applies_to records (deletes scoped to a fixed dir list — the
+    # clone shapes) cannot export zero-copy: their coverage is NOT the
+    # strictly-lower sequence rule an external Iceberg reader applies,
+    # so shipping cross-version-space sequence numbers would mis-scope
+    # the delete in any spec-conformant reader
+    eq_pinned = any(d.get("applies_to") is not None for d in eq_dd)
     has_pos = bool(pos_dd)
     must_materialize = (
-        has_pos or eq_renamed or (bool(pb) and not identity_ok)
+        has_pos or eq_renamed or eq_pinned or (bool(pb) and not identity_ok)
     )
     if materialize is None:
         materialize = must_materialize
@@ -429,6 +435,9 @@ def export_iceberg(
             + ("it carries positional MOR delete files; " if has_pos else "")
             + ("an equality delete's key columns were renamed; "
                if eq_renamed else "")
+            + ("an equality delete is scoped to a fixed dir list "
+               "(clone) whose coverage the spec's sequence rule cannot "
+               "express; " if eq_pinned else "")
             + ("its partitioning is not identity-restorable; "
                if pb and not identity_ok else "")
             + "pass materialize=True (one rewrite into the export)"

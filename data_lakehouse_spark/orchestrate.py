@@ -654,7 +654,6 @@ def run_due(
     now,
     last_logical_date=None,
     spark=None,
-    raise_on_failure: bool = True,
 ):
     """One SCHEDULER TICK: run every logical date ``dag`` owes at
     ``now`` (per its schedule/start_date/catchup — the loop an Airflow
@@ -664,20 +663,32 @@ def run_due(
     last_logical_date)`` — ticks are idempotent between interval
     closes. With ``catchup=False`` the backlog collapses to the most
     recent due interval (Airflow semantics); replay skipped history
-    explicitly with :func:`backfill`."""
+    explicitly with :func:`backfill`.
+
+    Failure semantics (scheduler heartbeats never raise): a failed
+    date's report lands in ``reports`` with ``state='failed'`` and the
+    tick STOPS there — ``new_last_logical_date`` advances only through
+    the consecutive successes, so the next tick retries the failed
+    date first instead of re-running the dates that already landed
+    (progress is never lost, and later intervals never run ahead of a
+    broken one — the same ordering the watermark idempotency contract
+    needs)."""
     due = dag.due_runs(now=now, last_logical_date=last_logical_date)
-    reports = [
-        dag.run(
+    new_last = (
+        _as_dt(last_logical_date) if last_logical_date is not None else None
+    )
+    reports: list[dict] = []
+    for ld in due:
+        rep = dag.run(
             spark,
-            raise_on_failure=raise_on_failure,
+            raise_on_failure=False,
             logical_date=ld,
             run_type="scheduled",
         )
-        for ld in due
-    ]
-    new_last = due[-1] if due else (
-        _as_dt(last_logical_date) if last_logical_date is not None else None
-    )
+        reports.append(rep)
+        if rep["state"] != SUCCESS:
+            break
+        new_last = ld
     return reports, new_last
 
 

@@ -439,18 +439,24 @@ def make_catalog_cdc_sink(
         if batch_df.isEmpty():
             return
         if not catalog.table_exists(table):
-            images = batch_df.filter(
-                ~F.lower(F.col(op_col).cast("string")).isin("d", "delete")
-            ).drop(op_col)
-            if seq_col is not None and seq_col in images.columns:
+            # seq compaction FIRST, delete-filter second — the same
+            # order upsert_cdc uses: a key whose FINAL change in the
+            # batch is a delete must not materialize its stale earlier
+            # image
+            if seq_col is not None:
                 from pyspark.sql import Window
 
                 w = Window.partitionBy(*key_cols).orderBy(F.desc(seq_col))
-                images = (
-                    images.withColumn("_rn", F.row_number().over(w))
+                batch_c = (
+                    batch_df.withColumn("_rn", F.row_number().over(w))
                     .filter(F.col("_rn") == 1)
                     .drop("_rn", seq_col)
                 )
+            else:
+                batch_c = batch_df
+            images = batch_c.filter(
+                ~F.lower(F.col(op_col).cast("string")).isin("d", "delete")
+            ).drop(op_col)
             if images.isEmpty():
                 return  # delete-only first batch: nothing to create
             catalog.create_table(

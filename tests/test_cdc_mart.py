@@ -596,3 +596,24 @@ def test_upsert_cdc_atomic_batch_semantics(spark, tmp_path):
             ),
             ["id"],
         )
+    # NULL op must fail validation, not silently act as a delete
+    with _pytest.raises(ValueError, match="I/U/D"):
+        cat.upsert_cdc(
+            "t",
+            spark.createDataFrame(
+                [(9, "x", 1.0, None)],
+                "id long, seg string, amt double, _op string",
+            ),
+            ["id"],
+        )
+    # a key column absent from the table refuses (an inert delete
+    # would silently duplicate every update)
+    with _pytest.raises(ValueError, match="not in"):
+        cat.upsert_cdc(
+            "t",
+            spark.createDataFrame(
+                [(9, "x", 1.0, "I")],
+                "Id long, seg string, amt double, _op string",
+            ),
+            ["Id"],
+        )

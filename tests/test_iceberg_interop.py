@@ -610,6 +610,44 @@ def test_eq_delete_carries_across_branches(spark, tmp_path):
     assert sorted(r["id"] for r in cat.read("t").collect()) == [2]
 
 
+def test_eq_delete_committed_on_clone_scopes_correctly(spark, tmp_path):
+    """A NEW equality delete committed ON a clone (mixed version
+    spaces: cloned dirs decode to SOURCE versions, clone-local commits
+    number from 0) pins its coverage to the pre-delete snapshot
+    (applies_to) — cloned rows of the key die even when their
+    source-space seq is >= the clone-local delete seq, clone-local rows
+    appended AFTER the delete survive, and the export refuses zero-copy
+    (the spec's sequence rule can't express the pinned scope) but
+    materializes correctly."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "src", spark.createDataFrame([(1, "a")], "id long, seg string")
+    )
+    cat.append("src", spark.createDataFrame([(3, "c")], "id long, seg string"))
+    # src now at version 1; row id=3 lives in source dir v00001
+    cat.clone_table("src", "c")
+    # clone-local delete commits at clone version 1 == the SOURCE seq
+    # of v00001 — the cross-space collision the applies_to pin closes
+    out = cat.delete_where("c", "id = 3", mode="mor-eq", equality_cols=["id"])
+    assert out["affected_rows"] == 1
+    assert sorted(r["id"] for r in cat.read("c").collect()) == [1]
+    # clone-local re-append of the deleted key survives
+    cat.append("c", spark.createDataFrame([(3, "c2")], "id long, seg string"))
+    assert sorted((r["id"], r["seg"]) for r in cat.read("c").collect()) == [
+        (1, "a"), (3, "c2"),
+    ]
+    # source untouched
+    assert sorted(r["id"] for r in cat.read("src").collect()) == [1, 3]
+    # zero-copy export refuses the pinned scope; materialize works
+    with pytest.raises(ValueError, match="fixed dir list"):
+        export_iceberg(cat, "c", str(tmp_path / "ice0"), materialize=False)
+    dest = str(tmp_path / "ice1")
+    export_iceberg(cat, "c", dest, materialize=True)
+    assert sorted(
+        (r["id"], r["seg"]) for r in read_iceberg(spark, dest).collect()
+    ) == [(1, "a"), (3, "c2")]
+
+
 def test_eq_delete_random_interleavings_match_python_model(spark, tmp_path):
     """Property pin: arbitrary interleavings of appends and equality
     deletes must match a 40-line pure-Python reference model of the

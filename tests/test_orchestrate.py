@@ -364,6 +364,34 @@ def test_run_due_scheduler_tick():
     )
     assert ran[-1] == "2024-01-03" and last3 == dt.datetime(2024, 1, 3)
 
+    # failure semantics: a failed date STOPS the tick; state advances
+    # only through the consecutive successes, so the next tick retries
+    # the failed date instead of re-running the landed ones
+    attempts: list[str] = []
+
+    def flaky(context):
+        attempts.append(context["ds"])
+        if context["ds"] == "2024-02-02" and attempts.count("2024-02-02") == 1:
+            raise ValueError("boom")
+
+    fdag = Dag(
+        "flaky", schedule="@daily", start_date=dt.date(2024, 2, 1), catchup=True
+    )
+    fdag.task("t", flaky)
+    reps, last_f = run_due(fdag, now=dt.datetime(2024, 2, 4, 12))
+    assert [r["state"] for r in reps] == ["success", "failed"]
+    assert last_f == dt.datetime(2024, 2, 1)  # progress kept, stop at fail
+    assert attempts == ["2024-02-01", "2024-02-02"]
+    # retry tick: the failed date runs first (succeeds now), then the rest
+    reps2, last_f2 = run_due(
+        fdag, now=dt.datetime(2024, 2, 4, 12), last_logical_date=last_f
+    )
+    assert [r["state"] for r in reps2] == ["success", "success"]
+    assert last_f2 == dt.datetime(2024, 2, 3)
+    assert attempts == [
+        "2024-02-01", "2024-02-02", "2024-02-02", "2024-02-03",
+    ]
+
 
 def test_medallion_backfill_three_dates_idempotent(spark, tmp_path):
     """The verdict's backfill gate: replaying 3 logical dates through

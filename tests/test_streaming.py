@@ -441,6 +441,17 @@ def test_catalog_cdc_sink_streaming_upsert(spark, tmp_path):
         spark.createDataFrame([(9, None, 0, "D")], sch), 0
     )
     assert not cat.table_exists("fresh")
+    # first-batch ordering: seq compaction BEFORE the delete filter — a
+    # key whose FINAL change is D must not materialize its stale image
+    sink3 = make_catalog_cdc_sink(cat, "fresh2", ["user_id"], seq_col="seq")
+    sink3(
+        spark.createDataFrame(
+            [(1, "stale", 1, "I"), (1, None, 2, "D"), (2, "ok", 1, "I")],
+            sch,
+        ),
+        0,
+    )
+    assert {r["user_id"] for r in cat.read("fresh2").collect()} == {2}
 
 
 def test_stream_cdc_to_catalog_end_to_end(spark, tmp_path):
