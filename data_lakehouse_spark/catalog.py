@@ -2285,6 +2285,120 @@ class Catalog:
             "dry_run": dry_run,
         }
 
+    def maintain(
+        self,
+        name: str,
+        *,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        min_files_to_compact: int = 8,
+        small_file_ratio: float = 0.5,
+        max_delete_files: int = 4,
+        expire_keep_last: int | None = None,
+        expire_older_than: str | None = None,
+        dry_run: bool = False,
+    ) -> dict:
+        """ONE table-service sweep — the scheduled maintenance loop an
+        Iceberg/Delta platform runs per table, with the DECISIONS made
+        from metadata only (parquet footer stats via :meth:`files`,
+        manifest delete records, snapshot list): the data is never
+        scanned to decide, only to act.
+
+        Policy, in order:
+
+        1. **Compact** when the live file count reaches
+           ``min_files_to_compact`` AND at least ``small_file_ratio``
+           of the files are under ``target_file_bytes/2`` — the
+           small-file regime where scan cost is per-file overhead, not
+           bytes. A full compaction also folds every MOR delete file
+           (the replace commit starts clean), so step 2 is skipped.
+        2. **Fold MOR deletes** (:meth:`rewrite_position_deletes`) when
+           the accumulated positional+equality delete files exceed
+           ``max_delete_files`` — bounding the per-read anti-join
+           chain a CDC-upsert stream grows one commit at a time.
+        3. **Expire snapshots** when a retention is given
+           (``expire_keep_last`` / ``expire_older_than``) — the op
+           that bounds the storage bill at scale.
+
+        ``dry_run`` reports the decisions (with reasons and the stats
+        behind them) without acting — the review mode a scheduler dag
+        runs first. Returns ``{"table", "stats", "actions": [...]}``;
+        each action carries its reason and, when executed, the
+        underlying op's report.
+        """
+        h = self._handle(name)
+        entries = self._load_manifest(h)
+        if not entries:
+            raise ValueError(f"table {name} does not exist")
+        head = self._main_head(entries, name)
+        f_rows = self.files(name).select("bytes").collect()
+        n_files = len(f_rows)
+        n_small = sum(1 for r in f_rows if r["bytes"] < target_file_bytes // 2)
+        n_deletes = len(head.get("delete_dirs") or [])
+        stats = {
+            "n_files": n_files,
+            "n_small_files": n_small,
+            "small_ratio": round(n_small / n_files, 3) if n_files else 0.0,
+            "n_delete_files": n_deletes,
+            "n_snapshots": len(entries),
+        }
+        actions: list[dict] = []
+        do_compact = (
+            n_files >= min_files_to_compact
+            and n_files > 0
+            and (n_small / n_files) >= small_file_ratio
+        )
+        if do_compact:
+            a = {
+                "action": "compact",
+                "reason": (
+                    f"{n_small}/{n_files} files under "
+                    f"{target_file_bytes // 2} bytes (ratio "
+                    f"{n_small / n_files:.2f} >= {small_file_ratio})"
+                    + (
+                        f"; also folds {n_deletes} MOR delete file(s)"
+                        if n_deletes
+                        else ""
+                    )
+                ),
+            }
+            if not dry_run:
+                a["result"] = self.compact(
+                    name, target_file_bytes=target_file_bytes
+                )
+            actions.append(a)
+        elif n_deletes > max_delete_files:
+            a = {
+                "action": "rewrite_position_deletes",
+                "reason": (
+                    f"{n_deletes} MOR delete files > "
+                    f"max_delete_files={max_delete_files}"
+                ),
+            }
+            if not dry_run:
+                a["result"] = self.rewrite_position_deletes(name)
+            actions.append(a)
+        if expire_keep_last is not None or expire_older_than is not None:
+            a = {
+                "action": "expire_snapshots",
+                "reason": (
+                    f"retention keep_last={expire_keep_last} "
+                    f"older_than={expire_older_than}"
+                ),
+            }
+            if not dry_run:
+                a["result"] = self.expire_snapshots(
+                    name,
+                    keep_last=expire_keep_last or 1,
+                    older_than=expire_older_than,
+                )
+            actions.append(a)
+        return {
+            "table": name,
+            "dry_run": dry_run,
+            "stats": stats,
+            "actions": actions,
+        }
+
     def expire_snapshots(
         self,
         name: str,

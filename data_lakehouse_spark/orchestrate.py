@@ -72,6 +72,7 @@ __all__ = [
     "run_due",
     "backfill",
     "gold_aggregation_dag",
+    "maintenance_dag",
     "medallion_dag",
 ]
 
@@ -851,6 +852,47 @@ def medallion_dag(
     for t in gold.tasks.values():
         dag.add(t)
     silver_test >> gold.tasks["start_gold_aggregation"]
+    return dag
+
+
+def maintenance_dag(
+    catalog,
+    tables: list[str] | None = None,
+    *,
+    schedule="@daily",
+    start_date=None,
+    max_workers: int = 4,
+    **policy,
+) -> Dag:
+    """The scheduled TABLE-SERVICE loop: one independent ``maintain``
+    task per table (compact / fold MOR deletes / expire per the policy
+    kwargs — see :meth:`Catalog.maintain`), fanned out across the
+    worker pool since tables maintain independently. ``tables=None``
+    resolves the catalog's full table list AT RUN TIME (each run sees
+    tables created since the dag was built). Pair with
+    :func:`run_due` / :func:`backfill` for the scheduler loop; sweeps
+    are idempotent (a compacted table reports no actions next tick),
+    so replays are safe."""
+    dag = Dag(
+        "table_maintenance",
+        max_workers=max_workers,
+        schedule=schedule,
+        start_date=start_date or _dt.date(2026, 1, 1),
+        catchup=False,
+    )
+    if tables is None:
+        def sweep_all():
+            return {t: catalog.maintain(t, **policy) for t in catalog.tables()}
+
+        dag.task("maintain_all", sweep_all)
+        return dag
+    start = dag.task("start_maintenance")
+    end = dag.task("end_maintenance", trigger_rule="all_done")
+    for t in tables:
+        node = dag.task(
+            f"maintain_{t}", (lambda t=t: catalog.maintain(t, **policy))
+        )
+        start >> node >> end
     return dag
 
 

@@ -945,3 +945,65 @@ def test_foreign_field_ids_never_trusted(spark, tmp_path):
     assert sorted(tuple(r) for r in cat.read("b").collect())[0] == (
         1, "x", 2.0, 200, "t",
     )
+
+
+def test_maintain_policy_sweep(spark, tmp_path):
+    """catalog.maintain: one metadata-driven table-service sweep — a
+    small-file-heavy table compacts (folding MOR deletes with it), a
+    delete-heavy-but-well-sized table folds its delete files, retention
+    expires history, and dry_run reports the same decisions without
+    acting or advancing the version."""
+    from data_lakehouse_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table(
+        "t", spark.createDataFrame([(0, "x")], "id long, s string")
+    )
+    # accumulate small-file appends + one MOR delete
+    for i in range(1, 6):
+        cat.append(
+            "t", spark.createDataFrame([(i, "x")], "id long, s string")
+        )
+    cat.delete_where("t", "id = 3", mode="mor-eq", equality_cols=["id"])
+    before = cat.current_version("t")
+
+    # dry run: decisions only, no commits
+    plan = cat.maintain("t", min_files_to_compact=4, dry_run=True)
+    assert [a["action"] for a in plan["actions"]] == ["compact"]
+    assert "result" not in plan["actions"][0]
+    assert plan["stats"]["n_delete_files"] == 1
+    assert cat.current_version("t") == before
+
+    # real sweep: compacts AND folds the delete file with it
+    out = cat.maintain("t", min_files_to_compact=4)
+    assert out["actions"][0]["action"] == "compact"
+    assert out["actions"][0]["result"]["files_after"] <= 2
+    assert sorted(r["id"] for r in cat.read("t").collect()) == [0, 1, 2, 4, 5]
+    head_dd = cat.maintain("t", dry_run=True)["stats"]["n_delete_files"]
+    assert head_dd == 0  # replace commit started clean
+
+    # delete-heavy but well-sized: folds instead of compacting
+    cat2 = Catalog(spark, str(tmp_path / "w2"))
+    cat2.create_table(
+        "u",
+        spark.createDataFrame(
+            [(i, "x") for i in range(100)], "id long, s string"
+        ).coalesce(1),
+    )
+    for i in range(3):
+        cat2.delete_where("u", f"id = {i}", mode="mor")
+    out = cat2.maintain("u", max_delete_files=2, min_files_to_compact=50)
+    assert [a["action"] for a in out["actions"]] == [
+        "rewrite_position_deletes"
+    ]
+    assert out["actions"][0]["result"]["delete_dirs_removed"] == 3
+    assert cat2.read("u").count() == 97
+
+    # retention: expire keeps the head readable, old versions gone
+    out = cat2.maintain("u", expire_keep_last=1, min_files_to_compact=999)
+    assert out["actions"][-1]["action"] == "expire_snapshots"
+    assert cat2.read("u").count() == 97
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="expired"):
+        cat2.read("u", version=0)

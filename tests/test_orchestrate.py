@@ -439,6 +439,38 @@ def test_medallion_backfill_three_dates_idempotent(spark, tmp_path):
     assert cat.read("gold_daily_sales_summary").count() == n_gold
 
 
+def test_maintenance_dag_sweeps_tables(spark, tmp_path):
+    """maintenance_dag: one maintain task per table fanned out; a
+    small-file table compacts during the run, an already-tidy table
+    reports no actions; sweeps are idempotent on replay."""
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.orchestrate import maintenance_dag
+
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table("a", spark.createDataFrame([(0,)], "id long"))
+    for i in range(1, 5):
+        cat.append("a", spark.createDataFrame([(i,)], "id long"))
+    cat.create_table(
+        "b", spark.createDataFrame([(i,) for i in range(50)], "id long").coalesce(1)
+    )
+    dag = maintenance_dag(cat, ["a", "b"], min_files_to_compact=4)
+    out = dag.run(spark, raise_on_failure=True)
+    assert out["state"] == "success"
+    acts = {
+        t: [x["action"] for x in out["tasks"][f"maintain_{t}"]["result"]["actions"]]
+        for t in ("a", "b")
+    }
+    assert acts["a"] == ["compact"] and acts["b"] == []
+    assert cat.read("a").count() == 5
+    # replay: idempotent — the compacted table reports nothing to do
+    out2 = dag.run(spark, raise_on_failure=True)
+    assert out2["tasks"]["maintain_a"]["result"]["actions"] == []
+    # tables=None resolves the catalog at run time
+    dag_all = maintenance_dag(cat, min_files_to_compact=999)
+    out3 = dag_all.run(spark, raise_on_failure=True)
+    assert set(out3["tasks"]["maintain_all"]["result"]) == {"a", "b"}
+
+
 def test_attempt_finishing_past_deadline_still_fails():
     """An attempt that completes AFTER its execution_timeout (even
     inside the cancellation grace window) fails its SLO — a 1.3s task
