@@ -58,14 +58,17 @@ def rotate(tag: str, handles) -> None:
     with _lock:
         old = _generations.get(tag, [])
         _generations[tag] = [h for h in handles if h is not None]
+    had_old = bool(old)
     for h in old:
         try:
             h.unpersist(blocking=False)
         except Exception:
             # a handle whose SparkContext is gone is already released
             pass
-    if old:
-        del old
+    if had_old:
+        # the loop variable would otherwise keep the LAST handle alive
+        # through the collect — exactly the frame the GC is for
+        del h, old
         gc.collect()
 
 

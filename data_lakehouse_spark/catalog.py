@@ -1774,14 +1774,11 @@ class Catalog:
         transactional batch-id marker hook streaming sinks use.
         """
         h = self._handle(name)
-        if not self.table_exists(name):
+        entries = self._load_manifest(h)
+        if not entries:
             raise ValueError(f"table {name} does not exist")
-        have = {
-            f["name"]
-            for f in self._main_head(self._load_manifest(h), name)[
-                "schema"
-            ]["fields"]
-        }
+        head = self._main_head(entries, name)
+        have = {f["name"] for f in head["schema"]["fields"]}
         missing = [c for c in key_cols if c not in have]
         if missing:
             # a key absent from the table would commit an INERT delete
@@ -1829,11 +1826,16 @@ class Catalog:
                 images = images.drop(seq_col)
             n_images = images.count()
             n_keys = keys.distinct().count()
-            entries = self._load_manifest(h)
+            # one manifest load serves schema check, version, and the
+            # property merge — a per-microbatch path must not re-parse
+            # the O(versions) manifest several times
             version = len(entries)
             props = None
             if properties_update:
-                props = {**self.table_properties(name), **properties_update}
+                props = {
+                    **(head.get("properties") or {}),
+                    **properties_update,
+                }
             # expected_version CAS: the reported version is the one the
             # commit actually lands at, or the commit refuses under a
             # concurrent writer (same contract as _mor_eq_delete)
@@ -2133,7 +2135,9 @@ class Catalog:
         identical: every current dir IS pre-delete, every later commit
         is post-delete). All-local snapshots keep the O(1)-per-record
         seq comparison."""
-        if any(not re.fullmatch(r"v\d{5}", d) for d in snapshot_dirs):
+        # {5,}: version 100000 renders as 'v100000' (6 digits) and must
+        # still classify as local, matching _dir_seq's int parse
+        if any(not re.fullmatch(r"v\d{5,}", d) for d in snapshot_dirs):
             rec["applies_to"] = list(snapshot_dirs)
 
     def _clone_dd(self, d, rel: str, base: dict, entries: list[dict]):
@@ -2330,9 +2334,21 @@ class Catalog:
         if not entries:
             raise ValueError(f"table {name} does not exist")
         head = self._main_head(entries, name)
-        f_rows = self.files(name).select("bytes").collect()
-        n_files = len(f_rows)
-        n_small = sum(1 for r in f_rows if r["bytes"] < target_file_bytes // 2)
+        # byte sizes straight from the filesystem walk: the compaction
+        # decision needs no parquet footers and no Spark job (files()
+        # reads num_rows per footer — O(files) I/O a per-tick sweep
+        # must not pay)
+        sizes = [
+            os.path.getsize(os.path.join(dp, f))
+            for d in head["data_dirs"]
+            for dp, _, fs in os.walk(
+                os.path.normpath(os.path.join(h.path, d))
+            )
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        n_files = len(sizes)
+        n_small = sum(1 for b in sizes if b < target_file_bytes // 2)
         n_deletes = len(head.get("delete_dirs") or [])
         stats = {
             "n_files": n_files,
@@ -2388,7 +2404,12 @@ class Catalog:
             if not dry_run:
                 a["result"] = self.expire_snapshots(
                     name,
-                    keep_last=expire_keep_last or 1,
+                    # pass an explicit 0 through so expire_snapshots'
+                    # keep_last >= 1 validation surfaces instead of
+                    # silently applying a different policy than logged
+                    keep_last=(
+                        expire_keep_last if expire_keep_last is not None else 1
+                    ),
                     older_than=expire_older_than,
                 )
             actions.append(a)
@@ -2669,7 +2690,11 @@ class Catalog:
     ) -> DataFrame:
         """Tag each row with its data dir's sequence as ``_eq_seq``
         (bounded when-chain over the snapshot's dirs; requires
-        ``_file`` lineage)."""
+        ``_file`` lineage). The chain is O(snapshot dirs) expression
+        nodes — bounded by commit count, and kept small in practice by
+        the same maintenance loop that bounds the delete files
+        themselves (:meth:`maintain`: compaction collapses the dir
+        list, delete folding removes the need for the tag entirely)."""
         seq_expr = None
         for d in dirs:
             full = os.path.normpath(os.path.join(h.path, d)) + "/"

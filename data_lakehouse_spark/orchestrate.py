@@ -655,6 +655,7 @@ def run_due(
     now,
     last_logical_date=None,
     spark=None,
+    raise_on_failure: bool = False,
 ):
     """One SCHEDULER TICK: run every logical date ``dag`` owes at
     ``now`` (per its schedule/start_date/catchup — the loop an Airflow
@@ -666,14 +667,18 @@ def run_due(
     recent due interval (Airflow semantics); replay skipped history
     explicitly with :func:`backfill`.
 
-    Failure semantics (scheduler heartbeats never raise): a failed
-    date's report lands in ``reports`` with ``state='failed'`` and the
-    tick STOPS there — ``new_last_logical_date`` advances only through
-    the consecutive successes, so the next tick retries the failed
-    date first instead of re-running the dates that already landed
-    (progress is never lost, and later intervals never run ahead of a
-    broken one — the same ordering the watermark idempotency contract
-    needs)."""
+    Failure semantics (scheduler heartbeats default to not raising): a
+    failed date's report lands in ``reports`` with ``state='failed'``
+    and the tick STOPS there — ``new_last_logical_date`` advances only
+    through the consecutive successes, so the next tick retries the
+    failed date first instead of re-running the dates that already
+    landed (progress is never lost, and later intervals never run
+    ahead of a broken one — the same ordering the watermark idempotency
+    contract needs). ``raise_on_failure=True`` raises
+    :class:`DagRunError` AFTER the stop (for callers that alert on
+    exceptions); the progress rule is identical — persist the state
+    from the reports before re-raising if you need it, or leave the
+    default and read the failed report."""
     due = dag.due_runs(now=now, last_logical_date=last_logical_date)
     new_last = (
         _as_dt(last_logical_date) if last_logical_date is not None else None
@@ -688,6 +693,12 @@ def run_due(
         )
         reports.append(rep)
         if rep["state"] != SUCCESS:
+            if raise_on_failure:
+                raise DagRunError(
+                    f"run_due {dag.dag_id}: logical date "
+                    f"{ld.isoformat()} failed (completed "
+                    f"{len(reports) - 1} earlier date(s) this tick)"
+                )
             break
         new_last = ld
     return reports, new_last
@@ -882,7 +893,23 @@ def maintenance_dag(
     )
     if tables is None:
         def sweep_all():
-            return {t: catalog.maintain(t, **policy) for t in catalog.tables()}
+            # per-table failure isolation, same contract as the
+            # explicit fan-out: one broken table must not starve the
+            # rest of their compaction/expiry; failures surface in the
+            # report AND fail the task (so the run is visibly red)
+            out: dict[str, dict] = {}
+            errors: dict[str, str] = {}
+            for t in catalog.tables():
+                try:
+                    out[t] = catalog.maintain(t, **policy)
+                except Exception as e:  # noqa: BLE001 - isolate per table
+                    errors[t] = f"{type(e).__name__}: {e}"
+            if errors:
+                raise RuntimeError(
+                    f"maintenance failed for {sorted(errors)}: {errors}; "
+                    f"succeeded: {sorted(out)}"
+                )
+            return out
 
         dag.task("maintain_all", sweep_all)
         return dag

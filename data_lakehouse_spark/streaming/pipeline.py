@@ -439,7 +439,23 @@ def make_catalog_cdc_sink(
         if batch_df.isEmpty():
             return
         if not catalog.table_exists(table):
-            # seq compaction FIRST, delete-filter second — the same
+            # op validation FIRST, mirroring upsert_cdc: a NULL op must
+            # not silently act as a delete here (and raise on batch 2),
+            # an unknown op must not materialize as data
+            opc = F.lower(F.col(op_col).cast("string"))
+            known = opc.isin(
+                "i", "insert", "c", "create", "u", "update", "d", "delete"
+            )
+            if (
+                batch_df.filter(~F.coalesce(known, F.lit(False)))
+                .limit(1)
+                .count()
+            ):
+                raise ValueError(
+                    f"cdc sink: {op_col} values must be I/U/D "
+                    "(insert/update/delete), found NULL or unknown"
+                )
+            # seq compaction next, delete-filter last — the same
             # order upsert_cdc uses: a key whose FINAL change in the
             # batch is a delete must not materialize its stale earlier
             # image
