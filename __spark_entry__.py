@@ -2116,6 +2116,67 @@ def q_ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_index_catalog(spark: SparkSession, sf_dir: str):
+    """Catalog holding the IVF-PQ ANN index for ``sf_dir`` (coarse
+    KMeans cells + product-quantized residuals — the FAISS IVFx,PQm
+    shape), built once per process+scale and reused."""
+    import tempfile
+
+    from data_lakehouse_spark.catalog import Catalog
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dls_pq_index",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    cat = Catalog(spark, root)
+    src = f"{sf_dir}/embeddings.parquet"
+    src_stamp = str(int(os.path.getmtime(src)))
+    fresh = (
+        cat.table_exists("embeddings_ivf_pq")
+        and cat.table_properties("embeddings_ivf_pq").get("index.src_mtime")
+        == src_stamp
+    )
+    if not fresh:
+        emb = spark.read.parquet(src)
+        similarity.build_ivf_pq_index(
+            cat,
+            emb,
+            "embeddings_ivf_pq",
+            k=16,
+            m=8,
+            nbits=8,
+            seed=7,
+            extra_properties={"index.src_mtime": src_stamp},
+        )
+    return cat
+
+
+def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized ANN: IVF-PQ (FAISS IVF16,PQ8 shape) — coarse cells
+    partition-pruned, per-cell ADC distance tables evaluated as ONE
+    JVM-side zip_with/aggregate expression over the byte codes (the
+    index stores 8 code ints per vector instead of 64 floats — the
+    memory footprint that keeps billion-vector probes in RAM), then
+    the standard refine stage re-ranks the top candidates exactly
+    against the source vectors. Rows-only check (codebooks are
+    engine-trained); recall@10 vs the brute-force oracle pinned in
+    tests/test_dedup_similarity.py."""
+    _ensure_conf(spark)
+    emb = _rel(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cat = _pq_index_catalog(spark, sf_dir)
+    return similarity.ann_ivf_pq_topk(
+        cat,
+        "embeddings_ivf_pq",
+        qv,
+        k=20,
+        nprobe=6,
+        refine_with=emb,
+        refine_factor=8,
+    )
+
+
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) next to exact COUNT(DISTINCT) per
     day — the scalable variant of the A5/A6 exact-distinct marts (HLL
@@ -4017,6 +4078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_kmeans_ivf_topk": q_ann_kmeans_ivf_topk,
+        "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
         "approx_distinct_users": q_approx_distinct_users,
         "hll_sketch_rollup": q_hll_sketch_rollup,
         "active_user_stickiness_hll": q_active_user_stickiness_hll,

@@ -121,6 +121,7 @@ def main() -> None:
     # partition-pruned probe, not index construction.
     entrymod._ann_index_catalog(spark, sf_dir)
     entrymod._kmeans_index_catalog(spark, sf_dir)
+    entrymod._pq_index_catalog(spark, sf_dir)
     entrymod._neardup_index(spark, sf_dir)
     entrymod._events_bloom_catalog(spark, sf_dir)
 

@@ -47,6 +47,8 @@ __all__ = [
     "ann_ivf_topk_indexed",
     "build_kmeans_ivf_index",
     "ann_kmeans_ivf_topk",
+    "build_ivf_pq_index",
+    "ann_ivf_pq_topk",
     "semdedup",
 ]
 
@@ -968,6 +970,291 @@ def ann_kmeans_ivf_topk(
         catalog.read(name)
         .filter(F.col("ivf_cell").isin(cells))
         .select(F.col("vec_id"), sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def build_ivf_pq_index(
+    catalog,
+    df: DataFrame,
+    name: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    m: int = 8,
+    nbits: int = 8,
+    seed: int = 7,
+    max_iter: int = 20,
+    sample_size: int = 65_536,
+    extra_properties: dict | None = None,
+):
+    """Materialize an IVF-PQ index (the FAISS ``IVFx,PQm`` shape — the
+    tier that makes billion-vector search fit in memory): coarse KMeans
+    cells like :func:`build_kmeans_ivf_index`, then each vector's
+    RESIDUAL from its cell centroid is product-quantized — split into
+    ``m`` subvectors, each encoded as its nearest codeword among
+    ``2**nbits`` learned per-subspace codes. The index stores only
+    ``(vec_id, ivf_cell, pq_code)`` — ``m`` small ints per vector
+    instead of ``dim`` floats (64 byte-dims → 8 nibble-codes is 64×
+    compression), which is what lets the probe side stay IN MEMORY at
+    corpus scales where even the IVF-Flat cells no longer fit.
+
+    Vectors are L2-NORMALIZED before assignment/encoding so squared-L2
+    order equals cosine order (``||a−b||² = 2−2cos``) — queries rank by
+    ADC distance and report ``1 − adc/2`` as the cosine estimate,
+    keeping this tier's output comparable with every other ANN tier.
+    Zero-norm vectors are excluded at build (cosine-undefined, same
+    stance as the exact tiers' NULL).
+
+    Codebooks (per-subspace Lloyd over a deterministic hash-sample of
+    residuals — the same bounded-driver-fit economics as
+    :func:`semdedup`) and centroids persist as table properties
+    (``m · 2**nbits · dim/m + k · dim`` floats — metadata-sized), so
+    the query side plans probes and distance tables with pure driver
+    arithmetic. Partitioned by ``ivf_cell`` for partition-pruned
+    probes. ``dim`` must be divisible by ``m``.
+    """
+    import json
+
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    K = 1 << int(nbits)
+    src = df.select(
+        F.col(id_col).cast("bigint").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    )
+    # L2-normalize (JVM-side); drop zero-norm vectors
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x
+        )
+    )
+    src = (
+        src.withColumn("_n", nrm)
+        .filter(F.col("_n") > 0)
+        .withColumn(
+            "embedding",
+            F.transform(F.col("embedding"), lambda x: x / F.col("_n")),
+        )
+        .drop("_n")
+    )
+    feats = src.withColumn("_features", array_to_vector(F.col("embedding")))
+    model = KMeans(
+        k=k, seed=seed, maxIter=max_iter,
+        featuresCol="_features", predictionCol="ivf_cell",
+    ).fit(feats)
+    assigned = model.transform(feats).select(
+        "vec_id", "embedding", F.col("ivf_cell").cast("int").alias("ivf_cell")
+    )
+    centroids = np.array(
+        [[float(x) for x in c] for c in model.clusterCenters()],
+        dtype=np.float64,
+    )
+    dim = centroids.shape[1]
+    if dim % int(m) != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // int(m)
+
+    # per-subspace codebooks from a bounded deterministic residual
+    # sample (hash-order TakeOrdered — no global sort, retry-stable)
+    sample = (
+        assigned.select(
+            "vec_id", "embedding", "ivf_cell",
+            F.md5(
+                F.concat_ws(":", F.lit(str(seed)), F.col("vec_id"))
+            ).alias("_h"),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(int(sample_size))
+        .collect()
+    )
+    smat = np.array([list(r["embedding"]) for r in sample], dtype=np.float64)
+    scell = np.array([r["ivf_cell"] for r in sample], dtype=np.int64)
+    resid = smat - centroids[scell]
+    codebooks = np.empty((int(m), K, dsub), dtype=np.float64)
+    rng_free = resid.reshape(len(resid), int(m), dsub)
+    for j in range(int(m)):
+        sub = rng_free[:, j, :]
+        uniq, idx = np.unique(sub, axis=0, return_index=True)
+        init = sub[np.sort(idx)[: min(K, len(idx))]]
+        cents = np.zeros((K, dsub))
+        cents[: len(init)] = init
+        for _ in range(max(int(max_iter), 1)):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            new = cents.copy()
+            for c in range(K):
+                members = sub[a == c]
+                if len(members):
+                    new[c] = members.mean(axis=0)
+            if np.allclose(new, cents, rtol=0, atol=1e-12):
+                break
+            cents = new
+        codebooks[j] = cents
+
+    bc = df.sparkSession.sparkContext.broadcast(
+        (centroids, codebooks, int(m), dsub)
+    )
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        cents_, books_, m_, dsub_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pd.array([], dtype="int64"),
+                        "ivf_cell": pd.array([], dtype="int32"),
+                        "pq_code": pd.array([], dtype=object),
+                    }
+                )
+                continue
+            mat = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+            cell = pdf["ivf_cell"].to_numpy(dtype=np.int64)
+            res = (mat - cents_[cell]).reshape(len(mat), m_, dsub_)
+            codes = np.empty((len(mat), m_), dtype=np.int32)
+            for j in range(m_):
+                # one small GEMM-shaped argmin per subspace
+                d2 = ((res[:, j, None, :] - books_[j][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "ivf_cell": pdf["ivf_cell"],
+                    "pq_code": list(codes.tolist()),
+                }
+            )
+
+    indexed = assigned.mapInPandas(
+        encode, "vec_id bigint, ivf_cell int, pq_code array<int>"
+    )
+    return catalog.create_table(
+        name,
+        indexed,
+        partition_by=["ivf_cell"],
+        properties={
+            "index.kind": "ivf_pq",
+            "index.dim": str(dim),
+            "index.m": str(int(m)),
+            "index.nbits": str(int(nbits)),
+            "index.centroids": json.dumps(centroids.tolist()),
+            "index.codebooks": json.dumps(codebooks.tolist()),
+            **(extra_properties or {}),
+        },
+    )
+
+
+def ann_ivf_pq_topk(
+    catalog,
+    name: str,
+    query_vec: list[float],
+    *,
+    k: int = 20,
+    nprobe: int = 2,
+    refine_with: DataFrame | None = None,
+    refine_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k over a :func:`build_ivf_pq_index` table via
+    ADC (asymmetric distance computation): rank cells driver-side,
+    then per probed cell build the query's residual distance table —
+    ``m × 2**nbits`` floats — as an ARRAY LITERAL and score every code
+    row with a JVM-side ``zip_with`` lookup + ``aggregate`` sum (no
+    Python in the scan path; whole-stage codegen sees one arithmetic
+    expression per row). Partition pruning keeps I/O to the probed
+    cells; output is ``(vec_id, cosine_sim)`` with the PQ cosine
+    estimate ``1 − adc/2``.
+
+    ``refine_with`` enables the standard FAISS refine stage: the top
+    ``k·refine_factor`` ADC candidates join back to the ORIGINAL
+    vectors (broadcast — it is k·refine_factor rows) for an exact
+    cosine re-rank, trading one tiny join for near-exact ordering.
+    """
+    import json
+
+    props = catalog.table_properties(name)
+    if props.get("index.kind") != "ivf_pq":
+        raise ValueError(f"{name} is not an ivf_pq index")
+    dim = int(props["index.dim"])
+    m = int(props["index.m"])
+    K = 1 << int(props["index.nbits"])
+    if len(query_vec) != dim:
+        raise ValueError(f"query dim {len(query_vec)} != index dim {dim}")
+    import math
+
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    if qn == 0:
+        raise ValueError("zero-norm query vector")
+    q = [float(x) / qn for x in query_vec]
+    centroids = json.loads(props["index.centroids"])
+    books = json.loads(props["index.codebooks"])
+    dsub = dim // m
+    d2c = [
+        (sum((a - b) ** 2 for a, b in zip(q, c)), i)
+        for i, c in enumerate(centroids)
+    ]
+    cells = [i for _, i in sorted(d2c)[: max(1, nprobe)]]
+
+    # one cell -> flattened-LUT map literal (lut[j*K + c] =
+    # ||res_sub_j - code_{j,c}||^2, residual PER PROBED CELL), one
+    # catalog read, one plan: per-cell reads rebuild the scan plan
+    # nprobe times and per-element literal chains cost milliseconds
+    # EACH at m*2^nbits entries — both dominated the probe latency
+    map_pairs = []
+    for cell in cells:
+        cent = centroids[cell]
+        res = [q[t] - cent[t] for t in range(dim)]
+        flat = []
+        for j in range(m):
+            rj = res[j * dsub : (j + 1) * dsub]
+            for c in range(K):
+                code = books[j][c]
+                flat.append(
+                    float(sum((rj[t] - code[t]) ** 2 for t in range(dsub)))
+                )
+        map_pairs += [F.lit(int(cell)).cast("int"), F.lit(flat)]
+    luts = F.create_map(*map_pairs)
+    offs = F.lit([j * K for j in range(m)])
+    cell_lut = F.element_at(luts, F.col("ivf_cell"))
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("pq_code"),
+            offs,
+            lambda c, off: F.element_at(cell_lut, (c + off + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    n_cand = k * max(1, refine_factor) if refine_with is not None else k
+    cand = (
+        catalog.read(name)
+        .filter(F.col("ivf_cell").isin([int(c) for c in cells]))
+        .select("vec_id", adc.alias("_adc"))
+        .orderBy(F.asc("_adc"), F.asc("vec_id"))
+        .limit(n_cand)
+    )
+    if refine_with is None:
+        return cand.select(
+            "vec_id",
+            (F.lit(1.0) - F.col("_adc") / F.lit(2.0)).alias("cosine_sim"),
+        )
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    exact = refine_with.select(
+        F.col(id_col).cast("bigint").alias("vec_id"),
+        cosine_similarity(F.col(vec_col), qcol).alias("cosine_sim"),
+    )
+    return (
+        exact.join(F.broadcast(cand.select("vec_id")), "vec_id", "left_semi")
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(k)
     )

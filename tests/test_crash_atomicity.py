@@ -74,6 +74,53 @@ def test_crashed_append_leaves_table_unchanged(spark, cat, monkeypatch):
     assert cat.read("t").count() == 11
 
 
+def test_crashed_eq_delete_and_cdc_upsert_leave_table_unchanged(
+    spark, cat, monkeypatch
+):
+    """The new merge-on-read write shapes keep the same atomicity
+    contract: a crash before the manifest flip of an equality delete
+    (key file already on disk) or of a one-commit CDC upsert (key file
+    AND data dir on disk) leaves the table bit-identical, with the
+    debris orphan-reclaimable."""
+    before = sorted(map(tuple, cat.read("t").collect()))
+    state = _die_on_next_manifest_save(cat, monkeypatch)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        cat.delete_where("t", "id = 1", mode="mor-eq", equality_cols=["id"])
+    assert sorted(map(tuple, cat.read("t").collect())) == before
+    # the orphaned key dir is on disk and reclaimable
+    tdir = os.path.join(cat.root, "t")
+    assert any(d.startswith("e") for d in os.listdir(tdir))
+    cat.remove_orphan_files("t", older_than_hours=0.0)
+    assert not any(d.startswith("e") for d in os.listdir(tdir))
+    assert sorted(map(tuple, cat.read("t").collect())) == before
+
+    state["armed"] = True
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        cat.upsert_cdc(
+            "t",
+            spark.createDataFrame(
+                [(1, "nope", 0.0, "U"), (2, None, None, "D")],
+                "id int, name string, amt double, _op string",
+            ),
+            ["id"],
+        )
+    assert sorted(map(tuple, cat.read("t").collect())) == before
+    cat.remove_orphan_files("t", older_than_hours=0.0)
+    assert sorted(map(tuple, cat.read("t").collect())) == before
+    # the next upsert lands cleanly in the reused slot
+    out = cat.upsert_cdc(
+        "t",
+        spark.createDataFrame(
+            [(1, "new", 9.0, "U")], "id int, name string, amt double, _op string"
+        ),
+        ["id"],
+    )
+    assert out["rows_appended"] == 1
+    assert {r["name"] for r in cat.read("t").filter("id = 1").collect()} == {
+        "new"
+    }
+
+
 def test_crashed_cow_delete_preserves_all_rows(spark, cat, monkeypatch):
     _die_on_next_manifest_save(cat, monkeypatch)
     with pytest.raises(RuntimeError, match="simulated crash"):

@@ -194,6 +194,56 @@ def test_cosine_zero_norm_null(spark):
     assert df.select(vectors.cosine_similarity("a", "b").alias("c")).first()["c"] is None
 
 
+def test_ivf_pq_recall_and_contracts(spark, sf_dir, tmp_path):
+    """IVF-PQ (FAISS IVFx,PQm shape): deterministic build (fixed seed,
+    hash-ordered sample, driver Lloyd), recall@10 vs the brute-force
+    oracle over multiple queries — ADC-only above 0.5, with the refine
+    stage above 0.75 on the fixture (everything is deterministic, so
+    these are exact reproducible values with margin, not flaky
+    bounds); the self-query ranks first refined; dim/validation
+    errors are loud."""
+    from data_lakehouse_spark.catalog import Catalog
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cat = Catalog(spark, str(tmp_path / "w"))
+    similarity.build_ivf_pq_index(cat, emb, "pq", k=16, m=8, nbits=8)
+    # the index stores codes, not vectors
+    idx_cols = set(cat.read("pq").columns)
+    assert idx_cols == {"vec_id", "ivf_cell", "pq_code"}
+    tot_adc = tot_ref = 0.0
+    queries = (0, 1, 7, 42, 99, 123)
+    for vid in queries:
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == vid).first()["embedding"]
+        ]
+        exact = similarity.cosine_topk(emb, qv, k=10)
+        adc = similarity.ann_ivf_pq_topk(cat, "pq", qv, k=10, nprobe=6)
+        ref = similarity.ann_ivf_pq_topk(
+            cat, "pq", qv, k=10, nprobe=6, refine_with=emb, refine_factor=8
+        )
+        tot_adc += similarity.exact_recall_at_k(adc, exact)
+        tot_ref += similarity.exact_recall_at_k(ref, exact)
+        assert ref.first()["vec_id"] == vid  # self-hit ranks first
+    assert tot_adc / len(queries) >= 0.5
+    assert tot_ref / len(queries) >= 0.75
+    # contracts
+    import pytest
+
+    with pytest.raises(ValueError, match="dim"):
+        similarity.ann_ivf_pq_topk(cat, "pq", [1.0, 2.0], k=5)
+    with pytest.raises(ValueError, match="zero-norm"):
+        similarity.ann_ivf_pq_topk(cat, "pq", [0.0] * 64, k=5)
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.build_ivf_pq_index(cat, emb, "pq_bad", k=4, m=7)
+    with pytest.raises(ValueError, match="does not exist"):
+        similarity.ann_ivf_pq_topk(cat, "nope_table", [0.1] * 64, k=5)
+    # a non-pq table refuses with the kind error
+    cat.create_table("plain", emb.limit(1))
+    with pytest.raises(ValueError, match="ivf_pq"):
+        similarity.ann_ivf_pq_topk(cat, "plain", [0.1] * 64, k=5)
+
+
 def test_exact_allpairs_row_cap_refusal(spark):
     """The quadratic-by-contract guard: cosine_pairs and
     cosine_pairs_blocked REFUSE above max_exact_rows with the
