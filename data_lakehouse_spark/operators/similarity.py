@@ -1168,12 +1168,19 @@ def ann_ivf_pq_topk(
     """Approximate top-k over a :func:`build_ivf_pq_index` table via
     ADC (asymmetric distance computation): rank cells driver-side,
     then per probed cell build the query's residual distance table —
-    ``m × 2**nbits`` floats — as an ARRAY LITERAL and score every code
-    row with a JVM-side ``zip_with`` lookup + ``aggregate`` sum (no
-    Python in the scan path; whole-stage codegen sees one arithmetic
-    expression per row). Partition pruning keeps I/O to the probed
-    cells; output is ``(vec_id, cosine_sim)`` with the PQ cosine
-    estimate ``1 − adc/2``.
+    ``m × 2**nbits`` floats — shipped as a TINY BROADCAST DataFrame
+    (one ``(ivf_cell, lut array)`` row per probed cell) joined on
+    ``ivf_cell``, and score every code row with a JVM-side
+    ``zip_with`` lookup + ``aggregate`` sum (no Python in the scan
+    path). The LUT travels as DATA, not as expression-tree literals:
+    a ``create_map``/``F.lit(list)`` encoding expands to
+    ``nprobe·m·2**nbits`` individual ``Literal`` nodes (~12k at
+    nprobe=6, m=8, nbits=8), billing seconds of analysis/codegen to
+    EVERY probe — a constant per-query cost that survives scale-up.
+    The broadcast join costs one 6-row hash table instead.
+    Partition pruning keeps I/O to the probed cells; output is
+    ``(vec_id, cosine_sim)`` with the PQ cosine estimate
+    ``1 − adc/2``.
 
     ``refine_with`` enables the standard FAISS refine stage: the top
     ``k·refine_factor`` ADC candidates join back to the ORIGINAL
@@ -1205,40 +1212,43 @@ def ann_ivf_pq_topk(
     ]
     cells = [i for _, i in sorted(d2c)[: max(1, nprobe)]]
 
-    # one cell -> flattened-LUT map literal (lut[j*K + c] =
-    # ||res_sub_j - code_{j,c}||^2, residual PER PROBED CELL), one
-    # catalog read, one plan: per-cell reads rebuild the scan plan
-    # nprobe times and per-element literal chains cost milliseconds
-    # EACH at m*2^nbits entries — both dominated the probe latency
-    map_pairs = []
+    # one (cell, flattened LUT) row per probed cell: lut[j*K + c] =
+    # ||res_sub_j - code_{j,c}||^2 with the residual taken PER PROBED
+    # CELL. numpy builds the table (m*K*dsub fused ops, microseconds);
+    # spark.createDataFrame ships it as Arrow DATA — the expression
+    # tree stays O(m) nodes regardless of nprobe/K.
+    import numpy as np
+
+    qa = np.asarray(q, dtype=np.float64)
+    ca = np.asarray(centroids, dtype=np.float64)
+    ba = np.asarray(books, dtype=np.float64)  # (m, K, dsub)
+    lut_rows = []
     for cell in cells:
-        cent = centroids[cell]
-        res = [q[t] - cent[t] for t in range(dim)]
-        flat = []
-        for j in range(m):
-            rj = res[j * dsub : (j + 1) * dsub]
-            for c in range(K):
-                code = books[j][c]
-                flat.append(
-                    float(sum((rj[t] - code[t]) ** 2 for t in range(dsub)))
-                )
-        map_pairs += [F.lit(int(cell)).cast("int"), F.lit(flat)]
-    luts = F.create_map(*map_pairs)
+        res = (qa - ca[cell]).reshape(m, dsub)  # per-subspace residual
+        # (m, K): squared L2 of residual_j against every code in book j
+        d2 = ((res[:, None, :] - ba) ** 2).sum(axis=2)
+        lut_rows.append((int(cell), [float(x) for x in d2.reshape(-1)]))
+
+    scan = catalog.read(name)
+    lut_df = scan.sparkSession.createDataFrame(
+        lut_rows, "ivf_cell int, _lut array<double>"
+    )
     offs = F.lit([j * K for j in range(m)])
-    cell_lut = F.element_at(luts, F.col("ivf_cell"))
     adc = F.aggregate(
         F.zip_with(
             F.col("pq_code"),
             offs,
-            lambda c, off: F.element_at(cell_lut, (c + off + 1).cast("int")),
+            lambda c, off: F.element_at(
+                F.col("_lut"), (c + off + 1).cast("int")
+            ),
         ),
         F.lit(0.0),
         lambda a, x: a + x,
     )
     n_cand = k * max(1, refine_factor) if refine_with is not None else k
     cand = (
-        catalog.read(name)
-        .filter(F.col("ivf_cell").isin([int(c) for c in cells]))
+        scan.filter(F.col("ivf_cell").isin([int(c) for c in cells]))
+        .join(F.broadcast(lut_df), "ivf_cell")
         .select("vec_id", adc.alias("_adc"))
         .orderBy(F.asc("_adc"), F.asc("vec_id"))
         .limit(n_cand)
