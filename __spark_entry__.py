@@ -20,6 +20,7 @@ stage (FIXTURES.md §2).
 from __future__ import annotations
 
 import os
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -177,8 +178,42 @@ def q_product_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.drop("category_level_1", "category_level_2", "brand")
 
 
+#: One scored-RFM generation per (session, sf_dir, source mtime).
+#: gold.user_rfm_segments pays three eager localCheckpoints (the
+#: exact-NTILE range exchanges — lineage must be cut, see
+#: relational.global_order_index) plus a persisted per-user base;
+#: THREE entry queries consume the same mart (gold_user_rfm_segments,
+#: serving_rfm_distribution, the serving_chart_rfm_pie gate), so
+#: rebuilding per query tripled that bill (r7 bench regression).
+#: The memoized frame is safe to share: its expensive inputs are
+#: checkpointed/persisted blocks, and a stale read through them either
+#: serves the blocks or fails loudly — never silently recomputes under
+#: stale offsets. At most one generation is held (same economics as
+#: cacheutil.rotate); a new session / data vintage rebuilds.
+_RFM_MART_MEMO: dict[tuple, DataFrame] = {}
+_RFM_MART_LOCK = threading.Lock()
+
+
+def _rfm_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = os.path.join(sf_dir, "events.parquet")
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        int(os.path.getmtime(src)),
+    )
+    with _RFM_MART_LOCK:
+        df = _RFM_MART_MEMO.get(key)
+        if df is None:
+            df = gold.user_rfm_segments(
+                _events_silver(spark, sf_dir), as_of_date=AS_OF_DATE
+            )
+            _RFM_MART_MEMO.clear()
+            _RFM_MART_MEMO[key] = df
+    return df
+
+
 def q_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = gold.user_rfm_segments(_events_silver(spark, sf_dir), as_of_date=AS_OF_DATE)
+    df = _rfm_mart(spark, sf_dir)
     return _date_str(df, "first_purchase_date", "last_purchase_date")
 
 
@@ -2470,8 +2505,7 @@ def q_serving_rfm_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving-layer 'RFM Segment Distribution' (reference:
     dags/05:424-432): customers + total value per segment over the RFM
     mart — an aggregate over a windowed mart (A14 on top of W3/D7)."""
-    silver = _events_silver(spark, sf_dir)
-    rfm = gold.user_rfm_segments(silver, as_of_date=AS_OF_DATE)
+    rfm = _rfm_mart(spark, sf_dir)
     return (
         rfm.groupBy("rfm_segment")
         .agg(
