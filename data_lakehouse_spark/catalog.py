@@ -2694,7 +2694,25 @@ class Catalog:
         nodes — bounded by commit count, and kept small in practice by
         the same maintenance loop that bounds the delete files
         themselves (:meth:`maintain`: compaction collapses the dir
-        list, delete folding removes the need for the tag entirely)."""
+        list, delete folding removes the need for the tag entirely).
+
+        A row whose ``_file`` matches NO snapshot dir FAILS LOUDLY: a
+        low tag like ``-1`` would sit strictly below every delete's
+        sequence — i.e. INSIDE every equality delete's scope — so any
+        path-rendering mismatch between the manifest dirs and Spark's
+        ``_metadata.file_path`` (symlinked temp roots, non-``file:``
+        URI schemes) would silently over-delete, including the
+        same-commit images a CDC upsert just wrote."""
+        miss = F.raise_error(
+            F.concat(
+                F.lit(
+                    "equality-delete sequencing: data file matches no "
+                    f"snapshot dir of table at {h.path!r} "
+                    "(path-rendering mismatch?): "
+                ),
+                F.col("_file"),
+            )
+        ).cast("bigint")
         seq_expr = None
         for d in dirs:
             full = os.path.normpath(os.path.join(h.path, d)) + "/"
@@ -2705,8 +2723,7 @@ class Catalog:
             )
         return df.withColumn(
             "_eq_seq",
-            seq_expr.otherwise(F.lit(-1)) if seq_expr is not None
-            else F.lit(-1).cast("bigint"),
+            seq_expr.otherwise(miss) if seq_expr is not None else miss,
         )
 
     def _eq_keys(self, h: TableHandle, entry: dict, rec: dict):

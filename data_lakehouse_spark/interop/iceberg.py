@@ -599,6 +599,16 @@ def export_iceberg(
             "deleted_rows_count": 0,
         }
     ]
+    # Equality deletes apply GLOBALLY only when their delete file sits
+    # in an UNPARTITIONED spec (Iceberg spec, "Scan Planning": a delete
+    # file in a partitioned spec applies only to its own partition).
+    # The catalog's eq-deletes are table-global, so on a partitioned
+    # export the delete manifest is written under an ADDED unpartitioned
+    # spec (spec-id 1) — writing it under spec 0 with null partition
+    # values would scope every delete to the null partition and
+    # external readers (Spark/Trino/PyIceberg) would silently
+    # resurrect the deleted rows.
+    del_spec_id = 1 if (eq_files and part_fields) else 0
     if eq_files:
         # DELETE manifest (manifest-list content=1): one content=2
         # entry per equality delete file, with its equality_ids and
@@ -625,13 +635,17 @@ def export_iceberg(
         _write_avro(
             catalog.spark,
             del_manifest_path,
-            entry_schema,
+            # unpartitioned entry schema when the deletes ride spec 1:
+            # the r102 partition record is empty there by definition
+            _MANIFEST_ENTRY_SCHEMA if del_spec_id == 1 else entry_schema,
             del_rows,
             {
                 "schema": json.dumps(schema),
                 "schema-id": "0",
-                "partition-spec": json.dumps(spec_json),
-                "partition-spec-id": "0",
+                "partition-spec": json.dumps(
+                    [] if del_spec_id == 1 else spec_json
+                ),
+                "partition-spec-id": str(del_spec_id),
                 "format-version": "2",
                 "content": "deletes",
             },
@@ -641,7 +655,7 @@ def export_iceberg(
             {
                 "manifest_path": del_manifest_path,
                 "manifest_length": os.path.getsize(del_manifest_path),
-                "partition_spec_id": 0,
+                "partition_spec_id": del_spec_id,
                 "content": 1,
                 "sequence_number": max(eq_seqs),
                 "min_sequence_number": min(eq_seqs),
@@ -675,7 +689,14 @@ def export_iceberg(
         "current-schema-id": 0,
         "schemas": [schema],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": spec_json}],
+        "partition-specs": (
+            [{"spec-id": 0, "fields": spec_json}]
+            + (
+                [{"spec-id": 1, "fields": []}]  # global eq-delete spec
+                if del_spec_id == 1
+                else []
+            )
+        ),
         "last-partition-id": 999 + len(spec_json),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
@@ -1213,26 +1234,24 @@ def read_iceberg(
                 )
     if not data_paths:
         raise ValueError(f"{location}: snapshot {snap_id} has no data files")
-    df = _scan_with_partitions(spark, location, meta, data_paths)
-    if not delete_paths and not eq_deletes:
+    has_deletes = bool(delete_paths or eq_deletes)
+    df = _scan_with_partitions(
+        spark, location, meta, data_paths, lineage=has_deletes
+    )
+    if not has_deletes:
         return df
-    out_cols = df.columns
+    out_cols = [c for c in df.columns if c not in ("_fp", "_pos")]
     strip = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
-    df = df.withColumn("_fp", strip(F.col("_metadata.file_path")))
     if delete_paths:
         positions = spark.read.parquet(*delete_paths).select(
             strip(F.col("file_path")).alias("_del_fp"),
             F.col("pos").cast("bigint").alias("_del_pos"),
         )
-        df = (
-            df.withColumn("_pos", F.col("_metadata.row_index"))
-            .join(
-                F.broadcast(positions),
-                (F.col("_fp") == F.col("_del_fp"))
-                & (F.col("_pos") == F.col("_del_pos")),
-                "left_anti",
-            )
-            .drop("_pos")
+        df = df.join(
+            F.broadcast(positions),
+            (F.col("_fp") == F.col("_del_fp"))
+            & (F.col("_pos") == F.col("_del_pos")),
+            "left_anti",
         )
     if eq_deletes:
         # equality deletes apply to rows whose data file's sequence
@@ -1297,13 +1316,30 @@ def _scan_with_partitions(
     location: str,
     meta: dict,
     data_paths: list[tuple[str, dict]],
+    *,
+    lineage: bool = False,
 ) -> DataFrame:
     """Scan data files, restoring IDENTITY partition columns from the
     manifest partition structs when the files don't physically carry
     them (the spec's reading rule for identity transforms). Files that
     do carry every column scan directly; a mix of carrying and
-    non-carrying files refuses rather than guessing."""
+    non-carrying files refuses rather than guessing.
+
+    ``lineage=True`` attaches ``_fp`` (normalized file path) and
+    ``_pos`` (row index) from ``_metadata`` INSIDE each underlying
+    parquet scan — the delete-application path needs them, and
+    ``_metadata`` only resolves directly on a file-source relation,
+    not above the partition-restoring union."""
     import pyarrow.parquet as pq
+
+    def _read(*ps: str) -> DataFrame:
+        d = spark.read.parquet(*ps)
+        if lineage:
+            d = d.withColumn(
+                "_fp",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+            ).withColumn("_pos", F.col("_metadata.row_index"))
+        return d
 
     paths = [p for p, _ in data_paths]
     spec_id = meta.get("default-spec-id", 0)
@@ -1311,7 +1347,7 @@ def _scan_with_partitions(
     fields = (specs.get(spec_id) or {}).get("fields") or []
     identity = [f for f in fields if f.get("transform") == "identity"]
     if not identity:
-        return spark.read.parquet(*paths)
+        return _read(*paths)
 
     schema_fields = {
         f["id"]: f
@@ -1342,7 +1378,7 @@ def _scan_with_partitions(
     physical = set(pq.read_schema(paths[0]).names)
     carried = [c for _, c, _ in id_cols if c in physical]
     if len(carried) == len(id_cols):
-        return spark.read.parquet(*paths)  # files carry the columns
+        return _read(*paths)  # files carry the columns
     if carried:
         raise ValueError(
             f"{location}: some identity partition columns are in the "
@@ -1358,7 +1394,7 @@ def _scan_with_partitions(
     for key, gpaths in sorted(
         groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])
     ):
-        g = spark.read.parquet(*gpaths)
+        g = _read(*gpaths)
         for (pname, cname, stype), v in zip(id_cols, key):
             g = g.withColumn(
                 cname,

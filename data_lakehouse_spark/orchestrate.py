@@ -187,15 +187,20 @@ class Task:
         self.task_id = task_id
         self.fn = fn
         # context-aware callables declare a REQUIRED positional
-        # parameter (Airflow's `def fn(context)` shape); default-only
-        # parameters (the `lambda names=names:` closure idiom) keep the
-        # zero-arg contract so existing factories are untouched
+        # parameter NAMED ``context`` (Airflow's `def fn(context)`
+        # shape); default-only parameters (the `lambda names=names:`
+        # closure idiom) keep the zero-arg contract so existing
+        # factories are untouched. The name gate matters: a zero-arg-
+        # contract task with an ACCIDENTAL required parameter must keep
+        # failing fast with TypeError at run time, not silently receive
+        # the context dict as its argument.
         self.accepts_context = False
         if fn is not None:
             try:
                 params = inspect.signature(fn).parameters.values()
                 self.accepts_context = any(
-                    p.default is inspect.Parameter.empty
+                    p.name == "context"
+                    and p.default is inspect.Parameter.empty
                     and p.kind
                     in (
                         inspect.Parameter.POSITIONAL_ONLY,

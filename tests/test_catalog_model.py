@@ -111,3 +111,28 @@ def test_random_dml_sequences_match_model(spark, tmp_path, seed):
                 if final.get(i) == v:
                     del final[i]
     assert final == model
+
+
+def test_eq_seq_unmatched_file_fails_loudly(spark, tmp_path):
+    """A row whose _file lineage matches NO snapshot dir must fail the
+    read loudly — a silent low tag (-1) would sit strictly below every
+    equality delete's sequence, i.e. inside every delete's scope, so a
+    path-rendering mismatch (symlinked roots, non-file: URI schemes)
+    would silently over-delete. The guard turns that into an error
+    naming the offending file."""
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table(
+        "t", spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+    cat.delete_where("t", "v = 'a'", mode="mor-eq", equality_cols=["id"])
+    # the normal read stays green (every file matches its dir)
+    assert sorted(r["id"] for r in cat.read("t").collect()) == [2]
+    # a frame with out-of-table lineage trips the guard
+    h = cat._handle("t")
+    entries = cat._load_manifest(h)
+    head = cat._main_head(entries, "t")
+    dirs = list(head["data_dirs"])
+    bogus = cat.read("t").withColumn("_file", F.lit("/nowhere/else/f.parquet"))
+    tagged = cat._with_dir_seq(h, entries, bogus, dirs)
+    with pytest.raises(Exception, match="matches no snapshot dir"):
+        tagged.collect()

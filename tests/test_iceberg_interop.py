@@ -527,6 +527,59 @@ def test_eq_delete_zero_copy_export_roundtrip(spark, tmp_path):
     assert seqs[0] < dseq < seqs[-1]
 
 
+def test_eq_delete_partitioned_export_uses_unpartitioned_spec(
+    spark, tmp_path
+):
+    """Equality deletes on a PARTITIONED table export under an ADDED
+    unpartitioned spec (spec-id 1). Per the Iceberg spec only delete
+    files in an unpartitioned spec apply globally — a content=2 entry
+    under the partitioned spec 0 with null partition values would be
+    scoped to the null partition by external readers and the deleted
+    rows would resurrect. Round-trips rows AND pins the manifest-list/
+    metadata shape."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t",
+        spark.createDataFrame(
+            [(1, "d1", 10.0), (2, "d1", 20.0), (3, "d2", 30.0), (4, "d2", 40.0)],
+            "id long, day string, amt double",
+        ),
+        partition_by=["day"],
+    )
+    cat.delete_where("t", "amt < 25.0", mode="mor-eq", equality_cols=["id"])
+    cat.append(
+        "t",
+        spark.createDataFrame(
+            [(1, "d1", 11.0)], "id long, day string, amt double"
+        ),
+    )
+    dest = str(tmp_path / "ice")
+    out = export_iceberg(cat, "t", dest)
+    assert out["materialized"] is False
+    assert out["delete_files"] >= 1
+    got = read_iceberg(spark, dest)
+    assert _rows(got.select("id", "day", "amt")) == _rows(
+        cat.read("t").select("id", "day", "amt")
+    )
+    with open(os.path.join(dest, "metadata", "v1.metadata.json")) as f:
+        meta = json.load(f)
+    specs = {s["spec-id"]: s for s in meta["partition-specs"]}
+    assert set(specs) == {0, 1}
+    assert specs[0]["fields"], "data spec must stay partitioned"
+    assert specs[1]["fields"] == [], "delete spec must be unpartitioned"
+    assert meta["default-spec-id"] == 0
+    _, manifests = _read_avro_file(meta["snapshots"][0]["manifest-list"])
+    by_content = {m["content"]: m for m in manifests}
+    assert by_content[0]["partition_spec_id"] == 0
+    assert by_content[1]["partition_spec_id"] == 1
+    # delete entries are readable and carry no partition scoping
+    _, dentries = _read_avro_file(by_content[1]["manifest_path"])
+    for e in dentries:
+        assert e["data_file"]["content"] == 2
+        assert e["data_file"]["equality_ids"] == [1]
+        assert e["data_file"]["partition"] in (None, {}, ())
+
+
 def test_eq_delete_survives_clone_and_clone_local_appends(spark, tmp_path):
     """Cloned equality deletes pin their coverage to the dirs shipped
     with the clone (applies_to): the delete's sequence lives in SOURCE

@@ -334,6 +334,30 @@ def test_dag_run_logical_date_context():
     assert seen["ctx"] is None and out["logical_date"] is None
 
 
+def test_context_injection_gated_on_parameter_name():
+    """Only a required positional parameter NAMED ``context`` opts in
+    to context injection (Airflow's shape). A zero-arg-contract task
+    with an accidental required parameter under any other name must
+    keep failing fast with TypeError, not silently receive the context
+    dict (or None on undated runs) as its argument."""
+    dag = Dag("ctxgate", schedule="@daily")
+    dag.task("oops", lambda names: names)  # accidental required param
+    out = dag.run(logical_date=dt.datetime(2024, 3, 5))
+    st = out["tasks"]["oops"]
+    assert st["state"] == "failed"
+    assert "positional argument" in st["error"]
+    # positional-only `context` still opts in
+    seen = {}
+
+    def aware(context, /):
+        seen["ctx"] = context
+
+    dag2 = Dag("ctxgate2", schedule="@daily")
+    dag2.task("aware", aware)
+    dag2.run(logical_date=dt.datetime(2024, 3, 5), raise_on_failure=True)
+    assert seen["ctx"]["ds"] == "2024-03-05"
+
+
 def test_run_due_scheduler_tick():
     """run_due is one scheduler heartbeat: it runs exactly the due
     logical dates, returns the new high-water logical date as state,
