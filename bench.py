@@ -138,6 +138,30 @@ def main() -> None:
     # bounds total bench time, so extra passes never overrun a caller
     # timeout.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
+
+    # STEAL DETECTOR: a constant control workload (pure JVM codegen,
+    # no I/O, fixed input) interleaved through the run. Its cost is
+    # invariant by construction, so any spread in its samples is HOST
+    # noise (CPU steal, cgroup throttling, a co-tenant build), not the
+    # engine. When the control spread exceeds the threshold the run is
+    # flagged "disturbed": true in the printed line and bench_full.json
+    # — a noisy driver checkpoint then reads as "rerun me", not as a
+    # regression (r7: recorded 0.856 s/q vs 0.79-0.88 idle re-runs of
+    # the same commit).
+    CONTROL_EVERY = 40  # queries between control samples within a pass
+    control_samples: list[float] = []
+
+    def control(warmup: bool = False) -> None:
+        t0 = time.time()
+        # double avg: immune to ANSI long-overflow on the hash sum
+        spark.range(200_000_000).selectExpr(
+            "avg(cast(xxhash64(id) as double)) as s"
+        ).write.format("noop").mode("overwrite").save()
+        if not warmup:
+            control_samples.append(round(time.time() - t0, 3))
+
+    control(warmup=True)  # JIT-cold sample would inflate the spread
+    control()  # baseline sample before pass 1
     # Soft wall-clock budget: the FIRST pass always completes (every
     # query gets a timing); extra noise-reduction passes stop once the
     # budget is spent, so a caller-side timeout can never truncate the
@@ -150,7 +174,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     for rep in range(max(reps, 1)):
-        for name in bench_queries:
+        for qi, name in enumerate(bench_queries):
             if rep > 0 and time.time() - bench_start > max_sec:
                 print(
                     f"bench: wall budget {max_sec}s spent; stopping extra "
@@ -158,6 +182,8 @@ def main() -> None:
                     file=sys.stderr,
                 )
                 break
+            if qi and qi % CONTROL_EVERY == 0:
+                control()
             fn = queries[name]
             t0 = time.time()
             df = fn(spark, sf_dir)
@@ -166,6 +192,7 @@ def main() -> None:
             timings[name] = min(timings.get(name, t), t)
             samples.setdefault(name, []).append(t)
         else:
+            control()  # end-of-pass sample
             continue
         break
 
@@ -185,6 +212,20 @@ def main() -> None:
         for name, ts in samples.items()
     }
 
+    # The verdict keys on MEDIAN-vs-min, not max-vs-min: per-query
+    # timings are min-of-N, so one isolated spike in the control series
+    # (tolerated by the min) must not flag the run — only SUSTAINED
+    # disturbance (half the samples inflated) invalidates the mins.
+    ctl_sorted = sorted(control_samples)
+    ctl_min, ctl_max = ctl_sorted[0], ctl_sorted[-1]
+    ctl_med = ctl_sorted[len(ctl_sorted) // 2]
+    ctl_spread = round(100.0 * (ctl_max - ctl_min) / max(ctl_min, 1e-9), 1)
+    ctl_sustained = round(100.0 * (ctl_med - ctl_min) / max(ctl_min, 1e-9), 1)
+    disturbed_pct = float(
+        os.environ.get("SPARK_GRAFT_BENCH_DISTURBED_PCT", "25")
+    )
+    disturbed = ctl_sustained > disturbed_pct
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "total_query_sec",
@@ -196,6 +237,11 @@ def main() -> None:
         # so totals are not comparable across rounds — sec/query is
         "n_queries": len(timings),
         "sec_per_query": round(total / max(len(timings), 1), 3),
+        # steal detector verdict: sustained control-series inflation
+        # means the HOST was busy during this run — prefer a rerun over
+        # reading per-query deltas as regressions
+        "disturbed": disturbed,
+        "control_sustained_pct": ctl_sustained,
     }
     # Full per-query detail always lands on disk for the judge/plan work
     # (bench_full.json only: the variance block would blow the one-line
@@ -203,7 +249,21 @@ def main() -> None:
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_full.json")
     with open(full_path, "w") as f:
-        json.dump(dict(result, variance=variance), f, indent=1)
+        json.dump(
+            dict(
+                result,
+                variance=variance,
+                control={
+                    "samples": control_samples,
+                    "spread_pct": ctl_spread,
+                    "sustained_pct": ctl_sustained,
+                    "threshold_pct": disturbed_pct,
+                    "workload": "avg(xxhash64(id)) over range(2e8), noop sink",
+                },
+            ),
+            f,
+            indent=1,
+        )
 
     # The driver keeps only the LAST ~2000 chars of output and parses the
     # JSON line out of that tail (BENCH_r02.json recorded parsed=null when
