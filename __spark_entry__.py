@@ -1334,6 +1334,67 @@ def q_training_chunks_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.chunk_documents(clean, chunk_tokens=64, overlap=8)
 
 
+def q_rag_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG ingest END-TO-END in one gate — the composition a retrieval
+    corpus build runs, proving the quantized ANN tier works as a
+    pipeline STAGE, not just a standalone probe:
+
+    context-window chunking (corpus.chunk_documents)
+      → deterministic hash embeddings (corpus.hash_embeddings — the
+        engine-side stand-in for the external encoder model)
+      → IVF-PQ index build into a catalog table (FAISS IVFx,PQ8 shape)
+      → partition-pruned ADC probe + exact refine for a held query.
+
+    The recall floor is asserted INSIDE the gate (refined recall@10 vs
+    the brute-force exact top-10 must be ≥ 0.6): a silent recall
+    collapse fails the gate, not just a test. Rows-only correctness
+    (codebooks/centroids are engine-trained, not SQL-expressible);
+    scenario-excluded from the bench (per-call tmp-catalog build)."""
+    _ensure_conf(spark)
+    import tempfile
+
+    from data_lakehouse_spark.catalog import Catalog
+
+    docs = _rel(spark, sf_dir, "documents")
+    chunks = corpus.chunk_documents(docs, chunk_tokens=64, overlap=8)
+    emb = corpus.hash_embeddings(chunks, text_col="chunk_text", dim=64).select(
+        (F.col("doc_id") * F.lit(100_000) + F.col("chunk_idx")).alias("vec_id"),
+        "embedding",
+    )
+    from pyspark import StorageLevel
+
+    # the build (KMeans fit + residual sample + encode) and the refine
+    # scan both consume the embedded chunks: persist for ONE chunk+embed
+    # pass, released via the generational registry
+    emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="dls_rag_ingest_"))
+    similarity.build_ivf_pq_index(
+        cat, emb, "rag_chunks_pq",
+        k=16, m=8, nbits=8, seed=7, max_iter=8, sample_size=16_384,
+    )
+    qrow = (
+        emb.filter(F.col("vec_id") == 0).select("embedding").first()
+        or emb.orderBy("vec_id").select("embedding").first()
+    )
+    qv = [float(x) for x in qrow["embedding"]]
+    approx = similarity.ann_ivf_pq_topk(
+        cat, "rag_chunks_pq", qv,
+        k=10, nprobe=6, refine_with=emb, refine_factor=8,
+    )
+    exact = similarity.cosine_topk(emb, qv, k=10)
+    from data_lakehouse_spark import cacheutil
+
+    recall = similarity.exact_recall_at_k(approx, exact)
+    if recall < 0.6:
+        raise AssertionError(
+            f"rag_ingest_pipeline: refined recall@10 {recall:.2f} below "
+            "the 0.6 gate floor — the chunk->embed->index->probe "
+            "composition regressed"
+        )
+    cacheutil.rotate("entry.rag_ingest", [emb])
+    return approx.orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+
+
 def q_corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary induction: top-100 terms by corpus frequency (the
     tokenizer-training prefix). explode → one hash-agg shuffle →
@@ -3639,6 +3700,90 @@ def q_orders_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.read("ord").select("k", "c", "cents", "st").orderBy("k")
 
 
+def q_catalog_maintenance_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-service maintenance oracle-verified END TO END — pins that
+    :meth:`catalog.maintain` NEVER changes query results. The scenario
+    a CDC-fed table lives through: four small appends (the small-file
+    regime), a MOR equality delete, an atomic CDC upsert, a protective
+    tag — then the policy sweep, which must (a) compact (folding every
+    MOR delete file so the read path starts clean), and (b) expire
+    history EXCEPT the tagged snapshot, which stays readable. The
+    final state hash-matches DuckDB's closed-form rendering of the
+    same edits; in-gate assertions pin the policy actions themselves
+    (compaction happened, delete files folded, tag survives expiry).
+    Scenario-excluded from the bench (tmp-catalog write churn, not a
+    read query)."""
+    import shutil
+    import tempfile
+
+    from data_lakehouse_spark.catalog import Catalog
+
+    _ensure_conf(spark)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dls_maint_pipe",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(spark, root)
+    k = F.col("k")
+    src = _rel(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    # 4 small appends -> many small files (the compaction trigger)
+    cat.create_table("ord", src.filter(k % 4 == 0))
+    for m in (1, 2, 3):
+        cat.append("ord", src.filter(k % 4 == m))
+    cat.delete_where("ord", "k % 11 = 3", mode="mor-eq", equality_cols=["k"])
+    upd = (
+        src.filter((k % 7 == 0) & (k % 11 != 3))
+        .withColumn("st", F.lit("X"))
+        .withColumn("cents", F.col("cents") + 100)
+        .withColumn("_op", F.lit("U"))
+    )
+    cat.upsert_cdc("ord", upd, ["k"], op_col="_op")
+    cat.create_tag("ord", "audit")  # protects the pre-expiry head
+    before = cat.read("ord").select("k", "c", "cents", "st")
+
+    report = cat.maintain(
+        "ord",
+        min_files_to_compact=4,
+        small_file_ratio=0.25,
+        max_delete_files=0,
+        expire_keep_last=1,
+    )
+    acts = {a["action"] for a in report["actions"]}
+    if "compact" not in acts:
+        raise AssertionError(
+            f"maintenance gate: policy sweep did not compact: {report}"
+        )
+    head = cat._main_head(cat._load_manifest(cat._handle("ord")), "ord")
+    if head.get("delete_dirs"):
+        raise AssertionError(
+            "maintenance gate: compaction left MOR delete files behind: "
+            f"{head['delete_dirs']}"
+        )
+    # the tagged snapshot must survive expiry and still read
+    tagged_n = cat.read("ord", tag="audit").count()
+    if tagged_n != before.count():
+        raise AssertionError(
+            "maintenance gate: tagged snapshot changed under expiry"
+        )
+    after = cat.read("ord").select("k", "c", "cents", "st")
+    # maintenance must not change results: compare BEFORE vs AFTER via
+    # an exact anti-join both ways (cheap at gate scale)
+    if after.exceptAll(before).limit(1).count() or before.exceptAll(
+        after
+    ).limit(1).count():
+        raise AssertionError(
+            "maintenance gate: maintain() changed query results"
+        )
+    return after.orderBy("k")
+
+
 def q_sql_dml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL dialect front-end (sql.py) oracle-verified END TO END: the
     dbt-over-Thrift statement surface — CTAS, UPDATE, MOR DELETE, and
@@ -4003,10 +4148,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_shards_shuffled": q_corpus_pack_shards_shuffled,
         "corpus_token_budget_mix": q_corpus_token_budget_mix,
         "training_chunks_pipeline": q_training_chunks_pipeline,
-        "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
-        "embedding_topk": q_embedding_topk,
+        "rag_ingest_pipeline": q_rag_ingest_pipeline,
+        "catalog_maintenance_pipeline": q_catalog_maintenance_pipeline,
         "training_hard_negatives": q_training_hard_negatives,
         "orders_global_rank": q_orders_global_rank,
+        # --- capability already represented in the prefix ---
+        "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
+        "embedding_topk": q_embedding_topk,
         "doc_token_counts": q_doc_token_counts,
         "watermark_incremental": q_watermark_incremental,
         "purchase_asof_cart": q_purchase_asof_cart,
@@ -5197,6 +5345,24 @@ SELECT k, c, cents, st FROM (
     UNION ALL
     SELECT k + m AS k, c, cents, 'N' AS st FROM src, mx WHERE k % 13 = 1
 ) t
+ORDER BY k
+"""
+
+    # maintenance must be INVISIBLE to queries: the oracle is the
+    # closed-form of the EDITS only (4-way append = full src; MOR
+    # delete; CDC update), with zero maintenance terms — any compaction
+    # /fold/expiry effect on results would hash-mismatch here
+    sql["catalog_maintenance_pipeline"] = """
+WITH src AS (
+    SELECT o_orderkey AS k, o_custkey AS c,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+           o_orderstatus AS st
+    FROM orders
+)
+SELECT k, c,
+       CASE WHEN k % 7 = 0 THEN cents + 100 ELSE cents END AS cents,
+       CASE WHEN k % 7 = 0 THEN 'X' ELSE st END AS st
+FROM src WHERE k % 11 <> 3
 ORDER BY k
 """
 

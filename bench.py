@@ -84,6 +84,18 @@ BENCH_EXCLUDED = {
         "catalog writes, not a read query; the oracle gate verifies the "
         "final state end-to-end (cdc_mart_incremental precedent)"
     ),
+    "rag_ingest_pipeline": (
+        "RAG-ingest SCENARIO (chunk + embed + per-call tmp-catalog "
+        "IVF-PQ index BUILD + probe + in-gate recall assertion) — "
+        "timing measures index construction, not probe cost; "
+        "ann_ivf_pq_topk times the amortized-index probe"
+    ),
+    "catalog_maintenance_pipeline": (
+        "maintenance SCENARIO (4 appends + MOR delete + CDC upsert + "
+        "compact/fold/expire sweep + before/after parity checks) — "
+        "timing measures tmp-dir catalog write churn, not a read "
+        "query; the oracle gate verifies result-invariance end-to-end"
+    ),
     "iceberg_eq_delete_roundtrip": (
         "multi-commit interop SCENARIO (catalog build + equality delete "
         "+ re-append + Iceberg v2 export + spec-reader read) — timing "

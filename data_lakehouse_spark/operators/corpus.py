@@ -760,6 +760,61 @@ def chunk_documents(
     )
 
 
+def hash_embeddings(
+    df: DataFrame,
+    *,
+    text_col: str = "chunk_text",
+    dim: int = 64,
+    seed: int = 1,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic feature-hashing text embedder (the classic
+    "hashing trick"): each whitespace token CRC32-hashes to one of
+    ``dim`` buckets with a hash-derived ±1 sign; the bucket sums are
+    L2-normalized. Output: the input columns plus ``out_col``
+    (``array<double>``, unit-norm; all-zero for empty/degenerate
+    text, mirroring the ANN tiers' zero-norm stance).
+
+    This is the PIPELINE stand-in for an external neural embedding
+    model (which lives outside the engine — same stance as the
+    multimodal decode fakes): deterministic across engines, runs,
+    partitionings, and batch boundaries, so gates built on it are
+    reproducible. The Spark-side plumbing — Arrow batch kernel, schema,
+    no shuffle, embarrassingly parallel — is exactly what a real
+    encoder UDF uses; swapping in a model is a one-function change.
+    """
+    if dim <= 0:
+        raise ValueError("dim must be positive")
+    in_schema = df.schema
+
+    def encode(batches):
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            acc = np.zeros((n, dim), dtype=np.float64)
+            texts = pdf[text_col].fillna("")
+            for i, txt in enumerate(texts):
+                for t in txt.split():
+                    h = zlib.crc32(t.encode("utf-8"), seed) & 0xFFFFFFFF
+                    b = h % dim
+                    acc[i, b] += 1.0 if (h >> 16) & 1 else -1.0
+            nrm = np.linalg.norm(acc, axis=1)
+            nz = nrm > 0
+            acc[nz] /= nrm[nz, None]
+            out = pdf.copy()
+            out[out_col] = list(acc.tolist())
+            yield out
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in in_schema.fields
+    )
+    return df.mapInPandas(encode, f"{fields}, {out_col} array<double>")
+
+
 def dedup_intra_doc_segments(
     docs: DataFrame,
     text_col: str = "text",

@@ -927,3 +927,42 @@ def test_ccnet_buckets_kn5_lm(spark):
 
     with _pytest.raises(ValueError, match="unigram"):
         corpus.ccnet_quality_buckets(docs, lm="trigram")
+
+
+def test_hash_embeddings_deterministic_unit_norm(spark):
+    """Feature-hash embedder: deterministic across runs/partitionings,
+    unit-norm for non-empty text, all-zero for empty text, identical
+    text -> identical vector (the property the RAG-ingest gate's
+    recall floor rests on)."""
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (0, "spark vector join spark"),
+            (1, "spark vector join spark"),
+            (2, "completely different words here"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, chunk_text string",
+    )
+    out = {
+        r["doc_id"]: list(r["embedding"])
+        for r in corpus.hash_embeddings(df, dim=16).collect()
+    }
+    assert out[0] == out[1] != out[2]
+    for i in (0, 2):
+        assert math.isclose(
+            sum(x * x for x in out[i]), 1.0, rel_tol=1e-9
+        )
+    assert out[3] == [0.0] * 16 and out[4] == [0.0] * 16
+    # repartitioning does not change vectors (batch-boundary freedom)
+    out2 = {
+        r["doc_id"]: list(r["embedding"])
+        for r in corpus.hash_embeddings(df.repartition(5), dim=16).collect()
+    }
+    assert out2 == out
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dim"):
+        corpus.hash_embeddings(df, dim=0)
