@@ -315,17 +315,20 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_experiment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B conversion lift: deterministic user_id%3 variant assignment,
-    purchase as success, pooled two-proportion z-score vs control."""
+    purchase as success, pooled two-proportion z-score vs control.
+    Uses the deterministic-bucketing fast path (variant is a pure
+    function of the user id), so exposure + conversion collapse into
+    ONE per-user aggregate over silver — one events pass, one shuffle
+    (the exposure-table path aggregated silver twice and joined)."""
     silver = _events_silver(spark, sf_dir)
-    assignments = silver.select("user_id").distinct().select(
-        "user_id",
-        F.when(F.col("user_id") % 3 == 0, F.lit("control"))
-        .when(F.col("user_id") % 3 == 1, F.lit("treat_a"))
-        .otherwise(F.lit("treat_b"))
-        .alias("variant"),
-    )
     return experiments.experiment_lift(
-        silver, assignments, success=F.col("event_type") == "purchase"
+        silver,
+        success=F.col("event_type") == "purchase",
+        variant_of=lambda u: (
+            F.when(u % 3 == 0, F.lit("control"))
+            .when(u % 3 == 1, F.lit("treat_a"))
+            .otherwise(F.lit("treat_b"))
+        ),
     )
 
 

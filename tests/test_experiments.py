@@ -200,3 +200,40 @@ def test_linear_attribution_uneven_split_is_exact(spark):
     assert len(rows_out) == 1
     assert rows_out[0]["n_touches"] == 3
     assert rows_out[0]["attributed_revenue"] == 10.0
+
+
+def test_experiment_lift_variant_of_matches_assignment_table(spark):
+    """The deterministic-bucketing fast path (variant_of) produces the
+    SAME statistics as an assignments table covering exactly the
+    observed users — one events pass instead of two. Passing both or
+    neither refuses."""
+    import pytest
+
+    events = spark.createDataFrame(
+        [(u, t) for u in range(1, 9) for t in (["view"] + (["purchase"] if u % 2 else []))],
+        "user_id long, event_type string",
+    )
+    bucket = lambda u: F.when(u % 2 == 0, F.lit("control")).otherwise(  # noqa: E731
+        F.lit("treat")
+    )
+    assignments = events.select("user_id").distinct().select(
+        "user_id", bucket(F.col("user_id")).alias("variant")
+    )
+    succ = F.col("event_type") == "purchase"
+    via_table = sorted(
+        tuple(r)
+        for r in experiments.experiment_lift(
+            events, assignments, success=succ
+        ).collect()
+    )
+    via_expr = sorted(
+        tuple(r)
+        for r in experiments.experiment_lift(
+            events, success=succ, variant_of=bucket
+        ).collect()
+    )
+    assert via_table == via_expr
+    with pytest.raises(ValueError, match="exactly one"):
+        experiments.experiment_lift(events, assignments, success=succ, variant_of=bucket)
+    with pytest.raises(ValueError, match="exactly one"):
+        experiments.experiment_lift(events, success=succ)
