@@ -527,6 +527,72 @@ def test_eq_delete_zero_copy_export_roundtrip(spark, tmp_path):
     assert seqs[0] < dseq < seqs[-1]
 
 
+def test_eq_delete_pinned_scope_materialize_export_roundtrip(
+    spark, tmp_path
+):
+    """applies_to-PINNED equality deletes (the clone shapes) at history
+    depth: a clone inherits its source's eq-delete with coverage pinned
+    to a fixed dir list, takes clone-local appends (including a
+    re-append of a deleted key, which must SURVIVE — it is outside the
+    pinned dirs), a clone-local eq-delete, while the source grows
+    branch commits. Zero-copy export of the clone must REFUSE (the
+    spec's strictly-lower sequence rule cannot express pinned
+    coverage); materialize=True must round-trip through read_iceberg to
+    exactly the catalog's survivors. The SOURCE stays zero-copy
+    exportable and round-trips unchanged."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t",
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+            "id long, seg string, amt double",
+        ),
+    )
+    cat.delete_where("t", "id <= 2", mode="mor-eq", equality_cols=["id"])
+    cat.clone_table("t", "c")
+    # clone-local history: re-append a deleted key (survives: outside
+    # the pinned dirs), append fresh rows, then a clone-local eq-delete
+    cat.append(
+        "c",
+        spark.createDataFrame(
+            [(1, "a2", 11.0), (9, "z", 90.0)], "id long, seg string, amt double"
+        ),
+    )
+    cat.delete_where("c", "id = 4", mode="mor-eq", equality_cols=["id"])
+    # source keeps evolving independently (branch + main commits)
+    cat.create_branch("t", "dev")
+    cat.append(
+        "t",
+        spark.createDataFrame([(7, "g", 70.0)], "id long, seg string, amt double"),
+        branch="dev",
+    )
+    cat.append(
+        "t",
+        spark.createDataFrame([(8, "h", 80.0)], "id long, seg string, amt double"),
+    )
+    expect_clone = _rows(cat.read("c"))
+    assert sorted(r[0] for r in expect_clone) == [1, 3, 9]
+    # pinned scopes refuse zero-copy, loudly and by name
+    with pytest.raises(ValueError, match="fixed dir list"):
+        export_iceberg(cat, "c", str(tmp_path / "ice0"), materialize=False)
+    dest = str(tmp_path / "ice1")
+    out = export_iceberg(cat, "c", dest)  # default: must materialize
+    assert out["materialized"] is True
+    assert _rows(read_iceberg(spark, dest)) == expect_clone
+    # a materialized export carries NO delete manifests — survivors only
+    with open(os.path.join(dest, "metadata", "version-hint.text")) as f:
+        v = f.read().strip()
+    with open(os.path.join(dest, "metadata", f"v{v}.metadata.json")) as f:
+        meta = json.load(f)
+    _, manifests = _read_avro_file(meta["snapshots"][0]["manifest-list"])
+    assert {m["content"] for m in manifests} == {0}
+    # the source (local eq-delete, no pinned scope) still zero-copies
+    dest_src = str(tmp_path / "ice_src")
+    out_src = export_iceberg(cat, "t", dest_src)
+    assert out_src["materialized"] is False
+    assert _rows(read_iceberg(spark, dest_src)) == _rows(cat.read("t"))
+
+
 def test_eq_delete_partitioned_export_uses_unpartitioned_spec(
     spark, tmp_path
 ):
