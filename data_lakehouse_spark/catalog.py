@@ -2299,6 +2299,7 @@ class Catalog:
         max_delete_files: int = 4,
         expire_keep_last: int | None = None,
         expire_older_than: str | None = None,
+        orphan_older_than_hours: float | None = None,
         dry_run: bool = False,
     ) -> dict:
         """ONE table-service sweep — the scheduled maintenance loop an
@@ -2322,6 +2323,10 @@ class Catalog:
         3. **Expire snapshots** when a retention is given
            (``expire_keep_last`` / ``expire_older_than``) — the op
            that bounds the storage bill at scale.
+        4. **Remove orphan files** when ``orphan_older_than_hours`` is
+           given and unreferenced dirs older than the margin exist —
+           the crash-debris sweep (:meth:`remove_orphan_files`) expiry
+           can never reach because it only walks referenced dirs.
 
         ``dry_run`` reports the decisions (with reasons and the stats
         behind them) without acting — the review mode a scheduler dag
@@ -2413,6 +2418,28 @@ class Catalog:
                     older_than=expire_older_than,
                 )
             actions.append(a)
+        if orphan_older_than_hours is not None:
+            # decision from a filesystem walk only (same metadata-only
+            # stance as the compaction stats): act when any unreferenced
+            # dir has aged past the in-flight-write safety margin
+            probe = self.remove_orphan_files(
+                name, older_than_hours=orphan_older_than_hours, dry_run=True
+            )
+            if probe["orphan_dirs"]:
+                a = {
+                    "action": "remove_orphan_files",
+                    "reason": (
+                        f"{len(probe['orphan_dirs'])} unreferenced dir(s) "
+                        f"older than {orphan_older_than_hours}h "
+                        f"({probe['bytes_reclaimed']} bytes of crash "
+                        "debris no snapshot references)"
+                    ),
+                }
+                if not dry_run:
+                    a["result"] = self.remove_orphan_files(
+                        name, older_than_hours=orphan_older_than_hours
+                    )
+                actions.append(a)
         return {
             "table": name,
             "dry_run": dry_run,

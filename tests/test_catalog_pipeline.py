@@ -1007,3 +1007,49 @@ def test_maintain_policy_sweep(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="expired"):
         cat2.read("u", version=0)
+
+
+def test_maintain_orphan_sweep_step(spark, tmp_path):
+    """maintain() policy step 4: crash-debris dirs (fully written, no
+    manifest entry) are removed when orphan_older_than_hours is given
+    and aged past the margin; in-flight-fresh dirs and referenced dirs
+    are untouched; dry_run decides without deleting; the step is
+    absent when no orphans qualify or the knob is off."""
+    import os
+
+    from data_lakehouse_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table(
+        "t", spark.createDataFrame([(0, "x")], "id long, s string")
+    )
+    h = cat._handle("t")
+    # a crashed write: full data dir, no manifest entry
+    orphan = os.path.join(h.path, "crashed-write-dir")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "wb") as f:
+        f.write(b"x" * 128)
+    # knob off -> no orphan step
+    out = cat.maintain("t")
+    assert "remove_orphan_files" not in {a["action"] for a in out["actions"]}
+    assert os.path.isdir(orphan)
+    # fresh dir inside the safety margin -> still no step
+    out = cat.maintain("t", orphan_older_than_hours=1.0)
+    assert "remove_orphan_files" not in {a["action"] for a in out["actions"]}
+    # dry run names it without deleting
+    plan = cat.maintain("t", orphan_older_than_hours=0.0, dry_run=True)
+    step = next(
+        a for a in plan["actions"] if a["action"] == "remove_orphan_files"
+    )
+    assert "crash debris" in step["reason"] and "result" not in step
+    assert os.path.isdir(orphan)
+    # real sweep removes it and reports bytes
+    out = cat.maintain("t", orphan_older_than_hours=0.0)
+    step = next(
+        a for a in out["actions"] if a["action"] == "remove_orphan_files"
+    )
+    assert step["result"]["orphan_dirs"] == ["crashed-write-dir"]
+    assert step["result"]["bytes_reclaimed"] == 128
+    assert not os.path.isdir(orphan)
+    # table contents untouched, referenced dirs alive
+    assert cat.read("t").count() == 1
