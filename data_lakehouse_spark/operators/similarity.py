@@ -1084,8 +1084,16 @@ def build_ivf_pq_index(
         init = sub[np.sort(idx)[: min(K, len(idx))]]
         cents = np.zeros((K, dsub))
         cents[: len(init)] = init
+        s2 = (sub * sub).sum(axis=1)
         for _ in range(max(int(max_iter), 1)):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            # GEMM form: the 3D-broadcast distance materializes an
+            # (n, 256, dsub) temporary per iteration — ~1 GB at the
+            # default sample — and dominated the index build wall time
+            d2 = (
+                s2[:, None]
+                - 2.0 * (sub @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
             a = d2.argmin(axis=1)
             new = cents.copy()
             for c in range(K):
@@ -1310,8 +1318,13 @@ def _sample_kmeans_centroids(
     uniq, idx = np.unique(mat, axis=0, return_index=True)
     first_k = mat[np.sort(idx)[: min(k, len(idx))]]
     cents = first_k.copy()
+    # GEMM distance form: ||x-c||^2 = x.x - 2 x.c + c.c. The naive
+    # 3D-broadcast form materializes an (n, k, dim) temporary — ~1 GB
+    # per Lloyd iteration at n=64k, k=256 — and turns the driver fit
+    # into the pipeline bottleneck at auto-scaled k.
+    x2 = (mat * mat).sum(axis=1)
     for _ in range(max(int(max_iter), 1)):
-        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        d2 = x2[:, None] - 2.0 * (mat @ cents.T) + (cents * cents).sum(axis=1)[None, :]
         assign = d2.argmin(axis=1)
         new = cents.copy()
         for j in range(len(cents)):
@@ -1331,7 +1344,7 @@ def semdedup(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    k: int = 16,
+    k: int | str = 16,
     threshold: float = 0.95,
     seed: int = 7,
     max_iter: int = 20,
@@ -1339,6 +1352,7 @@ def semdedup(
     chunk: int = 2048,
     fit: str = "sample",
     sample_size: int = 65_536,
+    target_cluster_size: int = 256,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by k-means clustering + within-cluster cosine
@@ -1375,6 +1389,21 @@ def semdedup(
     dedup independently (bounded recall loss on pathological data,
     same guard stance as ``max_bucket_size`` in operators/dedup.py).
 
+    **``k="auto"`` is the 100 TB setting**: a FIXED cluster count is
+    the quadratic trap — clusters grow linearly with the corpus, so
+    the within-cluster GEMM grows as O(n²/k) (measured: the 10×-data
+    sweep ratio rose 2.5× → 6.3× under fixed k). The paper itself
+    scales cluster count with corpus size (50k clusters at LAION
+    scale); ``k="auto"`` sets ``k ≈ n / target_cluster_size``
+    (clamped to [4, 65 536]) from one count job, holding expected
+    cluster size — and therefore per-row comparison work — CONSTANT
+    as data grows: total work O(n · target). Above 32 clusters the
+    sample-fit assignment switches from the k-branch JVM argmin
+    expression to an Arrow batch kernel over the broadcast centroid
+    matrix (one GEMM argmin per batch): a per-centroid expression
+    chain at k=10 000 would be the same analysis/codegen pathology the
+    IVF-PQ probe's literal LUT had.
+
     Returns one row per input: (vec_id, cluster, centroid_sim,
     max_prior_sim, keep). ``filter(keep)`` is the deduplicated corpus.
     No SQL-expressible oracle (k-means), so the query entry is
@@ -1388,28 +1417,70 @@ def semdedup(
         F.col(id_col).cast("bigint").alias("vec_id"),
         F.col(vec_col).alias("embedding"),
     )
+    if k == "auto":
+        n_rows = src.count()
+        k = int(min(65_536, max(4, n_rows // max(int(target_cluster_size), 1))))
+    elif not isinstance(k, int):
+        raise ValueError(f"k must be an int or 'auto', got {k!r}")
     if fit == "sample":
         centroids = _sample_kmeans_centroids(
             src, k=k, seed=seed, max_iter=max_iter, sample_size=sample_size
         )
-        emb = F.col("embedding").cast("array<double>")
+        if k <= 32:
+            # small k: pure JVM argmin expression, no Python in the scan
+            emb = F.col("embedding").cast("array<double>")
 
-        def _d2(c: list[float]) -> Column:
-            return F.aggregate(
-                F.zip_with(
-                    emb,
-                    F.array(*[F.lit(float(x)) for x in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            def _d2(c: list[float]) -> Column:
+                return F.aggregate(
+                    F.zip_with(
+                        emb,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+
+            dists = F.array(*[_d2(c) for c in centroids])
+            assigned = src.withColumn(
+                "cluster",
+                (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+            )
+        else:
+            # large k: broadcast centroid matrix + one GEMM argmin per
+            # Arrow batch (a k-branch expression chain would bill
+            # analysis/codegen per query — the literal-LUT pathology)
+            bc = spark.sparkContext.broadcast(
+                np.asarray(centroids, dtype=np.float64)
             )
 
-        dists = F.array(*[_d2(c) for c in centroids])
-        assigned = src.withColumn(
-            "cluster",
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
-        )
+            def assign(batches):
+                cents_ = bc.value
+                c2 = (cents_ * cents_).sum(axis=1)
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        yield pd.DataFrame(
+                            {
+                                "vec_id": pd.array([], dtype="int64"),
+                                "embedding": pd.array([], dtype=object),
+                                "cluster": pd.array([], dtype="int32"),
+                            }
+                        )
+                        continue
+                    mat = np.array(
+                        [list(v) for v in pdf["embedding"]], dtype=np.float64
+                    )
+                    # argmin ||x-c||^2 = argmin (c.c - 2 x.c); x.x is
+                    # constant per row and drops out
+                    d = c2[None, :] - 2.0 * (mat @ cents_.T)
+                    out = pdf[["vec_id", "embedding"]].copy()
+                    out["cluster"] = d.argmin(axis=1).astype("int32")
+                    yield out
+
+            assigned = src.mapInPandas(
+                assign,
+                "vec_id bigint, embedding array<double>, cluster int",
+            )
     elif fit == "ml":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
