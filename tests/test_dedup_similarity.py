@@ -636,3 +636,41 @@ def test_ann_weighted_multiprobe_ivf_variants(spark, sf_dir, tmp_path):
     # the probe filter lands on the partition column (pruned read)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ivf_bucket" in plan
+
+
+def test_semdedup_auto_k_and_large_k_kernel(spark):
+    """k='auto' scales cluster count with the corpus (k ~ n/target,
+    clamped at 4), keeping per-cluster GEMM work constant as data
+    grows; above 32 clusters assignment runs through the Arrow batch
+    kernel — one row per input, deterministic, same output shape as
+    the JVM argmin path. Bad k refuses."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=8)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # auto at target 50 -> k=4 (JVM path); one row per input either way
+    out_small = similarity.semdedup(
+        df, k="auto", target_cluster_size=50, threshold=0.99, seed=3
+    )
+    assert out_small.count() == 200
+    assert out_small.select("cluster").distinct().count() <= 4
+    # auto at target 4 -> k=50 (>32: Arrow kernel path), deterministic
+    a = sorted(
+        similarity.semdedup(
+            df, k="auto", target_cluster_size=4, threshold=0.99, seed=3
+        ).collect()
+    )
+    b = sorted(
+        similarity.semdedup(
+            df, k="auto", target_cluster_size=4, threshold=0.99, seed=3
+        ).collect()
+    )
+    assert a == b and len(a) == 200
+    assert len({r["cluster"] for r in a}) > 4
+    assert {r["vec_id"] for r in a} == set(range(200))
+    with pytest.raises(ValueError, match="auto"):
+        similarity.semdedup(df, k="sometimes")
