@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 
 from data_lakehouse_spark.functions import text as text_fns
 from data_lakehouse_spark.functions import udtfs
+from data_lakehouse_spark.functions import vectors as vector_fns
 from data_lakehouse_spark.functions.scalars import round_half_up
 from data_lakehouse_spark.operators import (
     corpus,
@@ -196,10 +197,15 @@ _RFM_MART_LOCK = threading.Lock()
 
 def _rfm_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "events.parquet")
+    # ns-resolution mtime + size: int(getmtime) truncates to whole
+    # seconds, so a dataset rewritten in-place within the same second
+    # would silently serve the stale memoized mart (advisor r8).
+    st = os.stat(src)
     key = (
         spark.sparkContext.applicationId,
         os.path.abspath(sf_dir),
-        int(os.path.getmtime(src)),
+        st.st_mtime_ns,
+        st.st_size,
     )
     with _RFM_MART_LOCK:
         df = _RFM_MART_MEMO.get(key)
@@ -1370,32 +1376,97 @@ def q_rag_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan both consume the embedded chunks: persist for ONE chunk+embed
     # pass, released via the generational registry
     emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="dls_rag_ingest_"))
-    similarity.build_ivf_pq_index(
-        cat, emb, "rag_chunks_pq",
-        k=16, m=8, nbits=8, seed=7, max_iter=8, sample_size=16_384,
-    )
-    qrow = (
-        emb.filter(F.col("vec_id") == 0).select("embedding").first()
-        or emb.orderBy("vec_id").select("embedding").first()
-    )
-    qv = [float(x) for x in qrow["embedding"]]
-    approx = similarity.ann_ivf_pq_topk(
-        cat, "rag_chunks_pq", qv,
-        k=10, nprobe=6, refine_with=emb, refine_factor=8,
-    )
-    exact = similarity.cosine_topk(emb, qv, k=10)
-    from data_lakehouse_spark import cacheutil
+    # tmp catalog lives only for the gate body: the returned top-10 is
+    # localCheckpoint-materialized (block manager, lineage truncated)
+    # before the finally-rmtree, so nothing lazy still points at the
+    # deleted files — advisor r8 flagged the leaked per-call mkdtemp.
+    import shutil
 
-    recall = similarity.exact_recall_at_k(approx, exact)
-    if recall < 0.6:
-        raise AssertionError(
-            f"rag_ingest_pipeline: refined recall@10 {recall:.2f} below "
-            "the 0.6 gate floor — the chunk->embed->index->probe "
-            "composition regressed"
+    tmp_root = tempfile.mkdtemp(prefix="dls_rag_ingest_")
+    try:
+        cat = Catalog(spark, tmp_root)
+        similarity.build_ivf_pq_index(
+            cat, emb, "rag_chunks_pq",
+            k=16, m=8, nbits=8, seed=7, max_iter=8, sample_size=16_384,
         )
-    cacheutil.rotate("entry.rag_ingest", [emb])
-    return approx.orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        qrow = (
+            emb.filter(F.col("vec_id") == 0).select("embedding").first()
+            or emb.orderBy("vec_id").select("embedding").first()
+        )
+        if qrow is None:
+            raise AssertionError(
+                "rag_ingest_pipeline: chunking produced ZERO embedded "
+                "chunks (empty documents input?) — nothing to index or "
+                "probe"
+            )
+        qv = [float(x) for x in qrow["embedding"]]
+        approx = similarity.ann_ivf_pq_topk(
+            cat, "rag_chunks_pq", qv,
+            k=10, nprobe=6, refine_with=emb, refine_factor=8,
+        )
+        exact = similarity.cosine_topk(emb, qv, k=10)
+        from data_lakehouse_spark import cacheutil
+
+        recall = similarity.exact_recall_at_k(approx, exact)
+        if recall < 0.6:
+            raise AssertionError(
+                f"rag_ingest_pipeline: refined recall@10 {recall:.2f} below "
+                "the 0.6 gate floor — the chunk->embed->index->probe "
+                "composition regressed"
+            )
+        cacheutil.rotate("entry.rag_ingest", [emb])
+        return approx.orderBy(
+            F.desc("cosine_sim"), F.asc("vec_id")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+
+def q_rag_ingest_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verified companion to ``rag_ingest_pipeline``: the SAME
+    chunk stage (64-token windows, 8-token overlap), but the encoder is
+    a join against the fixture ``embeddings`` table (deterministic
+    chunk→vector keying ``vec_id = doc_id*4 + chunk_idx`` — the shape a
+    precomputed embedding store uses) and retrieval is the EXACT cosine
+    top-10. Every stage is ANSI-SQL-expressible, so DuckDB verifies the
+    chunk → embed-join → retrieve COMPOSITION cell-for-cell; the ANN
+    variant (engine-trained codebooks) stays rows-only next door.
+
+    Plan: chunk fan-out stays inside the scan stage (posexplode, no
+    shuffle); the embeddings join is a broadcast probe here and a
+    vec_id-co-partitioned hash join at store scale; top-10 is
+    TakeOrderedAndProject, never a global sort. Key collisions (two
+    chunks mapping to one vec_id) are real under this keying, so the
+    ordering tie-breaks through (vec_id, doc_id, chunk_idx) to stay
+    engine-independent."""
+    _ensure_conf(spark)
+    docs = _rel(spark, sf_dir, "documents")
+    chunks = corpus.chunk_documents(docs, chunk_tokens=64, overlap=8)
+    emb = _rel(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    )
+    qv = _query_vec(spark, sf_dir)
+    keyed = chunks.select(
+        (F.col("doc_id") * 4 + F.col("chunk_idx"))
+        .cast("bigint")
+        .alias("vec_id"),
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+    )
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    sim = vector_fns.cosine_similarity(F.col("embedding"), q)
+    return (
+        keyed.join(emb, "vec_id")
+        .select("vec_id", "doc_id", "chunk_idx", "n_chunk_tokens",
+                sim.alias("cosine_sim"))
+        .orderBy(
+            F.desc("cosine_sim"), F.asc("vec_id"),
+            F.asc("doc_id"), F.asc("chunk_idx"),
+        )
+        .limit(10)
+        .withColumn("cosine_sim", round_half_up(F.col("cosine_sim"), 6))
+    )
 
 
 def q_corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1853,7 +1924,7 @@ def _neardup_index(spark: SparkSession, sf_dir: str):
     cat = Catalog(spark, root)
     idx = IncrementalNearDupIndex(cat, "sigs")
     src = f"{sf_dir}/documents.parquet"
-    src_stamp = str(int(os.path.getmtime(src)))
+    src_stamp = f"{os.stat(src).st_mtime_ns}:{os.stat(src).st_size}"
     fresh = (
         idx.exists()
         and cat.table_properties("sigs").get("index.src_mtime") == src_stamp
@@ -1906,10 +1977,14 @@ _QUERY_VEC_MEMO: dict[tuple, list[float]] = {}
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     src = os.path.join(sf_dir, "embeddings.parquet")
+    # ns-resolution mtime + size (see _rfm_mart: whole-second keys can
+    # serve stale data after a same-second in-place rewrite)
+    st = os.stat(src)
     key = (
         spark.sparkContext.applicationId,
         os.path.abspath(sf_dir),
-        int(os.path.getmtime(src)),
+        st.st_mtime_ns,
+        st.st_size,
     )
     qv = _QUERY_VEC_MEMO.get(key)
     if qv is None:
@@ -2164,7 +2239,7 @@ def _ann_index_catalog(spark: SparkSession, sf_dir: str):
     )
     cat = Catalog(spark, root)
     src = f"{sf_dir}/embeddings.parquet"
-    src_stamp = str(int(os.path.getmtime(src)))
+    src_stamp = f"{os.stat(src).st_mtime_ns}:{os.stat(src).st_size}"
     fresh = (
         cat.table_exists("embeddings_ivf")
         and cat.table_properties("embeddings_ivf").get("index.src_mtime") == src_stamp
@@ -2202,7 +2277,7 @@ def _kmeans_index_catalog(spark: SparkSession, sf_dir: str):
     )
     cat = Catalog(spark, root)
     src = f"{sf_dir}/embeddings.parquet"
-    src_stamp = str(int(os.path.getmtime(src)))
+    src_stamp = f"{os.stat(src).st_mtime_ns}:{os.stat(src).st_size}"
     fresh = (
         cat.table_exists("embeddings_kmeans_ivf")
         and cat.table_properties("embeddings_kmeans_ivf").get("index.src_mtime")
@@ -2251,7 +2326,7 @@ def _pq_index_catalog(spark: SparkSession, sf_dir: str):
     )
     cat = Catalog(spark, root)
     src = f"{sf_dir}/embeddings.parquet"
-    src_stamp = str(int(os.path.getmtime(src)))
+    src_stamp = f"{os.stat(src).st_mtime_ns}:{os.stat(src).st_size}"
     fresh = (
         cat.table_exists("embeddings_ivf_pq")
         and cat.table_properties("embeddings_ivf_pq").get("index.src_mtime")
@@ -3349,7 +3424,7 @@ def _events_bloom_catalog(spark: SparkSession, sf_dir: str):
     )
     cat = Catalog(spark, root)
     src = f"{sf_dir}/events.parquet"
-    src_stamp = str(int(os.path.getmtime(src)))
+    src_stamp = f"{os.stat(src).st_mtime_ns}:{os.stat(src).st_size}"
     fresh = (
         cat.table_exists("events_bloom")
         and cat.table_properties("events_bloom").get("index.src_mtime")
@@ -4181,6 +4256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_budget_mix": q_corpus_token_budget_mix,
         "training_chunks_pipeline": q_training_chunks_pipeline,
         "rag_ingest_pipeline": q_rag_ingest_pipeline,
+        "rag_ingest_exact": q_rag_ingest_exact,
         "catalog_maintenance_pipeline": q_catalog_maintenance_pipeline,
         "training_hard_negatives": q_training_hard_negatives,
         "orders_global_rank": q_orders_global_rank,
@@ -6910,6 +6986,32 @@ SELECT vec_id, floor(sim * 1000000 + 0.5) / 1000000 AS cosine_sim
 FROM sims
 ORDER BY sim DESC, vec_id ASC
 LIMIT 50
+"""
+
+    # RAG composition, exact tier: chunk pipeline (same CTE as
+    # doc_chunks) → deterministic keying into the embedding store →
+    # exact cosine top-10. Ordering runs on RAW sim with full-key
+    # tiebreaks (vec_id collisions are real under the doc_id*4+idx
+    # keying); the emitted score is the round-half-up 6dp value.
+    sql["rag_ingest_exact"] = f"""
+WITH chunks AS ({sql["doc_chunks"]}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+joined AS (
+    SELECT CAST(c.doc_id * 4 + c.chunk_idx AS BIGINT) AS vec_id,
+           c.doc_id, c.chunk_idx, c.n_chunk_tokens, e.embedding
+    FROM chunks c
+    JOIN embeddings e ON e.vec_id = c.doc_id * 4 + c.chunk_idx
+),
+sims AS (
+    SELECT vec_id, doc_id, chunk_idx, n_chunk_tokens,
+           {_cos.format(a="embedding", b="(SELECT qv FROM q)")} AS sim
+    FROM joined
+)
+SELECT vec_id, doc_id, chunk_idx, n_chunk_tokens,
+       floor(sim * 1000000 + 0.5) / 1000000 AS cosine_sim
+FROM sims
+ORDER BY sim DESC, vec_id ASC, doc_id ASC, chunk_idx ASC
+LIMIT 10
 """
 
     sql["embedding_similar_pairs"] = f"""

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import re
 import sys
 import time
@@ -150,6 +151,13 @@ def main() -> None:
     # bounds total bench time, so extra passes never overrun a caller
     # timeout.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
+    # Floor: every query gets AT LEAST this many reps before the wall
+    # budget is allowed to stop a pass. r8 lesson: the budget cut pass 3
+    # mid-flight and left 14 queries with n_reps=2 exactly where a host
+    # disturbance sat, manufacturing the suite's only 2x violation on
+    # unchanged code. min-of-2 is not a min.
+    min_reps = min(int(os.environ.get("SPARK_GRAFT_BENCH_MIN_REPS", "3")),
+                   max(reps, 1))
 
     # STEAL DETECTOR: a constant control workload (pure JVM codegen,
     # no I/O, fixed input) interleaved through the run. Its cost is
@@ -160,34 +168,52 @@ def main() -> None:
     # — a noisy driver checkpoint then reads as "rerun me", not as a
     # regression (r7: recorded 0.856 s/q vs 0.79-0.88 idle re-runs of
     # the same commit).
-    CONTROL_EVERY = 40  # queries between control samples within a pass
-    control_samples: list[float] = []
+    CONTROL_EVERY = 25  # queries between control samples within a pass
+    # Each sample is (wall-clock offset from bench_start, duration):
+    # the offsets let disturbance be attributed per WINDOW, not just
+    # per run — r8's tail-localized host steal passed the whole-run
+    # median test while doubling the 14 queries that happened to sit
+    # between the two elevated tail samples.
+    control_samples: list[tuple[float, float]] = []
+    bench_start = time.time()
+    control_sec_total = 0.0  # excluded from the wall-budget accounting
 
     def control(warmup: bool = False) -> None:
+        nonlocal control_sec_total
         t0 = time.time()
         # double avg: immune to ANSI long-overflow on the hash sum
         spark.range(200_000_000).selectExpr(
             "avg(cast(xxhash64(id) as double)) as s"
         ).write.format("noop").mode("overwrite").save()
+        dur = time.time() - t0
+        control_sec_total += dur
         if not warmup:
-            control_samples.append(round(time.time() - t0, 3))
+            control_samples.append(
+                (round(t0 - bench_start, 3), round(dur, 3))
+            )
 
     control(warmup=True)  # JIT-cold sample would inflate the spread
     control()  # baseline sample before pass 1
-    # Soft wall-clock budget: the FIRST pass always completes (every
-    # query gets a timing); extra noise-reduction passes stop once the
-    # budget is spent, so a caller-side timeout can never truncate the
-    # result set.
-    # sized so the grown suite (~150 s/pass at 148 queries) completes
-    # THREE full passes before stopping — min-of-3 keeps per-query
-    # timings on the C2-JIT plateau instead of the warmup slope
-    max_sec = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_SEC", "520"))
-    bench_start = time.time()
+    # Soft wall-clock budget: the first MIN_REPS passes ALWAYS complete
+    # (min-of-3 for every query, never a truncated tail); extra
+    # noise-reduction passes stop once the budget is spent. Control
+    # sample time is excluded from the accounting — the detector must
+    # not eat the passes it protects. Sized so the ~150-query suite
+    # (~150 s/pass) fits a 4th pass when the host is idle.
+    max_sec = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_SEC", "700"))
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    # (start_offset, end_offset) per rep, for window attribution
+    windows: dict[str, list[tuple[float, float]]] = {}
     for rep in range(max(reps, 1)):
-        for qi, name in enumerate(bench_queries):
-            if rep > 0 and time.time() - bench_start > max_sec:
+        # Seeded per-pass shuffle: a localized host steal spreads its
+        # damage across different queries each pass instead of landing
+        # on the same suite tail every rep (deterministic: seed=rep).
+        order = list(bench_queries)
+        random.Random(rep).shuffle(order)
+        for qi, name in enumerate(order):
+            budget_spent = (time.time() - bench_start) - control_sec_total
+            if rep >= min_reps and budget_spent > max_sec:
                 print(
                     f"bench: wall budget {max_sec}s spent; stopping extra "
                     f"reps (pass {rep + 1}, at {name})",
@@ -200,13 +226,53 @@ def main() -> None:
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            t = round(time.time() - t0, 3)
+            t1 = time.time()
+            t = round(t1 - t0, 3)
             timings[name] = min(timings.get(name, t), t)
             samples.setdefault(name, []).append(t)
+            windows.setdefault(name, []).append(
+                (round(t0 - bench_start, 3), round(t1 - bench_start, 3))
+            )
         else:
             control()  # end-of-pass sample
             continue
         break
+
+    # Window attribution: a control sample is ELEVATED when its
+    # duration exceeds the run's control minimum by the per-sample
+    # threshold. A query rep is SHADOWED when the nearest control
+    # samples on both sides of it are elevated (the host was measurably
+    # busy across that whole window). A query whose EVERY rep is
+    # shadowed gets suspect=true — its min never saw an idle host, so
+    # a regression call on it is unsafe.
+    ctl_durs = [d for _, d in control_samples]
+    ctl_floor = min(ctl_durs)
+    sample_thresh = 1.0 + float(
+        os.environ.get("SPARK_GRAFT_BENCH_SAMPLE_PCT", "40")
+    ) / 100.0
+    elevated = [
+        (off, d) for off, d in control_samples if d > ctl_floor * sample_thresh
+    ]
+
+    def _shadowed(start: float, end: float) -> bool:
+        before = [d for off, d in control_samples if off <= start]
+        after = [d for off, d in control_samples if off >= end]
+        lo = before[-1] if before else None
+        hi = after[0] if after else None
+        def _hot(d):
+            return d is not None and d > ctl_floor * sample_thresh
+        # open-ended windows (before the first / after the last control
+        # sample) count as shadowed only if the one bounding sample is hot
+        if lo is None:
+            return _hot(hi)
+        if hi is None:
+            return _hot(lo)
+        return _hot(lo) and _hot(hi)
+
+    suspect = {
+        name: all(_shadowed(s, e) for s, e in ws)
+        for name, ws in windows.items()
+    }
 
     # Per-query noise context: host steal historically moves single
     # samples ±15%+, so a regression call needs the SPREAD next to the
@@ -220,6 +286,7 @@ def main() -> None:
             "spread_pct": round(
                 100.0 * (max(ts) - min(ts)) / max(min(ts), 1e-9), 1
             ),
+            "suspect": suspect[name],
         }
         for name, ts in samples.items()
     }
@@ -228,7 +295,7 @@ def main() -> None:
     # timings are min-of-N, so one isolated spike in the control series
     # (tolerated by the min) must not flag the run — only SUSTAINED
     # disturbance (half the samples inflated) invalidates the mins.
-    ctl_sorted = sorted(control_samples)
+    ctl_sorted = sorted(ctl_durs)
     ctl_min, ctl_max = ctl_sorted[0], ctl_sorted[-1]
     ctl_med = ctl_sorted[len(ctl_sorted) // 2]
     ctl_spread = round(100.0 * (ctl_max - ctl_min) / max(ctl_min, 1e-9), 1)
@@ -254,6 +321,9 @@ def main() -> None:
         # reading per-query deltas as regressions
         "disturbed": disturbed,
         "control_sustained_pct": ctl_sustained,
+        # window attribution: queries whose every rep ran between
+        # elevated control samples — their mins never saw an idle host
+        "suspect_queries": sorted(n for n, s in suspect.items() if s),
     }
     # Full per-query detail always lands on disk for the judge/plan work
     # (bench_full.json only: the variance block would blow the one-line
@@ -266,10 +336,16 @@ def main() -> None:
                 result,
                 variance=variance,
                 control={
-                    "samples": control_samples,
+                    "samples": [d for _, d in control_samples],
+                    "sample_offsets": [off for off, _ in control_samples],
+                    "elevated_samples": elevated,
                     "spread_pct": ctl_spread,
                     "sustained_pct": ctl_sustained,
                     "threshold_pct": disturbed_pct,
+                    "sample_threshold_pct": round(
+                        (sample_thresh - 1.0) * 100.0, 1
+                    ),
+                    "control_sec_total": round(control_sec_total, 3),
                     "workload": "avg(xxhash64(id)) over range(2e8), noop sink",
                 },
             ),
@@ -286,6 +362,9 @@ def main() -> None:
     LINE_BUDGET = 1600
     compact = {k: round(v, 2) for k, v in timings.items()}
     line_obj = dict(result, queries=compact)
+    if len(line_obj["suspect_queries"]) > 8:
+        line_obj["suspect_queries"] = len(result["suspect_queries"])
+        line_obj["suspect_queries_full"] = "bench_full.json"
     by_cost = sorted(compact, key=compact.get, reverse=True)
     kept = len(by_cost)
     while kept > 0 and len(json.dumps(line_obj)) > LINE_BUDGET:

@@ -1919,10 +1919,20 @@ class Catalog:
         entries = self._load_manifest(h)
         if not entries:
             raise ValueError(f"table {name} does not exist")
-        dup = (
-            source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
+        # ONE job serves both the cardinality check and the source-side
+        # row-count stat the broadcast decision needs (same shuffle the
+        # old dup-only check paid; the global agg adds a 1-row stage)
+        krow = (
+            source.groupBy(*on)
+            .agg(F.count(F.lit(1)).alias("_dupn"))
+            .agg(
+                F.count(F.lit(1)).alias("_nkeys"),
+                F.max("_dupn").alias("_maxdup"),
+            )
+            .first()
         )
-        if dup:
+        n_src_keys = int(krow["_nkeys"] or 0)
+        if (krow["_maxdup"] or 0) > 1:
             raise ValueError(
                 f"MERGE INTO {name}: source has duplicate keys on {on} — "
                 "a matched target row would receive two updates"
@@ -1947,14 +1957,47 @@ class Catalog:
             .withColumnRenamed("_file", "_cow_file")
             .drop("_pos")
         )
+        # STATS-DRIVEN broadcast side for hit-file detection (the old
+        # code broadcast the source keys unconditionally — a 100 GB
+        # backfill merge would ship its whole key set to the driver).
+        # Source key-set size = the EXACT key count from the
+        # cardinality-check job above × schema key widths (Catalyst
+        # prices local relations at Long.MAX = useless here); target
+        # key-set size from the manifest row stats × key widths
+        # (estimated_size_bytes). Whichever fits the auto-broadcast
+        # threshold broadcasts; neither fits → plain shuffle semi join
+        # and AQE takes over.
+        thr = self._broadcast_threshold()
+        src_keys = src.select(*src_key_cols)
+        key_width = 8.0
+        for f in source.select(*on).schema.fields:
+            t = f.dataType.simpleString()
+            key_width += self._TYPE_WIDTH.get(
+                t, 16 if t.startswith("decimal") else 24
+            )
+        est_src = int(n_src_keys * key_width)
+        # key cols + the ~100-byte lineage path that rides along
+        est_tgt = self.estimated_size_bytes(
+            name, columns=list(on), extra_row_bytes=100.0
+        )
+        if thr > 0 and est_src <= thr:
+            hit_probe = "broadcast_source"
+            hits = tgt.join(F.broadcast(src_keys), key_cond, "left_semi")
+        elif thr > 0 and est_tgt is not None and est_tgt <= thr:
+            hit_probe = "broadcast_target"
+            hits = (
+                src_keys.join(
+                    F.broadcast(tgt.select(*on, "_cow_file")),
+                    key_cond,
+                    "inner",
+                )
+            )
+        else:
+            hit_probe = "shuffle"
+            hits = tgt.join(src_keys, key_cond, "left_semi")
         hit_files = [
             r["_cow_file"]
-            for r in tgt.join(
-                F.broadcast(src.select(*src_key_cols)), key_cond, "left_semi"
-            )
-            .select("_cow_file")
-            .distinct()
-            .collect()
+            for r in hits.select("_cow_file").distinct().collect()
         ]
         live = head["data_dirs"]
         touched = [
@@ -2021,9 +2064,12 @@ class Catalog:
             result = result.filter(has_target)
         result = result.select(*out_cols)
 
-        n_matched = touched_rows.join(
-            F.broadcast(src.select(*src_key_cols)), key_cond, "left_semi"
-        ).count()
+        maybe_bsrc = (
+            F.broadcast(src.select(*src_key_cols))
+            if hit_probe == "broadcast_source"
+            else src.select(*src_key_cols)
+        )
+        n_matched = touched_rows.join(maybe_bsrc, key_cond, "left_semi").count()
         n_insert = (
             src.select(*src_key_cols)
             .join(tgt.select(*on), key_cond, "left_anti")
@@ -2044,7 +2090,33 @@ class Catalog:
             "inserted_rows": n_insert,
             "rewritten_dirs": touched,
             "kept_dirs": kept,
+            "hit_probe": hit_probe,
         }
+
+    def _broadcast_threshold(self) -> int:
+        """Parsed ``spark.sql.autoBroadcastJoinThreshold`` in bytes
+        (≤ 0 = broadcasting disabled — respected by the merge probe)."""
+        try:
+            v = str(
+                self.spark.conf.get(
+                    "spark.sql.autoBroadcastJoinThreshold", "10485760"
+                )
+            ).strip().lower()
+        except Exception:
+            return 10 * 1024 * 1024
+        mult = 1
+        for suf, m in (
+            ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+            ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1),
+        ):
+            if v.endswith(suf):
+                v, mult = v[: -len(suf)], m
+                break
+        try:
+            return int(float(v)) * mult
+        except ValueError:
+            return 10 * 1024 * 1024
+
 
     def clone_table(
         self, source: str, target: str, *, version: int | None = None
@@ -2419,26 +2491,29 @@ class Catalog:
                 )
             actions.append(a)
         if orphan_older_than_hours is not None:
-            # decision from a filesystem walk only (same metadata-only
-            # stance as the compaction stats): act when any unreferenced
-            # dir has aged past the in-flight-write safety margin
-            probe = self.remove_orphan_files(
-                name, older_than_hours=orphan_older_than_hours, dry_run=True
+            # ONE filesystem walk: act directly (probe under dry_run)
+            # and derive the recorded reason from that same call's
+            # result. The old probe-then-act pair walked twice, so a
+            # dir aging past the safety margin BETWEEN the walks made
+            # the logged count/bytes disagree with what was actually
+            # reclaimed (advisor r8).
+            res = self.remove_orphan_files(
+                name,
+                older_than_hours=orphan_older_than_hours,
+                dry_run=dry_run,
             )
-            if probe["orphan_dirs"]:
+            if res["orphan_dirs"]:
                 a = {
                     "action": "remove_orphan_files",
                     "reason": (
-                        f"{len(probe['orphan_dirs'])} unreferenced dir(s) "
+                        f"{len(res['orphan_dirs'])} unreferenced dir(s) "
                         f"older than {orphan_older_than_hours}h "
-                        f"({probe['bytes_reclaimed']} bytes of crash "
+                        f"({res['bytes_reclaimed']} bytes of crash "
                         "debris no snapshot references)"
                     ),
                 }
                 if not dry_run:
-                    a["result"] = self.remove_orphan_files(
-                        name, older_than_hours=orphan_older_than_hours
-                    )
+                    a["result"] = res
                 actions.append(a)
         return {
             "table": name,
@@ -3357,6 +3432,113 @@ class Catalog:
             "null_count bigint, ndv bigint, min string, max string, "
             "avg_len double",
         )
+
+    #: fixed-width column sizes for the CBO estimate (Spark's own
+    #: defaultSize values); strings/binary use the ANALYZE sidecar's
+    #: avg_len when present, else a 24-byte default
+    _TYPE_WIDTH = {
+        "boolean": 1, "tinyint": 1, "smallint": 2, "int": 4,
+        "integer": 4, "date": 4, "float": 4, "bigint": 8, "long": 8,
+        "double": 8, "timestamp": 8, "timestamp_ntz": 8,
+    }
+
+    def estimated_size_bytes(
+        self,
+        name: str,
+        *,
+        columns: list[str] | None = None,
+        extra_row_bytes: float = 0.0,
+    ) -> int | None:
+        """CBO-style size estimate for the table head (optionally a
+        column subset) from METADATA ONLY: manifest per-dir row stats ×
+        per-column widths, with string/binary widths refined by the
+        ANALYZE sidecar's ``avg_len`` when the current version was
+        analyzed. Returns ``None`` when any live dir predates row
+        stats (no silent guess). Equality deletes make this an
+        OVER-estimate (suppressed rows still count) — safe for the one
+        consumer that matters, broadcast-side selection: an
+        overestimate can only withhold a broadcast, never OOM one."""
+        h = self._handle(name)
+        entries = self._load_manifest(h)
+        if not entries:
+            raise ValueError(f"table {name} does not exist")
+        head = self._main_head(entries, name)
+        rows = 0
+        for d in head["data_dirs"]:
+            stats = self._writer_entry(entries, head, d).get("stats")
+            if not stats or "rows" not in stats:
+                return None
+            rows += stats["rows"]
+        sidecar = self.column_stats(name)
+        side_cols = (sidecar or {}).get("columns", {})
+        schema = {
+            f["name"]: (
+                f["type"] if isinstance(f["type"], str) else "complex"
+            )
+            for f in head["schema"]["fields"]
+        }
+        cols = list(columns) if columns is not None else list(schema)
+        unknown = [c for c in cols if c not in schema]
+        if unknown:
+            raise ValueError(
+                f"estimated_size_bytes: unknown columns {unknown}"
+            )
+        width = 0.0
+        for c in cols:
+            t = schema[c]
+            if t in self._TYPE_WIDTH:
+                width += self._TYPE_WIDTH[t]
+            elif t.startswith("decimal"):
+                width += 16
+            elif t in ("string", "binary"):
+                avg = (side_cols.get(c) or {}).get("avg_len")
+                width += (avg + 4) if avg is not None else 24
+            else:
+                width += 64  # array/map/struct default
+        # +8/row container overhead; extra_row_bytes lets callers price
+        # in per-row payloads the schema doesn't show (e.g. the lineage
+        # path column a merge probe carries)
+        return int(rows * (width + 8 + extra_row_bytes))
+
+    def prune_hints(self, name: str) -> list[str]:
+        """``read(prune=...)`` suggestions from the stats sidecars —
+        one line per column whose per-dir footer min/max (the manifest
+        skipping metadata) actually covers the table's live dirs,
+        enriched with the ANALYZE sidecar's global range + NDV when the
+        current version was analyzed. Surfaced by the SQL front-end's
+        EXPLAIN so a user sees WHICH predicate columns the manifest
+        can skip on before paying for a scan."""
+        h = self._handle(name)
+        entries = self._load_manifest(h)
+        if not entries:
+            raise ValueError(f"table {name} does not exist")
+        head = self._main_head(entries, name)
+        dirs = head["data_dirs"]
+        if not dirs:
+            return []
+        cover: dict[str, int] = {}
+        for d in dirs:
+            stats = self._writer_entry(entries, head, d).get("stats") or {}
+            mins, maxs = stats.get("min") or {}, stats.get("max") or {}
+            for c in mins:
+                if c in maxs:
+                    cover[c] = cover.get(c, 0) + 1
+        sidecar = self.column_stats(name)
+        side_cols = (sidecar or {}).get("columns", {})
+        lines = []
+        for c in sorted(cover):
+            line = (
+                f"prune hint: {name}.{c} — dir min/max on "
+                f"{cover[c]}/{len(dirs)} dirs; read({name!r}, "
+                f"prune={{{c!r}: (lo, hi)}}) skips non-intersecting dirs"
+            )
+            s = side_cols.get(c)
+            if s is not None:
+                line += (
+                    f" [global {s['min']!r}..{s['max']!r}, ndv≈{s['ndv']}]"
+                )
+            lines.append(line)
+        return lines
 
     # -- SQL views ---------------------------------------------------------
     def _views_path(self) -> str:

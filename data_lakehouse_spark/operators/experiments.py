@@ -79,7 +79,11 @@ def experiment_lift(
     """
     if (assignments is None) == (variant_of is None):
         raise ValueError(
-            "experiment_lift: pass exactly one of assignments / variant_of"
+            "experiment_lift: pass exactly one of assignments (exposure-"
+            "log denominator: assigned-but-eventless users count as "
+            "non-converters) / variant_of (OBSERVED-USER exposure: only "
+            "users present in events enter the denominator — lift/z "
+            "differ between the two modes on sparse traffic)"
         )
     converted = events.groupBy(F.col(user_col).alias("_u")).agg(
         F.max(F.when(success, F.lit(1)).otherwise(F.lit(0))).alias("_conv")

@@ -50,6 +50,7 @@ __all__ = [
     "build_ivf_pq_index",
     "ann_ivf_pq_topk",
     "semdedup",
+    "semdedup_auto_k",
 ]
 
 
@@ -989,6 +990,7 @@ def build_ivf_pq_index(
     max_iter: int = 20,
     sample_size: int = 65_536,
     extra_properties: dict | None = None,
+    mode: str = "replace",
 ):
     """Materialize an IVF-PQ index (the FAISS ``IVFx,PQm`` shape — the
     tier that makes billion-vector search fit in memory): coarse KMeans
@@ -1149,6 +1151,10 @@ def build_ivf_pq_index(
         name,
         indexed,
         partition_by=["ivf_cell"],
+        # replace by default: a rebuild means the SOURCE moved under a
+        # persisted index (freshness stamp mismatch) — erroring on the
+        # stale table would wedge every consumer until manual cleanup
+        mode=mode,
         properties={
             "index.kind": "ivf_pq",
             "index.dim": str(dim),
@@ -1339,6 +1345,18 @@ def _sample_kmeans_centroids(
     return [[float(x) for x in c] for c in cents]
 
 
+def semdedup_auto_k(n_rows: int, target_cluster_size: int) -> int:
+    """The ``k="auto"`` rule, named so tests and the scale evidence can
+    pin it: cluster count grows with the corpus (``k ≈ n / target``,
+    clamped to [4, 65 536]), holding expected cluster size — and
+    therefore per-row within-cluster GEMM work — CONSTANT as data
+    grows. A fixed k is the quadratic trap (O(n²/k): measured 6.3× at
+    the 10×-data step before auto-k)."""
+    return int(
+        min(65_536, max(4, n_rows // max(int(target_cluster_size), 1)))
+    )
+
+
 def semdedup(
     df: DataFrame,
     *,
@@ -1418,8 +1436,7 @@ def semdedup(
         F.col(vec_col).alias("embedding"),
     )
     if k == "auto":
-        n_rows = src.count()
-        k = int(min(65_536, max(4, n_rows // max(int(target_cluster_size), 1))))
+        k = semdedup_auto_k(src.count(), target_cluster_size)
     elif not isinstance(k, int):
         raise ValueError(f"k must be an int or 'auto', got {k!r}")
     if fit == "sample":

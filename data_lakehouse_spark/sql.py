@@ -400,7 +400,32 @@ class LakehouseSql:
             return self.spark.createDataFrame(
                 [(wall, plan)], "wall_sec double, plan string"
             )
-        return self._query(stmt)
+        out = self._query(stmt)
+        hints = self._stats_hints(stmt)
+        if hints and out.columns == ["plan"]:
+            # append the manifest-skipping suggestions UNDER the Spark
+            # plan text (same single-row shape EXPLAIN consumers parse)
+            row = out.collect()
+            if len(row) == 1:
+                text = row[0]["plan"].rstrip() + "\n\n" + "\n".join(hints)
+                return self.spark.createDataFrame(
+                    [(text,)], "plan string"
+                )
+        return out
+
+    def _stats_hints(self, stmt: str) -> list[str]:
+        """``read(prune=...)`` suggestions for every catalog table the
+        statement references (Catalog.prune_hints: per-dir min/max
+        coverage from the manifest + ANALYZE sidecar range/NDV) — the
+        consumption side of the stats ANALYZE writes."""
+        hints: list[str] = []
+        for name in sorted(self._idents(stmt)):
+            try:
+                if self.catalog.table_exists(name):
+                    hints.extend(self.catalog.prune_hints(name))
+            except Exception:
+                continue
+        return hints
 
     def _rewrite_time_travel(self, stmt: str) -> str:
         """Rewrite ``<table> [FOR] VERSION|TIMESTAMP AS OF <v>`` into a

@@ -674,3 +674,19 @@ def test_semdedup_auto_k_and_large_k_kernel(spark):
     assert {r["vec_id"] for r in a} == set(range(200))
     with pytest.raises(ValueError, match="auto"):
         similarity.semdedup(df, k="sometimes")
+
+
+def test_semdedup_auto_k_rule_is_pinned():
+    """The scale-evidence contract (r8 verdict ask #5): the k='auto'
+    rule is a NAMED function whose values at the scale-check fixture
+    sizes prove the big run scales k with n. sf0.1 embeddings = 2 000
+    rows, the 10x fixture = 20 000 — auto-k grows 8 -> 80 at the
+    entry's target_cluster_size=250, holding expected cluster size
+    (and the within-cluster GEMM work per row) constant."""
+    auto_k = similarity.semdedup_auto_k
+    assert auto_k(2_000, 250) == 8
+    assert auto_k(20_000, 250) == 80   # the big-fixture run's k
+    assert auto_k(200_000, 250) == 800  # keeps scaling linearly
+    # clamps: tiny corpora floor at 4; LAION-scale caps at 65 536
+    assert auto_k(10, 250) == 4
+    assert auto_k(10**12, 250) == 65_536
