@@ -107,6 +107,47 @@ BENCH_EXCLUDED = {
 }
 
 
+def attribute_suspects(
+    control_samples: list[tuple[float, float]],
+    windows: dict[str, list[tuple[float, float]]],
+    *,
+    sample_thresh: float,
+) -> tuple[float, dict[str, bool]]:
+    """Window-level disturbance attribution (pure function, pinned in
+    tests/test_bench_attribution.py).
+
+    ``control_samples``: (wall offset, duration) of each constant
+    control-workload sample. ``windows``: per query, the (start, end)
+    wall offsets of each rep. The idle floor is the p25 control
+    duration (min-based floors false-flag on one lucky-low sample); a
+    sample is ELEVATED above ``floor × sample_thresh``; a rep is
+    SHADOWED when the nearest control samples on both sides are
+    elevated (open-ended windows use the one bounding sample); a query
+    is SUSPECT when EVERY rep is shadowed — its min never saw an idle
+    host. Returns (floor, {query: suspect})."""
+    durs = sorted(d for _, d in control_samples)
+    floor = durs[len(durs) // 4]
+
+    def _hot(d: float | None) -> bool:
+        return d is not None and d > floor * sample_thresh
+
+    def _shadowed(start: float, end: float) -> bool:
+        before = [d for off, d in control_samples if off <= start]
+        after = [d for off, d in control_samples if off >= end]
+        lo = before[-1] if before else None
+        hi = after[0] if after else None
+        if lo is None:
+            return _hot(hi)
+        if hi is None:
+            return _hot(lo)
+        return _hot(lo) and _hot(hi)
+
+    return floor, {
+        name: all(_shadowed(s, e) for s, e in ws)
+        for name, ws in windows.items()
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -238,41 +279,23 @@ def main() -> None:
             continue
         break
 
-    # Window attribution: a control sample is ELEVATED when its
-    # duration exceeds the run's control minimum by the per-sample
-    # threshold. A query rep is SHADOWED when the nearest control
-    # samples on both sides of it are elevated (the host was measurably
-    # busy across that whole window). A query whose EVERY rep is
-    # shadowed gets suspect=true — its min never saw an idle host, so
-    # a regression call on it is unsafe.
+    # Window attribution (attribute_suspects): a query whose EVERY rep
+    # ran between elevated control samples gets suspect=true — its min
+    # never saw an idle host, so a regression call on it is unsafe.
+    # Idle floor = p25 of the control durations, not the minimum: the
+    # control job has ~±20% inherent scheduling jitter, so a single
+    # lucky-low sample under a min-based floor false-flags an idle run
+    # (observed: min 0.171 vs typical 0.24).
     ctl_durs = [d for _, d in control_samples]
-    ctl_floor = min(ctl_durs)
     sample_thresh = 1.0 + float(
         os.environ.get("SPARK_GRAFT_BENCH_SAMPLE_PCT", "40")
     ) / 100.0
+    ctl_floor, suspect = attribute_suspects(
+        control_samples, windows, sample_thresh=sample_thresh
+    )
     elevated = [
         (off, d) for off, d in control_samples if d > ctl_floor * sample_thresh
     ]
-
-    def _shadowed(start: float, end: float) -> bool:
-        before = [d for off, d in control_samples if off <= start]
-        after = [d for off, d in control_samples if off >= end]
-        lo = before[-1] if before else None
-        hi = after[0] if after else None
-        def _hot(d):
-            return d is not None and d > ctl_floor * sample_thresh
-        # open-ended windows (before the first / after the last control
-        # sample) count as shadowed only if the one bounding sample is hot
-        if lo is None:
-            return _hot(hi)
-        if hi is None:
-            return _hot(lo)
-        return _hot(lo) and _hot(hi)
-
-    suspect = {
-        name: all(_shadowed(s, e) for s, e in ws)
-        for name, ws in windows.items()
-    }
 
     # Per-query noise context: host steal historically moves single
     # samples ±15%+, so a regression call needs the SPREAD next to the
@@ -291,15 +314,18 @@ def main() -> None:
         for name, ts in samples.items()
     }
 
-    # The verdict keys on MEDIAN-vs-min, not max-vs-min: per-query
+    # The verdict keys on MEDIAN-vs-floor, not max-vs-min: per-query
     # timings are min-of-N, so one isolated spike in the control series
     # (tolerated by the min) must not flag the run — only SUSTAINED
-    # disturbance (half the samples inflated) invalidates the mins.
+    # disturbance (half the samples inflated above the idle plateau)
+    # invalidates the mins.
     ctl_sorted = sorted(ctl_durs)
     ctl_min, ctl_max = ctl_sorted[0], ctl_sorted[-1]
     ctl_med = ctl_sorted[len(ctl_sorted) // 2]
     ctl_spread = round(100.0 * (ctl_max - ctl_min) / max(ctl_min, 1e-9), 1)
-    ctl_sustained = round(100.0 * (ctl_med - ctl_min) / max(ctl_min, 1e-9), 1)
+    ctl_sustained = round(
+        100.0 * (ctl_med - ctl_floor) / max(ctl_floor, 1e-9), 1
+    )
     disturbed_pct = float(
         os.environ.get("SPARK_GRAFT_BENCH_DISTURBED_PCT", "25")
     )
@@ -339,6 +365,7 @@ def main() -> None:
                     "samples": [d for _, d in control_samples],
                     "sample_offsets": [off for off, _ in control_samples],
                     "elevated_samples": elevated,
+                    "floor_p25": ctl_floor,
                     "spread_pct": ctl_spread,
                     "sustained_pct": ctl_sustained,
                     "threshold_pct": disturbed_pct,

@@ -52,6 +52,55 @@ QUADRATIC_OK = {
     ),
 }
 
+#: Per-query diagnosis notes printed under the table regardless of
+#: ratio — measurement context a reviewer needs before reading a row
+#: as a plan defect (r8 verdict ask #4/#5).
+NOTES = {
+    "tpch_q4_late_shipment": (
+        "r8 recorded 5.8x with no stated cause; r9 diagnosis: "
+        "measurement, not plan. A dedicated idle-window re-measure "
+        "(4 reps each scale, one session) reads 3.0x; the recorded "
+        "sweep's big side carries burst noise (rep max 28.7s vs min "
+        "3.1s, spread 838%) that min-of-3 cannot fully dodge on "
+        "multi-second queries. The semi-join + hash-agg plan is "
+        "unchanged and has no super-linear stage"
+    ),
+    "tpch_q18_large_volume": (
+        "r8 recorded 5.8x; r9 idle-window re-measure reads 3.3x and "
+        "the recorded sweep now reads ~2.6x — map-side-combined "
+        "l_orderkey agg + broadcast customer, nothing grows "
+        "super-linearly"
+    ),
+    "tpch_q21_waiting_suppliers": (
+        "r8 recorded 5.0x; r9 idle-window re-measure reads 3.4x "
+        "(aggregate-form decorrelation: one lineitem shuffle + "
+        "windows over the per-(order,supplier) frame; the self-join "
+        "regime cliff was designed out in round 6). Residual spread "
+        "is host burst noise (big-side rep max 2.2x its min)"
+    ),
+    "tpch_q17_small_qty_revenue": (
+        "same hash-agg/broadcast shape family as q18: idle-window "
+        "re-measures historically read ~3x; the big side's spread "
+        "(rep max 13.9s vs min 4.3s, 221%) says burst noise, not a "
+        "plan defect"
+    ),
+    "doc_token_counts": (
+        "sub-second absolute cost at BOTH scales (0.21s -> 1.1s): the "
+        "ratio denominator sits at the 0.1s floor and per-rep session "
+        "overhead dominates; one JVM regex/token scan, no shuffle — "
+        "nothing to become super-linear"
+    ),
+    "semdedup_prune": (
+        "r8 recorded 6.3x under FIXED k (the r8 SCALING regen "
+        "predated the k='auto' commit); with auto-k (k = n/250: 8 "
+        "clusters at sf0.1's 2k vectors, 80 at the 10x fixture's 20k "
+        "— rule pinned in tests/test_dedup_similarity.py::"
+        "test_semdedup_auto_k_rule_is_pinned) the idle-window "
+        "re-measure reads 1.6x: expected cluster size, and with it "
+        "per-row GEMM work, stays constant as data grows"
+    ),
+}
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -62,6 +111,9 @@ def main() -> None:
                     help="explicit rows ratio (scaled fixtures whose "
                     "dir name carries no sfN.N)")
     ap.add_argument("--md", default=None)
+    ap.add_argument("--note", default=None,
+                    help="methodology note rendered under the header "
+                    "(e.g. 'mins merged across N runs')")
     args = ap.parse_args()
 
     with open(args.small) as f:
@@ -117,6 +169,7 @@ def main() -> None:
               f"{'s' if len(exempt) != 1 else ''}, flagged below).**"
               if exempt else ".**")),
         "",
+        *( [f"Methodology: {args.note}", ""] if args.note else [] ),
         "| query | sec @ small | sec @ big | ratio |",
         "|---|---|---|---|",
     ]
@@ -137,6 +190,11 @@ def main() -> None:
         ]
         for ratio, q, _, _ in exempt:
             lines.append(f"- **{q}** ({ratio:.1f}×): {QUADRATIC_OK[q]}")
+    noted = [(r, q) for r, q, _, _ in rows if q in NOTES]
+    if noted:
+        lines += ["", "Per-query measurement/diagnosis notes:", ""]
+        for ratio, q in noted:
+            lines.append(f"- **{q}** ({ratio:.1f}×): {NOTES[q]}")
     md = "\n".join(lines) + "\n"
     if args.md:
         with open(args.md, "w") as f:
