@@ -2347,6 +2347,76 @@ def _pq_index_catalog(spark: SparkSession, sf_dir: str):
     return cat
 
 
+def _pq_incr_index_catalog(spark: SparkSession, sf_dir: str):
+    """Catalog holding the INCREMENTALLY-MAINTAINED IVF-PQ index for
+    ``sf_dir``: built once on 80% of the embeddings, then the held-out
+    20% lands through ``similarity.add_to_ivf_pq_index`` — encoded
+    against the STORED codebooks (no retrain) and committed as one
+    atomic eq-delete+append upsert. Build+add are write-time costs
+    keyed by source vintage, like every other persisted index here."""
+    import tempfile
+
+    from data_lakehouse_spark.catalog import Catalog
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dls_pq_incr_index",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    cat = Catalog(spark, root)
+    src = f"{sf_dir}/embeddings.parquet"
+    src_stamp = f"{os.stat(src).st_mtime_ns}:{os.stat(src).st_size}"
+    fresh = (
+        cat.table_exists("embeddings_pq_incr")
+        and cat.table_properties("embeddings_pq_incr").get("index.src_mtime")
+        == src_stamp
+    )
+    if not fresh:
+        emb = spark.read.parquet(src)
+        similarity.build_ivf_pq_index(
+            cat,
+            emb.filter(F.col("vec_id") % 5 != 0),
+            "embeddings_pq_incr",
+            k=16,
+            m=8,
+            nbits=8,
+            seed=7,
+            extra_properties={"index.src_mtime": src_stamp},
+        )
+        similarity.add_to_ivf_pq_index(
+            cat, "embeddings_pq_incr", emb.filter(F.col("vec_id") % 5 == 0)
+        )
+    return cat
+
+
+def q_ann_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-MAINTAINED quantized ANN: the index was built on
+    80% of the corpus and the remaining 20% was ADDED afterwards by
+    encoding against the frozen codebooks (FAISS ``IndexIVFPQ.add``
+    semantics — ``similarity.add_to_ivf_pq_index``, an atomic
+    eq-delete+append upsert so re-adds replace stale codes). The probe
+    is identical to ``ann_ivf_pq_topk``; what this gate proves is that
+    the DELTA path keeps added vectors probe-visible through the MOR
+    read — the maintenance economics a 100 TB embedding store needs
+    (O(batch) per delta, full rebuild only on drift cadence).
+    Rows-only (engine-trained codebooks); encode parity, upsert
+    idempotence and recall pinned in
+    tests/test_dedup_similarity.py::test_ivf_pq_incremental_add."""
+    _ensure_conf(spark)
+    emb = _rel(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    cat = _pq_incr_index_catalog(spark, sf_dir)
+    return similarity.ann_ivf_pq_topk(
+        cat,
+        "embeddings_pq_incr",
+        qv,
+        k=20,
+        nprobe=6,
+        refine_with=emb,
+        refine_factor=8,
+    )
+
+
 def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized ANN: IVF-PQ (FAISS IVF16,PQ8 shape) — coarse cells
     partition-pruned, per-cell ADC distance tables evaluated as ONE
@@ -4410,6 +4480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_kmeans_ivf_topk": q_ann_kmeans_ivf_topk,
         "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
+        "ann_ivf_pq_incremental": q_ann_ivf_pq_incremental,
         "approx_distinct_users": q_approx_distinct_users,
         "hll_sketch_rollup": q_hll_sketch_rollup,
         "active_user_stickiness_hll": q_active_user_stickiness_hll,

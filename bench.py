@@ -176,6 +176,7 @@ def main() -> None:
     entrymod._ann_index_catalog(spark, sf_dir)
     entrymod._kmeans_index_catalog(spark, sf_dir)
     entrymod._pq_index_catalog(spark, sf_dir)
+    entrymod._pq_incr_index_catalog(spark, sf_dir)
     entrymod._neardup_index(spark, sf_dir)
     entrymod._events_bloom_catalog(spark, sf_dir)
 

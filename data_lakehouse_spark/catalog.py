@@ -1769,7 +1769,11 @@ class Catalog:
         carrying several changes for one key keeps only the
         highest-``seq_col`` image — e.g. the CDC log offset); without
         it the caller guarantees at most one change per key per batch,
-        the standard ``foreachBatch`` contract. ``properties_update``
+        the standard ``foreachBatch`` contract. (Unlike
+        :meth:`merge_into`, there is NO join here for statistics to
+        steer — the eq-delete key file and image append are both
+        O(batch) writes; the stats-driven broadcast-side selection
+        lives on the merge path, where a join exists.) ``properties_update``
         merges into the table properties in the SAME commit — the
         transactional batch-id marker hook streaming sinks use.
         """

@@ -48,6 +48,8 @@ __all__ = [
     "build_kmeans_ivf_index",
     "ann_kmeans_ivf_topk",
     "build_ivf_pq_index",
+    "encode_ivf_pq",
+    "add_to_ivf_pq_index",
     "ann_ivf_pq_topk",
     "semdedup",
     "semdedup_auto_k",
@@ -1281,6 +1283,125 @@ def ann_ivf_pq_topk(
         exact.join(F.broadcast(cand.select("vec_id")), "vec_id", "left_semi")
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(k)
+    )
+
+
+def encode_ivf_pq(
+    catalog,
+    name: str,
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors against an EXISTING IVF-PQ index's stored coarse
+    centroids and PQ codebooks — the encode half of FAISS
+    ``IndexIVFPQ.add``, as a pure transform with NO training: one
+    Arrow kernel per batch runs L2-normalize → coarse-cell argmin (one
+    GEMM against the broadcast centroid matrix) → per-subspace
+    residual code argmin, the same float64 arithmetic the builder's
+    encode stage runs — so a vector encodes to identical
+    ``(ivf_cell, pq_code)`` whether it was present at build time or
+    added later (pinned in tests). Zero-norm vectors are excluded
+    (cosine-undefined — the build-side stance)."""
+    import json as _json
+
+    import numpy as np
+
+    props = catalog.table_properties(name)
+    if props.get("index.kind") != "ivf_pq":
+        raise ValueError(f"{name} is not an ivf_pq index")
+    dim = int(props["index.dim"])
+    m = int(props["index.m"])
+    dsub = dim // m
+    centroids = np.asarray(
+        _json.loads(props["index.centroids"]), dtype=np.float64
+    )
+    books = np.asarray(_json.loads(props["index.codebooks"]), dtype=np.float64)
+    src = df.select(
+        F.col(id_col).cast("bigint").alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+    )
+    bc = df.sparkSession.sparkContext.broadcast((centroids, books, m, dsub))
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        cents_, books_, m_, dsub_ = bc.value
+        cc2 = (cents_ * cents_).sum(axis=1)
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.array([], dtype="int64"),
+                "ivf_cell": pd.array([], dtype="int32"),
+                "pq_code": pd.array([], dtype=object),
+            }
+        )
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield empty
+                continue
+            mat = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+            if mat.shape[1] != cents_.shape[1]:
+                raise ValueError(
+                    f"encode_ivf_pq: vector dim {mat.shape[1]} != index "
+                    f"dim {cents_.shape[1]}"
+                )
+            n = np.sqrt((mat * mat).sum(axis=1))
+            keep = n > 0
+            if not keep.any():
+                yield empty
+                continue
+            mat = mat[keep] / n[keep][:, None]
+            ids = pdf["vec_id"].to_numpy()[keep]
+            # argmin ||x-c||^2 = argmin (c.c - 2 x.c); x.x constant/row
+            cell = (cc2[None, :] - 2.0 * (mat @ cents_.T)).argmin(axis=1)
+            res = (mat - cents_[cell]).reshape(len(mat), m_, dsub_)
+            codes = np.empty((len(mat), m_), dtype=np.int32)
+            for j in range(m_):
+                d2 = ((res[:, j, None, :] - books_[j][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids.astype("int64"),
+                    "ivf_cell": cell.astype("int32"),
+                    "pq_code": list(codes.tolist()),
+                }
+            )
+
+    return src.mapInPandas(enc, "vec_id bigint, ivf_cell int, pq_code array<int>")
+
+
+def add_to_ivf_pq_index(
+    catalog,
+    name: str,
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """FAISS ``IndexIVFPQ.add`` at table granularity — the index
+    MAINTENANCE path that makes the ANN tier viable at corpus scale:
+    a daily embedding delta encodes against the index's STORED
+    codebooks (:func:`encode_ivf_pq` — no retrain, no rebuild) and
+    lands as ONE atomic equality-delete + append upsert on ``vec_id``
+    (``Catalog.upsert_cdc``), so re-adding a re-embedded vector
+    REPLACES its stale codes and an at-least-once replay converges.
+    Appended dirs inherit the table's ``ivf_cell`` partition spec, so
+    probes keep pruning to their ``nprobe`` cells.
+
+    The 100 TB economics: O(batch) encode + commit per delta instead
+    of re-encoding the whole corpus. Operational contract (same as
+    FAISS adds): the codebooks are FROZEN — recall drifts if the data
+    distribution drifts far from the training sample, so rebuild with
+    ``build_ivf_pq_index(mode="replace")`` on a maintenance cadence;
+    fold the accumulated delete files with
+    ``rewrite_position_deletes`` like any CDC-maintained table."""
+    enc = encode_ivf_pq(catalog, name, df, vec_col=vec_col, id_col=id_col)
+    return catalog.upsert_cdc(
+        name, enc.withColumn("_op", F.lit("u")), ["vec_id"]
     )
 
 

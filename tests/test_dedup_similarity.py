@@ -690,3 +690,81 @@ def test_semdedup_auto_k_rule_is_pinned():
     # clamps: tiny corpora floor at 4; LAION-scale caps at 65 536
     assert auto_k(10, 250) == 4
     assert auto_k(10**12, 250) == 65_536
+
+
+def test_ivf_pq_incremental_add(spark, sf_dir, tmp_path):
+    """FAISS .add() analog (similarity.add_to_ivf_pq_index): build on
+    80% of the fixture, add the held-out 20% by encoding against the
+    STORED codebooks (no retrain), and the added vectors must be
+    probe-visible with refined recall on par with a full build.
+    Encode parity: a vector already in the build re-encodes to the
+    IDENTICAL (ivf_cell, pq_code) via encode_ivf_pq — same float64
+    arithmetic. The add is an upsert: replaying the same batch leaves
+    the row count unchanged, and re-adding a CHANGED embedding
+    replaces its codes."""
+    from data_lakehouse_spark.catalog import Catalog
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    cat = Catalog(spark, str(tmp_path / "w"))
+    similarity.build_ivf_pq_index(cat, base, "pq", k=16, m=8, nbits=8)
+    n_base = cat.read("pq").count()
+
+    # encode parity against build-time rows (pure transform, no train)
+    probe_ids = [1, 7, 42]
+    stored = {
+        r["vec_id"]: (r["ivf_cell"], tuple(r["pq_code"]))
+        for r in cat.read("pq").filter(F.col("vec_id").isin(probe_ids)).collect()
+    }
+    re_enc = {
+        r["vec_id"]: (r["ivf_cell"], tuple(r["pq_code"]))
+        for r in similarity.encode_ivf_pq(
+            cat, "pq", emb.filter(F.col("vec_id").isin(probe_ids))
+        ).collect()
+    }
+    assert re_enc == stored
+
+    res = similarity.add_to_ivf_pq_index(cat, "pq", delta)
+    assert res["rows_appended"] == delta.count()
+    n_full = cat.read("pq").count()
+    assert n_full == n_base + delta.count()
+
+    # the added 20% are probe-visible: query BY an added vector — the
+    # refined probe must rank the added self-hit first
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    exact = similarity.cosine_topk(emb, qv, k=10)
+    ref = similarity.ann_ivf_pq_topk(
+        cat, "pq", qv, k=10, nprobe=6, refine_with=emb, refine_factor=8
+    )
+    assert ref.first()["vec_id"] == 0  # vec 0 is in the ADDED set
+    assert similarity.exact_recall_at_k(ref, exact) >= 0.7
+
+    # replay-idempotent: the same delta upserts over itself
+    similarity.add_to_ivf_pq_index(cat, "pq", delta)
+    assert cat.read("pq").count() == n_full
+
+    # a re-embedded vector's codes REPLACE the stale ones
+    import numpy as np  # noqa: F401  (parity with module style)
+
+    moved = emb.filter(F.col("vec_id") == 0).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: -x).alias("embedding"),
+    )
+    before = cat.read("pq").filter(F.col("vec_id") == 0).first()
+    similarity.add_to_ivf_pq_index(cat, "pq", moved)
+    after = cat.read("pq").filter(F.col("vec_id") == 0).first()
+    assert cat.read("pq").count() == n_full
+    assert (before["ivf_cell"], list(before["pq_code"])) != (
+        after["ivf_cell"], list(after["pq_code"])
+    )
+
+    # contracts: wrong dim refuses loudly; non-pq table refuses
+    import pytest
+
+    bad = spark.createDataFrame([(9000, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="dim"):
+        similarity.add_to_ivf_pq_index(cat, "pq", bad)
