@@ -1125,48 +1125,113 @@ def build_ivf_pq_index(
                         "vec_id": pd.array([], dtype="int64"),
                         "ivf_cell": pd.array([], dtype="int32"),
                         "pq_code": pd.array([], dtype=object),
+                        "_qerr": pd.array([], dtype="float64"),
+                        "_rn": pd.array([], dtype="float64"),
                     }
                 )
                 continue
             mat = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
             cell = pdf["ivf_cell"].to_numpy(dtype=np.int64)
             res = (mat - cents_[cell]).reshape(len(mat), m_, dsub_)
+            rn = (res * res).sum(axis=(1, 2))
             codes = np.empty((len(mat), m_), dtype=np.int32)
+            qerr = np.zeros(len(mat), dtype=np.float64)
             for j in range(m_):
                 # one small GEMM-shaped argmin per subspace
                 d2 = ((res[:, j, None, :] - books_[j][None, :, :]) ** 2).sum(
                     axis=2
                 )
                 codes[:, j] = d2.argmin(axis=1)
+                qerr += d2.min(axis=1)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
                     "ivf_cell": pdf["ivf_cell"],
                     "pq_code": list(codes.tolist()),
+                    "_qerr": qerr,
+                    "_rn": rn,
                 }
             )
 
+    from pyspark import StorageLevel
+
+    # one encode pass feeds BOTH the table write and the MSE
+    # aggregates (the drift baselines the add path compares against)
     indexed = assigned.mapInPandas(
-        encode, "vec_id bigint, ivf_cell int, pq_code array<int>"
+        encode,
+        "vec_id bigint, ivf_cell int, pq_code array<int>, "
+        "_qerr double, _rn double",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    mse_row = indexed.agg(
+        F.avg("_qerr").alias("m"), F.sum("_qerr").alias("q"),
+        F.sum("_rn").alias("r"),
+    ).first()
+    train_mse = float(mse_row["m"]) if mse_row["m"] is not None else 0.0
+    # GENERALIZATION baseline: quantization error over build rows the
+    # codebook sample EXCLUDED (the sample is the hash-prefix, so the
+    # holdout is everything strictly above the last sampled (hash, id)
+    # — a pure expression filter, no id list shipped). With 256 codes
+    # per subspace, codebooks MEMORIZE a small training sample
+    # (measured: train 0.066 vs held-out 0.347 on the 400-row
+    # fixture), so drifting against train_mse false-alarms on
+    # perfectly in-distribution adds; the holdout baseline is the
+    # honest yardstick. Corpus fits inside the sample → no holdout →
+    # fall back to train_mse (memorization caveat documented).
+    baseline_mse = train_mse
+    # scale-free drift yardstick: the fraction of residual ENERGY the
+    # codebooks leave unexplained (sum qerr / sum ||residual||^2,
+    # bounded [0,1]) — absolute MSE has a ceiling on unit-norm data,
+    # which compresses the drifted-vs-clean gap at small scale
+    baseline_rel = (
+        float(mse_row["q"]) / float(mse_row["r"]) if mse_row["r"] else 0.0
     )
-    return catalog.create_table(
-        name,
-        indexed,
-        partition_by=["ivf_cell"],
-        # replace by default: a rebuild means the SOURCE moved under a
-        # persisted index (freshness stamp mismatch) — erroring on the
-        # stale table would wedge every consumer until manual cleanup
-        mode=mode,
-        properties={
-            "index.kind": "ivf_pq",
-            "index.dim": str(dim),
-            "index.m": str(int(m)),
-            "index.nbits": str(int(nbits)),
-            "index.centroids": json.dumps(centroids.tolist()),
-            "index.codebooks": json.dumps(codebooks.tolist()),
-            **(extra_properties or {}),
-        },
-    )
+    if len(sample) >= int(sample_size) and sample:
+        hmax, vmax = sample[-1]["_h"], sample[-1]["vec_id"]
+        key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("vec_id")))
+        hrow = (
+            indexed.withColumn("_h", key)
+            .filter(
+                (F.col("_h") > hmax)
+                | ((F.col("_h") == hmax) & (F.col("vec_id") > vmax))
+            )
+            .agg(
+                F.avg("_qerr").alias("m"), F.sum("_qerr").alias("q"),
+                F.sum("_rn").alias("r"),
+            )
+            .first()
+        )
+        if hrow["m"] is not None:
+            baseline_mse = float(hrow["m"])
+            if hrow["r"]:
+                baseline_rel = float(hrow["q"]) / float(hrow["r"])
+    try:
+        return catalog.create_table(
+            name,
+            indexed.drop("_qerr", "_rn"),
+            partition_by=["ivf_cell"],
+            # replace by default: a rebuild means the SOURCE moved under a
+            # persisted index (freshness stamp mismatch) — erroring on the
+            # stale table would wedge every consumer until manual cleanup
+            mode=mode,
+            properties={
+                "index.kind": "ivf_pq",
+                "index.dim": str(dim),
+                "index.m": str(int(m)),
+                "index.nbits": str(int(nbits)),
+                "index.centroids": json.dumps(centroids.tolist()),
+                "index.codebooks": json.dumps(codebooks.tolist()),
+                # mean squared residual-quantization error over the
+                # BUILD set, and over the codebook-sample HOLDOUT —
+                # the generalization baseline add_to_ivf_pq_index
+                # drifts each delta against
+                "index.train_mse": repr(train_mse),
+                "index.baseline_mse": repr(baseline_mse),
+                "index.baseline_rel": repr(baseline_rel),
+                **(extra_properties or {}),
+            },
+        )
+    finally:
+        indexed.unpersist(blocking=False)
 
 
 def ann_ivf_pq_topk(
@@ -1293,6 +1358,7 @@ def encode_ivf_pq(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    with_error: bool = False,
 ) -> DataFrame:
     """Encode vectors against an EXISTING IVF-PQ index's stored coarse
     centroids and PQ codebooks — the encode half of FAISS
@@ -1303,7 +1369,10 @@ def encode_ivf_pq(
     encode stage runs — so a vector encodes to identical
     ``(ivf_cell, pq_code)`` whether it was present at build time or
     added later (pinned in tests). Zero-norm vectors are excluded
-    (cosine-undefined — the build-side stance)."""
+    (cosine-undefined — the build-side stance). ``with_error=True``
+    adds a ``_qerr`` column (per-vector squared residual-quantization
+    error) — the drift signal :func:`add_to_ivf_pq_index` aggregates
+    against the index's recorded build-time baseline."""
     import json as _json
 
     import numpy as np
@@ -1324,19 +1393,23 @@ def encode_ivf_pq(
     )
     bc = df.sparkSession.sparkContext.broadcast((centroids, books, m, dsub))
 
+    emit_err = bool(with_error)
+
     def enc(batches):
         import numpy as np
         import pandas as pd
 
         cents_, books_, m_, dsub_ = bc.value
         cc2 = (cents_ * cents_).sum(axis=1)
-        empty = pd.DataFrame(
-            {
-                "vec_id": pd.array([], dtype="int64"),
-                "ivf_cell": pd.array([], dtype="int32"),
-                "pq_code": pd.array([], dtype=object),
-            }
-        )
+        empty_cols = {
+            "vec_id": pd.array([], dtype="int64"),
+            "ivf_cell": pd.array([], dtype="int32"),
+            "pq_code": pd.array([], dtype=object),
+        }
+        if emit_err:
+            empty_cols["_qerr"] = pd.array([], dtype="float64")
+            empty_cols["_rn"] = pd.array([], dtype="float64")
+        empty = pd.DataFrame(empty_cols)
         for pdf in batches:
             if len(pdf) == 0:
                 yield empty
@@ -1357,21 +1430,29 @@ def encode_ivf_pq(
             # argmin ||x-c||^2 = argmin (c.c - 2 x.c); x.x constant/row
             cell = (cc2[None, :] - 2.0 * (mat @ cents_.T)).argmin(axis=1)
             res = (mat - cents_[cell]).reshape(len(mat), m_, dsub_)
+            rn = (res * res).sum(axis=(1, 2))
             codes = np.empty((len(mat), m_), dtype=np.int32)
+            qerr = np.zeros(len(mat), dtype=np.float64)
             for j in range(m_):
                 d2 = ((res[:, j, None, :] - books_[j][None, :, :]) ** 2).sum(
                     axis=2
                 )
                 codes[:, j] = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": ids.astype("int64"),
-                    "ivf_cell": cell.astype("int32"),
-                    "pq_code": list(codes.tolist()),
-                }
-            )
+                qerr += d2.min(axis=1)
+            out = {
+                "vec_id": ids.astype("int64"),
+                "ivf_cell": cell.astype("int32"),
+                "pq_code": list(codes.tolist()),
+            }
+            if emit_err:
+                out["_qerr"] = qerr
+                out["_rn"] = rn
+            yield pd.DataFrame(out)
 
-    return src.mapInPandas(enc, "vec_id bigint, ivf_cell int, pq_code array<int>")
+    schema = "vec_id bigint, ivf_cell int, pq_code array<int>"
+    if emit_err:
+        schema += ", _qerr double, _rn double"
+    return src.mapInPandas(enc, schema)
 
 
 def add_to_ivf_pq_index(
@@ -1381,6 +1462,7 @@ def add_to_ivf_pq_index(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    drift_factor: float = 2.0,
 ) -> dict:
     """FAISS ``IndexIVFPQ.add`` at table granularity — the index
     MAINTENANCE path that makes the ANN tier viable at corpus scale:
@@ -1398,11 +1480,68 @@ def add_to_ivf_pq_index(
     distribution drifts far from the training sample, so rebuild with
     ``build_ivf_pq_index(mode="replace")`` on a maintenance cadence;
     fold the accumulated delete files with
-    ``rewrite_position_deletes`` like any CDC-maintained table."""
-    enc = encode_ivf_pq(catalog, name, df, vec_col=vec_col, id_col=id_col)
-    return catalog.upsert_cdc(
-        name, enc.withColumn("_op", F.lit("u")), ["vec_id"]
-    )
+    ``rewrite_position_deletes`` like any CDC-maintained table.
+
+    **Drift detection decides that cadence with data, not guesswork.**
+    The builder records the fraction of residual ENERGY its codebooks
+    leave unexplained over the codebook-sample HOLDOUT
+    (``index.baseline_rel`` — scale-free, bounded [0,1]; the holdout
+    matters because 256-codeword books MEMORIZE a small training
+    sample, and absolute MSE saturates on unit-norm data — both
+    false-call drift). Every add aggregates the same statistic over
+    its batch (two extra columns on the encode pass it already pays)
+    and returns ``batch_rel`` plus ``rebuild_recommended =
+    batch_rel > drift_factor × baseline_rel`` — codebooks explain
+    in-distribution residuals; a sustained unexplained-energy blow-up
+    IS distribution drift. The batch statistics also land in the
+    table properties (``index.last_add_mse`` / ``index.last_add_rel``)
+    in the SAME atomic upsert commit, so an operator sees drift from
+    table metadata alone."""
+    from pyspark import StorageLevel
+
+    enc = encode_ivf_pq(
+        catalog, name, df, vec_col=vec_col, id_col=id_col, with_error=True
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        mrow = enc.agg(
+            F.avg("_qerr").alias("m"), F.sum("_qerr").alias("q"),
+            F.sum("_rn").alias("r"),
+        ).first()
+        batch_mse = float(mrow["m"]) if mrow["m"] is not None else 0.0
+        batch_rel = float(mrow["q"]) / float(mrow["r"]) if mrow["r"] else 0.0
+        props = catalog.table_properties(name)
+        train_mse = float(props.get("index.train_mse", "0.0"))
+        # drift against the GENERALIZATION baseline, on the SCALE-FREE
+        # statistic (fraction of residual energy the codebooks leave
+        # unexplained): train MSE under-reads when the codebooks
+        # memorized a small sample, and absolute MSE saturates on
+        # unit-norm data — both false-call drift
+        baseline = float(props.get("index.baseline_mse", "0.0")) or train_mse
+        baseline_rel = float(props.get("index.baseline_rel", "0.0"))
+        drifted = bool(
+            baseline_rel > 0.0
+            and batch_rel > float(drift_factor) * baseline_rel
+        )
+        res = catalog.upsert_cdc(
+            name,
+            enc.drop("_qerr", "_rn").withColumn("_op", F.lit("u")),
+            ["vec_id"],
+            properties_update={
+                "index.last_add_mse": repr(batch_mse),
+                "index.last_add_rel": repr(batch_rel),
+            },
+        )
+        return dict(
+            res,
+            batch_mse=batch_mse,
+            train_mse=train_mse,
+            baseline_mse=baseline,
+            batch_rel=batch_rel,
+            baseline_rel=baseline_rel,
+            rebuild_recommended=drifted,
+        )
+    finally:
+        enc.unpersist(blocking=False)
 
 
 def exact_recall_at_k(approx: DataFrame, exact: DataFrame, id_col: str = "vec_id") -> float:

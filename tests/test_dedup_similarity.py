@@ -708,7 +708,15 @@ def test_ivf_pq_incremental_add(spark, sf_dir, tmp_path):
     base = emb.filter(F.col("vec_id") % 5 != 0)
     delta = emb.filter(F.col("vec_id") % 5 == 0)
     cat = Catalog(spark, str(tmp_path / "w"))
-    similarity.build_ivf_pq_index(cat, base, "pq", k=16, m=8, nbits=8)
+    # sample_size < |base| so the build has a codebook-sample HOLDOUT:
+    # the generalization baseline the drift gate compares against
+    # (256-codeword books MEMORIZE a fully-sampled toy corpus — train
+    # MSE reads ~5x under the honest held-out error)
+    similarity.build_ivf_pq_index(
+        cat, base, "pq", k=16, m=8, nbits=8, sample_size=256
+    )
+    props = cat.table_properties("pq")
+    assert float(props["index.baseline_mse"]) > float(props["index.train_mse"])
     n_base = cat.read("pq").count()
 
     # encode parity against build-time rows (pure transform, no train)
@@ -727,6 +735,15 @@ def test_ivf_pq_incremental_add(spark, sf_dir, tmp_path):
 
     res = similarity.add_to_ivf_pq_index(cat, "pq", delta)
     assert res["rows_appended"] == delta.count()
+    # drift detection: an in-distribution delta quantizes about as
+    # well as the codebook-sample holdout — no rebuild flag; the
+    # batch's statistics land in the table properties atomically
+    assert res["train_mse"] > 0 and res["batch_mse"] > 0
+    assert res["baseline_rel"] > 0 and res["batch_rel"] > 0
+    assert res["rebuild_recommended"] is False
+    props_after = cat.table_properties("pq")
+    assert "index.last_add_mse" in props_after
+    assert "index.last_add_rel" in props_after
     n_full = cat.read("pq").count()
     assert n_full == n_base + delta.count()
 
@@ -761,6 +778,25 @@ def test_ivf_pq_incremental_add(spark, sf_dir, tmp_path):
     assert (before["ivf_cell"], list(before["pq_code"])) != (
         after["ivf_cell"], list(after["pq_code"])
     )
+
+    # OUT-of-distribution delta trips the drift flag on the scale-free
+    # statistic (fraction of residual energy the codebooks leave
+    # unexplained): one-hot basis vectors read ~1.5x the holdout
+    # baseline on this fixture (deterministic — fixed seeds), vs 0.98x
+    # for the in-distribution delta above; a 1.4 gate separates them
+    # cleanly at toy scale (the production default stays 2.0)
+    onehot = spark.createDataFrame(
+        [
+            (10_000 + i, [1.0 if j == i else 0.0 for j in range(64)])
+            for i in range(32)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    drift = similarity.add_to_ivf_pq_index(
+        cat, "pq", onehot, drift_factor=1.4
+    )
+    assert drift["rebuild_recommended"] is True
+    assert drift["batch_rel"] > 1.4 * drift["baseline_rel"]
 
     # contracts: wrong dim refuses loudly; non-pq table refuses
     import pytest
