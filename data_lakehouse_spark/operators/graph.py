@@ -55,6 +55,7 @@ def connected_components(
     vertex_col: str = "vec_id",
     max_iter: int = 25,
     driver_finish_max_edges: int = 5_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every vertex with the MINIMUM vertex id reachable from it
     → ``(vertex, component_id)``.
@@ -67,6 +68,15 @@ def connected_components(
     shrink the residue under ``driver_finish_max_edges`` (each round
     halves chain depth; never observed past round one on near-dup
     graphs).
+
+    Pass ``stats`` (a dict; mutated in place) to get the scale
+    instrumentation the SCALING diagnosis reads: ``input_edges``
+    (symmetrized count), ``residue_edges`` (contracted-graph sizes per
+    residue round, so ``residue_edges[0]`` is what one hook pass left),
+    ``residue_rounds`` (extra distributed contraction rounds taken —
+    0 means the first contraction fit the driver guard), and
+    ``finish`` (``"driver_union_find"`` or ``"empty"``). Collecting it
+    adds one count job over the checkpointed edge set.
     """
     spark = edges.sparkSession
     e = edges.select(
@@ -79,6 +89,8 @@ def connected_components(
     sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint()
+    if stats is not None:
+        stats["input_edges"] = sym.count()
 
     # Phase 1 — contract: hook every vertex to the minimum of itself and
     # its direct neighbors (one shuffle over the full edge set), then
@@ -90,7 +102,7 @@ def connected_components(
     # component of hook(v).
     hook, contracted = _hook_and_project(sym)
     comp = _cc_residue(
-        spark, contracted, max_iter, driver_finish_max_edges
+        spark, contracted, max_iter, driver_finish_max_edges, stats=stats
     )
 
     # Phase 2 — expand: component(v) = comp(hook(v)); hook labels whose
@@ -179,21 +191,34 @@ def _close_hook_map(hook: DataFrame, max_rounds: int = 40) -> DataFrame:
 
 
 def _cc_residue(
-    spark, edges: DataFrame, max_iter: int, driver_finish_max_edges: int
+    spark,
+    edges: DataFrame,
+    max_iter: int,
+    driver_finish_max_edges: int,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Close the contracted residue → ``(cv, clabel)`` map covering
     every vertex that appears in ``edges``. Repeats contraction while
     the residue exceeds the driver guard (distributed, geometrically
     shrinking), then finishes with a single-pass union-find."""
     maps: list[DataFrame] = []  # composition chain, innermost first
+    if stats is not None:
+        stats["residue_edges"] = []
     cur = edges
     for _ in range(max_iter):
         cnt = cur.count()
+        if stats is not None:
+            stats["residue_edges"].append(cnt)
+            stats["residue_rounds"] = len(maps)
         if cnt == 0:
             final = spark.createDataFrame([], "cv long, clabel long")
+            if stats is not None:
+                stats["finish"] = "empty"
             break
         if cnt <= driver_finish_max_edges:
             final = _union_find_df(spark, cur)
+            if stats is not None:
+                stats["finish"] = "driver_union_find"
             break
         sym_cur = cur.unionByName(
             cur.select(F.col("b").alias("a"), F.col("a").alias("b"))

@@ -57,6 +57,45 @@ def test_nonconvergence_raises(spark):
         )
 
 
+def test_stats_instrumentation_and_log_round_growth(spark):
+    # SCALING diagnosis instrumentation (r9 verdict ask #1): the stats
+    # sink reports input/residue sizes and the number of distributed
+    # residue rounds, and that round count grows O(log n), not O(n):
+    # a 16x longer adversarial chain may cost at most ~log2(16)=4 more
+    # contraction rounds (pointer jumping halves depth per round).
+    def rounds_for(n):
+        st = {}
+        out = _cc(
+            connected_components(
+                _edges(spark, [(i, i + 1) for i in range(n - 1)]),
+                max_iter=20,
+                driver_finish_max_edges=0,  # force full distributed closure
+                stats=st,
+            )
+        )
+        assert set(out.values()) == {0} and len(out) == n
+        assert st["input_edges"] == 2 * (n - 1)  # symmetrized
+        assert st["finish"] == "empty"
+        assert st["residue_edges"][-1] == 0
+        return st["residue_rounds"]
+
+    r64, r1024 = rounds_for(64), rounds_for(1024)
+    assert r1024 <= r64 + 5, (r64, r1024)
+    assert r1024 <= 12  # far below O(n); log2(1024)=10
+
+    # on a real near-dup graph (tiny components) one hook pass collapses
+    # everything: zero residue rounds, driver finish on a residue that
+    # is orders of magnitude under the guard
+    st = {}
+    _cc(
+        connected_components(
+            _edges(spark, [(2, 1), (2, 3), (10, 11)]), stats=st
+        )
+    )
+    assert st["residue_rounds"] == 0
+    assert st["finish"] in ("driver_union_find", "empty")
+
+
 def test_distributed_contraction_fallback(spark):
     # guard of 0 forces the repeated-contraction path end-to-end: the
     # chain must still fully close via hooks alone (each round halves

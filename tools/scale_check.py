@@ -56,6 +56,23 @@ QUADRATIC_OK = {
 #: ratio — measurement context a reviewer needs before reading a row
 #: as a plan defect (r8 verdict ask #4/#5).
 NOTES = {
+    "dedup_cluster_components": (
+        "r9 recorded 10.7x (up from r8's 6.7x) with no note; r10 "
+        "diagnosis: measurement, not plan. A dedicated idle-window "
+        "re-measure (4 reps each scale, one session) reads 2.2x "
+        "end-to-end (2.15s -> 4.79s) and splits the stages: the "
+        "CLOSURE is flat (1.44s -> 1.50s, ratio 1.0x — "
+        "connected_components' stats sink reports 0 distributed "
+        "residue rounds at both scales, one hook pass + driver "
+        "union-find on a 347-/78k-edge residue, far under the 5M "
+        "guard) while the pair stage reads 4.7x — the documented "
+        "exact-all-pairs GEMM this query shares with the exempt "
+        "dedup_embedding_cosine row (pair COUNT grows 103x at the "
+        "10x step: 920 -> 95,212 edges). Round growth is pinned "
+        "O(log n) in tests/test_graph.py::"
+        "test_stats_instrumentation_and_log_round_growth; the "
+        "recorded sweep's 24.1s big side was burst noise"
+    ),
     "tpch_q4_late_shipment": (
         "r8 recorded 5.8x with no stated cause; r9 diagnosis: "
         "measurement, not plan. A dedicated idle-window re-measure "
