@@ -117,16 +117,20 @@ def attribute_suspects(
     tests/test_bench_attribution.py).
 
     ``control_samples``: (wall offset, duration) of each constant
-    control-workload sample. ``windows``: per query, the (start, end)
-    wall offsets of each rep. The idle floor is the p25 control
-    duration (min-based floors false-flag on one lucky-low sample); a
+    control-workload sample, in any order (sorted by offset here — the
+    before/after nearest-sample lookup depends on it). ``windows``: per
+    query, the (start, end) wall offsets of each rep. The idle floor is
+    the p25 control duration, floored at the second-smallest sample
+    (min-based floors false-flag on one lucky-low sample, and with <8
+    samples a bare p25 index degenerates to exactly that minimum); a
     sample is ELEVATED above ``floor × sample_thresh``; a rep is
     SHADOWED when the nearest control samples on both sides are
     elevated (open-ended windows use the one bounding sample); a query
     is SUSPECT when EVERY rep is shadowed — its min never saw an idle
     host. Returns (floor, {query: suspect})."""
+    control_samples = sorted(control_samples)
     durs = sorted(d for _, d in control_samples)
-    floor = durs[len(durs) // 4]
+    floor = max(durs[len(durs) // 4], durs[min(1, len(durs) - 1)])
 
     def _hot(d: float | None) -> bool:
         return d is not None and d > floor * sample_thresh
@@ -187,18 +191,22 @@ def main() -> None:
     # runs on an otherwise idle VM). Reps are interleaved across the
     # whole suite — full passes, not back-to-back per query — so a
     # transient spike lands in at most one rep of any given query.
-    # 4 passes ≈ the C2-JIT warm plateau on a freshly booted host
+    # 4+ passes ≈ the C2-JIT warm plateau on a freshly booted host
     # (observed: the same plan timing 4.7 → 2.4 → 1.6 → 1.5 s across
-    # back-to-back runs after reboot); the wall budget below still
-    # bounds total bench time, so extra passes never overrun a caller
-    # timeout.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
-    # Floor: every query gets AT LEAST this many reps before the wall
-    # budget is allowed to stop a pass. r8 lesson: the budget cut pass 3
-    # mid-flight and left 14 queries with n_reps=2 exactly where a host
-    # disturbance sat, manufacturing the suite's only 2x violation on
-    # unchanged code. min-of-2 is not a min.
-    min_reps = min(int(os.environ.get("SPARK_GRAFT_BENCH_MIN_REPS", "3")),
+    # back-to-back runs after reboot).
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    # Floor: every query gets AT LEAST this many reps before the SOFT
+    # wall budget is allowed to stop a pass. r8 lesson: the budget cut
+    # pass 3 mid-flight and left 14 queries with n_reps=2 exactly where
+    # a host disturbance sat, manufacturing the suite's only 2x
+    # violation on unchanged code. min-of-2 is not a min; r9 showed
+    # min-of-3 leaves burst spreads of 3900% unhedged, so the floor is
+    # now 4 (r9 verdict ask #3). Because min_reps overrides the soft
+    # budget, total wall time is NOT bounded by SPARK_GRAFT_BENCH_MAX_SEC
+    # alone — the HARD ceiling below (2× max_sec of absolute wall,
+    # control included) is the last-resort escape that keeps a slow or
+    # disturbed host from overrunning a caller timeout.
+    min_reps = min(int(os.environ.get("SPARK_GRAFT_BENCH_MIN_REPS", "4")),
                    max(reps, 1))
 
     # STEAL DETECTOR: a constant control workload (pure JVM codegen,
@@ -236,13 +244,20 @@ def main() -> None:
 
     control(warmup=True)  # JIT-cold sample would inflate the spread
     control()  # baseline sample before pass 1
-    # Soft wall-clock budget: the first MIN_REPS passes ALWAYS complete
-    # (min-of-3 for every query, never a truncated tail); extra
-    # noise-reduction passes stop once the budget is spent. Control
-    # sample time is excluded from the accounting — the detector must
-    # not eat the passes it protects. Sized so the ~150-query suite
-    # (~150 s/pass) fits a 4th pass when the host is idle.
-    max_sec = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_SEC", "700"))
+    # Soft wall-clock budget: the first MIN_REPS passes normally
+    # complete (min-of-4 for every query, never a truncated tail);
+    # extra noise-reduction passes stop once the budget is spent.
+    # Control sample time is excluded from the accounting — the
+    # detector must not eat the passes it protects. Sized so the
+    # ~150-query suite (~150-190 s/pass) fits 5 passes when the host
+    # is idle (r9 verdict ask #3: min n_reps ≥ 4).
+    max_sec = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_SEC", "1000"))
+    # HARD absolute ceiling (ADVICE r9): min_reps overrides the soft
+    # budget, so on a pathologically slow host the run could otherwise
+    # grow without bound; past 2× max_sec of TOTAL wall (control
+    # included) the run stops wherever it is — a truncated tail beats a
+    # caller-timeout kill that records nothing.
+    hard_max_sec = 2.0 * max_sec
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     # (start_offset, end_offset) per rep, for window attribution
@@ -254,7 +269,15 @@ def main() -> None:
         order = list(bench_queries)
         random.Random(rep).shuffle(order)
         for qi, name in enumerate(order):
-            budget_spent = (time.time() - bench_start) - control_sec_total
+            wall = time.time() - bench_start
+            budget_spent = wall - control_sec_total
+            if wall > hard_max_sec:
+                print(
+                    f"bench: HARD ceiling {hard_max_sec}s hit; stopping "
+                    f"even min_reps (pass {rep + 1}, at {name})",
+                    file=sys.stderr,
+                )
+                break
             if rep >= min_reps and budget_spent > max_sec:
                 print(
                     f"bench: wall budget {max_sec}s spent; stopping extra "
@@ -302,10 +325,19 @@ def main() -> None:
     # samples ±15%+, so a regression call needs the SPREAD next to the
     # min — a query whose min moved less than its own spread is noise,
     # not signal. spread_pct = (max - min) / min over this run's reps.
+    def _median(ts: list[float]) -> float:
+        s = sorted(ts)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
     variance = {
         name: {
             "n_reps": len(ts),
             "min": min(ts),
+            # median next to min (r9 verdict ask #3): min estimates the
+            # true plan cost; median carries the statistical power a
+            # regression call needs when bursts inflate single reps
+            "med": round(_median(ts), 3),
             "max": max(ts),
             "spread_pct": round(
                 100.0 * (max(ts) - min(ts)) / max(min(ts), 1e-9), 1
@@ -333,6 +365,20 @@ def main() -> None:
     disturbed = ctl_sustained > disturbed_pct
 
     total = round(sum(timings.values()), 3)
+    total_med = round(sum(v["med"] for v in variance.values()), 3)
+    # HOST normalization (r9 verdict ask #2): the control workload is
+    # constant by construction, so its idle floor measures HOST speed.
+    # The reference floor is the r8 recorded control series (p25 = 0.21 s
+    # on the host state the r01–r8 trend was recorded under); dividing
+    # the headline by (this run's floor / 0.21) makes sec_per_query
+    # comparable across rounds when the sandbox host itself speeds up or
+    # slows down (r8→r9: floor 0.21 → 0.275 = the host got 31% slower,
+    # which was the ENTIRE r9 headline regression).
+    control_floor_ref = float(
+        os.environ.get("SPARK_GRAFT_BENCH_FLOOR_REF", "0.21")
+    )
+    host_ratio = round(ctl_floor / control_floor_ref, 3)
+    sec_per_query = round(total / max(len(timings), 1), 3)
     result = {
         "metric": "total_query_sec",
         "value": total,
@@ -342,7 +388,13 @@ def main() -> None:
         # normalization context: the query set GROWS every round,
         # so totals are not comparable across rounds — sec/query is
         "n_queries": len(timings),
-        "sec_per_query": round(total / max(len(timings), 1), 3),
+        "sec_per_query": sec_per_query,
+        "sec_per_query_median": round(total_med / max(len(timings), 1), 3),
+        "control_floor": ctl_floor,
+        "host_ratio_vs_ref": host_ratio,
+        "sec_per_query_normalized": round(
+            sec_per_query / max(host_ratio, 1e-9), 3
+        ),
         # steal detector verdict: sustained control-series inflation
         # means the HOST was busy during this run — prefer a rerun over
         # reading per-query deltas as regressions

@@ -48,6 +48,36 @@ def test_tail_localized_steal_flags_only_shadowed_queries():
     assert suspect == {"body_q": False, "tail_q": True, "mixed_q": False}
 
 
+def test_unsorted_samples_give_same_verdict():
+    # ADVICE r9: the before/after nearest-sample lookup indexed [-1]/[0]
+    # assuming offset order — a shuffled sample list must not change the
+    # verdict (sorted at function entry now).
+    import random
+
+    windows = {
+        "body_q": [(12.0, 14.0), (42.0, 44.0)],
+        "tail_q": [(102.0, 104.0), (103.0, 105.0)],
+    }
+    samples = IDLE[:10] + [(100.0, 0.52), (110.0, 0.55)]
+    want = attribute_suspects(samples, windows, sample_thresh=1.4)
+    shuffled = list(samples)
+    random.Random(7).shuffle(shuffled)
+    assert attribute_suspects(shuffled, windows, sample_thresh=1.4) == want
+
+
+def test_short_run_floor_does_not_degenerate_to_min():
+    # ADVICE r9: with <8 samples, durs[len//4] lands on index 0 or 1 —
+    # a budget-stopped short run with one lucky-low sample must not
+    # false-flag off a min-based floor. Floor is now at least the
+    # second-smallest sample.
+    samples = [(0.0, 0.17), (30.0, 0.24), (60.0, 0.25), (90.0, 0.24)]
+    floor, suspect = attribute_suspects(
+        samples, {"q": [(32.0, 34.0)]}, sample_thresh=1.4,
+    )
+    assert floor >= 0.24  # not the 0.17 lucky low (len//4 == index 1)
+    assert suspect == {"q": False}
+
+
 def test_open_ended_windows_use_single_bounding_sample():
     samples = [(10.0, 0.5), (20.0, 0.24), (30.0, 0.24), (40.0, 0.24),
                (50.0, 0.24), (60.0, 0.5)]

@@ -144,13 +144,31 @@ def main() -> None:
         print(f"note: {len(missing)} queries not in both runs: {missing}",
               file=sys.stderr)
 
+    # Control-floor normalization (r9 verdict ask #5): each side's
+    # constant-control idle floor measures HOST speed during that run,
+    # so a big-side run on a 30% slower host would otherwise inflate
+    # every ratio by 1.3×. Ratios below divide out (big_floor /
+    # small_floor) when both runs carry a control block (bench_full
+    # format); raw-ratio fallback for older line-format inputs.
+    sfloor = (small.get("control") or {}).get("floor_p25")
+    bfloor = (big.get("control") or {}).get("floor_p25")
+    floor_ratio = (bfloor / sfloor) if (sfloor and bfloor) else 1.0
+    svar = small.get("variance") or {}
+    bvar = big.get("variance") or {}
+
     rows = []
     for q in common:
         # floor the denominator: sub-100ms timings are all session
         # overhead and make ratios meaningless
-        ratio = bq[q] / max(sq[q], 0.1)
+        ratio = (bq[q] / max(sq[q], 0.1)) / floor_ratio
         rows.append((ratio, q, sq[q], bq[q]))
     rows.sort(reverse=True)
+
+    def _ctx(var: dict, q: str) -> str:
+        v = var.get(q)
+        if not v:
+            return ""
+        return f" ({v.get('n_reps', '?')}r ±{v.get('spread_pct', '?')}%)"
 
     if args.data_ratio is not None:
         data_ratio = args.data_ratio
@@ -187,7 +205,21 @@ def main() -> None:
               if exempt else ".**")),
         "",
         *( [f"Methodology: {args.note}", ""] if args.note else [] ),
-        "| query | sec @ small | sec @ big | ratio |",
+        *(
+            [
+                "Control-floor normalization: small-side idle floor "
+                f"{sfloor:.3f} s, big-side {bfloor:.3f} s (identical "
+                f"fixed control job) → host ratio {floor_ratio:.2f}×; "
+                "every ratio below is divided by it so host-speed drift "
+                "between the two runs does not read as a plan defect. "
+                "Per-query context: (reps × spread% across interleaved "
+                "min-of-N passes).",
+                "",
+            ]
+            if sfloor and bfloor
+            else []
+        ),
+        "| query | sec @ small | sec @ big | ratio (floor-normalized) |",
         "|---|---|---|---|",
     ]
     for ratio, q, s, b in rows:
@@ -197,7 +229,10 @@ def main() -> None:
             flag = " ⚠️"
         else:
             flag = ""
-        lines.append(f"| {q}{flag} | {s:.2f} | {b:.2f} | {ratio:.1f}× |")
+        lines.append(
+            f"| {q}{flag} | {s:.2f}{_ctx(svar, q)} | "
+            f"{b:.2f}{_ctx(bvar, q)} | {ratio:.1f}× |"
+        )
     if exempt:
         lines += [
             "",
@@ -217,10 +252,11 @@ def main() -> None:
         with open(args.md, "w") as f:
             f.write(md)
         print(f"wrote {args.md}", file=sys.stderr)
-    total_ratio = big["value"] / max(small["value"], 1e-9)
+    total_ratio = (big["value"] / max(small["value"], 1e-9)) / floor_ratio
     print(json.dumps({
         "data_ratio": data_ratio,
         "total_time_ratio": round(total_ratio, 2),
+        "control_floor_ratio": round(floor_ratio, 2),
         "n_compared": len(common),
         "n_failed": len(bad),
         "n_exempt": len(exempt),
