@@ -330,6 +330,17 @@ def cmd_maintain(args: argparse.Namespace) -> int:
     elif op == "publish":
         cat.publish(args.table)
         out = {"table": args.table, "published": True}
+    elif op == "sweep":
+        out = cat.maintain(
+            args.table,
+            expire_keep_last=args.keep_last if args.older_than else None,
+            expire_older_than=args.older_than,
+            orphan_older_than_hours=(
+                args.older_than_hours if args.sweep_orphans else None
+            ),
+            ann_rebuild_after_drifted_adds=args.ann_rebuild_after,
+            dry_run=args.dry_run,
+        )
     elif op == "rewrite-deletes":
         out = cat.rewrite_position_deletes(args.table)
     elif op == "remove-orphans":
@@ -491,7 +502,7 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("maintain", help="table maintenance operations")
     p.add_argument(
         "op",
-        choices=["compact", "expire", "rollback", "publish",
+        choices=["sweep", "compact", "expire", "rollback", "publish",
                  "rewrite-deletes", "remove-orphans", "row-count", "analyze",
                  "tag", "branch", "fast-forward", "clone",
                  "recover-transactions"],
@@ -512,6 +523,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--ref", default=None,
                    help="tag/branch name for tag|branch|fast-forward")
+    p.add_argument("--ann-rebuild-after", type=int, default=None,
+                   help="sweep: rebuild an IVF-PQ index after this many "
+                        "consecutive drifted adds (index.drift_consecutive; "
+                        "source from the index's recorded "
+                        "index.source_table)")
+    p.add_argument("--sweep-orphans", action="store_true",
+                   help="sweep: include the orphan-file step "
+                        "(uses --older-than-hours)")
     p.set_defaults(fn=cmd_maintain)
 
     args = ap.parse_args(argv)

@@ -1923,19 +1923,36 @@ class Catalog:
         entries = self._load_manifest(h)
         if not entries:
             raise ValueError(f"table {name} does not exist")
-        # ONE job serves both the cardinality check and the source-side
-        # row-count stat the broadcast decision needs (same shuffle the
-        # old dup-only check paid; the global agg adds a 1-row stage)
+        # ONE job serves the cardinality check, the source-side
+        # row-count stat, AND the measured avg length of string/binary
+        # key columns (same shuffle the old dup-only check paid; the
+        # global agg adds a 1-row stage). No stats exist for an
+        # arbitrary source DataFrame, and a flat 24-byte guess for a
+        # long-string key (URLs, composite text keys) under-reads by
+        # 10-50x — enough to broadcast a key set the threshold was
+        # meant to refuse (advisor r9).
+        var_keys = [
+            f.name
+            for f in source.select(*on).schema.fields
+            if f.dataType.simpleString() in ("string", "binary")
+        ]
         krow = (
             source.groupBy(*on)
             .agg(F.count(F.lit(1)).alias("_dupn"))
             .agg(
                 F.count(F.lit(1)).alias("_nkeys"),
                 F.max("_dupn").alias("_maxdup"),
+                *[
+                    F.avg(F.length(F.col(c))).alias(f"_avglen_{i}")
+                    for i, c in enumerate(var_keys)
+                ],
             )
             .first()
         )
         n_src_keys = int(krow["_nkeys"] or 0)
+        src_avg_len = {
+            c: krow[f"_avglen_{i}"] for i, c in enumerate(var_keys)
+        }
         if (krow["_maxdup"] or 0) > 1:
             raise ValueError(
                 f"MERGE INTO {name}: source has duplicate keys on {on} — "
@@ -1976,9 +1993,16 @@ class Catalog:
         key_width = 8.0
         for f in source.select(*on).schema.fields:
             t = f.dataType.simpleString()
-            key_width += self._TYPE_WIDTH.get(
-                t, 16 if t.startswith("decimal") else 24
-            )
+            if f.name in src_avg_len:
+                # measured in the cardinality job; +4 length header
+                # (same pricing as estimated_size_bytes' sidecar path);
+                # all-NULL key column → avg is None → minimal width
+                avg = src_avg_len[f.name]
+                key_width += (float(avg) + 4.0) if avg is not None else 8.0
+            else:
+                key_width += self._TYPE_WIDTH.get(
+                    t, 16 if t.startswith("decimal") else 24
+                )
         est_src = int(n_src_keys * key_width)
         # key cols + the ~100-byte lineage path that rides along
         est_tgt = self.estimated_size_bytes(
@@ -2376,6 +2400,8 @@ class Catalog:
         expire_keep_last: int | None = None,
         expire_older_than: str | None = None,
         orphan_older_than_hours: float | None = None,
+        ann_rebuild_after_drifted_adds: int | None = None,
+        ann_source: "DataFrame | None" = None,
         dry_run: bool = False,
     ) -> dict:
         """ONE table-service sweep — the scheduled maintenance loop an
@@ -2403,6 +2429,23 @@ class Catalog:
            given and unreferenced dirs older than the margin exist —
            the crash-debris sweep (:meth:`remove_orphan_files`) expiry
            can never reach because it only walks referenced dirs.
+        5. **Rebuild a drifted ANN index** when
+           ``ann_rebuild_after_drifted_adds`` is given, the table is an
+           IVF-PQ index, and its ``index.drift_consecutive`` property
+           (maintained atomically by ``add_to_ivf_pq_index``: the
+           number of CONSECUTIVE delta adds whose unexplained
+           residual-energy fraction exceeded the drift factor ×
+           build-time holdout baseline) has reached the threshold —
+           the FAISS retrain cadence, decided from recorded drift
+           statistics instead of a wall-clock guess. The rebuild
+           source is ``ann_source`` (a vectors DataFrame) or, absent
+           that, the catalog table named by the index's
+           ``index.source_table`` property; with neither, the action
+           is recorded as recommended-but-skipped so a scheduler can
+           alert. The rebuild re-runs ``build_ivf_pq_index`` with the
+           recipe recorded in the index properties (k/m/nbits/seed/
+           sample_size) in ``mode="replace"``, which resets the drift
+           counter and re-baselines.
 
         ``dry_run`` reports the decisions (with reasons and the stats
         behind them) without acting — the review mode a scheduler dag
@@ -2518,6 +2561,69 @@ class Catalog:
                 }
                 if not dry_run:
                     a["result"] = res
+                actions.append(a)
+        if ann_rebuild_after_drifted_adds is not None:
+            # re-read: earlier sweep steps (compact/fold) may have
+            # committed since ``head`` was captured
+            props = self.table_properties(name)
+            consec = int(props.get("index.drift_consecutive", "0"))
+            if (
+                props.get("index.kind") == "ivf_pq"
+                and consec >= int(ann_rebuild_after_drifted_adds)
+            ):
+                a = {
+                    "action": "rebuild_ivf_pq_index",
+                    "reason": (
+                        f"{consec} consecutive drifted adds >= "
+                        f"{ann_rebuild_after_drifted_adds} "
+                        f"(last_add_rel="
+                        f"{props.get('index.last_add_rel', '?')} vs "
+                        f"baseline_rel="
+                        f"{props.get('index.baseline_rel', '?')})"
+                    ),
+                }
+                src_table = props.get("index.source_table")
+                if ann_source is None and not src_table:
+                    a["skipped"] = (
+                        "rebuild recommended but no source: pass "
+                        "ann_source or build the index with "
+                        "source_table recorded"
+                    )
+                elif not dry_run:
+                    from data_lakehouse_spark.operators.similarity import (
+                        build_ivf_pq_index,
+                    )
+
+                    src_df = (
+                        ann_source
+                        if ann_source is not None
+                        else self.read(src_table)
+                    )
+                    build_ivf_pq_index(
+                        self,
+                        src_df,
+                        name,
+                        vec_col=props.get("index.vec_col", "embedding"),
+                        id_col=props.get("index.id_col", "vec_id"),
+                        k=int(props.get("index.k", "16")),
+                        m=int(props["index.m"]),
+                        nbits=int(props.get("index.nbits", "8")),
+                        seed=int(props.get("index.seed", "7")),
+                        max_iter=int(props.get("index.max_iter", "20")),
+                        sample_size=int(
+                            props.get("index.sample_size", "65536")
+                        ),
+                        mode="replace",
+                        source_table=src_table,
+                    )
+                    newp = self.table_properties(name)
+                    a["result"] = {
+                        "rebuilt": True,
+                        "baseline_rel": newp.get("index.baseline_rel"),
+                        "drift_consecutive": newp.get(
+                            "index.drift_consecutive"
+                        ),
+                    }
                 actions.append(a)
         return {
             "table": name,
@@ -2765,16 +2871,37 @@ class Catalog:
         snapshot's dirs (O(commits) branches, resolved at plan time —
         handles cloned dirs whose names don't encode a local version).
         Equality columns are recorded by stable field id at delete
-        time, so reads resolve them through renames."""
+        time, so reads resolve them through renames.
+
+        STATS-DRIVEN broadcast: each delete's key set broadcasts only
+        while its on-disk bytes fit the auto-broadcast threshold (the
+        same file-size yardstick Spark's own relation sizing uses) — a
+        CDC stream that accumulated a huge eq-delete set between
+        maintenance folds must not ship it to every task; past the
+        threshold the anti-join falls back to shuffle and AQE plans
+        it."""
         df = self._with_dir_seq(h, entries, df, dirs)
+        thr = self._broadcast_threshold()
         for rec in eq_recs:
             dels, keys_cond = self._eq_keys(h, entry, rec)
+            if 0 < self._dir_bytes(h, rec["dir"]) <= thr:
+                dels = F.broadcast(dels)
             df = df.join(
-                F.broadcast(dels),
+                dels,
                 self._eq_scope(h, rec) & keys_cond,
                 "left_anti",
             )
         return df.drop("_eq_seq")
+
+    @staticmethod
+    def _dir_bytes(h: TableHandle, d: str) -> int:
+        """On-disk bytes of one table dir (metadata-only walk)."""
+        total = 0
+        for dp, _, fs in os.walk(os.path.normpath(os.path.join(h.path, d))):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(dp, f))
+        return total
 
     def _eq_scope(self, h: TableHandle, rec: dict):
         """Row-scope condition of one equality delete: for local
@@ -3473,6 +3600,27 @@ class Catalog:
             if not stats or "rows" not in stats:
                 return None
             rows += stats["rows"]
+        width = self.estimated_row_width_bytes(name, columns=columns)
+        # +8/row container overhead; extra_row_bytes lets callers price
+        # in per-row payloads the schema doesn't show (e.g. the lineage
+        # path column a merge probe carries)
+        return int(rows * (width + 8 + extra_row_bytes))
+
+    def estimated_row_width_bytes(
+        self, name: str, *, columns: list[str] | None = None
+    ) -> float:
+        """Per-row width estimate for a column subset of ``name``'s
+        head schema: fixed type widths, string/binary refined by the
+        ANALYZE sidecar's ``avg_len`` when the current version was
+        analyzed (default 24 otherwise). The pricing half of
+        :meth:`estimated_size_bytes`, exposed for callers that already
+        hold an EXACT row count (e.g. a change-feed group set counted
+        by the refresh that derives it)."""
+        h = self._handle(name)
+        entries = self._load_manifest(h)
+        if not entries:
+            raise ValueError(f"table {name} does not exist")
+        head = self._main_head(entries, name)
         sidecar = self.column_stats(name)
         side_cols = (sidecar or {}).get("columns", {})
         schema = {
@@ -3485,7 +3633,7 @@ class Catalog:
         unknown = [c for c in cols if c not in schema]
         if unknown:
             raise ValueError(
-                f"estimated_size_bytes: unknown columns {unknown}"
+                f"estimated row width: unknown columns {unknown}"
             )
         width = 0.0
         for c in cols:
@@ -3499,10 +3647,60 @@ class Catalog:
                 width += (avg + 4) if avg is not None else 24
             else:
                 width += 64  # array/map/struct default
-        # +8/row container overhead; extra_row_bytes lets callers price
-        # in per-row payloads the schema doesn't show (e.g. the lineage
-        # path column a merge probe carries)
-        return int(rows * (width + 8 + extra_row_bytes))
+        return width
+
+    def estimated_changes_size_bytes(
+        self,
+        name: str,
+        from_version: int,
+        to_version: int | None = None,
+        *,
+        columns: list[str] | None = None,
+    ) -> int | None:
+        """Metadata-only UPPER bound on the ``(from, to]`` change
+        feed's size for a column subset: data dirs present on exactly
+        one side of the span, priced by manifest row stats ×
+        :meth:`estimated_row_width_bytes` — the broadcast-side input
+        for incremental-refresh plans (``CdcAggregate``) whose
+        affected-group sets derive from the feed. Overestimates by
+        construction (COW-carried rows count on both sides; affected
+        GROUPS are ≤ feed rows) — an overestimate can only withhold a
+        broadcast, never OOM one. Returns ``None`` (no silent guess)
+        when any span dir predates row stats or when the span commits
+        NEW merge-on-read delete files: their images feed the diff
+        from dirs both versions share, which this dir-level estimate
+        cannot bound."""
+        h = self._handle(name)
+        entries = self._load_manifest(h)
+        if not entries:
+            raise ValueError(f"table {name} does not exist")
+        fe = entries[from_version]
+        te = (
+            entries[to_version]
+            if to_version is not None
+            else self._main_head(entries, name)
+        )
+        fdirs, tdirs = set(fe["data_dirs"]), set(te["data_dirs"])
+
+        def _dd_names(e: dict) -> set:
+            # positional records are plain dir strings, equality
+            # records are dicts carrying their key columns
+            return {
+                d["dir"] if isinstance(d, dict) else d
+                for d in (e.get("delete_dirs") or [])
+            }
+
+        if _dd_names(te) - _dd_names(fe):
+            return None  # in-span MOR deletes image unbounded common dirs
+        rows = 0
+        for d in sorted(fdirs ^ tdirs):
+            owner = fe if d in fdirs else te
+            stats = self._writer_entry(entries, owner, d).get("stats")
+            if not stats or "rows" not in stats:
+                return None
+            rows += stats["rows"]
+        width = self.estimated_row_width_bytes(name, columns=columns)
+        return int(rows * (width + 8))
 
     def prune_hints(self, name: str) -> list[str]:
         """``read(prune=...)`` suggestions from the stats sidecars —

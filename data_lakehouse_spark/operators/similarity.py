@@ -993,6 +993,7 @@ def build_ivf_pq_index(
     sample_size: int = 65_536,
     extra_properties: dict | None = None,
     mode: str = "replace",
+    source_table: str | None = None,
 ):
     """Materialize an IVF-PQ index (the FAISS ``IVFx,PQm`` shape — the
     tier that makes billion-vector search fit in memory): coarse KMeans
@@ -1227,6 +1228,23 @@ def build_ivf_pq_index(
                 "index.train_mse": repr(train_mse),
                 "index.baseline_mse": repr(baseline_mse),
                 "index.baseline_rel": repr(baseline_rel),
+                # rebuild recipe: everything Catalog.maintain's
+                # drift-policy step needs to re-run this build
+                # faithfully from metadata alone
+                "index.k": str(int(k)),
+                "index.seed": str(int(seed)),
+                "index.max_iter": str(int(max_iter)),
+                "index.sample_size": str(int(sample_size)),
+                "index.vec_col": vec_col,
+                "index.id_col": id_col,
+                # consecutive drifted adds since build (add path
+                # increments/resets; maintain() keys its rebuild on it)
+                "index.drift_consecutive": "0",
+                **(
+                    {"index.source_table": source_table}
+                    if source_table
+                    else {}
+                ),
                 **(extra_properties or {}),
             },
         )
@@ -1496,7 +1514,13 @@ def add_to_ivf_pq_index(
     IS distribution drift. The batch statistics also land in the
     table properties (``index.last_add_mse`` / ``index.last_add_rel``)
     in the SAME atomic upsert commit, so an operator sees drift from
-    table metadata alone."""
+    table metadata alone.
+
+    Zero-norm batch vectors (cosine-undefined, excluded by the encode
+    kernel) are NOT silently skipped: their ids join the same commit
+    as delete-without-image ops — a vector re-embedded to zero-norm
+    must stop being probe-visible under its stale codes — and the
+    returned dict reports them as ``dropped_zero_norm``."""
     from pyspark import StorageLevel
 
     enc = encode_ivf_pq(
@@ -1505,10 +1529,24 @@ def add_to_ivf_pq_index(
     try:
         mrow = enc.agg(
             F.avg("_qerr").alias("m"), F.sum("_qerr").alias("q"),
-            F.sum("_rn").alias("r"),
+            F.sum("_rn").alias("r"), F.count("*").alias("n"),
         ).first()
         batch_mse = float(mrow["m"]) if mrow["m"] is not None else 0.0
         batch_rel = float(mrow["q"]) / float(mrow["r"]) if mrow["r"] else 0.0
+        n_encoded = int(mrow["n"])
+        ids_in = df.select(F.col(id_col).cast("bigint").alias("vec_id"))
+        n_in = ids_in.distinct().count()
+        dropped = n_in - n_encoded
+        upsert = enc.drop("_qerr", "_rn").withColumn("_op", F.lit("u"))
+        if dropped > 0:
+            # zero-norm re-embeds: delete the stale codes (no image) in
+            # the SAME atomic commit — one anti-join over the batch
+            upsert = upsert.unionByName(
+                ids_in.join(enc.select("vec_id"), "vec_id", "left_anti")
+                .withColumn("ivf_cell", F.lit(None).cast("int"))
+                .withColumn("pq_code", F.lit(None).cast("array<int>"))
+                .withColumn("_op", F.lit("d"))
+            )
         props = catalog.table_properties(name)
         train_mse = float(props.get("index.train_mse", "0.0"))
         # drift against the GENERALIZATION baseline, on the SCALE-FREE
@@ -1522,13 +1560,23 @@ def add_to_ivf_pq_index(
             baseline_rel > 0.0
             and batch_rel > float(drift_factor) * baseline_rel
         )
+        # consecutive-drift counter: incremented/reset in the SAME
+        # atomic commit, so Catalog.maintain's rebuild policy
+        # ("rebuild_recommended held for N adds") reads it from table
+        # metadata alone — no add history to replay
+        consec = (
+            int(props.get("index.drift_consecutive", "0")) + 1
+            if drifted
+            else 0
+        )
         res = catalog.upsert_cdc(
             name,
-            enc.drop("_qerr", "_rn").withColumn("_op", F.lit("u")),
+            upsert,
             ["vec_id"],
             properties_update={
                 "index.last_add_mse": repr(batch_mse),
                 "index.last_add_rel": repr(batch_rel),
+                "index.drift_consecutive": str(consec),
             },
         )
         return dict(
@@ -1539,6 +1587,8 @@ def add_to_ivf_pq_index(
             batch_rel=batch_rel,
             baseline_rel=baseline_rel,
             rebuild_recommended=drifted,
+            drift_consecutive=consec,
+            dropped_zero_norm=dropped,
         )
     finally:
         enc.unpersist(blocking=False)

@@ -56,6 +56,39 @@ __all__ = ["CdcAggregate", "CdcQuantile"]
 _LAST_VERSION_PROP = "cdc.last_source_version"
 
 
+def _stats_broadcast_hint(
+    catalog,
+    source: str,
+    group_cols: list[str],
+    groups: DataFrame,
+    frm: int,
+    to: int,
+    *,
+    n_exact: int | None = None,
+) -> DataFrame:
+    """Broadcast-hint a feed-derived group set only when the stats say
+    it fits the auto-broadcast threshold (r9 verdict ask #7 — the same
+    ``estimated_size_bytes``-family pricing ``merge_into`` uses):
+    ``n_exact`` (a count the caller already paid) × sidecar-refined
+    group-col widths when given, else the metadata-only change-feed
+    size bound over ``(frm, to]``. Unknown (``None``) estimates
+    withhold the hint — shuffle + AQE, never a blind broadcast of a
+    bulk backfill's group set."""
+    thr = catalog._broadcast_threshold()
+    if thr <= 0:
+        return groups
+    if n_exact is not None:
+        width = catalog.estimated_row_width_bytes(
+            source, columns=group_cols
+        )
+        est = int(n_exact * (width + 8))
+    else:
+        est = catalog.estimated_changes_size_bytes(
+            source, frm, to, columns=group_cols
+        )
+    return F.broadcast(groups) if est is not None and est <= thr else groups
+
+
 class CdcAggregate:
     """Incrementally-maintained aggregate table.
 
@@ -237,6 +270,15 @@ class CdcAggregate:
             ).otherwise(F.lit(-1)),
         ).drop("_change_type")
 
+    def _hint_feed_groups(
+        self, groups: DataFrame, frm: int, to: int,
+        n_exact: int | None = None,
+    ) -> DataFrame:
+        return _stats_broadcast_hint(
+            self.catalog, self.source, self.group_cols, groups, frm, to,
+            n_exact=n_exact,
+        )
+
     def _source_version(self) -> int:
         entries = self.catalog._load_manifest(
             self.catalog._handle(self.source)
@@ -316,9 +358,16 @@ class CdcAggregate:
                 mode="replace",
             )
         affected = dv_delta.select(*self.group_cols).distinct()
+        # STATS-DRIVEN broadcast (r9 verdict ask #7): the affected-group
+        # set derives from the change feed, so the feed's metadata-only
+        # size bound (span dirs' row stats × group-col widths — an
+        # overestimate: groups ≤ feed rows) decides whether it ships to
+        # every task. A bulk backfill touching most groups must not
+        # broadcast; a normal microbatch still does.
+        affected = self._hint_feed_groups(affected, last, cur)
         derived = (
             self.catalog.read(self._dv_table(out))
-            .join(F.broadcast(affected), on=self.group_cols, how="left_semi")
+            .join(affected, on=self.group_cols, how="left_semi")
             .groupBy(*self.group_cols)
             .agg(self._abs_agg(kind, F.col("_dv")).alias(out))
         )
@@ -609,15 +658,21 @@ class CdcQuantile:
                 rebuilt_groups = n_del
                 # deletes can't retract: rebuild ONLY the touched
                 # groups from the source (absolute, hence replay-safe);
-                # fully-deleted groups produce no rebuilt row -> retire
+                # fully-deleted groups produce no rebuilt row -> retire.
+                # Broadcast decided from the EXACT group count already
+                # paid above × sidecar-refined widths — a bulk delete
+                # touching most groups must not ship its group set to
+                # every task (r9 verdict ask #7)
+                dg = _stats_broadcast_hint(
+                    self.catalog, self.source, self.group_cols,
+                    del_groups, frm, cur, n_exact=n_del,
+                )
                 kept = merged.join(
-                    F.broadcast(del_groups), on=self.group_cols,
-                    how="left_anti",
+                    dg, on=self.group_cols, how="left_anti",
                 )
                 rebuilt = self._sketch(
                     self.catalog.read(self.source).join(
-                        F.broadcast(del_groups), on=self.group_cols,
-                        how="left_semi",
+                        dg, on=self.group_cols, how="left_semi",
                     )
                 )
                 merged = kept.unionByName(rebuilt)

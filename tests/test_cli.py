@@ -115,6 +115,50 @@ def test_cli_maintain(spark, tmp_path, capsys):
     assert json.loads(capsys.readouterr().out.strip())["files_after"] >= 1
 
 
+def test_cli_maintain_sweep_ann_policy(spark, tmp_path, capsys):
+    """CLI `maintain sweep --ann-rebuild-after N`: the policy sweep
+    rebuilds a drifted IVF-PQ index from its recorded source table."""
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.operators import similarity
+
+    wh = str(tmp_path / "wh")
+    cat = Catalog(spark, wh)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cat.create_table("vectors", emb)
+    similarity.build_ivf_pq_index(
+        cat, cat.read("vectors"), "pq",
+        k=8, m=8, sample_size=64, source_table="vectors",
+    )
+    onehot = spark.createDataFrame(
+        [(90_000 + i, [1.0 if j == i else 0.0 for j in range(64)])
+         for i in range(16)],
+        "vec_id long, embedding array<double>",
+    )
+    cat.append("vectors", onehot)
+    similarity.add_to_ivf_pq_index(cat, "pq", onehot, drift_factor=0.01)
+    assert cat.table_properties("pq")["index.drift_consecutive"] == "1"
+
+    rc = main(["maintain", "sweep", "--warehouse", wh, "--table", "pq",
+               "--ann-rebuild-after", "1", "--dry-run"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    acts = [a for a in out["actions"] if a["action"] == "rebuild_ivf_pq_index"]
+    assert len(acts) == 1 and "result" not in acts[0]
+
+    rc = main(["maintain", "sweep", "--warehouse", wh, "--table", "pq",
+               "--ann-rebuild-after", "1"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    acts = [a for a in out["actions"] if a["action"] == "rebuild_ivf_pq_index"]
+    assert len(acts) == 1 and acts[0]["result"]["rebuilt"] is True
+    assert cat.table_properties("pq")["index.drift_consecutive"] == "0"
+    assert (
+        cat.read("pq").filter(F.col("vec_id") >= 90_000).count() == 16
+    )
+
+
 def test_cli_maintain_refs(spark, tmp_path, capsys):
     """tag / branch / fast-forward through the CLI."""
     from data_lakehouse_spark.catalog import Catalog

@@ -804,3 +804,162 @@ def test_ivf_pq_incremental_add(spark, sf_dir, tmp_path):
     bad = spark.createDataFrame([(9000, [1.0, 2.0])], "vec_id long, embedding array<double>")
     with pytest.raises(Exception, match="dim"):
         similarity.add_to_ivf_pq_index(cat, "pq", bad)
+
+
+def test_ivf_pq_drift_policy_rebuild(spark, sf_dir, tmp_path):
+    """r9 verdict ask #4: drift detection wired into maintenance.
+    add_to_ivf_pq_index maintains an atomic consecutive-drift counter;
+    Catalog.maintain(ann_rebuild_after_drifted_adds=N) reads it and
+    re-runs build_ivf_pq_index(mode="replace") from the recipe recorded
+    in the index properties — rebuild restores recall on the drifted
+    (shifted-distribution) corpus and resets the counter/baseline."""
+    import pytest
+
+    from data_lakehouse_spark.catalog import Catalog
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(2000)
+    cat = Catalog(spark, str(tmp_path / "w"))
+    cat.create_table("vectors", emb)
+    similarity.build_ivf_pq_index(
+        cat, cat.read("vectors"), "pq",
+        k=16, m=8, nbits=8, sample_size=256, source_table="vectors",
+    )
+    props = cat.table_properties("pq")
+    assert props["index.source_table"] == "vectors"
+    assert props["index.drift_consecutive"] == "0"
+
+    # distribution shift: two consecutive one-hot batches (out of the
+    # Gaussian-ish fixture distribution; deterministic under fixed
+    # seeds). Both also land in the SOURCE table, as a real ingest
+    # pipeline would, so the policy rebuild retrains on shifted data.
+    def onehot_batch(base_id):
+        return spark.createDataFrame(
+            [
+                (base_id + i, [1.0 if j == i + (base_id % 7) else 0.0
+                               for j in range(64)])
+                for i in range(32)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+
+    for b, base_id in enumerate([10_000, 11_000], start=1):
+        batch = onehot_batch(base_id)
+        cat.append("vectors", batch)
+        res = similarity.add_to_ivf_pq_index(
+            cat, "pq", batch, drift_factor=1.4
+        )
+        assert res["rebuild_recommended"] is True
+        assert res["drift_consecutive"] == b
+    assert cat.table_properties("pq")["index.drift_consecutive"] == "2"
+
+    # an in-distribution add RESETS the counter (drift must be
+    # consecutive, not cumulative)
+    indist = emb.limit(40).select(
+        (F.col("vec_id") + 50_000).alias("vec_id"), "embedding"
+    )
+    cat.append("vectors", indist)
+    res = similarity.add_to_ivf_pq_index(cat, "pq", indist)
+    assert res["rebuild_recommended"] is False
+    assert res["drift_consecutive"] == 0
+
+    # re-drift to the threshold, then drive the POLICY
+    for base_id in (12_000, 13_000):
+        batch = onehot_batch(base_id)
+        cat.append("vectors", batch)
+        similarity.add_to_ivf_pq_index(cat, "pq", batch, drift_factor=1.4)
+
+    # drifted-index recall BEFORE rebuild: raw ADC probe for a one-hot
+    # query against the frozen (pre-shift) codebooks
+    qv = [1.0 if j == 5 else 0.0 for j in range(64)]
+    exact = similarity.cosine_topk(cat.read("vectors"), qv, k=10)
+    before = similarity.ann_ivf_pq_topk(cat, "pq", qv, k=10, nprobe=8)
+    recall_before = similarity.exact_recall_at_k(before, exact)
+
+    # dry_run reports the decision without acting
+    plan = cat.maintain(
+        "pq", min_files_to_compact=999, ann_rebuild_after_drifted_adds=2,
+        dry_run=True,
+    )
+    acts = [a for a in plan["actions"] if a["action"] == "rebuild_ivf_pq_index"]
+    assert len(acts) == 1 and "consecutive drifted adds" in acts[0]["reason"]
+    assert "result" not in acts[0]
+    assert cat.table_properties("pq")["index.drift_consecutive"] == "2"
+
+    # the real sweep rebuilds from index.source_table with the recorded
+    # recipe, re-baselines, and resets the counter
+    out = cat.maintain(
+        "pq", min_files_to_compact=999, ann_rebuild_after_drifted_adds=2,
+    )
+    acts = [a for a in out["actions"] if a["action"] == "rebuild_ivf_pq_index"]
+    assert len(acts) == 1 and acts[0]["result"]["rebuilt"] is True
+    newp = cat.table_properties("pq")
+    assert newp["index.drift_consecutive"] == "0"
+    assert newp["index.source_table"] == "vectors"  # recipe survives
+    assert cat.read("pq").count() == cat.read("vectors").count()
+
+    # recall restored: the retrained codebooks know the shifted region
+    after = similarity.ann_ivf_pq_topk(cat, "pq", qv, k=10, nprobe=8)
+    recall_after = similarity.exact_recall_at_k(after, exact)
+    assert recall_after >= max(recall_before, 0.5)
+
+    # below threshold -> no action; missing source -> recommended-but-
+    # skipped (recorded so a scheduler can alert)
+    out = cat.maintain(
+        "pq", min_files_to_compact=999, ann_rebuild_after_drifted_adds=1,
+    )
+    assert not [a for a in out["actions"]
+                if a["action"] == "rebuild_ivf_pq_index"]
+
+    similarity.build_ivf_pq_index(
+        cat, cat.read("vectors"), "pq2", k=16, m=8, nbits=8, sample_size=256,
+    )
+    batch = onehot_batch(14_000).select(
+        (F.col("vec_id") + 90_000).alias("vec_id"), "embedding"
+    )
+    similarity.add_to_ivf_pq_index(cat, "pq2", batch, drift_factor=0.01)
+    out = cat.maintain(
+        "pq2", min_files_to_compact=999, ann_rebuild_after_drifted_adds=1,
+    )
+    acts = [a for a in out["actions"] if a["action"] == "rebuild_ivf_pq_index"]
+    assert len(acts) == 1 and "no source" in acts[0]["skipped"]
+
+    # non-index tables never trigger the step
+    out = cat.maintain(
+        "vectors", min_files_to_compact=999, ann_rebuild_after_drifted_adds=1,
+    )
+    assert not [a for a in out["actions"]
+                if a["action"] == "rebuild_ivf_pq_index"]
+
+
+def test_add_to_ivf_pq_zero_norm_deletes_stale_codes(spark, sf_dir, tmp_path):
+    """ADVICE r9: a vector re-embedded to zero-norm must not keep its
+    stale codes probe-visible — the add path now deletes it (no image)
+    in the same atomic commit and reports dropped_zero_norm."""
+    from data_lakehouse_spark.catalog import Catalog
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(500)
+    cat = Catalog(spark, str(tmp_path / "w"))
+    similarity.build_ivf_pq_index(cat, emb, "pq", k=8, m=8, sample_size=128)
+    n0 = cat.read("pq").count()
+    assert cat.read("pq").filter(F.col("vec_id") == 3).count() == 1
+
+    zero = spark.createDataFrame(
+        [(3, [0.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    res = similarity.add_to_ivf_pq_index(cat, "pq", zero)
+    assert res["dropped_zero_norm"] == 1
+    assert cat.read("pq").filter(F.col("vec_id") == 3).count() == 0
+    assert cat.read("pq").count() == n0 - 1
+
+    # mixed batch: one valid update + one zero-norm delete, one commit
+    mixed = spark.createDataFrame(
+        [
+            (4, [float(j == 9) for j in range(64)]),
+            (5, [0.0] * 64),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    res = similarity.add_to_ivf_pq_index(cat, "pq", mixed)
+    assert res["dropped_zero_norm"] == 1
+    assert cat.read("pq").filter(F.col("vec_id") == 5).count() == 0
+    assert cat.read("pq").filter(F.col("vec_id") == 4).count() == 1

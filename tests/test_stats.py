@@ -155,6 +155,116 @@ def test_merge_into_broadcast_side_is_stats_driven(cat, spark):
     assert 1000 in ids and set(range(200)) <= ids
 
 
+def test_merge_into_string_key_width_is_measured(cat, spark):
+    """ADVICE r9: string/binary merge keys are priced by avg(length)
+    measured in the same cardinality-check job, not a flat 24 bytes —
+    a merge keyed on long strings (URLs) must not broadcast a key set
+    the threshold was meant to refuse."""
+    cat2 = Catalog(
+        spark, str(cat._handle("t").path).rsplit("/", 2)[0] + "/wh2"
+    )
+    rows = [(f"https://example.com/path/{'x' * 180}/{i}", float(i))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "url string, amount double")
+    cat2.create_table("u", df)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4KB")
+    try:
+        # flat-24B pricing would say 100 × (8+24) = 3.2 KB < 4 KB and
+        # broadcast the source; measured ~200-char keys say ~21 KB —
+        # the source must NOT broadcast. The 100-row target key set
+        # (manifest rows × sidecar-refined width) doesn't fit 4 KB
+        # either → shuffle.
+        src = spark.createDataFrame(rows[:100], "url string, amount double")
+        res = cat2.merge_into("u", src, ["url"])
+        assert res["hit_probe"] == "shuffle"
+        assert res["matched_rows"] == 100
+
+        # short string keys still take the broadcast fast path
+        short = spark.createDataFrame(
+            [(f"u{i}", 1.0) for i in range(50)], "url string, amount double"
+        )
+        res2 = cat2.merge_into("u", short, ["url"])
+        assert res2["hit_probe"] == "broadcast_source"
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024)
+        )
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_eq_delete_read_probe_is_stats_driven(cat, spark):
+    """r9 verdict ask #7 (site 1): the MOR equality-delete anti-join on
+    the read path broadcasts the key set only while its on-disk bytes
+    fit the auto-broadcast threshold — an accumulated delete set past
+    the threshold falls back to shuffle + AQE instead of shipping to
+    every task."""
+    cat.delete_where(
+        "t", "name = 'beta'", mode="mor-eq", equality_cols=["id"]
+    )
+    plan = _plan(cat.read("t"))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+    try:
+        plan = _plan(cat.read("t"))
+        assert "LeftAnti" in plan
+        assert "BroadcastHashJoin" not in plan
+        # semantics identical on the shuffle path
+        assert {r["id"] for r in cat.read("t").collect()} == {1, 4}
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024)
+        )
+
+
+def test_cdc_affected_group_broadcast_is_stats_driven(cat, spark):
+    """r9 verdict ask #7 (site 2): CdcAggregate/CdcQuantile hint their
+    feed-derived group sets from the same estimated-size pricing
+    merge_into uses — metadata-only change-feed bound, or an exact
+    already-paid count × sidecar-refined widths; unknown estimates
+    withhold the hint."""
+    from data_lakehouse_spark.plans.cdc import _stats_broadcast_hint
+
+    cat.append("t", cat.spark.createDataFrame(
+        [(10, "kappa", 1.0), (11, "kappa", 2.0)],
+        "id bigint, name string, amount double",
+    ))
+    # metadata-only feed bound over the append span (v0 -> v1]
+    est = cat.estimated_changes_size_bytes("t", 0, 1, columns=["name"])
+    assert est == 2 * (24 + 8)  # 2 rows x (default str width + overhead)
+    groups = cat.read("t").select("name").distinct()
+
+    def hinted(g):
+        return "hint" in g._jdf.queryExecution().logical().toString().lower()
+
+    assert hinted(_stats_broadcast_hint(cat, "t", ["name"], groups, 0, 1))
+    # exact count dominates the span bound when the caller paid it
+    big = _stats_broadcast_hint(
+        cat, "t", ["name"], groups, 0, 1, n_exact=10_000_000
+    )
+    assert not hinted(big)
+    # an in-span MOR delete makes the dir-level bound unsound -> None
+    # -> no hint (shuffle + AQE, never a blind broadcast)
+    cat.delete_where(
+        "t", "id = 10", mode="mor-eq", equality_cols=["id"]
+    )
+    v = cat.current_version("t")
+    assert cat.estimated_changes_size_bytes("t", 0, v) is None
+    assert not hinted(_stats_broadcast_hint(cat, "t", ["name"], groups, 0, v))
+    # broadcasting disabled (thr <= 0) always withholds
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert not hinted(
+            _stats_broadcast_hint(cat, "t", ["name"], groups, 0, 1)
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024)
+        )
+
+
 def test_explain_surfaces_prune_hints(cat):
     hints = cat.prune_hints("t")
     assert any("t.id" in h and "prune=" in h for h in hints)
