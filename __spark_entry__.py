@@ -4207,6 +4207,85 @@ def q_delta_history_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return head.unionAll(v1_residue).orderBy("s_suppkey")
 
 
+def q_delta_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DELETION-VECTOR roundtrip (r9 verdict ask #6): supplier
+    exports to a Delta dir, then a protocol-shaped DV commit (remove +
+    re-add of each file carrying a roaring-bitmap sidecar in the spec's
+    Z85/versioned-file layout, plus the minReaderVersion=3 feature
+    bump) marks every s_suppkey % 3 == 0 row deleted BY ROW INDEX. The
+    replayed head must equal the oracle's filtered rendering; the
+    pre-DV version-0 read rides along as an exceptAll residue (any
+    time-travel discrepancy surfaces as extra rows → hash mismatch).
+    Sidecar coverage rotates per file: on-disk uuid-named vs inline
+    Z85, array vs run containers."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.interop import export_delta, read_delta
+    from data_lakehouse_spark.interop.dv import attach_dv
+
+    _ensure_conf(spark)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dls_delta_dv",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(spark, os.path.join(root, "cat"))
+    sup = _rel(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    cat.create_table("sup_dv", sup)
+    dl = os.path.join(root, "dl")
+    export_delta(cat, "sup_dv", dl)
+    log = os.path.join(dl, "_delta_log")
+    with open(os.path.join(log, f"{0:020d}.json")) as f:
+        adds = [
+            _json.loads(line)["add"]
+            for line in f
+            if line.strip() and "add" in _json.loads(line)
+        ]
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as f:
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"]}}) + "\n")
+        for i, add in enumerate(adds):
+            kill = [
+                r["ri"]
+                for r in spark.read.parquet(add["path"])
+                .select(
+                    F.col("_metadata.row_index").alias("ri"), "s_suppkey"
+                )
+                .collect()
+                if r["s_suppkey"] % 3 == 0
+            ]
+            if not kill:
+                continue
+            desc = attach_dv(
+                dl, kill,
+                storage="i" if i % 2 else "u",
+                prefix="" if i % 2 else "ab/",
+                use_runs=bool(i % 2),
+            )
+            f.write(_json.dumps({"remove": {
+                "path": add["path"], "dataChange": True}}) + "\n")
+            f.write(_json.dumps({"add": dict(
+                add, dataChange=True, deletionVector=desc)}) + "\n")
+    head = read_delta(spark, dl).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    # pre-DV time travel audit: version 0 minus the full table is empty
+    v0_residue = (
+        read_delta(spark, dl, version=0)
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .exceptAll(sup)
+    )
+    return head.unionAll(v0_residue).orderBy("s_suppkey")
+
+
 def q_stream_source_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SOURCE gate: nation lands in the catalog in two
     commits (keys < 13, then the rest); the Python-DataSource stream
@@ -4463,6 +4542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_roundtrip": q_iceberg_roundtrip,
         "delta_roundtrip": q_delta_roundtrip,
         "delta_history_roundtrip": q_delta_history_roundtrip,
+        "delta_dv_roundtrip": q_delta_dv_roundtrip,
         "stream_source_nation": q_stream_source_nation,
         "stream_cdf_nation": q_stream_cdf_nation,
         "cdc_mart_incremental": q_cdc_mart_incremental,
@@ -5641,6 +5721,13 @@ ORDER BY n_nationkey
 SELECT s_suppkey, s_name, s_nationkey
 FROM supplier
 WHERE s_suppkey % 7 <> 0
+ORDER BY s_suppkey
+"""
+
+    sql["delta_dv_roundtrip"] = """
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier
+WHERE s_suppkey % 3 <> 0
 ORDER BY s_suppkey
 """
 

@@ -44,6 +44,13 @@ BENCH_EXCLUDED = {
         "tmp-dir catalog writes, not a read query; the oracle gate "
         "verifies it end-to-end"
     ),
+    "delta_dv_roundtrip": (
+        "deletion-vector interop SCENARIO (catalog build + Delta "
+        "export + per-file DV sidecar writes + two log replays) — "
+        "timing measures tmp-dir export/sidecar writes, not a read "
+        "query; the oracle gate verifies the filtered rendering "
+        "end-to-end"
+    ),
     "stream_cdf_nation": (
         "streaming SCENARIO (CDF twin of stream_source_nation): fixed "
         "StreamingQuery lifecycle overhead, not read cost; oracle gate "

@@ -15,9 +15,12 @@ metadata write and the reader a log replay:
   deletes and transform-partitioned layouts materialize.
 - :func:`read_delta` replays a Delta log — latest checkpoint parquet
   (if any) plus later JSON commits, add/remove reconciliation,
-  partition-value reconstruction, schema from the last ``metaData`` —
-  and refuses deletion vectors / column mapping rather than returning
-  wrong rows.
+  partition-value reconstruction, schema from the last ``metaData``,
+  deletion vectors applied from their spec-format sidecars
+  (:mod:`data_lakehouse_spark.interop.dv`) via a broadcast anti-join
+  on ``_metadata.row_index`` lineage — and refuses column mapping
+  rather than returning wrong rows (physical names diverge from
+  logical ones; the one remaining documented refusal).
 
 ``schemaString`` IS Spark's schema JSON (Delta inherited it), so
 conversion is the identity — the catalog's schema round-trips exactly.
@@ -500,10 +503,13 @@ def read_delta(
 ) -> DataFrame:
     """Read a Delta table directory by replaying its log (checkpoint +
     JSON commits ≤ ``version``, default latest). Supports add/remove
-    reconciliation and identity-partitioned tables (partition columns
+    reconciliation, identity-partitioned tables (partition columns
     reconstructed from ``partitionValues`` and cast to the declared
-    schema types). Refuses deletion vectors and column-mapping tables
-    — wrong-rows failure modes — rather than guessing."""
+    schema types), and DELETION VECTORS (the modern writer's MOR path:
+    per-file roaring-bitmap sidecars decoded per the public protocol
+    and anti-joined on ``_metadata.row_index``). Refuses
+    column-mapping tables — a wrong-rows failure mode — rather than
+    guessing."""
     location = os.path.abspath(location)
     log_dir = os.path.join(location, "_delta_log")
     versions = _log_versions(log_dir)
@@ -551,11 +557,6 @@ def read_delta(
                     continue
                 a = json.loads(line)
                 if "add" in a:
-                    if a["add"].get("deletionVector"):
-                        raise ValueError(
-                            f"{location}: deletion vectors are not "
-                            "supported by this reader"
-                        )
                     live[a["add"]["path"]] = a["add"]
                 elif "remove" in a:
                     live.pop(a["remove"]["path"], None)
@@ -569,7 +570,7 @@ def read_delta(
         feats = protocol.get("readerFeatures") or []
         unsupported = [
             ft for ft in feats
-            if ft not in ("timestampNtz", "v2Checkpoint")
+            if ft not in ("timestampNtz", "v2Checkpoint", "deletionVectors")
         ]
         if unsupported:
             raise ValueError(
@@ -591,10 +592,58 @@ def read_delta(
         p = re.sub(r"^file:/+", "/", p)
         return p if os.path.isabs(p) else os.path.join(location, p)
 
+    # deletion vectors: decode each file's sidecar bitmap (driver-side
+    # — DVs are metadata-sized, bounded by a file's row count) into
+    # (absolute file path, deleted row index) pairs; applied below as
+    # ONE broadcast anti-join on _metadata lineage, keeping the scan
+    # itself vectorized
+    dv_map = {
+        _abs(p): a["deletionVector"]
+        for p, a in live.items()
+        if a.get("deletionVector")
+    }
+
+    def _apply_dvs(df: DataFrame) -> DataFrame:
+        from data_lakehouse_spark.interop.dv import dv_indexes
+
+        import pandas as pd
+
+        pairs = pd.DataFrame(
+            [
+                (path, idx)
+                for path, desc in sorted(dv_map.items())
+                for idx in dv_indexes(location, desc)
+            ],
+            columns=["__dv_kill_file", "__dv_kill_idx"],
+        )
+        dels = spark.createDataFrame(
+            pairs, "__dv_kill_file string, __dv_kill_idx bigint"
+        )
+        out = df.join(
+            F.broadcast(dels),
+            (
+                F.regexp_replace(F.col("__dv_file"), r"^file:/+", "/")
+                == F.col("__dv_kill_file")
+            )
+            & (F.col("__dv_idx") == F.col("__dv_kill_idx")),
+            "left_anti",
+        )
+        return out.drop("__dv_file", "__dv_idx")
+
+    def _with_lineage(df: DataFrame) -> DataFrame:
+        return df.select(
+            "*",
+            F.col("_metadata.file_path").alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_idx"),
+        )
+
     if not part_cols:
-        return spark.read.schema(
+        df = spark.read.schema(
             StructType([f for f in schema.fields])
         ).parquet(*[_abs(p) for p in live])
+        if dv_map:
+            df = _apply_dvs(_with_lineage(df))
+        return df
 
     # partition columns live in partitionValues, not the files: group
     # files by their partition tuple, read each group once, attach the
@@ -614,6 +663,8 @@ def read_delta(
         groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])
     ):
         df = spark.read.schema(file_schema).parquet(*paths)
+        if dv_map:
+            df = _with_lineage(df)
         for c, v in zip(part_cols, key):
             df = df.withColumn(
                 c,
@@ -621,6 +672,9 @@ def read_delta(
                     types[c]
                 ),
             )
-        df = df.select(*[f.name for f in schema.fields])
+        keep = [f.name for f in schema.fields]
+        if dv_map:
+            keep += ["__dv_file", "__dv_idx"]
+        df = df.select(*keep)
         out = df if out is None else out.unionByName(df)
-    return out
+    return _apply_dvs(out) if dv_map else out
