@@ -64,15 +64,24 @@ def export_delta(
     dest: str,
     *,
     materialize: bool | None = None,
+    deletion_vectors: bool = True,
 ) -> dict:
     """Export the catalog table's CURRENT snapshot as a Delta table at
     ``dest`` (``_delta_log/00000000000000000000.json`` + referenced
     parquet). Zero-copy by default — O(files) footer reads, no data
-    scan. Auto-materializes (one Spark rewrite into ``dest/data/``)
-    when the snapshot carries MOR delete files or non-identity
-    (transform) partitioning; identity hive partitioning exports
-    zero-copy with per-file ``partitionValues`` parsed from the
-    directory layout.
+    scan. MOR POSITIONAL deletes stay zero-copy too: the catalog's
+    (file, row_index) delete files are EXACTLY a deletion vector's
+    content, so they re-encode as per-file spec-format DV sidecars
+    (:mod:`data_lakehouse_spark.interop.dv`) under ``dest/dv/`` plus
+    the ``deletionVectors`` protocol bump — O(deleted rows) metadata,
+    no data rewrite. Auto-materializes (one Spark rewrite into
+    ``dest/data/``) only when DVs can't express the snapshot: EQUALITY
+    delete files (row indexes would need a scan to resolve) or
+    non-identity (transform) partitioning; identity hive partitioning
+    exports zero-copy with per-file ``partitionValues`` parsed from
+    the directory layout. ``deletion_vectors=False`` restores the
+    always-materialize-on-deletes behavior for readers predating the
+    feature.
 
     Same freshness caveat as the Iceberg export: the log references a
     frozen snapshot, and ``expire_snapshots`` on the source can reclaim
@@ -84,24 +93,38 @@ def export_delta(
     if not entries:
         raise ValueError(f"table {name} does not exist")
     head = catalog._main_head(entries, name)
-    has_deletes = bool(head.get("delete_dirs"))
+    pos_dirs, eq_recs = catalog._dd_split(head.get("delete_dirs") or [])
+    has_deletes = bool(pos_dirs) or bool(eq_recs)
     pb = list(head.get("partition_by") or [])
     schema_fields = {f["name"] for f in head["schema"]["fields"]}
     # identity partitioning = every physical partition dir column is a
     # declared schema column; hidden transform columns (days(ts),
     # bucket(n, col)) are derived and NOT restorable from the path
     identity_part = all(c in schema_fields for c in pb)
-    must_materialize = has_deletes or (bool(pb) and not identity_part)
+    dv_eligible = (
+        deletion_vectors
+        and bool(pos_dirs)
+        and not eq_recs
+        and (not pb or identity_part)
+    )
+    must_materialize = (has_deletes and not dv_eligible) or (
+        bool(pb) and not identity_part
+    )
     if materialize is None:
         materialize = must_materialize
     if must_materialize and not materialize:
         raise ValueError(
             f"cannot zero-copy export {name}: "
-            + ("it carries MOR delete files; " if has_deletes else "")
+            + ("it carries equality-delete files (row indexes would "
+               "need a scan to resolve into deletion vectors); "
+               if eq_recs else
+               "it carries MOR delete files (deletion_vectors=False); "
+               if has_deletes else "")
             + ("its partitioning uses hidden transforms; "
                if pb and not identity_part else "")
             + "pass materialize=True (one rewrite into the export)"
         )
+    use_dvs = dv_eligible and not materialize
 
     dest = os.path.abspath(dest)
     log_dir = os.path.join(dest, "_delta_log")
@@ -119,8 +142,21 @@ def export_delta(
         ]
 
     now_ms = int(time.time() * 1000)
+    # positional deletes → per-file deletion vectors: the delete files
+    # are (file path, row index) pairs, broadcast-sized by the MOR
+    # contract — group driver-side, one spec-format sidecar per file
+    dv_by_file: dict = {}
+    if use_dvs:
+        for r in catalog._read_positions(h, pos_dirs).collect():
+            p = re.sub(
+                r"^file:/+", "/", urllib.parse.unquote(r["_file"])
+            )
+            dv_by_file.setdefault(p, []).append(int(r["_pos"]))
+
     adds = []
     total_rows = 0
+    dv_files = 0
+    dv_rows = 0
     for root in roots:
         for dp, _, fs in os.walk(root):
             for fname in sorted(fs):
@@ -142,21 +178,37 @@ def export_delta(
                             )
                 n_rows = pq.read_metadata(full).num_rows
                 total_rows += n_rows
-                adds.append(
-                    {
-                        "add": {
-                            "path": full,  # absolute: allowed by protocol
-                            "partitionValues": pvals,
-                            "size": os.path.getsize(full),
-                            "modificationTime": now_ms,
-                            "dataChange": True,
-                            "stats": json.dumps({"numRecords": n_rows}),
-                        }
-                    }
-                )
+                add = {
+                    "path": full,  # absolute: allowed by protocol
+                    "partitionValues": pvals,
+                    "size": os.path.getsize(full),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    "stats": json.dumps({"numRecords": n_rows}),
+                }
+                killed = dv_by_file.get(os.path.normpath(full))
+                if killed:
+                    from data_lakehouse_spark.interop.dv import attach_dv
 
+                    add["deletionVector"] = attach_dv(
+                        dest, killed, storage="u", prefix="dv/"
+                    )
+                    dv_files += 1
+                    dv_rows += len(set(killed))
+                adds.append({"add": add})
+
+    protocol = (
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+        if dv_files
+        else {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
     actions = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"protocol": protocol},
         {
             "metaData": {
                 "id": str(uuid.uuid4()),
@@ -185,8 +237,10 @@ def export_delta(
         "table": name,
         "location": dest,
         "data_files": len(adds),
-        "rows": total_rows,
+        # logical row count: physical rows minus DV-suppressed ones
+        "rows": total_rows - dv_rows,
         "materialized": bool(materialize),
+        "deletion_vector_files": dv_files,
         "partition_columns": part_cols,
     }
 

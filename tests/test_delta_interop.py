@@ -74,7 +74,10 @@ def test_identity_partitioned_zero_copy(spark, tmp_path):
     )
 
 
-def test_mor_deletes_materialize(spark, tmp_path):
+def test_mor_positional_deletes_export_as_deletion_vectors(spark, tmp_path):
+    """MOR positional deletes are (file, row_index) pairs — exactly a
+    deletion vector's content — so the export stays ZERO-COPY: per-file
+    spec-format DV sidecars + the protocol feature bump, no rewrite."""
     cat = _cat(spark, tmp_path)
     cat.create_table(
         "t", spark.createDataFrame([(i,) for i in range(10)], "id long")
@@ -82,10 +85,54 @@ def test_mor_deletes_materialize(spark, tmp_path):
     cat.delete_where("t", "id >= 7", mode="mor")
     dest = str(tmp_path / "dl")
     res = export_delta(cat, "t", dest)
+    assert not res["materialized"]
+    assert res["deletion_vector_files"] >= 1
+    assert res["rows"] == 7  # logical rows (DV-suppressed excluded)
+    assert _rows(read_delta(spark, dest).select("id")) == _rows(cat.read("t"))
+    # opting out of DVs restores materialize-on-deletes
+    res2 = export_delta(
+        cat, "t", str(tmp_path / "dl2"), deletion_vectors=False
+    )
+    assert res2["materialized"] and res2["rows"] == 7
+    with pytest.raises(ValueError, match="MOR delete"):
+        export_delta(cat, "t", str(tmp_path / "dl3"), materialize=False,
+                     deletion_vectors=False)
+
+
+def test_mor_equality_deletes_still_materialize(spark, tmp_path):
+    """Equality deletes need a scan to resolve into row indexes — the
+    export materializes them (documented), and the zero-copy refusal
+    names the reason."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t", spark.createDataFrame([(i,) for i in range(10)], "id long")
+    )
+    cat.delete_where("t", "id >= 7", mode="mor-eq", equality_cols=["id"])
+    dest = str(tmp_path / "dl")
+    res = export_delta(cat, "t", dest)
     assert res["materialized"] and res["rows"] == 7
     assert _rows(read_delta(spark, dest).select("id")) == _rows(cat.read("t"))
-    with pytest.raises(ValueError, match="MOR delete"):
+    with pytest.raises(ValueError, match="equality-delete"):
         export_delta(cat, "t", str(tmp_path / "dl2"), materialize=False)
+
+
+def test_dv_export_partitioned_zero_copy(spark, tmp_path):
+    """DV export composes with identity-partitioned zero-copy: the
+    sidecars key on row indexes within each partition's files."""
+    cat = _cat(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(i, "a" if i < 5 else "b") for i in range(10)],
+        "id long, part string",
+    )
+    cat.create_table("t", df, partition_by=["part"])
+    cat.delete_where("t", "id IN (1, 8)", mode="mor")
+    dest = str(tmp_path / "dl")
+    res = export_delta(cat, "t", dest)
+    assert not res["materialized"] and res["rows"] == 8
+    assert res["partition_columns"] == ["part"]
+    out = read_delta(spark, dest)
+    assert {r["id"] for r in out.collect()} == set(range(10)) - {1, 8}
+    assert out.filter(F.col("part") == "a").count() == 4
 
 
 def test_read_delta_replays_multi_commit_log(spark, tmp_path):
