@@ -2839,11 +2839,19 @@ class Catalog:
         df = self._project_dirs(h, entries, entry, dirs, lineage=lineage)
         if pos_dirs:
             # merge-on-read: subtract positional deletes. The delete set
-            # is broadcast — position files are small relative to data
-            # (that's the point of MOR); when they aren't, run
-            # rewrite_position_deletes to fold them into the data.
+            # broadcasts while its on-disk bytes fit the threshold —
+            # position files are small relative to data (that's the
+            # point of MOR); when a stream has accumulated past it,
+            # shuffle + AQE take over (and rewrite_position_deletes
+            # folds them on the maintenance cadence).
+            pos = self._read_positions(h, pos_dirs)
+            thr = self._broadcast_threshold()
+            if 0 < sum(
+                self._dir_bytes(h, d) for d in pos_dirs
+            ) <= thr:
+                pos = F.broadcast(pos)
             df = df.join(
-                F.broadcast(self._read_positions(h, pos_dirs)),
+                pos,
                 ["_file", "_pos"],
                 "left_anti",
             )

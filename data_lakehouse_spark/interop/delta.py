@@ -295,13 +295,16 @@ def _snapshot_files(h, entry, part_cols, footer_cache) -> list[dict]:
 
 
 _CKPT_DDL = (
-    "protocol struct<minReaderVersion:int,minWriterVersion:int>, "
+    "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+    "readerFeatures:array<string>,writerFeatures:array<string>>, "
     "metaData struct<id:string,format:struct<provider:string,"
     "options:map<string,string>>,schemaString:string,"
     "partitionColumns:array<string>,configuration:map<string,string>,"
     "createdTime:long>, "
     "add struct<path:string,partitionValues:map<string,string>,"
-    "size:long,modificationTime:long,dataChange:boolean,stats:string>"
+    "size:long,modificationTime:long,dataChange:boolean,stats:string,"
+    "deletionVector struct<storageType:string,pathOrInlineDv:string,"
+    "offset:int,sizeInBytes:int,cardinality:long>>"
 )
 
 
@@ -322,7 +325,12 @@ def _write_checkpoint(
     cost stays O(tail), not O(history))."""
     rows = [
         (
-            (protocol["minReaderVersion"], protocol["minWriterVersion"]),
+            (
+                protocol["minReaderVersion"],
+                protocol["minWriterVersion"],
+                protocol.get("readerFeatures"),
+                protocol.get("writerFeatures"),
+            ),
             None,
             None,
         )
@@ -342,6 +350,7 @@ def _write_checkpoint(
         )
     )
     for add in live.values():
+        dv = add.get("deletionVector")
         rows.append(
             (
                 None,
@@ -353,6 +362,15 @@ def _write_checkpoint(
                     add["modificationTime"],
                     add["dataChange"],
                     add["stats"],
+                    (
+                        dv["storageType"],
+                        dv["pathOrInlineDv"],
+                        dv.get("offset"),
+                        dv["sizeInBytes"],
+                        dv["cardinality"],
+                    )
+                    if dv
+                    else None,
                 ),
             )
         )
@@ -400,11 +418,17 @@ def export_delta_history(
     protocol's scale mechanism (reference stores genuine open-format
     tables: spark/jobs/bronze_ingestion.py:94-121).
 
-    Refused shapes (same contract as
+    MOR POSITIONAL deletes in history export as deletion-vector
+    commits: a ``delete_mor`` version becomes a remove + re-add of
+    each touched file carrying its CUMULATIVE DV sidecar (how a native
+    DV writer logs a delete), and the protocol carries the
+    ``deletionVectors`` feature from commit 0. Refused shapes (same
+    contract as
     :func:`~data_lakehouse_spark.interop.iceberg.export_iceberg_history`):
-    MOR delete files anywhere in history or a partition-spec change
-    (export the current snapshot with :func:`export_delta`,
-    ``materialize=True``, instead). Non-identity (hidden-transform)
+    EQUALITY delete files anywhere in history (row indexes would need
+    a scan per version to resolve — export the current snapshot with
+    :func:`export_delta`, ``materialize=True``, instead) or a
+    partition-spec change. Non-identity (hidden-transform)
     partitioning is refused for the same reason as the current-snapshot
     path. Expired catalog versions are skipped (files reclaimed)."""
     h = catalog._handle(name)
@@ -418,12 +442,17 @@ def export_delta_history(
     ]
     if not versions:
         raise ValueError(f"table {name} has no published snapshots")
-    if any(e.get("delete_dirs") for e in versions):
+    if any(
+        catalog._dd_split(e.get("delete_dirs") or [])[1] for e in versions
+    ):
         raise ValueError(
             f"{name}: history export is zero-copy only and a version "
-            "carries MOR delete files; export the current snapshot "
+            "carries equality-delete files; export the current snapshot "
             "with materialize=True instead"
         )
+    any_dvs = any(
+        catalog._dd_split(e.get("delete_dirs") or [])[0] for e in versions
+    )
     specs = {tuple(e.get("partition_by") or []) for e in versions}
     if len(specs) > 1:
         raise ValueError(
@@ -445,10 +474,37 @@ def export_delta_history(
     os.makedirs(log_dir, exist_ok=True)
 
     now_ms = int(time.time() * 1000)
-    protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+    protocol = (
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+        if any_dvs
+        else {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
     table_id = str(uuid.uuid4())
     footer_cache: dict[str, tuple[int, int]] = {}
+    # per-delete-dir position map, read once across the whole export:
+    # {normalized file path: frozenset(row indexes)}
+    pos_cache: dict[str, dict[str, frozenset]] = {}
+
+    def _dir_positions(d: str) -> dict[str, frozenset]:
+        if d not in pos_cache:
+            by_file: dict[str, set] = {}
+            for r in catalog._read_positions(h, [d]).collect():
+                p = os.path.normpath(
+                    re.sub(
+                        r"^file:/+", "/", urllib.parse.unquote(r["_file"])
+                    )
+                )
+                by_file.setdefault(p, set()).add(int(r["_pos"]))
+            pos_cache[d] = {p: frozenset(s) for p, s in by_file.items()}
+        return pos_cache[d]
+
     live: dict[str, dict] = {}
+    live_dv: dict[str, frozenset] = {}  # current DV content per path
     meta: dict | None = None
     last_ckpt = -1
     for k, entry in enumerate(versions):
@@ -456,6 +512,11 @@ def export_delta_history(
             a["path"]: a
             for a in _snapshot_files(h, entry, part_cols, footer_cache)
         }
+        # cumulative deleted indexes per file AT this version
+        dv_now: dict[str, set] = {}
+        for d in catalog._dd_split(entry.get("delete_dirs") or [])[0]:
+            for p, idxs in _dir_positions(d).items():
+                dv_now.setdefault(p, set()).update(idxs)
         actions: list[dict] = []
         if k == 0:
             actions.append({"protocol": protocol})
@@ -481,9 +542,51 @@ def export_delta_history(
                         }
                     }
                 )
+        new_dv: dict[str, frozenset] = {}
         for p, a in cur.items():
+            want = frozenset(dv_now.get(os.path.normpath(p), ()))
+            if want:
+                new_dv[p] = want
             if p not in live:
+                if want:
+                    from data_lakehouse_spark.interop.dv import attach_dv
+
+                    a = dict(
+                        a,
+                        deletionVector=attach_dv(
+                            dest, sorted(want), storage="u", prefix="dv/"
+                        ),
+                    )
+                    cur[p] = a
                 actions.append({"add": a})
+            elif want != live_dv.get(p, frozenset()):
+                # DV content changed for a carried-forward file: log it
+                # the way a native DV writer does — remove + re-add
+                # with the new cumulative sidecar
+                actions.append(
+                    {
+                        "remove": {
+                            "path": p,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+                if want:
+                    from data_lakehouse_spark.interop.dv import attach_dv
+
+                    a = dict(
+                        a,
+                        deletionVector=attach_dv(
+                            dest, sorted(want), storage="u", prefix="dv/"
+                        ),
+                    )
+                    cur[p] = a
+                actions.append({"add": dict(a, dataChange=True)})
+            else:
+                # unchanged file keeps its existing descriptor (if any)
+                cur[p] = live[p]
+        live_dv = new_dv
         actions.append(
             {
                 "commitInfo": {

@@ -438,11 +438,45 @@ def test_history_partitioned_zero_copy(spark, tmp_path):
         ) == _rows(cat.read("t", version=k).select("id", "region"))
 
 
-def test_history_refuses_mor_deletes(spark, tmp_path):
+def test_history_refuses_eq_deletes(spark, tmp_path):
     cat = _cat(spark, tmp_path)
     cat.create_table(
         "t", spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
     )
-    cat.delete_where("t", F.col("id") == 1, mode="mor")
-    with pytest.raises(ValueError, match="MOR delete"):
+    cat.delete_where("t", F.col("id") == 1, mode="mor-eq",
+                     equality_cols=["id"])
+    with pytest.raises(ValueError, match="equality-delete"):
         export_delta_history(cat, "t", str(tmp_path / "dlh"))
+
+
+def test_history_mor_deletes_export_as_dv_commits(spark, tmp_path):
+    """Each delete_mor version becomes a remove + re-add commit carrying
+    the file's CUMULATIVE deletion vector; pinned reads see the delete
+    state as of that version, and the head checkpoint round-trips the
+    DV descriptors."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t",
+        spark.createDataFrame([(i,) for i in range(10)], "id long")
+        .coalesce(1),
+    )
+    cat.delete_where("t", "id IN (1, 2)", mode="mor")       # v1
+    cat.append("t", spark.createDataFrame([(10,), (11,)], "id long"))  # v2
+    cat.delete_where("t", "id IN (3, 10)", mode="mor")      # v3
+    dest = str(tmp_path / "dlh")
+    # checkpoint at the head so the DV descriptors must survive the
+    # checkpoint parquet schema too
+    res = export_delta_history(cat, "t", dest, checkpoint_interval=2)
+    assert res["commits"] == 4
+
+    def ids(df):
+        return {r["id"] for r in df.collect()}
+
+    assert ids(read_delta(spark, dest, version=0)) == set(range(10))
+    assert ids(read_delta(spark, dest, version=1)) == set(range(10)) - {1, 2}
+    assert ids(read_delta(spark, dest, version=2)) == (
+        set(range(12)) - {1, 2}
+    )
+    # head (checkpoint replay): both deletes applied cumulatively
+    assert ids(read_delta(spark, dest)) == set(range(12)) - {1, 2, 3, 10}
+    assert ids(read_delta(spark, dest)) == ids(cat.read("t"))

@@ -219,6 +219,25 @@ def test_eq_delete_read_probe_is_stats_driven(cat, spark):
         )
 
 
+def test_positional_delete_read_probe_is_stats_driven(cat, spark):
+    """Companion to the eq-delete pin: the positional-delete anti-join
+    broadcasts only while the delete dirs' on-disk bytes fit the
+    threshold."""
+    cat.delete_where("t", "name = 'beta'", mode="mor")
+    plan = _plan(cat.read("t"))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+    try:
+        plan = _plan(cat.read("t"))
+        assert "LeftAnti" in plan
+        assert "BroadcastHashJoin" not in plan
+        assert {r["id"] for r in cat.read("t").collect()} == {1, 4}
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024)
+        )
+
+
 def test_cdc_affected_group_broadcast_is_stats_driven(cat, spark):
     """r9 verdict ask #7 (site 2): CdcAggregate/CdcQuantile hint their
     feed-derived group sets from the same estimated-size pricing
