@@ -58,20 +58,24 @@ QUADRATIC_OK = {
 NOTES = {
     "dedup_cluster_components": (
         "r9 recorded 10.7x (up from r8's 6.7x) with no note; r10 "
-        "diagnosis: measurement, not plan. A dedicated idle-window "
-        "re-measure (4 reps each scale, one session) reads 2.2x "
-        "end-to-end (2.15s -> 4.79s) and splits the stages: the "
-        "CLOSURE is flat (1.44s -> 1.50s, ratio 1.0x — "
-        "connected_components' stats sink reports 0 distributed "
-        "residue rounds at both scales, one hook pass + driver "
-        "union-find on a 347-/78k-edge residue, far under the 5M "
-        "guard) while the pair stage reads 4.7x — the documented "
-        "exact-all-pairs GEMM this query shares with the exempt "
-        "dedup_embedding_cosine row (pair COUNT grows 103x at the "
-        "10x step: 920 -> 95,212 edges). Round growth is pinned "
-        "O(log n) in tests/test_graph.py::"
-        "test_stats_instrumentation_and_log_round_growth; the "
-        "recorded sweep's 24.1s big side was burst noise"
+        "diagnosis: measurement, not plan. Dedicated same-day "
+        "re-measures split the stages: the CLOSURE is flat "
+        "(1.44s -> 1.50s, ratio 1.0x — connected_components' stats "
+        "sink reports 0 distributed residue rounds at both scales, "
+        "one hook pass + driver union-find on a 347-/78k-edge "
+        "residue, far under the 5M guard) while the pair stage is "
+        "the documented exact-all-pairs GEMM this query shares with "
+        "the exempt dedup_embedding_cosine row (pair COUNT grows "
+        "103x at the 10x step: 920 -> 95,212 edges). Warm "
+        "steady-state at 10x is 8-9s back-to-back (~3.8x e2e; "
+        "idle-morning run read 2.2x) vs first-visit 28-38s — the "
+        "recorded min-of-4 (35s, 15.1x) never sees a warm visit "
+        "because the interleaved suite's 151 other queries evict "
+        "the ~170MB embedding scan + Arrow GEMM state between "
+        "passes; a real deployment amortizes that warm-up across "
+        "the corpus run. Round growth is pinned O(log n) in "
+        "tests/test_graph.py::"
+        "test_stats_instrumentation_and_log_round_growth"
     ),
     "tpch_q4_late_shipment": (
         "r8 recorded 5.8x with no stated cause; r9 diagnosis: "
