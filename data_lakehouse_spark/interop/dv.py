@@ -237,7 +237,10 @@ def write_dv_file(path: str, dv_datas: list[bytes]) -> list[int]:
             offsets.append(pos)
             f.write(struct.pack(">i", len(data)))
             f.write(data)
-            f.write(struct.pack(">i", zlib.crc32(data) & 0x7FFFFFFF))
+            # raw 32 CRC bits, big endian — a signed-int writer (the
+            # JVM's writeInt of (int) crc) produces the same bytes, so
+            # masking the high bit would reject half of real files
+            f.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
             pos += 8 + len(data)
     return offsets
 
@@ -319,8 +322,8 @@ def dv_indexes(location: str, dv: dict) -> list[int]:
                 f"sizeInBytes {dv['sizeInBytes']}"
             )
         data = f.read(size)
-        (crc,) = struct.unpack(">i", f.read(4))
-    if (zlib.crc32(data) & 0x7FFFFFFF) != crc:
+        (crc,) = struct.unpack(">I", f.read(4))
+    if (zlib.crc32(data) & 0xFFFFFFFF) != crc:
         raise ValueError(f"{fpath}: DV checksum mismatch")
     out = deserialize_roaring_bitmap_array(data)
     if len(out) != dv["cardinality"]:
