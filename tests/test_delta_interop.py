@@ -438,6 +438,46 @@ def test_history_partitioned_zero_copy(spark, tmp_path):
         ) == _rows(cat.read("t", version=k).select("id", "region"))
 
 
+def test_import_of_dv_delta_table_materializes_survivors(spark, tmp_path):
+    """The migration inbound path: a modern-writer Delta table carrying
+    deletion vectors imports into the catalog with the DV-suppressed
+    rows already gone (import goes through read_delta, which applies
+    DVs) — a catalog user never sees ghost rows."""
+    import json as _json
+
+    from data_lakehouse_spark.__main__ import main as cli_main
+    from data_lakehouse_spark.interop.dv import attach_dv
+
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t", spark.range(20).select(F.col("id").cast("long").alias("id"))
+    )
+    dest = str(tmp_path / "dl")
+    export_delta(cat, "t", dest)
+    log = os.path.join(dest, "_delta_log")
+    with open(os.path.join(log, f"{0:020d}.json")) as f:
+        first_add = next(
+            _json.loads(x)["add"] for x in f
+            if x.strip() and "add" in _json.loads(x)
+        )
+    rows = spark.read.parquet(first_add["path"]).select(
+        "id", F.col("_metadata.row_index").alias("ri")
+    ).collect()
+    kill_ids = {rows[0]["id"], rows[-1]["id"]}
+    desc = attach_dv(dest, sorted(r["ri"] for r in rows
+                                  if r["id"] in kill_ids))
+    _dv_commit(log, 1, first_add, desc)
+
+    rc = cli_main([
+        "import", "--warehouse", str(tmp_path / "wh2"),
+        "--table", "imported", "--source", dest, "--format", "delta",
+    ])
+    assert rc == 0
+    cat2 = Catalog(spark, str(tmp_path / "wh2"))
+    got = {r["id"] for r in cat2.read("imported").collect()}
+    assert got == set(range(20)) - kill_ids
+
+
 def test_history_refuses_eq_deletes(spark, tmp_path):
     cat = _cat(spark, tmp_path)
     cat.create_table(
