@@ -256,9 +256,11 @@ def main() -> None:
     # extra noise-reduction passes stop once the budget is spent.
     # Control sample time is excluded from the accounting — the
     # detector must not eat the passes it protects. Sized so the
-    # ~150-query suite (~150-190 s/pass) fits 5 passes when the host
-    # is idle (r9 verdict ask #3: min n_reps ≥ 4).
-    max_sec = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_SEC", "1000"))
+    # 4-pass floor (~150-190 s/pass) fits with total wall staying
+    # near the ~900 s envelope prior driver-recorded runs survived —
+    # a 5th pass only happens on a fast idle host (r9 verdict ask #3:
+    # min n_reps ≥ 4 is the requirement, not pass count).
+    max_sec = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_SEC", "850"))
     # HARD absolute ceiling (ADVICE r9): min_reps overrides the soft
     # budget, so on a pathologically slow host the run could otherwise
     # grow without bound; past 2× max_sec of TOTAL wall (control
