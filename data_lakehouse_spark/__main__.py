@@ -319,7 +319,8 @@ def cmd_maintain(args: argparse.Namespace) -> int:
         out = cat.compact(args.table, where=args.where)
     elif op == "expire":
         out = cat.expire_snapshots(
-            args.table, keep_last=args.keep_last,
+            args.table,
+            keep_last=args.keep_last if args.keep_last is not None else 1,
             older_than=args.older_than,
         )
     elif op == "rollback":
@@ -331,9 +332,11 @@ def cmd_maintain(args: argparse.Namespace) -> int:
         cat.publish(args.table)
         out = {"table": args.table, "published": True}
     elif op == "sweep":
+        # an explicitly-passed --keep-last enables the expire step by
+        # itself (None default = the flag wasn't given, no retention)
         out = cat.maintain(
             args.table,
-            expire_keep_last=args.keep_last if args.older_than else None,
+            expire_keep_last=args.keep_last,
             expire_older_than=args.older_than,
             orphan_older_than_hours=(
                 args.older_than_hours if args.sweep_orphans else None
@@ -512,7 +515,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="target table (not needed for the warehouse-level "
                         "recover-transactions)")
     p.add_argument("--version", type=int, default=None)
-    p.add_argument("--keep-last", type=int, default=1)
+    p.add_argument("--keep-last", type=int, default=None,
+                   help="expire/sweep: retain this many main-lineage "
+                        "versions (expire defaults to 1 when omitted; "
+                        "sweep runs no expire step unless --keep-last "
+                        "or --older-than is given)")
     p.add_argument("--older-than-hours", type=float, default=24.0)
     p.add_argument("--older-than", default=None,
                    help="expire: retain versions committed at/after this "

@@ -128,6 +128,10 @@ class Catalog:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # committed delete dirs are immutable → their byte totals are
+        # cacheable; keeps the per-read broadcast-hint sizing off the
+        # filesystem after first touch
+        self._dir_bytes_cache: dict[str, int] = {}
 
     # -- manifest helpers --------------------------------------------------
     def _handle(self, name: str) -> TableHandle:
@@ -2901,14 +2905,21 @@ class Catalog:
             )
         return df.drop("_eq_seq")
 
-    @staticmethod
-    def _dir_bytes(h: TableHandle, d: str) -> int:
-        """On-disk bytes of one table dir (metadata-only walk)."""
+    def _dir_bytes(self, h: TableHandle, d: str) -> int:
+        """On-disk bytes of one table dir (metadata-only walk), cached
+        per absolute path — the read-path broadcast-hint sizing calls
+        this per delete dir per read, and committed delete dirs never
+        change."""
+        key = os.path.normpath(os.path.join(h.path, d))
+        hit = self._dir_bytes_cache.get(key)
+        if hit is not None:
+            return hit
         total = 0
-        for dp, _, fs in os.walk(os.path.normpath(os.path.join(h.path, d))):
+        for dp, _, fs in os.walk(key):
             for f in fs:
                 if f.endswith(".parquet"):
                     total += os.path.getsize(os.path.join(dp, f))
+        self._dir_bytes_cache[key] = total
         return total
 
     def _eq_scope(self, h: TableHandle, rec: dict):
@@ -3682,12 +3693,25 @@ class Catalog:
         entries = self._load_manifest(h)
         if not entries:
             raise ValueError(f"table {name} does not exist")
+        if not 0 <= from_version < len(entries) or (
+            to_version is not None and not 0 <= to_version < len(entries)
+        ):
+            # same refusal shape as table_changes: a negative index
+            # would silently alias the head and price a bogus span
+            raise ValueError(
+                f"estimated_changes_size_bytes: version out of range "
+                f"for {name} (0..{len(entries) - 1})"
+            )
         fe = entries[from_version]
         te = (
             entries[to_version]
             if to_version is not None
             else self._main_head(entries, name)
         )
+        if fe.get("expired") or te.get("expired"):
+            # the span's feed is no longer readable; pricing reclaimed
+            # dirs from stale stats would be a confident wrong answer
+            return None
         fdirs, tdirs = set(fe["data_dirs"]), set(te["data_dirs"])
 
         def _dd_names(e: dict) -> set:

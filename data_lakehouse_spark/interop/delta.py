@@ -148,10 +148,15 @@ def export_delta(
     dv_by_file: dict = {}
     if use_dvs:
         for r in catalog._read_positions(h, pos_dirs).collect():
-            p = re.sub(
-                r"^file:/+", "/", urllib.parse.unquote(r["_file"])
+            # same normalization as the walk-side lookup below —
+            # asymmetry here would silently resurrect deleted rows
+            p = os.path.normpath(
+                re.sub(
+                    r"^file:/+", "/", urllib.parse.unquote(r["_file"])
+                )
             )
             dv_by_file.setdefault(p, []).append(int(r["_pos"]))
+    dv_attached: set = set()
 
     adds = []
     total_rows = 0
@@ -186,7 +191,8 @@ def export_delta(
                     "dataChange": True,
                     "stats": json.dumps({"numRecords": n_rows}),
                 }
-                killed = dv_by_file.get(os.path.normpath(full))
+                norm_full = os.path.normpath(full)
+                killed = dv_by_file.get(norm_full)
                 if killed:
                     from data_lakehouse_spark.interop.dv import attach_dv
 
@@ -195,7 +201,18 @@ def export_delta(
                     )
                     dv_files += 1
                     dv_rows += len(set(killed))
+                    dv_attached.add(norm_full)
                 adds.append({"add": add})
+
+    unconsumed = set(dv_by_file) - dv_attached
+    if unconsumed:
+        # positions referencing files the walk never saw would export
+        # their deleted rows back to life — fail loudly instead
+        raise ValueError(
+            f"export_delta {name}: {len(unconsumed)} positional-delete "
+            f"file reference(s) matched no walked data file (path "
+            f"rendering mismatch?): {sorted(unconsumed)[:3]}"
+        )
 
     protocol = (
         {
@@ -531,17 +548,26 @@ def export_delta_history(
         if meta is None or new_meta["schemaString"] != meta["schemaString"]:
             meta = new_meta
             actions.append({"metaData": meta})
+        def _remove(p: str) -> dict:
+            # Spec action reconciliation keys add/remove on
+            # (path, deletionVector uniqueness), so a remove must carry
+            # the DV descriptor of the add it tombstones — a bare-path
+            # remove would leave a prior add{path, DV} live for a
+            # native reader (our own replayer keys by path alone and
+            # tolerates either form).
+            rm = {
+                "path": p,
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+            old_dv = (live.get(p) or {}).get("deletionVector")
+            if old_dv:
+                rm["deletionVector"] = old_dv
+            return rm
+
         for p in live:
             if p not in cur:
-                actions.append(
-                    {
-                        "remove": {
-                            "path": p,
-                            "deletionTimestamp": now_ms,
-                            "dataChange": True,
-                        }
-                    }
-                )
+                actions.append({"remove": _remove(p)})
         new_dv: dict[str, frozenset] = {}
         for p, a in cur.items():
             want = frozenset(dv_now.get(os.path.normpath(p), ()))
@@ -561,17 +587,10 @@ def export_delta_history(
                 actions.append({"add": a})
             elif want != live_dv.get(p, frozenset()):
                 # DV content changed for a carried-forward file: log it
-                # the way a native DV writer does — remove + re-add
-                # with the new cumulative sidecar
-                actions.append(
-                    {
-                        "remove": {
-                            "path": p,
-                            "deletionTimestamp": now_ms,
-                            "dataChange": True,
-                        }
-                    }
-                )
+                # the way a native DV writer does — remove (carrying
+                # the OLD descriptor) + re-add with the new cumulative
+                # sidecar
+                actions.append({"remove": _remove(p)})
                 if want:
                     from data_lakehouse_spark.interop.dv import attach_dv
 
@@ -581,11 +600,24 @@ def export_delta_history(
                             dest, sorted(want), storage="u", prefix="dv/"
                         ),
                     )
-                    cur[p] = a
+                else:
+                    a = {k2: v2 for k2, v2 in a.items()
+                         if k2 != "deletionVector"}
+                cur[p] = a
                 actions.append({"add": dict(a, dataChange=True)})
             else:
                 # unchanged file keeps its existing descriptor (if any)
                 cur[p] = live[p]
+        ghost = set(dv_now) - {os.path.normpath(p) for p in cur}
+        if ghost:
+            # a position referencing no snapshot file would silently
+            # resurrect its deleted rows in the export
+            raise ValueError(
+                f"export_delta_history {name}@v{entry['version']}: "
+                f"{len(ghost)} positional-delete file reference(s) "
+                f"matched no snapshot file (path rendering mismatch?): "
+                f"{sorted(ghost)[:3]}"
+            )
         live_dv = new_dv
         actions.append(
             {
@@ -776,12 +808,22 @@ def read_delta(
         dels = spark.createDataFrame(
             pairs, "__dv_kill_file string, __dv_kill_idx bigint"
         )
+        # _metadata.file_path is a Hadoop Path URI (scheme +
+        # percent-encoding) while the kill keys are decoded absolute
+        # paths (the same _abs() rendering the add actions resolve
+        # through) — decode the column side to match. Literal '+' is
+        # protected first: url_decode is form-decoding, which would
+        # turn it into a space.
+        col_path = F.url_decode(
+            F.regexp_replace(
+                F.regexp_replace(F.col("__dv_file"), r"^file:/+", "/"),
+                r"\+",
+                "%2B",
+            )
+        )
         out = df.join(
             F.broadcast(dels),
-            (
-                F.regexp_replace(F.col("__dv_file"), r"^file:/+", "/")
-                == F.col("__dv_kill_file")
-            )
+            (col_path == F.col("__dv_kill_file"))
             & (F.col("__dv_idx") == F.col("__dv_kill_idx")),
             "left_anti",
         )

@@ -1529,18 +1529,25 @@ def add_to_ivf_pq_index(
     try:
         mrow = enc.agg(
             F.avg("_qerr").alias("m"), F.sum("_qerr").alias("q"),
-            F.sum("_rn").alias("r"), F.count("*").alias("n"),
+            F.sum("_rn").alias("r"),
+            # DISTINCT ids on the encoded side: a duplicated id in the
+            # batch must not mask a zero-norm drop elsewhere in it
+            F.count_distinct("vec_id").alias("n"),
         ).first()
         batch_mse = float(mrow["m"]) if mrow["m"] is not None else 0.0
         batch_rel = float(mrow["q"]) / float(mrow["r"]) if mrow["r"] else 0.0
         n_encoded = int(mrow["n"])
-        ids_in = df.select(F.col(id_col).cast("bigint").alias("vec_id"))
-        n_in = ids_in.distinct().count()
+        ids_in = df.select(
+            F.col(id_col).cast("bigint").alias("vec_id")
+        ).distinct()
+        n_in = ids_in.count()
         dropped = n_in - n_encoded
         upsert = enc.drop("_qerr", "_rn").withColumn("_op", F.lit("u"))
         if dropped > 0:
             # zero-norm re-embeds: delete the stale codes (no image) in
             # the SAME atomic commit — one anti-join over the batch
+            # (ids_in is distinct, so at most one 'd' op per key — the
+            # upsert contract)
             upsert = upsert.unionByName(
                 ids_in.join(enc.select("vec_id"), "vec_id", "left_anti")
                 .withColumn("ivf_cell", F.lit(None).cast("int"))

@@ -963,3 +963,19 @@ def test_add_to_ivf_pq_zero_norm_deletes_stale_codes(spark, sf_dir, tmp_path):
     assert res["dropped_zero_norm"] == 1
     assert cat.read("pq").filter(F.col("vec_id") == 5).count() == 0
     assert cat.read("pq").filter(F.col("vec_id") == 4).count() == 1
+
+    # duplicate ids must not skew the zero-norm accounting (distinct
+    # counting on both sides): a replayed zero-norm row still nets ONE
+    # dropped key and ONE delete op (the upsert's per-key contract)
+    dup_mixed = spark.createDataFrame(
+        [
+            (7, [0.0] * 64),
+            (7, [0.0] * 64),
+            (8, [float(j == 3) for j in range(64)]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    res = similarity.add_to_ivf_pq_index(cat, "pq", dup_mixed)
+    assert res["dropped_zero_norm"] == 1
+    assert cat.read("pq").filter(F.col("vec_id") == 7).count() == 0
+    assert cat.read("pq").filter(F.col("vec_id") == 8).count() == 1
