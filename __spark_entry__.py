@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import threading
+import urllib.parse
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -4286,6 +4287,127 @@ def q_delta_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return head.unionAll(v0_residue).orderBy("s_suppkey")
 
 
+def q_delta_column_mapping_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta COLUMN-MAPPING roundtrip (r10 verdict ask #1): a
+    column-mapped Delta table is written action-by-action per the
+    public protocol — parquet files named by each field's
+    delta.columnMapping.physicalName, partitionValues keyed by the
+    PHYSICAL partition name, protocol v3 with the columnMapping
+    readerFeature — then a RENAME commit changes s_name's logical
+    name to supplier_name (physical unchanged; the protocol's whole
+    point: renames without rewrite). The replayed head must resolve
+    physical->logical across the rename and reconstruct the mapped
+    partition column; oracle = the renamed projection of supplier."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from data_lakehouse_spark.interop import read_delta
+
+    _ensure_conf(spark)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dls_delta_cmap",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    sup = _rel(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    phys_of = {
+        "s_suppkey": "col-1a2b", "s_name": "col-3c4d",
+        "s_nationkey": "col-5e6f",
+    }
+    dl = os.path.join(root, "dl")
+    data_dir = os.path.join(dl, "data")
+    sup.select(
+        *[F.col(c).alias(phys_of[c]) for c in sup.columns]
+    ).repartition(4).write.partitionBy("col-5e6f").parquet(data_dir)
+
+    def _fields(rename: dict | None = None) -> list[dict]:
+        out = []
+        for i, f in enumerate(_json.loads(sup.schema.json())["fields"]):
+            out.append({
+                "name": (rename or {}).get(f["name"], f["name"]),
+                "type": f["type"], "nullable": f["nullable"],
+                "metadata": {
+                    "delta.columnMapping.id": i + 1,
+                    "delta.columnMapping.physicalName": phys_of[f["name"]],
+                },
+            })
+        return out
+
+    def _meta(fields: list[dict]) -> dict:
+        return {
+            "id": "cmap-gate",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(
+                {"type": "struct", "fields": fields}),
+            "partitionColumns": [
+                f["name"] for f in fields
+                if f["metadata"]["delta.columnMapping.physicalName"]
+                == "col-5e6f"
+            ],
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "3",
+            },
+            "createdTime": 0,
+        }
+
+    log = os.path.join(dl, "_delta_log")
+    os.makedirs(log)
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping"],
+            "writerFeatures": ["columnMapping"]}}) + "\n")
+        f.write(_json.dumps({"metaData": _meta(_fields())}) + "\n")
+        for dp, _, fs in sorted(os.walk(data_dir)):
+            comp = os.path.basename(dp)
+            if not comp.startswith("col-5e6f="):
+                continue
+            pv = urllib.parse.unquote(comp.split("=", 1)[1])
+            for fname in sorted(fs):
+                if not fname.endswith(".parquet"):
+                    continue
+                full = os.path.join(dp, fname)
+                f.write(_json.dumps({"add": {
+                    "path": full,
+                    "partitionValues": {"col-5e6f": pv},
+                    "size": os.path.getsize(full),
+                    "modificationTime": 0, "dataChange": True,
+                }}) + "\n")
+    # v1: the rename commit — logical only, bytes untouched
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as f:
+        f.write(_json.dumps({"metaData": _meta(
+            _fields({"s_name": "supplier_name"}))}) + "\n")
+
+    head = read_delta(spark, dl).select(
+        "s_suppkey", "supplier_name", "s_nationkey"
+    )
+    # pre-rename pinned read minus the original projection is empty
+    # iff version pinning resolves the OLD logical schema
+    v0_residue = (
+        read_delta(spark, dl, version=0)
+        .select(
+            "s_suppkey",
+            F.col("s_name").alias("supplier_name"),
+            "s_nationkey",
+        )
+        .exceptAll(
+            sup.select(
+                "s_suppkey",
+                F.col("s_name").alias("supplier_name"),
+                "s_nationkey",
+            )
+        )
+    )
+    return head.unionAll(v0_residue).orderBy("s_suppkey")
+
+
 def q_stream_source_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SOURCE gate: nation lands in the catalog in two
     commits (keys < 13, then the rest); the Python-DataSource stream
@@ -4543,6 +4665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_roundtrip": q_delta_roundtrip,
         "delta_history_roundtrip": q_delta_history_roundtrip,
         "delta_dv_roundtrip": q_delta_dv_roundtrip,
+        "delta_column_mapping_roundtrip": q_delta_column_mapping_roundtrip,
         "stream_source_nation": q_stream_source_nation,
         "stream_cdf_nation": q_stream_cdf_nation,
         "cdc_mart_incremental": q_cdc_mart_incremental,
@@ -5728,6 +5851,15 @@ ORDER BY s_suppkey
 SELECT s_suppkey, s_name, s_nationkey
 FROM supplier
 WHERE s_suppkey % 3 <> 0
+ORDER BY s_suppkey
+"""
+
+    # head state after the logical rename (physical bytes unchanged);
+    # the v0 pinned-read residue the Spark side appends is empty when
+    # pre-rename resolution is exact
+    sql["delta_column_mapping_roundtrip"] = """
+SELECT s_suppkey, s_name AS supplier_name, s_nationkey
+FROM supplier
 ORDER BY s_suppkey
 """
 

@@ -694,11 +694,25 @@ def read_delta(
     JSON commits ≤ ``version``, default latest). Supports add/remove
     reconciliation, identity-partitioned tables (partition columns
     reconstructed from ``partitionValues`` and cast to the declared
-    schema types), and DELETION VECTORS (the modern writer's MOR path:
+    schema types), DELETION VECTORS (the modern writer's MOR path:
     per-file roaring-bitmap sidecars decoded per the public protocol
-    and anti-joined on ``_metadata.row_index``). Refuses
-    column-mapping tables — a wrong-rows failure mode — rather than
-    guessing."""
+    and anti-joined on ``_metadata.row_index``), and COLUMN MAPPING
+    (``delta.columnMapping.mode`` = ``name``/``id``: parquet files are
+    read by each field's ``delta.columnMapping.physicalName`` and
+    projected back to the logical schema, so renamed columns resolve
+    correctly).
+
+    Reconciliation follows the spec's (path, deletionVector.uniqueId)
+    keying: within a JSON commit, removes are applied before adds (the
+    action order inside one commit is not spec-fixed, and the standard
+    DV-update pattern writes ``remove{path, oldDV}`` +
+    ``add{path, newDV}`` for the same path); a remove cancels the live
+    add only when its DV uniqueId matches (a bare-path remove — the
+    legacy shape — cancels any version of the path). Checkpoint
+    ``remove`` rows are pure vacuum tombstones for the files already
+    absent from the checkpoint's add set and are ignored for liveness,
+    so a checkpoint carrying both the tombstone and the re-added file
+    can never drop the live add regardless of row order."""
     location = os.path.abspath(location)
     log_dir = os.path.join(location, "_delta_log")
     versions = _log_versions(log_dir)
@@ -713,6 +727,32 @@ def read_delta(
     meta: dict | None = None
     protocol: dict | None = None
 
+    def _dv_uid(action: dict) -> str | None:
+        """deletionVector.uniqueId per the protocol: storageType +
+        pathOrInlineDv (+ @offset when present). The spec keys file
+        Action Reconciliation on (path, uniqueId)."""
+        dv = action.get("deletionVector")
+        if not dv:
+            return None
+        uid = f"{dv.get('storageType', '')}{dv.get('pathOrInlineDv', '')}"
+        if dv.get("offset") is not None:
+            uid += f"@{dv['offset']}"
+        return uid
+
+    def _apply_commit(removes: list[dict], adds: list[dict]) -> None:
+        """Apply one commit's file actions order-independently:
+        removes first (cancel only the matching (path, dvId) version;
+        bare-path removes cancel any version), then adds (a path has
+        at most one live version, so an add supersedes it)."""
+        for rem in removes:
+            cur = live.get(rem["path"])
+            if cur is not None and (
+                _dv_uid(rem) is None or _dv_uid(rem) == _dv_uid(cur)
+            ):
+                live.pop(rem["path"])
+        for add in adds:
+            live[add["path"]] = add
+
     ckpt = _latest_checkpoint(log_dir)
     start = 0
     if ckpt and ckpt[0] <= target:
@@ -723,12 +763,16 @@ def read_delta(
             *[c for c in ("add", "remove", "metaData", "protocol")
               if c in cols]
         ).collect()
+        # a checkpoint IS the reconciled state: its add rows are the
+        # live set; remove rows are retained vacuum tombstones whose
+        # files are by definition absent from the add set — using them
+        # to pop adds would let a tombstone for a path's OLD
+        # (path, dvId) version drop the re-added live version whenever
+        # the checkpoint writer happened to order the rows that way
         for r in rows:
             d = r.asDict(recursive=True)
             if d.get("add"):
                 live[d["add"]["path"]] = d["add"]
-            elif d.get("remove"):
-                live.pop(d["remove"]["path"], None)
             if d.get("metaData") and d["metaData"].get("schemaString"):
                 meta = d["metaData"]
             if d.get("protocol") and d["protocol"].get(
@@ -740,41 +784,115 @@ def read_delta(
     for v in versions:
         if v < start or v > target:
             continue
+        removes: list[dict] = []
+        adds: list[dict] = []
         with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
             for line in f:
                 if not line.strip():
                     continue
                 a = json.loads(line)
                 if "add" in a:
-                    live[a["add"]["path"]] = a["add"]
+                    adds.append(a["add"])
                 elif "remove" in a:
-                    live.pop(a["remove"]["path"], None)
+                    removes.append(a["remove"])
                 elif "metaData" in a:
                     meta = a["metaData"]
                 elif "protocol" in a:
                     protocol = a["protocol"]
+        _apply_commit(removes, adds)
     if meta is None:
         raise ValueError(f"{location}: no metaData action in log")
     if protocol and protocol.get("minReaderVersion", 1) > 1:
         feats = protocol.get("readerFeatures") or []
         unsupported = [
             ft for ft in feats
-            if ft not in ("timestampNtz", "v2Checkpoint", "deletionVectors")
+            if ft not in (
+                "timestampNtz", "v2Checkpoint", "deletionVectors",
+                "columnMapping",
+            )
         ]
         if unsupported:
             raise ValueError(
                 f"{location}: reader features {unsupported} not supported"
             )
-    if (meta.get("configuration") or {}).get(
+    cmap_mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
-    ) not in ("none", ""):
-        raise ValueError(f"{location}: column mapping not supported")
+    ) or "none"
+    if cmap_mode not in ("none", "name", "id"):
+        raise ValueError(
+            f"{location}: column mapping mode {cmap_mode!r} not supported"
+        )
     if not live:
         raise ValueError(f"{location}: table has no live data files")
 
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    schema_json = json.loads(meta["schemaString"])
+    schema = StructType.fromJson(schema_json)
     part_cols = meta.get("partitionColumns") or []
     types = {f.name: f.dataType for f in schema.fields}
+
+    # column mapping (mode name/id): parquet columns are stored under
+    # each field's delta.columnMapping.physicalName annotation (writers
+    # name physical columns this way in BOTH modes); build the physical
+    # read schema by recursively renaming every struct field, then
+    # project back to logical names after the scan. A struct cast
+    # renames nested fields positionally, so one top-level
+    # cast+alias per column restores the full logical shape.
+    mapped = cmap_mode in ("name", "id")
+
+    def _physicalize_type(t):
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                return {
+                    **t,
+                    "fields": [
+                        {
+                            **f,
+                            "name": (f.get("metadata") or {}).get(
+                                "delta.columnMapping.physicalName",
+                                f["name"],
+                            ),
+                            "type": _physicalize_type(f["type"]),
+                        }
+                        for f in t["fields"]
+                    ],
+                }
+            if t.get("type") == "array":
+                return {
+                    **t,
+                    "elementType": _physicalize_type(t["elementType"]),
+                }
+            if t.get("type") == "map":
+                return {
+                    **t,
+                    "keyType": _physicalize_type(t["keyType"]),
+                    "valueType": _physicalize_type(t["valueType"]),
+                }
+        return t
+
+    if mapped:
+        phys_schema = StructType.fromJson(_physicalize_type(schema_json))
+    else:
+        phys_schema = schema
+    # logical -> physical top-level name (identity when unmapped);
+    # add.partitionValues keys use PHYSICAL names under column mapping
+    # while metaData.partitionColumns stays logical
+    phys_of = {
+        lf.name: pf.name
+        for lf, pf in zip(schema.fields, phys_schema.fields)
+    }
+
+    def _logicalize(df: DataFrame) -> DataFrame:
+        if not mapped:
+            return df
+        keep = [
+            F.col(f"`{phys_of[f.name]}`").cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+        extra = [
+            F.col(c) for c in ("__dv_file", "__dv_idx")
+            if c in df.columns
+        ]
+        return df.select(*keep, *extra)
 
     def _abs(p: str) -> str:
         p = urllib.parse.unquote(p)
@@ -837,23 +955,31 @@ def read_delta(
         )
 
     if not part_cols:
-        df = spark.read.schema(
-            StructType([f for f in schema.fields])
-        ).parquet(*[_abs(p) for p in live])
+        df = spark.read.schema(phys_schema).parquet(
+            *[_abs(p) for p in live]
+        )
         if dv_map:
-            df = _apply_dvs(_with_lineage(df))
+            df = _with_lineage(df)
+        df = _logicalize(df)
+        if dv_map:
+            df = _apply_dvs(df)
         return df
 
     # partition columns live in partitionValues, not the files: group
     # files by their partition tuple, read each group once, attach the
     # literals cast to the declared types, union
     file_schema = StructType(
-        [f for f in schema.fields if f.name not in part_cols]
+        [
+            pf
+            for lf, pf in zip(schema.fields, phys_schema.fields)
+            if lf.name not in part_cols
+        ]
     )
     groups: dict[tuple, list[str]] = {}
     for p, add in live.items():
         key = tuple(
-            (add.get("partitionValues") or {}).get(c) for c in part_cols
+            (add.get("partitionValues") or {}).get(phys_of[c])
+            for c in part_cols
         )
         groups.setdefault(key, []).append(_abs(p))
     out: DataFrame | None = None
@@ -866,14 +992,15 @@ def read_delta(
             df = _with_lineage(df)
         for c, v in zip(part_cols, key):
             df = df.withColumn(
-                c,
+                phys_of[c],
                 (F.lit(None) if v is None else F.lit(v)).cast(
                     types[c]
                 ),
             )
-        keep = [f.name for f in schema.fields]
+        keep = [phys_of[f.name] for f in schema.fields]
         if dv_map:
             keep += ["__dv_file", "__dv_idx"]
-        df = df.select(*keep)
+        df = df.select(*[F.col(f"`{c}`") for c in keep])
         out = df if out is None else out.unionByName(df)
+    out = _logicalize(out)
     return _apply_dvs(out) if dv_map else out

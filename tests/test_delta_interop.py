@@ -181,12 +181,12 @@ def test_read_delta_refuses_wrong_rows_features(spark, tmp_path):
     dest = str(tmp_path / "dl")
     export_delta(cat, "t", dest)
     log = os.path.join(dest, "_delta_log")
-    # column mapping renames the physical columns: reading by logical
-    # name would return wrong rows — the documented refusal
+    # an unknown column-mapping mode would mean unknown physical
+    # resolution rules: wrong-rows failure mode — refuse
     with open(os.path.join(log, f"{0:020d}.json")) as f:
         actions = [json.loads(line) for line in f if line.strip()]
     meta = next(a for a in actions if "metaData" in a)["metaData"]
-    meta["configuration"] = {"delta.columnMapping.mode": "name"}
+    meta["configuration"] = {"delta.columnMapping.mode": "weird"}
     with open(os.path.join(log, f"{1:020d}.json"), "w") as f:
         f.write(json.dumps({"metaData": meta}) + "\n")
     with pytest.raises(ValueError, match="column mapping"):
@@ -520,3 +520,222 @@ def test_history_mor_deletes_export_as_dv_commits(spark, tmp_path):
     # head (checkpoint replay): both deletes applied cumulatively
     assert ids(read_delta(spark, dest)) == set(range(12)) - {1, 2, 3, 10}
     assert ids(read_delta(spark, dest)) == ids(cat.read("t"))
+
+
+def test_dv_update_commit_order_independent(spark, tmp_path):
+    """ADVICE r10 (high): the spec keys Action Reconciliation on
+    (path, deletionVector.uniqueId) and does NOT fix action order
+    inside a commit. A DV-update commit serialized add{path, newDV}
+    BEFORE remove{path, oldDV} must still leave the new add live —
+    a path-keyed replay would let the tombstone pop it."""
+    from data_lakehouse_spark.interop.dv import attach_dv
+
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t", spark.range(100).select(F.col("id").cast("long").alias("id"))
+    )
+    dest = str(tmp_path / "dl")
+    export_delta(cat, "t", dest)
+    log = os.path.join(dest, "_delta_log")
+    with open(os.path.join(log, f"{0:020d}.json")) as f:
+        actions = [json.loads(line) for line in f if line.strip()]
+    add0 = next(a for a in actions if "add" in a)["add"]
+    rows = spark.read.parquet(add0["path"]).select(
+        "id", F.col("_metadata.row_index").alias("ri")
+    ).collect()
+
+    dv1 = attach_dv(dest, sorted(r["ri"] for r in rows if r["id"] % 2 == 0))
+    _dv_commit(log, 1, add0, dv1)          # kills evens (remove-then-add)
+    dv2 = attach_dv(dest, sorted(r["ri"] for r in rows if r["id"] < 50))
+    # v2: the update pattern with the ADD FIRST — remove carries oldDV
+    with open(os.path.join(log, f"{2:020d}.json"), "w") as f:
+        f.write(json.dumps({"add": dict(
+            add0, dataChange=True, deletionVector=dv2)}) + "\n")
+        f.write(json.dumps({"remove": {
+            "path": add0["path"], "dataChange": True,
+            "deletionVector": dv1}}) + "\n")
+
+    file_ids = {r["id"] for r in rows}
+    got = {r["id"] for r in read_delta(spark, dest).collect()}
+    assert got == set(range(100)) - {i for i in file_ids if i < 50}
+    # and the intermediate version still reads with dv1 only
+    assert {r["id"] for r in read_delta(spark, dest, version=1).collect()} \
+        == set(range(100)) - {i for i in file_ids if i % 2 == 0}
+
+
+def test_checkpoint_tombstone_does_not_drop_readded_file(spark, tmp_path):
+    """A checkpoint legitimately carries BOTH a vacuum tombstone
+    remove{path} and the live add{path, DV} for the same path, with no
+    guaranteed row order. Checkpoint removes are pure tombstones: the
+    live add must survive even when the remove row sorts after it."""
+    from data_lakehouse_spark.interop.dv import attach_dv
+
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t", spark.range(20).select(F.col("id").cast("long").alias("id"))
+    )
+    dest = str(tmp_path / "dl")
+    export_delta(cat, "t", dest)
+    log = os.path.join(dest, "_delta_log")
+    with open(os.path.join(log, f"{0:020d}.json")) as f:
+        actions = [json.loads(line) for line in f if line.strip()]
+    add0 = next(a for a in actions if "add" in a)["add"]
+    meta = next(a for a in actions if "metaData" in a)["metaData"]
+    rows = spark.read.parquet(add0["path"]).select(
+        "id", F.col("_metadata.row_index").alias("ri")
+    ).collect()
+    dv = attach_dv(dest, sorted(r["ri"] for r in rows if r["id"] < 5))
+    _dv_commit(log, 1, add0, dv)
+
+    # foreign-writer-shaped checkpoint at v1: protocol, metaData, the
+    # live add{path, dv} and — AFTER it — the bare tombstone remove
+    ddl = (
+        "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+        "readerFeatures:array<string>,writerFeatures:array<string>>, "
+        "metaData struct<id:string,format:struct<provider:string,"
+        "options:map<string,string>>,schemaString:string,"
+        "partitionColumns:array<string>,configuration:map<string,string>,"
+        "createdTime:long>, "
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:long,modificationTime:long,dataChange:boolean,stats:string,"
+        "deletionVector struct<storageType:string,pathOrInlineDv:string,"
+        "offset:int,sizeInBytes:int,cardinality:long>>, "
+        "remove struct<path:string,dataChange:boolean>"
+    )
+    dv_t = (dv["storageType"], dv["pathOrInlineDv"], dv.get("offset"),
+            dv["sizeInBytes"], dv["cardinality"])
+    meta_t = (meta["id"],
+              (meta["format"]["provider"], meta["format"].get("options") or {}),
+              meta["schemaString"], meta.get("partitionColumns") or [],
+              meta.get("configuration") or {}, meta.get("createdTime"))
+    ck_rows = [
+        ((3, 7, ["deletionVectors"], None), None, None, None),
+        (None, meta_t, None, None),
+        (None, None, (add0["path"], add0.get("partitionValues") or {},
+                      add0["size"], add0["modificationTime"], True,
+                      add0.get("stats"), dv_t), None),
+        (None, None, None, (add0["path"], True)),
+    ]
+    import shutil
+    tmp = os.path.join(log, "._ckpt_test")
+    spark.createDataFrame(ck_rows, ddl).coalesce(1) \
+        .write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp)
+                if f.endswith(".parquet") and not f.startswith("."))
+    os.replace(os.path.join(tmp, part),
+               os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+    shutil.rmtree(tmp, ignore_errors=True)
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1, "size": len(ck_rows)}, f)
+
+    # the checkpoint's live set is exactly add0 (with its DV): the
+    # file must survive the trailing tombstone row
+    file_ids = {r["id"] for r in rows}
+    got = {r["id"] for r in read_delta(spark, dest).collect()}
+    assert got == {i for i in file_ids if i >= 5}
+
+
+def _cmap_meta(schema_fields, part_cols=()):
+    return {
+        "id": "cmap-test", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(
+            {"type": "struct", "fields": schema_fields}),
+        "partitionColumns": list(part_cols),
+        "configuration": {"delta.columnMapping.mode": "name",
+                          "delta.columnMapping.maxColumnId": "9"},
+        "createdTime": 0,
+    }
+
+
+def _one_parquet(spark, df, where):
+    df.coalesce(1).write.mode("overwrite").parquet(where)
+    return next(
+        os.path.join(where, f) for f in os.listdir(where)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+
+
+def test_read_delta_column_mapping_name(spark, tmp_path):
+    """r10 verdict ask #1: a column-mapped Delta table (the default
+    posture of any modern table that ever renamed a column) reads by
+    physicalName and projects back to logical names; a rename commit
+    (new logical name, same physical) resolves to the SAME bytes."""
+    dest = str(tmp_path / "dl")
+    log = os.path.join(dest, "_delta_log")
+    os.makedirs(log)
+    # physical file: columns named col-9f8e / col-77aa
+    fpath = _one_parquet(
+        spark,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")],
+            "`col-9f8e` long, `col-77aa` string"),
+        str(tmp_path / "data"))
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-9f8e"}},
+        {"name": "name", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-77aa"}},
+    ]
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        f.write(json.dumps({"metaData": _cmap_meta(fields)}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": fpath, "partitionValues": {},
+            "size": os.path.getsize(fpath), "modificationTime": 0,
+            "dataChange": True}}) + "\n")
+
+    df = read_delta(spark, dest)
+    assert df.columns == ["id", "name"]
+    assert _rows(df) == [(1, "a"), (2, "b"), (3, "c")]
+
+    # v1: RENAME name -> customer_name (logical only; physical fixed)
+    renamed = [fields[0], dict(fields[1], name="customer_name")]
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps({"metaData": _cmap_meta(renamed)}) + "\n")
+    df1 = read_delta(spark, dest)
+    assert df1.columns == ["id", "customer_name"]
+    assert _rows(df1) == [(1, "a"), (2, "b"), (3, "c")]
+    # pinned read still shows the pre-rename logical name
+    assert read_delta(spark, dest, version=0).columns == ["id", "name"]
+
+
+def test_read_delta_column_mapping_partitioned(spark, tmp_path):
+    """partitionValues keys use PHYSICAL names under column mapping
+    while metaData.partitionColumns stays logical; the reconstructed
+    partition column comes back under its logical name. The
+    columnMapping readerFeature (protocol v3) is accepted."""
+    dest = str(tmp_path / "dl")
+    log = os.path.join(dest, "_delta_log")
+    os.makedirs(log)
+    fa = _one_parquet(
+        spark, spark.createDataFrame([(1,), (2,)], "`col-9f8e` long"),
+        str(tmp_path / "da"))
+    fb = _one_parquet(
+        spark, spark.createDataFrame([(3,)], "`col-9f8e` long"),
+        str(tmp_path / "db"))
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-9f8e"}},
+        {"name": "part", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-pp"}},
+    ]
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping"]}}) + "\n")
+        f.write(json.dumps(
+            {"metaData": _cmap_meta(fields, part_cols=["part"])}) + "\n")
+        for p, pv in ((fa, "a"), (fb, "b")):
+            f.write(json.dumps({"add": {
+                "path": p, "partitionValues": {"col-pp": pv},
+                "size": os.path.getsize(p), "modificationTime": 0,
+                "dataChange": True}}) + "\n")
+
+    df = read_delta(spark, dest)
+    assert df.columns == ["id", "part"]
+    assert _rows(df) == [(1, "a"), (2, "a"), (3, "b")]
