@@ -2593,6 +2593,18 @@ class Catalog:
                         "ann_source or build the index with "
                         "source_table recorded"
                     )
+                elif "index.m" not in props:
+                    # indexes built before the rebuild-recipe properties
+                    # were recorded lack the PQ shape — reachable with
+                    # ann_rebuild_after_drifted_adds=0 (a missing
+                    # drift counter defaults to 0). Record, don't raise
+                    # mid-sweep.
+                    a["skipped"] = (
+                        "rebuild recommended but the index predates "
+                        "recorded recipe properties (index.m missing): "
+                        "rebuild once manually with build_ivf_pq_index "
+                        "to re-record them"
+                    )
                 elif not dry_run:
                     from data_lakehouse_spark.operators.similarity import (
                         build_ivf_pq_index,

@@ -101,9 +101,21 @@ def export_delta(
     # declared schema column; hidden transform columns (days(ts),
     # bucket(n, col)) are derived and NOT restorable from the path
     identity_part = all(c in schema_fields for c in pb)
+    # the DV encode groups the full positional-delete set on the driver
+    # (one sidecar per file) — bounded only while the accumulated
+    # delete dirs stay broadcast-sized (the same threshold the MOR read
+    # path uses before flipping to a shuffled anti-join). Past it, an
+    # un-folded CDC stream's delete set could OOM the driver: fall back
+    # to materialize instead.
+    pos_bytes = (
+        sum(catalog._dir_bytes(h, d) for d in pos_dirs)
+        if pos_dirs else 0
+    )
+    pos_fits_driver = pos_bytes <= catalog._broadcast_threshold()
     dv_eligible = (
         deletion_vectors
         and bool(pos_dirs)
+        and pos_fits_driver
         and not eq_recs
         and (not pb or identity_part)
     )
@@ -118,6 +130,12 @@ def export_delta(
             + ("it carries equality-delete files (row indexes would "
                "need a scan to resolve into deletion vectors); "
                if eq_recs else
+               f"its positional-delete set ({pos_bytes} bytes) exceeds "
+               "the broadcast threshold (driver-side DV grouping would "
+               "be unbounded — fold deletes first via "
+               "rewrite_position_deletes); "
+               if pos_dirs and not pos_fits_driver and deletion_vectors
+               else
                "it carries MOR delete files (deletion_vectors=False); "
                if has_deletes else "")
             + ("its partitioning uses hidden transforms; "

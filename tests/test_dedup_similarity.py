@@ -979,3 +979,34 @@ def test_add_to_ivf_pq_zero_norm_deletes_stale_codes(spark, sf_dir, tmp_path):
     assert res["dropped_zero_norm"] == 1
     assert cat.read("pq").filter(F.col("vec_id") == 7).count() == 0
     assert cat.read("pq").filter(F.col("vec_id") == 8).count() == 1
+
+
+def test_maintain_rebuild_skips_pre_recipe_index(spark, sf_dir, tmp_path):
+    """ADVICE r10: an index whose properties predate the rebuild
+    recipe (no index.m etc.) is reachable with
+    ann_rebuild_after_drifted_adds=0 (a missing drift counter defaults
+    to 0) — maintain must record recommended-but-skipped, not raise
+    KeyError mid-sweep."""
+    from data_lakehouse_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "w"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    cat.create_table("vectors", emb)
+    cat.create_table("oldpq", emb.select("vec_id"))
+    # simulate a pre-recipe index: kind + source recorded, no shape
+    cat.append(
+        "oldpq", emb.limit(0).select("vec_id"),
+        properties_update={
+            "index.kind": "ivf_pq",
+            "index.source_table": "vectors",
+        },
+    )
+    out = cat.maintain(
+        "oldpq", min_files_to_compact=999,
+        ann_rebuild_after_drifted_adds=0,
+    )
+    acts = [a for a in out["actions"]
+            if a["action"] == "rebuild_ivf_pq_index"]
+    assert len(acts) == 1
+    assert "index.m missing" in acts[0]["skipped"]
+    assert "result" not in acts[0]

@@ -739,3 +739,33 @@ def test_read_delta_column_mapping_partitioned(spark, tmp_path):
     df = read_delta(spark, dest)
     assert df.columns == ["id", "part"]
     assert _rows(df) == [(1, "a"), (2, "a"), (3, "b")]
+
+
+def test_export_dv_falls_back_when_delete_set_exceeds_broadcast(
+    spark, tmp_path
+):
+    """ADVICE r10: the DV encode groups the WHOLE positional-delete set
+    on the driver — past the broadcast threshold (the same gate the MOR
+    read path uses) the export must fall back to materialize instead of
+    risking a driver OOM, and an explicit materialize=False must refuse
+    with the reason."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t", spark.createDataFrame([(i,) for i in range(50)], "id long")
+    )
+    cat.delete_where("t", "id % 5 = 0", mode="mor")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "16")
+        res = export_delta(cat, "t", str(tmp_path / "dl"))
+        assert res["materialized"] and res["deletion_vector_files"] == 0
+        assert _rows(read_delta(spark, str(tmp_path / "dl"))
+                     .select("id")) == _rows(cat.read("t"))
+        with pytest.raises(ValueError, match="broadcast threshold"):
+            export_delta(cat, "t", str(tmp_path / "dl2"),
+                         materialize=False)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # back under the threshold: zero-copy DV export again
+    res = export_delta(cat, "t", str(tmp_path / "dl3"))
+    assert not res["materialized"] and res["deletion_vector_files"] >= 1

@@ -171,3 +171,23 @@ def test_holt_forecast_matches_python_recurrence(spark):
     assert str(a_rows[0]["forecast_date"]) == "2024-01-05"
     b_rows = [r for r in out if r["series"] == "b"]
     assert [r["forecast"] for r in b_rows] == [5.0, 5.0, 5.0]
+
+
+def test_keyless_series_window_refuses(spark):
+    """r10 verdict nit #1: a key-less LOCF/interpolation would plan
+    Window.orderBy over the whole frame (one executor holds every
+    row) — the library refuses and names the escape hatches."""
+    grid = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0)], "d int, v double"
+    )
+    with pytest.raises(ValueError, match="series_cols is required"):
+        ts.locf(grid, "d", ["v"])
+    with pytest.raises(ValueError, match="global_order_index"):
+        ts.interpolate_linear(grid, "d", ["v"])
+    # a constant series key is the documented single-series path
+    one = ts.locf(
+        grid.withColumn("k", F.lit(1)), "d", ["v"], series_cols=["k"]
+    )
+    assert [r["v_locf"] for r in one.orderBy("d").collect()] == [
+        1.0, 1.0, 3.0,
+    ]
