@@ -3756,6 +3756,48 @@ def q_iceberg_eq_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_iceberg_pos_delete_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg v2 POSITION-delete export (r10 verdict ask #5 mirrored
+    onto the positional tier), oracle-verified end to end: supplier
+    lands in the catalog, a MOR positional delete suppresses every
+    s_suppkey % 3 == 0 row, and the table exports ZERO-COPY — the
+    accumulated (_file,_pos) delete set re-encoded as ONE spec
+    content=1 delete file (file_path, pos with the reserved field
+    ids; O(deleted rows) new bytes, no data rewrite) riding a real
+    delete manifest — then reads back through the independent
+    pure-Python spec reader. Survivors must hash-match DuckDB's
+    filtered rendering."""
+    import shutil
+    import tempfile
+
+    from data_lakehouse_spark.catalog import Catalog
+    from data_lakehouse_spark.interop import export_iceberg, read_iceberg
+
+    _ensure_conf(spark)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dls_iceberg_pos",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(spark, os.path.join(root, "cat"))
+    sup = _rel(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    cat.create_table("sup_pos", sup)
+    cat.delete_where("sup_pos", "s_suppkey % 3 = 0", mode="mor")
+    out = export_iceberg(cat, "sup_pos", os.path.join(root, "ice"))
+    assert out["materialized"] is False
+    assert out["position_delete_files"] == 1
+    return (
+        read_iceberg(spark, os.path.join(root, "ice"))
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy("s_suppkey")
+    )
+
+
 def q_cdc_mart_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC incremental aggregate maintenance, oracle-verified END TO
     END: the mart is built from 80% of events, the source then
@@ -3861,6 +3903,81 @@ def q_matview_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("bigint").alias("n_events"),
         )
         .orderBy("event_type")
+    )
+
+
+def q_matview_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SHAPED materialized view (r10 verdict ask #6), oracle-
+    verified END TO END: a fact JOIN dim aggregate (orders × customer
+    on a same-named custkey, grouped by the DIM's mktsegment, scoped
+    by a WHERE over the DIM's nationkey) is built from partial data,
+    then BOTH sides advance — fact append + MOR delete, dim append +
+    UPDATE (segment move) + COW delete — across TWO incremental
+    delta-join refreshes (ΔF⋈D_old + F_new⋈ΔD; the dim-side fold
+    prunes the fact scan to the feed's key set). The mart must
+    hash-match DuckDB's closed-form recompute of the final state.
+    Money flows as integer cents."""
+    import shutil
+    import tempfile
+
+    from data_lakehouse_spark.catalog import Catalog
+
+    _ensure_conf(spark)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dls_matview_ivm_join",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(spark, root)
+    fact = _rel(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("custkey"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    dim = _rel(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    cat.create_table("ord", fact.filter(F.col("okey") % 4 != 0))
+    # some fact custkeys start with NO dim row (inner join drops them
+    # until the dim side gains the key)
+    cat.create_table("cust", dim.filter(F.col("custkey") % 10 != 7))
+    cat.create_materialized_view(
+        "seg_mart",
+        source="ord",
+        join_dim="cust",
+        join_on=["custkey"],
+        group_cols=["mktsegment"],
+        measures={
+            "revenue_cents": ("sum", "cents"),
+            "n_orders": ("count", None),
+            "avg_cents": ("avg", "cents"),
+        },
+        where="nationkey % 5 != 2",
+    )
+    # refresh 1: fact-only span
+    cat.append("ord", fact.filter(F.col("okey") % 4 == 0))
+    cat.refresh_materialized_view("seg_mart")
+    # refresh 2: both sides move in one span (the cross term)
+    cat.delete_where("ord", "okey % 13 = 5", mode="mor")
+    cat.append("cust", dim.filter(F.col("custkey") % 10 == 7))
+    cat.update_where(
+        "cust", F.col("custkey") % 9 == 1,
+        {"mktsegment": F.lit("MOVED")},
+    )
+    cat.delete_where("cust", "custkey % 17 = 3", mode="cow")
+    cat.refresh_materialized_view("seg_mart")
+    return (
+        cat.read("seg_mart")
+        .select(
+            "mktsegment",
+            F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("avg_cents").cast("double").alias("avg_cents"),
+        )
+        .orderBy("mktsegment")
     )
 
 
@@ -4547,8 +4664,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_ccnet_buckets": q_corpus_ccnet_buckets,
         "corpus_ccnet_buckets_kn5": q_corpus_ccnet_buckets_kn5,
         "iceberg_eq_delete_roundtrip": q_iceberg_eq_delete_roundtrip,
+        "iceberg_pos_delete_roundtrip": q_iceberg_pos_delete_roundtrip,
         "corpus_pretrain_mix": q_corpus_pretrain_mix,
         "matview_ivm": q_matview_ivm,
+        "matview_ivm_join": q_matview_ivm_join,
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "orders_cdc_upsert": q_orders_cdc_upsert,
@@ -5748,6 +5867,14 @@ SELECT n_nationkey, n_name, n_regionkey, src FROM (
 ORDER BY n_nationkey, src
 """
 
+    # position-delete zero-copy export: survivors of the MOR delete
+    sql["iceberg_pos_delete_roundtrip"] = """
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier
+WHERE s_suppkey % 3 <> 0
+ORDER BY s_suppkey
+"""
+
     # SQL dialect DML gate: the edit sequence (UPDATE st='F' +100 cents;
     # MOR DELETE k%7; MERGE k%3 source with update-add and insert) in
     # closed form over the pristine orders table
@@ -5917,6 +6044,34 @@ SELECT event_type,
 FROM scoped
 GROUP BY event_type
 ORDER BY event_type
+"""
+
+    # closed-form recompute of the final two-sided state: fact minus
+    # the MOR delete, dim with the segment move + COW delete applied,
+    # inner join, dim-scoped WHERE
+    sql["matview_ivm_join"] = """
+WITH fact AS (
+    SELECT o_custkey AS custkey,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderkey % 13 <> 5
+), dim AS (
+    SELECT c_custkey AS custkey,
+           CASE WHEN c_custkey % 9 = 1 THEN 'MOVED'
+                ELSE c_mktsegment END AS mktsegment,
+           c_nationkey AS nationkey
+    FROM customer
+    WHERE c_custkey % 17 <> 3
+)
+SELECT mktsegment,
+    CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CASE WHEN COUNT(cents) > 0
+         THEN CAST(SUM(cents) AS DOUBLE) / COUNT(cents) END AS avg_cents
+FROM fact JOIN dim USING (custkey)
+WHERE nationkey % 5 <> 2
+GROUP BY mktsegment
+ORDER BY mktsegment
 """
 
     sql["top_customers"] = """

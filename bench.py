@@ -38,6 +38,24 @@ BENCH_EXCLUDED = {
         "churn, not a read query; the oracle gate verifies "
         "refresh-equals-recompute end-to-end"
     ),
+    "matview_ivm_join": (
+        "delta-join IVM SCENARIO (tmp catalog build + join matview + "
+        "two-sided appends/deletes/updates + two refreshes) — same "
+        "write-churn shape as matview_ivm; the oracle gate verifies "
+        "refresh-equals-recompute end-to-end"
+    ),
+    "delta_column_mapping_roundtrip": (
+        "column-mapping interop SCENARIO (action-by-action mapped "
+        "Delta write + rename commit + two log replays) — timing "
+        "measures tmp-dir export writes, not a read query; the oracle "
+        "gate verifies physical->logical resolution end-to-end"
+    ),
+    "iceberg_pos_delete_roundtrip": (
+        "position-delete interop SCENARIO (catalog build + MOR delete "
+        "+ zero-copy export with content=1 re-encode + spec-reader "
+        "read) — timing measures tmp-dir catalog/manifest writes, not "
+        "a read query; the oracle gate verifies survivors end-to-end"
+    ),
     "delta_history_roundtrip": (
         "multi-commit export SCENARIO (catalog build + append + COW "
         "delete + history export + two log replays) — timing measures "

@@ -3890,11 +3890,25 @@ class Catalog:
         os.replace(tmp, self._matviews_path())
 
     def _matview_maintainer(self, name: str):
-        from data_lakehouse_spark.plans.cdc import CdcAggregate
+        from data_lakehouse_spark.plans.cdc import (
+            CdcAggregate,
+            CdcJoinAggregate,
+        )
 
         mv = self.materialized_views().get(name)
         if mv is None:
             raise ValueError(f"materialized view {name} does not exist")
+        if mv.get("join_dim"):
+            return CdcJoinAggregate(
+                self,
+                source=mv["source"],
+                dim=mv["join_dim"],
+                target=name,
+                on=mv["join_on"],
+                group_cols=mv["group_cols"],
+                measures={k: tuple(v) for k, v in mv["measures"].items()},
+                where=mv.get("where"),
+            )
         return CdcAggregate(
             self,
             source=mv["source"],
@@ -3913,6 +3927,8 @@ class Catalog:
         measures: dict[str, tuple[str, str | None]],
         sql_text: str | None = None,
         where: str | None = None,
+        join_dim: str | None = None,
+        join_on: list[str] | None = None,
         replace: bool = False,
         refresh: bool = True,
     ) -> dict:
@@ -3922,9 +3938,25 @@ class Catalog:
         min/max; AVG maintained as its SUM/COUNT pair); ``where`` scopes
         the view to a source predicate (applied to change images before
         folding); holistic aggregates refuse with the guidance to use
-        the sketch tier."""
+        the sketch tier.
+
+        ``join_dim`` + ``join_on`` declare the JOIN-SHAPED form
+        (``FROM source JOIN join_dim USING (join_on...) GROUP BY ...``,
+        maintained by delta-join IVM on change feeds from BOTH sides —
+        see :class:`~data_lakehouse_spark.plans.cdc.CdcJoinAggregate`);
+        group columns, measure exprs and ``where`` may then reference
+        dim columns, and measures are restricted to the algebraic
+        kinds (sum/count/count_col/avg)."""
         if not self.table_exists(source):
             raise ValueError(f"materialized view source {source} not found")
+        if join_dim is not None and not self.table_exists(join_dim):
+            raise ValueError(
+                f"materialized view join dim {join_dim} not found"
+            )
+        if (join_dim is None) != (not join_on):
+            raise ValueError(
+                "join_dim and join_on must be passed together"
+            )
         mvs = self.materialized_views()
         if name in mvs and not replace:
             raise ValueError(f"materialized view {name} already exists")
@@ -3939,13 +3971,24 @@ class Catalog:
             "measures": {k: list(v) for k, v in measures.items()},
             "sql": sql_text,
             "where": where,
+            "join_dim": join_dim,
+            "join_on": list(join_on) if join_on else None,
         }
         # validate the measure kinds before persisting
-        from data_lakehouse_spark.plans.cdc import CdcAggregate
+        from data_lakehouse_spark.plans.cdc import (
+            CdcAggregate,
+            CdcJoinAggregate,
+        )
 
-        CdcAggregate(self, source, name, list(group_cols),
-                     {k: tuple(v) for k, v in measures.items()},
-                     where=where)
+        if join_dim:
+            CdcJoinAggregate(self, source, join_dim, name, list(join_on),
+                             list(group_cols),
+                             {k: tuple(v) for k, v in measures.items()},
+                             where=where)
+        else:
+            CdcAggregate(self, source, name, list(group_cols),
+                         {k: tuple(v) for k, v in measures.items()},
+                         where=where)
         self._save_matviews(mvs)
         out = {"op": "create_materialized_view", "name": name}
         if refresh:

@@ -372,13 +372,18 @@ def export_iceberg(
     export writes a real delete manifest with ``equality_ids`` and
     per-file sequence numbers (data files carry their commit order;
     the spec's strictly-lower rule then replays exactly the catalog's
-    MOR semantics in any Iceberg reader). Shapes that force
-    ``materialize=True`` (one Spark rewrite into ``dest/data/``,
-    auto-detected): POSITIONAL merge-on-read delete files (the
-    catalog's (_file,_pos) encoding is not Iceberg's), an equality
-    delete whose key columns were since renamed, and hidden-transform
-    partitioning (``days(ts)`` etc. — derived values are not identity-
-    restorable).
+    MOR semantics in any Iceberg reader). POSITIONAL merge-on-read
+    delete files (the catalog's (_file,_pos) encoding is not
+    Iceberg's) re-encode into ONE spec content=1 delete file —
+    ``(file_path, pos)`` with the reserved field ids, O(deleted rows)
+    new bytes, no data rewrite — gated on the delete set fitting the
+    broadcast threshold (the driver-side translation must stay
+    bounded; past it, fold deletes with ``rewrite_position_deletes``
+    first). Shapes that force ``materialize=True`` (one Spark rewrite
+    into ``dest/data/``, auto-detected): an oversized
+    positional-delete set, an equality delete whose key columns were
+    since renamed, and hidden-transform partitioning (``days(ts)``
+    etc. — derived values are not identity-restorable).
 
     The exported snapshot is FROZEN: later catalog commits don't
     appear (re-export for a new snapshot), and
@@ -424,15 +429,32 @@ def export_iceberg(
     # the delete in any spec-conformant reader
     eq_pinned = any(d.get("applies_to") is not None for d in eq_dd)
     has_pos = bool(pos_dd)
+    # positional deletes re-encode into spec content=1 delete files
+    # (file_path, pos — O(deleted rows) metadata, no data rewrite); the
+    # translation groups the delete set on the driver, so it is gated
+    # on the delete dirs' bytes vs the broadcast threshold, same as the
+    # Delta DV encode. Past it: materialize (fold deletes first via
+    # rewrite_position_deletes to restore zero-copy).
+    pos_bytes = (
+        sum(catalog._dir_bytes(h, d) for d in pos_dd) if pos_dd else 0
+    )
+    pos_fits = pos_bytes <= catalog._broadcast_threshold()
     must_materialize = (
-        has_pos or eq_renamed or eq_pinned or (bool(pb) and not identity_ok)
+        (has_pos and not pos_fits)
+        or eq_renamed
+        or eq_pinned
+        or (bool(pb) and not identity_ok)
     )
     if materialize is None:
         materialize = must_materialize
     if must_materialize and not materialize:
         raise ValueError(
             f"cannot zero-copy export {name}: "
-            + ("it carries positional MOR delete files; " if has_pos else "")
+            + (f"its positional-delete set ({pos_bytes} bytes) exceeds "
+               "the broadcast threshold (driver-side re-encode would be "
+               "unbounded — fold deletes first via "
+               "rewrite_position_deletes); "
+               if has_pos and not pos_fits else "")
             + ("an equality delete's key columns were renamed; "
                if eq_renamed else "")
             + ("an equality delete is scoped to a fixed dir list "
@@ -443,6 +465,7 @@ def export_iceberg(
             + "pass materialize=True (one rewrite into the export)"
         )
     export_eq = eq_dd if not materialize else []
+    export_pos = pos_dd if not materialize else []
 
     dest = os.path.abspath(dest)
     meta_dir = os.path.join(dest, "metadata")
@@ -528,6 +551,68 @@ def export_iceberg(
                         }
                     )
 
+    # positional deletes → ONE spec content=1 delete file under
+    # dest/deletes/: (file_path, pos) sorted, with the spec's RESERVED
+    # field ids (2147483546 / 2147483545) embedded so id-resolving
+    # readers need no name mapping. The file_path rendering must equal
+    # the manifest's data-file paths exactly — any reference that
+    # matches no walked file fails loudly (silent mismatch would
+    # resurrect deleted rows).
+    pos_del_files = []
+    if export_pos:
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        known = {os.path.normpath(f["path"]) for f in data_files}
+        pairs = []
+        for r in catalog._read_positions(h, export_pos).collect():
+            p = os.path.normpath(
+                re.sub(
+                    r"^file:/+", "/", urllib.parse.unquote(r["_file"])
+                )
+            )
+            if p not in known:
+                raise ValueError(
+                    f"export_iceberg {name}: positional-delete reference "
+                    f"{p} matched no walked data file (path rendering "
+                    "mismatch?)"
+                )
+            pairs.append((p, int(r["_pos"])))
+        pairs = sorted(set(pairs))
+        del_dir = os.path.join(dest, "deletes")
+        os.makedirs(del_dir, exist_ok=True)
+        pos_path = os.path.join(
+            del_dir, f"posdel-{uuid.uuid4()}.parquet"
+        )
+        papq.write_table(
+            pa.Table.from_arrays(
+                [
+                    pa.array([p for p, _ in pairs], pa.string()),
+                    pa.array([i for _, i in pairs], pa.int64()),
+                ],
+                schema=pa.schema(
+                    [
+                        pa.field(
+                            "file_path", pa.string(), nullable=False,
+                            metadata={b"PARQUET:field_id": b"2147483546"},
+                        ),
+                        pa.field(
+                            "pos", pa.int64(), nullable=False,
+                            metadata={b"PARQUET:field_id": b"2147483545"},
+                        ),
+                    ]
+                ),
+            ),
+            pos_path,
+        )
+        pos_del_files.append(
+            {
+                "path": pos_path,
+                "bytes": os.path.getsize(pos_path),
+                "rows": len(pairs),
+            }
+        )
+
     snapshot_id = uuid.uuid4().int % ((1 << 62) - 1) + 1
     now_ms = int(time.time() * 1000)
     commit_uuid = str(uuid.uuid4())
@@ -580,7 +665,14 @@ def export_iceberg(
     )
 
     data_seqs = [f["seq"] for f in data_files] or [1]
-    last_seq = max(data_seqs + [f["seq"] for f in eq_files])
+    # position deletes reference exact (file_path, pos) pairs, so their
+    # sequence only needs to cover the referenced files (the spec
+    # applies them to data files with seq <= delete seq)
+    for f in pos_del_files:
+        f["seq"] = max(data_seqs)
+    last_seq = max(
+        data_seqs + [f["seq"] for f in eq_files + pos_del_files]
+    )
     total_rows = sum(f["rows"] for f in data_files)
     manifest_rows = [
         {
@@ -608,10 +700,12 @@ def export_iceberg(
     # values would scope every delete to the null partition and
     # external readers (Spark/Trino/PyIceberg) would silently
     # resurrect the deleted rows.
-    del_spec_id = 1 if (eq_files and part_fields) else 0
-    if eq_files:
+    all_del_files = eq_files + pos_del_files
+    del_spec_id = 1 if (all_del_files and part_fields) else 0
+    if all_del_files:
         # DELETE manifest (manifest-list content=1): one content=2
-        # entry per equality delete file, with its equality_ids and
+        # entry per equality delete file (with its equality_ids) and
+        # one content=1 entry per position delete file, each with its
         # true sequence number
         del_manifest_path = os.path.join(meta_dir, f"{commit_uuid}-m1.avro")
         del_rows = [
@@ -621,16 +715,16 @@ def export_iceberg(
                 "sequence_number": f["seq"],
                 "file_sequence_number": f["seq"],
                 "data_file": {
-                    "content": 2,
+                    "content": 2 if "ids" in f else 1,
                     "file_path": f["path"],
                     "file_format": "PARQUET",
                     "partition": None,
                     "record_count": f["rows"],
                     "file_size_in_bytes": f["bytes"],
-                    "equality_ids": f["ids"],
+                    "equality_ids": f.get("ids"),
                 },
             }
-            for f in eq_files
+            for f in all_del_files
         ]
         _write_avro(
             catalog.spark,
@@ -650,20 +744,20 @@ def export_iceberg(
                 "content": "deletes",
             },
         )
-        eq_seqs = [f["seq"] for f in eq_files]
+        del_seqs = [f["seq"] for f in all_del_files]
         manifest_rows.append(
             {
                 "manifest_path": del_manifest_path,
                 "manifest_length": os.path.getsize(del_manifest_path),
                 "partition_spec_id": del_spec_id,
                 "content": 1,
-                "sequence_number": max(eq_seqs),
-                "min_sequence_number": min(eq_seqs),
+                "sequence_number": max(del_seqs),
+                "min_sequence_number": min(del_seqs),
                 "added_snapshot_id": snapshot_id,
-                "added_files_count": len(eq_files),
+                "added_files_count": len(all_del_files),
                 "existing_files_count": 0,
                 "deleted_files_count": 0,
-                "added_rows_count": sum(f["rows"] for f in eq_files),
+                "added_rows_count": sum(f["rows"] for f in all_del_files),
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
             }
@@ -737,6 +831,7 @@ def export_iceberg(
         "snapshot_id": snapshot_id,
         "data_files": len(data_files),
         "delete_files": len(eq_files),
+        "position_delete_files": len(pos_del_files),
         "rows": total_rows,
         "materialized": bool(materialize),
         "partition_columns": part_cols,
@@ -1335,9 +1430,22 @@ def _scan_with_partitions(
     def _read(*ps: str) -> DataFrame:
         d = spark.read.parquet(*ps)
         if lineage:
+            # _metadata.file_path is a Hadoop Path URI (scheme +
+            # percent-encoding) while manifests/delete files carry
+            # decoded paths — decode to match (literal '+' protected
+            # from url_decode's form semantics; same rendering rule as
+            # the Delta DV anti-join)
             d = d.withColumn(
                 "_fp",
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+                F.url_decode(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.col("_metadata.file_path"), "^file:/+", "/"
+                        ),
+                        r"\+",
+                        "%2B",
+                    )
+                ),
             ).withColumn("_pos", F.col("_metadata.row_index"))
         return d
 

@@ -51,7 +51,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["CdcAggregate", "CdcQuantile"]
+__all__ = ["CdcAggregate", "CdcJoinAggregate", "CdcQuantile"]
 
 _LAST_VERSION_PROP = "cdc.last_source_version"
 
@@ -386,6 +386,76 @@ class CdcAggregate:
             F.lit(True).alias(f"_has_{out}"),
         )
 
+    def _merge_delta(
+        self,
+        mart: DataFrame,
+        delta: DataFrame,
+        countd_abs: dict[str, DataFrame],
+    ) -> DataFrame:
+        """Fold a signed per-group delta (and the support-backed
+        absolute re-derivations) into the current mart: outer join on
+        group keys, coalesce-and-add every algebraic column, replace
+        support-backed columns for touched groups, retire groups whose
+        live row count reaches zero, re-derive AVG ratios."""
+        merged_cols = [
+            (
+                F.coalesce(F.col(f"m.{c}"), F.lit(0.0) if dbl else F.lit(0))
+                + F.coalesce(F.col(f"d.{c}"), F.lit(0.0) if dbl else F.lit(0))
+            ).alias(c)
+            for c, dbl in self._fold_spec().items()
+        ]
+        merged = (
+            mart.alias("m")
+            .join(delta.alias("d"), on=self.group_cols, how="full_outer")
+            .select(
+                *self.group_cols,
+                *merged_cols,
+                *[F.col(f"m.{c}").alias(f"_old_{c}") for c in countd_abs],
+                (
+                    F.coalesce(F.col("m._n_rows"), F.lit(0))
+                    + F.coalesce(F.col("d._n_rows"), F.lit(0))
+                ).alias("_n_rows"),
+            )
+            .filter(F.col("_n_rows") > 0)  # group retirement
+        )
+        for out, abs_df in countd_abs.items():
+            kind = self._supported[out][0]
+            # REPLACE semantics gated on the presence marker: a touched
+            # group takes the re-derived value even when that value is
+            # NULL (min/max with no live values); untouched groups keep
+            # their old value; brand-new NULL-only groups get 0 for
+            # counts and NULL for extremes
+            default = (
+                F.lit(0).cast("bigint")
+                if kind == "count_distinct"
+                else F.lit(None)
+            )
+            merged = (
+                merged.join(
+                    abs_df.withColumnRenamed(out, f"_new_{out}"),
+                    on=self.group_cols,
+                    how="left",
+                )
+                .withColumn(
+                    out,
+                    F.when(
+                        F.col(f"_has_{out}").isNotNull(), F.col(f"_new_{out}")
+                    ).otherwise(F.coalesce(F.col(f"_old_{out}"), default)),
+                )
+                .drop(f"_new_{out}", f"_old_{out}", f"_has_{out}")
+            )
+        for out, (agg, _) in self._algebraic.items():
+            if agg == "sum":
+                # NULL when the group holds no live non-NULL values
+                merged = merged.withColumn(
+                    out,
+                    F.when(F.col(f"_sum_n_{out}") > 0, F.col(out)),
+                )
+        for out in self._avg:
+            # re-derive the ratio from the folded SUM/COUNT pair
+            merged = merged.withColumn(out, self._avg_ratio(out))
+        return merged
+
     # -- API --------------------------------------------------------------
     def refresh(self) -> dict:
         """Bring the mart up to the source's current version. First call
@@ -452,63 +522,7 @@ class CdcAggregate:
         }
 
         mart = self.catalog.read(self.target)
-        merged_cols = [
-            (
-                F.coalesce(F.col(f"m.{c}"), F.lit(0.0) if dbl else F.lit(0))
-                + F.coalesce(F.col(f"d.{c}"), F.lit(0.0) if dbl else F.lit(0))
-            ).alias(c)
-            for c, dbl in self._fold_spec().items()
-        ]
-        merged = (
-            mart.alias("m")
-            .join(delta.alias("d"), on=self.group_cols, how="full_outer")
-            .select(
-                *self.group_cols,
-                *merged_cols,
-                *[F.col(f"m.{c}").alias(f"_old_{c}") for c in countd_abs],
-                (
-                    F.coalesce(F.col("m._n_rows"), F.lit(0))
-                    + F.coalesce(F.col("d._n_rows"), F.lit(0))
-                ).alias("_n_rows"),
-            )
-            .filter(F.col("_n_rows") > 0)  # group retirement
-        )
-        for out, abs_df in countd_abs.items():
-            kind = self._supported[out][0]
-            # REPLACE semantics gated on the presence marker: a touched
-            # group takes the re-derived value even when that value is
-            # NULL (min/max with no live values); untouched groups keep
-            # their old value; brand-new NULL-only groups get 0 for
-            # counts and NULL for extremes
-            default = (
-                F.lit(0).cast("bigint")
-                if kind == "count_distinct"
-                else F.lit(None)
-            )
-            merged = (
-                merged.join(
-                    abs_df.withColumnRenamed(out, f"_new_{out}"),
-                    on=self.group_cols,
-                    how="left",
-                )
-                .withColumn(
-                    out,
-                    F.when(
-                        F.col(f"_has_{out}").isNotNull(), F.col(f"_new_{out}")
-                    ).otherwise(F.coalesce(F.col(f"_old_{out}"), default)),
-                )
-                .drop(f"_new_{out}", f"_old_{out}", f"_has_{out}")
-            )
-        for out, (agg, _) in self._algebraic.items():
-            if agg == "sum":
-                # NULL when the group holds no live non-NULL values
-                merged = merged.withColumn(
-                    out,
-                    F.when(F.col(f"_sum_n_{out}") > 0, F.col(out)),
-                )
-        for out in self._avg:
-            # re-derive the ratio from the folded SUM/COUNT pair
-            merged = merged.withColumn(out, self._avg_ratio(out))
+        merged = self._merge_delta(mart, delta, countd_abs)
         self.catalog.create_table(
             self.target,
             merged,
@@ -516,6 +530,217 @@ class CdcAggregate:
             mode="replace",
         )
         return {"mode": "incremental", "from": last, "source_version": cur}
+
+
+_LAST_DIM_VERSION_PROP = "cdc.last_dim_version"
+
+
+class CdcJoinAggregate(CdcAggregate):
+    """Join-shaped incrementally-maintained aggregate:
+    ``SELECT g..., agg(expr)... FROM fact JOIN dim ON k... GROUP BY g...``
+    (r10 verdict ask #6 — the reference's gold marts are single-table,
+    but any real mart joins a dimension).
+
+    Maintenance is the classic DELTA-JOIN IVM identity. With
+    ``F1 = F0 + ΔF`` and ``D1 = D0 + ΔD``::
+
+        F1⋈D1 − F0⋈D0  =  ΔF⋈D0  +  F1⋈ΔD
+
+    so one refresh folds two bounded signed streams into the mart:
+
+    - **fact changes × old dim**: the fact change feed (over the
+      mart's unseen span) joined to the dim AS OF the mart's recorded
+      dim version (time travel — D0, not D1, or fact rows that changed
+      while the dim also changed would double-count the dim delta).
+      The dim side is broadcast when its stats fit the threshold — the
+      normal case for a dimension.
+    - **current fact × dim changes**: the dim change feed joined to
+      the CURRENT fact — but the fact scan is first semi-joined to the
+      feed's (broadcast-hinted) join-key set, so a dim update touching
+      k keys prices as a pruned fact scan over those keys' rows, never
+      a full rescan. The sign comes from the dim feed: a dim UPDATE
+      (delete+insert pair) nets to the measure difference for every
+      joined fact row, and a dim DELETE retracts its fact rows'
+      contributions (inner-join semantics: those rows leave the view).
+
+    Both version cursors (fact + dim) commit WITH the mart in the same
+    atomic replace, so a crashed refresh replays its exact span.
+
+    Algebraic measures only (sum/count/count_col/avg — maintained as
+    signed folds). count_distinct/min/max would need the support-table
+    machinery keyed by two independent version cursors; they refuse
+    with the guidance to maintain them on a pre-joined table or use
+    the sketch tier. Join keys are same-named equi-join columns; other
+    column-name collisions between fact and dim are the caller's to
+    resolve (the build would fail on ambiguity).
+
+    Reference context: dbt gold marts recompute joins per run
+    (``dbt/models/gold/*.sql``); this is the change-feed-bounded
+    replacement.
+    """
+
+    def __init__(
+        self,
+        catalog,
+        source: str,
+        dim: str,
+        target: str,
+        on: list[str],
+        group_cols: list[str],
+        measures: dict[str, tuple[str, str | None]],
+        where: str | None = None,
+    ) -> None:
+        super().__init__(catalog, source, target, group_cols, measures,
+                         where)
+        if self._supported:
+            bad = ", ".join(sorted(self._supported))
+            raise ValueError(
+                f"{bad}: count_distinct/min/max are not join-maintainable "
+                "(their support tables would need two independent version "
+                "cursors); maintain them on a pre-joined table or use the "
+                "sketch tier"
+            )
+        if not on:
+            raise ValueError("join-shaped view needs at least one join key")
+        self.dim = dim
+        self.on = list(on)
+
+    def _dim_version(self) -> int:
+        entries = self.catalog._load_manifest(self.catalog._handle(self.dim))
+        if not entries:
+            raise ValueError(f"dim table {self.dim} does not exist")
+        return self.catalog._main_head(entries, self.dim)["version"]
+
+    def _hint_dim(self, dim_df: DataFrame) -> DataFrame:
+        """Broadcast the dim side when its metadata-priced size fits
+        the threshold — unknown sizes withhold the hint (AQE decides)."""
+        thr = self.catalog._broadcast_threshold()
+        if thr <= 0:
+            return dim_df
+        est = self.catalog.estimated_size_bytes(self.dim)
+        return F.broadcast(dim_df) if est is not None and est <= thr else dim_df
+
+    def _joined_full(self) -> DataFrame:
+        rows = self.catalog.read(self.source).join(
+            self._hint_dim(self.catalog.read(self.dim)),
+            on=self.on, how="inner",
+        )
+        if self.where:
+            rows = rows.filter(F.expr(self.where))
+        return rows
+
+    def _full_build(self, cur_f: int, cur_d: int, mode: str) -> dict:
+        self.catalog.create_table(
+            self.target,
+            self._full_mart(self._joined_full()),
+            properties={
+                _LAST_VERSION_PROP: str(cur_f),
+                _LAST_DIM_VERSION_PROP: str(cur_d),
+            },
+            mode="replace",
+        )
+        return {
+            "mode": mode,
+            "source_version": cur_f,
+            "dim_version": cur_d,
+        }
+
+    def refresh(self) -> dict:
+        cur_f = self._source_version()
+        cur_d = self._dim_version()
+        if not self.catalog.table_exists(self.target):
+            return self._full_build(cur_f, cur_d, "full")
+
+        props = self.catalog.table_properties(self.target)
+        last_f = int(props[_LAST_VERSION_PROP])
+        last_d = int(props.get(_LAST_DIM_VERSION_PROP, cur_d))
+        if (last_f, last_d) == (cur_f, cur_d):
+            return {"mode": "noop", "source_version": cur_f,
+                    "dim_version": cur_d}
+
+        needed = set(self._fold_spec()) | {"_n_rows"}
+        if not needed <= set(self.catalog.read(self.target).columns):
+            out = self._full_build(cur_f, cur_d, "full")
+            out["reason"] = "schema migration (hidden fold columns added)"
+            return out
+
+        parts: list[DataFrame] = []
+        if cur_f > last_f:
+            # ΔF ⋈ D0 — the dim as the MART saw it (time travel), sign
+            # rides in from the fact feed
+            d_old = (
+                self.catalog.read(self.dim, version=last_d)
+                if last_d != cur_d
+                else self.catalog.read(self.dim)
+            )
+            # NOT parent._signed_changes: its view-scope filter runs on
+            # the bare feed, and a join view's `where` may reference
+            # dim columns — the predicate applies post-join below
+            fact_feed = (
+                self.catalog.table_changes(self.source, last_f, cur_f)
+                .withColumn(
+                    "_sign",
+                    F.when(
+                        F.col("_change_type") == "insert", F.lit(1)
+                    ).otherwise(F.lit(-1)),
+                )
+                .drop("_change_type")
+            )
+            parts.append(
+                fact_feed.join(
+                    self._hint_dim(d_old), on=self.on, how="inner"
+                )
+            )
+        if cur_d > last_d:
+            # F1 ⋈ ΔD — current fact pruned to the feed's key set, sign
+            # rides in from the dim feed
+            dim_feed = (
+                self.catalog.table_changes(self.dim, last_d, cur_d)
+                .withColumn(
+                    "_sign",
+                    F.when(
+                        F.col("_change_type") == "insert", F.lit(1)
+                    ).otherwise(F.lit(-1)),
+                )
+                .drop("_change_type")
+            )
+            keys = _stats_broadcast_hint(
+                self.catalog, self.dim, self.on,
+                dim_feed.select(*self.on).distinct(), last_d, cur_d,
+            )
+            fact_pruned = self.catalog.read(self.source).join(
+                keys, on=self.on, how="left_semi"
+            )
+            parts.append(
+                fact_pruned.join(dim_feed, on=self.on, how="inner")
+            )
+        signed = parts[0]
+        for p in parts[1:]:
+            signed = signed.unionByName(p, allowMissingColumns=False)
+        if self.where:
+            # view scope evaluated on the JOINED images (it may
+            # reference dim columns)
+            signed = signed.filter(F.expr(self.where))
+        delta = self._aggregate(signed, F.col("_sign"))
+        merged = self._merge_delta(
+            self.catalog.read(self.target), delta, {}
+        )
+        self.catalog.create_table(
+            self.target,
+            merged,
+            properties={
+                _LAST_VERSION_PROP: str(cur_f),
+                _LAST_DIM_VERSION_PROP: str(cur_d),
+            },
+            mode="replace",
+        )
+        return {
+            "mode": "incremental",
+            "from": last_f,
+            "source_version": cur_f,
+            "dim_from": last_d,
+            "dim_version": cur_d,
+        }
 
 
 class CdcQuantile:

@@ -700,8 +700,8 @@ class LakehouseSql:
         if m:
             name = m.group(2)
             body = stmt[m.start(3) : m.end(3)].strip()
-            source, group_cols, measures, where = self._parse_matview_select(
-                body
+            (source, join_dim, join_on, group_cols, measures, where) = (
+                self._parse_matview_select(body)
             )
             return self.catalog.create_materialized_view(
                 name,
@@ -710,6 +710,8 @@ class LakehouseSql:
                 measures=measures,
                 sql_text=body,
                 where=where,
+                join_dim=join_dim,
+                join_on=join_on,
                 replace=bool(m.group(1)),
             )
         m = re.match(
@@ -731,20 +733,56 @@ class LakehouseSql:
             "CREATE [OR REPLACE] [MATERIALIZED] VIEW <name> AS <select>"
         )
 
-    def _parse_matview_select(
-        self, body: str
-    ) -> tuple[str, list[str], dict[str, tuple[str, str | None]], str | None]:
+    def _parse_matview_join(self, clause: str, fact: str, dim: str) -> list[str]:
+        """JOIN condition → same-named key list. Accepts
+        ``USING (a, b)`` and ``ON f.k = d.k AND ...`` (qualifiers
+        optional but must name the joined tables; differently-named
+        key pairs refuse — the IVM maintainer joins USING-style)."""
+        um = re.match(r"USING\s*\(\s*(.+?)\s*\)\s*$", clause, re.I | re.S)
+        if um:
+            return [k.strip() for k in um.group(1).split(",")]
+        on = re.match(r"ON\s+(.+)$", clause, re.I | re.S)
+        keys = []
+        for pair in re.split(r"\s+AND\s+", on.group(1), flags=re.I):
+            pm = re.match(
+                rf"\s*(?:({_IDENT})\s*\.\s*)?({_IDENT})\s*=\s*"
+                rf"(?:({_IDENT})\s*\.\s*)?({_IDENT})\s*$",
+                pair,
+            )
+            if not pm or pm.group(2) != pm.group(4):
+                raise SqlError(
+                    f"materialized-view join condition {pair.strip()!r}: "
+                    "only same-named equi-join keys are maintainable "
+                    "(k = k, fact.k = dim.k, or USING (k)); rename the "
+                    "key in a staged table first"
+                )
+            for q in (pm.group(1), pm.group(3)):
+                if q and q not in (fact, dim):
+                    raise SqlError(
+                        f"join qualifier {q!r} names neither {fact} nor "
+                        f"{dim}"
+                    )
+            keys.append(pm.group(2))
+        return keys
+
+    def _parse_matview_select(self, body: str) -> tuple[
+        str, str | None, list[str] | None, list[str],
+        dict[str, tuple[str, str | None]], str | None,
+    ]:
         """Parse an incrementally-maintainable aggregate SELECT into the
         CdcAggregate contract: plain group columns + SUM / COUNT(*) /
         COUNT(col) / COUNT(DISTINCT col) / MIN / MAX / AVG aggregates
-        over ONE catalog table, with an optional WHERE predicate
-        (applied to change images before folding). Anything outside
-        that shape refuses loudly — a materialized view that silently
-        fell back to full recompute would betray the REFRESH cost
-        contract."""
+        over ONE catalog table — or a fact JOIN dim pair (delta-join
+        IVM; algebraic measures only) — with an optional WHERE
+        predicate (applied to change images before folding). Anything
+        outside that shape refuses loudly — a materialized view that
+        silently fell back to full recompute would betray the REFRESH
+        cost contract."""
         mask = mask_strings(body)
         m = re.match(
             rf"\s*SELECT\s+(.*?)\s+FROM\s+({_IDENT})"
+            rf"(?:\s+(?:INNER\s+)?JOIN\s+({_IDENT})\s+"
+            rf"(ON\s+.+?|USING\s*\(.+?\)))?"
             rf"(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+(.+?)\s*$",
             mask,
             re.I | re.S,
@@ -752,16 +790,24 @@ class LakehouseSql:
         if not m:
             raise SqlError(
                 "materialized view shape: SELECT <group cols + aggregates>"
-                " FROM <one catalog table> [WHERE <pred>] GROUP BY "
-                "<group cols> (no HAVING/JOIN — stage those into a "
-                "table first)"
+                " FROM <fact table> [JOIN <dim table> ON k = k | "
+                "USING (k)] [WHERE <pred>] GROUP BY <group cols> "
+                "(no HAVING/multi-join — stage those into a table first)"
             )
         select_list = body[m.start(1) : m.end(1)]
         source = m.group(2)
-        where = body[m.start(3) : m.end(3)] if m.group(3) else None
+        join_dim = m.group(3)
+        join_on = (
+            self._parse_matview_join(
+                body[m.start(4) : m.end(4)], source, join_dim
+            )
+            if join_dim
+            else None
+        )
+        where = body[m.start(5) : m.end(5)] if m.group(5) else None
         group_by = [
             g.strip()
-            for g in _split_top_level(body[m.start(4) : m.end(4)])
+            for g in _split_top_level(body[m.start(6) : m.end(6)])
         ]
         group_cols: list[str] = []
         measures: dict[str, tuple[str, str | None]] = {}
@@ -807,7 +853,19 @@ class LakehouseSql:
             )
         if not measures:
             raise SqlError("materialized view needs at least one aggregate")
-        return source, group_cols, measures, where
+        if join_dim:
+            bad = sorted(
+                o for o, (k, _) in measures.items()
+                if k in ("count_distinct", "min", "max")
+            )
+            if bad:
+                raise SqlError(
+                    f"{', '.join(bad)}: count_distinct/min/max are not "
+                    "join-maintainable (support tables would need two "
+                    "version cursors); maintain them on a pre-joined "
+                    "table or use the sketch tier"
+                )
+        return source, join_dim, join_on, group_cols, measures, where
 
     def _refresh_mv(self, stmt: str) -> dict:
         m = re.match(

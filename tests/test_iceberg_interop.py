@@ -89,20 +89,83 @@ def test_export_metadata_is_spec_shaped(spark, tmp_path):
     )
 
 
-def test_export_materializes_mor_deletes(spark, tmp_path):
+def test_export_mor_deletes_as_position_delete_files(spark, tmp_path):
+    """r10 verdict ask #5 (mirrored onto the positional tier): MOR
+    positional deletes export ZERO-COPY as one spec content=1 delete
+    file — (file_path, pos) with the reserved field ids — instead of
+    rewriting the data; the module's independent reader applies it."""
+    import pyarrow.parquet as papq
+
     cat = _cat(spark, tmp_path)
     cat.create_table(
         "t", spark.createDataFrame([(i,) for i in range(10)], "id long")
     )
     cat.delete_where("t", "id >= 7", mode="mor")
     dest = str(tmp_path / "ice")
-    res = export_iceberg(cat, "t", dest)  # auto-materialize
-    assert res["materialized"] and res["rows"] == 7
+    res = export_iceberg(cat, "t", dest)
+    assert not res["materialized"]
+    assert res["position_delete_files"] == 1
+    assert not os.path.exists(os.path.join(dest, "data"))  # no rewrite
     got = read_iceberg(spark, dest)
     assert _rows(got.select("id")) == _rows(cat.read("t"))
-    # zero-copy is refused explicitly, not silently wrong
-    with pytest.raises(ValueError, match="MOR delete"):
-        export_iceberg(cat, "t", str(tmp_path / "ice2"), materialize=False)
+    # the delete file is the spec wire shape with reserved field ids
+    del_dir = os.path.join(dest, "deletes")
+    pf = next(
+        os.path.join(del_dir, f) for f in os.listdir(del_dir)
+        if f.endswith(".parquet")
+    )
+    sch = papq.read_schema(pf)
+    assert [f.name for f in sch] == ["file_path", "pos"]
+    assert sch.field("file_path").metadata[b"PARQUET:field_id"] \
+        == b"2147483546"
+    assert papq.read_metadata(pf).num_rows == 3  # O(deleted rows)
+
+
+def test_export_pos_deletes_fall_back_past_broadcast_threshold(
+    spark, tmp_path
+):
+    """The driver-side re-encode is gated on the delete dirs' bytes vs
+    the broadcast threshold: past it the export materializes, and an
+    explicit materialize=False refuses with the remedy."""
+    cat = _cat(spark, tmp_path)
+    cat.create_table(
+        "t", spark.createDataFrame([(i,) for i in range(50)], "id long")
+    )
+    cat.delete_where("t", "id % 5 = 0", mode="mor")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "16")
+        res = export_iceberg(cat, "t", str(tmp_path / "ice"))
+        assert res["materialized"] and res["position_delete_files"] == 0
+        assert _rows(read_iceberg(spark, str(tmp_path / "ice"))
+                     .select("id")) == _rows(cat.read("t"))
+        with pytest.raises(ValueError, match="broadcast threshold"):
+            export_iceberg(cat, "t", str(tmp_path / "ice2"),
+                           materialize=False)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_export_pos_deletes_partitioned_and_mixed_with_eq(spark, tmp_path):
+    """Positional + equality deletes export together: the delete
+    manifest carries BOTH content kinds (position deletes ride the
+    unpartitioned spec next to the global eq deletes), and the replay
+    matches the catalog read."""
+    cat = _cat(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(i, "a" if i < 5 else "b") for i in range(10)],
+        "id long, part string",
+    )
+    cat.create_table("t", df, partition_by=["part"])
+    cat.delete_where("t", "id IN (1, 8)", mode="mor")
+    cat.delete_where("t", "id = 3", mode="mor-eq", equality_cols=["id"])
+    dest = str(tmp_path / "ice")
+    res = export_iceberg(cat, "t", dest)
+    assert not res["materialized"]
+    assert res["position_delete_files"] == 1 and res["delete_files"] >= 1
+    out = read_iceberg(spark, dest)
+    assert {r["id"] for r in out.collect()} == set(range(10)) - {1, 3, 8}
+    assert out.filter(F.col("part") == "b").count() == 4
 
 
 def test_identity_partitioned_zero_copy(spark, tmp_path):

@@ -1,6 +1,6 @@
 """ANN quality evaluation harness: recall@k and latency for the three
 approximate tiers vs exact brute-force top-k, swept across their
-accuracy knobs. Writes a markdown table (default ANN_EVAL.md).
+accuracy knobs — at ONE OR MORE corpus sizes in a single table.
 
 The ○-status ANN bench entries prove plumbing and plan shape; this
 harness is the QUALITY evidence: mean recall@10 over a panel of query
@@ -9,7 +9,12 @@ the wall time of the probe. The committed table is the tuning guide a
 user reads to pick num_planes/probe_hamming/nprobe; the pinned floors
 live in tests/test_dedup_similarity.py::test_ann_recall_floors_panel.
 
-Usage: python tools/ann_eval.py [sf_dir] [--anchors 16] [--k 10]
+Passing several fixture dirs (r10 verdict ask #7) adds a recall/probe
+column pair per size, showing whether each setting HOLDS as the corpus
+grows — cell occupancy changes recall, not just latency, so a floor
+pinned at one size is a hypothesis at the next.
+
+Usage: python tools/ann_eval.py [sf_dir ...] [--anchors 16] [--k 10]
        [--md ANN_EVAL.md]
 """
 
@@ -19,73 +24,65 @@ import argparse
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from pyspark.sql import functions as F  # noqa: E402
 
 from data_lakehouse_spark.catalog import Catalog  # noqa: E402
 from data_lakehouse_spark.operators import similarity  # noqa: E402
 from data_lakehouse_spark.session import get_spark  # noqa: E402
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
-    ap.add_argument("--anchors", type=int, default=16)
-    ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--md", default="ANN_EVAL.md")
-    args = ap.parse_args()
-
-    spark = get_spark("ann-eval")
-    emb = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet").cache()
+def run_sweep(
+    spark, sf_dir: str, n_anchors: int, k: int
+) -> tuple[int, float, list[tuple[str, str, float, float]]]:
+    """(n_vectors, exact s/query, [(tier, setting, recall, probe_s)])
+    for one fixture dir — settings held FIXED across sizes so columns
+    compare like for like."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     n_vecs = emb.count()
     anchors = [
         (r["vec_id"], [float(x) for x in r["embedding"]])
-        for r in emb.orderBy("vec_id").limit(args.anchors).collect()
+        for r in emb.orderBy("vec_id").limit(n_anchors).collect()
     ]
     exact_sets = {}
     for aid, qv in anchors:
         exact_sets[aid] = {
             r["vec_id"]
-            for r in similarity.cosine_topk(emb, qv, k=args.k)
+            for r in similarity.cosine_topk(emb, qv, k=k)
             .select("vec_id").collect()
         }
-
-    import tempfile
 
     cat = Catalog(spark, os.path.join(tempfile.mkdtemp(), "annidx"))
 
     def panel(fn) -> tuple[float, float]:
-        """(mean recall@k, mean probe seconds) over the anchor panel."""
         recalls, secs = [], []
         for aid, qv in anchors:
             t0 = time.time()
             got = {
-                r["vec_id"]
-                for r in fn(qv).select("vec_id").collect()
+                r["vec_id"] for r in fn(qv).select("vec_id").collect()
             }
             secs.append(time.time() - t0)
             e = exact_sets[aid]
             recalls.append(len(got & e) / max(len(e), 1))
-        return (
-            sum(recalls) / len(recalls),
-            sum(secs) / len(secs),
-        )
+        return sum(recalls) / len(recalls), sum(secs) / len(secs)
 
     rows = []
+
+    def note(tier, setting, r, s):
+        rows.append((tier, setting, r, s))
+        print(f"[{sf_dir}] {tier} {setting}: recall {r:.2f} {s:.2f}s",
+              file=sys.stderr)
 
     for planes in (6, 8, 10):
         for ph in (0, 1, 2):
             r, s = panel(
                 lambda qv: similarity.ann_lsh_topk(
-                    emb, qv, k=args.k, num_planes=planes, probe_hamming=ph
+                    emb, qv, k=k, num_planes=planes, probe_hamming=ph
                 )
             )
-            rows.append(("lsh", f"planes={planes} probe={ph}", r, s))
-            print(f"lsh planes={planes} probe={ph}: recall {r:.2f} "
-                  f"{s:.2f}s", file=sys.stderr)
+            note("lsh", f"planes={planes} probe={ph}", r, s)
 
     # distance-weighted multi-probe x multi-table (the recommended LSH
     # configuration; see similarity.ann_lsh_topk)
@@ -98,40 +95,29 @@ def main() -> None:
     ):
         r, s = panel(
             lambda qv: similarity.ann_lsh_topk(
-                emb, qv, k=args.k, num_planes=planes,
+                emb, qv, k=k, num_planes=planes,
                 n_probe=n_probe, num_tables=ntab,
             )
         )
-        rows.append(
-            ("lsh-mp", f"planes={planes} n_probe={n_probe} L={ntab}", r, s)
-        )
-        print(
-            f"lsh-mp planes={planes} n_probe={n_probe} L={ntab}: "
-            f"recall {r:.2f} {s:.2f}s",
-            file=sys.stderr,
-        )
+        note("lsh-mp", f"planes={planes} n_probe={n_probe} L={ntab}", r, s)
 
     for planes in (4, 6, 8):
         for ph in (1, 2):
             r, s = panel(
                 lambda qv: similarity.ann_ivf_topk(
-                    emb, qv, k=args.k, num_planes=planes, probe_hamming=ph
+                    emb, qv, k=k, num_planes=planes, probe_hamming=ph
                 )
             )
-            rows.append(("ivf", f"planes={planes} probe={ph}", r, s))
-            print(f"ivf planes={planes} probe={ph}: recall {r:.2f} "
-                  f"{s:.2f}s", file=sys.stderr)
+            note("ivf", f"planes={planes} probe={ph}", r, s)
 
     similarity.build_kmeans_ivf_index(cat, emb, "kivf", k=8, seed=7)
     for nprobe in (1, 2, 3, 4, 8):
         r, s = panel(
             lambda qv: similarity.ann_kmeans_ivf_topk(
-                cat, "kivf", qv, k=args.k, nprobe=nprobe
+                cat, "kivf", qv, k=k, nprobe=nprobe
             )
         )
-        rows.append(("kmeans-ivf", f"cells=8 nprobe={nprobe}", r, s))
-        print(f"kmeans-ivf nprobe={nprobe}: recall {r:.2f} {s:.2f}s",
-              file=sys.stderr)
+        note("kmeans-ivf", f"cells=8 nprobe={nprobe}", r, s)
 
     # IVF-PQ (FAISS IVFx,PQ8 shape): code-only index + ADC; with and
     # without the exact refine stage
@@ -139,41 +125,77 @@ def main() -> None:
     for nprobe in (2, 4, 6):
         r, s = panel(
             lambda qv: similarity.ann_ivf_pq_topk(
-                cat, "pq", qv, k=args.k, nprobe=nprobe
+                cat, "pq", qv, k=k, nprobe=nprobe
             )
         )
-        rows.append(("ivf-pq", f"m=8 nbits=8 nprobe={nprobe} adc", r, s))
-        print(f"ivf-pq nprobe={nprobe} adc: recall {r:.2f} {s:.2f}s",
-              file=sys.stderr)
+        note("ivf-pq", f"m=8 nbits=8 nprobe={nprobe} adc", r, s)
         r, s = panel(
             lambda qv: similarity.ann_ivf_pq_topk(
-                cat, "pq", qv, k=args.k, nprobe=nprobe,
+                cat, "pq", qv, k=k, nprobe=nprobe,
                 refine_with=emb, refine_factor=8,
             )
         )
-        rows.append(
-            ("ivf-pq", f"m=8 nbits=8 nprobe={nprobe} refine=8", r, s)
-        )
-        print(f"ivf-pq nprobe={nprobe} refined: recall {r:.2f} {s:.2f}s",
-              file=sys.stderr)
+        note("ivf-pq", f"m=8 nbits=8 nprobe={nprobe} refine=8", r, s)
 
     t0 = time.time()
     for aid, qv in anchors:
-        similarity.cosine_topk(emb, qv, k=args.k).collect()
+        similarity.cosine_topk(emb, qv, k=k).collect()
     exact_s = (time.time() - t0) / len(anchors)
+    emb.unpersist()
+    return n_vecs, exact_s, rows
 
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "sf_dirs", nargs="*", default=["/root/testdata/sf0.01"]
+    )
+    ap.add_argument("--anchors", type=int, default=16)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--md", default="ANN_EVAL.md")
+    args = ap.parse_args()
+
+    spark = get_spark("ann-eval")
+    results = []  # (sf_dir, n_vecs, exact_s, {(tier, setting): (r, s)})
+    order: list[tuple[str, str]] = []
+    for sf_dir in args.sf_dirs:
+        n_vecs, exact_s, rows = run_sweep(
+            spark, sf_dir, args.anchors, args.k
+        )
+        results.append(
+            (sf_dir, n_vecs, exact_s,
+             {(t, st): (r, s) for t, st, r, s in rows})
+        )
+        if not order:
+            order = [(t, st) for t, st, _, _ in rows]
+
+    sizes = " / ".join(
+        f"{n} vectors ({d}; exact scan {e:.2f} s/query)"
+        for d, n, e, _ in results
+    )
+    hdr_cols = "".join(
+        f" recall@{args.k} ({n}v) | probe sec ({n}v) |"
+        for _, n, _, _ in results
+    )
     lines = [
         "# ANN quality evaluation",
         "",
-        f"Recall@{args.k} (mean over {len(anchors)} query anchors) vs "
-        f"exact brute-force cosine top-{args.k}; {n_vecs} vectors "
-        f"({args.sf_dir}). Exact scan baseline: {exact_s:.2f} s/query.",
+        f"Recall@{args.k} (mean over {args.anchors} query anchors) vs "
+        f"exact brute-force cosine top-{args.k}; corpus sizes: "
+        f"{sizes}. Settings held fixed across sizes — a recall column "
+        "that decays with corpus growth means the setting does NOT "
+        "hold at scale (cell occupancy, not latency).",
         "",
-        "| tier | setting | recall@10 | probe sec |",
-        "|---|---|---|---|",
+        f"| tier | setting |{hdr_cols}",
+        "|---|---|" + "---|---|" * len(results),
     ]
-    for tier, setting, r, s in rows:
-        lines.append(f"| {tier} | {setting} | {r:.2f} | {s:.2f} |")
+    for key in order:
+        tier, setting = key
+        cells = "".join(
+            f" {by[key][0]:.2f} | {by[key][1]:.2f} |"
+            for _, _, _, by in results
+        )
+        lines.append(f"| {tier} | {setting} |{cells}")
     lines += [
         "",
         "Reading the table: recall rises with probe width "
@@ -203,10 +225,16 @@ def main() -> None:
     with open(args.md, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps({
-        "anchors": len(anchors),
+        "anchors": args.anchors,
         "k": args.k,
-        "settings": len(rows),
-        "best_recall": max(r for _, _, r, _ in rows),
+        "corpora": [
+            {"sf_dir": d, "n_vecs": n, "exact_s": round(e, 3)}
+            for d, n, e, _ in results
+        ],
+        "settings": len(order),
+        "best_recall": [
+            max(r for r, _ in by.values()) for _, _, _, by in results
+        ],
         "md": args.md,
     }))
 

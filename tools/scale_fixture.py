@@ -63,14 +63,30 @@ def _copy_df(df: DataFrame, table: str, i: int, offsets: dict) -> DataFrame:
             "text", F.regexp_replace(F.col("text"), r"(\S+)", rf"$1~{i}")
         ).withColumn("n_chars", F.length("text").cast("long"))
     if table == "embeddings" and i > 0:
+        # rotate by i mod dim (norm-preserving); once the rotations
+        # wrap (factor > dim), negate the wrapped generation so copy
+        # i and copy i-dim read cosine ≈ -1, not 1 — replication must
+        # not manufacture cross-copy near-duplicates
         n = "size(embedding)"
+        r = f"({i} % {n})"
         df = df.withColumn(
             "embedding",
             F.expr(
-                f"concat(slice(embedding, {i + 1}, {n} - {i}), "
-                f"slice(embedding, 1, {i}))"
+                f"concat(slice(embedding, {r} + 1, {n} - {r}), "
+                f"slice(embedding, 1, {r}))"
             ),
         )
+        if i >= 2:  # generation = i // dim; dim is data-dependent, so
+            # negate when the expr says this copy wrapped an odd
+            # number of times
+            df = df.withColumn(
+                "embedding",
+                F.expr(
+                    f"CASE WHEN ({i} div {n}) % 2 = 1 "
+                    "THEN transform(embedding, x -> -x) "
+                    "ELSE embedding END"
+                ),
+            )
     return df
 
 
