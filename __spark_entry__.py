@@ -82,6 +82,38 @@ def _events_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     return silver_events(events)
 
 
+def _events_silver_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver with the dedup exchange keyed to cluster by ``user_id``
+    (silver_events(cluster_by=...)): identical rows — the window still
+    groups by the full dedup key — but the ONE full-width shuffle lands
+    rows hash-partitioned on user_id, so a consumer whose next operator
+    is a user-keyed window/groupBy/join reuses it instead of forcing a
+    second full-width exchange (guide §2.4). Use only for queries whose
+    first post-silver operation is keyed by user_id."""
+    _ensure_conf(spark)
+    events = _rel(spark, sf_dir, "events")
+    return silver_events(events, cluster_by="user_id")
+
+
+def _events_silver_distinct_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver WITHOUT the W1 keep-latest window — one full-width shuffle
+    and the md5/date_format key expressions removed from the plan
+    (guide §2.4: a dedup a downstream DISTINCT subsumes).
+
+    ONLY for queries whose result is provably dedup-invariant:
+    ``event_unique_id`` functionally determines (user_id, event_type,
+    event_timestamp) and every timestamp-derived column, and the window
+    keeps exactly one row per key group, so COUNT(DISTINCT)/MIN/MAX/HLL
+    aggregates over key-determined columns are identical either way
+    (each switched query is hash-verified against the unchanged DuckDB
+    oracle, which still applies the dedup CTE). Queries that count rows
+    or read survivor-dependent columns (price, prop_k, event_id) must
+    stay on :func:`_events_silver`."""
+    _ensure_conf(spark)
+    events = _rel(spark, sf_dir, "events")
+    return silver_events(events, dedup=False)
+
+
 def _date_str(df: DataFrame, *cols: str) -> DataFrame:
     for c in cols:
         df = df.withColumn(c, F.date_format(F.col(c), "yyyy-MM-dd"))
@@ -211,8 +243,10 @@ def _rfm_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _RFM_MART_LOCK:
         df = _RFM_MART_MEMO.get(key)
         if df is None:
+            # user-clustered silver: the per-user RFM groupBy reuses
+            # the dedup exchange (one full-width shuffle, not two)
             df = gold.user_rfm_segments(
-                _events_silver(spark, sf_dir), as_of_date=AS_OF_DATE
+                _events_silver_user(spark, sf_dir), as_of_date=AS_OF_DATE
             )
             _RFM_MART_MEMO.clear()
             _RFM_MART_MEMO[key] = df
@@ -231,13 +265,18 @@ def q_user_rfm_segments_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels can flip for users sitting exactly on a quantile boundary;
     tests assert agreement with the exact path away from boundaries."""
     df = gold.user_rfm_segments(
-        _events_silver(spark, sf_dir), as_of_date=AS_OF_DATE, scalable_ntile=True
+        _events_silver_user(spark, sf_dir),
+        as_of_date=AS_OF_DATE,
+        scalable_ntile=True,
     )
     return _date_str(df, "first_purchase_date", "last_purchase_date")
 
 
 def q_user_journey_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = gold.user_journey_funnel(_events_silver(spark, sf_dir), cart_type=CART_TYPE)
+    # user-clustered silver: the per-user groupBy reuses the dedup exchange
+    df = gold.user_journey_funnel(
+        _events_silver_user(spark, sf_dir), cart_type=CART_TYPE
+    )
     return _date_str(
         df,
         "first_view_date",
@@ -264,15 +303,17 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention triangle over silver events: users
     cohorted by first activity date, distinct-counted per 7-day period
     since, with retention vs the period-0 cohort size."""
-    df = gold.cohort_retention(_events_silver(spark, sf_dir))
+    # dedup-invariant (MIN dates + COUNT(DISTINCT user_id) only)
+    df = gold.cohort_retention(_events_silver_distinct_safe(spark, sf_dir))
     return _date_str(df, "cohort_date")
 
 
 def q_cohort_retention_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same triangle, but only purchases count as retained activity
     (cohorting still uses all events) — the ``activity_filter`` path."""
+    # dedup-invariant (MIN dates + COUNT(DISTINCT user_id) only)
     df = gold.cohort_retention(
-        _events_silver(spark, sf_dir),
+        _events_silver_distinct_safe(spark, sf_dir),
         activity_filter=F.col("event_type") == "purchase",
     )
     return _date_str(df, "cohort_date")
@@ -282,7 +323,8 @@ def q_active_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/WAU/MAU engagement mart: trailing distinct actives via the
     collapsed-activity × broadcast-date-spine range join (no
     COUNT(DISTINCT) windows, no raw-event self-join)."""
-    df = gold.active_user_stickiness(_events_silver(spark, sf_dir))
+    # dedup-invariant (first op collapses to DISTINCT (user, date))
+    df = gold.active_user_stickiness(_events_silver_distinct_safe(spark, sf_dir))
     return _date_str(df, "activity_date")
 
 
@@ -290,7 +332,8 @@ def q_purchase_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution of per-user purchase counts (0 included): collapse
     to per-user aggregates, then aggregate the aggregate — the
     two-level shape histogram marts use."""
-    silver = _events_silver(spark, sf_dir)
+    # user-clustered silver: the per-user groupBy reuses the dedup exchange
+    silver = _events_silver_user(spark, sf_dir)
     per_user = silver.groupBy("user_id").agg(
         F.count(F.when(F.col("event_type") == "purchase", F.lit(1)))
         .cast("bigint")
@@ -316,7 +359,8 @@ def q_purchase_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily acquisition-vs-retention split: actives whose first-ever
     activity is today vs returning, over collapsed (user, day) pairs."""
-    df = gold.new_vs_returning_daily(_events_silver(spark, sf_dir))
+    # dedup-invariant (MIN date + DISTINCT pairs + COUNT(DISTINCT))
+    df = gold.new_vs_returning_daily(_events_silver_distinct_safe(spark, sf_dir))
     return _date_str(df, "activity_date")
 
 
@@ -327,7 +371,9 @@ def q_experiment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     function of the user id), so exposure + conversion collapse into
     ONE per-user aggregate over silver — one events pass, one shuffle
     (the exposure-table path aggregated silver twice and joined)."""
-    silver = _events_silver(spark, sf_dir)
+    # dedup-invariant (per-user bool-OR of a key-determined predicate,
+    # then per-variant COUNT over one-row-per-user aggregates)
+    silver = _events_silver_distinct_safe(spark, sf_dir)
     return experiments.experiment_lift(
         silver,
         success=F.col("event_type") == "purchase",
@@ -342,15 +388,19 @@ def q_experiment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-session event-type transition matrix (+ exit state, row-
     normalized shares) — single window pass per user ordering."""
-    return experiments.session_transitions(_events_silver(spark, sf_dir))
+    # user-clustered silver: the dedup exchange doubles as the session
+    # window's user_id partitioning (one full-width shuffle, not two)
+    return experiments.session_transitions(_events_silver_user(spark, sf_dir))
 
 
 def q_funnel_step_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel velocity: median/p90 seconds from first view to first
     cart-stage and first purchase, over per-user first-step timestamps
     (single-row bounded global aggregate)."""
+    # dedup-invariant (per-user conditional MIN timestamps only)
     return experiments.funnel_step_timing(
-        _events_silver(spark, sf_dir), steps=("view", CART_TYPE, "purchase")
+        _events_silver_distinct_safe(spark, sf_dir),
+        steps=("view", CART_TYPE, "purchase"),
     )
 
 
@@ -358,8 +408,10 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch revenue attribution over a 7-day lookback:
     purchase revenue split equally across preceding view/click touches
     (decimal-quantized shares so the sum is order-independent)."""
+    # user-clustered silver: both join slices arrive hash-partitioned on
+    # user_id, so the user-keyed range join adds no exchange of its own
     df = experiments.linear_attribution(
-        _events_silver(spark, sf_dir), touch_types=("view", CART_TYPE)
+        _events_silver_user(spark, sf_dir), touch_types=("view", CART_TYPE)
     )
     return _date_str(df, "touch_date")
 
@@ -819,7 +871,9 @@ def q_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag/gap sessionization (lead/lag + running-sum window surface)."""
-    silver = _events_silver(spark, sf_dir)
+    # user-clustered silver: sessionize's user window reuses the dedup
+    # exchange (one full-width shuffle, not two)
+    silver = _events_silver_user(spark, sf_dir)
     sess = relational.sessionize(
         silver, user_col="user_id", ts_col="event_timestamp", gap_seconds=1800
     )
@@ -2447,7 +2501,8 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) next to exact COUNT(DISTINCT) per
     day — the scalable variant of the A5/A6 exact-distinct marts (HLL
     values are engine-specific → rows-only check)."""
-    silver = _events_silver(spark, sf_dir)
+    # dedup-invariant (exact + HLL distinct counts over user_id sets)
+    silver = _events_silver_distinct_safe(spark, sf_dir)
     return (
         silver.groupBy("event_date")
         .agg(
@@ -2493,7 +2548,9 @@ def q_active_user_stickiness_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact mart is pinned in tests/test_sketches.py."""
     from data_lakehouse_spark.operators import sketches
 
-    silver = _events_silver(spark, sf_dir)
+    # dedup-invariant (HLL registers are max-of-hash — duplicate
+    # (user, date) rows are idempotent no-ops; n_rows is not emitted)
+    silver = _events_silver_distinct_safe(spark, sf_dir)
     daily = sketches.hll_sketch_table(silver, ["event_date"], "user_id")
     out = sketches.hll_trailing_window(
         daily, "event_date", {"dau": 1, "wau": 7, "mau": 28}
@@ -3098,7 +3155,9 @@ def q_purchase_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``last(..., ignorenulls=True)`` over an UNBOUNDED-to-1-PRECEDING
     rows frame — one shuffle on user_id, no self-join, no as-of
     machinery; scale-safe because partitions are per-user."""
-    silver = _events_silver(spark, sf_dir)
+    # user-clustered silver: the attribution window reuses the dedup
+    # exchange (one full-width shuffle, not two)
+    silver = _events_silver_user(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
         .orderBy("event_timestamp", "event_unique_id")

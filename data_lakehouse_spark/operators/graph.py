@@ -85,10 +85,11 @@ def connected_components(
     # Materialize the (possibly expensive) pair-generation plan ONCE —
     # the contraction below reads it three times, and without this the
     # upstream candidate generator (e.g. the block GEMM) would re-run
-    # per read.
-    sym = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    # per read. Symmetrize by exploding each edge into both directions
+    # (a UNION of the plan with its swapped self evaluates the upstream
+    # generator once per branch — exchange reuse does not fire across
+    # Python-kernel subtrees, so the GEMM/LSH would run twice).
+    sym = _symmetrize(e).localCheckpoint()
     if stats is not None:
         stats["input_edges"] = sym.count()
 
@@ -126,6 +127,23 @@ def connected_components(
             .select("v", F.coalesce("component_id", F.col("v")).alias("component_id"))
         )
     return labeled.select(F.col("v").alias(vertex_col), "component_id")
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    """Undirected edge list → both directions in ONE pass over the
+    input: explode each (a, b) into [(a, b), (b, a)] instead of
+    unioning the plan with its swapped self (which evaluates the
+    upstream pair generator once per union branch)."""
+    return e.select(
+        F.explode(
+            F.array(
+                F.array(F.col("a"), F.col("b")),
+                F.array(F.col("b"), F.col("a")),
+            )
+        ).alias("_e")
+    ).select(
+        F.col("_e").getItem(0).alias("a"), F.col("_e").getItem(1).alias("b")
+    )
 
 
 def _hook_and_project(
@@ -206,6 +224,13 @@ def _cc_residue(
         stats["residue_edges"] = []
     cur = edges
     for _ in range(max_iter):
+        # Materialize the contracted residue before counting it: the
+        # count below and the consumer that follows (union-find read or
+        # the next contraction round) otherwise each re-run the full
+        # contraction plan (two joins + distinct over the checkpointed
+        # edge set) — the residue is contracted-graph-sized, cheap to
+        # hold, and is read at least twice.
+        cur = cur.localCheckpoint(eager=False)
         cnt = cur.count()
         if stats is not None:
             stats["residue_edges"].append(cnt)
@@ -220,9 +245,7 @@ def _cc_residue(
             if stats is not None:
                 stats["finish"] = "driver_union_find"
             break
-        sym_cur = cur.unionByName(
-            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).localCheckpoint()
+        sym_cur = _symmetrize(cur).localCheckpoint()
         hook, cur = _hook_and_project(sym_cur, close=True)
         maps.append(hook.select(F.col("a").alias("cv"), F.col("h").alias("clabel")))
     else:
@@ -255,8 +278,14 @@ def _union_find_df(spark, edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in edges.select("a", "b").toLocalIterator():
-        a, b = int(row[0]), int(row[1])
+    # One Arrow-batched fetch instead of toLocalIterator: the iterator
+    # form launches a job per partition (32 tiny jobs on an empty-ish
+    # residue) and yields boxed Row objects; the edge set is guarded to
+    # ≤ driver_finish_max_edges rows of two longs, so a single columnar
+    # transfer is bounded and far cheaper on both sides.
+    pdf = edges.select("a", "b").toPandas()
+    for a, b in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
+        a, b = int(a), int(b)
         seen.add(a)
         seen.add(b)
         ra, rb = find(a), find(b)

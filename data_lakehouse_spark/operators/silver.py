@@ -48,6 +48,8 @@ def silver_events(
     json_props_col: str | None = "props",
     dedup_tiebreaker: str | None = "event_id",
     order_by_col: str | None = None,
+    dedup: bool = True,
+    cluster_by: str | None = None,
 ) -> DataFrame:
     """Build the silver event table from a raw event-shaped DataFrame.
 
@@ -55,6 +57,32 @@ def silver_events(
     dedup orders on (``_bronze_ingestion_time DESC``); defaults to the
     event timestamp when absent. ``dedup_tiebreaker`` totalizes the
     ordering (the reference leaves ties nondeterministic).
+
+    ``dedup=False`` skips the keep-latest window (and its full-width
+    hash-partition shuffle) entirely. ONLY for consumers whose result
+    is provably dedup-invariant: the dedup key ``event_unique_id``
+    functionally determines (user_id, event_type, event_timestamp) and
+    therefore every timestamp-derived column, and dedup keeps exactly
+    one row per key group — so any aggregate that depends only on the
+    DISTINCT SET of key-determined column tuples (COUNT(DISTINCT …),
+    MIN/MAX over them, HLL sketches of them) is identical with or
+    without the window. Aggregates that count rows or read survivor-
+    dependent columns (price, prop_k, event_id) MUST keep dedup=True.
+    Skipping also lets Catalyst prune the md5/date_format expressions
+    that exist only to build the dedup key.
+
+    ``cluster_by`` (an OUTPUT column name, e.g. ``"user_id"``) makes the
+    dedup exchange REUSABLE by downstream operators keyed on that
+    column: rows are hash-repartitioned on it once (AQE-coalescible —
+    no partition count pinned) and the keep-latest window partitions by
+    ``(cluster_by, event_unique_id)`` instead of the key alone. The
+    grouping is identical (``event_unique_id`` functionally determines
+    user_id/event_type/timestamp), and ``hashpartitioning(cluster_by)``
+    satisfies the window's clustered distribution, so the plan holds ONE
+    full-width exchange where a downstream window/groupBy on
+    ``cluster_by`` would otherwise force a second (guide §2.4). Only
+    worth it when the consumer IS keyed by that column; hot-key skew on
+    ``cluster_by`` behaves exactly like the consumer's own shuffle did.
     """
     ts_field = events.schema[ts_col].dataType.typeName()
     if ts_field in ("long", "bigint"):
@@ -132,16 +160,23 @@ def silver_events(
     # (~1.7× slower end-to-end at sf0.1), while row_number stays in the
     # codegen window exec — one hash-partition shuffle on a uniform MD5
     # key either way.
-    order_col = F.col(order_by_col) if order_by_col else F.col("event_timestamp")
-    ordering = [order_col.desc()]
-    if dedup_tiebreaker:
-        ordering.append(F.col(dedup_tiebreaker).desc())
-    w = Window.partitionBy("event_unique_id").orderBy(*ordering)
-    out = (
-        out.withColumn("row_num", F.row_number().over(w))
-        .filter(F.col("row_num") == 1)
-        .drop("row_num")
-    )
+    if dedup:
+        order_col = (
+            F.col(order_by_col) if order_by_col else F.col("event_timestamp")
+        )
+        ordering = [order_col.desc()]
+        if dedup_tiebreaker:
+            ordering.append(F.col(dedup_tiebreaker).desc())
+        part_cols = ["event_unique_id"]
+        if cluster_by:
+            out = out.repartition(F.col(cluster_by))
+            part_cols = [cluster_by, "event_unique_id"]
+        w = Window.partitionBy(*part_cols).orderBy(*ordering)
+        out = (
+            out.withColumn("row_num", F.row_number().over(w))
+            .filter(F.col("row_num") == 1)
+            .drop("row_num")
+        )
 
     # JSON extraction AFTER the dedup filter: get_json_object is the
     # most expensive expression in the transform; running it post-dedup
