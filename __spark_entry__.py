@@ -408,10 +408,12 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch revenue attribution over a 7-day lookback:
     purchase revenue split equally across preceding view/click touches
     (decimal-quantized shares so the sum is order-independent)."""
-    # user-clustered silver: both join slices arrive hash-partitioned on
-    # user_id, so the user-keyed range join adds no exchange of its own
+    # NOT user-clustered: the r11 bench measured the cluster_by variant
+    # 38% slower here (1.45 -> 2.01 s) — the two join slices prune
+    # different columns, so neither exchange is reusable and the
+    # clustered window only adds sort work
     df = experiments.linear_attribution(
-        _events_silver_user(spark, sf_dir), touch_types=("view", CART_TYPE)
+        _events_silver(spark, sf_dir), touch_types=("view", CART_TYPE)
     )
     return _date_str(df, "touch_date")
 

@@ -713,17 +713,28 @@ def cohort_retention(
 
 def new_vs_returning_daily(silver: DataFrame) -> DataFrame:
     """Per-day split of active users into NEW (first-ever activity that
-    day) vs RETURNING — the acquisition-vs-retention headline. One
-    per-user MIN shuffle plus one per-day aggregate over the collapsed
-    (user, day) table; no window over raw events."""
-    cohorts = silver.groupBy("user_id").agg(
+    day) vs RETURNING — the acquisition-vs-retention headline.
+
+    ONE full-width exchange (guide §2.4): the (user, day) pairs are
+    hash-repartitioned on user_id alone — that satisfies the DISTINCT's
+    (user_id, event_date) clustering, the per-user MIN that follows it
+    (first-ever day = min over the distinct pairs, same value as min
+    over raw rows), and the user-keyed join of the two — so the
+    collapse, the cohort derivation and the join all run on the single
+    exchange; only the final per-day aggregate (collapsed-pair-sized)
+    shuffles again. The previous shape exchanged three times: the
+    distinct on (user, date), the cohort aggregate on user, and the
+    join's stream side re-clustering (user, date)-partitioned pairs
+    back to user."""
+    pairs = (
+        silver.select("user_id", "event_date")
+        .repartition(F.col("user_id"))
+        .distinct()
+    )
+    cohorts = pairs.groupBy("user_id").agg(
         F.min("event_date").alias("_first")
     )
-    activity = (
-        silver.select("user_id", "event_date")
-        .distinct()
-        .join(cohorts, "user_id")
-    )
+    activity = pairs.join(cohorts, "user_id")
     is_new = F.col("event_date") == F.col("_first")
     df = activity.groupBy(F.col("event_date").alias("activity_date")).agg(
         _cntd(is_new, "user_id").alias("new_users"),

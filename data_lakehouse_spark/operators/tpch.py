@@ -419,12 +419,26 @@ def q21_waiting_suppliers(
     scale; supplier broadcasts at the end."""
     from pyspark.sql import Window
 
-    per_os = lineitem.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("l_shipdate").alias("_smax"),
-        # NULL-shipdate parity with the EXISTS form: `l3_shipdate >
-        # NULL` is never a match, so the anti-join KEEPS a NULL-ship
-        # row — such rows must stay candidates here too
-        F.max(F.col("l_shipdate").isNull().cast("int")).alias("_has_null"),
+    # One exchange for BOTH the aggregate and the window (guide §2.4):
+    # hash-repartition on l_orderkey alone — that satisfies the
+    # (l_orderkey, l_suppkey) aggregate's clustered distribution AND the
+    # order-stats window's, so the plan holds one full-width exchange
+    # where EnsureRequirements would otherwise insert two back to back
+    # (agg keyed (order, supp), then re-exchange on order for the
+    # window). Group reduction per (order, supp) is ~1.3× so the lost
+    # pre-exchange partial aggregation costs less than the second
+    # shuffle it replaced.
+    per_os = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max("l_shipdate").alias("_smax"),
+            # NULL-shipdate parity with the EXISTS form: `l3_shipdate >
+            # NULL` is never a match, so the anti-join KEEPS a NULL-ship
+            # row — such rows must stay candidates here too
+            F.max(F.col("l_shipdate").isNull().cast("int")).alias("_has_null"),
+        )
     )
     w = Window.partitionBy("l_orderkey")
     per = (

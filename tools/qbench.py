@@ -29,6 +29,7 @@ def main() -> None:
     plans_tag = None
     names: list[str] = []
     top = 0
+    confs: list[tuple[str, str]] = []
     i = 0
     while i < len(args):
         a = args[i]
@@ -38,6 +39,8 @@ def main() -> None:
             plans_tag = args[i + 1]; i += 2
         elif a == "--top":
             top = int(args[i + 1]); i += 2
+        elif a == "--conf":
+            k, v = args[i + 1].split("=", 1); confs.append((k, v)); i += 2
         else:
             names.append(a); i += 1
 
@@ -49,6 +52,8 @@ def main() -> None:
         names = [n for n in ranked if n in queries][:top] + names
 
     spark = get_spark("qbench")
+    for k, v in confs:
+        spark.conf.set(k, v)
     # same warmup as bench.py
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite").save()
