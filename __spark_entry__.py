@@ -876,8 +876,18 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # user-clustered silver: sessionize's user window reuses the dedup
     # exchange (one full-width shuffle, not two)
     silver = _events_silver_user(spark, sf_dir)
+    # tiebreak on event_unique_id (not event_id) so the session window's
+    # (user, ts, uid) ordering is a prefix of the user-clustered dedup
+    # sort — the second Sort node disappears (one sort serves both).
+    # Result-identical: rows tied on (user_id, event_timestamp) all have
+    # gap 0, so they share one session_idx regardless of tie order, and
+    # the query aggregates only per-user session/event counts.
     sess = relational.sessionize(
-        silver, user_col="user_id", ts_col="event_timestamp", gap_seconds=1800
+        silver,
+        user_col="user_id",
+        ts_col="event_timestamp",
+        tiebreak_col="event_unique_id",
+        gap_seconds=1800,
     )
     return (
         sess.groupBy("user_id")

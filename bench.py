@@ -17,6 +17,7 @@ import random
 import re
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -177,6 +178,29 @@ def attribute_suspects(
     }
 
 
+def _task_time_ms(spark) -> int | None:
+    """Total executor task time (ms) so far, via the UI REST API.
+
+    Wall time at sf0.1 is session-floor-bound (median query ~1 s vs a
+    ~0.3 s control floor), so per-query WALL cannot show core scaling —
+    the delta of this counter across a query's timed window measures
+    the work actually parallelized (sum of task durations), which is
+    the signal a low-core vs high-core comparison needs. One tiny
+    constant-size localhost GET per snapshot; returns None (and the
+    bench records no task time) when the UI is disabled."""
+    try:
+        sc = spark.sparkContext
+        url = (
+            f"{sc.uiWebUrl}/api/v1/applications/"
+            f"{sc.applicationId}/executors"
+        )
+        with urllib.request.urlopen(url, timeout=5) as r:
+            data = json.loads(r.read())
+        return sum(int(e.get("totalDuration", 0)) for e in data)
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -289,6 +313,8 @@ def main() -> None:
     samples: dict[str, list[float]] = {}
     # (start_offset, end_offset) per rep, for window attribution
     windows: dict[str, list[tuple[float, float]]] = {}
+    # per-query executor task-time samples (sec) — scaling evidence
+    task_samples: dict[str, list[float]] = {}
     for rep in range(max(reps, 1)):
         # Seeded per-pass shuffle: a localized host steal spreads its
         # damage across different queries each pass instead of landing
@@ -315,16 +341,22 @@ def main() -> None:
             if qi and qi % CONTROL_EVERY == 0:
                 control()
             fn = queries[name]
+            task0 = _task_time_ms(spark)  # outside the timed window
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             t1 = time.time()
+            task1 = _task_time_ms(spark) if task0 is not None else None
             t = round(t1 - t0, 3)
             timings[name] = min(timings.get(name, t), t)
             samples.setdefault(name, []).append(t)
             windows.setdefault(name, []).append(
                 (round(t0 - bench_start, 3), round(t1 - bench_start, 3))
             )
+            if task0 is not None and task1 is not None:
+                task_samples.setdefault(name, []).append(
+                    round((task1 - task0) / 1000.0, 3)
+                )
         else:
             control()  # end-of-pass sample
             continue
@@ -370,6 +402,20 @@ def main() -> None:
                 100.0 * (max(ts) - min(ts)) / max(min(ts), 1e-9), 1
             ),
             "suspect": suspect[name],
+            # executor task-time (sum of task durations, sec): wall at
+            # sf0.1 is session-floor-bound, so THIS is the core-scaling
+            # signal — task_sec ≈ constant across core counts while
+            # wall shrinks for genuinely parallel queries; task_sec ≈ 0
+            # marks a driver/overhead-bound query whose wall ratio
+            # carries no parallelism information.
+            "task_min": (
+                min(task_samples[name]) if task_samples.get(name) else None
+            ),
+            "task_med": (
+                round(_median(task_samples[name]), 3)
+                if task_samples.get(name)
+                else None
+            ),
         }
         for name, ts in samples.items()
     }
@@ -412,6 +458,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # core count the session actually ran with (local[$SPARK_GRAFT_CPUS])
+        # — pairs with the per-query task_min/task_med in bench_full.json
+        # so low-core vs high-core runs can compare parallel work, not
+        # session-floor-bound wall time
+        "cpus": spark.sparkContext.defaultParallelism,
         # normalization context: the query set GROWS every round,
         # so totals are not comparable across rounds — sec/query is
         "n_queries": len(timings),

@@ -85,16 +85,34 @@ def _is(event_type: str) -> Column:
 
 
 def daily_sales_summary(silver: DataFrame, *, cart_type: str = "cart") -> DataFrame:
-    """gold_daily_sales_summary: per-day revenue/traffic/conversion."""
+    """gold_daily_sales_summary: per-day revenue/traffic/conversion.
+
+    Two-level aggregate instead of a 2-distinct-group Expand (guide
+    §2.2): pre-collapse to one row per (sale_date, user) — map-side
+    combinable — then the distinct user counts become conditional
+    counts over unique users and the event counts / decimal revenue
+    re-aggregate exactly (associative). No Expand (×3) node."""
     purchase, view, cart = _is("purchase"), _is("view"), _is(cart_type)
-    df = silver.groupBy(F.col("event_date").alias("sale_date")).agg(
-        _money(purchase).alias("total_revenue"),
-        _cnt(purchase).alias("total_orders"),
-        _cntd(purchase, "user_id").alias("unique_customers"),
-        _cnt(purchase).alias("total_items_purchased"),
-        _cntd(view, "user_id").alias("unique_viewers"),
-        _cnt(view).alias("total_views"),
-        _cnt(cart).alias("total_carts"),
+    cells = silver.groupBy(
+        F.col("event_date").alias("sale_date"), "user_id"
+    ).agg(
+        F.sum(
+            F.when(
+                purchase, F.coalesce(F.col("price").cast(_DEC), _zero())
+            ).otherwise(_zero())
+        ).alias("_rev"),
+        _cnt(purchase).alias("_np"),
+        _cnt(view).alias("_nv"),
+        _cnt(cart).alias("_nc"),
+    )
+    df = cells.groupBy("sale_date").agg(
+        F.sum("_rev").cast("double").alias("total_revenue"),
+        F.sum("_np").cast("bigint").alias("total_orders"),
+        _cnt(F.col("_np") > 0).alias("unique_customers"),
+        F.sum("_np").cast("bigint").alias("total_items_purchased"),
+        _cnt(F.col("_nv") > 0).alias("unique_viewers"),
+        F.sum("_nv").cast("bigint").alias("total_views"),
+        F.sum("_nc").cast("bigint").alias("total_carts"),
     )
     df = (
         df.withColumn(
@@ -126,25 +144,49 @@ def product_performance(
     """gold_product_performance: per-product funnel counts + revenue."""
     purchase, view, cart = _is("purchase"), _is("view"), _is(cart_type)
     price_dec = F.col("price").cast(_DEC)
-    df = (
+    # Two-level aggregate instead of a 3-distinct-group Expand (guide
+    # §2.2): pre-collapse to one row per (product, user) — map-side
+    # combinable — then the distinct user counts become conditional
+    # counts over unique users; max/count/decimal-sum re-aggregate
+    # exactly (all associative, NULL-ignoring at both levels).
+    cells = (
         silver.filter(F.col(product_col).isNotNull())
-        .groupBy(F.col(product_col).alias("product_id"))
+        .groupBy(F.col(product_col).alias("product_id"), "user_id")
         .agg(
-            F.max("category_level_1").alias("category_level_1"),
-            F.max("category_level_2").alias("category_level_2"),
-            F.max("brand").alias("brand"),
-            _cnt(view).alias("total_views"),
-            _cntd(view, "user_id").alias("unique_viewers"),
-            _cnt(cart).alias("total_carts"),
-            _cntd(cart, "user_id").alias("unique_carters"),
-            _cnt(purchase).alias("total_purchases"),
-            _cntd(purchase, "user_id").alias("unique_buyers"),
-            _money(purchase).alias("total_revenue"),
+            F.max("category_level_1").alias("_c1"),
+            F.max("category_level_2").alias("_c2"),
+            F.max("brand").alias("_b"),
+            _cnt(view).alias("_nv"),
+            _cnt(cart).alias("_nc"),
+            _cnt(purchase).alias("_np"),
+            F.sum(
+                F.when(purchase, F.coalesce(price_dec, _zero())).otherwise(
+                    _zero()
+                )
+            ).alias("_rev"),
             # AVG(CASE WHEN purchase THEN price END): exact decimal sum /
             # non-null count, rounded — engine-agnostic result.
-            F.sum(F.when(purchase, price_dec)).cast("double").alias("_psum"),
-            _cnt(purchase & F.col("price").isNotNull()).alias("_pcnt"),
-            F.max(F.when(purchase, F.col("event_date"))).alias("last_sold_date"),
+            F.sum(F.when(purchase, price_dec)).alias("_ps"),
+            _cnt(purchase & F.col("price").isNotNull()).alias("_pn"),
+            F.max(F.when(purchase, F.col("event_date"))).alias("_ls"),
+        )
+    )
+    df = (
+        cells.groupBy("product_id")
+        .agg(
+            F.max("_c1").alias("category_level_1"),
+            F.max("_c2").alias("category_level_2"),
+            F.max("_b").alias("brand"),
+            F.sum("_nv").cast("bigint").alias("total_views"),
+            _cnt(F.col("_nv") > 0).alias("unique_viewers"),
+            F.sum("_nc").cast("bigint").alias("total_carts"),
+            _cnt(F.col("_nc") > 0).alias("unique_carters"),
+            F.sum("_np").cast("bigint").alias("total_purchases"),
+            _cnt(F.col("_np") > 0).alias("unique_buyers"),
+            F.sum("_rev").cast("double").alias("total_revenue"),
+            F.sum("_ps").cast("double").alias("_psum"),
+            F.sum("_pn").cast("bigint").alias("_pcnt"),
+            F.max("_ls").alias("last_sold_date"),
         )
         .withColumn("avg_price", _ratio(F.col("_psum"), F.col("_pcnt")))
         .drop("_psum", "_pcnt")
@@ -567,24 +609,52 @@ def user_journey_funnel(silver: DataFrame, *, cart_type: str = "cart") -> DataFr
 
 
 def conversion_funnel_daily(silver: DataFrame, *, cart_type: str = "cart") -> DataFrame:
-    """gold_conversion_funnel_daily: 5-key funnel with stage rates."""
+    """gold_conversion_funnel_daily: 5-key funnel with stage rates.
+
+    Two-level aggregate instead of a 3-distinct-group Expand (guide
+    §2.2): the multi-distinct rewrite multiplied every fact row ×4
+    (3 distinct groups + 1 for the plain aggregates) before the
+    exchange. Pre-collapsing to ONE row per (group keys, user) — a
+    map-side-combinable groupBy — makes user_id unique within each
+    group, so COUNT(DISTINCT CASE WHEN cond THEN user END) ≡
+    COUNT(CASE WHEN per-user-flag THEN 1 END), and the stage counts /
+    revenue re-aggregate exactly (counts and decimal sums are
+    associative). No Expand node, ~4× fewer exchanged rows."""
     view, cart, purchase = _is("view"), _is(cart_type), _is("purchase")
+    keys = [
+        "analysis_date",
+        "category_level_1",
+        "category_level_2",
+        "time_of_day",
+        "is_weekend",
+    ]
+    cells = silver.groupBy(
+        F.col("event_date").alias("analysis_date"),
+        "category_level_1",
+        "category_level_2",
+        "time_of_day",
+        "is_weekend",
+        "user_id",
+    ).agg(
+        _cnt(view).alias("_nv"),
+        _cnt(cart).alias("_nc"),
+        _cnt(purchase).alias("_np"),
+        F.sum(
+            F.when(
+                purchase, F.coalesce(F.col("price").cast(_DEC), _zero())
+            ).otherwise(_zero())
+        ).alias("_rev"),
+    )
     df = (
-        silver.groupBy(
-            F.col("event_date").alias("analysis_date"),
-            "category_level_1",
-            "category_level_2",
-            "time_of_day",
-            "is_weekend",
-        )
+        cells.groupBy(*keys)
         .agg(
-            _cntd(view, "user_id").alias("stage_1_view_users"),
-            _cntd(cart, "user_id").alias("stage_2_cart_users"),
-            _cntd(purchase, "user_id").alias("stage_3_purchase_users"),
-            _cnt(view).alias("stage_1_view_events"),
-            _cnt(cart).alias("stage_2_cart_events"),
-            _cnt(purchase).alias("stage_3_purchase_events"),
-            _money(purchase).alias("total_revenue"),
+            _cnt(F.col("_nv") > 0).alias("stage_1_view_users"),
+            _cnt(F.col("_nc") > 0).alias("stage_2_cart_users"),
+            _cnt(F.col("_np") > 0).alias("stage_3_purchase_users"),
+            F.sum("_nv").cast("bigint").alias("stage_1_view_events"),
+            F.sum("_nc").cast("bigint").alias("stage_2_cart_events"),
+            F.sum("_np").cast("bigint").alias("stage_3_purchase_events"),
+            F.sum("_rev").cast("double").alias("total_revenue"),
         )
         .withColumn(
             "view_to_cart_rate",
@@ -725,7 +795,14 @@ def new_vs_returning_daily(silver: DataFrame) -> DataFrame:
     shuffles again. The previous shape exchanged three times: the
     distinct on (user, date), the cohort aggregate on user, and the
     join's stream side re-clustering (user, date)-partitioned pairs
-    back to user."""
+    back to user.
+
+    Reuse assumption: ``pairs`` feeds two plan branches (the cohort
+    groupBy and the join's stream side). The exchange map stage is
+    reused across them, but the distinct's final aggregation runs once
+    per consumer — measured cheaper here than a localCheckpoint
+    materialization (collapsed pairs are small); revisit if profiles
+    show the double final-agg dominating."""
     pairs = (
         silver.select("user_id", "event_date")
         .repartition(F.col("user_id"))
@@ -736,10 +813,18 @@ def new_vs_returning_daily(silver: DataFrame) -> DataFrame:
     )
     activity = pairs.join(cohorts, "user_id")
     is_new = F.col("event_date") == F.col("_first")
+    # No DISTINCT aggregates (guide §2.2): ``activity`` is the DISTINCT
+    # (user_id, event_date) pairs (1:1 joined to per-user cohorts), so
+    # within one event_date group every user_id appears EXACTLY once —
+    # COUNT(DISTINCT user) ≡ COUNT(*) and the conditional distincts
+    # become conditional counts. This removes the 3-distinct-group
+    # Expand (×4 row multiplication before the final aggregate).
     df = activity.groupBy(F.col("event_date").alias("activity_date")).agg(
-        _cntd(is_new, "user_id").alias("new_users"),
-        _cntd(~is_new, "user_id").alias("returning_users"),
-        F.countDistinct("user_id").cast("bigint").alias("active_users"),
+        F.count(F.when(is_new, F.lit(1))).cast("bigint").alias("new_users"),
+        F.count(F.when(~is_new, F.lit(1))).cast("bigint").alias(
+            "returning_users"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("active_users"),
     ).withColumn(
         "returning_share_pct",
         _ratio(F.col("returning_users"), F.col("active_users"), 100.0),
@@ -769,9 +854,25 @@ def active_user_stickiness(
     j = activity.join(
         F.broadcast(dates), (age >= 0) & (age < F.lit(mau_days))
     )
-    df = j.groupBy("activity_date").agg(
-        _cntd(age == 0, "user_id").alias("dau"),
-        _cntd(age < wau_days, "user_id").alias("wau"),
-        F.countDistinct("user_id").cast("bigint").alias("mau"),
+    # Pre-collapse before the multi-distinct (guide §2.2): one user can
+    # contribute up to ``mau_days`` joined rows per activity_date, and
+    # the 3-distinct-group aggregate would Expand that ×4 again. Collapse
+    # to ONE row per (activity_date, user) carrying min(age) first — a
+    # map-side-combinable aggregate over the range-join output — then
+    # the distinct counts become plain conditional counts over unique
+    # users: dau ⇔ min_age = 0 (some row had age 0), wau ⇔ min_age <
+    # wau_days, mau = row count. Exact: age ≥ 0 by the join condition,
+    # so min(age) witnesses membership in each trailing window.
+    per_user = j.groupBy("activity_date", "user_id").agg(
+        F.min(age).alias("_min_age")
+    )
+    df = per_user.groupBy("activity_date").agg(
+        F.count(F.when(F.col("_min_age") == 0, F.lit(1)))
+        .cast("bigint")
+        .alias("dau"),
+        F.count(F.when(F.col("_min_age") < wau_days, F.lit(1)))
+        .cast("bigint")
+        .alias("wau"),
+        F.count(F.lit(1)).cast("bigint").alias("mau"),
     ).withColumn("stickiness_pct", _ratio(F.col("dau"), F.col("mau"), 100.0))
     return df.orderBy("activity_date")

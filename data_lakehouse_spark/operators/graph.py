@@ -284,6 +284,17 @@ def _union_find_df(spark, edges: DataFrame) -> DataFrame:
     # ≤ driver_finish_max_edges rows of two longs, so a single columnar
     # transfer is bounded and far cheaper on both sides.
     pdf = edges.select("a", "b").toPandas()
+    # Fail loudly on nulls: pandas coerces nullable int64 -> float64 and
+    # int(float) silently corrupts ids above 2^53. The residue edge list
+    # is non-null by construction; this guard turns a violated
+    # assumption into an error instead of mislabeled components.
+    for col in ("a", "b"):
+        if str(pdf[col].dtype) != "int64":
+            raise ValueError(
+                f"union-find residue column {col!r} fetched as "
+                f"{pdf[col].dtype} (expected int64) — null or non-long "
+                "edge ids would corrupt component labels"
+            )
     for a, b in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
         a, b = int(a), int(b)
         seen.add(a)

@@ -171,6 +171,27 @@ def silver_events(
         if cluster_by:
             out = out.repartition(F.col(cluster_by))
             part_cols = [cluster_by, "event_unique_id"]
+            if order_by_col is None:
+                # Shared-sort form (guide §2.4): event_timestamp is
+                # key-determined (the dedup key md5's the microsecond-
+                # rendered timestamp, lossless for Spark's µs
+                # timestamps), so it is CONSTANT within each dedup
+                # group — adding it to the PARTITION spec changes
+                # neither the grouping nor the survivor, and the
+                # keep-latest ordering reduces to the tiebreaker. The
+                # window's required child ordering becomes
+                # (cluster_by ASC, event_timestamp ASC,
+                # event_unique_id ASC, tiebreak DESC), of which a
+                # downstream window ordered (cluster_by, ts,
+                # event_unique_id) is a PREFIX — its Sort node is
+                # eliminated, so ONE sort serves both the dedup and
+                # the consumer window. Only valid when the dedup
+                # orders on the key-determined event time (order_by_col
+                # None); an ingestion-time ordering column is NOT
+                # key-determined and keeps the original spec.
+                part_cols = [cluster_by, "event_timestamp", "event_unique_id"]
+                if dedup_tiebreaker:
+                    ordering = [F.col(dedup_tiebreaker).desc()]
         w = Window.partitionBy(*part_cols).orderBy(*ordering)
         out = (
             out.withColumn("row_num", F.row_number().over(w))

@@ -651,9 +651,18 @@ def ann_lsh_topk(
                     }
                 )
 
-        cands = df.select(
-            F.col(id_col).cast("bigint").alias(id_col), F.col(vec_col)
-        ).mapInPandas(kernel, f"{id_col} bigint, cosine_sim double")
+        # NULL/ragged guard: the SQL engine drops NULL or wrong-length
+        # vectors (NULL signature/cosine fails the filter); np.array over
+        # a ragged column would instead crash the task. Filter first so
+        # the Arrow engine keeps the SQL path's degrade-gracefully
+        # semantics on dirty embeddings.
+        cands = (
+            df.filter(
+                F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+            )
+            .select(F.col(id_col).cast("bigint").alias(id_col), F.col(vec_col))
+            .mapInPandas(kernel, f"{id_col} bigint, cosine_sim double")
+        )
         return cands.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
     cond = None

@@ -356,12 +356,14 @@ def test_q17_decorrelates_to_single_partkey_shuffle(spark, sf_dir):
 
 
 def test_last_touch_single_user_shuffle(spark, sf_dir):
-    """Attribution is one window pass: exactly one hash exchange on
-    user_id beyond the silver dedup exchange, and no join."""
+    """Attribution is one window pass: the user-clustered silver path
+    shares ONE user_id exchange between the dedup window and the
+    attribution window, and there is no join."""
     plan = _plan(entry.q_purchase_last_touch(spark, sf_dir))
     assert "Join" not in plan  # window-only, no self-join fallback
-    # silver dedup exchange + user window exchange
-    assert plan.count("Exchange hashpartitioning") == 2
+    # one shared exchange serving dedup + attribution windows
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(user_id" in plan
 
 
 def test_jaccard_verify_prunes_corpus_to_candidates(spark, sf_dir):
